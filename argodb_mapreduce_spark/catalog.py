@@ -1,0 +1,175 @@
+"""Catalog + table scan with the reference connector's source semantics.
+
+The reference (TranswarpCN/argodb-mapreduce) is an InputFormat whose
+scan surface is: snapshot read of one columnar table, optional
+``"col=value"`` partition filter, Hive type bridge, and Hive
+default-partition sentinel handling. This module reproduces those
+semantics idiomatically:
+
+* ``load_table``   — plain columnar scan (vectorized parquet is the
+  analogue of the reference's ``ReadMode.BatchMode``;
+  /root/reference src ArgodbMapreduceInputFormat.java:292).
+* ``scan``         — the reference's ``setInput(job, db, table, filter)``
+  entry point (ArgodbMapreduceInputFormat.java:52-102) re-expressed as a
+  DataFrame factory. The ``filter="col=value"`` string form, its quote
+  stripping (ArgodbSerdeUtils.java:18-26), and its error cases
+  (filter on non-partitioned table → error, ArgodbMapreduceInputFormat.java:230-232;
+  unknown filter column → error, MetaUtils.java:48-51; no matching
+  partition → empty result, not error, ArgodbMapreduceInputFormat.java:123-125)
+  are preserved. Pruning itself is delegated to Catalyst
+  (PruneFileSourcePartitions) — expressing the predicate declaratively
+  is what makes directory-level pruning free at 100 TB.
+* Snapshot isolation (ArgodbMapreduceInputFormat.java:257-279) is a
+  no-op over immutable parquet; ``snapshot()`` keeps the seam.
+
+Partition-value reconstruction (values live in directory names and are
+appended as trailing columns — ArgodbMapreduceRecordReader.java:182-198)
+and the ``__HIVE_DEFAULT_PARTITION__`` → NULL sentinel
+(ArgodbMapreduceRecordReader.java:189-192) are native Spark behavior for
+Hive-layout partitioned parquet; ``sources.hive_partitions`` covers the
+write side.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Hive's sentinel for a NULL partition value (Configs.java:29 default).
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+#: Sentinel for an empty-string partition value (Configs.java:30 default).
+HIVE_EMPTY_PARTITION = "__HIVE_DEFAULT_PARTITION_EMPTYSTR__"
+
+
+class ScanError(ValueError):
+    """Raised for the reference's scan-setup error cases."""
+
+
+_FILTER_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")
+
+
+def parse_filter(filter_str: str) -> tuple[str, str]:
+    """Parse ``"col=value"`` / ``'col="value"'`` into (col, value).
+
+    Mirrors ArgodbSerdeUtils.getFilterColumn/getFilterStringValue
+    (ArgodbSerdeUtils.java:18-33): one equality, optional double quotes
+    around the value are stripped.
+    """
+    m = _FILTER_RE.match(filter_str)
+    if not m:
+        raise ScanError(f"unsupported filter (expect col=value): {filter_str!r}")
+    col, value = m.group(1), m.group(2)
+    if len(value) >= 2 and value.startswith('"') and value.endswith('"'):
+        value = value[1:-1]
+    return col, value
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar snapshot scan of one table (SURVEY.md §2.A1).
+
+    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it as
+    epoch-nanos long and truncate to microseconds — the same truncation
+    DuckDB applies when converting ns → its µs TIMESTAMP, so the two
+    engines stay value-identical (FIXTURES.md risk note).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _partition_columns(path: str) -> list[str]:
+    """Partition columns of a Hive-layout directory (``k=v`` subdirs)."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        subdirs = [d for d in os.listdir(cur) if "=" in d and not d.startswith(("_", "."))]
+        if not subdirs:
+            break
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, sorted(subdirs)[0])
+    return cols
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    filter: str | None = None,  # noqa: A002 - reference API name
+) -> DataFrame:
+    """Scan a table directory/file with the reference's semantics.
+
+    ``filter`` is the reference's ``"col=value"`` partition filter; it
+    requires a Hive-layout partitioned table and the column must be a
+    partition column in the schema. The equality is handed to Catalyst
+    as an ordinary predicate, which prunes partition directories before
+    listing files — at 100 TB only the matching directory is read.
+    """
+    df = spark.read.parquet(path)
+    if filter is not None:
+        part_cols = _partition_columns(path)
+        if not part_cols:
+            # ArgodbMapreduceInputFormat.java:230-232
+            raise ScanError("Table is not a partition table, can't use filter")
+        col, value = parse_filter(filter)
+        if col not in df.columns:
+            # MetaUtils.java:48-51
+            raise ScanError(f"Can't find filter column {col} in table schema")
+        if col not in part_cols:
+            # Only partition-column equality is supported in the
+            # reference (ArgodbMapreduceInputFormat.java:233-238).
+            raise ScanError(f"Filter column {col} is not a partition column")
+        if value == HIVE_DEFAULT_PARTITION:
+            df = df.filter(df[col].isNull())
+        elif value == HIVE_EMPTY_PARTITION:
+            df = df.filter(df[col] == "")
+        else:
+            # Compare as string: partition values are directory-name
+            # strings in both the reference and Hive-layout parquet.
+            df = df.filter(df[col].cast("string") == value)
+    if columns:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ScanError(f"Can't find column(s) {missing} in table schema")
+        df = df.select(*columns)
+    return df
+
+
+def snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot-consistent scan seam (SURVEY.md §2.A6).
+
+    The reference wraps scans in a read-only distributed transaction
+    (begin / RO-share locks / snapshot renew / abort —
+    ArgodbMapreduceInputFormat.java:52-102,257-279,298-305). Over
+    immutable parquet fixtures a scan is trivially snapshot-consistent,
+    so this is the identity; for mutable tables the Spark-native
+    equivalent is a Delta/Iceberg time-travel read.
+    """
+    return spark.read.parquet(path)

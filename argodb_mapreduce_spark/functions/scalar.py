@@ -1,0 +1,301 @@
+"""Scalar function pack (SURVEY.md §2.D).
+
+The reference exposes no scalar functions beyond its 13-type Hive cast
+bridge (ArgodbSerdeUtils.java:71-102); users write them in map() code
+(SURVEY.md §2.B8). The engine standardizes on pyspark.sql.functions —
+JVM-side, whole-stage-codegen'd — and demonstrates each family with a
+DuckDB-oracle-checked query: string, date, math, conditional, array,
+map, JSON, regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           TRIM(CONCAT(' ', c_name, ' ')) AS name_trim,
+           REPLACE(c_name, '#', '-') AS name_dash,
+           (c_name LIKE '%1%') AS has_one
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+    doc="String functions: upper/lower/substring/length/concat/trim/replace/like.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.col("c_name").like("%1%").alias("has_one"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+           REGEXP_MATCHES(text, 'data') AS mentions_data,
+           REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS devoweled
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+    doc="Regex extract/match/replace. DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("data").alias("mentions_data"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+    doc="Date/time functions: year/month/day, date arithmetic, truncation, datediff.",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_ts"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_98"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1) AS price_r1,
+           ABS(p_retailprice - 1000.0) AS dist_1000,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(POW(CAST(p_size AS DOUBLE), 2.0) AS DOUBLE) AS size_sq,
+           ROUND(LN(p_retailprice), 6) AS price_ln,
+           SQRT(p_retailprice) AS price_sqrt,
+           p_size % 5 AS size_mod
+    FROM part
+    """,
+    tags=("scalar", "math"),
+    doc="Math functions: round/abs/floor/ceil/pow/ln/sqrt/mod — IEEE-deterministic per row on identical inputs.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+        # ln differs between JVM and libm in the last ulp — round to 6 on both sides.
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        (F.col("p_size") % 5).alias("size_mod"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na,
+           (CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE NULL END) AS even_nation_bal,
+           IF(c_acctbal > 0, 1, 0) AS is_positive
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+    doc="Conditional functions: case/when, coalesce, nullif, if.",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias("seg_or_na"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal")).alias("even_nation_bal"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("is_positive"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           list_contains([CAST(label AS INT)], 3) AS label_is_3,
+           list_sort(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 3) + 0.0)) AS head3_sorted
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+    doc="Array functions over ArrayType(Float): size, index, contains, slice+transform+sort.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("embedding").getItem(0).alias("first_val"),
+        F.array_contains(F.array(F.col("label")), F.lit(3)).alias("label_is_3"),
+        # + 0.0 normalizes IEEE -0.0 to +0.0 on both engines.
+        F.sort_array(
+            F.transform(F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 3) + 0.0)
+        ).alias("head3_sorted"),
+    )
+
+
+@register(
+    "fn_array_fold",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE), 4) AS DECIMAL(18,4)))) AS DOUBLE) AS emb_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+    doc=(
+        "Array fold (F.aggregate) and filter — the building blocks of the "
+        "vector ops in operators/similarity.py. Exact-decimal element sum "
+        "keeps both engines' folds bit-identical."
+    ),
+)
+def fn_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    elem_dec = lambda x: F.round(x.cast("double"), 4).cast("decimal(18,4)")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", elem_dec),
+            F.lit(0).cast("decimal(38,4)"),
+            lambda acc, x: acc + x,
+        )
+        .cast("double")
+        .alias("emb_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS from_map,
+           CAST(2 AS INT) AS map_size
+    FROM nation
+    """,
+    tags=("scalar", "map"),
+    doc="Map construction and access (MapType is Spark-native; reference model has no nested types — north-star extension).",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    m2 = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("key"), F.col("n_nationkey").cast("string")
+    )
+    return n.select(
+        "n_nationkey",
+        F.create_map(F.lit("name"), F.col("n_name")).getItem("name").alias("from_map"),
+        F.size(m2).alias("map_size"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+    tags=("scalar", "json"),
+    doc="JSON extraction from events.props (SURVEY.md §2.C5): get_json_object / from_json.",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT").getItem("k").alias("k_int"),
+    )
+
+
+@register(
+    "fn_cast_bridge",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS SMALLINT) AS ln_small,
+           CAST(l_linenumber AS TINYINT) AS ln_tiny,
+           CAST(l_quantity AS BIGINT) AS qty_long,
+           CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+           CAST(l_extendedprice AS VARCHAR) AS price_str,
+           CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
+           (l_returnflag = 'R') AS is_return,
+           CAST(NULL AS INT) AS always_null
+    FROM lineitem
+    """,
+    tags=("scalar", "cast"),
+    doc=(
+        "The reference's 13-type Hive cast bridge (ArgodbSerdeUtils.java:71-102) "
+        "exercised as Spark casts: tinyint/smallint/int/bigint/decimal/string/"
+        "date/timestamp/boolean. Parses TINYINT numerically — the reference's "
+        "String.getBytes() bug (ArgodbSerdeUtils.java:41-42) is NOT replicated."
+    ),
+)
+def fn_cast_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("smallint").alias("ln_small"),
+        F.col("l_linenumber").cast("tinyint").alias("ln_tiny"),
+        F.col("l_quantity").cast("bigint").alias("qty_long"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        # DATE round-trips through pandas as midnight datetime; normalize
+        # to timestamp on both sides for the hash compare.
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_date"),
+        (F.col("l_returnflag") == "R").alias("is_return"),
+        F.lit(None).cast("int").alias("always_null"),
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the local[N] test/bench environment.
+
+The settings mirror what we would set on a real cluster: AQE for
+runtime re-planning (skew joins, partition coalescing), shuffle
+partitions sized to the parallelism rather than the 200 default,
+UTC session timezone (required for DuckDB-oracle comparability —
+DuckDB timestamps are UTC-naive), and Arrow for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "argodb_mapreduce_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an externally created session.
+
+    The driver harness creates its own SparkSession; queries must be
+    robust to arbitrary configs, but settings that are runtime-mutable
+    (timezone, AQE) are applied here for oracle comparability.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events fixture stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # catalog.load_table converts the resulting long to a µs timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # immutable in some deployments; AQE default-on in Spark 3.2+
+    return spark
