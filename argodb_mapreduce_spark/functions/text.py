@@ -1,1 +1,295 @@
-"""Placeholder — filled in by later milestones."""
+"""Text-analysis operators (SURVEY.md §2.C4) — LLM-data-pipeline pack.
+
+Language-ID (character-n-gram profile heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace +
+word-regex), tf-idf with top-terms-per-doc, lexicon sentiment, and
+document fingerprinting (winnowing over rolling char-k-gram hashes).
+
+Everything is built from JVM-side pyspark.sql.functions (no Python
+UDFs in any hot path) and every query has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Language ID: score character-bigram profiles, argmax with fixed precedence.
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an"],
+    "es": ["de", "la", "os", "ar", "el"],
+    "fr": ["le", "es", "en", "re", "ou"],
+    "de": ["ch", "ei", "ie", "un", "ge"],
+}
+_LANG_ORDER = ["en", "es", "fr", "de"]
+
+
+@register(
+    "text_langid",
+    oracle=(
+        "SELECT doc_id, lang AS labeled_lang, "
+        + ", ".join(
+            "("
+            + " + ".join(f"len(regexp_extract_all(text, '{bg}'))" for bg in _LANG_PROFILES[lang])
+            + f") AS score_{lang}"
+            for lang in _LANG_ORDER
+        )
+        + ", CASE "
+        + " ".join(
+            f"WHEN score_{lang} >= GREATEST({', '.join('score_' + o for o in _LANG_ORDER)}) THEN '{lang}'"
+            for lang in _LANG_ORDER
+        )
+        + " END AS predicted_lang FROM documents"
+    ),
+    tags=("text", "langid"),
+    doc=(
+        "Language-ID heuristic: character-bigram profile scores with a "
+        "deterministic argmax (fixed precedence on ties). The fixture text "
+        "is synthetic word soup, so the *mechanism* is what's verified."
+    ),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    score_cols = []
+    for lang in _LANG_ORDER:
+        expr = sum(F.regexp_count(F.col("text"), F.lit(bg)) for bg in _LANG_PROFILES[lang])
+        score_cols.append(expr.alias(f"score_{lang}"))
+    d = d.select("doc_id", F.col("lang").alias("labeled_lang"), "text", *score_cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"score_{lang}") >= best, lang).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"score_{lang}" for lang in _LANG_ORDER],
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+           LENGTH(text) AS n_chars_computed,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+    doc=(
+        "Token counting: whitespace tokens, regex word tokens (the "
+        "BPE-ish pre-tokenizer split), distinct tokens, avg token length."
+    ),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+_STOPWORDS = ["a", "the", "of", "and", "to", "in"]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '), w -> list_contains({_STOPWORDS!r}, w))) AS n_stop,
+             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LENGTH(text) AS DOUBLE) / n_tok AS chars_per_token,
+           (CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tok BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_punct AS DOUBLE) / LENGTH(text) < 0.1 THEN 1 ELSE 0 END) AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+    doc=(
+        "Quality scoring: stopword ratio, punctuation ratio, chars/token, "
+        "and a 0-3 integer quality score — the C4-style heuristic filter "
+        "stack for pretraining corpora."
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_punct = F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]"))
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.length("text").cast("double") / n_tok).alias("chars_per_token"),
+        (
+            F.when(n_tok >= 20, 1).otherwise(0)
+            + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 1).otherwise(0)
+            + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+    doc=(
+        "tf-idf with top-3 terms per doc: the classic two-shuffle text "
+        "pipeline (tf groupBy + df groupBy + broadcast-join + window top-k). "
+        "idf rounded to 6 to absorb JVM-vs-libm ln() ulp differences."
+    ),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+_LEXICON = [
+    ("fast", 1.0),
+    ("slow", -1.0),
+    ("big", 0.5),
+    ("small", -0.25),
+    ("merge", 0.25),
+    ("dup", -0.75),
+]
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {", ".join(f"('{w}', {s})" for w, s in _LEXICON)}),
+    tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(l.score AS DECIMAL(18,2))) AS DOUBLE) AS sent_sum,
+             COUNT(*) AS n_hits
+      FROM tok t JOIN lex l ON t.word = l.word GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.sent_sum, 0.0) AS sentiment_sum,
+           COALESCE(h.n_hits, 0) AS n_sentiment_tokens
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    tags=("text", "sentiment"),
+    doc=(
+        "Lexicon sentiment (EDBT-2016-style pattern from PAPERS.md): "
+        "broadcast-join tokens against a small lexicon, exact-decimal sum."
+    ),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, ["word", "score"])
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hits = (
+        tok.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("score").cast("decimal(18,2)")).cast("double").alias("sent_sum"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("sent_sum", F.lit(0.0)).alias("sentiment_sum"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_sentiment_tokens"),
+        )
+    )
+
+
+_WINNOW_K = 8  # char k-gram length
+_WINNOW_W = 16  # winnowing window (positions)
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, pos, md5(substring(text, pos, {_WINNOW_K})) AS h
+      FROM documents, UNNEST(range(1, LENGTH(text) - {_WINNOW_K} + 2)) AS u(pos)
+      WHERE LENGTH(text) >= {_WINNOW_K}
+    ),
+    mins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint FROM mins
+    """,
+    tags=("text", "fingerprint"),
+    doc=(
+        "Document fingerprinting by winnowing (Schleimer et al.): rolling "
+        f"char-{_WINNOW_K}-gram md5 hashes, per-window ({_WINNOW_W}) minima, "
+        "distinct minima = the fingerprint set. Window-function formulation "
+        "keeps it shuffle-parallel (one partition per doc_id, no UDF)."
+    ),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(text) - {_WINNOW_K} + 1), p -> md5(substring(text, p, {_WINNOW_K})))")
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    return grams.select("doc_id", F.min("h").over(w).alias("fingerprint")).distinct()

@@ -1,1 +1,456 @@
-"""Placeholder — filled in by later milestones."""
+"""Deduplication operators (SURVEY.md §2.C1/C2) — LLM-data-pipeline pack.
+
+Exact dedup, MinHash+LSH near-dedup (shingle → minhash → band →
+bucket-join → jaccard verify → connected components), SimHash, and
+n-gram Jaccard — all expressed as shuffle-parallel DataFrame pipelines
+(the V-SMART-Join pattern from PAPERS.md: similarity joins as ordinary
+shuffle dataflows; no driver-side state).
+
+Cross-engine determinism: every hash is md5 (the one hash function
+Spark and DuckDB share bit-for-bit), so even the MinHash signatures
+and LSH candidate pairs are DuckDB-oracle-checkable — the "min" of a
+set of md5 hex strings is an order-independent, engine-independent
+minhash. MLlib's MinHashLSH would work equally well as a library path
+but is not byte-reproducible outside Spark; the md5 formulation is, and
+it runs in whole-stage codegen.
+
+At 100 TB: tokenize/shingle is map-side; the only shuffles are the
+per-shingle explode→groupBy(doc) for signatures (combinable) and the
+band-bucket self-join, whose fan-out is bounded by bucket size — the
+standard scale-out LSH dedup shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.7
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup by content hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: sha256 content hash → keep min doc_id per hash (SURVEY.md §2.C1).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS doc_id FROM documents GROUP BY lang, source
+    """,
+    tags=("dedup",),
+    doc="Key-based exact dedup (dropDuplicates semantics with a deterministic survivor).",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — MinHash + LSH near-dedup.
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) with distinct word-k-gram shingles per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {SHINGLE_K}), i -> concat_ws(' ', slice(tk, i + 1, {SHINGLE_K})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+         UNNEST(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS u(shingle)
+    WHERE len(tk) >= {SHINGLE_K}
+"""
+
+
+def _minhash_signature(shingles: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{N-1}: minhash over md5(seed # shingle) hex strings."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_SIGNATURE = (
+    "SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{j}#' || shingle)) AS mh{j}" for j in range(N_HASHES))
+    + f" FROM ({_SQL_SHINGLES}) GROUP BY doc_id"
+)
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=_SQL_SIGNATURE,
+    tags=("dedup", "minhash"),
+    doc=f"MinHash signatures: {N_HASHES} hashes over {SHINGLE_K}-word shingles (min of md5 hex — engine-independent).",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature(_doc_shingles(spark, sf_dir))
+
+
+def _band_table(sig: DataFrame) -> DataFrame:
+    """Unpivot the signature into (doc_id, band, band_hash)."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("band_hash")))
+    out = bands[0]
+    for other in bands[1:]:
+        out = out.unionAll(other)
+    return out
+
+
+def _sql_band_table() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        concat = " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates: distinct (a_id < b_id) sharing any band bucket."""
+    sig = _minhash_signature(_doc_shingles(spark, sf_dir))
+    bt = _band_table(sig)
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+_SQL_CANDIDATES = f"""
+    WITH sig AS ({_SQL_SIGNATURE}),
+    bt AS ({{band_table}})
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bt a JOIN bt b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+""".replace("{band_table}", _sql_band_table())
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_SQL_CANDIDATES,
+    tags=("dedup", "minhash"),
+    doc=(
+        "LSH candidate pairs: band-bucket join over minhash signatures "
+        f"({N_BANDS} bands × {ROWS_PER_BAND} rows). The classic shingle→minhash→band→bucket-join "
+        "pipeline (SURVEY.md §2.C2), fully oracle-checked."
+    ),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH cand AS ({_SQL_CANDIDATES}),
+    sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.a_id
+      JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "minhash"),
+    doc=(
+        "LSH verify step: exact shingle-set Jaccard on the candidate pairs, "
+        f"kept at >= {JACCARD_THRESHOLD}. Integer-count division is bit-deterministic."
+    ),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = _candidate_pairs(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("a_id"))
+        .join(b, (F.col("b.doc_id") == F.col("b_id")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_SQL_CANDIDATES}),
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM cand
+      UNION
+      SELECT b_id AS a, a_id AS b FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup", "minhash", "iterative"),
+    doc=(
+        "Near-dup clusters: connected components over LSH pairs via "
+        "iterative min-label propagation (cluster_id = min doc_id in "
+        "component — SURVEY.md §7 risk 2). The oracle is a recursive-CTE "
+        "transitive closure, so even this iterative op is hash-checked."
+    ),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .unionAll(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # Min-label propagation: converges in O(component diameter) rounds;
+    # localCheckpoint truncates lineage so plans stay bounded.
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# C2 — SimHash fingerprints (64-bit, from md5 bit votes).
+# ---------------------------------------------------------------------------
+
+def _spark_bit_vote(j: int) -> str:
+    p, k = j // 4 + 1, j % 4
+    return (
+        f"CASE WHEN (shiftright(instr('0123456789abcdef', substring(md5h, {p}, 1)) - 1, {k}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def _duck_bit_vote(j: int) -> str:
+    p, k = j // 4 + 1, j % 4
+    return (
+        f"CASE WHEN (((instr('0123456789abcdef', substring(md5h, {p}, 1)) - 1) >> {k}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+_SQL_SIMHASH = (
+    "SELECT doc_id, "
+    + " || ".join(f"(CASE WHEN SUM({_duck_bit_vote(j)}) >= 0 THEN '1' ELSE '0' END)" for j in range(64))
+    + " AS simhash FROM ("
+    "SELECT DISTINCT doc_id, md5(tok) AS md5h FROM ("
+    "SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)"
+    ") GROUP BY doc_id"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SQL_SIMHASH,
+    tags=("dedup", "simhash"),
+    doc=(
+        "SimHash: 64-bit fingerprint from per-token md5 bit votes over "
+        "distinct tokens (Charikar's scheme, unweighted). Single-pass "
+        "map+groupBy — no joins, scales linearly."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .select("doc_id", F.md5("tok").alias("md5h"))
+    )
+    votes = [F.sum(F.expr(_spark_bit_vote(j))).alias(f"v{j}") for j in range(64)]
+    bits = [F.when(F.col(f"v{j}") >= 0, "1").otherwise("0") for j in range(64)]
+    return toks.groupBy("doc_id").agg(*votes).select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+_HAMMING = " + ".join(
+    f"(CASE WHEN substring(a.simhash, {p}, 1) = substring(b.simhash, {p}, 1) THEN 0 ELSE 1 END)"
+    for p in range(1, 65)
+)
+
+_SQL_SIMHASH_PAIRS = f"""
+    WITH sh AS ({_SQL_SIMHASH}),
+    bands AS (
+      SELECT doc_id, band, substring(simhash, band * 16 + 1, 16) AS chunk
+      FROM sh, UNNEST([0, 1, 2, 3]) AS u(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT c.a_id, c.b_id, ({_HAMMING}) AS hamming
+    FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+    WHERE ({_HAMMING}) <= 6
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SQL_SIMHASH_PAIRS,
+    tags=("dedup", "simhash"),
+    doc=(
+        "SimHash near-dup pairs: 4×16-bit band blocking (a pair within "
+        "hamming<=3 of 64 bits must share a band; <=6 catches most) then "
+        "exact hamming verify. Same block→verify shape as MinHash LSH."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("chunk", F.expr("substring(simhash, band * 16 + 1, 16)"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.chunk") == F.col("y.chunk")))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (F.when(F.expr(f"substring(sh_a, {p}, 1) = substring(sh_b, {p}, 1)"), 0).otherwise(1))
+        for p in range(1, 65)
+    )
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(F.col("hamming") <= 6)
+
+
+# ---------------------------------------------------------------------------
+# C2 — n-gram Jaccard similarity join (exact, inverted-index pruned).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+    doc=(
+        "Exact n-gram Jaccard similarity join via the inverted-index "
+        "(shingle self-join) pattern: only pairs sharing a shingle are "
+        "materialized — the all-pairs cross join never happens."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,1 +1,275 @@
-"""Placeholder — filled in by later milestones."""
+"""Similarity search over embeddings (SURVEY.md §2.C3).
+
+Exact cosine top-k as the baseline and an IVF-style partitioned ANN as
+the scale path — both pure DataFrame pipelines (array fold for the dot
+product inside whole-stage codegen; no Python in the hot path), and
+both fully DuckDB-oracle-checked.
+
+Determinism (and a real production trick): vectors are quantized to
+integers — q = round(x · 2^20), where x · 2^20 is an *exact* double
+(power-of-two scaling) so the rounding is engine-independent. Dot
+products and norms are then pure 64-bit integer arithmetic (64 dims ×
+24-bit components < 2^63): exact, summation-order-free, identical in
+any engine. Only the final cos = dot / (sqrt(na)·sqrt(nb)) is IEEE
+double — int→double conversion is correctly rounded, sqrt is correctly
+rounded, so the cosine doubles are bit-identical between Spark and
+DuckDB and even rank ties break the same. Quantization error (~1e-6 on
+unit-scale data) is far below any similarity threshold in use.
+
+At 100 TB the exact path is O(n²) and exists as the correctness
+baseline + LSH/IVF verify step; the IVF path is the production shape:
+assignment is a broadcast join against the (small) centroid set, and
+search touches only the probed clusters — at cluster scale the
+candidate join is a shuffle on cluster_id, prunable by partitioning
+the vector table by cluster_id (the standard IVF layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+TOP_K = 5
+N_CENTROIDS = 16
+N_PROBES = 6  # measured mean recall@5 ≈ 0.63 at sf0.001 with fixed seed centroids
+_Q = 1 << 20  # quantization scale: round(x * 2^20) is exact + engine-independent
+
+
+def _quantize(a: Column) -> Column:
+    """array<float> → array<long> on the exact 2^-20 grid."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * F.lit(float(_Q))).cast("long"))
+
+
+def _dot(qa: Column, qb: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    prods = F.zip_with(qa, qb, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _sq_norm(qa: Column) -> Column:
+    return _dot(qa, qa)
+
+
+def _cosine(dot: Column, ssa: Column, ssb: Column) -> Column:
+    return dot.cast("double") / (F.sqrt(ssa.cast("double")) * F.sqrt(ssb.cast("double")))
+
+
+# DuckDB twins. z[1]/z[2] index the unnamed list_zip struct. SUM(BIGINT)
+# is HUGEINT in DuckDB — cast back to BIGINT (no overflow: 64 dims ×
+# 24-bit quantized components stay < 2^63).
+_SQL_NORMS = f"""
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS qemb
+  FROM embeddings
+"""
+_SQL_WITH_SS = """
+  SELECT vec_id, qemb,
+         (SELECT CAST(SUM(x * x) AS BIGINT) FROM UNNEST(qemb) AS u(x)) AS ss
+  FROM qv
+"""
+
+
+def _sql_cos(ea: str, eb: str, ssa: str, ssb: str) -> str:
+    return (
+        f"CAST((SELECT CAST(SUM(z[1] * z[2]) AS BIGINT) FROM UNNEST(list_zip({ea}, {eb})) AS t(z)) AS DOUBLE)"
+        f" / (SQRT(CAST({ssa} AS DOUBLE)) * SQRT(CAST({ssb} AS DOUBLE)))"
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST({_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} AS DOUBLE) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "vector"),
+    doc=(
+        f"Exact brute-force cosine top-{TOP_K}: self-join + array-fold dot "
+        "product + window top-k. The correctness baseline for the ANN path."
+    ),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
+    a = e.alias("a")
+    b = e.alias("b")
+    scored = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(_dot(F.col("a.qemb"), F.col("b.qemb")), F.col("a.ss"), F.col("b.ss")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@register(
+    "similarity_embedding_neardup",
+    oracle=f"""
+    WITH qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS})
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST({_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} AS DOUBLE) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} >= 0.95
+    """,
+    tags=("similarity", "dedup", "vector"),
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.95) — the embedding leg of the dedup suite (SURVEY.md §2.C2).",
+)
+def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            _cosine(_dot(F.col("a.qemb"), F.col("b.qemb")), F.col("a.ss"), F.col("b.ss")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Deterministic centroid set: the first N_CENTROIDS vectors by id.
+
+    A production IVF trains k-means; a fixed deterministic seed set keeps
+    the op oracle-checkable while exercising the same dataflow shape.
+    """
+    return (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("qemb").alias("cemb"), F.col("ss").alias("css"))
+    )
+
+
+_SQL_CENT = f"SELECT vec_id AS cid, qemb AS cemb, ss AS css FROM v WHERE vec_id < {N_CENTROIDS}"
+
+_SQL_IVF = f"""
+    WITH qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS}),
+    cent AS ({_SQL_CENT}),
+    vc AS (
+      SELECT v.vec_id, v.qemb, v.ss, cent.cid,
+             CAST({_sql_cos("v.qemb", "cent.cemb", "v.ss", "cent.css")} AS DOUBLE) AS ccos
+      FROM v CROSS JOIN cent
+    ),
+    asg AS (
+      SELECT vec_id, qemb, ss, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM vc
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM vc
+      ) WHERE rn <= {N_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST({_sql_cos("q.qemb", "n.qemb", "q.ss", "n.ss")} AS DOUBLE) AS cos_sim
+      FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=_SQL_IVF,
+    tags=("similarity", "vector", "ann"),
+    doc=(
+        f"IVF-style ANN: assign every vector to its nearest of {N_CENTROIDS} "
+        f"deterministic centroids, probe the {N_PROBES} nearest centroid "
+        f"lists per query, exact-rescore candidates, top-{TOP_K}. Search cost "
+        "drops from O(n²) to O(n·n/k·probes) — the scale path, and still "
+        "fully oracle-checked because every step is deterministic."
+    ),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
+    cent = _centroids(e)
+    vc = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "qemb",
+        "ss",
+        "cid",
+        _cosine(_dot(F.col("qemb"), F.col("cemb")), F.col("ss"), F.col("css")).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    ranked = vc.withColumn("rn", F.row_number().over(w_assign))
+    asg = ranked.filter(F.col("rn") == 1).select("vec_id", "qemb", "ss", "cid")
+    probe = ranked.filter(F.col("rn") <= N_PROBES).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        probe.join(asg.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = e.alias("q")
+    n = e.alias("n")
+    scored = (
+        cand.join(q, F.col("q.vec_id") == F.col("query_id"))
+        .join(n, F.col("n.vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(_dot(F.col("q.qemb"), F.col("n.qemb")), F.col("q.ss"), F.col("n.ss")).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w_top)).filter(F.col("rank") <= TOP_K)
+
+
+@register(
+    "similarity_ivf_recall",
+    tags=("similarity", "vector", "ann", "selfcheck"),
+    doc=(
+        "Self-validation of the IVF path: mean recall@5 vs the exact "
+        "top-5, asserted >= 0.5 in the recall_ok column (driver rows-only "
+        "check; tests enforce the boolean — SURVEY.md §5.3)."
+    ),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    per_query = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"))
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("recall").alias("mean_recall"),
+        (F.avg("recall") >= 0.5).alias("recall_ok"),
+    )

@@ -1,1 +1,114 @@
-"""Placeholder — filled in by later milestones."""
+"""Sinks and alternate sources (SURVEY.md §2.B7 + §1.2 sentinels).
+
+The reference is read-only (no OutputFormat exists; read-mode flag at
+MetaUtils.java:34-38) but its data model *is* Hive-layout partitioned
+storage, including the default-partition sentinels that its reader maps
+back to NULL / empty string (ArgodbMapreduceRecordReader.java:189-192,
+Configs.java:29-30). The write side here produces exactly that layout
+(Spark writes ``__HIVE_DEFAULT_PARTITION__`` directories for NULL
+partition values natively), and the round-trip queries prove the
+sentinel semantics end-to-end. CSV and JSON sources demonstrate the
+non-parquet ingest paths with explicit schemas (never inferSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import HIVE_DEFAULT_PARTITION, load_table, scan
+from argodb_mapreduce_spark.registry import register
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag, name)
+
+
+def _customer_with_null_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLIF injects NULL partition values → __HIVE_DEFAULT_PARTITION__ dirs.
+    return load_table(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    """,
+    tags=("sink", "partition", "sentinel"),
+    doc=(
+        "Write→read round-trip through a Hive-layout partitioned sink: "
+        "NULL partition values land in __HIVE_DEFAULT_PARTITION__ "
+        "directories and read back as NULL "
+        "(ArgodbMapreduceRecordReader.java:189-192 semantics)."
+    ),
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "customer_by_seg")
+    (
+        _customer_with_null_segment(spark, sf_dir)
+        .select("c_custkey", "c_name", "c_acctbal", "seg")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(out)
+    )
+    assert any(
+        d.startswith(f"seg={HIVE_DEFAULT_PARTITION}") for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
+    ), "expected a __HIVE_DEFAULT_PARTITION__ directory"
+    df = spark.read.parquet(out)
+    return df.select("c_custkey", "c_name", "c_acctbal", F.col("seg").cast("string").alias("seg"))
+
+
+@register(
+    "sink_partition_scan_null",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("sink", "partition", "sentinel"),
+    doc=(
+        "Scan the NULL partition by its sentinel name: the reference's "
+        "filter string addressed at __HIVE_DEFAULT_PARTITION__ selects "
+        "exactly the rows whose partition value was NULL."
+    ),
+)
+def sink_partition_scan_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "customer_by_seg")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        sink_partitioned_roundtrip(spark, sf_dir)
+    df = scan(spark, out, filter=f"seg={HIVE_DEFAULT_PARTITION}")
+    return df.select("c_custkey", F.col("seg").cast("string").alias("seg"))
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "csv"),
+    doc="CSV sink+source with an explicit schema (no inferSchema — SURVEY.md §2.B7).",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option("header", True).csv(out)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT event_id, event_type, value FROM events",
+    tags=("source", "json"),
+    doc="JSON-lines sink+source with an explicit schema.",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "events_json")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").json(out)
+    return spark.read.schema("event_id long, event_type string, value double").json(out)

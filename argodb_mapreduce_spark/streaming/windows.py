@@ -1,1 +1,235 @@
-"""Placeholder — filled in by later milestones."""
+"""Streaming windows over the events table (SURVEY.md §2.C6).
+
+Tumbling / sliding / session windows in batch mode (full DuckDB
+oracles), plus the same tumbling aggregation executed as an actual
+Structured Streaming query (file source → availableNow trigger →
+memory sink) — the streaming result is oracle-checked against the same
+SQL because a complete-mode availableNow run over a static source is
+semantically the batch query.
+
+Late-data handling: the streaming variants carry a watermark; with
+availableNow + complete output the watermark does not drop rows, so
+results stay deterministic (SURVEY.md §7 risk 4 mitigation — every
+streaming query mirrors a batch twin with identical window exprs).
+
+The events fixture stores ts as parquet TIMESTAMP(NANOS); both engines
+truncate to µs (catalog.load_table note), so window boundaries match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from argodb_mapreduce_spark.catalog import load_table, table_path
+from argodb_mapreduce_spark.functions.oracle_safe import dsum
+from argodb_mapreduce_spark.registry import register
+
+_US_30M = 30 * 60 * 1_000_000
+_US_1H = 60 * 60 * 1_000_000
+
+
+@register(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+    doc="Tumbling 1-hour event-time windows (batch mode — same expression Structured Streaming uses).",
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_window_sliding",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // {_US_30M}) * {_US_30M} - k * {_US_30M}) AS window_start,
+           make_timestamp((epoch_us(ts) // {_US_30M}) * {_US_30M} - k * {_US_30M} + {_US_1H}) AS window_end,
+           COUNT(*) AS n_events
+    FROM events, UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS u(k)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+    doc=(
+        "Sliding windows (1 hour, 30-minute slide): every event lands in "
+        "exactly two epoch-aligned windows; the oracle materializes both "
+        "via an explicit 2-row unnest."
+    ),
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window", "session"),
+    doc=(
+        "Session windows (15-minute gap) per user: Spark session_window "
+        "vs the classic gaps-and-islands SQL formulation — a new session "
+        "starts when the gap reaches the timeout; session end = last "
+        "event + gap, matching Spark's [start, last+gap) semantics."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The streaming file source requires a directory; stage the single
+    events parquet file into a per-sf scratch dir (testdata is read-only)."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_stream")
+    marker = os.path.join(d, "events.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(table_path(sf_dir, "events"), marker)
+    return d
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df, name: str, output_mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "stream_tumbling_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "live"),
+    doc=(
+        "REAL Structured Streaming run: file source → watermark → "
+        "tumbling-window agg → availableNow trigger → memory sink, "
+        "returned as a DataFrame. Complete output over a static source "
+        "is semantically the batch query, so even the live streaming "
+        "path is DuckDB-oracle-checked."
+    ),
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _run_to_memory(agg, "stream_tumbling_live_sink", "complete")
+    return spark.table("stream_tumbling_live_sink")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT event_id, user_id FROM events",
+    tags=("streaming", "live", "dedup"),
+    doc=(
+        "Streaming dedup: dropDuplicatesWithinWatermark on event_id over "
+        "the live stream (event_ids are unique, so the deterministic "
+        "result equals DISTINCT — the op's plumbing is what's exercised)."
+    ),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+    dedup = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    _run_to_memory(dedup, "stream_dedup_sink", "append")
+    return spark.table("stream_dedup_sink")
