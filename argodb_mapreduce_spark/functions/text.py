@@ -285,11 +285,12 @@ _WINNOW_W = 16  # winnowing window (positions)
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
+    # Explode positions first, hash as a plain column expression: md5 runs
+    # inside whole-stage codegen instead of an interpreted array lambda.
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length(text) - {_WINNOW_K} + 1), p -> md5(substring(text, p, {_WINNOW_K})))")
-        ).alias("pos", "h"),
-    )
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)).alias("pos"),
+    ).select("doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
     return grams.select("doc_id", F.min("h").over(w).alias("fingerprint")).distinct()

@@ -151,9 +151,9 @@ def _sql_band_table() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_pairs(spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None) -> DataFrame:
     """LSH candidates: distinct (a_id < b_id) sharing any band bucket."""
-    sig = _minhash_signature(_doc_shingles(spark, sf_dir))
+    sig = _minhash_signature(shingles if shingles is not None else _doc_shingles(spark, sf_dir))
     bt = _band_table(sig)
     a = bt.alias("a")
     b = bt.alias("b")
@@ -214,9 +214,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # The shingle table feeds three branches (signature, sizes, verify
+    # join); persist it so the explode+distinct shuffle runs once.
+    sh = _doc_shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = _candidate_pairs(spark, sf_dir)
+    cand = _candidate_pairs(spark, sf_dir, shingles=sh)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

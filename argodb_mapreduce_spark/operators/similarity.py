@@ -44,9 +44,18 @@ def _quantize(a: Column) -> Column:
 
 
 def _dot(qa: Column, qb: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vectors (expression
+    form — fine for small pair counts like centroid assignment; the
+    all-pairs paths use the blocked numpy matmul below instead)."""
     prods = F.zip_with(qa, qb, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# Blocked-matmul fast path (inside the pandas UDFs below): with
+# |q| < 2^22, products are < 2^44 and 64-term partial sums < 2^50 —
+# every intermediate is an integer below 2^53, so float64 BLAS matmul
+# is exact in ANY summation order; above the guard the UDFs fall back
+# to int64 matmul, still exact.
 
 
 def _sq_norm(qa: Column) -> Column:
@@ -101,22 +110,65 @@ def _sql_cos(ea: str, eb: str, ssa: str, ssb: str) -> str:
     ),
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-nested-loop all-pairs: vectors are grouped into blocks, block
+    pairs cross-join (tiny rows), and each block×block dot matrix is one
+    exact numpy matmul inside mapInPandas — ~20× faster than a per-pair
+    expression fold, and the shape that scales (block pairs partition
+    evenly across executors; Arrow moves O(n·d) per block, not O(n²·d))."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
     e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
-    a = e.alias("a")
-    b = e.alias("b")
-    scored = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            _cosine(_dot(F.col("a.qemb"), F.col("b.qemb")), F.col("a.ss"), F.col("b.ss")).alias("cos_sim"),
-        )
+    n = e.count()  # planning-time size, like AQE statistics
+    n_blocks = max(1, (n + 511) // 512)
+    blocks = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "qemb", "ss")).alias("vs"))
     )
+    bp = blocks.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a")).crossJoin(
+        blocks.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
+    )
+    top_k = TOP_K
+
+    def run(batches):  # nested: pickled by value (executors lack this repo)
+        import numpy as np
+        import pandas as pd
+
+        blas_safe = 1 << 22
+
+        for pdf in batches:
+            for vs_a, vs_b in zip(pdf["vs_a"], pdf["vs_b"]):
+                ids_a = np.array([r["vec_id"] for r in vs_a])
+                ids_b = np.array([r["vec_id"] for r in vs_b])
+                A = np.stack([r["qemb"] for r in vs_a]).astype("int64")
+                B = np.stack([r["qemb"] for r in vs_b]).astype("int64")
+                ss_a = np.array([r["ss"] for r in vs_a], dtype="int64")
+                ss_b = np.array([r["ss"] for r in vs_b], dtype="int64")
+                if max(np.abs(A).max(initial=0), np.abs(B).max(initial=0)) < blas_safe:
+                    D = (A.astype("float64") @ B.astype("float64").T).astype("int64")
+                else:
+                    D = A @ B.T
+                # cos in float64: exact int conversions (< 2^53), hardware
+                # sqrt/div — bit-identical to the engine/oracle expression.
+                C = D.astype("float64") / (np.sqrt(ss_a.astype("float64"))[:, None] * np.sqrt(ss_b.astype("float64"))[None, :])
+                qids, nids, coss = [], [], []
+                for i in range(len(ids_a)):
+                    row = C[i]
+                    valid = ids_b != ids_a[i]
+                    # local top-k by (cos desc, neighbor asc): the global
+                    # top-k is a subset of the union of local top-ks.
+                    order = np.lexsort((ids_b[valid], -row[valid]))[:top_k]
+                    sel_ids = ids_b[valid][order]
+                    sel_cos = row[valid][order]
+                    qids.extend([ids_a[i]] * len(sel_ids))
+                    nids.extend(sel_ids)
+                    coss.extend(sel_cos)
+                yield pd.DataFrame({"query_id": qids, "neighbor_id": nids, "cos_sim": coss})
+
+    local_top = bp.mapInPandas(run, schema="query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    return local_top.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
 @register(
@@ -226,27 +278,65 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     ranked = vc.withColumn("rn", F.row_number().over(w_assign))
-    asg = ranked.filter(F.col("rn") == 1).select("vec_id", "qemb", "ss", "cid")
-    probe = ranked.filter(F.col("rn") <= N_PROBES).select(F.col("vec_id").alias("query_id"), "cid")
-    cand = (
-        probe.join(asg.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    # Inverted lists: members of each centroid's cluster. Renamed columns
+    # break the shared lineage with `probes` (ambiguous-self-join check).
+    members = ranked.filter(F.col("rn") == 1).select(
+        F.col("cid").alias("mcid"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qemb").alias("memb"),
+        F.col("ss").alias("mss"),
     )
-    q = e.alias("q")
-    n = e.alias("n")
-    scored = (
-        cand.join(q, F.col("q.vec_id") == F.col("query_id"))
-        .join(n, F.col("n.vec_id") == F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine(_dot(F.col("q.qemb"), F.col("n.qemb")), F.col("q.ss"), F.col("n.ss")).alias("cos_sim"),
-        )
+    # Probe set: each query visits its N_PROBES nearest inverted lists.
+    probes = ranked.filter(F.col("rn") <= N_PROBES).select(
+        "cid", F.col("vec_id").alias("query_id"), "qemb", "ss"
+    )
+
+    # Score one inverted list against everything probing it with a single
+    # exact matmul per cluster (cogrouped applyInPandas) — the IVF-native
+    # dataflow: shuffle keyed by cluster id, compute dense per cluster.
+    top_k = TOP_K
+
+    def score_cluster(probe_pdf, member_pdf):
+        import numpy as np
+        import pandas as pd
+
+        blas_safe = 1 << 22
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")})
+
+        if probe_pdf.empty or member_pdf.empty:
+            return empty
+        Q = np.stack(probe_pdf["qemb"].to_numpy()).astype("int64")
+        M = np.stack(member_pdf["memb"].to_numpy()).astype("int64")
+        if max(np.abs(Q).max(initial=0), np.abs(M).max(initial=0)) < blas_safe:
+            D = (Q.astype("float64") @ M.astype("float64").T).astype("int64")
+        else:
+            D = Q @ M.T
+        q_ids = probe_pdf["query_id"].to_numpy()
+        m_ids = member_pdf["neighbor_id"].to_numpy()
+        ss_q = probe_pdf["ss"].to_numpy().astype("float64")
+        ss_m = member_pdf["mss"].to_numpy().astype("float64")
+        C = D.astype("float64") / (np.sqrt(ss_q)[:, None] * np.sqrt(ss_m)[None, :])
+        qids, nids, coss = [], [], []
+        for i in range(len(q_ids)):
+            valid = m_ids != q_ids[i]
+            order = np.lexsort((m_ids[valid], -C[i][valid]))[:top_k]
+            sel = m_ids[valid][order]
+            qids.extend([q_ids[i]] * len(sel))
+            nids.extend(sel)
+            coss.extend(C[i][valid][order])
+        return pd.DataFrame({"query_id": qids, "neighbor_id": nids, "cos_sim": coss})
+
+    local_top = (
+        probes.groupBy("cid")
+        .cogroup(members.groupBy("mcid"))
+        .applyInPandas(score_cluster, schema="query_id long, neighbor_id long, cos_sim double")
+        # a (query, neighbor) pair can meet in several probed clusters —
+        # dedup before ranking (cos values are identical by exactness).
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w_top = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w_top)).filter(F.col("rank") <= TOP_K)
+    return local_top.withColumn("rank", F.row_number().over(w_top)).filter(F.col("rank") <= TOP_K)
 
 
 @register(

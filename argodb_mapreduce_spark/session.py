@@ -10,6 +10,7 @@ DuckDB timestamps are UTC-naive), and Arrow for any Pandas-UDF path.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -27,6 +28,11 @@ def get_spark(app_name: str = "argodb_mapreduce_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # static conf: bucketed tables (sources/bucketing.py) live here
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", "warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,6 +50,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events fixture stores TIMESTAMP(NANOS) which Spark's reader rejects;
     # catalog.load_table converts the resulting long to a µs timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Size shuffles to the machine, not the 200 default (runtime-mutable;
+    # results are partitioning-independent by the exact-arithmetic design).
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (count() can
+short-circuit column reads; noop forces the whole plan). Wall-clock per
+query includes planning + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from argodb_mapreduce_spark import registry
+from argodb_mapreduce_spark.session import get_spark
+
+#: Headline set: one per operator family — scan, agg, join shapes,
+#: window, set-op, scalar/JSON, dedup (exact/minhash/simhash/jaccard),
+#: similarity (exact + ANN), text, multimodal pandas-UDF, streaming.
+HEADLINE = [
+    "scan_partition_filter",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "join_broadcast_dim",
+    "window_moving_sum",
+    "topk_per_group",
+    "agg_rollup",
+    "set_intersect",
+    "fn_json",
+    "dedup_exact",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "text_tfidf_top_terms",
+    "text_fingerprint_winnow",
+    "multimodal_frame_sample",
+    "stream_window_tumbling",
+    "stream_session_window",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("argodb_mapreduce_spark-bench")
+    qs = registry.queries()
+    # Warm up the JVM/codegen/file-listing paths on a trivial plan.
+    materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

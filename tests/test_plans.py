@@ -1,0 +1,107 @@
+"""Physical-plan quality gates — the 100 TB properties, asserted.
+
+Correctness says the operators compute the right answer; these tests
+say the *plans* are the ones we'd want on a 1000-executor cluster:
+pushdown reaches the scan, projections prune columns, partition
+filters prune directories, small dims broadcast, bucketing elides
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.operators.relational import (
+    join_broadcast_dim,
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+)
+from argodb_mapreduce_spark.operators.scans import partitioned_lineitem, scan_projection
+from argodb_mapreduce_spark.plans.checks import (
+    has_broadcast_join,
+    n_exchanges,
+    partition_filters,
+    pushed_filters,
+    read_schema,
+)
+from argodb_mapreduce_spark.sources.bucketing import bucketed_join, unbucketed_join
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    rs = read_schema(scan_projection(spark, sf_dir))
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs and "l_shipdate" not in rs and "l_quantity" not in rs
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    assert "l_shipdate" in pushed_filters(df), "shipdate predicate must reach the parquet scan"
+
+
+def test_partition_pruning(spark, sf_dir):
+    from argodb_mapreduce_spark.catalog import scan
+
+    path = partitioned_lineitem(spark, sf_dir)
+    df = scan(spark, path, filter="l_returnflag=R")
+    assert "l_returnflag" in partition_filters(df), "equality on partition col must become a PartitionFilter"
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    assert has_broadcast_join(join_broadcast_dim(spark, sf_dir))
+    assert has_broadcast_join(q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_q5_single_shuffle_for_fact_join(spark, sf_dir):
+    # 6-way snowflake: every dim broadcasts; only lineitem⋈orders plus the
+    # final aggregation may shuffle. Allow a small bound, not 6 joins' worth.
+    df = q5_local_supplier_volume(spark, sf_dir)
+    assert n_exchanges(df) <= 4, f"too many exchanges: {n_exchanges(df)}"
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        nb = n_exchanges(unbucketed_join(spark, sf_dir))
+        b = n_exchanges(bucketed_join(spark, sf_dir))
+        assert b < nb, f"bucketed join should shuffle less: bucketed={b} unbucketed={nb}"
+        assert b == 0, f"co-bucketed equi-join should need zero exchanges, got {b}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_same_result(spark, sf_dir):
+    a = bucketed_join(spark, sf_dir)
+    b = unbucketed_join(spark, sf_dir)
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    assert dict(load_table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+
+
+def test_no_collect_in_operators():
+    """Operators must never materialize to the driver (100 TB stance)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "argodb_mapreduce_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if ".collect()" in line or ".toPandas()" in line:
+                offenders.append(f"{p.name}:{i}")
+    # dedup_minhash_clusters uses a bounded .count() for convergence —
+    # counts are aggregates, not materialization; collect/toPandas are out.
+    assert not offenders, f"driver-side materialization found: {offenders}"
+
+
+def test_decode_stub_raises():
+    from argodb_mapreduce_spark.operators.multimodal import decode_image
+
+    try:
+        decode_image(None)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
