@@ -162,6 +162,58 @@ def scan(
     return df
 
 
+class Engine:
+    """``database.table``-addressed catalog, mirroring the reference's
+    client API (``setInput(job, db, table[, filter])`` →
+    ``engine.scan("db.table", filter=...)``;
+    ``getTableSchema(conf)`` → ``engine.schema("db.table")``;
+    ArgodbMapreduceInputFormat.java:52-102,307-313, MetaUtils.java:25-82).
+
+    A database is a directory of parquet tables (or Hive-layout
+    partitioned table directories). Where the reference ships metadata
+    by Java-serializing it into the job Configuration
+    (ObjectSerdeUtils.java:8-26), here the SparkSession catalog and
+    closure serialization carry everything — no serde plumbing exists.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._databases: dict[str, str] = {}
+
+    def register_database(self, name: str, root: str) -> None:
+        if not os.path.isdir(root):
+            raise ScanError(f"database root does not exist: {root}")
+        self._databases[name] = root
+
+    def _resolve(self, db_table: str) -> str:
+        if "." not in db_table:
+            raise ScanError(f"expected database.table, got {db_table!r}")
+        db, table = db_table.split(".", 1)
+        if db not in self._databases:
+            raise ScanError(f"unknown database: {db}")
+        root = self._databases[db]
+        for candidate in (os.path.join(root, f"{table}.parquet"), os.path.join(root, table)):
+            if os.path.exists(candidate):
+                return candidate
+        raise ScanError(f"unknown table: {db_table}")
+
+    def table(self, db_table: str) -> DataFrame:
+        return self.spark.read.parquet(self._resolve(db_table))
+
+    def scan(
+        self,
+        db_table: str,
+        *,
+        columns: list[str] | None = None,
+        filter: str | None = None,  # noqa: A002 - reference API name
+    ) -> DataFrame:
+        return scan(self.spark, self._resolve(db_table), columns=columns, filter=filter)
+
+    def schema(self, db_table: str):
+        """The reference's getTableSchema (ArgodbMapreduceInputFormat.java:307-313)."""
+        return self.table(db_table).schema
+
+
 def snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Snapshot-consistent scan seam (SURVEY.md §2.A6).
 

@@ -1,0 +1,122 @@
+"""Advanced join shapes Spark lacks as single operators (SURVEY.md §2.C).
+
+As-of join and banded range join — the two non-equi joins a reference
+user would otherwise hand-roll in MapReduce. Both are expressed as
+compositions of built-in operators (guide preference (a)): the as-of
+join is the union+ordered-window formulation — one shuffle on
+(key, time), no per-group Python, skew-safe — and the band join is a
+broadcast nested-loop with a range predicate.
+
+The as-of oracle uses DuckDB's native ASOF LEFT JOIN, so our
+composition is checked against an independent first-class
+implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts on the same key (inclusive, left-outer).
+
+    Union-tag formulation: interleave both inputs ordered by
+    (ts, side, tiebreak) per key, then carry the last-seen right
+    attributes forward with last(ignorenulls) over an unbounded-
+    preceding frame. One shuffle total; scales as a plain window.
+    """
+    lcols = left.columns
+    tagged_l = left.select(*lcols, *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"r_{c}") for c in right_cols], F.lit(1).alias("side"))
+    tagged_r = right.select(
+        *[F.col(c) if c in (key, ts) else F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols],
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        F.lit(0).alias("side"),
+    )
+    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive <=.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *lcols,
+        "side",
+        *[F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_cols],
+    )
+    return carried.filter(F.col("side") == 1).drop("side")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           e.event_id AS asof_event_id, e.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("join", "asof"),
+    doc=(
+        "As-of join: each purchase paired with the user's most recent "
+        "prior-or-simultaneous error. Union+window composition checked "
+        "against DuckDB's native ASOF LEFT JOIN."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, errors, key="user_id", ts="ts", right_cols=["event_id", "ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("asof_event_id"),
+        F.col("asof_ts").alias("asof_ts"),
+    )
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+      SELECT band_id, band_id * 60000.0 AS lo, (band_id + 1) * 60000.0 AS hi
+      FROM UNNEST(range(0, 10)) AS u(band_id)
+    )
+    SELECT b.band_id, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+    tags=("join", "range"),
+    doc=(
+        "Banded range (theta) join: orders bucketed into price bands via "
+        "a broadcast nested-loop join with a range predicate — the "
+        "cross-join+predicate building block for general theta joins."
+    ),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("long").alias("band_id"),
+        (F.col("id") * 60000.0).alias("lo"),
+        ((F.col("id") + 1) * 60000.0).alias("hi"),
+    )
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2).alias("band_total"))
+    )

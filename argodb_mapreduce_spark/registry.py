@@ -28,7 +28,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.scans",
     "argodb_mapreduce_spark.operators.relational",
+    "argodb_mapreduce_spark.operators.joins_advanced",
     "argodb_mapreduce_spark.functions.scalar",
+    "argodb_mapreduce_spark.functions.udfs",
     "argodb_mapreduce_spark.operators.dedup",
     "argodb_mapreduce_spark.operators.similarity",
     "argodb_mapreduce_spark.operators.multimodal",
