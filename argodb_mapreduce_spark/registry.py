@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.relational",
     "argodb_mapreduce_spark.operators.joins_advanced",
     "argodb_mapreduce_spark.functions.scalar",
+    "argodb_mapreduce_spark.functions.stats",
     "argodb_mapreduce_spark.functions.udfs",
     "argodb_mapreduce_spark.operators.dedup",
     "argodb_mapreduce_spark.operators.similarity",

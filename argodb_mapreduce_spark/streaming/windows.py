@@ -233,3 +233,40 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(dedup, "stream_dedup_sink", "append")
     return spark.table("stream_dedup_sink")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "live", "stateful"),
+    doc=(
+        "Custom stateful streaming operator: per-user running event counts "
+        "via applyInPandasWithState (arbitrary state, update mode). Over a "
+        "single availableNow batch the final state equals the batch "
+        "GROUP BY, so even arbitrary-stateful streaming is oracle-checked."
+    ),
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+
+    def update_counts(key, pdfs, state):
+        import pandas as pd
+
+        current = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            current += len(pdf)
+        state.update((current,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [current]})
+
+    counts = events.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    _run_to_memory(counts, "stream_stateful_sink", "update")
+    return spark.table("stream_stateful_sink")
