@@ -46,8 +46,15 @@ def davg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    """DuckDB twin of :func:`dsum` for oracle_sql strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    """DuckDB twin of :func:`dsum` for oracle_sql strings.
+
+    The decimal→double conversion goes via VARCHAR: DuckDB's direct
+    decimal→double cast double-rounds (int128 → double, then scale
+    division) and drifts one ulp once the scaled integer exceeds 2^53,
+    while string→double parsing is correctly rounded — matching Spark's
+    BigDecimal.doubleValue exactly at any magnitude.
+    """
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = DEFAULT_SCALE) -> str:

@@ -418,3 +418,33 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(s, 1).alias("size_shr"),
         F.bitwise_not(s).alias("size_not"),
     )
+
+
+@register(
+    "fn_array_extended",
+    oracle="""
+    SELECT n_nationkey,
+           [n_nationkey, CAST(n_regionkey AS INT)] AS pair,
+           flatten([[n_nationkey], [CAST(n_regionkey AS INT)]]) AS flat,
+           list_sort(list_distinct([CAST(n_regionkey AS INT), CAST(n_regionkey AS INT), n_nationkey])) AS uniq,
+           range(1, 4) AS seq_123,
+           array_to_string([n_name, 'X'], '/') AS joined,
+           len(list_intersect([n_nationkey, 99], [n_nationkey, 77])) AS n_common
+    FROM nation
+    """,
+    tags=("scalar", "array"),
+    doc="Extended array pack: literal arrays, flatten, distinct, sequence, join, intersect size.",
+)
+def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    r = F.col("n_regionkey")
+    return n.select(
+        "n_nationkey",
+        F.array(k, r).alias("pair"),
+        F.flatten(F.array(F.array(k), F.array(r))).alias("flat"),
+        F.sort_array(F.array_distinct(F.array(r, r, k))).alias("uniq"),
+        F.sequence(F.lit(1), F.lit(3)).cast("array<long>").alias("seq_123"),
+        F.array_join(F.array(F.col("n_name"), F.lit("X")), "/").alias("joined"),
+        F.size(F.array_intersect(F.array(k, F.lit(99)), F.array(k, F.lit(77)))).cast("long").alias("n_common"),
+    )

@@ -22,8 +22,8 @@ from argodb_mapreduce_spark.registry import register
     WITH sums AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx2
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -62,7 +62,7 @@ def agg_stats_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 2.0 AS median_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 2.0 AS median_price
     FROM ranked
     WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
     GROUP BY o_orderstatus
@@ -115,3 +115,42 @@ def agg_percentile_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "p90_ok", (F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact")) <= 0.05
     )
+
+
+@register(
+    "agg_correlation",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx2,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sy2,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / ((n - 1) * SQRT((sx2 - sx * sx / n) / (n - 1)) * SQRT((sy2 - sy * sy / n) / (n - 1))) AS corr_qty_price
+    FROM sums
+    """,
+    tags=("agg", "stats"),
+    doc="Pearson correlation from exact decimal sums (never the engines' streaming corr — update order differs).",
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(18,4)")).cast("double").alias("sx2"),
+        F.sum((p * p).cast("decimal(24,4)")).cast("double").alias("sy2"),
+        F.sum((q * p).cast("decimal(24,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sdx = F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / n) / (n - 1))
+    sdy = F.sqrt((F.col("sy2") - F.col("sy") * F.col("sy") / n) / (n - 1))
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / ((n - 1) * sdx * sdy)
+    return sums.select("l_returnflag", "n", corr.alias("corr_qty_price"))

@@ -217,7 +217,7 @@ _LEXICON = [
     tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
     hits AS (
       SELECT t.doc_id,
-             CAST(SUM(CAST(l.score AS DECIMAL(18,2))) AS DOUBLE) AS sent_sum,
+             CAST(CAST(SUM(CAST(l.score AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sent_sum,
              COUNT(*) AS n_hits
       FROM tok t JOIN lex l ON t.word = l.word GROUP BY t.doc_id
     )

@@ -95,7 +95,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM UNNEST(range(0, 10)) AS u(band_id)
     )
     SELECT b.band_id, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS band_total
     FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band_id
     """,

@@ -1,0 +1,104 @@
+"""MERGE / upsert emulation and skew-safe joins.
+
+The v1 image has no Delta/Iceberg jars, so MERGE INTO is emulated the
+classic way (guide pattern): updated-or-inserted rows union'd with the
+anti-joined untouched target — one shuffle, no driver involvement.
+Skewed joins get an explicit salting helper (the pre-AQE technique;
+AQE's skew-join split is also enabled by session defaults) — results
+are identical to the plain join by construction, which the oracle
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO target USING source ON key: matched → update (source
+    wins), unmatched → insert. Both sides keyed uniquely on ``key``."""
+    untouched = target.join(source.select(key), key, "left_anti")
+    return untouched.unionByName(source)
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 900000 + r AS c_custkey, 'Customer#new' AS c_name, CAST(r AS INT) AS c_nationkey,
+             0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+      FROM (SELECT UNNEST(range(0, 5)) AS r)
+    )
+    SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    tags=("sink", "merge"),
+    doc=(
+        "MERGE INTO emulation (update-matched + insert-new via anti-join "
+        "∪ source): every 10th customer updated, 5 new rows inserted — "
+        "the CDC/SCD upsert building block without a lakehouse format."
+    ),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    inserts = spark.range(0, 5).select(
+        (F.lit(900000) + F.col("id")).alias("c_custkey"),
+        F.lit("Customer#new").alias("c_name"),
+        F.col("id").cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(c, updates.unionByName(inserts), "c_custkey")
+
+
+def salted_join(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (small-ish) right side across
+    ``n_salts`` buckets and scatter left rows deterministically, so a hot
+    key spreads over n_salts reducers instead of one."""
+    salted_r = right.select("*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"))
+    salted_l = left.withColumn("salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    cond = (salted_l[left_key] == salted_r[right_key]) & (salted_l["salt"] == salted_r["salt"])
+    return salted_l.join(salted_r, cond).drop("salt")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+    doc=(
+        "Salted join: lineitem⋈orders with the right side replicated over "
+        "8 salt buckets — identical results to the plain join (the oracle "
+        "is the unsalted query), demonstrating the hot-key mitigation."
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty")
+    )

@@ -102,7 +102,7 @@ def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having",
     oracle="""
-    SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    SELECT o_custkey, COUNT(*) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12
@@ -122,7 +122,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     oracle="""
-    SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+    SELECT l_returnflag, l_linestatus, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("agg",),
@@ -139,7 +139,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    SELECT l_returnflag, l_linestatus, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("agg",),
@@ -178,8 +178,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS qty_O,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg",),
@@ -330,7 +330,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast_dim",
     oracle="""
-    SELECT p_brand, COUNT(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    SELECT p_brand, COUNT(*) AS n_items, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 10
     GROUP BY p_brand
@@ -356,7 +356,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     oracle="""
     SELECT o_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -392,7 +392,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

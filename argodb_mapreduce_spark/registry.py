@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.scans",
     "argodb_mapreduce_spark.operators.relational",
     "argodb_mapreduce_spark.operators.joins_advanced",
+    "argodb_mapreduce_spark.operators.merge",
     "argodb_mapreduce_spark.functions.scalar",
     "argodb_mapreduce_spark.functions.stats",
     "argodb_mapreduce_spark.functions.udfs",
