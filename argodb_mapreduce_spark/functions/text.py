@@ -263,7 +263,8 @@ _WINNOW_W = 16  # winnowing window (positions)
     "text_fingerprint_winnow",
     oracle=f"""
     WITH grams AS (
-      SELECT doc_id, pos, md5(substring(text, pos, {_WINNOW_K})) AS h
+      SELECT doc_id, pos,
+             CAST(('0x' || substring(md5(substring(text, pos, {_WINNOW_K})), 1, 15)) AS BIGINT) AS h
       FROM documents, UNNEST(range(1, LENGTH(text) - {_WINNOW_K} + 2)) AS u(pos)
       WHERE LENGTH(text) >= {_WINNOW_K}
     ),
@@ -285,12 +286,20 @@ _WINNOW_W = 16  # winnowing window (positions)
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
-    # Explode positions first, hash as a plain column expression: md5 runs
-    # inside whole-stage codegen instead of an interpreted array lambda.
+    # Explode positions first, hash as a plain column expression (md5 in
+    # whole-stage codegen), and carry 60-bit integer hashes instead of
+    # 32-char hex strings — the window sort and the distinct shuffle move
+    # 8-byte longs, not strings.
     grams = d.select(
         "doc_id",
         "text",
         F.explode(F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)).alias("pos"),
-    ).select("doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h"))
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.expr(f"substring(md5(substring(text, pos, {_WINNOW_K})), 1, 15)"), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
     return grams.select("doc_id", F.min("h").over(w).alias("fingerprint")).distinct()
