@@ -448,3 +448,54 @@ def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array(F.col("n_name"), F.lit("X")), "/").alias("joined"),
         F.size(F.array_intersect(F.array(k, F.lit(99)), F.array(k, F.lit(77)))).cast("long").alias("n_common"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS s_name,
+           c_acctbal AS s_bal,
+           (c_acctbal > 5000) AS s_rich
+    FROM customer
+    """,
+    tags=("scalar", "struct"),
+    doc="Nested struct build + field extraction (north-star nested types; reference model is flat — SURVEY.md §1.2).",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_acctbal") > 5000).alias("rich"),
+    )
+    nested = c.select("c_custkey", s.alias("s"))
+    return nested.select(
+        "c_custkey",
+        F.col("s.name").alias("s_name"),
+        F.col("s.bal").alias("s_bal"),
+        F.col("s.rich").alias("s_rich"),
+    )
+
+
+@register(
+    "fn_sample_selfcheck",
+    tags=("scalar", "sample", "approx"),
+    doc=(
+        "Seeded Bernoulli sample self-check: sampled rows are a subset of "
+        "the source (anti-join empty) and the fraction lands within "
+        "binomial bounds. Engines' RNGs differ, so rows-only + _ok cols."
+    ),
+)
+def fn_sample_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.sample(fraction=0.2, seed=42)
+    n_src = o.count()
+    n_s = s.count()
+    not_subset = s.join(o, "o_orderkey", "left_anti").count()
+    return spark.range(1).select(
+        F.lit(n_src).alias("n_source"),
+        F.lit(n_s).alias("n_sampled"),
+        F.lit(not_subset == 0).alias("subset_ok"),
+        F.lit(abs(n_s / n_src - 0.2) < 0.05).alias("fraction_ok"),
+    )

@@ -101,3 +101,27 @@ def scan_partition_nomatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scan(spark, path, filter="l_returnflag=Z")
     base = load_table(spark, sf_dir, "lineitem")
     return df.select(*[F.col(c).cast(dict(base.dtypes)[c]) for c in base.columns])
+
+
+@register(
+    "scan_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("scan",),
+    doc=(
+        "Full events scan: proves the TIMESTAMP(NANOS) bridge — Spark "
+        "reads epoch-nanos as long and truncates to µs exactly like "
+        "DuckDB's ns→µs conversion (catalog.load_table)."
+    ),
+)
+def scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "scan_embeddings",
+    oracle="SELECT vec_id, embedding, label FROM embeddings",
+    tags=("scan", "vector"),
+    doc="Full embeddings scan: ArrayType(Float) round-trips value-exact through both engines.",
+)
+def scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
