@@ -105,3 +105,19 @@ def test_decode_stub_raises():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """DPP: a filtered dim joined on the partition column injects a
+    dynamicpruning subquery into the partitioned scan — pruning the
+    reference could never do (it only pruned static equality)."""
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    path = partitioned_lineitem(spark, sf_dir)
+    part_tbl = spark.read.parquet(path)
+    dim = spark.createDataFrame([("R", "returned")], "flag string, label string").filter(
+        F.col("label") == "returned"
+    )
+    joined = part_tbl.join(dim, part_tbl.l_returnflag == dim.flag)
+    plan = explain_str(joined, "formatted").lower()
+    assert "dynamicpruning" in plan, "expected a dynamic partition pruning subquery in the scan"
