@@ -459,10 +459,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Shingles occurring in a single document cannot contribute to any
+    # intersection — drop them before the self-join (the classic
+    # inverted-index prune; most of a corpus' shingle vocabulary is
+    # unique, so this shrinks the join input dramatically).
+    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt")).filter(F.col("df_cnt") >= 2)
+    sh_shared = sh.join(shared.select("shingle"), "shingle")
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
