@@ -773,3 +773,97 @@ def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "window_rank_extended",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(s_suppkey) OVER w AS first_in_nation,
+           NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_in_nation
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    tags=("window",),
+    doc="Extended window functions: percent_rank/cume_dist/ntile/first_value/nth_value with deterministic ordering.",
+)
+def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("s_suppkey").over(w).alias("first_in_nation"),
+        F.nth_value("s_suppkey", 2).over(wf).alias("second_in_nation"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(c_name)), '|') AS names_sorted,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "collect"),
+    doc=(
+        "Collect-list aggregation made deterministic: collect_list order "
+        "is partitioning-dependent, so results are sorted before exposure "
+        "— the only safe way to emit collections at any parallelism."
+    ),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names_sorted"),
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+    )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_huge
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "boolean"),
+    doc="Boolean aggregates: count_if / every / any (bool_and / bool_or).",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_totalprice") > 500000).alias("any_huge"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    tags=("reshape",),
+    doc="Unpivot/melt (wide→long reshape): DataFrame.unpivot ≙ UNION ALL of per-column projections.",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
