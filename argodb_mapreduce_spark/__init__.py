@@ -20,6 +20,6 @@ materialization in any operator.
 """
 
 from argodb_mapreduce_spark.session import get_spark
-from argodb_mapreduce_spark.catalog import TABLES, load_table, scan
+from argodb_mapreduce_spark.catalog import TABLES, Engine, load_table, scan
 
-__all__ = ["get_spark", "TABLES", "load_table", "scan"]
+__all__ = ["get_spark", "TABLES", "Engine", "load_table", "scan"]
