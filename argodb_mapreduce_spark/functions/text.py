@@ -303,3 +303,31 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
     return grams.select("doc_id", F.min("h").over(w).alias("fingerprint")).distinct()
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    SELECT tok, n, CAST(rn AS INT) AS rn FROM (
+      SELECT tok, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ) WHERE rn <= 20
+    """,
+    tags=("text", "frequency"),
+    doc=(
+        "Corpus heavy hitters: exact top-20 token frequencies (explode → "
+        "count → global top-k with deterministic tie-break) — the vocab/"
+        "frequency profiling step of a training-data pipeline."
+    ),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)

@@ -867,3 +867,141 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
     )
     return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q7-style nation-pair trade volume: the same dim table joined twice under different roles.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(dsum(revenue, 6).alias("revenue"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q13-style: distribution of per-customer order counts (double aggregation over a left join; COUNT(col) skips nulls).",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1000,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
+                PARTITION BY s_nationkey ORDER BY s_acctbal
+                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS bal_below_sum
+    FROM supplier
+    """,
+    tags=("window", "range-frame"),
+    doc=(
+        "RANGE window frames (value-based, not row-based): peers within "
+        "±1000 balance. Frame membership depends only on values, so the "
+        "exact-decimal sum stays engine- and order-independent."
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").asc()).rangeBetween(-1000, 1000)
+    w2 = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").asc()).rangeBetween(-1000, 0)
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.count(F.lit(1)).over(w1).alias("n_within_1000"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(w2).cast("double").alias("bal_below_sum"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS first_signup FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conversions AS (
+      SELECT s.user_id, MIN(e.ts) AS first_purchase
+      FROM signups s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.first_signup
+      GROUP BY s.user_id
+    )
+    SELECT s.user_id, s.first_signup, c.first_purchase,
+           (c.first_purchase IS NOT NULL) AS converted
+    FROM signups s LEFT JOIN conversions c ON c.user_id = s.user_id
+    """,
+    tags=("funnel", "events"),
+    doc="Event funnel: per-user signup → first subsequent purchase (conversion analysis over the events stream table).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conversions = (
+        signups.join(purchases, (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") > F.col("first_signup")))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .withColumnRenamed("user_id", "c_user")
+    )
+    return (
+        signups.join(conversions, signups.user_id == F.col("c_user"), "left")
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+        )
+    )
