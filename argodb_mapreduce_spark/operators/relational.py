@@ -1005,3 +1005,84 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_purchase").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           CAST(CAST(SUM(CAST(CASE WHEN p_type IN ('A', 'B') THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "conditional"),
+    doc="TPC-H Q14-style promo revenue share: ratio of two conditional exact-decimal sums per year.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").isin("A", "B"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg((dsum(promo_rev, 6) / dsum(rev, 6)).alias("promo_share"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap_key, {sql_davg('l_quantity', 2)} AS avg_q
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l_extendedprice', 2)} AS total_price, COUNT(*) AS n_lines
+    FROM lineitem JOIN avg_qty ON l_partkey = ap_key
+    WHERE l_quantity < 0.5 * avg_q
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q17-style: lines below half their part's average quantity "
+        "— a correlated aggregate decorrelated into a self-join (exact "
+        "mean so the < comparison is engine-identical)."
+    ),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(davg("l_quantity", 2).alias("avg_q"))
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.ap_key)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_q"))
+        .agg(dsum("l_extendedprice", 2).alias("total_price"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "filter"),
+    doc="TPC-H Q19-style disjunctive multi-branch predicate across both join sides.",
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(rev, 6).alias("revenue"))
+    )
