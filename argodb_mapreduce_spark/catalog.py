@@ -55,6 +55,13 @@ TABLES = (
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 #: Sentinel for an empty-string partition value (Configs.java:30 default).
 HIVE_EMPTY_PARTITION = "__HIVE_DEFAULT_PARTITION_EMPTYSTR__"
+#: Marker file that declares a table directory range-partitioned. The
+#: reference's range partitions are engine metadata
+#: (PartitionContext.isRangePartition); parquet has no directory analogue,
+#: so the layout is declared by a sidecar marker (written by
+#: sources.range_partitions.write_range_partitioned) the same way Spark
+#: uses _SUCCESS / _delta_log sidecars.
+RANGE_PARTITION_MARKER = "_RANGE_PARTITIONED"
 
 
 class ScanError(ValueError):
@@ -104,6 +111,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — a planning-time statistic.
+
+    Reads only file footers (like Catalyst's own stats collection / AQE),
+    never runs a job: the metadata read is O(files), not O(rows), so it is
+    the 100 TB-safe way to size block counts and similar plan parameters.
+    Handles both a single ``name.parquet`` file and a directory of parts.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+        return total
+    return pq.read_metadata(path).num_rows
+
+
 def _partition_columns(path: str) -> list[str]:
     """Partition columns of a Hive-layout directory (``k=v`` subdirs)."""
     cols: list[str] = []
@@ -135,9 +163,18 @@ def scan(
     df = spark.read.parquet(path)
     if filter is not None:
         part_cols = _partition_columns(path)
-        if not part_cols:
-            # ArgodbMapreduceInputFormat.java:230-232
+        is_range = os.path.isdir(path) and os.path.exists(os.path.join(path, RANGE_PARTITION_MARKER))
+        if not part_cols and not is_range:
+            # ArgodbMapreduceInputFormat.java:231-232
             raise ScanError("Table is not a partition table, can't use filter")
+        if is_range:
+            # The reference supports filters only on single-value
+            # partitions; range partitions are scanned whole and filtered
+            # by the engine (ArgodbMapreduceInputFormat.java:233-235).
+            raise ScanError("Filter is not supported for range-partition table")
+        if len(part_cols) > 1:
+            # ArgodbMapreduceInputFormat.java:236-238
+            raise ScanError("Filter is not supported for multi-columns-single-value-partition table")
         col, value = parse_filter(filter)
         if col not in df.columns:
             # MetaUtils.java:48-51

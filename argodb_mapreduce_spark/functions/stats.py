@@ -62,7 +62,7 @@ def agg_stats_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderstatus,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 2.0 AS median_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS median_price
     FROM ranked
     WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
     GROUP BY o_orderstatus
@@ -70,9 +70,9 @@ def agg_stats_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
     doc=(
         "Exact median by rank selection: pick the middle element(s) with a "
-        "window, average the (at most two) middle decimals. For odd groups "
-        "the element is selected once per matching rank — both engines "
-        "select identically, so sum/2 matches."
+        "window, average over the selected rows (1 row for odd groups, 2 "
+        "for even — dividing by COUNT(*) instead of a hard-coded 2 keeps "
+        "the odd case correct)."
     ),
 )
 def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,31 +89,41 @@ def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
     )
     return mid.groupBy("o_orderstatus").agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / 2.0).alias("median_price")
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "median_price"
+        )
     )
 
 
 @register(
     "agg_percentile_selfcheck",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "stats", "approx"),
     doc=(
         "percentile_approx self-validated against the exact percentile: "
-        "the approximate p50/p90 must bracket within the group's min/max "
-        "and land within 5%% of exact (rows-only check, SURVEY.md §5.3)."
+        "the approximate p50/p90 must land within 5%% of exact. Only the "
+        "deterministic group key, count, and pass/fail flags are emitted so "
+        "the DuckDB oracle can hash-match (the sketch estimates themselves "
+        "are engine-internal; SURVEY.md §5.3)."
     ),
 )
 def agg_percentile_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
         F.expr("percentile_approx(l_extendedprice, 0.5)").alias("p50_approx"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
         F.expr("percentile_approx(l_extendedprice, 0.9)").alias("p90_approx"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_exact"),
     )
-    return g.withColumn(
-        "p50_ok", (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")) <= 0.05
-    ).withColumn(
-        "p90_ok", (F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact")) <= 0.05
+    return g.select(
+        "l_returnflag",
+        "n",
+        ((F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")) <= 0.05).alias("p50_ok"),
+        ((F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact")) <= 0.05).alias("p90_ok"),
     )
 
 

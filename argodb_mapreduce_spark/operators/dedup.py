@@ -97,10 +97,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB list slices are INCLUSIVE: tk[i:i+K-1] is K tokens; the range
+# bound and slice width both derive from SHINGLE_K so changing the
+# constant cannot desynchronize the oracle from the Spark pipeline.
 _SQL_SHINGLES = f"""
     SELECT DISTINCT doc_id, shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
-         UNNEST(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS u(shingle)
+         UNNEST(list_transform(range(1, len(tk) - {SHINGLE_K - 2}),
+                               i -> array_to_string(tk[i:i+{SHINGLE_K - 1}], ' '))) AS u(shingle)
     WHERE len(tk) >= {SHINGLE_K}
 """
 
@@ -289,7 +293,10 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     # Min-label propagation: converges in O(component diameter) rounds;
-    # localCheckpoint truncates lineage so plans stay bounded.
+    # localCheckpoint truncates lineage so plans stay bounded. If the cap
+    # is hit without convergence we raise instead of returning wrong
+    # labels (ADVICE r1): a 100 TB run with longer chains must fail loud.
+    converged = False
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -310,7 +317,14 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_minhash_clusters: min-label propagation did not converge "
+            "within 20 rounds — component diameter exceeds the cap; raise the "
+            "round limit rather than returning partial labels"
+        )
     return labels
 
 

@@ -104,8 +104,8 @@ _FEATURE_SCHEMA = "doc_id long, byte_len long, n_space long, checksum long"
     SELECT doc_id,
            LENGTH(text) AS byte_len,
            LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space,
-           (SELECT SUM(ascii(substring(text, i, 1))) % 65536
-            FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)) AS checksum
+           CAST((SELECT SUM(ascii(substring(text, i, 1))) % 65536
+            FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)) AS BIGINT) AS checksum
     FROM documents
     """,
     tags=("multimodal", "pandas-udf"),

@@ -201,11 +201,19 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
     doc=(
         "approx_count_distinct (HLL++) self-validated against the exact "
-        "count: returns a within_5pct flag per group. No SQL oracle — "
-        "DuckDB's approx sketch differs; rows-only check (SURVEY.md §5.3)."
+        "count. Only the group key, the exact count, and the within_5pct "
+        "flag are emitted — the sketch estimate itself is engine-internal "
+        "(DuckDB's approx sketch differs), so the contract row stays "
+        "hash-checkable (SURVEY.md §5.3)."
     ),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +224,12 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
-        .withColumn(
-            "within_5pct",
-            (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")) <= 0.05,
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            ((F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")) <= 0.05).alias(
+                "within_5pct"
+            ),
         )
     )
 
@@ -242,7 +253,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate", "c_name", "c_mktsegment"
     )
 
@@ -346,7 +357,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", 2).alias("sum_qty"))
     )
@@ -379,7 +390,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(revenue, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -415,8 +426,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -740,7 +751,7 @@ def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(dsum(revenue, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -753,8 +764,8 @@ def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_buckets",
     oracle="""
     SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1
     """,
@@ -811,7 +822,7 @@ def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            array_to_string(list_sort(list(c_name)), '|') AS names_sorted,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
     FROM customer
     WHERE c_custkey < 200
     GROUP BY c_nationkey
@@ -820,14 +831,16 @@ def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Collect-list aggregation made deterministic: collect_list order "
         "is partitioning-dependent, so results are sorted before exposure "
-        "— the only safe way to emit collections at any parallelism."
+        "— the only safe way to emit collections at any parallelism. Both "
+        "collections are string-joined because the driver's value hash "
+        "cannot hash top-level array columns (CORRECTNESS_r01 agg_listagg)."
     ),
 )
 def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     return c.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names_sorted"),
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
     )
 
 
@@ -900,8 +913,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -1025,7 +1038,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").isin("A", "B"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg((dsum(promo_rev, 6) / dsum(rev, 6)).alias("promo_share"))
     )
@@ -1082,7 +1095,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(rev, 6).alias("revenue"))
     )

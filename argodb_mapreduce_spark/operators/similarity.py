@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.catalog import load_table, table_rowcount
 from argodb_mapreduce_spark.registry import register
 
 TOP_K = 5
@@ -119,7 +119,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
     e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
-    n = e.count()  # planning-time size, like AQE statistics
+    # Planning-time size from parquet footer metadata (no Spark job runs
+    # until the returned DataFrame is acted on — VERDICT r1 finding 6).
+    n = table_rowcount(sf_dir, "embeddings")
     n_blocks = max(1, (n + 511) // 512)
     blocks = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
@@ -341,14 +343,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_recall",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok FROM embeddings",
     tags=("similarity", "vector", "ann", "selfcheck"),
     doc=(
         "Self-validation of the IVF path: mean recall@5 vs the exact "
-        "top-5, asserted >= 0.5 in the recall_ok column (driver rows-only "
-        "check; tests enforce the boolean — SURVEY.md §5.3)."
+        "top-5, asserted >= 0.5 in the recall_ok column. Only the "
+        "deterministic query count and the pass flag are emitted (the "
+        "mean recall itself is engine-internal), so the contract row is "
+        "hash-checkable; tests assert the recall value — SURVEY.md §5.3."
     ),
 )
 def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_detail(spark, sf_dir).select("n_queries", "recall_ok")
+
+
+def ivf_recall_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full recall diagnostics (n_queries, mean_recall, recall_ok) — used
+    by tests; the registered query exposes only the hashable contract."""
     exact = similarity_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = similarity_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))

@@ -23,22 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: Modules that contribute registered queries (imported lazily so that
-#: a bug in one module cannot take down the whole registry import).
+#: Modules that contribute registered queries, imported lazily in this
+#: order. ORDER IS THE DRIVER'S CORRECTNESS WINDOW: the driver checks the
+#: first N registration-order entries, so modules whose queries have no
+#: driver-green row yet register first (round 2: the entire LLM-pipeline
+#: pack — dedup/similarity/text/multimodal/streaming/udfs/sinks/stats —
+#: ahead of relational/scans, whose green rows are banked in
+#: CORRECTNESS_r01.json; VERDICT r1 next-step 1).
 _QUERY_MODULES = (
-    "argodb_mapreduce_spark.operators.scans",
-    "argodb_mapreduce_spark.operators.relational",
-    "argodb_mapreduce_spark.operators.joins_advanced",
-    "argodb_mapreduce_spark.operators.merge",
-    "argodb_mapreduce_spark.functions.scalar",
-    "argodb_mapreduce_spark.functions.stats",
-    "argodb_mapreduce_spark.functions.udfs",
     "argodb_mapreduce_spark.operators.dedup",
     "argodb_mapreduce_spark.operators.similarity",
-    "argodb_mapreduce_spark.operators.multimodal",
     "argodb_mapreduce_spark.functions.text",
+    "argodb_mapreduce_spark.operators.multimodal",
     "argodb_mapreduce_spark.streaming.windows",
+    "argodb_mapreduce_spark.functions.udfs",
     "argodb_mapreduce_spark.sources.hive_partitions",
+    "argodb_mapreduce_spark.sources.range_partitions",
+    "argodb_mapreduce_spark.operators.merge",
+    "argodb_mapreduce_spark.functions.stats",
+    "argodb_mapreduce_spark.operators.tpch_extra",
+    "argodb_mapreduce_spark.functions.scalar",
+    "argodb_mapreduce_spark.operators.joins_advanced",
+    "argodb_mapreduce_spark.operators.scans",
+    "argodb_mapreduce_spark.operators.relational",
 )
 
 
@@ -53,6 +60,9 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 _loaded = False
+#: Module → traceback string for modules that failed to import; queries
+#: from healthy modules stay available (tests assert this dict is empty).
+_IMPORT_ERRORS: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
@@ -71,9 +81,22 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
+    import sys
+    import traceback
+
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        try:
+            importlib.import_module(mod)
+        except Exception:  # noqa: BLE001 - one broken module must not hide the rest
+            _IMPORT_ERRORS[mod] = traceback.format_exc()
+            print(f"registry: failed to import {mod}:\n{_IMPORT_ERRORS[mod]}", file=sys.stderr)
     _loaded = True
+
+
+def import_errors() -> dict[str, str]:
+    """Modules that failed to import during registry load (empty = healthy)."""
+    _load()
+    return dict(_IMPORT_ERRORS)
 
 
 def all_queries() -> dict[str, Query]:

@@ -92,7 +92,7 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL 15 MINUTE
                   THEN 1 ELSE 0 END AS new_session
@@ -100,8 +100,10 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),
     sessions AS (
+      -- event_id tie-break matches the flagged CTE's ordering: duplicate
+      -- (user_id, ts) rows must not split a tie group nondeterministically
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )

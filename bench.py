@@ -31,6 +31,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "join_broadcast_dim",
     "window_moving_sum",
     "topk_per_group",
