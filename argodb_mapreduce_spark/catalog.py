@@ -251,14 +251,22 @@ class Engine:
         return self.table(db_table).schema
 
 
-def snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Snapshot-consistent scan seam (SURVEY.md §2.A6).
+def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot-consistent scan (SURVEY.md §2.A6).
 
     The reference wraps scans in a read-only distributed transaction
     (begin / RO-share locks / snapshot renew / abort —
     ArgodbMapreduceInputFormat.java:52-102,257-279,298-305). Over
-    immutable parquet fixtures a scan is trivially snapshot-consistent,
-    so this is the identity; for mutable tables the Spark-native
-    equivalent is a Delta/Iceberg time-travel read.
+    immutable parquet a plain scan is trivially snapshot-consistent;
+    for *mutable* tables the directory must be a versioned table
+    (``sources.versioned`` — manifest-pinned immutable segments), and
+    the read resolves the version's file set at plan time, which is the
+    same guarantee the reference's snapshot renew provides.
     """
+    from argodb_mapreduce_spark.sources.versioned import MANIFEST, snapshot_read
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, MANIFEST)):
+        return snapshot_read(spark, path, version)
+    if version is not None:
+        raise ScanError("version requested but table is not versioned (no _snapshots.json)")
     return spark.read.parquet(path)

@@ -331,3 +331,43 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
     return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d[\d-]{7,}', '<PHONE>', 'g') AS scrubbed,
+           CAST(LENGTH(text) AS BIGINT) AS orig_len
+    FROM documents
+    """,
+    tags=("text", "pii", "scrub"),
+    doc=(
+        "PII scrubbing: email and phone patterns replaced with typed "
+        "placeholders — the redaction pass a training corpus runs before "
+        "tokenization. The fixture corpus is synthetic word-soup, so "
+        "deterministic PII is injected per-row first and then scrubbed; "
+        "both engines run the same regexes JVM/native-side (no UDF)."
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        r"\+?\d[\d-]{7,}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"), F.length("text").cast("long").alias("orig_len"))

@@ -1,0 +1,113 @@
+"""Sampling operators for training-data curation (SURVEY.md §2.C ext).
+
+Large-scale pipeline staples: stratified sampling (class-balanced
+subsets), deterministic per-group top-k sampling (reproducible
+downsampling of over-represented groups), and seeded Bernoulli
+sampling (fn_sample_selfcheck in functions/scalar.py).
+
+Engine RNGs differ, so the oracle strategy splits in two:
+* ``sample_stratified`` exposes *statistical* contract columns
+  (per-stratum counts + bounds flags) — the sampled rows themselves are
+  engine-specific;
+* ``sample_pergroup_topk`` is **exactly** reproducible across engines:
+  the "random" order is md5(key) — deterministic, uniform-ish, and
+  identical in Spark and DuckDB — so the selected rows hash-match
+  exactly. This is the shape to use when a training run must be
+  re-creatable bit-for-bit from the corpus.
+
+Both are one shuffle (sampleBy is shuffle-free; the top-k is a window
+over the group key) and stream at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+#: Per-class sampling fractions for the stratified demo.
+STRATA_FRACTIONS = {"N": 0.1, "R": 0.3, "A": 0.5}
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_stratum,
+           TRUE AS fraction_ok
+    FROM lineitem
+    WHERE l_returnflag IN ('N', 'R', 'A')
+    GROUP BY l_returnflag
+    """,
+    tags=("sample", "stratified", "approx"),
+    doc=(
+        "Stratified (per-class) sampling via sampleBy: each l_returnflag "
+        "stratum is Bernoulli-sampled at its own rate (0.1/0.3/0.5) — "
+        "the class-rebalancing primitive of corpus curation. Map-only, "
+        "no shuffle for the sample itself. Contract columns are the "
+        "stratum sizes and a binomial-bounds flag (engine RNGs differ, "
+        "SURVEY.md §5.3); one lazy plan, no driver-side counts."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.sampleBy("l_returnflag", STRATA_FRACTIONS, seed=42)
+    sampled = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_sampled"))
+    source = li.filter(F.col("l_returnflag").isin(*STRATA_FRACTIONS)).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    frac = F.create_map(*[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv])
+    return (
+        source.join(sampled, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_stratum",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_stratum")
+                    - frac[F.col("l_returnflag")]
+                )
+                < 0.05
+            ).alias("fraction_ok"),
+        )
+    )
+
+
+@register(
+    "sample_pergroup_topk",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) ASC
+             ) AS rn
+      FROM lineitem
+    ) t
+    WHERE rn <= 100
+    """,
+    tags=("sample", "deterministic"),
+    doc=(
+        "Deterministic per-group k-sample: rows ordered by md5 of their "
+        "key (uniform-ish, engine-identical) and the first k per group "
+        "kept — reproducible downsampling of over-represented classes, "
+        "exact-hash-checkable unlike RNG sampling. One shuffle (window "
+        "over the group key); at cluster scale a pre-aggregated partial "
+        "top-k per partition feeds the window (rank pushdown via "
+        "WindowGroupLimit in Spark's plan)."
+    ),
+)
+def sample_pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rand_key = F.md5(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(rand_key.asc())
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+    )

@@ -20,7 +20,7 @@ the fact table per subquery.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
@@ -291,14 +291,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late_flag).alias("is_late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late_supp"),
-    )
+    # Per-order stats as a window over the per-supplier aggregate: one
+    # repartition on l_orderkey instead of a second groupBy + join back
+    # (2 shuffles total, no join — the EXISTS/NOT EXISTS pair collapses
+    # into two windowed counts).
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_supp.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)

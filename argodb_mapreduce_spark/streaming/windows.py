@@ -272,3 +272,46 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(counts, "stream_stateful_sink", "update")
     return spark.table("stream_stateful_sink")
+
+
+@register(
+    "stream_join_live",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "live", "join"),
+    doc=(
+        "REAL stream-stream inner join: views joined to purchases by the "
+        "same user within 30 minutes, watermarks on both sides bounding "
+        "the state store (Spark evicts buffered rows older than watermark "
+        "+ join window — the property that keeps state finite on an "
+        "unbounded stream). availableNow over the static source makes the "
+        "result equal the batch interval join, so it is oracle-checked."
+    ),
+)
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    _run_to_memory(joined, "stream_join_sink", "append")
+    return spark.table("stream_join_sink")
