@@ -374,3 +374,37 @@ def ivf_recall_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("recall").alias("mean_recall"),
         (F.avg("recall") >= 0.5).alias("recall_ok"),
     )
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle=f"""
+    SELECT CAST(label AS INT) AS label,
+           CAST(i AS INT) AS pos,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * {float(_Q)}) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity", "vector", "agg"),
+    doc=(
+        "Per-class mean embedding (centroid): the vector aggregate behind "
+        "class prototypes, clustering init, and embedding-drift monitoring. "
+        "posexplode to (label, pos, component) then a plain long-sum "
+        "group-by — partial aggregation map-side, shuffle volume O(labels "
+        "x dims), never O(vectors); components are 2^20-quantized so the "
+        "integer sums (< 2^53) and the final division are bit-identical "
+        "in both engines."
+    ),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(_quantize(F.col("embedding"))).alias("pos", "q"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(_Q)))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

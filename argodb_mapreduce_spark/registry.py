@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.sources.range_partitions",
     "argodb_mapreduce_spark.sources.versioned",
     "argodb_mapreduce_spark.operators.sampling",
+    "argodb_mapreduce_spark.operators.curation",
     "argodb_mapreduce_spark.operators.merge",
     "argodb_mapreduce_spark.functions.stats",
     "argodb_mapreduce_spark.operators.tpch_extra",
