@@ -1,0 +1,160 @@
+"""K-means clustering steps over embeddings (SURVEY.md §2.C3 adjunct).
+
+Lloyd's algorithm expressed as DataFrame ops — the iterative workload
+the reference's map/reduce surface was classically used for (assignment
+= map with broadcast centroids, update = reduce by centroid id; cf. the
+delegated-surface rows SURVEY.md §2.B3/B4). One full iteration is
+oracle-checked end-to-end:
+
+- `kmeans_assign` — assign every vector to its nearest centroid
+  (squared-L2, deterministic init: the K lowest vec_ids).
+- `kmeans_lloyd_step` — recompute per-centroid means after assignment
+  (the "update" half), via posexplode + integer-exact component sums.
+
+Determinism: vectors are quantized to the 2^-20 integer grid (see
+operators/similarity.py) so squared distances are pure int64 arithmetic
+— 64 dims × (2·2^21)^2 < 2^50 — and argmin ties break on centroid id.
+Component means divide exact integer sums by counts, bit-identical in
+both engines.
+
+Scale: assignment is a broadcast cross join against K centroids (K is
+small by definition) — map-side, no shuffle of the vector table; the
+update shuffles O(K × dims) partial sums, never O(vectors). This is
+the standard distributed-k-means shape and survives 100 TB unchanged;
+full multi-iteration training is a driver loop over these two steps
+with the centroid table re-broadcast each round (tests run 3 rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.operators.similarity import _Q, _quantize
+from argodb_mapreduce_spark.registry import register
+
+K_CLUSTERS = 8
+
+_SQL_QUANT = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < {K_CLUSTERS}),
+    assigned AS (
+      SELECT v.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qe) + 1),
+                           i -> (v.qe[i] - c.qc[i]) * (v.qe[i] - c.qc[i]))) AS BIGINT) AS dist2
+      FROM q v CROSS JOIN cent c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY dist2 ASC, c.cid ASC) = 1
+    )
+"""
+
+
+def _dist2(qa: Column, qb: Column) -> Column:
+    """Exact integer squared-L2 distance between quantized vectors."""
+    diffs = F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, qe) × broadcast centroids
+    (cid, qc) → (vec_id, cid, dist2), ties on centroid id."""
+    pairs = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _dist2(F.col("qe"), F.col("qc")).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+def update(e: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Recompute centroids: per-(cid, pos) exact integer mean of the
+    assigned vectors' quantized components → (cid, qc) arrays."""
+    comp = (
+        e.join(assigned.select("vec_id", "cid"), "vec_id")
+        .select("cid", F.posexplode("qe").alias("pos", "qv"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cid", "pos", F.round(F.col("s") / F.col("n")).cast("long").alias("qmean"))
+    )
+    return comp.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "qmean"))).alias("pq")
+    ).select("cid", F.col("pq.qmean").alias("qc"))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH {_SQL_QUANT}
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, dist2 FROM assigned
+    """,
+    tags=("clustering", "vector"),
+    doc=(
+        f"K-means assignment step: each vector to its nearest of "
+        f"{K_CLUSTERS} deterministic centroids (the lowest vec_ids) by "
+        "exact integer squared-L2 on the 2^-20 grid, ties to the lower "
+        "centroid id. Broadcast cross join + per-vector argmin window — "
+        "the vector table never shuffles."
+    ),
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
+    )
+    return assign(e, cent).select(
+        "vec_id", F.col("cid").alias("centroid_id"), "dist2"
+    )
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle=f"""
+    WITH {_SQL_QUANT}
+    SELECT a.cid AS centroid_id,
+           CAST(i AS INT) AS pos,
+           CAST(CAST(SUM(v.qe[i + 1]) AS BIGINT) AS DOUBLE)
+             / (COUNT(*) * {float(_Q)}) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM assigned a
+    JOIN q v USING (vec_id),
+    UNNEST(range(0, len(v.qe))) AS u(i)
+    GROUP BY a.cid, i
+    """,
+    tags=("clustering", "vector", "agg"),
+    doc=(
+        "K-means update step (one full Lloyd iteration with "
+        "kmeans_assign): per-centroid component means of the assigned "
+        "vectors. posexplode → partial-aggregated integer sums — "
+        "shuffle volume O(K × dims); the final mean is one exact "
+        "int-sum / count division, bit-identical across engines."
+    ),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
+    )
+    assigned = assign(e, cent)
+    comp = (
+        e.join(assigned.select("vec_id", "cid"), "vec_id")
+        .select("cid", F.posexplode("qe").alias("pos", "qv"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return comp.select(
+        F.col("cid").alias("centroid_id"),
+        "pos",
+        (F.col("s").cast("double") / (F.col("n") * F.lit(float(_Q)))).alias("centroid"),
+        F.col("n").alias("n_assigned"),
+    )

@@ -1,0 +1,243 @@
+"""Training-data preparation operators (SURVEY.md §2.C extensions).
+
+The four ops every LLM pretraining pipeline runs between "curated
+corpus" and "token stream", expressed as declarative DataFrame plans:
+
+- **Chunking** — split each document's token stream into fixed-width
+  training chunks (`chunk_documents`).
+- **Sequence packing** — concat-and-chunk accounting: assign documents
+  to fixed token-budget bins in deterministic order, per source shard
+  (`pack_sequences`). This is the GPT-style "concatenate everything,
+  cut every `budget` tokens" packing, computed as bookkeeping over a
+  running token offset — no data movement of the text itself.
+- **Repetition screening** — per-document duplicate-token fraction and
+  top-token share, the Gopher-style within-document repetition signals
+  (`text_repetition_ratio`).
+- **Benchmark decontamination** — flag training documents sharing any
+  word-5-gram with a held-out benchmark set (`decontam_ngram_overlap`),
+  the standard n-gram-overlap contamination check.
+
+All four are JVM-side only (split/slice/explode/window/join — no
+Python UDFs) and all four have exact DuckDB oracle twins. These extend
+the reference's delegated map/reduce surface (reference exposes raw
+records for arbitrary user pipelines — ArgodbMapreduceRecordReader.java
+hands each row to user code; these are the canonical "user code" of a
+training-data pipeline, made first-class).
+
+Scale notes: chunking and repetition are embarrassingly parallel
+(per-row / one groupBy). Packing windows over (source, doc_id) — one
+shuffle per source shard, and at 100 TB the shard key would be
+(source, file_id) so no single window partition exceeds a task.
+Decontamination broadcasts the benchmark n-gram set (benchmarks are
+MBs, corpora are TBs) so the scan stays map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+CHUNK_TOKENS = 16    #: tokens per training chunk (small so fixture docs span several)
+PACK_BUDGET = 256    #: tokens per packed sequence bin
+DECONTAM_N = 5       #: word-n-gram width for the contamination check
+BENCH_MOD = 43       #: doc_id % BENCH_MOD == 0 → held-out "benchmark" doc
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(tk[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(tk[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM tok, UNNEST(range(0, CAST(ceil(len(tk) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)
+    """,
+    tags=("training", "text", "chunk"),
+    doc=(
+        f"Fixed-width chunking: each document's token stream cut into "
+        f"{CHUNK_TOKENS}-token training chunks (last chunk ragged). "
+        "split → explode(sequence) → slice, all codegen; per-row "
+        "fan-out only, no shuffle. The chunk text is emitted as md5 so "
+        "the contract row stays scalar."
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("tk")).filter(F.size("tk") > 0)
+    n_chunks = F.ceil(F.size("tk") / F.lit(float(CHUNK_TOKENS))).cast("long")
+    exploded = tok.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx_l"),
+    )
+    chunk = F.slice("tk", (F.col("chunk_idx_l") * CHUNK_TOKENS + 1).cast("int"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx_l").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), s AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(token_start / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM s
+    GROUP BY source, CAST(FLOOR(token_start / {PACK_BUDGET}.0) AS BIGINT)
+    """,
+    tags=("training", "pack"),
+    doc=(
+        f"Sequence packing (concat-and-chunk accounting): documents in "
+        f"deterministic (source, doc_id) order are assigned to "
+        f"{PACK_BUDGET}-token bins by their running token offset — "
+        "bin = floor(token_start / budget), i.e. the bin layout of "
+        "concatenating every doc and cutting at the budget, without "
+        "moving any text. One window + one groupBy per source shard; at "
+        "corpus scale the shard key becomes (source, file) so no window "
+        "partition outgrows a task."
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = t.withColumn("token_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+    binned = s.withColumn("bin_id", F.floor(F.col("token_start") / F.lit(float(PACK_BUDGET))))
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           (CAST(SUM(c) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) / CAST(SUM(c) AS BIGINT) AS dup_fraction,
+           CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS top_token_share
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("training", "text", "quality"),
+    doc=(
+        "Within-document repetition signals (Gopher-style quality "
+        "screen): duplicate-token fraction 1 - distinct/total and the "
+        "most-frequent-token share, per document. explode + two "
+        "partial-aggregated groupBys keyed by doc_id — shuffle volume "
+        "O(doc_id × distinct tokens), never O(corpus tokens). Ratios "
+        "are single int/int IEEE divisions — bit-identical across "
+        "engines."
+    ),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")).alias("dup_fraction"),
+        (F.col("top_count") / F.col("n_tokens")).alias("top_token_share"),
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), ngrams AS (
+      SELECT doc_id, md5(array_to_string(tk[i:i+{DECONTAM_N - 1}], ' ')) AS ng
+      FROM tok, UNNEST(range(1, len(tk) - {DECONTAM_N - 2})) AS u(i)
+      WHERE len(tk) >= {DECONTAM_N}
+    ), bench AS (
+      SELECT DISTINCT ng FROM ngrams WHERE doc_id % {BENCH_MOD} = 0
+    ), train AS (
+      SELECT DISTINCT doc_id, ng FROM ngrams WHERE doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams,
+           TRUE AS flagged
+    FROM train t JOIN bench b USING (ng)
+    GROUP BY t.doc_id
+    """,
+    tags=("training", "dedup", "decontam"),
+    doc=(
+        f"Benchmark decontamination: flag training documents sharing "
+        f"any word-{DECONTAM_N}-gram with the held-out benchmark slice "
+        f"(doc_id % {BENCH_MOD} == 0 stands in for the benchmark "
+        "corpus). N-grams are md5'd (16-byte join key instead of raw "
+        "text) and the benchmark set is broadcast — benchmarks are MBs "
+        "while corpora are TBs, so the membership probe runs map-side "
+        "with zero shuffle of the corpus. On the fixture this flags "
+        "exactly the near-duplicates of benchmark docs, not random "
+        "collisions."
+    ),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= DECONTAM_N
+    )
+    ngrams = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (DECONTAM_N - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, DECONTAM_N))),
+            )
+        ).alias("ng"),
+    )
+    bench = (
+        ngrams.filter(F.col("doc_id") % BENCH_MOD == 0).select("ng").distinct()
+    )
+    train = (
+        ngrams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "ng")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"), F.lit(True).alias("flagged"))
+    )
