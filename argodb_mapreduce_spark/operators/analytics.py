@@ -1,0 +1,123 @@
+"""Event-analytics operators: rolling distinct counts and cohort
+retention (SURVEY.md §2.B3/B5 composite shapes).
+
+Two aggregation shapes every product-analytics workload needs that
+don't map to a single built-in:
+
+- `events_rolling_distinct` — 7-day rolling distinct active users per
+  day. Spark windows cannot express COUNT(DISTINCT) OVER RANGE; the
+  scalable rewrite is: reduce to distinct (user, day) pairs first (the
+  big shuffle, heavily combiner-reduced), then fan each pair out to the
+  ≤7 window end-days it contributes to (bounded 7× explode of the
+  *reduced* set, not the raw events) and count distinct per end-day.
+  Shuffle volume is O(user-days × 7), independent of raw event count —
+  this survives 100 TB of events, where a naive per-day set-union or a
+  collect_set window would not.
+
+- `events_retention` — weekly cohort retention: users grouped by their
+  first active week, counted per subsequent week offset. Two shuffles
+  (per-user min week, then the cohort×offset count); the user→cohort
+  join is keyed on user_id and AQE picks broadcast when the user
+  dimension fits (no hard hint — user counts scale with the data;
+  VERDICT r1 finding 5).
+
+These extend the reference's delegated reduce surface (SURVEY.md
+§2.B3: arbitrary user keying over scanned rows) with the canonical
+analytics keyings made first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+ROLLING_DAYS = 7
+
+
+@register(
+    "events_rolling_distinct",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), contrib AS (
+      SELECT user_id, day + CAST(i AS INT) AS end_day
+      FROM ud, UNNEST(range(0, {ROLLING_DAYS})) AS u(i)
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS rolling_{ROLLING_DAYS}d_users
+    FROM days d JOIN contrib c ON c.end_day = d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "window", "distinct"),
+    doc=(
+        f"Rolling {ROLLING_DAYS}-day distinct active users per day — the "
+        "COUNT(DISTINCT) OVER RANGE shape Spark windows can't express, "
+        "rewritten as distinct user-days → bounded fan-out to window "
+        "end-days → per-day distinct count. Shuffles O(user-days × "
+        f"{ROLLING_DAYS}), never O(events)."
+    ),
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("end_day"),
+    )
+    return (
+        days.join(contrib, days.day == contrib.end_day)
+        .groupBy(days.day)
+        .agg(F.count_distinct("user_id").alias(f"rolling_{ROLLING_DAYS}d_users"))
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH uw AS (
+      -- DuckDB's date_trunc('week') yields DATE while Spark's yields
+      -- TIMESTAMP; both sides cast to DATE so the contract types align.
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, u.week) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+    FROM uw u JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_week, CAST(date_diff('day', c.cohort_week, u.week) // 7 AS INT)
+    """,
+    tags=("analytics", "retention"),
+    doc=(
+        "Weekly cohort retention: distinct user-weeks → per-user first "
+        "week (the cohort) → distinct active users per (cohort, week "
+        "offset). The classic triangular retention matrix in two "
+        "combiner-reduced shuffles; the cohort join has no broadcast "
+        "hint — user cardinality scales with the corpus, AQE decides."
+    ),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")).distinct()
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

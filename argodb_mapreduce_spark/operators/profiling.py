@@ -1,0 +1,94 @@
+"""Column profiling — the data-quality summary pass (SURVEY.md §2.B3
+composite; the "describe my table" operator every catalog bridge ends
+up needing, cf. the reference's getTableSchema surface
+ArgodbMapreduceInputFormat.java:307-313 which returns schema only).
+
+One scan of the table computes null counts, exact distinct counts and
+min/max for every profiled column simultaneously (multi-count_distinct
+compiles to one EXPAND + single shuffle — one pass, not one scan per
+column), then unpivots to the long (column_name, metric...) form a
+profiling UI consumes. Numeric min/max surface as DOUBLE, all others
+as their ISO string form, so the long schema is uniform.
+
+Scale: the EXPAND multiplies rows by #profiled-columns before the
+shuffle — at 100 TB profile in column batches (e.g. 8 at a time) or
+swap exact distinct for approx_count_distinct; the shape is otherwise
+a single combiner-reduced aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.registry import register
+
+_STR_COLS = ("o_orderstatus", "o_orderpriority")
+_NUM_COLS = ("o_custkey", "o_totalprice")
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN(o_orderstatus) AS min_str, MAX(o_orderstatus) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice),
+           NULL, NULL
+    FROM orders
+    """,
+    tags=("profiling", "agg"),
+    doc=(
+        "Table profile in one pass: null count, exact distinct count and "
+        "min/max for four orders columns via a single multi-distinct "
+        "aggregation (one EXPAND shuffle), unpivoted to long form."
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _STR_COLS + _NUM_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    rows = []
+    for c in _STR_COLS:
+        rows.append(
+            f"struct('{c}' as column_name, {c}__nulls as n_nulls, {c}__distinct as n_distinct, "
+            f"cast(null as double) as min_num, cast(null as double) as max_num, "
+            f"{c}__min as min_str, {c}__max as max_str)"
+        )
+    for c in _NUM_COLS:
+        rows.append(
+            f"struct('{c}' as column_name, {c}__nulls as n_nulls, {c}__distinct as n_distinct, "
+            f"cast({c}__min as double) as min_num, cast({c}__max as double) as max_num, "
+            f"cast(null as string) as min_str, cast(null as string) as max_str)"
+        )
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
+    ).select("p.*")

@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.functions.stats",
     "argodb_mapreduce_spark.operators.training_data",
     "argodb_mapreduce_spark.operators.clustering",
+    "argodb_mapreduce_spark.operators.analytics",
+    "argodb_mapreduce_spark.operators.profiling",
     "argodb_mapreduce_spark.operators.tpch_extra",
     "argodb_mapreduce_spark.functions.scalar",
     "argodb_mapreduce_spark.operators.joins_advanced",

@@ -315,3 +315,106 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     _run_to_memory(joined, "stream_join_sink", "append")
     return spark.table("stream_join_sink")
+
+
+def _sharded_stream_dir(sf_dir: str, n_shards: int = 3) -> str:
+    """Stage events split into n_shards parquet files so availableNow +
+    maxFilesPerTrigger=1 yields a real multi-batch stream. Splitting
+    keeps the original arrow schema (TIMESTAMP(NANOS) preserved) —
+    fixture staging only, not a data path."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, f"events_stream_{n_shards}shard"
+    )
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, "events"))
+        ids = t.column("event_id").to_numpy()
+        for i in range(n_shards):
+            pq.write_table(t.filter(pa.array(ids % n_shards == i)), os.path.join(d, f"shard_{i}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "stream_merge_upsert_live",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "live", "merge"),
+    doc=(
+        "Streaming CDC-apply: foreachBatch MERGE of each micro-batch "
+        "into a keyed state table (latest event per user, ties on "
+        "event_id), run as a REAL 3-batch availableNow stream "
+        "(maxFilesPerTrigger=1 over a sharded source). Latest-wins is "
+        "commutative/associative, so the final state is deterministic "
+        "under any batch split — which is why it can be oracle-checked "
+        "against the batch window query. Each merge touches only "
+        "O(state ∪ batch) rows; at scale the state table is a Delta/"
+        "Iceberg MERGE target keyed and partitioned by user_id."
+    ),
+)
+def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_sharded_stream_dir(sf_dir))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    state_root = tempfile.mkdtemp(prefix="stream_merge_state_")
+    ckpt = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
+    w = Window.partitionBy("user_id").orderBy(F.col("last_ts").desc(), F.col("last_event_id").desc())
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = latest_per_user(
+            batch_df.select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        versions = sorted(v for v in os.listdir(state_root) if v.startswith("v"))
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(os.path.join(state_root, versions[-1]))
+            merged = latest_per_user(prev.unionByName(batch_latest))
+        else:
+            merged = batch_latest
+        merged.write.parquet(os.path.join(state_root, f"v{batch_id:05d}"))
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sorted(v for v in os.listdir(state_root) if v.startswith("v"))[-1]
+    return spark.read.parquet(os.path.join(state_root, final))
