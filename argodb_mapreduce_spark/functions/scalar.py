@@ -94,7 +94,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_ts"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # to_date: DuckDB's date_trunc('month') yields DATE while Spark's
+        # yields TIMESTAMP — align the contract type.
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
         F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
         .alias("days_to_98"),

@@ -121,3 +121,50 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "sketch_rollup_hll",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY CAST(date_trunc('week', ts) AS DATE)
+    """,
+    tags=("analytics", "sketch", "approx"),
+    doc=(
+        "Re-aggregatable sketch rollup: per-day HLL sketches of user_id "
+        "(the stored pre-aggregate) union-merged into weekly distinct "
+        "estimates via hll_union_agg — the pattern that lets a 100 TB "
+        "warehouse answer distinct-count rollups from kilobyte sketches "
+        "instead of re-scanning raw events. The estimate is checked "
+        "in-query against the exact distinct (≤5%); the contract row "
+        "emits deterministic columns + the pass flag (the sketch "
+        "estimate itself is engine-internal, same treatment as "
+        "agg_approx_count_distinct)."
+    ),
+)
+def sketch_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.to_date(F.date_trunc("week", "day")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = e.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return weekly_est.join(exact, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users")) / F.col("exact_users") <= 0.05
+        ).alias("within_5pct"),
+    )

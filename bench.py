@@ -51,6 +51,11 @@ HEADLINE = [
     "multimodal_frame_sample",
     "stream_window_tumbling",
     "stream_session_window",
+    "chunk_documents",
+    "pack_sequences",
+    "decontam_ngram_overlap",
+    "kmeans_lloyd_step",
+    "events_rolling_distinct",
 ]
 
 

@@ -62,10 +62,39 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _assert_driver_safe_types(spark_df, con, oracle: str, name: str) -> None:
+    """The driver's value hash is stricter than pandas-level comparison:
+    DuckDB HUGEINT and DATE-vs-TIMESTAMP skew land as object-dtype /
+    repr differences (r1: q12, events_retention, fn_date), and top-level
+    list columns are unhashable (r1: scan_embeddings). Integer *widths*
+    are proven safe (window_rank int-vs-BIGINT was driver-green r1);
+    these three classes are not — catch them in pytest, not round N+1."""
+    sdt = dict(spark_df.dtypes)
+    ddt = {r[0]: r[1] for r in con.execute(f"DESCRIBE ({oracle})").fetchall()}
+    for col, st in sdt.items():
+        dt = ddt.get(col)
+        if dt is None:
+            continue
+        assert dt != "HUGEINT", (
+            f"{name}.{col}: oracle returns HUGEINT — CAST(... AS BIGINT) in the oracle SQL"
+        )
+        s_date, d_date = st == "date", dt == "DATE"
+        s_ts = st.startswith("timestamp")
+        d_ts = dt.startswith("TIMESTAMP")
+        assert not (s_date and d_ts) and not (s_ts and d_date), (
+            f"{name}.{col}: date/timestamp skew (spark={st}, duckdb={dt}) — align both sides"
+        )
+        assert not st.startswith("array") and not dt.endswith("[]"), (
+            f"{name}.{col}: top-level array column is unhashable for the driver — "
+            f"emit to_json/array_join instead (spark={st}, duckdb={dt})"
+        )
+
+
 def assert_matches(spark_df, oracle: str, sf_dir: str, name: str = "") -> None:
     spk = spark_df.toPandas()
     con = duck_connection(sf_dir)
     try:
+        _assert_driver_safe_types(spark_df, con, oracle, name)
         duck = con.execute(oracle).df()
     finally:
         con.close()
