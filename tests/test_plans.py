@@ -121,3 +121,35 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     joined = part_tbl.join(dim, part_tbl.l_returnflag == dim.flag)
     plan = explain_str(joined, "formatted").lower()
     assert "dynamicpruning" in plan, "expected a dynamic partition pruning subquery in the scan"
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.training_data import chunk_documents
+
+    assert n_exchanges(chunk_documents(spark, sf_dir)) == 0
+
+
+def test_decontam_broadcasts_benchmark_set(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.training_data import decontam_ngram_overlap
+
+    # The corpus-side probe must be a broadcast join — the corpus scan
+    # never shuffles for the membership check (only the per-doc distinct
+    # and final count aggregations shuffle).
+    assert has_broadcast_join(decontam_ngram_overlap(spark, sf_dir))
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.clustering import kmeans_assign
+
+    plan = kmeans_assign(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in __import__(
+        "argodb_mapreduce_spark.plans.checks", fromlist=["explain_str"]
+    ).explain_str(plan, "simple")
+
+
+def test_pack_sequences_single_wide_shuffle(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.training_data import pack_sequences
+
+    # One shuffle for the per-source window; the final groupBy reduces
+    # map-side so a second exchange (if AQE keeps it) moves O(bins) rows.
+    assert n_exchanges(pack_sequences(spark, sf_dir)) <= 2
