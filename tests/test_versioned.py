@@ -76,3 +76,24 @@ def test_registered_query_parity(spark, sf_dir):
 
     q = registry.all_queries()["snapshot_time_travel"]
     assert_matches(q.fn(spark, sf_dir), q.oracle, sf_dir, "snapshot_time_travel")
+
+
+def test_compaction_preserves_data_and_time_travel(spark, vt):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact,
+        snapshot_read,
+        versions,
+    )
+
+    before = sorted(r["k"] for r in snapshot_read(spark, vt).collect())
+    v = compact(spark, vt)
+    assert versions(vt)[-1] == v
+    # Compacted read is identical to the pre-compaction latest version.
+    assert sorted(r["k"] for r in snapshot_read(spark, vt).collect()) == before
+    # Single segment now; provenance recorded.
+    entry = _read_manifest(vt)[-1]
+    assert len(entry["segments"]) == 1 and entry["compacted_from"] == v - 1
+    # Older versions still time-travel to their original contents.
+    assert sorted(r["k"] for r in snapshot_read(spark, vt, 0).collect()) == list(range(10))
+    assert sorted(r["k"] for r in snapshot_read(spark, vt, 1).collect()) == list(range(15))
