@@ -537,3 +537,50 @@ def fn_sample_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("n_sampled") / F.col("n_source") - 0.2) < 0.05).alias("fraction_ok"),
         )
     )
+
+
+@register(
+    "fn_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS maybe_null, o_orderstatus
+      FROM orders
+    )
+    SELECT o_orderkey,
+           maybe_null,
+           COALESCE(maybe_null, 'open') AS coalesced,
+           CASE WHEN maybe_null IS NOT NULL THEN 'filled' ELSE 'empty' END AS nvl2_equiv,
+           (maybe_null IS NOT DISTINCT FROM o_orderstatus) AS nullsafe_eq,
+           (maybe_null = o_orderstatus) IS NULL AS threevalued_unknown,
+           CAST(ROW_NUMBER() OVER (ORDER BY maybe_null ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS rn_nulls_first
+    FROM t
+    """,
+    tags=("scalar", "null"),
+    doc=(
+        "NULL-handling surface: NULLIF/COALESCE/NVL2, null-safe equality "
+        "(Spark <=> ≙ SQL IS NOT DISTINCT FROM), three-valued-logic "
+        "UNKNOWN detection, and NULLS FIRST ordering — the SQL corner "
+        "cases a Hive-bridge user exercises constantly (reference rows "
+        "pass through HCatRecord with Java nulls; SURVEY.md §1.2 NULL "
+        "sentinel notes)."
+    ),
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_null"),
+        "o_orderstatus",
+    )
+    w = Window.orderBy(F.col("maybe_null").asc_nulls_first(), F.col("o_orderkey").asc())
+    return t.select(
+        "o_orderkey",
+        "maybe_null",
+        F.coalesce("maybe_null", F.lit("open")).alias("coalesced"),
+        F.nvl2("maybe_null", F.lit("filled"), F.lit("empty")).alias("nvl2_equiv"),
+        F.col("maybe_null").eqNullSafe(F.col("o_orderstatus")).alias("nullsafe_eq"),
+        (F.col("maybe_null") == F.col("o_orderstatus")).isNull().alias("threevalued_unknown"),
+        F.row_number().over(w).cast("long").alias("rn_nulls_first"),
+    )

@@ -92,3 +92,51 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
     ).select("p.*")
+
+
+@register(
+    "profile_join_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM counts
+    )
+    SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(c.cnt AS DOUBLE) / s.n_rows AS share,
+           CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows AS skew_factor
+    FROM counts c CROSS JOIN stats s
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.key ASC) <= 5
+    """,
+    tags=("profiling", "skew"),
+    doc=(
+        "Join-key skew profile: per-key frequencies of orders.o_custkey "
+        "with the top-5 heavy hitters and the global skew factor "
+        "(max_cnt / mean_cnt) — the diagnostic that decides between a "
+        "plain shuffle join, AQE skew splitting, and the salted-join "
+        "rewrite (operators/merge.salted_join). One combiner-reduced "
+        "groupBy + a broadcast of the 3-number stats row; the top-5 "
+        "window is computed map-side partial (WindowGroupLimit)."
+    ),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.max("cnt").alias("max_cnt"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+        (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias("skew_factor"),
+    )
