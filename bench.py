@@ -92,6 +92,18 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # BENCH_r01 recorded 21 queries; later rounds grew the headline set.
+    # r1_comparable_wall sums exactly those 21 so cross-round comparison
+    # is apples-to-apples alongside the full-set total.
+    r1_set = {
+        "scan_partition_filter", "q1_pricing_summary", "q3_top_unshipped",
+        "q5_local_supplier_volume", "join_broadcast_dim", "window_moving_sum",
+        "topk_per_group", "agg_rollup", "set_intersect", "fn_json",
+        "dedup_exact", "dedup_minhash_verified", "dedup_simhash",
+        "dedup_ngram_jaccard", "similarity_cosine_topk", "similarity_ivf_topk",
+        "text_tfidf_top_terms", "text_fingerprint_winnow",
+        "multimodal_frame_sample", "stream_window_tumbling", "stream_session_window",
+    }
     print(
         json.dumps(
             {
@@ -99,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "r1_comparable_wall": round(sum(v for k, v in times.items() if k in r1_set), 3),
                 "sf": sf,
             }
         )
