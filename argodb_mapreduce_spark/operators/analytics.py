@@ -168,3 +168,43 @@ def sketch_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_users") - F.col("exact_users")) / F.col("exact_users") <= 0.05
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS rolling_1h_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_1h_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "window", "time"),
+    doc=(
+        "Event-time RANGE frame: per-user rolling 1-hour sum/count — the "
+        "time-interval window Spark expresses as rangeBetween over epoch "
+        "microseconds (RANGE peers = identical timestamps, same frame "
+        "semantics both engines). One shuffle on user_id; frame "
+        "evaluation is streaming within the sorted partition. Sums go "
+        "through the exact-decimal pattern so sliding-frame evaluation "
+        "order can't change results."
+    ),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )

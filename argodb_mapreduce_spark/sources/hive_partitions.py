@@ -112,3 +112,59 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     e.write.mode("overwrite").json(out)
     return spark.read.schema("event_id long, event_type string, value double").json(out)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("source", "orc"),
+    doc=(
+        "ORC sink+source round-trip — the native columnar format of the "
+        "reference's Hive/Inceptor ecosystem (the JDBC bridge at "
+        "Configs.java:5 talks to a Hive-compatible catalog). Spark's ORC "
+        "path has the same vectorized-read + predicate-pushdown "
+        "machinery as parquet, so the engine is format-portable."
+    ),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "supplier_orc")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register(
+    "sink_partitioned_multilevel",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderstatus
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1995 AND o_orderstatus = 'F'
+    """,
+    tags=("sink", "partition"),
+    doc=(
+        "Multi-level Hive layout (o_year=.../o_orderstatus=.../): write "
+        "partitioned by two columns, read back with equality filters on "
+        "both levels — Catalyst prunes the directory tree before file "
+        "listing (PartitionFilters asserted in tests/test_plans.py), so "
+        "a two-level point read on a 100 TB table lists one leaf "
+        "directory. Partition values come back as trailing columns, the "
+        "reference's partition-value-append convention "
+        "(ArgodbMapreduceRecordReader.java:189-192)."
+    ),
+)
+def sink_partitioned_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "orders_2level")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderstatus",
+        )
+        o.write.mode("overwrite").partitionBy("o_year", "o_orderstatus").parquet(out)
+    df = spark.read.parquet(out)
+    return df.filter((F.col("o_year") == 1995) & (F.col("o_orderstatus") == "F")).select(
+        "o_orderkey", "o_totalprice", "o_year", "o_orderstatus"
+    )

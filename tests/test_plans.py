@@ -153,3 +153,10 @@ def test_pack_sequences_single_wide_shuffle(spark, sf_dir):
     # One shuffle for the per-source window; the final groupBy reduces
     # map-side so a second exchange (if AQE keeps it) moves O(bins) rows.
     assert n_exchanges(pack_sequences(spark, sf_dir)) <= 2
+
+
+def test_multilevel_partition_pruning(spark, sf_dir):
+    from argodb_mapreduce_spark.sources.hive_partitions import sink_partitioned_multilevel
+
+    pf = partition_filters(sink_partitioned_multilevel(spark, sf_dir))
+    assert "o_year" in pf and "o_orderstatus" in pf, pf
