@@ -552,7 +552,8 @@ def fn_sample_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN maybe_null IS NOT NULL THEN 'filled' ELSE 'empty' END AS nvl2_equiv,
            (maybe_null IS NOT DISTINCT FROM o_orderstatus) AS nullsafe_eq,
            (maybe_null = o_orderstatus) IS NULL AS threevalued_unknown,
-           CAST(ROW_NUMBER() OVER (ORDER BY maybe_null ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS rn_nulls_first
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 8
+                                   ORDER BY maybe_null ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS rn_nulls_first
     FROM t
     """,
     tags=("scalar", "null"),
@@ -574,7 +575,12 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_null"),
         "o_orderstatus",
     )
-    w = Window.orderBy(F.col("maybe_null").asc_nulls_first(), F.col("o_orderkey").asc())
+    # Partitioned window (never a global single-reducer sort): each
+    # shard still mixes NULL and non-NULL rows, so NULLS FIRST ordering
+    # is exercised without the 100 TB anti-pattern.
+    w = Window.partitionBy(F.col("o_orderkey") % 8).orderBy(
+        F.col("maybe_null").asc_nulls_first(), F.col("o_orderkey").asc()
+    )
     return t.select(
         "o_orderkey",
         "maybe_null",
