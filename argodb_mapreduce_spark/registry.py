@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.sources.hive_partitions",
     "argodb_mapreduce_spark.sources.range_partitions",
     "argodb_mapreduce_spark.sources.versioned",
+    "argodb_mapreduce_spark.sources.python_datasource",
     "argodb_mapreduce_spark.operators.sampling",
     "argodb_mapreduce_spark.operators.curation",
     "argodb_mapreduce_spark.operators.merge",

@@ -1,0 +1,171 @@
+"""Custom Python DataSource for versioned tables — the Spark-4-native
+re-expression of the reference's custom InputFormat (SURVEY.md §2.A).
+
+The reference IS a Hadoop InputFormat: ``getSplits`` resolves a
+snapshot to file-aligned splits (ArgodbMapreduceInputFormat.java:
+104-199) and ``createRecordReader`` streams each split's rows
+(ArgodbMapreduceRecordReader.java:121-169). Spark 4's Python DataSource
+API is the exact native analogue, and this module maps the pieces 1:1:
+
+================================  =====================================
+reference InputFormat             Python DataSource here
+================================  =====================================
+setInput(db, table) + txn begin   DataSource(options) — path + version
+getSplits: snapshot → rowsets →   DataSourceReader.partitions():
+  file-aligned splits               manifest resolved at PLAN time →
+  (splitRowSetsToFiles :156-158)    one InputPartition per parquet file
+createRecordReader/nextKeyValue   read(partition): pyarrow record
+  (row loop :121-169)               batches streamed per file
+snapshot renew / RO locks         manifest pinned in the reader object
+  (:257-279)                        — concurrent writes can't change a
+                                    planned scan's file set
+================================  =====================================
+
+``read`` yields Arrow RecordBatches (the columnar fast path — the
+analogue of the reference's ``ReadMode.BatchMode``, :292), not Python
+tuples. Classes are defined inside a factory function so cloudpickle
+ships them BY VALUE — executors cannot import this repo.
+
+Scale: one partition per file gives the same parallelism contract as
+the reference's file-aligned splits; a 100 TB versioned table fans out
+to its file count, and Spark schedules partitions with the usual
+locality/packing. (Filter pushdown via ``pushFilters`` is left to
+Catalyst-over-parquet for the built-in path; this source demonstrates
+the split/reader contract.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.registry import register
+
+FORMAT_NAME = "argodb_versioned"
+
+
+def make_versioned_datasource():
+    """Build the DataSource class. Everything needed executor-side is
+    defined in this closure (pickled by value) or imported from
+    packages the executors do have (pyspark, pyarrow, json, os)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SegmentFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    def _resolve_files(path: str, version: int | None) -> list:
+        with open(_os.path.join(path, "_snapshots.json")) as f:
+            entries = _json.load(f)
+        by_version = {e["version"]: e for e in entries}
+        if version is None or version < 0:
+            version = entries[-1]["version"]
+        if version not in by_version:
+            raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
+        files = []
+        for seg in by_version[version]["segments"]:
+            seg_dir = _os.path.join(path, seg)
+            files.extend(
+                _os.path.join(seg_dir, f)
+                for f in sorted(_os.listdir(seg_dir))
+                if f.endswith(".parquet")
+            )
+        return files
+
+    class VersionedReader(DataSourceReader):
+        def __init__(self, files: list):
+            self.files = files
+
+        def partitions(self):
+            # One partition per parquet file — the reference's
+            # file-aligned splits (splitRowSetsToFiles).
+            return [SegmentFilePartition(f) for f in self.files]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            # Columnar batch path (≙ ReadMode.BatchMode): stream Arrow
+            # record batches straight through, no per-row Python.
+            yield from pq.ParquetFile(partition.path).iter_batches()
+
+    class VersionedDataSource(DataSource):
+        def __init__(self, options):
+            super().__init__(options)
+            # Manifest resolved ONCE, when the DataSource instance is
+            # built at load()/plan time — the file set is pinned into
+            # this instance, so concurrent versioned_write calls cannot
+            # change what an already-planned scan reads: the reference's
+            # snapshot-renew guarantee (tested in
+            # tests/test_python_datasource.py::test_plan_time_snapshot_pinning).
+            self._files = _resolve_files(
+                options["path"], int(options.get("version", -1))
+            )
+
+        @classmethod
+        def name(cls):
+            return "argodb_versioned"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(pq.ParquetFile(self._files[0]).schema_arrow)
+
+        def reader(self, schema):
+            return VersionedReader(self._files)
+
+    return VersionedDataSource
+
+
+def register_datasource(spark: SparkSession) -> None:
+    """Idempotent per-session registration of the custom format."""
+    key = "argodb_mapreduce_spark._pyds_registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(make_versioned_datasource())
+        spark.conf.set(key, "1")
+
+
+def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    register_datasource(spark)
+    r = spark.read.format(FORMAT_NAME)
+    if version is not None:
+        r = r.option("version", str(version))
+    return r.load(path)
+
+
+@register(
+    "pyds_versioned_scan",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "datasource", "snapshot"),
+    doc=(
+        "Custom Python DataSource scan (format 'argodb_versioned'): the "
+        "reference's InputFormat contract — snapshot-pinned splits + "
+        "per-split batch reader — re-expressed in Spark 4's DataSource "
+        "API, reading two versions of a versioned table through "
+        "spark.read.format(...). Arrow-batch read path, one partition "
+        "per file (file-aligned splits)."
+    ),
+)
+def pyds_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.sources.versioned import _build_fixture_versions
+
+    path = _build_fixture_versions(spark, sf_dir)
+    frames = [
+        read_versioned(spark, path, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").cast("long").alias("sum_key"))
+        .select(F.lit(v).alias("version"), "n_rows", "sum_key")
+        for v in (0, 1)
+    ]
+    return frames[0].unionAll(frames[1])
