@@ -418,3 +418,14 @@ def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = sorted(v for v in os.listdir(state_root) if v.startswith("v"))[-1]
     return spark.read.parquet(os.path.join(state_root, final))
+
+
+# transformWithStateInPandas (Spark 4's successor to
+# applyInPandasWithState) was attempted here but its state protocol
+# requires `google.protobuf`, which this container does not ship
+# (ImportError inside pyspark's transform_with_state_driver_worker).
+# The capability it demonstrates — arbitrary keyed state over a real
+# multi-batch stream — is covered by stream_stateful_counts
+# (applyInPandasWithState) and stream_merge_upsert_live (foreachBatch);
+# on a normal Spark 4 deployment the RunningMax processor translates
+# mechanically (ValueState + handleInputRows).
