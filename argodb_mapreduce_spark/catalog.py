@@ -91,24 +91,52 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), sniffed from the
+    first footer (file or directory of files) — a planning-time read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        candidates = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not candidates:
+            return []
+        path = candidates[0]
+    schema = pq.ParquetFile(path).schema_arrow
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(typ) and typ.unit == "ns"
+    ]
+
+
+def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's vectorized reader rejects ns timestamps
+    (PARQUET_TYPE_ILLEGAL). Footer-sniff them, read as epoch-nanos long,
+    truncate to microseconds — the same truncation DuckDB applies when
+    converting ns → its µs TIMESTAMP, so the two engines stay
+    value-identical (FIXTURES.md risk note)."""
+    ns_cols = _ns_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in ns_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar snapshot scan of one table (SURVEY.md §2.A1).
-
-    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it as
-    epoch-nanos long and truncate to microseconds — the same truncation
-    DuckDB applies when converting ns → its µs TIMESTAMP, so the two
-    engines stay value-identical (FIXTURES.md risk note).
-    """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Columnar snapshot scan of one table (SURVEY.md §2.A1)."""
+    return read_parquet_any(spark, table_path(sf_dir, name))
 
 
 def table_rowcount(sf_dir: str, name: str) -> int:
@@ -235,7 +263,7 @@ class Engine:
         raise ScanError(f"unknown table: {db_table}")
 
     def table(self, db_table: str) -> DataFrame:
-        return self.spark.read.parquet(self._resolve(db_table))
+        return read_parquet_any(self.spark, self._resolve(db_table))
 
     def scan(
         self,
@@ -249,6 +277,28 @@ class Engine:
     def schema(self, db_table: str):
         """The reference's getTableSchema (ArgodbMapreduceInputFormat.java:307-313)."""
         return self.table(db_table).schema
+
+    def register_views(self, db: str) -> list[str]:
+        """Expose every table of ``db`` as a Spark temp view so users
+        run plain ``spark.sql`` over the catalog — the migration path
+        for reference users whose queries are HiveQL/SQL (the reference
+        fronts a Hive-compatible catalog; MetaUtils.java:25-82).
+        Returns the registered view names."""
+        if db not in self._databases:
+            raise ScanError(f"unknown database: {db}")
+        root = self._databases[db]
+        names = []
+        for f in sorted(os.listdir(root)):
+            path = os.path.join(root, f)
+            if f.endswith(".parquet") and os.path.isfile(path):
+                name = f[: -len(".parquet")]
+            elif os.path.isdir(path) and not f.startswith("_"):
+                name = f
+            else:
+                continue
+            self.table(f"{db}.{name}").createOrReplaceTempView(name)
+            names.append(name)
+        return names
 
 
 def snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

@@ -58,3 +58,13 @@ def test_scan_with_filter_on_partitioned_dir(spark, sf_dir, engine, tmp_path):
 def test_scan_projection(engine):
     df = engine.scan("tpch.orders", columns=["o_orderkey", "o_totalprice"])
     assert df.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_register_views_enables_plain_sql(spark, engine, sf_dir):
+    names = engine.register_views("tpch")
+    assert "lineitem" in names and "orders" in names
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]["n"]
+    li = engine.table("tpch.lineitem").count()
+    assert got == li  # every lineitem row has its order
