@@ -241,3 +241,53 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"), F.lit(True).alias("flagged"))
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM t GROUP BY 1
+    """,
+    tags=("training", "split"),
+    doc=(
+        "Deterministic train/val/test split (90/5/5): bucket = "
+        "md5(doc_id) mod 100 — content-independent, engine-independent, "
+        "and STABLE under corpus growth (a doc's split never changes "
+        "when other docs are added/removed, unlike row_number-based "
+        "splits). Pure map-side expression + one combiner-reduced "
+        "groupBy; the same hash assigns splits at 100 TB with zero "
+        "coordination."
+    ),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+    )
+    return t.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
