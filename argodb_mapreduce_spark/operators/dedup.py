@@ -255,9 +255,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_clusters",
-    oracle=f"""
+_SQL_CLUSTERS = f"""
     WITH RECURSIVE cand AS ({_SQL_CANDIDATES}),
     edges AS (
       SELECT a_id AS a, b_id AS b FROM cand
@@ -273,7 +271,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_SQL_CLUSTERS,
     tags=("dedup", "minhash", "iterative"),
     doc=(
         "Near-dup clusters: connected components over LSH pairs via "
@@ -326,6 +329,30 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round limit rather than returning partial labels"
         )
     return labels
+
+
+@register(
+    "dedup_minhash_survivors",
+    oracle=f"""
+    WITH clusters AS ({_SQL_CLUSTERS})
+    SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM clusters GROUP BY cluster_id
+    """,
+    tags=("dedup", "minhash", "iterative"),
+    doc=(
+        "The deduped corpus: one surviving representative per near-dup "
+        "cluster (the min doc_id) with its member count — the end "
+        "product a curation pipeline actually keeps, composed from the "
+        "same label propagation as dedup_minhash_clusters. A user joins "
+        "this back to documents to materialize the cleaned table; "
+        "n_members > 1 rows are exactly the collapsed duplicate groups."
+    ),
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    return labels.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
 
 
 # ---------------------------------------------------------------------------
