@@ -208,3 +208,47 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_1h_sum"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s / s.n) / SQRT((s.sq - s.s * s.s / s.n) / (s.n - 1)) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.s / s.n) / SQRT((s.sq - s.s * s.s / s.n) / (s.n - 1))) > 3.0
+    """,
+    tags=("analytics", "anomaly"),
+    doc=(
+        "Z-score anomaly screen: per-event_type mean/stddev computed "
+        "once (exact decimal sums — order-independent), broadcast back "
+        "onto the event scan, rows beyond 3σ flagged. The two-pass "
+        "stats-join-back shape: the stats side is O(event types) and "
+        "broadcast, so the 100 TB scan is touched once with no shuffle "
+        "of the fact rows. All row-level arithmetic is single-value IEEE "
+        "ops on identical inputs — bit-identical across engines."
+    ),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
