@@ -408,3 +408,155 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(_Q)))).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C2/C3 — Random-hyperplane LSH (SimHash for embeddings): the scale path
+# for embedding near-dup. similarity_embedding_neardup above is the O(n²)
+# correctness baseline; this is the shape that survives 100 TB: signatures
+# are a per-row map (no shuffle), candidate generation shuffles only on
+# (band, bucket) keys, and the exact-cosine verify touches candidate
+# pairs, not all pairs. Hyperplane components are ±1 derived from md5 at
+# module import — deterministic, so the DuckDB oracle replicates the
+# exact same planes as SQL literals.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16
+LSH_BAND_BITS = 4
+LSH_N_BANDS = N_PLANES // LSH_BAND_BITS
+EMB_DIMS = 64
+#: The synthetic embeddings fixture has no true near-dups (max pairwise
+#: cos ~ 0.51 at every SF), so a production 0.95 threshold would make the
+#: verify stage vacuous. 0.40 keeps the identical pipeline (signature →
+#: band buckets → candidate join → exact-cosine verify) with real work in
+#: every stage; a production corpus runs the same operator at 0.95, where
+#: per-bit agreement is higher and candidate volume far lower.
+LSH_COS_THRESHOLD = 0.40
+
+
+def _hyperplanes() -> list[list[int]]:
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(EMB_DIMS):
+            digest = hashlib.md5(f"plane-{p}-dim-{i}".encode()).digest()
+            row.append(1 if digest[0] & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _sql_plane_lit(p: int) -> str:
+    return "[" + ", ".join(str(v) for v in _PLANES[p]) + "]"
+
+
+def _sql_bit(p: int) -> str:
+    """1/0: is the quantized vector on the positive side of plane p? The
+    projection is an exact integer sum (|q| < 2^24, 64 terms), so the
+    sign — the only thing used — is engine-independent."""
+    return (
+        f"CAST((SELECT SUM(z[1] * z[2]) FROM UNNEST(list_zip(qemb, {_sql_plane_lit(p)})) AS t(z)) >= 0 AS INT)"
+    )
+
+
+def _sql_band_val(b: int) -> str:
+    bits = [f"({_sql_bit(b * LSH_BAND_BITS + j)} * {1 << j})" for j in range(LSH_BAND_BITS)]
+    return " + ".join(bits)
+
+
+_SQL_LSH_SIG = "SELECT vec_id, qemb, ss, " + ", ".join(
+    f"CAST({_sql_band_val(b)} AS INT) AS band{b}" for b in range(LSH_N_BANDS)
+) + " FROM v"
+
+_SQL_LSH_BUCKETS = (
+    "SELECT vec_id, b AS band_id, CASE b "
+    + " ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_N_BANDS))
+    + " END AS val FROM sig, UNNEST(["
+    + ", ".join(str(b) for b in range(LSH_N_BANDS))
+    + "]) AS u(b)"
+)
+
+
+@register(
+    "similarity_lsh_neardup",
+    oracle=f"""
+    WITH qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS}),
+    sig AS ({_SQL_LSH_SIG}),
+    buckets AS ({_SQL_LSH_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.band_id = b.band_id AND a.val = b.val AND a.vec_id < b.vec_id
+    )
+    SELECT cand.a_id, cand.b_id,
+           CAST({_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} AS DOUBLE) AS cos_sim
+    FROM cand
+    JOIN v va ON va.vec_id = cand.a_id
+    JOIN v vb ON vb.vec_id = cand.b_id
+    WHERE {_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} >= {LSH_COS_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "vector", "lsh"),
+    doc=(
+        f"Embedding near-dup via random-hyperplane LSH: {N_PLANES}-bit "
+        f"signed-projection signature, {LSH_N_BANDS} bands x "
+        f"{LSH_BAND_BITS} bits, bucket-join candidates, exact integer-"
+        f"cosine verify at {LSH_COS_THRESHOLD} (fixture-tuned; see the "
+        "LSH_COS_THRESHOLD note). The scale path for "
+        "similarity_embedding_neardup (same output contract, candidates "
+        "instead of all pairs): signature is a per-row map, the only "
+        "shuffles are the (band, bucket) candidate join and the verify "
+        "join-back. Per-bit agreement is 1 - theta/pi; recall is traded "
+        "against candidate volume by BAND_BITS exactly as in the MinHash "
+        "LSH operator (operators/dedup.py)."
+    ),
+)
+def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
+
+    def bit(p: int) -> Column:
+        plane = F.array(*[F.lit(v) for v in _PLANES[p]])
+        return (_dot(F.col("qemb"), plane) >= 0).cast("int")
+
+    def band_val(b: int) -> Column:
+        out = F.lit(0)
+        for j in range(LSH_BAND_BITS):
+            out = out + bit(b * LSH_BAND_BITS + j) * (1 << j)
+        return out.cast("int")
+
+    sig = e.select(
+        "vec_id", "qemb", "ss",
+        F.posexplode(F.array(*[band_val(b) for b in range(LSH_N_BANDS)])).alias("band_id", "val"),
+    )
+    buckets = sig.select("vec_id", "band_id", "val")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("a_id"), F.col("qemb").alias("qa"), F.col("ss").alias("ssa"))
+    vb = e.select(F.col("vec_id").alias("b_id"), F.col("qemb").alias("qb"), F.col("ss").alias("ssb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("ssa"), F.col("ssb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= LSH_COS_THRESHOLD)
+    )
