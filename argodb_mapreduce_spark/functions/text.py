@@ -371,3 +371,48 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"), F.length("text").cast("long").alias("orig_len"))
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM dt GROUP BY tok
+    )
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(CAST(FLOOR(1000000 / doc_freq) AS BIGINT)) AS BIGINT) AS rarity_score
+    FROM dt JOIN df ON dt.tok = df.tok
+    GROUP BY dt.doc_id
+    """,
+    tags=("text", "quality", "curation"),
+    doc=(
+        "Corpus-relative rarity score: per document, the sum over its "
+        "distinct tokens of floor(1e6 / doc_frequency) — a statistical "
+        "LM-style 'information' proxy that needs no model and, unlike a "
+        "log-prob, is pure integer arithmetic (engine-identical at any "
+        "parallelism; an IEEE log() differs in the last ulp across "
+        "libm implementations). High scores = documents carrying rare "
+        "vocabulary; a curation pipeline keeps the tail and drops "
+        "boilerplate. Dataflow: explode-distinct (map-side), one "
+        "shuffle for doc_freq, a shuffle join back on token, one "
+        "aggregate — the token join is skew-safe because the distinct "
+        "step caps a token's per-doc multiplicity at 1."
+    ),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        dt.join(df_, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.floor(F.lit(1000000) / F.col("doc_freq"))).alias("rarity_score"),
+        )
+    )

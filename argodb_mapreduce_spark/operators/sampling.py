@@ -111,3 +111,66 @@ def sample_pergroup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+#: Target mixture for data_mixture_sample: keep-rate (in basis points of
+#: 10000) per source bucket. A training run re-weights corpora by
+#: source; rates here split sources into three tiers so every tier is
+#: exercised. Derived deterministically from the source suffix so the
+#: DuckDB oracle can replicate as a CASE expression.
+MIXTURE_BPS = {0: 10000, 1: 5000, 2: 2500}
+
+
+def _mixture_tier_sql() -> str:
+    return (
+        "CAST(SUBSTRING(source, 4) AS INT) % 3"
+    )
+
+
+@register(
+    "data_mixture_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source, {_mixture_tier_sql()} AS tier,
+             CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM tagged
+      WHERE bucket < CASE tier WHEN 0 THEN {MIXTURE_BPS[0]} WHEN 1 THEN {MIXTURE_BPS[1]} ELSE {MIXTURE_BPS[2]} END
+    )
+    SELECT source,
+           CAST((SELECT COUNT(*) FROM tagged t WHERE t.source = kept.source) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY source
+    """,
+    tags=("sampling", "curation", "mixture"),
+    doc=(
+        "Deterministic data-mixture resampling: every source is assigned "
+        "a keep-rate tier (full / half / quarter) and rows are kept by "
+        "md5(doc_id) mod 10000 < rate — a content-independent, "
+        "engine-independent Bernoulli that makes the *exact same* "
+        "training mixture reproducible from the raw corpus on any "
+        "engine, any partitioning, any day. One shuffle (the per-source "
+        "count aggregate); the keep-filter itself is map-side. This is "
+        "the re-weighting step of a corpus mixing pipeline (e.g. "
+        "up/down-weighting web vs books vs code shards)."
+    ),
+)
+def data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tier = (F.substring("source", 4, 10).cast("int") % 3).alias("tier")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10000
+    )
+    rate = (
+        F.when(F.col("tier") == 0, F.lit(MIXTURE_BPS[0]))
+        .when(F.col("tier") == 1, F.lit(MIXTURE_BPS[1]))
+        .otherwise(F.lit(MIXTURE_BPS[2]))
+    )
+    tagged = d.select("doc_id", "source", tier, bucket.alias("bucket"))
+    totals = tagged.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = tagged.filter(F.col("bucket") < rate).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return totals.join(kept, "source").select("source", "n_total", "n_kept")

@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
+    "similarity_lsh_neardup",
     "text_tfidf_top_terms",
     "text_fingerprint_winnow",
     "multimodal_frame_sample",
