@@ -1,0 +1,264 @@
+"""Continuous-ingest corpus operators (SURVEY.md §2.C ext).
+
+The operations a production pretraining pipeline runs when new data
+arrives into an already-deduplicated corpus, plus corpus-preparation
+staples that sit between curation and training:
+
+* ``dedup_incremental`` — near-dup screen of a NEW batch against the
+  EXISTING corpus. Unlike the self-join in ``operators/dedup.py`` this
+  is the asymmetric shape: the corpus band index is precomputed (at
+  scale: stored bucketed by band hash) and only the new batch's
+  signatures shuffle onto it — corpus×corpus pairs are never generated,
+  so daily ingest cost is O(batch), not O(corpus).
+* ``dedup_survivor_quality`` — survivor selection by quality priority
+  (longest text wins, doc_id tie-break) instead of min-id; the policy
+  used when merging crawls of unequal fidelity (RefinedWeb-style
+  "keep the best copy").
+* ``vocab_coverage`` — top-V vocabulary induction by global frequency
+  plus per-source out-of-vocabulary rate: the tokenizer-fit /
+  coverage-check step before training a BPE vocab on a 100 TB corpus.
+* ``shuffle_shard_deterministic`` — reproducible global training-order
+  shuffle: md5-keyed order + hash-sharding, so the exact example order
+  of a training run can be re-created bit-for-bit from the corpus.
+
+All md5-keyed (the one hash Spark and DuckDB share bit-for-bit), all
+integer/count arithmetic in the contract columns — every query here is
+exactly hash-checkable against its DuckDB oracle.
+
+Reference parity note: the reference (TranswarpCN/argodb-mapreduce)
+feeds MapReduce jobs that users compose into exactly these ingest
+pipelines by hand (README.md:36-44 usage); here each is one declarative
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _band_table,
+    _doc_shingles,
+    _minhash_signature,
+    _sql_band_table,
+    _SQL_SHINGLES,
+    _SQL_SIGNATURE,
+)
+from argodb_mapreduce_spark.registry import register
+
+#: Every doc_id divisible by NEW_BATCH_MOD plays the "newly ingested
+#: batch"; the rest are the existing deduplicated corpus (~20% / 80%).
+NEW_BATCH_MOD = 5
+
+#: Vocabulary size for the coverage check (small enough that the
+#: fixture corpus has OOV mass, large enough to be a real vocab).
+VOCAB_V = 200
+
+#: Shard count for the deterministic training-order shuffle.
+N_SHARDS = 8
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS ({_SQL_SIGNATURE}),
+    bt AS ({_sql_band_table()}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bt n JOIN bt c ON n.band = c.band AND n.band_hash = c.band_hash
+      WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.new_id, cand.corpus_id, COUNT(*) AS n_inter
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.new_id
+      JOIN sh b ON b.doc_id = cand.corpus_id AND b.shingle = a.shingle
+      GROUP BY cand.new_id, cand.corpus_id
+    ),
+    scored AS (
+      SELECT i.new_id, i.corpus_id,
+             CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.corpus_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT new_id, corpus_id AS match_id, jaccard
+    FROM (SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY new_id
+                                    ORDER BY jaccard DESC, corpus_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("dedup", "minhash", "ingest"),
+    doc=(
+        "Incremental near-dedup: LSH band join of the new batch "
+        f"(doc_id % {NEW_BATCH_MOD} = 0) against the existing corpus only "
+        "(never corpus x corpus), exact-Jaccard verify at >= "
+        f"{JACCARD_THRESHOLD}, best corpus match per new doc (highest "
+        "jaccard, min-id tie-break). The asymmetric daily-ingest shape: "
+        "O(batch) work against a precomputed corpus band index."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shingle pass feeds signatures, sizes, and the verify join —
+    # persist it so the explode+distinct shuffle runs once.
+    sh = _doc_shingles(spark, sf_dir).persist()
+    bt = _band_table(_minhash_signature(sh))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    # At scale the corpus side is a stored band index (bucketed by
+    # band_hash); here both derive from one band-table plan.
+    new_bt = bt.filter(is_new).select(F.col("doc_id").alias("new_id"), "band", "band_hash")
+    corp_bt = bt.filter(~is_new).select(F.col("doc_id").alias("corpus_id"), "band", "band_hash")
+    cand = new_bt.join(corp_bt, ["band", "band_hash"]).select("new_id", "corpus_id").distinct()
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("new_id"))
+        .join(b, (F.col("b.doc_id") == F.col("corpus_id")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "na"), "new_id")
+        .join(sizes.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("n", "nb"), "corpus_id")
+        .withColumn("jaccard", F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("match_id"), "jaccard")
+    )
+
+
+@register(
+    "dedup_survivor_quality",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(n_copies AS BIGINT) AS n_copies
+    FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+          FROM documents)
+    WHERE rn = 1
+    """,
+    tags=("dedup", "ingest"),
+    doc=(
+        "Quality-priority exact dedup: one survivor per content hash, "
+        "keeping the LONGEST copy (doc_id tie-break) instead of min-id — "
+        "the merge policy when sources have unequal fidelity. Same "
+        "single-shuffle window shape as dedup_exact."
+    ),
+)
+def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_SQL_TOKENS = """
+    SELECT doc_id, source, u.word
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) t,
+         UNNEST(tk) AS u(word)
+"""
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKENS}),
+    cnt AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    vocab AS (SELECT word FROM cnt ORDER BY c DESC, word ASC LIMIT {VOCAB_V}),
+    flagged AS (
+      SELECT t.source, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+    tags=("text", "vocab", "ingest"),
+    doc=(
+        f"Vocabulary induction + coverage: top-{VOCAB_V} words by global "
+        "frequency (count-desc, word-asc total order so the cut is "
+        "deterministic), then per-source OOV token rate via a broadcast "
+        "vocab join. The tokenizer-fit coverage check: token counting is "
+        "one combinable groupBy, the vocab is distributed top-V "
+        "(TakeOrdered — never a driver sort), and the join back is "
+        "map-side against a V-row broadcast."
+    ),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.col("c").desc(), F.col("word").asc()).limit(VOCAB_V).select("word")
+    flagged = tok.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "shuffle_shard_deterministic",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("sample", "shuffle", "ingest"),
+    doc=(
+        "Deterministic training-order shuffle: md5(doc_id) keys give a "
+        f"uniform pseudo-random order, hash-assigned to {N_SHARDS} shards "
+        "with a dense per-shard position. Reproducible bit-for-bit from "
+        "the corpus (no RNG state), and shard-parallel at any scale — "
+        "each shard's order is a window over its own partition, so no "
+        "global sort ever runs."
+    ),
+)
+def shuffle_shard_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % N_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return keyed.select("doc_id", "shard", F.row_number().over(w).cast("long").alias("pos"))

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.sources.versioned",
     "argodb_mapreduce_spark.sources.python_datasource",
     "argodb_mapreduce_spark.operators.sampling",
+    "argodb_mapreduce_spark.operators.ingest",
     "argodb_mapreduce_spark.operators.curation",
     "argodb_mapreduce_spark.operators.merge",
     "argodb_mapreduce_spark.functions.stats",
