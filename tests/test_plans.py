@@ -19,6 +19,7 @@ from argodb_mapreduce_spark.operators.relational import (
 )
 from argodb_mapreduce_spark.operators.scans import partitioned_lineitem, scan_projection
 from argodb_mapreduce_spark.plans.checks import (
+    explain_str,
     has_broadcast_join,
     n_exchanges,
     partition_filters,
@@ -160,3 +161,36 @@ def test_multilevel_partition_pruning(spark, sf_dir):
 
     pf = partition_filters(sink_partitioned_multilevel(spark, sf_dir))
     assert "o_year" in pf and "o_orderstatus" in pf, pf
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.ingest import vocab_coverage
+
+    # The token stream (TB-scale at 100 TB) must probe the V-row vocab
+    # map-side; a shuffle join here would move the whole corpus.
+    assert has_broadcast_join(vocab_coverage(spark, sf_dir))
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.ingest import dedup_incremental
+
+    plan = explain_str(dedup_incremental(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, "band join must be an equi-join, never all-pairs"
+
+
+def test_shuffle_shard_no_global_sort(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.ingest import shuffle_shard_deterministic
+
+    # Per-shard windows hash-partition by shard; a rangepartitioning
+    # exchange would mean a global sort (driver-scale bottleneck).
+    plan = explain_str(shuffle_shard_deterministic(spark, sf_dir), "formatted").lower()
+    assert "hashpartitioning(shard" in plan, plan[:500]
+    assert "rangepartitioning" not in plan
+
+
+def test_survivor_quality_single_shuffle(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.ingest import dedup_survivor_quality
+
+    # Same one-shuffle shape as dedup_exact: one window over the content
+    # hash computes both rank and copy count.
+    assert n_exchanges(dedup_survivor_quality(spark, sf_dir)) == 1
