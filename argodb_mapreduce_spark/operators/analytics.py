@@ -252,3 +252,67 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
     )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS hour_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, u.h FROM span, UNNEST(range(h0, h1 + 1)) AS u(h))
+    SELECT g.user_id,
+           g.h AS hour_epoch,
+           COALESCE(o.n_events, 0) AS n_events,
+           LAST_VALUE(o.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+    """,
+    tags=("timeseries", "window", "events"),
+    doc=(
+        "Time-series gap-fill + forward-fill (the hypertable densify "
+        "shape): hourly per-user buckets, a generated dense hour grid "
+        "between each user's first and last activity, and LAST_VALUE "
+        "IGNORE NULLS carrying the most recent observed hourly sum "
+        "across silent hours. Grid generation is a bounded per-user "
+        "sequence explode (span-hours rows, independent of raw event "
+        "count); the fill is one window per user — no driver state, "
+        "no self-join per gap. Hour sums use the exact-decimal pattern "
+        "so fill values are bit-identical across engines."
+    ),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("hour_value"))
+    )
+    span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
