@@ -79,7 +79,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
            CAST(DAY(o_orderdate) AS INT) AS order_day,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
-           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
     FROM orders
     """,
@@ -94,9 +94,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_ts"),
-        # to_date: DuckDB's date_trunc('month') yields DATE while Spark's
-        # yields TIMESTAMP — align the contract type.
-        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        # TIMESTAMP, not DATE, as the contract type: Spark DateType
+        # reaches pandas as object dates while DuckDB DATEs arrive as
+        # datetime64 — a driver value-hash mismatch even when the days
+        # are identical. Both engines' date_trunc over a timestamp
+        # column yields TIMESTAMP, so no cast is needed on either side.
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
         .alias("days_to_98"),

@@ -48,7 +48,10 @@ ROLLING_DAYS = 7
       SELECT user_id, day + CAST(i AS INT) AS end_day
       FROM ud, UNNEST(range(0, {ROLLING_DAYS})) AS u(i)
     )
-    SELECT d.day,
+    -- TIMESTAMP contract type: Spark DateType reaches pandas as object
+    -- dates vs DuckDB's datetime64 — a driver-hash mismatch (same for
+    -- retention/sketch weeks below).
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
            CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS rolling_{ROLLING_DAYS}d_users
     FROM days d JOIN contrib c ON c.end_day = d.day
     GROUP BY d.day
@@ -79,6 +82,7 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(contrib, days.day == contrib.end_day)
         .groupBy(days.day)
         .agg(F.count_distinct("user_id").alias(f"rolling_{ROLLING_DAYS}d_users"))
+        .select(F.col("day").cast("timestamp").alias("day"), f"rolling_{ROLLING_DAYS}d_users")
     )
 
 
@@ -92,7 +96,7 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cohorts AS (
       SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
     )
-    SELECT c.cohort_week,
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(date_diff('day', c.cohort_week, u.week) // 7 AS INT) AS week_offset,
            CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
     FROM uw u JOIN cohorts c USING (user_id)
@@ -120,13 +124,14 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.col("cohort_week").cast("timestamp").alias("cohort_week"), "week_offset", "n_active")
     )
 
 
 @register(
     "sketch_rollup_hll",
     oracle="""
-    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+    SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS TIMESTAMP) AS week,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS within_5pct
@@ -161,7 +166,7 @@ def sketch_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("week", "ts")).alias("week")
     ).agg(F.count_distinct("user_id").alias("exact_users"))
     return weekly_est.join(exact, "week").select(
-        "week",
+        F.col("week").cast("timestamp").alias("week"),
         "n_days",
         "exact_users",
         (
