@@ -140,3 +140,96 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
         (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias("skew_factor"),
     )
+
+
+@register(
+    "profile_token_spectrum",
+    oracle="""
+    WITH tok AS (
+      SELECT u.word
+      FROM (SELECT string_split(text, ' ') AS tk FROM documents) t,
+           UNNEST(tk) AS u(word)
+    ),
+    cnt AS (SELECT word, COUNT(*) AS k FROM tok GROUP BY word)
+    SELECT k AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_with_k,
+           CAST(SUM(k) AS BIGINT) AS token_mass
+    FROM cnt GROUP BY k
+    """,
+    tags=("profile", "text", "vocab"),
+    doc=(
+        "Token frequency-of-frequencies spectrum (Zipf profile): how "
+        "many distinct tokens occur exactly k times, and the token mass "
+        "at each k — the statistic that sizes a tokenizer vocabulary "
+        "(singleton mass = hapax rate) and detects boilerplate (spikes "
+        "at high k). Two combiner-reduced shuffles; the second operates "
+        "on O(distinct tokens), and its output is O(distinct counts) — "
+        "tiny at any corpus scale."
+    ),
+)
+def profile_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return cnt.groupBy(F.col("k").alias("occurrences")).agg(
+        F.count(F.lit(1)).alias("n_tokens_with_k"),
+        F.sum("k").alias("token_mass"),
+    )
+
+
+@register(
+    "profile_length_histogram",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM (
+      SELECT CASE WHEN n_chars <= q[1] THEN 0
+                  WHEN n_chars <= q[2] THEN 1
+                  WHEN n_chars <= q[3] THEN 2
+                  ELSE 3 END AS bucket,
+             n_chars
+      FROM documents CROSS JOIN cuts
+    )
+    GROUP BY bucket
+    """,
+    tags=("profile", "histogram"),
+    doc=(
+        "Equi-depth length histogram WITHOUT a global sort: exact "
+        "quartile cut points come from one percentile aggregation (a "
+        "single-row result), every row is bucketed map-side against the "
+        "broadcast cut points, and per-bucket stats are one "
+        "combiner-reduced groupBy. The NTILE(4)-over-everything "
+        "formulation would need a global single-partition sort — this "
+        "shape is how an equi-depth histogram survives 100 TB. "
+        "percentile_disc on integer n_chars picks actual data values, "
+        "so cut points are engine-independent (no interpolation)."
+    ),
+)
+def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").alias("q3"),
+    )
+    bucketed = docs.crossJoin(F.broadcast(cuts)).select(
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("q1"), 0)
+        .when(F.col("n_chars") <= F.col("q2"), 1)
+        .when(F.col("n_chars") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
