@@ -194,3 +194,26 @@ def test_survivor_quality_single_shuffle(spark, sf_dir):
     # Same one-shuffle shape as dedup_exact: one window over the content
     # hash computes both rank and copy count.
     assert n_exchanges(dedup_survivor_quality(spark, sf_dir)) == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark injects a runtime bloom filter from a selectively-filtered
+    dim side into the fact scan of a shuffle join (semi-join reduction)
+    — fact rows that cannot match are dropped BEFORE the shuffle. At
+    100 TB the default thresholds (10GB application-side scan) enable
+    this automatically; the fixture scan is far below them, so the test
+    lowers the threshold to witness the plan shape."""
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        plan = explain_str(li.join(o, li.l_orderkey == o.o_orderkey), "formatted")
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_thr)
