@@ -31,6 +31,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ahead of relational/scans, whose green rows are banked in
 #: CORRECTNESS_r01.json; VERDICT r1 next-step 1).
 _QUERY_MODULES = (
+    "argodb_mapreduce_spark.operators.relational",
+    "argodb_mapreduce_spark.operators.scans",
     "argodb_mapreduce_spark.operators.dedup",
     "argodb_mapreduce_spark.operators.similarity",
     "argodb_mapreduce_spark.functions.text",
@@ -53,8 +55,75 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.tpch_extra",
     "argodb_mapreduce_spark.functions.scalar",
     "argodb_mapreduce_spark.operators.joins_advanced",
-    "argodb_mapreduce_spark.operators.scans",
-    "argodb_mapreduce_spark.operators.relational",
+)
+
+#: ROUND-3 DRIVER WINDOW (VERDICT r2 next-step 1). The driver checks the
+#: first 50 entries of ``queries()`` in dict order; this explicit name
+#: list pins those 50 slots to (a) the 4 round-1 red rows whose fixes are
+#: in code but driver-unverified, then (b) every block that has never had
+#: a driver row: the fn_* scalar pack (§2.D, 18), tpch_extra's 10 TPC-H
+#: shapes, ingest (4, incl. dedup_incremental — VERDICT next-step 3),
+#: training_data (5), stats (4), sampling (3), clustering (2). 4+18+10+4+
+#: 5+4+3+2 = 50 exactly. Remaining registration order is unchanged, so
+#: rounds 4+ can rotate profiling/analytics/curation/merge/joins_advanced
+#: (~17 still unwitnessed) by editing only this tuple.
+_PRIORITY = (
+    # fixed-but-red in CORRECTNESS_r01
+    "q12_shipmode_buckets",
+    "scan_embeddings",
+    "agg_listagg",
+    "agg_approx_count_distinct",
+    # fn_* scalar pack — the whole §2.D surface, zero driver rows so far
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_array_fold",
+    "fn_map",
+    "fn_json",
+    "fn_cast_bridge",
+    "fn_string_extended",
+    "fn_datetime_extended",
+    "fn_hash",
+    "fn_bitwise",
+    "fn_array_extended",
+    "fn_struct",
+    "fn_sample_selfcheck",
+    "fn_null_semantics",
+    # tpch_extra: the 10 TPC-H shapes added after round 1
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    # continuous-ingest pack (dedup_incremental = VERDICT next-step 3)
+    "dedup_incremental",
+    "dedup_survivor_quality",
+    "vocab_coverage",
+    "shuffle_shard_deterministic",
+    # training-data prep
+    "chunk_documents",
+    "pack_sequences",
+    "text_repetition_ratio",
+    "decontam_ngram_overlap",
+    "split_train_val_test",
+    # stats / sampling / clustering
+    "agg_stats_variance",
+    "agg_median_manual",
+    "agg_percentile_selfcheck",
+    "agg_correlation",
+    "sample_stratified",
+    "sample_pergroup_topk",
+    "data_mixture_sample",
+    "kmeans_assign",
+    "kmeans_lloyd_step",
 )
 
 
@@ -109,8 +178,16 @@ def import_errors() -> dict[str, str]:
 
 
 def all_queries() -> dict[str, Query]:
+    """Registry ordered with the current driver window (_PRIORITY) first.
+
+    Dict order IS the driver's correctness window: the harness checks the
+    first N entries, so _PRIORITY names lead and everything else follows
+    in registration order.
+    """
     _load()
-    return dict(_REGISTRY)
+    ordered = {name: _REGISTRY[name] for name in _PRIORITY if name in _REGISTRY}
+    ordered.update((name, q) for name, q in _REGISTRY.items() if name not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:
