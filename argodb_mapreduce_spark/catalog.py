@@ -87,6 +87,18 @@ def parse_filter(filter_str: str) -> tuple[str, str]:
     return col, value
 
 
+def fixture_stale(src: str, marker: str) -> bool:
+    """True when a staged/derived fixture must be rebuilt: ``marker`` is
+    missing or older than the source table it was derived from. The
+    driver regenerates /root/testdata between rounds (schemas can change
+    — e.g. events.ts flipped TIMESTAMP(NANOS) → TIMESTAMP(MICROS) in
+    round 4) while scratch dirs under /tmp survive, so every cached
+    derived layout must mtime-check its source, never just existence."""
+    if not os.path.exists(marker):
+        return True
+    return os.path.getmtime(marker) < os.path.getmtime(src)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -113,24 +125,35 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+    """Parquet read that presents ONE timestamp flavor regardless of how
+    the fixture was written.
 
-    Spark's vectorized reader rejects ns timestamps
-    (PARQUET_TYPE_ILLEGAL). Footer-sniff them, read as epoch-nanos long,
-    truncate to microseconds — the same truncation DuckDB applies when
-    converting ns → its µs TIMESTAMP, so the two engines stay
-    value-identical (FIXTURES.md risk note)."""
-    ns_cols = _ns_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * TIMESTAMP(NANOS) columns: Spark's vectorized reader rejects them
+      (PARQUET_TYPE_ILLEGAL). Footer-sniff, read as epoch-nanos long,
+      truncate to microseconds — the same truncation DuckDB applies when
+      converting ns → its µs TIMESTAMP, so the two engines stay
+      value-identical (FIXTURES.md risk note).
+    * TIMESTAMP(MICROS) without isAdjustedToUTC reads natively as
+      TIMESTAMP_NTZ; cast it to TIMESTAMP (ltz). The naive wall-clock
+      value is preserved (ntz→ltz interprets in the session zone and
+      collect converts back in the same zone), every downstream consumer
+      (unix_micros, streaming watermarks, time-range window frames) gets
+      the TIMESTAMP type it expects, and DuckDB's naive TIMESTAMP still
+      hash-matches.
+    """
     from pyspark.sql import functions as F
 
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in ns_cols:
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

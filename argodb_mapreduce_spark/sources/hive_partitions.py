@@ -19,7 +19,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import HIVE_DEFAULT_PARTITION, load_table, scan
+from argodb_mapreduce_spark.catalog import (
+    HIVE_DEFAULT_PARTITION,
+    fixture_stale,
+    load_table,
+    scan,
+    table_path,
+)
 from argodb_mapreduce_spark.registry import register
 
 
@@ -82,7 +88,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_partition_scan_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "customer_by_seg")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if fixture_stale(table_path(sf_dir, "customer"), marker):
         sink_partitioned_roundtrip(spark, sf_dir)
     df = scan(spark, out, filter=f"seg={HIVE_DEFAULT_PARTITION}")
     return df.select("c_custkey", F.col("seg").cast("string").alias("seg"))
@@ -156,7 +162,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_partitioned_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "orders_2level")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if fixture_stale(table_path(sf_dir, "orders"), marker):
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_totalprice",

@@ -77,6 +77,22 @@ def make_versioned_datasource():
             )
         return files
 
+    def _us_schema(schema):
+        """Arrow schema with every ns timestamp demoted to µs. Spark's
+        Arrow bridge rejects Timestamp(NANOSECOND) batches, and
+        pandas-written lakes are full of them; truncating to µs is the
+        same normalization DuckDB and catalog.read_parquet_any apply,
+        so values stay engine-identical."""
+        import pyarrow as pa
+
+        fields = [
+            f.with_type(pa.timestamp("us", tz=f.type.tz))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            else f
+            for f in schema
+        ]
+        return pa.schema(fields)
+
     class VersionedReader(DataSourceReader):
         def __init__(self, files: list):
             self.files = files
@@ -87,11 +103,19 @@ def make_versioned_datasource():
             return [SegmentFilePartition(f) for f in self.files]
 
         def read(self, partition):
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             # Columnar batch path (≙ ReadMode.BatchMode): stream Arrow
-            # record batches straight through, no per-row Python.
-            yield from pq.ParquetFile(partition.path).iter_batches()
+            # record batches straight through, no per-row Python. ns
+            # timestamps are truncated to µs batch-by-batch (zero-copy
+            # for every other column).
+            pf = pq.ParquetFile(partition.path)
+            target = _us_schema(pf.schema_arrow)
+            for batch in pf.iter_batches():
+                if batch.schema != target:
+                    batch = pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
+                yield batch
 
     class VersionedDataSource(DataSource):
         def __init__(self, options):
@@ -114,7 +138,7 @@ def make_versioned_datasource():
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            return from_arrow_schema(pq.ParquetFile(self._files[0]).schema_arrow)
+            return from_arrow_schema(_us_schema(pq.ParquetFile(self._files[0]).schema_arrow))
 
         def reader(self, schema):
             return VersionedReader(self._files)

@@ -30,7 +30,12 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import RANGE_PARTITION_MARKER, load_table
+from argodb_mapreduce_spark.catalog import (
+    RANGE_PARTITION_MARKER,
+    fixture_stale,
+    load_table,
+    table_path,
+)
 from argodb_mapreduce_spark.registry import register
 from argodb_mapreduce_spark.sources.hive_partitions import _scratch
 
@@ -99,7 +104,7 @@ def range_scan(
 
 def _orders_range_path(spark: SparkSession, sf_dir: str) -> str:
     out = _scratch(sf_dir, "orders_by_price_range")
-    if not os.path.exists(os.path.join(out, RANGE_PARTITION_MARKER)):
+    if fixture_stale(table_path(sf_dir, "orders"), os.path.join(out, RANGE_PARTITION_MARKER)):
         write_range_partitioned(
             load_table(spark, sf_dir, "orders"), out, "o_totalprice", ORDERS_PRICE_BOUNDS
         )

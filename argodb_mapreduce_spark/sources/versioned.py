@@ -35,7 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
 from argodb_mapreduce_spark.registry import register
 
 MANIFEST = "_snapshots.json"
@@ -101,7 +101,11 @@ def _build_fixture_versions(spark: SparkSession, sf_dir: str) -> str:
     """v0 = orders with o_orderkey%3=0; v1 = v0 + the %3=1 slice (append);
     v2 = only the %3=2 slice (overwrite). Deterministic, idempotent."""
     out = _scratch(sf_dir)
-    if os.path.exists(os.path.join(out, MANIFEST)) and len(versions(out)) == 3:
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 3
+    ):
         return out
     import shutil
 
@@ -200,7 +204,9 @@ def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Work on a copy pinned to v1 (multi-segment append state) so the
     # shared fixture keeps its 3-version shape for snapshot_time_travel.
     out = _scratch(sf_dir) + "_compact"
-    if not (os.path.exists(os.path.join(out, MANIFEST)) and len(versions(out)) == 3):
+    if fixture_stale(os.path.join(src, MANIFEST), os.path.join(out, MANIFEST)) or len(
+        versions(out)
+    ) != 3:
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         entries = [e for e in _read_manifest(src) if e["version"] <= 1]

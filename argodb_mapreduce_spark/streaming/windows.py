@@ -12,8 +12,11 @@ availableNow + complete output the watermark does not drop rows, so
 results stay deterministic (SURVEY.md §7 risk 4 mitigation — every
 streaming query mirrors a batch twin with identical window exprs).
 
-The events fixture stores ts as parquet TIMESTAMP(NANOS); both engines
-truncate to µs (catalog.load_table note), so window boundaries match.
+The events fixture has stored ts as parquet TIMESTAMP(NANOS) in some
+rounds and TIMESTAMP(MICROS)/ntz in others; the streaming source
+footer-sniffs the unit (`_events_ts_unit`) and bridges either flavor to
+a plain ltz TIMESTAMP — same normalization as catalog.read_parquet_any
+— so window boundaries match DuckDB in both cases.
 """
 
 from __future__ import annotations
@@ -135,16 +138,50 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_unit: str) -> T.StructType:
+    """Declared file-source schema for the events stream.
+
+    TIMESTAMP(NANOS) fixtures must be declared LONG (Spark's vectorized
+    reader rejects ns timestamps; nanosAsLong reads the raw int64);
+    TIMESTAMP(MICROS) fixtures without isAdjustedToUTC are ntz.
+    """
+    ts_type = T.LongType() if ts_unit == "ns" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Footer-sniff the events fixture's ts storage unit ('ns' | 'us')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+    return "ns" if (pa.types.is_timestamp(t) and t.unit == "ns") else "us"
+
+
+def _bridge_ts(raw: DataFrame, ts_unit: str) -> DataFrame:
+    """Normalize the declared-schema ts to ltz TIMESTAMP (same contract
+    as catalog.read_parquet_any): ns fixtures truncate epoch-nanos to µs,
+    µs/ntz fixtures cast wall-clock-preserving."""
+    if ts_unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _stale(src: str, marker: str) -> bool:
+    """True when the staged copy predates the source fixture (the driver
+    regenerates testdata between rounds; /tmp may survive)."""
+    from argodb_mapreduce_spark.catalog import fixture_stale
+
+    return fixture_stale(src, marker)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -156,17 +193,20 @@ def _stream_dir(sf_dir: str) -> str:
 
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_stream")
+    src = table_path(sf_dir, "events")
     marker = os.path.join(d, "events.parquet")
-    if not os.path.exists(marker):
+    if _stale(src, marker):
         os.makedirs(d, exist_ok=True)
-        shutil.copy(table_path(sf_dir, "events"), marker)
+        shutil.copy(src, marker)
     return d
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_events_raw_schema(unit)).parquet(_stream_dir(sf_dir))
+    return _bridge_ts(raw, unit)
 
 
 def _run_to_memory(df, name: str, output_mode: str) -> None:
@@ -333,9 +373,10 @@ def _sharded_stream_dir(sf_dir: str, n_shards: int = 3) -> str:
         tempfile.gettempdir(), "argodb_mapreduce_spark", tag, f"events_stream_{n_shards}shard"
     )
     done = os.path.join(d, "_STAGED")
-    if not os.path.exists(done):
+    src = table_path(sf_dir, "events")
+    if _stale(src, done):
         os.makedirs(d, exist_ok=True)
-        t = pq.read_table(table_path(sf_dir, "events"))
+        t = pq.read_table(src)
         ids = t.column("event_id").to_numpy()
         for i in range(n_shards):
             pq.write_table(t.filter(pa.array(ids % n_shards == i)), os.path.join(d, f"shard_{i}.parquet"))
@@ -373,13 +414,15 @@ def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(unit))
         .option("maxFilesPerTrigger", 1)
         .parquet(_sharded_stream_dir(sf_dir))
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _bridge_ts(raw, unit)
 
     state_root = tempfile.mkdtemp(prefix="stream_merge_state_")
     ckpt = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
