@@ -285,24 +285,34 @@ _WINNOW_W = 16  # winnowing window (positions)
     ),
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ZERO-shuffle winnowing. Every position of a document lives in its
+    # source row, so the per-doc rolling minima never need a cluster
+    # shuffle: build the k-gram hash array (60-bit ints from md5 hex, as
+    # before), take each window's min via slice (which truncates at the
+    # array end — same semantics as the previous ROWS BETWEEN CURRENT ROW
+    # AND w-1 FOLLOWING window), dedup within the doc with array_distinct
+    # (equivalent to the old global distinct because doc_id is in the
+    # output), then explode. The old explode→window→distinct formulation
+    # shuffled O(total chars) rows twice; this moves nothing and scales
+    # as map-only work at 100 TB. O(n·w) comparisons with w=16 is cheaper
+    # than the shuffle it replaces.
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
-    # Explode positions first, hash as a plain column expression (md5 in
-    # whole-stage codegen), and carry 60-bit integer hashes instead of
-    # 32-char hex strings — the window sort and the distinct shuffle move
-    # 8-byte longs, not strings.
-    grams = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)).alias("pos"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.expr(f"substring(md5(substring(text, pos, {_WINNOW_K})), 1, 15)"), 16, 10)
-        .cast("long")
-        .alias("h"),
+    hashes = F.expr(
+        f"transform(sequence(1, length(text) - {_WINNOW_K} + 1), "
+        f"p -> cast(conv(substring(md5(substring(text, p, {_WINNOW_K})), 1, 15), 16, 10) as bigint))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    return grams.select("doc_id", F.min("h").over(w).alias("fingerprint")).distinct()
+    return (
+        d.select("doc_id", hashes.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(hs)), "
+                    f"i -> array_min(slice(hs, i, {_WINNOW_W}))))"
+                )
+            ).alias("fingerprint"),
+        )
+    )
 
 
 @register(

@@ -317,6 +317,17 @@ def test_band_join_aqe_skew_split(spark, tmp_path):
             spark.conf.set(k, v)
 
 
+def test_winnow_fingerprint_zero_shuffle(spark, sf_dir):
+    """Winnowing is per-document work over data already co-located in its
+    source row; the array-HOF formulation (hash array → slice-min →
+    array_distinct → explode) must plan with NO exchange at all — at
+    100 TB this runs map-only. (Replaced the explode→window→distinct
+    shape that shuffled O(total chars) rows twice.)"""
+    from argodb_mapreduce_spark.functions.text import text_fingerprint_winnow
+
+    assert n_exchanges(text_fingerprint_winnow(spark, sf_dir)) == 0
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Spark injects a runtime bloom filter from a selectively-filtered
     dim side into the fact scan of a shuffle join (semi-join reduction)
