@@ -516,6 +516,18 @@ _SQL_LSH_BUCKETS = (
     ),
 )
 def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verify INSIDE each (band, bucket) group: every vector ships into
+    # Python exactly once per band (|buckets| rows x 64 longs — MBs),
+    # and the within-bucket all-pairs cosine is one exact numpy matmul
+    # (integer values < 2^53, see the blocked-matmul note above), rather
+    # than joining the full qemb arrays onto every candidate pair and
+    # folding a 64-term HOF per pair (that shape moved ~1000x more bytes
+    # through the verify join and was the slowest headline query). A
+    # pair that collides in k bands is scored k times with bit-identical
+    # results, so the final distinct() dedups safely. Hot buckets are
+    # bounded by the band-bit count exactly as in the MinHash operator;
+    # the shuffle key is (band_id, val) — the same layout the candidate
+    # join needed anyway.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
@@ -535,28 +547,39 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "qemb", "ss",
         F.posexplode(F.array(*[band_val(b) for b in range(LSH_N_BANDS)])).alias("band_id", "val"),
     )
-    buckets = sig.select("vec_id", "band_id", "val")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
-    )
-    va = e.select(F.col("vec_id").alias("a_id"), F.col("qemb").alias("qa"), F.col("ss").alias("ssa"))
-    vb = e.select(F.col("vec_id").alias("b_id"), F.col("qemb").alias("qb"), F.col("ss").alias("ssb"))
+
+    threshold = LSH_COS_THRESHOLD
+
+    def verify_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "a_id": pd.Series(dtype="int64"),
+            "b_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.stack(pdf["qemb"].to_numpy()).astype(np.float64)
+        G = Q @ Q.T  # exact: products < 2^44, 64-term sums < 2^50
+        ss = pdf["ss"].to_numpy().astype(np.float64)
+        root = np.sqrt(ss)
+        cos = G / (root[:, None] * root[None, :])
+        i, j = np.triu_indices(len(ids), k=1)  # ids sorted => a_id < b_id
+        keep = cos[i, j] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a_id": ids[i[keep]],
+            "b_id": ids[j[keep]],
+            "cos_sim": cos[i[keep], j[keep]],
+        })
+
     return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("ssa"), F.col("ssb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= LSH_COS_THRESHOLD)
+        sig.groupBy("band_id", "val")
+        .applyInPandas(verify_bucket, schema="a_id long, b_id long, cos_sim double")
+        .distinct()
     )

@@ -328,6 +328,20 @@ def test_winnow_fingerprint_zero_shuffle(spark, sf_dir):
     assert n_exchanges(text_fingerprint_winnow(spark, sf_dir)) == 0
 
 
+def test_lsh_verify_inside_bucket_groups(spark, sf_dir):
+    """The LSH near-dup verify must run as a grouped pandas stage over
+    (band, bucket) — each vector crosses to Python once per band — with
+    only the bucket shuffle and the cross-band distinct as exchanges.
+    The old shape (candidate pair join + per-pair HOF cosine) re-joined
+    the full embedding arrays onto every candidate pair."""
+    from argodb_mapreduce_spark.operators.similarity import similarity_lsh_neardup
+
+    df = similarity_lsh_neardup(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "FlatMapGroupsInPandas" in plan, "verify not a grouped pandas stage"
+    assert n_exchanges(df) <= 2, f"too many exchanges: {n_exchanges(df)}"
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Spark injects a runtime bloom filter from a selectively-filtered
     dim side into the fact scan of a shuffle join (semi-join reduction)
