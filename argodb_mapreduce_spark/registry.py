@@ -55,6 +55,8 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.tpch_extra",
     "argodb_mapreduce_spark.functions.scalar",
     "argodb_mapreduce_spark.operators.joins_advanced",
+    "argodb_mapreduce_spark.operators.retrieval",
+    "argodb_mapreduce_spark.operators.sketches",
 )
 
 #: ROUND-4 DRIVER WINDOW (VERDICT r3 next-step 1). The driver checks the
