@@ -363,3 +363,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_thr)
+
+
+def test_bm25_query_side_broadcasts(spark, sf_dir):
+    """BM25's probe-query and stats tables are tiny and must broadcast
+    onto the tf table — the scoring join may not shuffle the corpus —
+    and the final top-k must plan as TakeOrderedAndProject."""
+    from argodb_mapreduce_spark.operators.retrieval import text_bm25_topk
+
+    plan = explain_str(text_bm25_topk(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_min_probe_broadcasts(spark, sf_dir):
+    """The CMS heavy-hitter probe joins the counter table via broadcast;
+    only the vocabulary groupBy and the cell aggregation shuffle."""
+    from argodb_mapreduce_spark.operators.sketches import sketch_count_min
+
+    plan = explain_str(sketch_count_min(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan
