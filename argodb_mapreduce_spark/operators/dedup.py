@@ -293,32 +293,49 @@ _SQL_CLUSTERS = f"""
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = _candidate_pairs(spark, sf_dir)
+    labels = min_label_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs,
+        caller="dedup_minhash_clusters",
+    )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def min_label_components(
+    vertices: DataFrame, pairs: DataFrame, caller: str, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``vertices``: one ``id`` column; ``pairs``: undirected edges as
+    (a_id, b_id). Returns (id, cluster_id) where cluster_id is the min
+    id in the component (singletons label themselves). Converges in
+    O(component diameter) rounds; localCheckpoint truncates lineage so
+    plans stay bounded. If the cap is hit without convergence we raise
+    instead of returning wrong labels (ADVICE r1): a 100 TB run with
+    longer chains must fail loud.
+    """
     edges = (
         pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         .unionAll(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
         .distinct()
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    # Min-label propagation: converges in O(component diameter) rounds;
-    # localCheckpoint truncates lineage so plans stay bounded. If the cap
-    # is hit without convergence we raise instead of returning wrong
-    # labels (ADVICE r1): a 100 TB run with longer chains must fail loud.
+    labels = vertices.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
     converged = False
-    for _ in range(20):
+    for _ in range(max_rounds):
         neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"))
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"))
             .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()
@@ -329,9 +346,9 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            "dedup_minhash_clusters: min-label propagation did not converge "
-            "within 20 rounds — component diameter exceeds the cap; raise the "
-            "round limit rather than returning partial labels"
+            f"{caller}: min-label propagation did not converge within "
+            f"{max_rounds} rounds — component diameter exceeds the cap; raise "
+            "the round limit rather than returning partial labels"
         )
     return labels
 

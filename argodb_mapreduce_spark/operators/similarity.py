@@ -481,10 +481,9 @@ _SQL_LSH_BUCKETS = (
 )
 
 
-@register(
-    "similarity_lsh_neardup",
-    oracle=f"""
-    WITH qv AS ({_SQL_NORMS}),
+#: Shared CTE chain ending in ``pairs`` (verified LSH near-dup pairs) —
+#: used by the pairs oracle and the connected-components oracle below.
+_SQL_LSH_PAIR_CTES = f"""qv AS ({_SQL_NORMS}),
     v AS ({_SQL_WITH_SS}),
     sig AS ({_SQL_LSH_SIG}),
     buckets AS ({_SQL_LSH_BUCKETS}),
@@ -492,13 +491,22 @@ _SQL_LSH_BUCKETS = (
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       FROM buckets a JOIN buckets b
         ON a.band_id = b.band_id AND a.val = b.val AND a.vec_id < b.vec_id
-    )
-    SELECT cand.a_id, cand.b_id,
-           CAST({_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} AS DOUBLE) AS cos_sim
-    FROM cand
-    JOIN v va ON va.vec_id = cand.a_id
-    JOIN v vb ON vb.vec_id = cand.b_id
-    WHERE {_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} >= {LSH_COS_THRESHOLD}
+    ),
+    pairs AS (
+      SELECT cand.a_id, cand.b_id,
+             CAST({_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} AS DOUBLE) AS cos_sim
+      FROM cand
+      JOIN v va ON va.vec_id = cand.a_id
+      JOIN v vb ON vb.vec_id = cand.b_id
+      WHERE {_sql_cos("va.qemb", "vb.qemb", "va.ss", "vb.ss")} >= {LSH_COS_THRESHOLD}
+    )"""
+
+
+@register(
+    "similarity_lsh_neardup",
+    oracle=f"""
+    WITH {_SQL_LSH_PAIR_CTES}
+    SELECT a_id, b_id, cos_sim FROM pairs
     """,
     tags=("similarity", "dedup", "vector", "lsh"),
     doc=(
@@ -583,3 +591,46 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(verify_bucket, schema="a_id long, b_id long, cos_sim double")
         .distinct()
     )
+
+
+@register(
+    "similarity_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION
+      SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT emb.vec_id,
+           LEAST(emb.vec_id, COALESCE(MIN(r.b), emb.vec_id)) AS cluster_id
+    FROM embeddings emb LEFT JOIN reach r ON r.a = emb.vec_id
+    GROUP BY emb.vec_id
+    """,
+    tags=("similarity", "dedup", "vector", "iterative"),
+    doc=(
+        "Embedding near-dup CLUSTERS: connected components over the "
+        "verified LSH pairs via the same iterative min-label propagation "
+        "as dedup_minhash_clusters (cluster_id = min vec_id in the "
+        "component; singletons label themselves). Completes the "
+        "embedding-dedup pipeline: signature -> buckets -> in-bucket "
+        "verify -> transitive closure -> join back to keep one "
+        "representative per cluster. The oracle is a recursive-CTE "
+        "transitive closure, so the iterative op is hash-checked. Scale: "
+        "edges are the verified near-dup pairs (tiny vs the corpus at a "
+        "production threshold); each round is one join + groupBy keyed "
+        "by vec_id, O(component diameter) rounds, fail-loud cap."
+    ),
+)
+def similarity_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.operators.dedup import min_label_components
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    pairs = similarity_lsh_neardup(spark, sf_dir).select("a_id", "b_id")
+    labels = min_label_components(vecs, pairs, caller="similarity_embedding_clusters")
+    return labels.select(F.col("id").alias("vec_id"), "cluster_id")
