@@ -548,3 +548,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# C2 — shingle containment join (doc-inside-doc detection).
+# ---------------------------------------------------------------------------
+
+#: Containment threshold: fraction of the SMALLER document's shingles
+#: that appear in the other document.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE) / sa.n AS c_ab,
+           CAST(i.n_inter AS DOUBLE) / sb.n AS c_ba
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.n_inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "containment"),
+    doc=(
+        "Shingle CONTAINMENT join (Broder): c_ab = |A∩B|/|A|, c_ba = "
+        "|A∩B|/|B|, keep pairs where the smaller document is ≥"
+        f"{CONTAINMENT_THRESHOLD:.0%} contained in the other. Catches "
+        "doc-inside-doc duplication (quotes, boilerplate wrapping, "
+        "re-posts with commentary) that symmetric Jaccard under-scores "
+        "when lengths differ. Same inverted-index shape as "
+        "dedup_ngram_jaccard — only pairs sharing a shingle materialize, "
+        "never the cross join; all three branches read the one shingle "
+        "distinct() exchange (ReusedExchange)."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_inter").cast("double") / F.col("sa.n")
+    c_ba = F.col("n_inter").cast("double") / F.col("sb.n")
+    c_small = F.col("n_inter").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
+        .filter(c_small >= CONTAINMENT_THRESHOLD)
+    )
