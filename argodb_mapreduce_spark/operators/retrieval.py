@@ -48,7 +48,9 @@ TOP_DOCS = 20
     "text_bm25_topk",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
     ),
     tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_td
@@ -63,7 +65,8 @@ TOP_DOCS = 20
       FROM vocab ORDER BY cnt DESC, tok ASC LIMIT {N_QUERY_TERMS}
     ),
     dl AS (
-      SELECT doc_id, CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS dl
+      SELECT doc_id,
+             CAST(LENGTH(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
       FROM documents
     ),
     stats AS (
@@ -107,7 +110,12 @@ TOP_DOCS = 20
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # Empty tokens (leading/trailing/double spaces, empty docs) carry no
+    # signal and would otherwise become a spuriously high-df "term" on
+    # messy corpora — drop them from tf AND from document length.
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_td"))
     vocab = tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"), F.sum("n_td").alias("cnt")
@@ -127,7 +135,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qrank"),
         )
     )
-    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
