@@ -23,7 +23,7 @@ merge: cell-wise SUM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
@@ -127,5 +127,98 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("cell").alias("n_cms"),
             (F.min("cell") >= F.col("n_exact")).alias("never_underestimates"),
+        )
+    )
+
+
+N_BINS = 64
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_rollup_quantile",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM events
+    ),
+    cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             LEAST(CAST(FLOOR((value - s.mn) / (s.mx - s.mn) * {N_BINS}.0) AS INT), {N_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, stats s GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n_bin FROM cells GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n_bin, CAST(SUM(n_bin) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist
+    ),
+    qs AS (
+      -- CAST to DOUBLE: DuckDB parses bare 0.99 as DECIMAL, whose exact
+      -- q*n would diverge from Spark's IEEE double product (0.99*10000 =
+      -- 9900.000000000002 -> CEIL 9901 in double, 9900 in decimal).
+      SELECT UNNEST([{", ".join(f"CAST({q} AS DOUBLE)" for q in QUANTILES)}]) AS q
+    )
+    SELECT q.q AS quantile, c.bin, c.n_bin,
+           CAST(CEIL(q.q * s.n) AS BIGINT) AS k,
+           s.mn + (CAST(c.bin AS DOUBLE)
+                   + CAST(CAST(CEIL(q.q * s.n) AS BIGINT) - (c.cum - c.n_bin) AS DOUBLE)
+                     / CAST(c.n_bin AS DOUBLE))
+                 * ((s.mx - s.mn) / {N_BINS}.0) AS est_value,
+           s.n AS n_total
+    FROM qs q, cum c, stats s
+    WHERE c.cum - c.n_bin < CAST(CEIL(q.q * s.n) AS BIGINT)
+      AND CAST(CEIL(q.q * s.n) AS BIGINT) <= c.cum
+    """,
+    tags=("sketch", "quantile", "rollup"),
+    doc=(
+        f"Mergeable quantile sketch rollup: per-day fixed-{N_BINS}-bin "
+        "histograms of events.value merge by cell-wise SUM (same merge "
+        "algebra as the HLL and count-min rollups), then p50/p90/p99 are "
+        "estimated from the merged histogram by within-bin linear "
+        "interpolation. All integer counts + one shared (min,max) frame, "
+        "so the estimate is engine-exact — a deterministic stand-in for "
+        "t-digest/KLL where the bin layout is fixed up front. At 100 TB "
+        "the per-shard histogram is O(bins) state regardless of row "
+        "count, and reporting dimensions roll up without re-scanning."
+    ),
+)
+def sketch_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * N_BINS).cast("int"),
+        F.lit(N_BINS - 1),
+    )
+    # Per-day shards first, then cell-wise merge — the rollup contract.
+    cells = (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(F.to_date("ts").alias("day"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = cells.groupBy("bin").agg(F.sum("cnt").alias("n_bin"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "n_bin", F.sum("n_bin").over(w).alias("cum"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QUANTILES])).alias("q")
+    )
+    k = F.ceil(F.col("q") * F.col("n")).cast("long")
+    frac = (k - (F.col("cum") - F.col("n_bin"))).cast("double") / F.col("n_bin").cast("double")
+    est = F.col("mn") + (F.col("bin").cast("double") + frac) * (
+        (F.col("mx") - F.col("mn")) / F.lit(float(N_BINS))
+    )
+    return (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(stats))
+        .filter((F.col("cum") - F.col("n_bin") < k) & (k <= F.col("cum")))
+        .select(
+            F.col("q").alias("quantile"),
+            "bin",
+            "n_bin",
+            k.alias("k"),
+            est.alias("est_value"),
+            F.col("n").alias("n_total"),
         )
     )
