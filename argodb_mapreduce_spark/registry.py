@@ -61,14 +61,16 @@ _QUERY_MODULES = (
 
 #: ROUND-4 DRIVER WINDOW (VERDICT r3 next-step 1). The driver checks the
 #: first 50 entries of ``queries()`` in dict order; this list pins those
-#: slots to (a) the final 16 queries that have never had a driver row —
-#: after this window every one of the 162 registered queries is
-#: driver-witnessed — then (b) the 4 queries whose code changed this
-#: round (top-k rewrite, persist removal, oracle TRY_CAST fix) so their
-#: banked green rows are re-earned against the new code, then (c) 30
-#: high-value banked rows not re-run since their first green round
-#: (joins, minhash pipeline, streaming, IVF/LSH similarity, snapshot,
-#: UDF surface) as a regression re-confirmation. 16+4+30 = 50 exactly.
+#: slots to (a) the 16 queries that had never had a driver row entering
+#: round 4 — after this window every pre-round-4 query is
+#: driver-witnessed — then (b) the queries whose code changed this round
+#: (top-k rewrite, persist removal, oracle TRY_CAST fix, LSH in-bucket
+#: verify, CC refactor) so their banked green rows are re-earned against
+#: the new code, then (c) the 5 operators ADDED in round 4 (containment,
+#: BM25, count-min, quantile rollup, embedding clusters) for first-time
+#: evidence, then (d) banked rows not re-run since their first green
+#: round (joins, minhash pipeline, streaming, IVF, snapshot) as a
+#: regression re-confirmation. 16+5+5+24 = 50 exactly.
 _PRIORITY = (
     # --- never driver-witnessed (closes the evidence book: 162/162) ---
     "snapshot_compaction",
@@ -92,14 +94,18 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "text_top_tokens",
     "data_mixture_sample",
-    # --- banked r01/r02, not re-run since: regression re-confirmation ---
+    "text_fingerprint_winnow",
+    # --- NEW in round 4: first-time driver evidence ---
+    "dedup_containment",
+    "text_bm25_topk",
+    "sketch_count_min",
+    "sketch_rollup_quantile",
+    "similarity_embedding_clusters",
+    # --- banked, or touched indirectly this round (streaming source
+    # bridge, versioned fixture staleness, CC refactor): re-confirm ---
     "q1_pricing_summary",
     "join_inner",
-    "join_left_outer",
-    "join_full_outer",
     "join_semi",
-    "join_anti",
-    "join_cross",
     "join_broadcast_dim",
     "join_asof",
     "dedup_exact",
@@ -121,8 +127,6 @@ _PRIORITY = (
     "similarity_ivf_recall",
     "similarity_lsh_neardup",
     "snapshot_time_travel",
-    "udf_pandas_scalar",
-    "udtf_tokenize",
 )
 
 

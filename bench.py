@@ -57,6 +57,12 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "kmeans_lloyd_step",
     "events_rolling_distinct",
+    # round-4 additions (not in r1..r3 totals; r1_comparable_wall is the
+    # cross-round metric — the full-set total grows with coverage)
+    "dedup_containment",
+    "text_bm25_topk",
+    "sketch_count_min",
+    "sketch_rollup_quantile",
 ]
 
 
