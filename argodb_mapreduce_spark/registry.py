@@ -66,11 +66,12 @@ _QUERY_MODULES = (
 #: driver-witnessed — then (b) the queries whose code changed this round
 #: (top-k rewrite, persist removal, oracle TRY_CAST fix, LSH in-bucket
 #: verify, CC refactor) so their banked green rows are re-earned against
-#: the new code, then (c) the 5 operators ADDED in round 4 (containment,
-#: BM25, count-min, quantile rollup, embedding clusters) for first-time
-#: evidence, then (d) banked rows not re-run since their first green
+#: the new code, then (c) the 6 operators ADDED in round 4 (containment,
+#: BM25, count-min, quantile rollup, embedding clusters, versioned
+#: writer) for first-time evidence, then (d) banked rows not re-run
+#: since their first green
 #: round (joins, minhash pipeline, streaming, IVF, snapshot) as a
-#: regression re-confirmation. 16+5+5+24 = 50 exactly.
+#: regression re-confirmation. 16+5+6+23 = 50 exactly.
 _PRIORITY = (
     # --- never driver-witnessed (closes the evidence book: 162/162) ---
     "snapshot_compaction",
@@ -101,10 +102,10 @@ _PRIORITY = (
     "sketch_count_min",
     "sketch_rollup_quantile",
     "similarity_embedding_clusters",
+    "pyds_versioned_write",
     # --- banked, or touched indirectly this round (streaming source
     # bridge, versioned fixture staleness, CC refactor): re-confirm ---
     "q1_pricing_summary",
-    "join_inner",
     "join_semi",
     "join_broadcast_dim",
     "join_asof",

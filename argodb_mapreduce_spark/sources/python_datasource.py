@@ -53,7 +53,13 @@ def make_versioned_datasource():
     import json as _json
     import os as _os
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        DataSourceReader,
+        InputPartition,
+        WriterCommitMessage,
+    )
 
     class SegmentFilePartition(InputPartition):
         def __init__(self, path: str):
@@ -117,18 +123,92 @@ def make_versioned_datasource():
                     batch = pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
                 yield batch
 
+    class VersionedCommit(WriterCommitMessage):
+        def __init__(self, filename):
+            self.filename = filename
+
+    class VersionedArrowWriter(DataSourceArrowWriter):
+        """Transactional versioned write: tasks stream Arrow batches into
+        per-task parquet files inside a hidden staging dir; ``commit``
+        (driver, after ALL tasks succeed) renames the staging dir to its
+        segment name and publishes the manifest entry — readers never see
+        a partial write, and failed jobs leave only an unreferenced
+        staging dir (removed by ``abort``). The Arrow-batch path mirrors
+        the reader: no per-row Python on either side."""
+
+        def __init__(self, path: str, overwrite: bool):
+            import uuid as _uuid
+
+            self.path = path
+            self.overwrite = overwrite
+            # Chosen on the driver so every task shares one staging dir.
+            self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            import pyarrow.parquet as _pq
+            from pyspark import TaskContext
+
+            part = TaskContext.get().partitionId()
+            out_dir = _os.path.join(self.path, self.staging)
+            _os.makedirs(out_dir, exist_ok=True)
+            fname = f"part-{part:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+            writer = None
+            try:
+                for batch in iterator:
+                    if writer is None:
+                        writer = _pq.ParquetWriter(
+                            _os.path.join(out_dir, fname), batch.schema
+                        )
+                    writer.write_batch(batch)
+            finally:
+                if writer is not None:
+                    writer.close()
+            # Empty partitions write no file and carry no commit payload.
+            return VersionedCommit(fname if writer is not None else None)
+
+        def commit(self, messages):
+            entries = []
+            manifest = _os.path.join(self.path, "_snapshots.json")
+            if _os.path.exists(manifest):
+                with open(manifest) as f:
+                    entries = _json.load(f)
+            version = entries[-1]["version"] + 1 if entries else 0
+            segment = f"data-{version}"
+            _os.rename(
+                _os.path.join(self.path, self.staging),
+                _os.path.join(self.path, segment),
+            )
+            prev = entries[-1]["segments"] if (entries and not self.overwrite) else []
+            entries.append({"version": version, "segments": [*prev, segment]})
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(entries, f)
+            _os.replace(tmp, manifest)
+
+        def abort(self, messages):
+            import shutil as _shutil
+
+            _shutil.rmtree(_os.path.join(self.path, self.staging), ignore_errors=True)
+
     class VersionedDataSource(DataSource):
         def __init__(self, options):
             super().__init__(options)
+            self._path = options["path"]
+            self._version = int(options.get("version", -1))
             # Manifest resolved ONCE, when the DataSource instance is
             # built at load()/plan time — the file set is pinned into
             # this instance, so concurrent versioned_write calls cannot
             # change what an already-planned scan reads: the reference's
             # snapshot-renew guarantee (tested in
             # tests/test_python_datasource.py::test_plan_time_snapshot_pinning).
-            self._files = _resolve_files(
-                options["path"], int(options.get("version", -1))
-            )
+            # Deferred-tolerant: a write to a fresh path has no manifest
+            # yet, so resolution failures surface at reader() time only.
+            try:
+                self._files = _resolve_files(self._path, self._version)
+            except (FileNotFoundError, ValueError):
+                self._files = None
 
         @classmethod
         def name(cls):
@@ -138,10 +218,18 @@ def make_versioned_datasource():
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
+            if self._files is None:
+                raise ValueError(f"no versioned table at {self._path!r}")
             return from_arrow_schema(_us_schema(pq.ParquetFile(self._files[0]).schema_arrow))
 
         def reader(self, schema):
+            if self._files is None:
+                raise ValueError(f"no versioned table at {self._path!r}")
             return VersionedReader(self._files)
+
+        def writer(self, schema, overwrite):
+            _os.makedirs(self._path, exist_ok=True)
+            return VersionedArrowWriter(self._path, overwrite)
 
     return VersionedDataSource
 
@@ -193,3 +281,66 @@ def pyds_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (0, 1)
     ]
     return frames[0].unionAll(frames[1])
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write ``df`` as a new version through the custom format's Arrow
+    writer (``df.write.format('argodb_versioned')``): staged per-task
+    parquet → driver-side manifest publish on commit."""
+    register_datasource(df.sparkSession)
+    df.write.format(FORMAT_NAME).mode(mode).save(path)
+
+
+@register(
+    "pyds_versioned_write",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    """,
+    tags=("sink", "datasource", "snapshot"),
+    doc=(
+        "Custom Python DataSource WRITE path (Arrow writer): three write "
+        "jobs through spark.write.format('argodb_versioned') — append, "
+        "overwrite, append — staged per-task parquet files published by "
+        "a driver-side manifest commit (all-tasks-or-nothing, the write "
+        "twin of the reader's snapshot pin). Each version is then read "
+        "back THROUGH THE READER and aggregated; v0 proves overwritten "
+        "history stays readable (time travel across a write made by the "
+        "custom sink). Scale: tasks stream Arrow batches straight to "
+        "parquet (no per-row Python), commit is O(#segments) metadata."
+    ),
+)
+def pyds_versioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_written"
+    )
+    # Rebuild from scratch every run: the query must be deterministic
+    # under re-execution (driver + tests both run it).
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    write_versioned(o.filter(F.col("o_orderkey") % 3 == 0), path, mode="append")
+    write_versioned(o.filter(F.col("o_orderkey") % 3 == 1), path, mode="overwrite")
+    write_versioned(o.filter(F.col("o_orderkey") % 3 == 2), path, mode="append")
+    frames = [
+        read_versioned(spark, path, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").cast("long").alias("sum_key"))
+        .select(F.lit(v).alias("version"), "n_rows", "sum_key")
+        for v in (0, 1, 2)
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionAll(fdf)
+    return out
