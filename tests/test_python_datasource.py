@@ -56,3 +56,54 @@ def test_aggregation_pushes_through(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")
     ).collect()[0]
     assert (row["n"], row["s"]) == (30, sum(range(30)))
+
+
+# ---------------------------------------------------------------------------
+# Write path (DataSourceArrowWriter): round-trip, append/overwrite
+# semantics, and all-tasks-or-nothing commit.
+# ---------------------------------------------------------------------------
+
+def _manifest(path):
+    import json
+
+    with open(os.path.join(path, "_snapshots.json")) as f:
+        return json.load(f)
+
+
+def test_writer_roundtrip_and_modes(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import write_versioned
+
+    path = str(tmp_path / "written_vt")
+    write_versioned(spark.range(10).withColumnRenamed("id", "k").repartition(3), path)
+    write_versioned(spark.range(10, 15).withColumnRenamed("id", "k"), path, mode="append")
+    write_versioned(spark.range(100, 102).withColumnRenamed("id", "k"), path, mode="overwrite")
+    assert sorted(r["k"] for r in read_versioned(spark, path, 0).collect()) == list(range(10))
+    assert sorted(r["k"] for r in read_versioned(spark, path, 1).collect()) == list(range(15))
+    assert sorted(r["k"] for r in read_versioned(spark, path, 2).collect()) == [100, 101]
+    # Interop: the native manifest reader sees the same versions.
+    assert sorted(r["k"] for r in snapshot_read(spark, path, 1).collect()) == list(range(15))
+
+
+def test_writer_failed_job_publishes_nothing(spark, tmp_path):
+    """All-tasks-or-nothing: a job with a failing task must leave the
+    manifest untouched and publish no data segment — only an
+    unreferenced staging dir at worst (abort removes it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import write_versioned
+
+    path = str(tmp_path / "failing_vt")
+    write_versioned(spark.range(5).withColumnRenamed("id", "k"), path)
+    before = _manifest(path)
+
+    bad = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "boom", F.expr("assert_true(k < 5)")
+    )
+    with pytest.raises(Exception):
+        write_versioned(bad, path, mode="append")
+
+    assert _manifest(path) == before, "failed job must not publish a version"
+    segs = [d for d in os.listdir(path) if d.startswith("data-")]
+    assert segs == ["data-0"], segs
+    assert sorted(r["k"] for r in read_versioned(spark, path).collect()) == list(range(5))
