@@ -102,3 +102,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty")
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "skew"),
+    doc=(
+        "Two-phase SALTED aggregation: pre-aggregate on (group, salt) so "
+        "a heavy-hitter group's rows combine across 16 reducers before "
+        "the tiny (groups x salts) table collapses to the final answer — "
+        "the classic mitigation when one group holds most of a 100 TB "
+        "table and even map-side partial aggregation leaves one reducer "
+        "hot. Decimal partial sums keep the two-phase result exactly "
+        "equal to the single-phase oracle."
+    ),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n_salts = 16
+    partial = (
+        o.withColumn("salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salts)))
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("ps").cast("double").alias("sum_price"),
+    )

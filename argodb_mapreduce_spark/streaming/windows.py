@@ -472,3 +472,37 @@ def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (applyInPandasWithState) and stream_merge_upsert_live (foreachBatch);
 # on a normal Spark 4 deployment the RunningMax processor translates
 # mechanically (ValueState + handleInputRows).
+
+
+@register(
+    "stream_sliding_live",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // {_US_30M}) * {_US_30M} - k * {_US_30M}) AS window_start,
+           make_timestamp((epoch_us(ts) // {_US_30M}) * {_US_30M} - k * {_US_30M} + {_US_1H}) AS window_end,
+           COUNT(*) AS n_events
+    FROM events, UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS u(k)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "live"),
+    doc=(
+        "REAL Structured Streaming run of the SLIDING window (1 hour, "
+        "30-minute slide): file source -> watermark -> sliding-window agg "
+        "-> availableNow trigger -> memory sink. Complete output over a "
+        "static source equals the batch sliding query, so the live "
+        "overlapping-window path is oracle-checked like the tumbling one."
+    ),
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_sliding_live_sink", "complete")
+    return spark.table("stream_sliding_live_sink")
