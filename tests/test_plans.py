@@ -383,3 +383,16 @@ def test_count_min_probe_broadcasts(spark, sf_dir):
 
     plan = explain_str(sketch_count_min(spark, sf_dir), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_partial_keys_include_salt(spark, sf_dir):
+    """The two-phase salted aggregation must shuffle FIRST on
+    (group, salt) — spreading a heavy-hitter group across reducers —
+    and only then collapse (groups x salts) to the final answer."""
+    from argodb_mapreduce_spark.operators.merge import agg_salted_skew
+
+    plan = explain_str(agg_salted_skew(spark, sf_dir), "formatted")
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in p and "o_orderpriority" in p for p in parts), parts
