@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.joins_advanced",
     "argodb_mapreduce_spark.operators.retrieval",
     "argodb_mapreduce_spark.operators.sketches",
+    "argodb_mapreduce_spark.operators.zorder",
 )
 
 #: ROUND-4 DRIVER WINDOW (VERDICT r3 next-step 1). The driver checks the
