@@ -120,3 +120,39 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2).alias("band_total"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN e.ts >= p.ts - INTERVAL 1 HOUR THEN e.event_id END AS asof_event_id,
+           CASE WHEN e.ts >= p.ts - INTERVAL 1 HOUR THEN e.ts END AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("join", "asof"),
+    doc=(
+        "As-of join with a 1-hour tolerance: a match staler than the "
+        "bound is rejected (NULLed), the standard guard in time-series "
+        "feature joins against attaching ancient state. Correctly "
+        "composes with most-recent-wins: if the newest prior right row "
+        "is too old, every other candidate is older still, so a "
+        "post-filter on the as-of result is exactly the tolerance "
+        "semantics — no second pass over the data."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, errors, key="user_id", ts="ts", right_cols=["event_id", "ts"])
+    fresh = F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof_event_id")).alias("asof_event_id"),
+        F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+    )
