@@ -1099,3 +1099,33 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(rev, 6).alias("revenue"))
     )
+
+
+@register(
+    "agg_grouping_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+    doc=(
+        "GROUPING() flags + composed grouping id over a ROLLUP: the only "
+        "reliable way to tell a subtotal row's NULL dimension from a data "
+        "NULL — every BI layer on top of the engine depends on it."
+    ),
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            (F.grouping("l_returnflag").cast("int") * 2 + F.grouping("l_linestatus").cast("int")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
