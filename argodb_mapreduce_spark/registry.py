@@ -74,11 +74,12 @@ _QUERY_MODULES = (
 #: round (joins, minhash pipeline, streaming, IVF, snapshot) as a
 #: regression re-confirmation. 16+5+6+23 = 50 exactly.
 #:
-#: ROUND-5 ROTATION NOTE: four operators were added AFTER this window
+#: ROUND-5 ROTATION NOTE: five operators were added AFTER this window
 #: froze and need first-time driver evidence next round —
 #: ``agg_salted_skew``, ``stream_sliding_live``, ``sink_zorder_roundtrip``,
-#: ``join_asof_tolerance``. Swap them in for four banked re-confirmations
-#: (any of the stream_*/join_* rows below whose code r4 leaves green).
+#: ``join_asof_tolerance``, ``agg_grouping_flags``. Swap them in for five
+#: banked re-confirmations (any stream_*/join_* rows below whose code r4
+#: leaves green).
 _PRIORITY = (
     # --- never driver-witnessed (closes the evidence book: 162/162) ---
     "snapshot_compaction",
