@@ -96,7 +96,11 @@ def fixture_stale(src: str, marker: str) -> bool:
     derived layout must mtime-check its source, never just existence."""
     if not os.path.exists(marker):
         return True
-    return os.path.getmtime(marker) < os.path.getmtime(src)
+    # <= not <: on coarse-mtime filesystems a source regenerated within
+    # the same timestamp tick as the marker must still count as newer.
+    # Rebuilds are idempotent and cheap at fixture scale, so the rare
+    # false-stale is the safe direction.
+    return os.path.getmtime(marker) <= os.path.getmtime(src)
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -502,6 +502,60 @@ _SQL_LSH_PAIR_CTES = f"""qv AS ({_SQL_NORMS}),
     )"""
 
 
+def make_bucket_scorer(threshold: float, chunk: int = 2048):
+    """Build the in-bucket pair scorer: every pair >= ``threshold``,
+    walking the upper triangle in ``chunk`` x ``chunk`` tiles. Band-bit
+    count bounds DISTINCT signatures per band, not bucket SIZE — a
+    duplicate-heavy corpus puts every copy in one bucket, so B can be
+    corpus-scale; tiling caps worker memory at ~chunk^2 floats (32 MB
+    at 2048) regardless of B, the same blocked shape
+    similarity_cosine_topk uses. Arithmetic per pair is unchanged vs
+    the full B x B matmul, so results stay bit-identical (unit-tested
+    with a tiny chunk in tests/test_round5_fixes.py).
+
+    Factory-closure so cloudpickle ships the scorer BY VALUE — the
+    driver contract runs executors that cannot import this repo (same
+    pattern as sources/python_datasource.make_versioned_datasource)."""
+
+    def verify_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "a_id": pd.Series(dtype="int64"),
+            "b_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.stack(pdf["qemb"].to_numpy()).astype(np.float64)
+        root = np.sqrt(pdf["ss"].to_numpy().astype(np.float64))
+        n = len(ids)
+        out = []
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            for j0 in range(i0, n, chunk):
+                j1 = min(j0 + chunk, n)
+                # exact: products < 2^44, 64-term sums < 2^50
+                cos = (Q[i0:i1] @ Q[j0:j1].T) / (root[i0:i1, None] * root[None, j0:j1])
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # ids sorted => a_id < b_id; drops diag/lower
+                if keep.any():
+                    out.append(pd.DataFrame({
+                        "a_id": ids[gi[keep]],
+                        "b_id": ids[gj[keep]],
+                        "cos_sim": cos[ii[keep], jj[keep]],
+                    }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return verify_bucket
+
+
 @register(
     "similarity_lsh_neardup",
     oracle=f"""
@@ -556,39 +610,12 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[band_val(b) for b in range(LSH_N_BANDS)])).alias("band_id", "val"),
     )
 
-    threshold = LSH_COS_THRESHOLD
-
-    def verify_bucket(pdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame({
-            "a_id": pd.Series(dtype="int64"),
-            "b_id": pd.Series(dtype="int64"),
-            "cos_sim": pd.Series(dtype="float64"),
-        })
-        if len(pdf) < 2:
-            return empty
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        Q = np.stack(pdf["qemb"].to_numpy()).astype(np.float64)
-        G = Q @ Q.T  # exact: products < 2^44, 64-term sums < 2^50
-        ss = pdf["ss"].to_numpy().astype(np.float64)
-        root = np.sqrt(ss)
-        cos = G / (root[:, None] * root[None, :])
-        i, j = np.triu_indices(len(ids), k=1)  # ids sorted => a_id < b_id
-        keep = cos[i, j] >= threshold
-        if not keep.any():
-            return empty
-        return pd.DataFrame({
-            "a_id": ids[i[keep]],
-            "b_id": ids[j[keep]],
-            "cos_sim": cos[i[keep], j[keep]],
-        })
-
     return (
         sig.groupBy("band_id", "val")
-        .applyInPandas(verify_bucket, schema="a_id long, b_id long, cos_sim double")
+        .applyInPandas(
+            make_bucket_scorer(LSH_COS_THRESHOLD),
+            schema="a_id long, b_id long, cos_sim double",
+        )
         .distinct()
     )
 

@@ -38,7 +38,13 @@ def scale_to_grid(col: Column, mn: Column, mx: Column, bits: int = Z_BITS) -> Co
     table's (min, max) frame — same normalization as the histogram
     sketch, exact given identical operands."""
     cells = 1 << bits
-    raw = F.floor((col.cast("double") - mn) / (mx - mn) * cells).cast("int")
+    # Degenerate frame (constant column): mx == mn would divide by zero
+    # and yield NULL cells -> NULL morton codes -> a silently useless
+    # layout. A constant column carries no ordering information, so cell
+    # 0 is the correct (and pruning-neutral) assignment.
+    raw = F.when(mx == mn, F.lit(0)).otherwise(
+        F.floor((col.cast("double") - mn) / (mx - mn) * cells).cast("int")
+    )
     return F.least(F.greatest(raw, F.lit(0)), F.lit(cells - 1))
 
 

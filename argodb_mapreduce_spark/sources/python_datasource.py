@@ -120,7 +120,15 @@ def make_versioned_datasource():
             target = _us_schema(pf.schema_arrow)
             for batch in pf.iter_batches():
                 if batch.schema != target:
-                    batch = pa.Table.from_batches([batch]).cast(target).combine_chunks().to_batches()[0]
+                    # safe=False: ns values with a sub-µs remainder must
+                    # TRUNCATE (matching catalog.read_parquet_any's
+                    # `div 1000` and DuckDB), not raise ArrowInvalid.
+                    batch = (
+                        pa.Table.from_batches([batch])
+                        .cast(target, safe=False)
+                        .combine_chunks()
+                        .to_batches()[0]
+                    )
                 yield batch
 
     class VersionedCommit(WriterCommitMessage):
@@ -154,21 +162,32 @@ def make_versioned_datasource():
             out_dir = _os.path.join(self.path, self.staging)
             _os.makedirs(out_dir, exist_ok=True)
             fname = f"part-{part:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+            fpath = _os.path.join(out_dir, fname)
             writer = None
+            ok = False
             try:
                 for batch in iterator:
                     if writer is None:
-                        writer = _pq.ParquetWriter(
-                            _os.path.join(out_dir, fname), batch.schema
-                        )
+                        writer = _pq.ParquetWriter(fpath, batch.schema)
                     writer.write_batch(batch)
+                ok = True
             finally:
                 if writer is not None:
                     writer.close()
+                # A failed/zombie attempt must not leave a valid-looking
+                # parquet file behind: closing the writer in the error
+                # path would otherwise produce a readable partial file
+                # that commit() could publish. Delete it so only files
+                # named in a task's SUCCESSFUL commit message can ever
+                # reach the published segment.
+                if not ok and _os.path.exists(fpath):
+                    _os.remove(fpath)
             # Empty partitions write no file and carry no commit payload.
             return VersionedCommit(fname if writer is not None else None)
 
         def commit(self, messages):
+            import shutil as _shutil
+
             entries = []
             manifest = _os.path.join(self.path, "_snapshots.json")
             if _os.path.exists(manifest):
@@ -176,10 +195,21 @@ def make_versioned_datasource():
                     entries = _json.load(f)
             version = entries[-1]["version"] + 1 if entries else 0
             segment = f"data-{version}"
-            _os.rename(
-                _os.path.join(self.path, self.staging),
-                _os.path.join(self.path, segment),
-            )
+            # Publish ONLY the files named by the winning task attempts'
+            # commit messages (the reference DataSource commit protocol).
+            # Retried/speculative attempts may have left extra parquet
+            # files in staging; moving by-message instead of renaming the
+            # whole dir keeps them out of the committed version.
+            staging_dir = _os.path.join(self.path, self.staging)
+            segment_dir = _os.path.join(self.path, segment)
+            _os.makedirs(segment_dir)
+            for msg in messages:
+                if msg is not None and msg.filename is not None:
+                    _os.rename(
+                        _os.path.join(staging_dir, msg.filename),
+                        _os.path.join(segment_dir, msg.filename),
+                    )
+            _shutil.rmtree(staging_dir, ignore_errors=True)
             prev = entries[-1]["segments"] if (entries and not self.overwrite) else []
             entries.append({"version": version, "segments": [*prev, segment]})
             tmp = manifest + ".tmp"
