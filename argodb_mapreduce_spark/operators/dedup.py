@@ -499,10 +499,54 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C2 — n-gram Jaccard similarity join (exact, inverted-index pruned).
 # ---------------------------------------------------------------------------
 
+#: Document-frequency ceiling for the inverted-index join family. A
+#: stop-shingle shared by df documents contributes df^2 join rows ALL
+#: LANDING IN ONE REDUCER — at web scale a boilerplate shingle with
+#: df=10^6 is a 10^12-row hot key, the one quantified scale-killer of
+#: the shingle self-join shape. Dropping shingles above the ceiling
+#: (from sizes AND the join, i.e. from the shingle universe, in both
+#: engines) bounds the per-key blowup at MAX_SHINGLE_DF^2; pairs whose
+#: every shared shingle is that common are boilerplate matches, not
+#: near-dups — standard practice (e.g. suffix-array/minhash dedup
+#: pipelines) accepts that loss. 1000 clears the sf=0.01 driver
+#: fixture's max df (500 docs), so fixture results are unchanged while
+#: the cap stays ACTIVE in the plan.
+MAX_SHINGLE_DF = 1000
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The hot list (df > max_df) is tiny by construction — heavy hitters
+    only — so it broadcasts; the anti-join is map-side and adds no
+    shuffle to the inverted-index pipeline beyond the df groupBy (which
+    is partial-agg combinable on the same shingle key the self-join
+    shuffles on anyway). ``max_df=None`` disables the cap.
+    """
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
+
+
+def _sql_capped_shingles(max_df: int = MAX_SHINGLE_DF) -> str:
+    """DuckDB twin of cap_shingle_df over _SQL_SHINGLES: same shingle
+    universe on both sides, so the cap can never desync the oracle."""
+    return f"""
+    SELECT doc_id, shingle FROM ({_SQL_SHINGLES})
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_df}
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh AS ({_sql_capped_shingles()}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
@@ -518,7 +562,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Exact n-gram Jaccard similarity join via the inverted-index "
         "(shingle self-join) pattern: only pairs sharing a shingle are "
-        "materialized — the all-pairs cross join never happens."
+        "materialized — the all-pairs cross join never happens — and "
+        "shingles above the MAX_SHINGLE_DF document-frequency ceiling "
+        "are excluded from the shingle universe (both engines), "
+        "bounding the hot-key blowup a stop-shingle would cause."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,11 +573,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency >= 2 before the self-join (they are the only ones that can
     # contribute to intersections) cuts the join input by the unique-
     # vocabulary fraction. This synthetic corpus draws from a 25-word
-    # vocabulary — every shingle is shared — so the extra pass is pure
-    # overhead here and intentionally omitted (SCALING.md).
+    # vocabulary — every shingle is shared — so the df>=2 prune is pure
+    # overhead here and intentionally omitted; the df CEILING above is
+    # the opposite-tail guard and stays active (SCALING.md).
     # sizes and the self-join both read the distinct() exchange once
     # (ReusedExchange) — no persist, nothing to leak (VERDICT r3 #1).
-    sh = _doc_shingles(spark, sf_dir)
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -562,7 +610,7 @@ CONTAINMENT_THRESHOLD = 0.8
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh AS ({_sql_capped_shingles()}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
@@ -584,12 +632,13 @@ CONTAINMENT_THRESHOLD = 0.8
         "re-posts with commentary) that symmetric Jaccard under-scores "
         "when lengths differ. Same inverted-index shape as "
         "dedup_ngram_jaccard — only pairs sharing a shingle materialize, "
-        "never the cross join; all three branches read the one shingle "
-        "distinct() exchange (ReusedExchange)."
+        "never the cross join, and the MAX_SHINGLE_DF ceiling bounds "
+        "the stop-shingle hot key; all three branches read the one "
+        "shingle distinct() exchange (ReusedExchange)."
     ),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -177,6 +177,45 @@ def test_range_bucket_matches_bisect(value, bounds):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# Round-5: shingle document-frequency ceiling (inverted-index join guard).
+# ---------------------------------------------------------------------------
+
+
+def test_hot_shingle_excluded_from_join_input(spark):
+    """A stop-shingle above the df ceiling must vanish from the shingle
+    universe (it would otherwise contribute df^2 rows to ONE reducer of
+    the self-join); rare shingles and doc coverage must survive."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.operators.dedup import cap_shingle_df
+
+    rows = [(d, "the quick brown") for d in range(10)]  # df=10 hot key
+    rows += [(d, f"rare shingle {d}") for d in range(10)]  # df=1 each
+    sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+
+    capped = cap_shingle_df(sh, max_df=5)
+    left = {(r["doc_id"], r["shingle"]) for r in capped.collect()}
+    assert all(s != "the quick brown" for _, s in left)
+    assert left == {(d, f"rare shingle {d}") for d in range(10)}
+    # Join input shrank from df^2=100 hot pairs to zero; self-join sanity:
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert pairs == 0
+
+    # Ceiling above every df: identity (the fixture-default regime).
+    uncapped = {(r["doc_id"], r["shingle"]) for r in cap_shingle_df(sh, max_df=1000).collect()}
+    assert uncapped == {(d, s) for d, s in rows}
+    # None disables the cap entirely.
+    assert cap_shingle_df(sh, max_df=None) is sh
+
+
 def test_fixture_stale_ordering(tmp_path):
     src = tmp_path / "src.parquet"
     marker = tmp_path / "_SUCCESS"
