@@ -258,15 +258,88 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 8  # char k-gram length
 _WINNOW_W = 16  # winnowing window (positions)
 
+# Polynomial k-gram hash, shared with the DuckDB oracle: char codes
+# masked to 7 bits (c % 128), Horner-folded base 128 — the max value is
+# 128^8 - 1 < 2^56, so the arithmetic is overflow-free exact int64 in
+# BOTH engines (Spark wraps on overflow, DuckDB raises; neither path is
+# reachable). Replaces the per-position md5 of rounds 1-4: same
+# winnowing semantics, ~8x less hash work, and DuckDB computes the
+# identical integer without hex/string gymnastics.
+_ORACLE_HORNER = "cs[pos]"
+for _i in range(1, _WINNOW_K):
+    _ORACLE_HORNER = f"({_ORACLE_HORNER}) * 128 + cs[pos + {_i}]"
+
+
+def make_winnow_fn(k: int = _WINNOW_K, w: int = _WINNOW_W):
+    """Build the per-batch winnowing kernel for ``mapInPandas``.
+
+    Why Python here and not array HOFs: Spark's higher-order array
+    functions (transform/slice/array_min) are CodegenFallback —
+    interpreted per element, never whole-stage-codegen'd — and the
+    measured cost was ~2.4 µs/position on this corpus (3.4 s at
+    sf=0.1) against ~0.1 µs/position for the Arrow-vectorized numpy
+    kernel below (0.7 s at sf=0.1 including transfer). The stage is
+    still map-only — no shuffle, no driver hop — so the 100 TB story
+    is unchanged: fingerprinting parallelizes by input split, and the
+    plan-level zero-exchange assert (tests/test_plans.py) still holds.
+
+    Factory-closure so cloudpickle ships the kernel BY VALUE (the
+    driver contract runs executors that cannot import this repo)."""
+
+    def winnow_batches(it):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()):
+                # ascii() in both engines is the codepoint of the char;
+                # utf-8 bytes agree with codepoints only for ASCII, so
+                # non-ASCII takes the exact (slower) ord() path.
+                if text.isascii():
+                    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+                else:
+                    b = np.array([ord(c) for c in text], dtype=np.int64)
+                b %= 128
+                n = b.size
+                if n < k:
+                    continue
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for i in range(k):  # Horner over k shifted views — O(n*k) C ops
+                    h = h * 128 + b[i : n - k + 1 + i]
+                # Sliding min with end-truncated windows (the oracle's
+                # ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING): full
+                # windows via a strided view, the last w-1 truncated
+                # windows via a reversed cumulative min.
+                if h.size > w - 1:
+                    full = sliding_window_view(h, w).min(axis=1)
+                    tail = np.minimum.accumulate(h[-(w - 1):][::-1])[::-1]
+                    m = np.concatenate([full, tail])
+                else:
+                    m = np.minimum.accumulate(h[::-1])[::-1]
+                u = np.unique(m)
+                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                fps.append(u)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
+                "fingerprint": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+            })
+
+    return winnow_batches
+
 
 @register(
     "text_fingerprint_winnow",
     oracle=f"""
-    WITH grams AS (
-      SELECT doc_id, pos,
-             CAST(('0x' || substring(md5(substring(text, pos, {_WINNOW_K})), 1, 15)) AS BIGINT) AS h
-      FROM documents, UNNEST(range(1, LENGTH(text) - {_WINNOW_K} + 2)) AS u(pos)
-      WHERE LENGTH(text) >= {_WINNOW_K}
+    WITH cs AS (
+      SELECT doc_id, list_transform(range(1, length(text) + 1),
+                                    i -> CAST(ascii(substring(text, i, 1)) % 128 AS BIGINT)) AS cs
+      FROM documents WHERE LENGTH(text) >= {_WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos, {_ORACLE_HORNER} AS h
+      FROM cs, UNNEST(range(1, len(cs) - {_WINNOW_K} + 2)) AS u(pos)
     ),
     mins AS (
       SELECT doc_id,
@@ -278,40 +351,18 @@ _WINNOW_W = 16  # winnowing window (positions)
     """,
     tags=("text", "fingerprint"),
     doc=(
-        "Document fingerprinting by winnowing (Schleimer et al.): rolling "
-        f"char-{_WINNOW_K}-gram md5 hashes, per-window ({_WINNOW_W}) minima, "
-        "distinct minima = the fingerprint set. Window-function formulation "
-        "keeps it shuffle-parallel (one partition per doc_id, no UDF)."
+        "Document fingerprinting by winnowing (Schleimer et al.): "
+        f"char-{_WINNOW_K}-gram polynomial hashes (Horner base 128 over "
+        f"7-bit char codes — exact int64 in both engines), per-window "
+        f"({_WINNOW_W}) minima, distinct minima = the fingerprint set. "
+        "Arrow-vectorized mapInPandas kernel (see make_winnow_fn for "
+        "why not array HOFs); map-only, zero shuffle."
     ),
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ZERO-shuffle winnowing. Every position of a document lives in its
-    # source row, so the per-doc rolling minima never need a cluster
-    # shuffle: build the k-gram hash array (60-bit ints from md5 hex, as
-    # before), take each window's min via slice (which truncates at the
-    # array end — same semantics as the previous ROWS BETWEEN CURRENT ROW
-    # AND w-1 FOLLOWING window), dedup within the doc with array_distinct
-    # (equivalent to the old global distinct because doc_id is in the
-    # output), then explode. The old explode→window→distinct formulation
-    # shuffled O(total chars) rows twice; this moves nothing and scales
-    # as map-only work at 100 TB. O(n·w) comparisons with w=16 is cheaper
-    # than the shuffle it replaces.
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
-    hashes = F.expr(
-        f"transform(sequence(1, length(text) - {_WINNOW_K} + 1), "
-        f"p -> cast(conv(substring(md5(substring(text, p, {_WINNOW_K})), 1, 15), 16, 10) as bigint))"
-    )
-    return (
-        d.select("doc_id", hashes.alias("hs"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(hs)), "
-                    f"i -> array_min(slice(hs, i, {_WINNOW_W}))))"
-                )
-            ).alias("fingerprint"),
-        )
+    return d.select("doc_id", "text").mapInPandas(
+        make_winnow_fn(), schema="doc_id long, fingerprint long"
     )
 
 

@@ -174,3 +174,55 @@ def sink_partitioned_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter((F.col("o_year") == 1995) & (F.col("o_orderstatus") == "F")).select(
         "o_orderkey", "o_totalprice", "o_year", "o_orderstatus"
     )
+
+
+@register(
+    "scan_partition_dynamic",
+    oracle="""
+    WITH dim AS (
+      SELECT y, CASE WHEN y < 1998 THEN 'early' ELSE 'late' END AS era
+      FROM (SELECT DISTINCT CAST(YEAR(o_orderdate) AS INT) AS y FROM orders)
+    )
+    SELECT f.o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(f.o_orderkey) AS BIGINT) AS sum_key
+    FROM (SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders) f
+    JOIN dim ON dim.y = f.o_year
+    WHERE dim.era = 'early'
+    GROUP BY f.o_year
+    """,
+    tags=("scan", "partition", "dpp"),
+    doc=(
+        "DYNAMIC partition pruning: the partitioned fact (orders_2level, "
+        "Hive layout by o_year/o_orderstatus) joined to a selectively "
+        "filtered year dimension. The reference can prune only on a "
+        "static single-key filter string "
+        "(ArgodbMapreduceInputFormat.java:208-255); Spark turns the dim "
+        "filter into a runtime subquery on the fact's PartitionFilters "
+        "(dynamicpruningexpression, asserted in tests/test_plans.py), so "
+        "at 100 TB a dim-side predicate eliminates whole fact partitions "
+        "at plan time — SURVEY §4's built-in upgrade, witnessed. The dim "
+        "broadcasts (a handful of years), so the pruning subquery reuses "
+        "the broadcast exchange: zero extra scans of the fact."
+    ),
+)
+def scan_partition_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "orders_2level")
+    marker = os.path.join(out, "_SUCCESS")
+    if fixture_stale(table_path(sf_dir, "orders"), marker):
+        sink_partitioned_multilevel(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .withColumn("era", F.when(F.col("y") < 1998, F.lit("early")).otherwise(F.lit("late")))
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.y)
+        .filter(F.col("era") == "early")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

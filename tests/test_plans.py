@@ -128,6 +128,19 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan, "expected a dynamic partition pruning subquery in the scan"
 
 
+def test_scan_partition_dynamic_prunes_at_runtime(spark, sf_dir):
+    """The REGISTERED DPP query (oracle-checked): the filtered year dim
+    must inject a dynamicpruning subquery into the partitioned fact's
+    scan, and the dim must broadcast so the pruning subquery reuses the
+    exchange."""
+    from argodb_mapreduce_spark.sources.hive_partitions import scan_partition_dynamic
+
+    df = scan_partition_dynamic(spark, sf_dir)
+    plan = explain_str(df, "formatted").lower()
+    assert "dynamicpruning" in plan, "dim filter did not become a runtime partition filter"
+    assert has_broadcast_join(df)
+
+
 def test_chunking_is_shuffle_free(spark, sf_dir):
     from argodb_mapreduce_spark.operators.training_data import chunk_documents
 
@@ -319,13 +332,16 @@ def test_band_join_aqe_skew_split(spark, tmp_path):
 
 def test_winnow_fingerprint_zero_shuffle(spark, sf_dir):
     """Winnowing is per-document work over data already co-located in its
-    source row; the array-HOF formulation (hash array → slice-min →
-    array_distinct → explode) must plan with NO exchange at all — at
-    100 TB this runs map-only. (Replaced the explode→window→distinct
-    shape that shuffled O(total chars) rows twice.)"""
+    source row; the Arrow-vectorized mapInPandas kernel must plan with
+    NO exchange at all — at 100 TB this runs map-only. (History:
+    explode→window→distinct shuffled O(total chars) twice; the r4
+    array-HOF rewrite was shuffle-free but CodegenFallback-interpreted,
+    ~5x slower than the numpy kernel — see make_winnow_fn.)"""
     from argodb_mapreduce_spark.functions.text import text_fingerprint_winnow
 
-    assert n_exchanges(text_fingerprint_winnow(spark, sf_dir)) == 0
+    df = text_fingerprint_winnow(spark, sf_dir)
+    assert n_exchanges(df) == 0
+    assert "MapInPandas" in explain_str(df, "simple")
 
 
 def test_lsh_verify_inside_bucket_groups(spark, sf_dir):
