@@ -60,82 +60,82 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.zorder",
 )
 
-#: ROUND-4 DRIVER WINDOW (VERDICT r3 next-step 1). The driver checks the
+#: ROUND-5 DRIVER WINDOW (VERDICT r4 next-step 1). The driver checks the
 #: first 50 entries of ``queries()`` in dict order; this list pins those
-#: slots to (a) the 16 queries that had never had a driver row entering
-#: round 4 — after this window every pre-round-4 query is
-#: driver-witnessed — then (b) the queries whose code changed this round
-#: (top-k rewrite, persist removal, oracle TRY_CAST fix, LSH in-bucket
-#: verify, CC refactor) so their banked green rows are re-earned against
-#: the new code, then (c) the 6 operators ADDED in round 4 (containment,
-#: BM25, count-min, quantile rollup, embedding clusters, versioned
-#: writer) for first-time evidence, then (d) banked rows not re-run
-#: since their first green
-#: round (joins, minhash pipeline, streaming, IVF, snapshot) as a
-#: regression re-confirmation. 16+5+6+23 = 50 exactly.
+#: slots to (a) the 6 queries with no driver row ever — the five added
+#: after the r4 window froze plus round 5's new DPP query — reaching
+#: 174/174 ever-witnessed, then (b) the 7 queries whose code changed in
+#: round 5 (versioned-writer commit protocol + ns-cast, LSH blocked
+#: bucket scorer + CC consumer, shingle df cap, winnowing poly-hash
+#: mapInPandas kernel) so their banked rows are re-earned against the
+#: new code, then (c) the 5 partition/range sink round-trips whose
+#: staged layouts are governed by the round-5 fixture_stale boundary
+#: fix, then (d) the 32 longest-unrefreshed banked rows — all last
+#: witnessed in round 1. 6+7+5+32 = 50 exactly.
 #:
-#: ROUND-5 ROTATION NOTE: five operators were added AFTER this window
-#: froze and need first-time driver evidence next round —
-#: ``agg_salted_skew``, ``stream_sliding_live``, ``sink_zorder_roundtrip``,
-#: ``join_asof_tolerance``, ``agg_grouping_flags``. Swap them in for five
-#: banked re-confirmations (any stream_*/join_* rows below whose code r4
-#: leaves green).
+#: ROUND-6 ROTATION NOTE: ten r1-banked rows did not fit this window
+#: and are the oldest evidence after r5 — ``q7_nation_volume``,
+#: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
+#: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
+#: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``. Lead the
+#: r6 window with them (plus anything r6 adds or touches), then refresh
+#: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
+#: pack, multimodal, udf pack).
 _PRIORITY = (
-    # --- never driver-witnessed (closes the evidence book: 162/162) ---
-    "snapshot_compaction",
+    # --- (a) never driver-witnessed: closes the book at 174/174 ---
+    "agg_salted_skew",
+    "stream_sliding_live",
+    "sink_zorder_roundtrip",
+    "join_asof_tolerance",
+    "agg_grouping_flags",
+    "scan_partition_dynamic",
+    # --- (b) code changed in round 5: re-earn the green row ---
     "pyds_versioned_scan",
-    "curation_pipeline",
-    "sink_merge_upsert",
-    "join_salted_skew",
-    "join_range_bands",
-    "window_time_range_frame",
-    "events_rolling_distinct",
-    "events_retention",
-    "events_gapfill",
-    "events_anomaly_zscore",
-    "sketch_rollup_hll",
-    "profile_orders",
-    "profile_length_histogram",
-    "profile_token_spectrum",
-    "profile_join_skew",
-    # --- code changed in round 4: re-earn the green row ---
-    "dedup_minhash_verified",
-    "dedup_ngram_jaccard",
-    "text_top_tokens",
-    "data_mixture_sample",
-    "text_fingerprint_winnow",
-    # --- NEW in round 4: first-time driver evidence ---
-    "dedup_containment",
-    "text_bm25_topk",
-    "sketch_count_min",
-    "sketch_rollup_quantile",
-    "similarity_embedding_clusters",
     "pyds_versioned_write",
-    # --- banked, or touched indirectly this round (streaming source
-    # bridge, versioned fixture staleness, CC refactor): re-confirm ---
-    "q1_pricing_summary",
-    "join_semi",
-    "join_broadcast_dim",
-    "join_asof",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_minhash_pairs",
-    "dedup_minhash_clusters",
-    "dedup_minhash_survivors",
-    "dedup_simhash_pairs",
-    "dedup_incremental",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_session_window",
-    "stream_tumbling_live",
-    "stream_dedup_watermark",
-    "stream_stateful_counts",
-    "stream_join_live",
-    "stream_merge_upsert_live",
-    "similarity_ivf_topk",
-    "similarity_ivf_recall",
     "similarity_lsh_neardup",
-    "snapshot_time_travel",
+    "similarity_embedding_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "text_fingerprint_winnow",
+    # --- (c) staged-layout sinks governed by the fixture_stale fix ---
+    "sink_partitioned_roundtrip",
+    "sink_partition_scan_null",
+    "sink_partitioned_multilevel",
+    "sink_range_roundtrip",
+    "sink_range_pruned_lookup",
+    # --- (d) longest-unrefreshed banked rows (all r1) ---
+    "scan_lineitem",
+    "scan_projection",
+    "scan_partition_filter",
+    "scan_partition_nomatch",
+    "scan_events",
+    "agg_minmax_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_anti",
+    "join_cross",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "sort_limit",
+    "window_rank",
+    "window_lag_lead",
+    "window_moving_sum",
+    "topk_per_group",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "subquery_above_avg",
+    "subquery_in",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q10_top_returners",
 )
 
 

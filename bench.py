@@ -63,6 +63,13 @@ HEADLINE = [
     "text_bm25_topk",
     "sketch_count_min",
     "sketch_rollup_quantile",
+    # round-5 additions: the newest operator families get regression
+    # visibility (VERDICT r4 next-step 5) + the new DPP showcase
+    "join_asof",
+    "join_salted_skew",
+    "similarity_embedding_clusters",
+    "stream_tumbling_live",
+    "scan_partition_dynamic",
 ]
 
 
