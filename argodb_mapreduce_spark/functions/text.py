@@ -482,3 +482,104 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.lit(1000000) / F.col("doc_freq"))).alias("rarity_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence / association mining (C4 extension).
+# ---------------------------------------------------------------------------
+
+#: Per-document distinct-token ceiling for the pair join. Pairs per doc
+#: grow O(k²) in the distinct token count k; real corpora have docs
+#: with thousands of distinct tokens, so the standard practice is to
+#: cap tokens per doc (deterministically, here by md5 order) before
+#: pairing — the same heavy-tail guard as MAX_SHINGLE_DF, applied to
+#: the other axis (per-doc width instead of per-token depth). 64 ≥ the
+#: fixture's 25-word vocabulary, so fixture results are unchanged while
+#: the cap stays active in the plan.
+COOC_MAX_TOKENS_PER_DOC = 64
+#: Top-k co-occurring pairs to emit (total order: count desc, pair asc).
+COOC_TOP_K = 20
+
+
+@register(
+    "text_cooccurrence_lift",
+    oracle=f"""
+    WITH dt0 AS (
+      SELECT DISTINCT doc_id, tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      WHERE tok <> ''
+    ), dt AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(tok)) AS rn
+        FROM dt0
+      ) WHERE rn <= {COOC_MAX_TOKENS_PER_DOC}
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ), nd AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab, ca.df AS df_a, cb.df AS df_b,
+           (p.c_ab * nd.n) / (ca.df * cb.df) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.tok = p.tok_a
+    JOIN cnt cb ON cb.tok = p.tok_b
+    CROSS JOIN nd
+    ORDER BY p.c_ab DESC, p.tok_a, p.tok_b
+    LIMIT {COOC_TOP_K}
+    """,
+    tags=("text", "cooccurrence"),
+    doc=(
+        f"Top-{COOC_TOP_K} co-occurring token pairs with association "
+        "lift P(a,b)/(P(a)P(b)) — integer counts divided as exact "
+        "doubles, so the score is engine-exact without ln(). The pair "
+        "join is per-doc distinct tokens self-joined on doc_id, with a "
+        f"deterministic {COOC_MAX_TOKENS_PER_DOC}-token-per-doc cap "
+        "(md5 order) bounding the O(k²) per-doc pair fan-out — the "
+        "wide-document twin of the MAX_SHINGLE_DF hot-shingle guard."
+    ),
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt0 = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    wcap = Window.partitionBy("doc_id").orderBy(F.md5("tok"))
+    dt = (
+        dt0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= COOC_MAX_TOKENS_PER_DOC)
+        .select("doc_id", "tok")
+    )
+    cnt = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = dt.agg(F.countDistinct("doc_id").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    lift = (F.col("c_ab") * F.col("n")) / (F.col("ca.df") * F.col("cb.df"))
+    return (
+        pairs.join(ca, F.col("ca.tok") == F.col("tok_a"))
+        .join(cb, F.col("cb.tok") == F.col("tok_b"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.col("ca.df").alias("df_a"),
+            F.col("cb.df").alias("df_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(COOC_TOP_K)
+    )

@@ -22,7 +22,7 @@ standard scale-out LSH dedup shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
@@ -529,8 +529,6 @@ def cap_shingle_df(sh: DataFrame, max_df: int | None = MAX_SHINGLE_DF) -> DataFr
     """
     if max_df is None:
         return sh
-    from pyspark.sql import Window
-
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("__df", F.count(F.lit(1)).over(w))
@@ -662,4 +660,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
         .filter(c_small >= CONTAINMENT_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — span-level exact dedup (exact-substring dedup approximation).
+# ---------------------------------------------------------------------------
+
+#: Tokens per span for span-level exact dedup. Non-overlapping fixed
+#: windows: cheap (each token appears in exactly one span) and the
+#: standard approximation of exact-substring dedup when the duplicated
+#: region is >= 2*SPAN_TOKENS tokens long.
+SPAN_TOKENS = 10
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+             array_to_string(tk[i * {SPAN_TOKENS} + 1 : (i + 1) * {SPAN_TOKENS}], ' ') AS span_text
+      FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / {SPAN_TOKENS}.0) AS BIGINT))) AS u(i)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx), '') AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup", "span"),
+    doc=(
+        f"Span-level exact dedup (the RefinedWeb/exact-substring shape): "
+        f"documents split into non-overlapping {SPAN_TOKENS}-token spans, "
+        "spans deduplicated corpus-wide keep-first (doc_id, span_idx "
+        "order), surviving spans reassembled per document. One shuffle "
+        "on span_text (the keep-first window) + the per-doc regroup; "
+        "span identity is the text itself so partial aggregation "
+        "combines map-side. Finer-grained than document dedup: strips "
+        "repeated boilerplate *inside* otherwise-unique documents."
+    ),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {SPAN_TOKENS}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i * {SPAN_TOKENS} + 1, {SPAN_TOKENS})))"
+            )
+        ).alias("span_idx", "span_text"),
+    ).select("doc_id", F.col("span_idx").cast("long").alias("span_idx"), "span_text")
+    w = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span_text"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.span_text,
+            ),
+            " ",
+        ).alias("dedup_text"),
     )

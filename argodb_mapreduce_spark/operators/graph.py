@@ -1,0 +1,163 @@
+"""Graph analytics over relational edges: deterministic PageRank
+(SURVEY.md §2.B3/B4 composite; the iterative-algorithm family beside
+``kmeans_lloyd_step`` and the dedup connected-components loops).
+
+``graph_pagerank`` ranks nations by trade flow: edges are
+(supplier nation → customer nation) weighted by lineitem count — the
+q7-shaped 4-table join — then 3 damped power iterations
+(d = 0.85, uniform teleport) over the aggregated graph.
+
+Scale design: the expensive part is building the edge list — a full
+fact-table join-aggregate that shuffles on the join keys and reduces to
+|nations|² ≤ 625 rows. The iterations are joins over that tiny
+aggregate (broadcast-sized); each iteration re-references the same
+edge subtree, and AQE's exchange reuse serves it from the first
+materialization rather than rescanning the fact table. Rank sums use
+the exact-decimal pattern (functions/oracle_safe.py) so the result is
+bit-identical at any parallelism — on 1000 executors the per-dst
+contribution sum is order-independent. The fixed iteration count (no
+convergence probe) keeps the plan static and the oracle expressible as
+a chained-CTE SQL twin.
+
+Determinism notes: every float op is an IEEE double op with a fixed
+association order (w/outw division, r*ratio product, decimal-exact
+sum, 0.006 + 0.85*s affine step), so Spark and DuckDB agree bitwise.
+N = 25 nations is fixed by the TPC-H spec at every scale factor; the
+teleport term (1-d)/N = 0.006 is a literal on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.registry import register
+
+#: Damping factor and iteration count (fixed — keeps the oracle a
+#: finite CTE chain and the plan static).
+DAMPING = 0.85
+N_ITER = 3
+#: TPC-H has exactly 25 nations at every scale factor.
+N_NATIONS = 25
+_TELEPORT = (1.0 - DAMPING) / N_NATIONS  # 0.006
+
+
+def _sql_pagerank() -> str:
+    parts = [
+        """
+    WITH e AS (
+      SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+             CAST(c.c_nationkey AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ), ow AS (
+      SELECT src, SUM(w) AS outw FROM e GROUP BY src
+    ), er AS (
+      SELECT e.src, e.dst, e.w / ow.outw AS ratio FROM e JOIN ow ON ow.src = e.src
+    ), r0 AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS node, n_name,
+             CAST(0.04 AS DOUBLE) AS r
+      FROM nation
+    )"""
+    ]
+    for k in range(1, N_ITER + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f""", c{k} AS (
+      SELECT er.dst AS node, {sql_dsum("p.r * er.ratio", 15)} AS s
+      FROM er JOIN {prev} p ON p.node = er.src GROUP BY er.dst
+    ), dm{k} AS (
+      SELECT {sql_dsum("p.r", 15)} AS dm
+      FROM {prev} p WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.src = p.node)
+    ), r{k} AS (
+      SELECT n.node, n.n_name,
+             CAST({_TELEPORT!r} AS DOUBLE)
+               + CAST({DAMPING!r} AS DOUBLE)
+                 * (COALESCE(c{k}.s, CAST(0 AS DOUBLE))
+                    + COALESCE(dm{k}.dm, CAST(0 AS DOUBLE)) / CAST({N_NATIONS} AS DOUBLE)) AS r
+      FROM {prev} n LEFT JOIN c{k} ON c{k}.node = n.node CROSS JOIN dm{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS nation_key, n_name, r AS pagerank FROM r{N_ITER}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_sql_pagerank(),
+    tags=("graph", "iterative", "join"),
+    doc=(
+        f"PageRank over the nation trade graph: edges = supplier-nation → "
+        f"customer-nation weighted by lineitem count (q7-shaped fact join, "
+        f"the only heavy stage), then {N_ITER} damped power iterations "
+        f"(d={DAMPING}) as tiny joins over the ≤{N_NATIONS}² aggregated "
+        "edge list. Exact-decimal contribution sums keep the doubles "
+        "bit-identical at any parallelism."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            s.s_nationkey.cast("long").alias("src"),
+            c.c_nationkey.cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    er = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("ratio")
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    ranks = nodes.withColumn("r", F.lit(1.0 / N_NATIONS))
+    for _ in range(N_ITER):
+        contrib = er.join(
+            ranks.select(F.col("node").alias("src"), "r"), "src"
+        ).select("dst", (F.col("r") * F.col("ratio")).alias("rc"))
+        summed = contrib.groupBy("dst").agg(dsum("rc", scale=15).alias("s"))
+        # Dangling-node mass (nodes with no out-edges — at small SFs most
+        # nations have no supplier) is redistributed uniformly, the
+        # canonical PageRank treatment; without it rank mass leaks and
+        # the sum-to-1 invariant (test_pagerank_mass_and_bounds) breaks.
+        dangling = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(dsum("r", scale=15).alias("dm"))
+        )
+        ranks = (
+            ranks.select("node", "n_name")
+            .join(summed, F.col("node") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "n_name",
+                (
+                    F.lit(_TELEPORT)
+                    + F.lit(DAMPING)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.coalesce(F.col("dm"), F.lit(0.0)) / F.lit(float(N_NATIONS))
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nation_key"), "n_name", F.col("r").alias("pagerank")
+    )

@@ -156,3 +156,47 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_event_id")).alias("asof_event_id"),
         F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (the non-partitioned twin of DPP).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#33'
+    """,
+    tags=("join", "runtime-filter"),
+    doc=(
+        "Selective dim filter joined to the fact table with Spark's "
+        "runtime bloom-filter injection enabled (InjectRuntimeFilter): "
+        "for shuffle joins, the planner builds a bloom filter from the "
+        "filtered build side and applies might_contain() on the fact "
+        "scan — row groups full of non-matching keys are skipped before "
+        "the shuffle, the non-partitioned twin of scan_partition_dynamic's "
+        "DPP. At fixture scale AQE turns this join into a broadcast "
+        "(which already prunes map-side), so the bloom path is proven "
+        "separately with broadcast disabled in "
+        "tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_side; this "
+        "query keeps the enabling confs a 100 TB user would set and "
+        "oracles the join result."
+    ),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Thresholds a large-cluster deployment would set: always consider
+    # the filtered build side (creation threshold up) and never skip
+    # injection because the probe side looks small (application
+    # threshold down). Semantics are unaffected; harmless session-wide.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#33").select("p_partkey")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
+    )

@@ -1,0 +1,151 @@
+"""Event-lifecycle operators: batch sessionization and SCD Type-2
+history derivation (SURVEY.md §2.B5 composite shapes).
+
+Two change-over-time keyings every event pipeline needs, both pure
+per-user window algebra (no UDFs, no driver loops):
+
+- ``events_sessionize`` — gap-based session assignment: a new session
+  starts when a user's inter-event gap exceeds SESSION_GAP_MIN minutes;
+  sessions then aggregate to (start, end, n_events, total_value). This
+  is the batch twin of ``stream_session_window`` (which uses Spark's
+  session_window on event time): the batch form keys sessions by
+  *ordinal per user* so a session's identity is stable under
+  reprocessing — what an attribution or replay job needs.
+
+- ``scd2_user_history`` — Slowly-Changing-Dimension Type-2 derivation
+  from a change feed: per user, consecutive runs of the same attribute
+  value collapse to one row with [valid_from, valid_to) validity and an
+  is_current flag — the standard warehouse history table, derived
+  entirely with lag/lead windows (no MERGE loop).
+
+Scale: both shapes shuffle once on user_id and sort within user by
+(ts, event_id) — per-user data is small (a user's own events), so the
+window never sees a skewed giant partition unless one user dominates
+the corpus; that pathological key is the same salting territory as
+``join_salted_skew``. No state beyond the window frame; 100 TB of
+events is just more user partitions.
+
+Reference parity: the reference delegates arbitrary reduce keyings to
+MapReduce (SURVEY.md §2.B3/B5); these are the canonical event-lifecycle
+keyings made first-class, same as operators/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.registry import register
+
+#: Inter-event gap (minutes) that closes a session.
+SESSION_GAP_MIN = 30
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value")} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "window", "session"),
+    doc=(
+        f"Gap-based batch sessionization: a >{SESSION_GAP_MIN}-minute "
+        "inter-event gap starts a new session (lag + running-sum window, "
+        "one shuffle on user_id); sessions aggregate to start/end/count/"
+        "value. Session ids are per-user ordinals — stable under replay."
+    ),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS BIGINT) AS version,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    tags=("events", "window", "scd2"),
+    doc=(
+        "SCD Type-2 history from a change feed: per user, consecutive "
+        "runs of the same attribute value collapse to one versioned row "
+        "with [valid_from, valid_to) validity and an is_current flag — "
+        "the warehouse history table derived as pure window algebra "
+        "(lag to detect changes, lead to close intervals), one shuffle "
+        "on user_id, no MERGE loop."
+    ),
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    changes = (
+        e.withColumn("prev_type", prev_type)
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    # event_id tie-break keeps version numbering total even if a user
+    # has two change rows at the same microsecond.
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(wv)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

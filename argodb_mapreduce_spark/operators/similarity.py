@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table, table_rowcount
+from argodb_mapreduce_spark.functions.oracle_safe import davg, sql_davg
 from argodb_mapreduce_spark.registry import register
 
 TOP_K = 5
@@ -661,3 +662,63 @@ def similarity_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = similarity_lsh_neardup(spark, sf_dir).select("a_id", "b_id")
     labels = min_label_components(vecs, pairs, caller="similarity_embedding_clusters")
     return labels.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# C3 extension — embedding feature normalization + per-dimension profile.
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_normalize_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * {float(_Q)}) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ), nrm AS (
+      SELECT vec_id, SQRT(CAST(SUM(q * q) AS DOUBLE)) / {float(_Q)} AS norm
+      FROM q GROUP BY vec_id
+    ), nc AS (
+      SELECT q.pos, (q.q / {float(_Q)}) / nrm.norm AS v
+      FROM q JOIN nrm ON nrm.vec_id = q.vec_id
+      WHERE nrm.norm > 0
+    )
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {sql_davg("v", 12)} AS mean_comp,
+           MIN(v) AS min_comp,
+           MAX(v) AS max_comp
+    FROM nc GROUP BY pos
+    """,
+    tags=("similarity", "vector", "profile"),
+    doc=(
+        "L2-normalize every embedding, then profile each dimension "
+        "(count/mean/min/max of the normalized component) — the feature-"
+        "normalization + drift-profile pass an embedding pipeline runs "
+        "before ANN indexing. Components ride the 2^-20 quantization "
+        "grid so the norm is an exact integer sum in both engines; the "
+        "per-dim mean uses the exact-decimal sum. Shuffles O(vectors) "
+        "for the norm and O(dims) for the profile — the profile side is "
+        "map-combinable, so 100 TB of vectors reduces to dims-sized "
+        "state per partition."
+    ),
+)
+def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode(_quantize(F.col("embedding"))).alias("pos", "q")
+    )
+    nrm = q.groupBy("vec_id").agg(
+        (F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")) / F.lit(float(_Q))).alias("norm")
+    )
+    nc = (
+        q.join(nrm, "vec_id")
+        .filter(F.col("norm") > 0)
+        .select("pos", ((F.col("q") / F.lit(float(_Q))) / F.col("norm")).alias("v"))
+    )
+    return nc.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        davg("v", 12).alias("mean_comp"),
+        F.min("v").alias("min_comp"),
+        F.max("v").alias("max_comp"),
+    )

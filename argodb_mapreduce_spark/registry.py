@@ -58,6 +58,8 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.retrieval",
     "argodb_mapreduce_spark.operators.sketches",
     "argodb_mapreduce_spark.operators.zorder",
+    "argodb_mapreduce_spark.operators.sessions",
+    "argodb_mapreduce_spark.operators.graph",
 )
 
 #: ROUND-5 DRIVER WINDOW (VERDICT r4 next-step 1). The driver checks the
@@ -70,14 +72,20 @@ _QUERY_MODULES = (
 #: mapInPandas kernel) so their banked rows are re-earned against the
 #: new code, then (c) the 5 partition/range sink round-trips whose
 #: staged layouts are governed by the round-5 fixture_stale boundary
-#: fix, then (d) the 32 longest-unrefreshed banked rows — all last
-#: witnessed in round 1. 6+7+5+32 = 50 exactly.
+#: fix, then (c2) the seven operators added late in round 5
+#: (sessionize, SCD2, span dedup, PageRank, co-occurrence, embedding
+#: normalize, bloom join) — first-ever driver evidence, then (d) the 25
+#: longest-unrefreshed banked rows — all last witnessed in round 1.
+#: 6+7+5+7+25 = 50 exactly.
 #:
-#: ROUND-6 ROTATION NOTE: ten r1-banked rows did not fit this window
-#: and are the oldest evidence after r5 — ``q7_nation_volume``,
+#: ROUND-6 ROTATION NOTE: seventeen r1-banked rows did not fit this
+#: window and are the oldest evidence after r5 — ``q7_nation_volume``,
 #: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
 #: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
-#: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``. Lead the
+#: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
+#: seven displaced by the late-round-5 additions: ``q4_order_priority``,
+#: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
+#: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``. Lead the
 #: r6 window with them (plus anything r6 adds or touches), then refresh
 #: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
 #: pack, multimodal, udf pack).
@@ -103,6 +111,14 @@ _PRIORITY = (
     "sink_partitioned_multilevel",
     "sink_range_roundtrip",
     "sink_range_pruned_lookup",
+    # --- (c2) late round-5 additions: first-ever driver evidence ---
+    "events_sessionize",
+    "scd2_user_history",
+    "dedup_span_exact",
+    "graph_pagerank",
+    "text_cooccurrence_lift",
+    "embedding_normalize_stats",
+    "join_bloom_pruned",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -129,13 +145,6 @@ _PRIORITY = (
     "topk_per_group",
     "set_union_all",
     "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "subquery_above_avg",
-    "subquery_in",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q10_top_returners",
 )
 
 

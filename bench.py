@@ -70,6 +70,10 @@ HEADLINE = [
     "similarity_embedding_clusters",
     "stream_tumbling_live",
     "scan_partition_dynamic",
+    # late round-5 additions
+    "graph_pagerank",
+    "dedup_span_exact",
+    "events_sessionize",
 ]
 
 
