@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.functions.oracle_safe import davg, sql_davg
 from argodb_mapreduce_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -582,4 +583,72 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(COOC_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model score (C4 extension — the KenLM-filter stand-in).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS big
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+           UNNEST(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ), c2 AS (
+      SELECT big, COUNT(*) AS c FROM bg GROUP BY big
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1
+    ), j AS (
+      SELECT bg.doc_id, (c2.c / c1.c) AS p
+      FROM bg JOIN c2 ON c2.big = bg.big JOIN c1 ON c1.w1 = bg.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_davg("p", 12)} AS lm_score
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+    doc=(
+        "Per-document bigram LM score: corpus-MLE conditional "
+        "probability p(w2|w1) = c(w1 w2)/c(w1 ·) averaged over each "
+        "document's bigram instances — the self-trained stand-in for a "
+        "KenLM perplexity quality filter (low score = improbable token "
+        "transitions = noisy doc). Probabilities are exact bigint "
+        "ratios in double and the per-doc mean uses the exact-decimal "
+        "sum, so the score is engine-exact without logs. Scale: bigram "
+        "explode is map-side; two count shuffles (combinable) + the "
+        "count join-back keyed on bigram/unigram; the per-doc regroup "
+        "shuffles O(bigram instances) once — all linear passes."
+    ),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> struct(tk[i] AS w1, concat(tk[i], ' ', tk[i + 1]) AS big))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.big").alias("big"))
+    )
+    c2 = bg.groupBy("big").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    j = (
+        bg.join(c2, "big")
+        .join(c1, "w1")
+        .select("doc_id", (F.col("c2") / F.col("c1")).alias("p"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        davg("p", 12).alias("lm_score"),
     )

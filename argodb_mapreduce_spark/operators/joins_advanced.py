@@ -200,3 +200,47 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT l.k, l.n_events, r.n_users
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("join", "null-semantics"),
+    doc=(
+        "Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT "
+        "FROM): NULL keys match each other instead of silently dropping "
+        "— the semantics a fact/dim join needs when the key is a "
+        "nullable derived category (here event_type with 'error' "
+        "nulled). A plain equi-join would lose the NULL group on both "
+        "sides; the result proves the NULL row survives. Executes as an "
+        "ordinary hash join (null-safe equality is still an equi-key "
+        "for partitioning: NULL hashes to a single partition — if NULLs "
+        "were the majority key that's the usual salting territory)."
+    ),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type"))
+    left = e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    right = e.groupBy(k.alias("k")).agg(F.countDistinct("user_id").alias("n_users"))
+    lft = left.alias("l")
+    rgt = right.alias("r")
+    return lft.join(rgt, F.col("l.k").eqNullSafe(F.col("r.k"))).select(
+        F.col("l.k").alias("k"), "n_events", "n_users"
+    )

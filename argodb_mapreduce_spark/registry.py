@@ -72,20 +72,22 @@ _QUERY_MODULES = (
 #: mapInPandas kernel) so their banked rows are re-earned against the
 #: new code, then (c) the 5 partition/range sink round-trips whose
 #: staged layouts are governed by the round-5 fixture_stale boundary
-#: fix, then (c2) the seven operators added late in round 5
+#: fix, then (c2) the nine operators added late in round 5
 #: (sessionize, SCD2, span dedup, PageRank, co-occurrence, embedding
-#: normalize, bloom join) — first-ever driver evidence, then (d) the 25
-#: longest-unrefreshed banked rows — all last witnessed in round 1.
-#: 6+7+5+7+25 = 50 exactly.
+#: normalize, bloom join, bigram LM score, null-safe join) —
+#: first-ever driver evidence, then (d) the 23 longest-unrefreshed
+#: banked rows — all last witnessed in round 1. 6+7+5+9+23 = 50
+#: exactly.
 #:
 #: ROUND-6 ROTATION NOTE: seventeen r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
 #: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
 #: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
 #: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
-#: seven displaced by the late-round-5 additions: ``q4_order_priority``,
+#: nine displaced by the late-round-5 additions: ``q4_order_priority``,
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
-#: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``. Lead the
+#: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
+#: ``set_union_all``, ``set_intersect``. Lead the
 #: r6 window with them (plus anything r6 adds or touches), then refresh
 #: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
 #: pack, multimodal, udf pack).
@@ -119,6 +121,8 @@ _PRIORITY = (
     "text_cooccurrence_lift",
     "embedding_normalize_stats",
     "join_bloom_pruned",
+    "text_bigram_lm_score",
+    "join_null_safe",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -143,8 +147,6 @@ _PRIORITY = (
     "window_lag_lead",
     "window_moving_sum",
     "topk_per_group",
-    "set_union_all",
-    "set_intersect",
 )
 
 

@@ -126,3 +126,34 @@ def test_embedding_normalization_geometry(spark, sf_dir):
     # Normalized components live in [-1, 1].
     for r in rows:
         assert -1.0 - 1e-9 <= r["min_comp"] <= r["max_comp"] <= 1.0 + 1e-9
+
+
+def test_bigram_lm_score_bounds(spark, sf_dir):
+    from argodb_mapreduce_spark.functions.text import text_bigram_lm_score
+
+    out = text_bigram_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert out.count() == eligible
+    # MLE conditional probabilities live in (0, 1].
+    bad = out.filter((F.col("lm_score") <= 0) | (F.col("lm_score") > 1.0)).count()
+    assert bad == 0
+
+
+def test_null_safe_join_keeps_null_group(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.joins_advanced import join_null_safe
+
+    out = join_null_safe(spark, sf_dir)
+    rows = out.collect()
+    null_rows = [r for r in rows if r["k"] is None]
+    # The nulled 'error' category must survive the join...
+    assert len(null_rows) == 1
+    assert null_rows[0]["n_events"] > 0 and null_rows[0]["n_users"] > 0
+    # ...whereas a plain equi-join on the same sides drops it.
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type"))
+    left = e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    right = e.groupBy(k.alias("k")).agg(F.countDistinct("user_id").alias("n_users"))
+    plain = left.alias("l").join(right.alias("r"), F.col("l.k") == F.col("r.k"))
+    assert plain.filter(F.col("l.k").isNull()).count() == 0
+    assert plain.count() == len(rows) - 1
