@@ -65,3 +65,63 @@ def sql_dsum(expr: str, scale: int = DEFAULT_SCALE) -> str:
 def sql_davg(expr: str, scale: int = DEFAULT_SCALE) -> str:
     """DuckDB twin of :func:`davg`."""
     return f"{sql_dsum(expr, scale)} / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Power-of-two-grid sums: the exact pattern for IRRATIONAL doubles.
+# ---------------------------------------------------------------------------
+# The decimal cast above is bit-safe only when the TRUE value lies on a
+# coarse decimal grid (prices, 2-decimal measures): the double sits
+# ~1e-16 from the grid point, far from the rounding boundary at the
+# cast scale. For irrational per-row values (ratios, products of
+# ratios, anything through sqrt/division) the value is uniform over the
+# rounding interval, and DuckDB's double->decimal cast DOUBLE-ROUNDS
+# (scale by 10^s in double — itself a rounded op with ulp(v*10^s)
+# error — then round), while Spark's BigDecimal cast rounds the
+# shortest decimal representation: near a boundary the two can differ
+# by one decimal ulp (observed: embedding_normalize_stats at sf0.01).
+#
+# Scaling by 2^bits instead is EXACT in double (exponent shift only),
+# so ROUND sees bit-identical values in both engines; half-ties agree
+# (Spark HALF_UP == C round(): both away from zero). The rounded grid
+# values sum exactly in decimal(38,0)/HUGEINT, and the final
+# /2^bits is an exact power-of-two division. Quantization error is
+# 2^-bits per row (1e-12 at the default 40 bits) — deterministic and
+# identical on both sides, which is the property that matters.
+
+GRID_BITS = 40
+
+
+def _grid(bits: int) -> float:
+    return float(1 << bits)
+
+
+def gsum(col: Column | str, bits: int = GRID_BITS) -> Column:
+    """Order-independent double sum for irrational per-row values."""
+    c = F.col(col) if isinstance(col, str) else col
+    g = _grid(bits)
+    return F.sum(F.round(c * F.lit(g)).cast("decimal(38,0)")).cast("double") / F.lit(g)
+
+
+def gavg(col: Column | str, bits: int = GRID_BITS) -> Column:
+    """Order-independent double average on the 2^-bits grid."""
+    c = F.col(col) if isinstance(col, str) else col
+    g = _grid(bits)
+    return (
+        F.sum(F.round(c * F.lit(g)).cast("decimal(38,0)")).cast("double") / F.lit(g)
+    ) / F.count(c)
+
+
+def sql_gsum(expr: str, bits: int = GRID_BITS) -> str:
+    """DuckDB twin of :func:`gsum` (VARCHAR hop: HUGEINT->DOUBLE direct
+    would double-round past 2^53, string parse is correctly rounded)."""
+    g = _grid(bits)
+    return (
+        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * {g!r}) AS BIGINT)) AS VARCHAR) AS DOUBLE)"
+        f" / {g!r}"
+    )
+
+
+def sql_gavg(expr: str, bits: int = GRID_BITS) -> str:
+    """DuckDB twin of :func:`gavg`."""
+    return f"{sql_gsum(expr, bits)} / COUNT({expr})"

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
-from argodb_mapreduce_spark.functions.oracle_safe import davg, sql_davg
+from argodb_mapreduce_spark.functions.oracle_safe import gavg, sql_gavg
 from argodb_mapreduce_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -608,7 +608,7 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           {sql_davg("p", 12)} AS lm_score
+           {sql_gavg("p")} AS lm_score
     FROM j GROUP BY doc_id
     """,
     tags=("text", "quality", "lm"),
@@ -650,5 +650,5 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        davg("p", 12).alias("lm_score"),
+        gavg("p").alias("lm_score"),
     )

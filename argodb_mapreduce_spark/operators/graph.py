@@ -13,14 +13,15 @@ fact-table join-aggregate that shuffles on the join keys and reduces to
 aggregate (broadcast-sized); each iteration re-references the same
 edge subtree, and AQE's exchange reuse serves it from the first
 materialization rather than rescanning the fact table. Rank sums use
-the exact-decimal pattern (functions/oracle_safe.py) so the result is
-bit-identical at any parallelism — on 1000 executors the per-dst
+the power-of-two-grid pattern (oracle_safe.gsum: per-row contributions
+are irrational ratio products, where a decimal cast can double-round in
+DuckDB) so the result is bit-identical at any parallelism — on 1000 executors the per-dst
 contribution sum is order-independent. The fixed iteration count (no
 convergence probe) keeps the plan static and the oracle expressible as
 a chained-CTE SQL twin.
 
 Determinism notes: every float op is an IEEE double op with a fixed
-association order (w/outw division, r*ratio product, decimal-exact
+association order (w/outw division, r*ratio product, 2^-40-grid exact
 sum, 0.006 + 0.85*s affine step), so Spark and DuckDB agree bitwise.
 N = 25 nations is fixed by the TPC-H spec at every scale factor; the
 teleport term (1-d)/N = 0.006 is a literal on both sides.
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
-from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.functions.oracle_safe import gsum, sql_gsum
 from argodb_mapreduce_spark.registry import register
 
 #: Damping factor and iteration count (fixed — keeps the oracle a
@@ -70,10 +71,10 @@ def _sql_pagerank() -> str:
         prev = f"r{k - 1}"
         parts.append(
             f""", c{k} AS (
-      SELECT er.dst AS node, {sql_dsum("p.r * er.ratio", 15)} AS s
+      SELECT er.dst AS node, {sql_gsum("p.r * er.ratio")} AS s
       FROM er JOIN {prev} p ON p.node = er.src GROUP BY er.dst
     ), dm{k} AS (
-      SELECT {sql_dsum("p.r", 15)} AS dm
+      SELECT {sql_gsum("p.r")} AS dm
       FROM {prev} p WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.src = p.node)
     ), r{k} AS (
       SELECT n.node, n.n_name,
@@ -101,7 +102,7 @@ def _sql_pagerank() -> str:
         f"customer-nation weighted by lineitem count (q7-shaped fact join, "
         f"the only heavy stage), then {N_ITER} damped power iterations "
         f"(d={DAMPING}) as tiny joins over the ≤{N_NATIONS}² aggregated "
-        "edge list. Exact-decimal contribution sums keep the doubles "
+        "edge list. Power-of-two-grid contribution sums keep the doubles "
         "bit-identical at any parallelism."
     ),
 )
@@ -132,14 +133,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = er.join(
             ranks.select(F.col("node").alias("src"), "r"), "src"
         ).select("dst", (F.col("r") * F.col("ratio")).alias("rc"))
-        summed = contrib.groupBy("dst").agg(dsum("rc", scale=15).alias("s"))
+        summed = contrib.groupBy("dst").agg(gsum("rc").alias("s"))
         # Dangling-node mass (nodes with no out-edges — at small SFs most
         # nations have no supplier) is redistributed uniformly, the
         # canonical PageRank treatment; without it rank mass leaks and
         # the sum-to-1 invariant (test_pagerank_mass_and_bounds) breaks.
         dangling = (
             ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(dsum("r", scale=15).alias("dm"))
+            .agg(gsum("r").alias("dm"))
         )
         ranks = (
             ranks.select("node", "n_name")

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table, table_rowcount
-from argodb_mapreduce_spark.functions.oracle_safe import davg, sql_davg
+from argodb_mapreduce_spark.functions.oracle_safe import gavg, sql_gavg
 from argodb_mapreduce_spark.registry import register
 
 TOP_K = 5
@@ -668,11 +668,6 @@ def similarity_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
 # C3 extension — embedding feature normalization + per-dimension profile.
 # ---------------------------------------------------------------------------
 
-#: Power-of-two grid for the per-dimension mean: multiplying a double by
-#: 2^40 is exact (exponent shift), so ROUND operates on identical values
-#: in Spark (BigDecimal HALF_UP) and DuckDB (C round, half-away) —
-#: half-ties agree, and there is no decimal double-rounding.
-_VGRID = 1 << 40
 
 @register(
     "embedding_normalize_stats",
@@ -691,8 +686,7 @@ _VGRID = 1 << 40
     )
     SELECT pos,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(CAST(SUM(CAST(ROUND(v * {float(_VGRID)}) AS BIGINT)) AS VARCHAR) AS DOUBLE)
-             / {float(_VGRID)} / COUNT(*) AS mean_comp,
+           {sql_gavg("v")} AS mean_comp,
            MIN(v) AS min_comp,
            MAX(v) AS max_comp
     FROM nc GROUP BY pos
@@ -704,12 +698,11 @@ _VGRID = 1 << 40
         "normalization + drift-profile pass an embedding pipeline runs "
         "before ANN indexing. Components ride the 2^-20 quantization "
         "grid so the norm is an exact integer sum in both engines. The "
-        "per-dim mean sums on a 2^-40 POWER-OF-TWO grid, not a decimal "
-        "cast: v * 2^40 is exact in double (exponent shift only), so "
-        "ROUND sees the same value in both engines — a decimal(18,12) "
-        "cast double-rounds in DuckDB (multiply by 10^12, then round) "
-        "and drifted one decimal-ulp from Spark's BigDecimal cast at "
-        "sf=0.01. Shuffles O(vectors) for the norm and O(dims) for the "
+        "per-dim mean uses oracle_safe.gavg — the 2^-40 power-of-two "
+        "grid for irrational per-row values, where a decimal cast "
+        "double-rounds in DuckDB and drifted one decimal-ulp from "
+        "Spark's BigDecimal cast at sf=0.01 (strict driver sim). "
+        "Shuffles O(vectors) for the norm and O(dims) for the "
         "profile — the profile side is map-combinable, so 100 TB of "
         "vectors reduces to dims-sized state per partition."
     ),
@@ -727,13 +720,9 @@ def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("norm") > 0)
         .select("pos", ((F.col("q") / F.lit(float(_Q))) / F.col("norm")).alias("v"))
     )
-    # decimal(38,0) sum: |round(v*2^40)| <= 2^40, so a bigint sum would
-    # only overflow past 2^23 rows per dim — decimal keeps it exact at
-    # any count (HUGEINT on the DuckDB side).
-    vq = F.round(F.col("v") * F.lit(float(_VGRID))).cast("decimal(38,0)")
     return nc.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        (F.sum(vq).cast("double") / F.lit(float(_VGRID)) / F.count(F.lit(1))).alias("mean_comp"),
+        gavg("v").alias("mean_comp"),
         F.min("v").alias("min_comp"),
         F.max("v").alias("max_comp"),
     )

@@ -226,3 +226,37 @@ def test_fixture_stale_ordering(tmp_path):
     assert not fixture_stale(str(src), str(marker))  # marker newer
     os.utime(src, (os.path.getmtime(str(marker)) + 10,) * 2)
     assert fixture_stale(str(src), str(marker))  # source regenerated
+
+
+def test_grid_sum_cross_engine_boundary_values(spark):
+    """oracle_safe.gsum/gavg must be bit-identical between Spark and
+    DuckDB even for values engineered to sit near rounding boundaries —
+    the adversarial case where the decimal(18,s) cast pattern diverged
+    (DuckDB double->decimal double-rounds; caught at sf0.01 in
+    embedding_normalize_stats). The grid helpers scale by 2^40, which
+    is exact in double, so no boundary case can split the engines."""
+    import duckdb
+
+    from argodb_mapreduce_spark.functions.oracle_safe import gavg, gsum, sql_gavg, sql_gsum
+
+    g = float(1 << 40)
+    vals = []
+    # Near-half-grid values: (k + 0.5) / 2^40 plus tiny perturbations.
+    for k in (3, 7, 1001, 123457):
+        base = (k + 0.5) / g
+        for eps in (0.0, 1e-18, -1e-18, 5e-14, -5e-14):
+            vals.append(base + eps)
+    # Irrational-ish values from divisions and square roots.
+    for n in range(1, 60):
+        vals.append((n / 7.0) / math.sqrt(n + 1))
+        vals.append(-(n / 13.0) / (n + 0.3))
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    srow = sdf.agg(gsum("v").alias("s"), gavg("v").alias("a")).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    osum, oavg = con.execute(
+        f"SELECT {sql_gsum('v')} AS s, {sql_gavg('v')} AS a FROM t"
+    ).fetchone()
+    assert srow["s"] == osum, (srow["s"], osum)
+    assert srow["a"] == oavg, (srow["a"], oavg)
