@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.zorder",
     "argodb_mapreduce_spark.operators.sessions",
     "argodb_mapreduce_spark.operators.graph",
+    "argodb_mapreduce_spark.operators.cleaning",
 )
 
 #: ROUND-5 DRIVER WINDOW (VERDICT r4 next-step 1). The driver checks the
@@ -87,7 +88,9 @@ _QUERY_MODULES = (
 #: nine displaced by the late-round-5 additions: ``q4_order_priority``,
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
 #: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
-#: ``set_union_all``, ``set_intersect``. Lead the
+#: ``set_union_all``, ``set_intersect``, and the round-5 cleaning pack
+#: (``events_anomaly_mad``, ``clean_winsorize`` — registered after the
+#: window froze, strict-sim verified locally at sf0.01). Lead the
 #: r6 window with them (plus anything r6 adds or touches), then refresh
 #: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
 #: pack, multimodal, udf pack).
