@@ -74,6 +74,8 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_span_exact",
     "events_sessionize",
+    "text_bigram_lm_score",
+    "events_anomaly_mad",
 ]
 
 
