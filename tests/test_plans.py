@@ -412,3 +412,47 @@ def test_salted_agg_partial_keys_include_salt(spark, sf_dir):
 
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("salt" in p and "o_orderpriority" in p for p in parts), parts
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization is one shuffle on user_id: the lag window, the
+    running-sum window, and the session groupBy all share the user_id
+    partitioning, so Catalyst plans exactly one exchange — the property
+    that makes the shape linear at 100 TB."""
+    from argodb_mapreduce_spark.operators.sessions import events_sessionize
+    from argodb_mapreduce_spark.plans.checks import n_exchanges
+
+    assert n_exchanges(events_sessionize(spark, sf_dir)) == 1
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """SCD2 derivation likewise plans one user_id exchange: change
+    detection (lag) and interval close (lead) ride the same window
+    partitioning."""
+    from argodb_mapreduce_spark.operators.sessions import scd2_user_history
+    from argodb_mapreduce_spark.plans.checks import n_exchanges
+
+    assert n_exchanges(scd2_user_history(spark, sf_dir)) == 1
+
+
+def test_pagerank_scans_fact_once(spark, sf_dir):
+    """After the edge-list localCheckpoint, the iteration plan contains
+    no lineitem scan at all — the heavy 4-table join ran exactly once
+    at checkpoint time; iterations join the materialized ≤625-row edge
+    table."""
+    from argodb_mapreduce_spark.operators.graph import graph_pagerank
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(graph_pagerank(spark, sf_dir), "formatted")
+    assert "lineitem" not in plan.lower(), plan[:1500]
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+def test_span_dedup_no_cross_join(spark, sf_dir):
+    """Span dedup is window + regroup — no join of any kind in the
+    plan (the keep-first decision is a row_number, not a self-join)."""
+    from argodb_mapreduce_spark.operators.dedup import dedup_span_exact
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(dedup_span_exact(spark, sf_dir), "formatted")
+    assert "Join" not in plan, plan[:1500]
