@@ -108,3 +108,29 @@ def test_bm25_ranks_the_duplicates_identically(spark, edge_dir):
     # string must NOT act as a matchable high-df term.
     assert scores[4] == scores[5]
     assert 0 not in scores and 1 not in scores
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_span_exact", "text_cooccurrence_lift", "text_bigram_lm_score"],
+)
+def test_round5_text_ops_survive_degenerate_docs(spark, edge_dir, name):
+    rows = QS[name].fn(spark, edge_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_span_dedup_collapses_exact_duplicate(spark, edge_dir):
+    """Doc 5 duplicates doc 4 exactly: every one of its spans is a
+    repeat, so span dedup keeps zero spans for it and its dedup_text is
+    empty, while doc 4 (first occurrence) keeps everything."""
+    out = {r["doc_id"]: r for r in QS["dedup_span_exact"].fn(spark, edge_dir).collect()}
+    assert out[5]["n_kept"] == 0 and out[5]["dedup_text"] == ""
+    assert out[4]["n_kept"] == out[4]["n_spans"]
+
+
+def test_bigram_lm_skips_short_docs(spark, edge_dir):
+    """Docs with fewer than 2 tokens (empty / whitespace / solitary)
+    produce no bigrams and are absent from the score table."""
+    ids = {r["doc_id"] for r in QS["text_bigram_lm_score"].fn(spark, edge_dir).collect()}
+    assert 0 not in ids and 2 not in ids
+    assert {3, 4, 5} <= ids
