@@ -328,19 +328,22 @@ def min_label_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # The changed flag is computed inside the same join that builds
+        # the new labels and rides the checkpoint materialization — the
+        # convergence probe is then a filter-scan of checkpointed rows
+        # (no join, no shuffle), halving the per-round job cost vs the
+        # earlier new-vs-old label join.
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"))
+            .select(
+                "id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             converged = True
             break
