@@ -1,0 +1,149 @@
+"""BI composite shapes (SURVEY.md §2.B3/B5 extensions): statistical
+mode, percent-of-total windows, and RFM quintile segmentation — the
+everyday reporting keyings a reference user would otherwise hand-roll
+as MapReduce reducers.
+
+All three are single-pass window/groupBy algebra with deterministic
+tie-breaks, so each has an exact DuckDB twin:
+
+- ``agg_mode`` — most frequent value per group, ties broken by value
+  order (SQL has no portable MODE() with deterministic ties; the
+  row_number-over-counts formulation is the engine-exact version).
+- ``window_percent_of_total`` — each row's share of its group total;
+  the group total is an exact decimal window sum so the denominator is
+  identical at any parallelism.
+- ``orders_rfm_segments`` — classic Recency/Frequency/Monetary quintile
+  segmentation of customers via NTILE(5) with unique-key tie-breaks.
+
+Scale: mode shuffles on (group, value) then (group) — both combiner-
+reduced; percent-of-total is one window shuffle on the group key; RFM
+is one customer aggregation plus three NTILE windows over the customer
+dimension (rows = |customers|, far below the fact table; the windows
+are unpartitioned by design — a global quintile needs a total order —
+which is the documented single-reducer trade-off: at 100 TB you bucket
+customers by an approx-quantile cut of each metric instead, the
+profile_length_histogram pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.registry import register
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus AS mode_linestatus, n AS mode_count FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, l_linestatus ASC) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Statistical mode with deterministic ties: count per (group, "
+        "value), keep the top count per group with value-order "
+        "tie-break. Two combiner-reduced shuffles; the per-group state "
+        "is one row — the exact, portable MODE()."
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("l_linestatus").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_linestatus"), F.col("n").alias("mode_count"))
+    )
+
+
+@register(
+    "window_percent_of_total",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) /
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY l_orderkey) AS VARCHAR) AS DOUBLE) AS line_share
+    FROM lineitem
+    """,
+    tags=("window", "ratio"),
+    doc=(
+        "Percent-of-total window: each line's share of its order's "
+        "revenue. The denominator is an exact decimal window sum cast "
+        "to double through the engine-exact VARCHAR hop, so the share "
+        "is bit-identical at any parallelism — the BI shape behind "
+        "contribution and mix reports. One shuffle on the group key."
+    ),
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("double") / total).alias("line_share"),
+    )
+
+
+#: RFM quintile count.
+RFM_BINS = 5
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_dsum("o_totalprice", 2)} AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(NTILE({RFM_BINS}) OVER (ORDER BY last_order DESC, o_custkey ASC) AS INT) AS r_bin,
+           CAST(NTILE({RFM_BINS}) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_bin,
+           CAST(NTILE({RFM_BINS}) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT) AS m_bin,
+           frequency, monetary
+    FROM rfm
+    """,
+    tags=("window", "segmentation"),
+    doc=(
+        f"RFM segmentation: per-customer recency/frequency/monetary "
+        f"rolled up from orders, then NTILE({RFM_BINS}) quintiles per "
+        "metric with unique-key tie-breaks (1 = best). The NTILE "
+        "windows are global by definition (a quantile needs a total "
+        "order) over the CUSTOMER dimension — already aggregated, "
+        "orders-of-magnitude smaller than the fact table; at 100 TB "
+        "swap NTILE for broadcast approx-quantile cut points "
+        "(profile_length_histogram pattern) to avoid the single-reducer "
+        "sort."
+    ),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return rfm.select(
+        "o_custkey",
+        F.ntile(RFM_BINS).over(wr).alias("r_bin"),
+        F.ntile(RFM_BINS).over(wf).alias("f_bin"),
+        F.ntile(RFM_BINS).over(wm).alias("m_bin"),
+        "frequency",
+        "monetary",
+    )

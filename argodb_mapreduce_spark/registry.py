@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.sessions",
     "argodb_mapreduce_spark.operators.graph",
     "argodb_mapreduce_spark.operators.cleaning",
+    "argodb_mapreduce_spark.operators.bi",
 )
 
 #: ROUND-5 DRIVER WINDOW (VERDICT r4 next-step 1). The driver checks the
@@ -89,8 +90,9 @@ _QUERY_MODULES = (
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
 #: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
 #: ``set_union_all``, ``set_intersect``, and the round-5 cleaning pack
-#: (``events_anomaly_mad``, ``clean_winsorize`` — registered after the
-#: window froze, strict-sim verified locally at sf0.01). Lead the
+#: (``events_anomaly_mad``, ``clean_winsorize``) and BI pack (``agg_mode``,
+#: ``window_percent_of_total``, ``orders_rfm_segments``) — registered
+#: after the window froze, strict-sim verified locally at sf0.01. Lead the
 #: r6 window with them (plus anything r6 adds or touches), then refresh
 #: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
 #: pack, multimodal, udf pack).
