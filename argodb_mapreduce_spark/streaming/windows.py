@@ -506,3 +506,57 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_sliding_live_sink", "complete")
     return spark.table("stream_sliding_live_sink")
+
+
+@register(
+    "stream_session_live",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "live", "session"),
+    doc=(
+        "REAL Structured Streaming session windows: file source → "
+        "watermark → session_window(15 min gap) state merge → "
+        "availableNow → memory sink. Session-window state merges "
+        "adjacent sessions as late rows arrive (the one windowed agg "
+        "whose state is variable-width); complete output over a static "
+        "source equals the batch gaps-and-islands SQL, so the live "
+        "path is oracle-checked like the tumbling/sliding runs. "
+        "Watermark bounds state: closed sessions (older than gap + "
+        "watermark) are emitted and dropped — the property that keeps "
+        "state finite on an unbounded stream."
+    ),
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_session_live_sink", "complete")
+    return spark.table("stream_session_live_sink")
