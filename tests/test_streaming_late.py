@@ -83,3 +83,71 @@ def test_watermark_drops_late_rows(spark, tmp_path, mode):
     # The [00:00,00:05) window holds the 2 on-time events — NOT 3: the
     # late arrival was discarded by the watermark.
     assert emitted.get((t0, "a")) == 2, f"late row leaked into finalized window: {emitted}"
+
+
+def test_session_window_state_merges_bridging_event(spark, tmp_path):
+    """The defining behavior of session-window state: two sessions 20
+    minutes apart (gap 15 min → separate) MERGE into one when a later
+    micro-batch delivers a bridging event between them. availableNow +
+    maxFilesPerTrigger=1 splits the two files into two micro-batches of
+    one run; foreachBatch snapshots the complete-mode state after each."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    src = tmp_path / "msrc"
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        stage = tmp_path / "mstage" / name
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.copy(stage / f, src / f"{name}.parquet")
+
+    # File 1: two events 20 min apart -> two sessions at a 15-min gap.
+    write_file("b1", [(t0, "u"), (t0 + dt.timedelta(minutes=20), "u")])
+    _time.sleep(1.1)  # distinct mtime so the file source orders b1 before b2
+    # File 2: a bridging event 10 min in -> within gap of both sessions.
+    write_file("b2", [(t0 + dt.timedelta(minutes=10), "u")])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "n",
+        )
+    )
+    snapshots = []
+
+    def capture(batch_df, batch_id):
+        snapshots.append(sorted((r.ss, r.se, r.n) for r in batch_df.collect()))
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(snapshots) >= 2, snapshots
+    # After batch 1: two separate sessions of one event each.
+    assert snapshots[0] == [
+        (t0, t0 + dt.timedelta(minutes=15), 1),
+        (t0 + dt.timedelta(minutes=20), t0 + dt.timedelta(minutes=35), 1),
+    ], snapshots[0]
+    # After the bridging batch: ONE merged session spanning all three.
+    assert snapshots[-1] == [
+        (t0, t0 + dt.timedelta(minutes=35), 3),
+    ], snapshots[-1]
