@@ -105,17 +105,19 @@ def main() -> None:
     partitioned_lineitem(spark, sf_dir)
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
-    # Best-of-2 per query: the host is a shared VM with multi-second
+    # Best-of-3 per query: the host is a shared VM with multi-second
     # noisy-neighbor spikes (the same query varies 2s..32s run-to-run
-    # while plans and data are identical), so a single shot measures the
-    # neighbor, not the engine. Min of two runs on a cache-cleared
-    # session is the steady-state engine cost. clearCache between runs
-    # drops intermediates persisted by prior queries so accumulated
+    # while plans and data are identical; a round-5 rerun saw untouched
+    # queries drift 1.4-2.2x between two same-day runs), so a single
+    # shot measures the neighbor, not the engine. Min of three runs on a
+    # cache-cleared session is the steady-state engine cost (~20s extra
+    # wall over best-of-2 across the 44-query set). clearCache between
+    # runs drops intermediates persisted by prior queries so accumulated
     # storage blocks don't pressure execution memory.
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
