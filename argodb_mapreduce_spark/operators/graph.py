@@ -170,3 +170,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nation_key"), "n_name", F.col("r").alias("pagerank")
     )
+
+
+_TRIANGLE_SQL = """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                      CAST(c.c_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ), und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), membership AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT CAST(n.n_nationkey AS BIGINT) AS nation_key, n.n_name,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS triangles
+    FROM nation n
+    LEFT JOIN membership m ON m.node = CAST(n.n_nationkey AS BIGINT)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_SQL,
+    tags=("graph", "join"),
+    doc=(
+        "Per-node triangle counts on the undirected nation trade graph "
+        "(an edge = any lineitem shipped between the two nations). The "
+        "fact join builds the edge list once; triangles enumerate as "
+        "wedge-join + closing-edge semijoin over key-oriented edges "
+        "(a < b < c), so each triangle is found exactly once."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the graph-metrics twin of graph_pagerank.
+
+    Scale design: the only data-sized stage is the 4-table fact join
+    that reduces to <= |nations|^2 distinct pairs; it is
+    localCheckpoint'ed (same pattern as the PageRank edge list) so the
+    two triangle self-joins reread ~300 rows, not the fact table. The
+    a < b key orientation enumerates each triangle exactly once; on a
+    large general graph the same plan swaps key order for degree order
+    (orient each edge toward the higher-degree endpoint), the standard
+    O(m^1.5) wedge bound — noted here because 25 fixed nodes make the
+    distinction invisible in the fixture.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(s.s_nationkey != c.c_nationkey)
+        .select(
+            s.s_nationkey.cast("long").alias("src"),
+            c.c_nationkey.cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    membership = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nation_key"), "n_name"
+    )
+    return nodes.join(
+        F.broadcast(membership), nodes.nation_key == membership.node, "left"
+    ).select(
+        "nation_key", "n_name", F.coalesce(F.col("n"), F.lit(0)).alias("triangles")
+    )

@@ -232,3 +232,94 @@ def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def _tv_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_gsum
+
+    gs = sql_gsum("ABS(COALESCE(p.p, CAST(0 AS DOUBLE)) - COALESCE(q.q, CAST(0 AS DOUBLE)))")
+    return f"""
+    WITH tok AS (
+      SELECT lang, u.token
+      FROM (SELECT lang, string_split(text, ' ') AS tk FROM documents) d,
+           UNNEST(d.tk) AS u(token)
+      WHERE u.token <> ''
+    ), freq AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY lang, token
+    ), ltot AS (
+      SELECT lang, SUM(n) AS t FROM freq GROUP BY lang
+    ), p AS (
+      SELECT f.token, CAST(f.n AS DOUBLE) / CAST(l.t AS DOUBLE) AS p
+      FROM freq f JOIN ltot l ON f.lang = l.lang WHERE f.lang = 'en'
+    ), q AS (
+      SELECT f.lang, f.token, CAST(f.n AS DOUBLE) / CAST(l.t AS DOUBLE) AS q
+      FROM freq f JOIN ltot l ON f.lang = l.lang WHERE f.lang <> 'en'
+    ), grid AS (
+      SELECT l.lang, v.token
+      FROM (SELECT DISTINCT lang FROM documents WHERE lang <> 'en') l
+      CROSS JOIN (SELECT DISTINCT token FROM tok) v
+    )
+    SELECT g.lang, CAST(0.5 AS DOUBLE) * {gs} AS tv_distance
+    FROM grid g
+    LEFT JOIN p ON p.token = g.token
+    LEFT JOIN q ON q.lang = g.lang AND q.token = g.token
+    GROUP BY g.lang
+    """
+
+
+@register(
+    "corpus_tv_divergence",
+    oracle=_tv_sql(),
+    tags=("profiling", "text", "divergence"),
+    doc=(
+        "Distribution drift between corpus slices: total-variation "
+        "distance 0.5*sum|p-q| between the English token distribution "
+        "and each other language's. TV needs no logarithm, so unlike "
+        "KL/JS it is exactly expressible in both engines (ratio, abs, "
+        "grid-sum — all deterministic IEEE ops); the standard monitor "
+        "for training-data mixture drift between two snapshots."
+    ),
+)
+def corpus_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution TV distance vs the 'en' slice.
+
+    Scale design: token frequencies are one map-side-combinable
+    groupBy; distributions reduce to |vocab| x |langs| rows. The
+    lang-grid cross join broadcasts a <=5-row lang list against the
+    distinct-token set, so the comparison never touches document-sized
+    data again. Per-term |p-q| is summed on the 2^-40 grid
+    (oracle_safe.gsum): order-independent, hence identical on 1000
+    executors and in DuckDB's sequential scan.
+    """
+    from argodb_mapreduce_spark.functions.oracle_safe import gsum
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    ltot = freq.groupBy("lang").agg(F.sum("n").alias("t"))
+    dist = freq.join(ltot, "lang").select(
+        "lang", "token", (F.col("n").cast("double") / F.col("t").cast("double")).alias("f")
+    )
+    p = dist.filter(F.col("lang") == "en").select("token", F.col("f").alias("p"))
+    q = dist.filter(F.col("lang") != "en").select("lang", "token", F.col("f").alias("q"))
+    langs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") != "en")
+        .select("lang")
+        .distinct()
+    )
+    vocab = tok.select("token").distinct()
+    grid = vocab.crossJoin(F.broadcast(langs))
+    joined = grid.join(F.broadcast(p), "token", "left").join(
+        F.broadcast(q), ["lang", "token"], "left"
+    )
+    diff = F.abs(
+        F.coalesce(F.col("p"), F.lit(0.0)) - F.coalesce(F.col("q"), F.lit(0.0))
+    )
+    return joined.groupBy("lang").agg(
+        (F.lit(0.5) * gsum(diff)).alias("tv_distance")
+    )

@@ -179,3 +179,72 @@ def data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept")
     )
     return totals.join(kept, "source").select("source", "n_total", "n_kept")
+
+
+#: Price at (or above) which an order is always kept; the keep
+#: probability is o_totalprice / WEIGHTED_P_MAX, clamped to 1.
+WEIGHTED_P_MAX = 400000.0
+
+
+def _weighted_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum
+
+    return f"""
+    WITH tagged AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket,
+             CAST(FLOOR(10000 * LEAST(o_totalprice / {WEIGHTED_P_MAX!r}, CAST(1 AS DOUBLE))) AS BIGINT) AS threshold
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE bucket < threshold) AS BIGINT) AS n_kept,
+           {sql_dsum("CASE WHEN bucket < threshold THEN o_totalprice END")} AS kept_value
+    FROM tagged GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle=_weighted_sql(),
+    tags=("sampling", "curation"),
+    doc=(
+        "Deterministic importance sampling: each order is kept with "
+        "probability proportional to its value (o_totalprice / "
+        f"{WEIGHTED_P_MAX:.0f}, clamped to 1), decided by md5(o_orderkey) "
+        "mod 10000 against a per-row integer threshold. The same "
+        "hash-vs-threshold trick as the mixture sampler, but with a "
+        "per-row weight instead of a per-source tier — the standard "
+        "quality-weighted downsampling step of a curation pipeline "
+        "(keep high-value documents, thin the tail), reproducible on "
+        "any engine / partitioning. Entirely map-side except the final "
+        "per-priority summary aggregate."
+    ),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    # FLOOR (not cast-truncate) on both sides: DuckDB's double->BIGINT
+    # cast rounds-to-nearest while Spark's truncates, so the threshold
+    # must be floored explicitly before the integer compare.
+    threshold = F.floor(
+        F.lit(10000)
+        * F.least(F.col("o_totalprice") / F.lit(WEIGHTED_P_MAX), F.lit(1.0))
+    ).cast("long")
+    tagged = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        bucket.alias("bucket"),
+        threshold.alias("threshold"),
+    )
+    kept = F.col("bucket") < F.col("threshold")
+    return tagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        dsum(F.when(kept, F.col("o_totalprice"))).alias("kept_value"),
+    )

@@ -149,3 +149,62 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ), pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), tot AS (
+      SELECT src, SUM(n) AS t FROM pairs GROUP BY src
+    )
+    SELECT p.src, p.dst, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t ON p.src = t.src
+    """,
+    tags=("events", "window", "graph"),
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "streams: LEAD(event_type) within (user ordered by ts, event_id) "
+        "gives consecutive pairs, grouped to counts and row-normalized "
+        "to P(dst | src). One shuffle on user_id for the window, then "
+        "the aggregation reduces to |event_types|^2 rows — the "
+        "normalizing join is over that tiny aggregate, broadcast at any "
+        "scale. The probability is a single bigint/bigint IEEE division, "
+        "bit-identical in any engine at any parallelism."
+    ),
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition probabilities (user-journey Markov chain).
+
+    The reference exposes event scan + MapReduce-delegated aggregation
+    (SURVEY.md §2.B3/B5); this is the composed sequence-analytics op a
+    warehouse user would run on it. Scale: the user-partitioned window
+    is the only data-sized shuffle; everything after is a
+    |event_types|^2 aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
+    )

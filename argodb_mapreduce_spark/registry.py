@@ -76,27 +76,31 @@ _QUERY_MODULES = (
 #: staged layouts are governed by the round-5 fixture_stale boundary
 #: fix, then (c2) the nine operators added late in round 5
 #: (sessionize, SCD2, span dedup, PageRank, co-occurrence, embedding
-#: normalize, bloom join, bigram LM score, null-safe join) —
-#: first-ever driver evidence, then (d) the 23 longest-unrefreshed
-#: banked rows — all last witnessed in round 1. 6+7+5+9+23 = 50
-#: exactly.
+#: normalize, bloom join, bigram LM score, null-safe join) and (c3)
+#: the five closing-round-5 operators (Markov transitions, triangle
+#: count, fuzzy Levenshtein join, TV divergence, weighted Bernoulli
+#: sample) — first-ever driver evidence, then (d) the 18
+#: longest-unrefreshed banked rows — all last witnessed in round 1.
+#: 6+7+5+9+5+18 = 50 exactly.
 #:
-#: ROUND-6 ROTATION NOTE: seventeen r1-banked rows did not fit this
+#: ROUND-6 ROTATION NOTE: twenty-two r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
 #: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
 #: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
 #: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
-#: nine displaced by the late-round-5 additions: ``q4_order_priority``,
+#: fourteen displaced by the late-round-5 additions: ``q4_order_priority``,
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
 #: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
-#: ``set_union_all``, ``set_intersect``, and the round-5 cleaning pack
-#: (``events_anomaly_mad``, ``clean_winsorize``) and BI pack (``agg_mode``,
-#: ``window_percent_of_total``, ``orders_rfm_segments``) and the live
-#: session-window stream (``stream_session_live``) — registered
-#: after the window froze, strict-sim verified locally at sf0.01. Lead the
-#: r6 window with them (plus anything r6 adds or touches), then refresh
-#: the oldest r2 rows (dedup_exact_rows, simhash, cosine/neardup, text
-#: pack, multimodal, udf pack).
+#: ``set_union_all``, ``set_intersect``, ``sort_limit``, ``window_rank``,
+#: ``window_lag_lead``, ``window_moving_sum``, ``topk_per_group``, and the
+#: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
+#: and BI pack (``agg_mode``, ``window_percent_of_total``,
+#: ``orders_rfm_segments``) and the live session-window stream
+#: (``stream_session_live``) — registered after the window froze,
+#: strict-sim verified locally at sf0.01. Lead the r6 window with them
+#: (plus anything r6 adds or touches), then refresh the oldest r2 rows
+#: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
+#: udf pack).
 _PRIORITY = (
     # --- (a) never driver-witnessed: closes the book at 174/174 ---
     "agg_salted_skew",
@@ -129,6 +133,12 @@ _PRIORITY = (
     "join_bloom_pruned",
     "text_bigram_lm_score",
     "join_null_safe",
+    # --- (c3) final round-5 additions: first-ever driver evidence ---
+    "events_markov_transition",
+    "graph_triangle_count",
+    "dedup_fuzzy_levenshtein",
+    "corpus_tv_divergence",
+    "sample_weighted_bernoulli",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -148,11 +158,6 @@ _PRIORITY = (
     "join_cross",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
-    "sort_limit",
-    "window_rank",
-    "window_lag_lead",
-    "window_moving_sum",
-    "topk_per_group",
 )
 
 

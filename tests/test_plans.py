@@ -456,3 +456,49 @@ def test_span_dedup_no_cross_join(spark, sf_dir):
 
     plan = explain_str(dedup_span_exact(spark, sf_dir), "formatted")
     assert "Join" not in plan, plan[:1500]
+
+
+def test_markov_transition_single_user_shuffle(spark, sf_dir):
+    """The transition matrix needs exactly one data-sized shuffle (the
+    user_id window); pair counting aggregates the window output without
+    repartitioning and the row-normalizing join broadcasts the
+    |event_types|-row totals."""
+    from argodb_mapreduce_spark.operators.sessions import events_markov_transition
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(events_markov_transition(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_triangle_count_scans_fact_once(spark, sf_dir):
+    """After the undirected-edge localCheckpoint the triangle triple
+    join plans against the materialized edge RDD — no lineitem rescan
+    (three references to the edge list would otherwise re-run the
+    4-table fact join three times)."""
+    from argodb_mapreduce_spark.operators.graph import graph_triangle_count
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(graph_triangle_count(spark, sf_dir), "formatted")
+    assert "lineitem" not in plan.lower(), plan[:1500]
+
+
+def test_fuzzy_levenshtein_blocked_not_cross(spark, sf_dir):
+    """The edit-distance self-join shuffles on the (lang, band) block
+    key — an equi-join, never a cartesian pair enumeration; the doc_id
+    ordering and distance threshold ride as post-join filters."""
+    from argodb_mapreduce_spark.operators.dedup import dedup_fuzzy_levenshtein
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(dedup_fuzzy_levenshtein(spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_weighted_bernoulli_single_exchange(spark, sf_dir):
+    """Importance sampling is map-side (hash, threshold, filter all
+    inside the scan stage) plus exactly one exchange for the final
+    per-priority summary — the shape that stays linear at 100 TB."""
+    from argodb_mapreduce_spark.operators.sampling import sample_weighted_bernoulli
+    from argodb_mapreduce_spark.plans.checks import n_exchanges
+
+    assert n_exchanges(sample_weighted_bernoulli(spark, sf_dir)) == 1
