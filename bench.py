@@ -76,6 +76,12 @@ HEADLINE = [
     "events_sessionize",
     "text_bigram_lm_score",
     "events_anomaly_mad",
+    # closing round-5 additions
+    "events_markov_transition",
+    "graph_triangle_count",
+    "dedup_fuzzy_levenshtein",
+    "corpus_tv_divergence",
+    "sample_weighted_bernoulli",
 ]
 
 
