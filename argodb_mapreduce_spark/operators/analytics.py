@@ -321,3 +321,76 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+#: EWMA taps and decay. alpha = 1/2 makes every weight a power of two,
+#: so each weighted term is an EXACT double multiply (exponent shift) —
+#: the decay choice that keeps a float smoother engine-exact.
+EWMA_TAPS = 8
+
+
+def _ewma_sql() -> str:
+    num = "COALESCE(x0, CAST(0 AS DOUBLE))"
+    den = "CASE WHEN x0 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END"
+    for k in range(1, EWMA_TAPS):
+        wgt = 2.0 ** -k
+        num = f"({num} + COALESCE(x{k}, CAST(0 AS DOUBLE)) * {wgt!r})"
+        den = f"({den} + CASE WHEN x{k} IS NULL THEN CAST(0 AS DOUBLE) ELSE {wgt!r} END)"
+    lags = ",\n             ".join(
+        f"LAG(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{k}"
+        for k in range(EWMA_TAPS)
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value,
+             {lags}
+      FROM events
+    )
+    SELECT user_id, ts, event_id, value, {num} / {den} AS ewma
+    FROM lagged
+    """
+
+
+@register(
+    "events_ewma_smooth",
+    oracle=_ewma_sql(),
+    tags=("events", "window", "timeseries"),
+    doc=(
+        f"Exponentially weighted moving average (alpha=1/2, "
+        f"{EWMA_TAPS} taps) per user stream, renormalized over the "
+        "taps actually present so the series starts unbiased. The "
+        "power-of-two decay makes every weighted term an exact double "
+        "op, and the explicit left-to-right association makes the sum "
+        "bit-identical across engines — a float window smoother that "
+        "needs no grid-sum escape hatch."
+    ),
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — the smoothing half of the
+    anomaly pack (zscore/MAD flag outliers; this tracks level).
+
+    Scale design: one shuffle on user_id; all taps ride a single
+    window sort (Catalyst plans one Window operator for the 8 lags),
+    then the arithmetic is map-side. A truncated-tap EWMA (vs the
+    recursive form) is what keeps the operator a stateless window op —
+    the recursive EWMA needs applyInPandasWithState and breaks
+    SQL-oracle parity; 8 taps of alpha=1/2 reach within 2^-8 of the
+    infinite-history value, below any monitoring threshold.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id", "ts", "event_id", "value",
+        *[F.lag("value", k).over(w).alias(f"x{k}") for k in range(EWMA_TAPS)],
+    )
+    num = F.coalesce(F.col("x0"), F.lit(0.0))
+    den = F.when(F.col("x0").isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    for k in range(1, EWMA_TAPS):
+        wgt = 2.0 ** -k
+        num = num + F.coalesce(F.col(f"x{k}"), F.lit(0.0)) * F.lit(wgt)
+        den = den + F.when(F.col(f"x{k}").isNull(), F.lit(0.0)).otherwise(F.lit(wgt))
+    return lagged.select(
+        "user_id", "ts", "event_id", "value", (num / den).alias("ewma")
+    )

@@ -147,3 +147,83 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_baskets AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items
+    ), item_n AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY item
+    ), pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           CAST(nb.n * p.n_ab AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON ia.item = p.item_a
+    JOIN item_n ib ON ib.item = p.item_b
+    CROSS JOIN n_baskets nb
+    """,
+    tags=("bi", "join", "association"),
+    doc=(
+        "Market-basket association mining: per-order distinct brand "
+        "sets, pair supports via an orderkey self-join (quadratic only "
+        "within one basket, whose width is bounded by order size), and "
+        "lift = N*n_ab / (n_a*n_b) as one exact-integer-operand IEEE "
+        "division. The support/lift table every BI layer derives "
+        "recommendations from."
+    ),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase lift over order baskets.
+
+    Scale design: the part dim join is broadcast; distinct (basket,
+    item) is one map-combinable aggregate; the pair self-join shuffles
+    on basket, where per-basket fan-out is order-size², bounded by the
+    TPC-H ~7-lineitem order width (a retail 10⁴-item basket would cap
+    per-basket items first, like COOC_MAX_TOKENS_PER_DOC). The
+    |items|²-row pair aggregate then joins the |items|-row marginals —
+    broadcast-sized at any corpus scale. Lift's operands (n*n_ab,
+    n_a*n_b) are exact 64-bit integers well inside double's 2^53, so
+    the single division is bit-identical on both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = items.select(F.countDistinct("basket").alias("n"))
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            (
+                (F.col("n") * F.col("n_ab")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -502,3 +502,30 @@ def test_weighted_bernoulli_single_exchange(spark, sf_dir):
     from argodb_mapreduce_spark.plans.checks import n_exchanges
 
     assert n_exchanges(sample_weighted_bernoulli(spark, sf_dir)) == 1
+
+
+def test_basket_lift_no_cartesian_pairs(spark, sf_dir):
+    """Pair support comes from an equi-join on the basket key (fan-out
+    bounded by order width); the only nested-loop join in the plan is
+    the 1-row basket-count scalar broadcast."""
+    from argodb_mapreduce_spark.operators.bi import basket_pair_lift
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(basket_pair_lift(spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # formatted mode prints each node twice (tree + detail), so ONE
+    # nested-loop node shows up as two matching lines.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:1500]
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ewma_single_exchange_one_window(spark, sf_dir):
+    """All 8 EWMA taps ride one user_id window sort: a single exchange
+    and a single Window operator — adding taps must not add shuffles."""
+    from argodb_mapreduce_spark.operators.analytics import events_ewma_smooth
+    from argodb_mapreduce_spark.plans.checks import explain_str, n_exchanges
+
+    df = events_ewma_smooth(spark, sf_dir)
+    assert n_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert plan.count("Window") <= 2, plan[:1500]
