@@ -134,3 +134,114 @@ def test_bigram_lm_skips_short_docs(spark, edge_dir):
     ids = {r["doc_id"] for r in QS["text_bigram_lm_score"].fn(spark, edge_dir).collect()}
     assert 0 not in ids and 2 not in ids
     assert {3, 4, 5} <= ids
+
+
+# ---------------------------------------------------------------------------
+# Closing round-5 ops: Markov / EWMA / fuzzy join / TV divergence.
+# ---------------------------------------------------------------------------
+
+#: u1: a single event (no transition, EWMA = its own value).
+#: u2: constant value series (EWMA must equal the constant everywhere).
+#: u3: alternating types/values (a real chain).
+_EVENTS = [
+    (1, "2024-01-01 00:00:00", 1, "view", 5.0),
+    (10, "2024-01-01 00:00:00", 2, "view", 3.0),
+    (11, "2024-01-01 00:01:00", 2, "click", 3.0),
+    (12, "2024-01-01 00:02:00", 2, "view", 3.0),
+    (13, "2024-01-01 00:03:00", 2, "click", 3.0),
+    (20, "2024-01-01 00:00:00", 3, "view", 1.0),
+    (21, "2024-01-01 00:01:00", 3, "purchase", 9.0),
+    (22, "2024-01-01 00:02:00", 3, "view", 5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_events"))
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in _EVENTS],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_markov_rows_normalize_and_skip_lone_users(spark, edge_events_dir):
+    """u1's solitary event contributes no transition; each src row's
+    probabilities sum to exactly 1 (the counts are small integers whose
+    ratio sum is exact)."""
+    rows = QS["events_markov_transition"].fn(spark, edge_events_dir).collect()
+    pairs = {(r["src"], r["dst"]): r for r in rows}
+    # u2: view->click x2, click->view x1; u3: view->purchase, purchase->view
+    assert pairs[("view", "click")]["n"] == 2
+    assert pairs[("view", "purchase")]["n"] == 1
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], 0.0)
+        by_src[r["src"]] += r["prob"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-12, (src, total)
+
+
+def test_ewma_constant_series_and_lone_event(spark, edge_events_dir):
+    """A constant series must smooth to the constant (renormalization
+    correctness), and a single-event user's EWMA is its own value."""
+    rows = {(r["user_id"], r["event_id"]): r["ewma"]
+            for r in QS["events_ewma_smooth"].fn(spark, edge_events_dir).collect()}
+    assert rows[(1, 1)] == 5.0
+    for eid in (10, 11, 12, 13):
+        assert rows[(2, eid)] == 3.0, (eid, rows[(2, eid)])
+
+
+def test_ewma_stays_inside_value_envelope(spark, sf_dir):
+    """EWMA is a convex combination of observed values, so it can never
+    leave the [min, max] envelope of its user's series."""
+    df = QS["events_ewma_smooth"].fn(spark, sf_dir)
+    env = df.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        df.join(env, "user_id")
+        .filter((F.col("ewma") < F.col("lo") - 1e-9) | (F.col("ewma") > F.col("hi") + 1e-9))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_fuzzy_levenshtein_finds_exact_duplicate_pair(spark, edge_dir):
+    """The duplicate docs (4, 5) share lang and length band and have
+    distance 0; every emitted pair respects doc_a < doc_b and the
+    threshold."""
+    from argodb_mapreduce_spark.operators.dedup import LEV_MAX_DIST
+
+    rows = QS["dedup_fuzzy_levenshtein"].fn(spark, edge_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in rows}
+    assert pairs[(4, 5)] == 0
+    assert all(a < b for a, b in pairs)
+    assert all(d <= LEV_MAX_DIST for d in pairs.values())
+
+
+def test_tv_divergence_unit_interval(spark, sf_dir):
+    rows = QS["corpus_tv_divergence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["tv_distance"] <= 1.0, r
+
+
+def test_tv_divergence_zero_for_identical_slices(spark, tmp_path_factory):
+    """A language slice with exactly the en token distribution must
+    measure TV = 0 (the drift monitor's no-drift fixed point)."""
+    d = str(tmp_path_factory.mktemp("tv_docs"))
+    docs = [
+        (0, "s", "en", "alpha beta beta"),
+        (1, "s", "xx", "alpha beta beta"),
+        (2, "s", "yy", "gamma gamma gamma"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, lang, t, len(t)) for i, s, lang, t in docs],
+        "doc_id long, source string, lang string, text string, n_chars int",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["lang"]: r["tv_distance"] for r in QS["corpus_tv_divergence"].fn(spark, d).collect()}
+    assert rows["xx"] == 0.0
+    assert rows["yy"] == 1.0  # disjoint vocabulary = maximal drift
