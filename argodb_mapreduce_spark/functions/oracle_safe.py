@@ -116,9 +116,13 @@ def sql_gsum(expr: str, bits: int = GRID_BITS) -> str:
     """DuckDB twin of :func:`gsum` (VARCHAR hop: HUGEINT->DOUBLE direct
     would double-round past 2^53, string parse is correctly rounded)."""
     g = _grid(bits)
+    # Self-parenthesized: the expansion ends in "/ 2^bits", so an
+    # unwrapped result used as a DIVISOR ("X / {gsum}") would parse as
+    # (X / sum) / grid — off by the grid factor (caught building
+    # orders_ols_trend's cov/var ratio).
     return (
-        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * {g!r}) AS BIGINT)) AS VARCHAR) AS DOUBLE)"
-        f" / {g!r}"
+        f"(CAST(CAST(SUM(CAST(ROUND(({expr}) * {g!r}) AS BIGINT)) AS VARCHAR) AS DOUBLE)"
+        f" / {g!r})"
     )
 
 

@@ -227,3 +227,101 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: Grid bits for the OLS moment sums: per-row centered products reach
+#: ~|x-x̄|·|y-ȳ| ≈ 1e3·1e7 = 1e10, and ROUND(v·2^14) must stay inside
+#: int64 for the DuckDB twin — 14 bits leaves 5 orders of headroom
+#: while quantizing at 6e-5, far below any trend-reading threshold.
+OLS_GRID_BITS = 14
+
+
+def _ols_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum, sql_gsum
+
+    cov = sql_gsum("(CAST(d.x AS DOUBLE) - s.xbar) * (d.y - s.ybar)", OLS_GRID_BITS)
+    var = sql_gsum(
+        "(CAST(d.x AS DOUBLE) - s.xbar) * (CAST(d.x AS DOUBLE) - s.xbar)", OLS_GRID_BITS
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+             {sql_dsum("o_totalprice")} AS y
+      FROM orders GROUP BY 1, 2
+    ), stats AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar,
+             {sql_dsum("y")} / COUNT(*) AS ybar
+      FROM daily GROUP BY 1
+    ), fit AS (
+      SELECT d.o_orderpriority, ANY_VALUE(s.n_days) AS n_days,
+             ANY_VALUE(s.xbar) AS xbar, ANY_VALUE(s.ybar) AS ybar,
+             ({cov}) / ({var}) AS slope
+      FROM daily d JOIN stats s ON s.o_orderpriority = d.o_orderpriority
+      GROUP BY d.o_orderpriority
+    )
+    SELECT o_orderpriority, n_days, slope,
+           ybar - slope * xbar AS intercept
+    FROM fit
+    """
+
+
+@register(
+    "orders_ols_trend",
+    oracle=_ols_sql(),
+    tags=("bi", "regression", "timeseries"),
+    doc=(
+        "Closed-form OLS trend of daily revenue per order priority: "
+        "slope = Cov(day, revenue) / Var(day) over per-day aggregates, "
+        "intercept from the means. The moment sums ride the "
+        f"2^-{OLS_GRID_BITS} grid and the means are exact-sum/count "
+        "divisions, so the fitted line is bit-identical across engines "
+        "and parallelism — regression as a two-aggregate dataflow, no "
+        "ML library."
+    ),
+)
+def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend line (the forecasting op beside q6).
+
+    Scale design: pass 1 reduces the fact table to (priority, day)
+    aggregates — map-combinable, O(priorities x days) output; pass 2
+    broadcasts the 5-row means back over that tiny aggregate, so the
+    regression costs one fact-table aggregation no matter the corpus
+    size. All float steps are deterministic: exact-decimal revenue
+    sums, integer day indices, single divisions for the means, and
+    grid sums for the centered moments.
+    """
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum, gsum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(dsum("o_totalprice").alias("y"))
+    )
+    stats = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (dsum("y") / F.count(F.lit(1))).alias("ybar"),
+    )
+    joined = daily.join(F.broadcast(stats), "o_orderpriority")
+    dx = F.col("x").cast("double") - F.col("xbar")
+    dy = F.col("y") - F.col("ybar")
+    fit = joined.groupBy("o_orderpriority").agg(
+        F.any_value("n_days").alias("n_days"),
+        F.any_value("xbar").alias("xbar"),
+        F.any_value("ybar").alias("ybar"),
+        (gsum(dx * dy, OLS_GRID_BITS) / gsum(dx * dx, OLS_GRID_BITS)).alias("slope"),
+    )
+    return fit.select(
+        "o_orderpriority",
+        "n_days",
+        "slope",
+        (F.col("ybar") - F.col("slope") * F.col("xbar")).alias("intercept"),
+    )

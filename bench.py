@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "corpus_tv_divergence",
     "sample_weighted_bernoulli",
+    "orders_ols_trend",
 ]
 
 

@@ -529,3 +529,15 @@ def test_ewma_single_exchange_one_window(spark, sf_dir):
     assert n_exchanges(df) == 1
     plan = explain_str(df, "formatted")
     assert plan.count("Window") <= 2, plan[:1500]
+
+
+def test_ols_trend_broadcasts_means(spark, sf_dir):
+    """The regression's second pass joins the 5-row means back over the
+    per-day aggregate via broadcast — the fact table is aggregated once
+    and never shuffle-joined."""
+    from argodb_mapreduce_spark.operators.bi import orders_ols_trend
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(orders_ols_trend(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan[:1500]
