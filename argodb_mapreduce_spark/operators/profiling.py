@@ -323,3 +323,70 @@ def corpus_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang").agg(
         (F.lit(0.5) * gsum(diff)).alias("tv_distance")
     )
+
+
+def _fingerprint_sql() -> str:
+    # Every column rendered through an engine-neutral string form:
+    # integers/strings verbatim, the 2-decimal price through an exact
+    # DECIMAL(18,2) cast (double->VARCHAR formatting differs between
+    # engines; decimal->VARCHAR does not), timestamps via a fixed
+    # pattern. NULLs become a sentinel that cannot collide with data.
+    row = (
+        "CONCAT_WS('|', "
+        "COALESCE(CAST(o_orderkey AS VARCHAR), '<null>'), "
+        "COALESCE(CAST(o_custkey AS VARCHAR), '<null>'), "
+        "COALESCE(o_orderstatus, '<null>'), "
+        "COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<null>'), "
+        "COALESCE(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), '<null>'), "
+        "COALESCE(o_orderpriority, '<null>'))"
+    )
+    return f"""
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || SUBSTRING(md5({row}), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM orders
+    """
+
+
+@register(
+    "table_migration_fingerprint",
+    oracle=_fingerprint_sql(),
+    tags=("profiling", "integrity"),
+    doc=(
+        "Order-independent whole-table fingerprint: each row renders "
+        "through an engine-neutral string form (decimal casts for "
+        "floats, fixed timestamp pattern, null sentinels), md5-digests "
+        "to a 48-bit integer, and the digests SUM exactly in "
+        "decimal(38,0). Two engines that hold the same rows produce the "
+        "same checksum regardless of partitioning or row order — the "
+        "one-query validation a migration off the reference engine "
+        "needs, and the self-test this repo runs against DuckDB."
+    ),
+)
+def table_migration_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-content checksum of the orders table (migration validation).
+
+    Scale design: entirely map-side (render, hash, 48-bit truncate)
+    plus one global exact-decimal sum — a full-scan reduce with O(1)
+    output, the cheapest possible shape for a 100 TB integrity sweep.
+    48-bit per-row digests keep each term inside int64 while the
+    decimal(38,0) accumulator has ~22 digits of headroom over a 10^13-
+    row table; the checksum ships as its decimal string so no engine
+    re-rounds it through a double.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+        F.coalesce(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), F.lit("<null>")),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<null>")),
+    )
+    digest = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+    return o.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digest.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    ).select("table_name", "n_rows", "checksum")

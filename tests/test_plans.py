@@ -541,3 +541,14 @@ def test_ols_trend_broadcasts_means(spark, sf_dir):
     plan = explain_str(orders_ols_trend(spark, sf_dir), "formatted")
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_migration_fingerprint_map_side_reduce(spark, sf_dir):
+    """The checksum is render+hash map-side plus one global aggregate:
+    a single exchange moving partial sums, nothing else."""
+    from argodb_mapreduce_spark.operators.profiling import table_migration_fingerprint
+    from argodb_mapreduce_spark.plans.checks import explain_str, n_exchanges
+
+    df = table_migration_fingerprint(spark, sf_dir)
+    assert n_exchanges(df) <= 1
+    assert "Join" not in explain_str(df, "formatted")
