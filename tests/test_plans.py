@@ -552,3 +552,30 @@ def test_migration_fingerprint_map_side_reduce(spark, sf_dir):
     df = table_migration_fingerprint(spark, sf_dir)
     assert n_exchanges(df) <= 1
     assert "Join" not in explain_str(df, "formatted")
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL subquery — the physical
+    plan is a window/rank + join, never a per-row nested execution
+    (no nested-loop join of the fact side)."""
+    from argodb_mapreduce_spark.operators.modern_sql import join_lateral_topk
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(join_lateral_topk(spark, sf_dir), "formatted")
+    assert "Window" in plan or "rank" in plan.lower(), plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_recursive_cte_executes_natively(spark, sf_dir):
+    """The recursion runs inside Spark (UnionLoop / recursive node in
+    the plan) and terminates at log2(maxkey) levels with one row per
+    (customer, level) — the linear-recursion bound."""
+    from argodb_mapreduce_spark.operators.modern_sql import recursive_cte_ancestors
+
+    df = recursive_cte_ancestors(spark, sf_dir)
+    rows = {r["c_custkey"]: r for r in df.collect()}
+    import math
+
+    for key in list(rows)[:20]:
+        assert rows[key]["n_ancestors"] == int(math.log2(key)), (key, rows[key])
+        assert rows[key]["root_key"] == 1
