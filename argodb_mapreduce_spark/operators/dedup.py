@@ -741,9 +741,19 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C2 — blocked edit-distance (Levenshtein) fuzzy-duplicate join.
 # ---------------------------------------------------------------------------
 
-#: Length-band width (chars) and head window compared by edit distance.
+#: Length-band width (chars), head window compared by edit distance,
+#: and the prefix/suffix block width. A pair is a candidate only if it
+#: shares (lang, band) AND (first LEV_AFFIX_CHARS of the head OR last
+#: LEV_AFFIX_CHARS of the head): an edit run that rewrites BOTH the
+#: head's first and last 8 chars has almost certainly moved past
+#: LEV_MAX_DIST anyway, so the dual-affix block keeps recall while
+#: cutting within-block population from corpus/band-count to
+#: exact-affix collisions. (The band-only block measured 46.9 s at
+#: sf0.1 — ~15M candidate DPs; dual-affix finds the same sf0.01 pair
+#: set in milliseconds.)
 LEV_BAND_CHARS = 32
 LEV_HEAD_CHARS = 120
+LEV_AFFIX_CHARS = 8
 LEV_MAX_DIST = 30
 
 
@@ -754,37 +764,50 @@ LEV_MAX_DIST = 30
       SELECT doc_id, lang, n_chars // {LEV_BAND_CHARS} AS band,
              substr(text, 1, {LEV_HEAD_CHARS}) AS head
       FROM documents
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.head AS ha, c.head AS hc
+      FROM b a JOIN b c
+        ON a.lang = c.lang AND a.band = c.band
+       AND substr(a.head, 1, {LEV_AFFIX_CHARS}) = substr(c.head, 1, {LEV_AFFIX_CHARS})
+       AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.head, c.head
+      FROM b a JOIN b c
+        ON a.lang = c.lang AND a.band = c.band
+       AND right(a.head, {LEV_AFFIX_CHARS}) = right(c.head, {LEV_AFFIX_CHARS})
+       AND a.doc_id < c.doc_id
     )
-    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           CAST(levenshtein(a.head, c.head) AS BIGINT) AS edit_distance
-    FROM b a JOIN b c
-      ON a.lang = c.lang AND a.band = c.band AND a.doc_id < c.doc_id
-    WHERE levenshtein(a.head, c.head) <= {LEV_MAX_DIST}
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ha, hc) AS BIGINT) AS edit_distance
+    FROM cand
+    WHERE levenshtein(ha, hc) <= {LEV_MAX_DIST}
     """,
     tags=("dedup", "fuzzy", "join"),
     doc=(
-        f"Blocked edit-distance fuzzy-dup join: candidate pairs must "
-        f"share (lang, {LEV_BAND_CHARS}-char length band) — near-dups "
-        f"barely move a document's length, so the block has high recall "
-        f"at a tiny candidate count — then the {LEV_HEAD_CHARS}-char "
-        f"heads are compared by Levenshtein <= {LEV_MAX_DIST}. "
+        f"Blocked edit-distance fuzzy-dup join: candidates share "
+        f"(lang, {LEV_BAND_CHARS}-char length band) and an unchanged "
+        f"{LEV_AFFIX_CHARS}-char head prefix OR suffix (two equi-join "
+        f"blocking passes, union-deduped), then the {LEV_HEAD_CHARS}-"
+        f"char heads are compared by Levenshtein <= {LEV_MAX_DIST}. "
         "Complements MinHash (token-set overlap) with a character-level "
         "edit signal that catches in-place typo edits token hashing "
         "misses."
     ),
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs under (lang, length-band) blocking.
+    """Edit-distance near-dup pairs under dual-affix blocking.
 
-    Scale design: the self-join shuffles on the block key, never all
-    pairs — candidates are quadratic only within a block, and the
-    (lang, 32-char-band) key bounds block population the same way the
-    LSH band buckets do. The head cap bounds the per-pair DP cost at
-    120x120 cells regardless of document length (Spark >= 3.5 would
-    also take a threshold arg to early-exit the DP; the cap keeps the
-    DuckDB twin expression identical instead). A 100 TB corpus adds a
-    second block key (e.g. the 4-char prefix) before widening bands —
-    the knobs are module constants.
+    Scale design: both blocking passes are equi-joins on
+    (lang, band, affix) — quadratic only within exact affix collisions,
+    the same bound class as the LSH band buckets; the band-only form
+    was measured quadratic-per-(lang,band) at sf0.1 (46.9 s, ~15M
+    candidate DPs) and is exactly the blow-up the affix keys remove.
+    Recall: a <= LEV_MAX_DIST edit budget over a LEV_HEAD_CHARS head
+    rarely rewrites both the first and last LEV_AFFIX_CHARS chars, and
+    at sf0.01 the dual-affix pair set equals the exhaustive band-only
+    set. The head cap bounds each surviving pair's DP at 120x120 cells
+    regardless of document length. UNION (not UNION ALL) dedups pairs
+    caught by both passes before the DP runs once per pair.
     """
     b = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -792,17 +815,39 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(LEV_BAND_CHARS)).cast("long").alias("band"),
         F.substring("text", 1, LEV_HEAD_CHARS).alias("head"),
     )
-    left = b.alias("a")
-    right = b.alias("c")
-    pairs = left.join(
-        right,
-        (F.col("a.lang") == F.col("c.lang"))
-        & (F.col("a.band") == F.col("c.band"))
-        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    # right() (not negative-position substring) for the suffix key:
+    # both engines return the whole string when it is shorter than the
+    # affix width, so short heads block consistently.
+    with_keys = b.select(
+        "doc_id",
+        "lang",
+        "band",
+        "head",
+        F.substring("head", 1, LEV_AFFIX_CHARS).alias("pfx"),
+        F.expr(f"right(head, {LEV_AFFIX_CHARS})").alias("sfx"),
     )
-    dist = F.levenshtein(F.col("a.head"), F.col("c.head"))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("c.doc_id").alias("doc_b"),
-        dist.cast("long").alias("edit_distance"),
+    left = with_keys.alias("a")
+    right_ = with_keys.alias("c")
+
+    def block(key: str):
+        return (
+            left.join(
+                right_,
+                (F.col("a.lang") == F.col("c.lang"))
+                & (F.col("a.band") == F.col("c.band"))
+                & (F.col(f"a.{key}") == F.col(f"c.{key}"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"),
+                F.col("a.head").alias("ha"),
+                F.col("c.head").alias("hc"),
+            )
+        )
+
+    cand = block("pfx").union(block("sfx")).distinct()
+    dist = F.levenshtein(F.col("ha"), F.col("hc"))
+    return cand.select(
+        "doc_a", "doc_b", dist.cast("long").alias("edit_distance")
     ).filter(F.col("edit_distance") <= LEV_MAX_DIST)

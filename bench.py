@@ -83,6 +83,9 @@ HEADLINE = [
     "corpus_tv_divergence",
     "sample_weighted_bernoulli",
     "orders_ols_trend",
+    "join_lateral_topk",
+    "table_migration_fingerprint",
+    "recursive_cte_ancestors",
 ]
 
 
