@@ -325,3 +325,99 @@ def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope",
         (F.col("ybar") - F.col("slope") * F.col("xbar")).alias("intercept"),
     )
+
+
+#: ABC cutoffs: A = first 80% of cumulative revenue, B = next 15%.
+ABC_A = 0.80
+ABC_B = 0.95
+
+
+def _abc_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum
+
+    return f"""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_dec,
+             SUM(rev_dec) OVER (
+               ORDER BY rev_dec DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+             SUM(rev_dec) OVER () AS total_dec
+      FROM part_rev
+    ), classed AS (
+      SELECT l_partkey,
+             CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+             CASE
+               WHEN CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) <= {ABC_A!r} THEN 'A'
+               WHEN CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) <= {ABC_B!r} THEN 'B'
+               ELSE 'C'
+             END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_dsum("revenue", 6)} AS class_revenue
+    FROM classed GROUP BY abc_class
+    """
+
+
+@register(
+    "parts_abc_classification",
+    oracle=_abc_sql(),
+    tags=("bi", "window", "pareto"),
+    doc=(
+        f"ABC / Pareto inventory classification: parts ranked by "
+        f"revenue, cumulative-share cut at {ABC_A:.0%} (A) and "
+        f"{ABC_B:.0%} (B). The running share accumulates EXACT decimals "
+        "in a total order (revenue DESC, partkey tie-break) and converts "
+        "to double once per row via the correctly-rounded string hop, so "
+        "the class boundary falls identically in both engines."
+    ),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto classification of parts by revenue contribution.
+
+    Scale design: the fact table reduces to one row per part
+    (map-combinable groupBy); the global cumulative window then runs
+    over the |parts| aggregate — dimension-sized, not fact-sized. At a
+    true 100 TB parts dimension the global window becomes a two-pass
+    range-partitioned prefix sum (partition totals broadcast as
+    offsets); at every realistic parts cardinality Spark's single
+    window partition over the aggregate is the simpler, correct plan.
+    The running sum is exact decimal in a TOTAL order, so no float
+    accumulation-order drift exists for the share comparison.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    part_rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    ranked = part_rev.select(
+        "l_partkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cum"),
+        F.sum("rev_dec").over(wt).cast("double").alias("total"),
+    )
+    share = F.col("cum") / F.col("total")
+    classed = ranked.select(
+        "revenue",
+        F.when(share <= ABC_A, "A").when(share <= ABC_B, "B").otherwise("C").alias("abc_class"),
+    )
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("revenue", 6).alias("class_revenue"),
+    )

@@ -208,3 +208,66 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+           last_click_ts IS NOT NULL AS attributed,
+           CASE WHEN last_click_ts IS NOT NULL
+                THEN (epoch_us(ts) - epoch_us(last_click_ts)) // 1000000 END AS gap_s
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    tags=("events", "window", "attribution"),
+    doc=(
+        "Last-touch attribution: each purchase is attributed to the "
+        "user's most recent preceding click (a running MAX over the "
+        "user's event stream, frame ending 1 row before the purchase), "
+        "with the click-to-purchase gap in whole seconds. One shuffle "
+        "on user_id; the attribution itself is pure window algebra — "
+        "the marketing-analytics join-free rewrite of 'find my last "
+        "qualifying event'."
+    ),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase → last preceding click attribution per user stream.
+
+    Scale design: identical shuffle shape to sessionize/SCD2 — one
+    user_id window, everything else map-side. The running MAX carries
+    O(1) state per row (vs a self-join's per-purchase scan of prior
+    clicks), which is what keeps attribution linear on a 100 TB event
+    log.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    tagged = e.withColumn("last_click_ts", last_click)
+    gap_s = F.when(
+        F.col("last_click_ts").isNotNull(),
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts")))
+            / F.lit(1_000_000)
+        ),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        F.col("last_click_ts").isNotNull().alias("attributed"),
+        gap_s.alias("gap_s"),
+    )

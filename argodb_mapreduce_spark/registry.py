@@ -78,25 +78,27 @@ _QUERY_MODULES = (
 #: fix, then (c2) the nine operators added late in round 5
 #: (sessionize, SCD2, span dedup, PageRank, co-occurrence, embedding
 #: normalize, bloom join, bigram LM score, null-safe join) and (c3)
-#: the eleven closing-round-5 operators (Markov transitions, triangle
-#: count, fuzzy Levenshtein join, TV divergence, weighted Bernoulli
-#: sample, basket pair lift, exact EWMA, OLS trend, migration
-#: fingerprint, LATERAL top-k, recursive-CTE ancestors) — first-ever
-#: driver evidence, then (d) the 12 longest-unrefreshed banked rows —
-#: all last witnessed in round 1. 6+7+5+9+11+12 = 50 exactly.
+#: the thirteen closing-round-5 operators (Markov transitions,
+#: triangle count, fuzzy Levenshtein join, TV divergence, weighted
+#: Bernoulli sample, basket pair lift, exact EWMA, OLS trend,
+#: migration fingerprint, LATERAL top-k, recursive-CTE ancestors, ABC
+#: Pareto classes, last-touch attribution) — first-ever driver
+#: evidence, then (d) the 10 longest-unrefreshed banked rows — all
+#: last witnessed in round 1. 6+7+5+9+13+10 = 50 exactly.
 #:
-#: ROUND-6 ROTATION NOTE: thirty r1-banked rows did not fit this
+#: ROUND-6 ROTATION NOTE: thirty-two r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
 #: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
 #: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
 #: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
-#: twenty displaced by the late-round-5 additions: ``q4_order_priority``,
+#: twenty-two displaced by the late-round-5 additions: ``q4_order_priority``,
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
 #: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
 #: ``set_union_all``, ``set_intersect``, ``sort_limit``, ``window_rank``,
 #: ``window_lag_lead``, ``window_moving_sum``, ``topk_per_group``,
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
-#: ``join_anti``, ``join_left_outer``, ``join_full_outer``, and the
+#: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
+#: ``agg_pivot``, ``join_inner``, and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -149,6 +151,8 @@ _PRIORITY = (
     "table_migration_fingerprint",
     "join_lateral_topk",
     "recursive_cte_ancestors",
+    "parts_abc_classification",
+    "events_attribution_last_touch",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -160,8 +164,6 @@ _PRIORITY = (
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_pivot",
-    "join_inner",
 )
 
 

@@ -579,3 +579,27 @@ def test_recursive_cte_executes_natively(spark, sf_dir):
     for key in list(rows)[:20]:
         assert rows[key]["n_ancestors"] == int(math.log2(key)), (key, rows[key])
         assert rows[key]["root_key"] == 1
+
+
+def test_abc_windows_run_over_part_aggregate(spark, sf_dir):
+    """The Pareto windows must consume the per-part aggregate, never
+    raw lineitem: the plan aggregates before the (global) window."""
+    from argodb_mapreduce_spark.operators.bi import parts_abc_classification
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(parts_abc_classification(spark, sf_dir), "formatted")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Attribution is one user_id window + filter — a single exchange,
+    no self-join of the event log."""
+    from argodb_mapreduce_spark.operators.sessions import events_attribution_last_touch
+    from argodb_mapreduce_spark.plans.checks import explain_str, n_exchanges
+
+    df = events_attribution_last_touch(spark, sf_dir)
+    assert n_exchanges(df) == 1
+    assert "Join" not in explain_str(df, "formatted")
