@@ -225,3 +225,57 @@ def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.lit(n_after < n_before).alias("segments_reduced"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    SELECT 'added' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 'removed', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "cdc"),
+    doc=(
+        "Snapshot diff (CDC between versions): keys added and removed "
+        "between v1 (the append state) and v2 (the overwrite) of the "
+        "versioned table, computed as two anti-joins over the "
+        "manifest-pinned snapshots. The v2 overwrite replaced "
+        "everything, so the diff is total — the worst case a downstream "
+        "incremental consumer must detect rather than silently "
+        "re-ingest."
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change summary over the versioned source.
+
+    Scale design: both sides are snapshot reads (plan-time manifest
+    pin, no copy); the anti-joins shuffle on the key — the same cost
+    class as the MERGE upsert. A production table would diff manifests
+    first (segment-level pruning: unchanged segments cannot contribute
+    adds/removes) and only key-join the rewritten segments; with the
+    fixture's 3-segment manifest the join is the whole story.
+    """
+    out = _build_fixture_versions(spark, sf_dir)
+    v1 = snapshot_read(spark, out, 1).select("o_orderkey")
+    v2 = snapshot_read(spark, out, 2).select("o_orderkey")
+    added = v2.join(v1, "o_orderkey", "left_anti").select(
+        F.lit("added").alias("change_type"), "o_orderkey"
+    )
+    removed = v1.join(v2, "o_orderkey", "left_anti").select(
+        F.lit("removed").alias("change_type"), "o_orderkey"
+    )
+    return (
+        added.unionAll(removed)
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
