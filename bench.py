@@ -86,6 +86,8 @@ HEADLINE = [
     "join_lateral_topk",
     "table_migration_fingerprint",
     "recursive_cte_ancestors",
+    "parts_abc_classification",
+    "events_attribution_last_touch",
 ]
 
 
