@@ -158,3 +158,128 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / (F.col("n") * F.lit(float(_Q)))).alias("centroid"),
         F.col("n").alias("n_assigned"),
     )
+
+
+#: Power-iteration count for the top principal component (fixed — keeps
+#: the plan static and the oracle a finite CTE chain, like PageRank).
+PCA_ITERS = 3
+
+
+def _pca_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_gsum
+
+    q = float(_Q)
+    parts = [
+        f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {q!r}) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cells AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             qemb[i + 1] AS qi, qemb[j + 1] AS qj
+      FROM qv,
+           UNNEST(range(0, len(qemb))) AS u1(i),
+           UNNEST(range(0, len(qemb))) AS u2(j)
+    ), moments AS (
+      SELECT i, j,
+             CAST(CAST(SUM(qi * qj) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(qi) AS VARCHAR) AS DOUBLE) AS sqi,
+             CAST(CAST(SUM(qj) AS VARCHAR) AS DOUBLE) AS sqj,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM cells GROUP BY i, j
+    ), cov AS (
+      SELECT i, j,
+             (sqq / n - (sqi / n) * (sqj / n)) / {q!r} / {q!r} AS c
+      FROM moments
+    ), v0 AS (
+      SELECT DISTINCT i AS pos, CAST(1 AS DOUBLE) AS v FROM cov
+    )"""
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        prev = f"v{k - 1}"
+        parts.append(
+            f""", w{k} AS (
+      SELECT cov.i AS pos, {sql_gsum("cov.c * p.v")} AS w
+      FROM cov JOIN {prev} p ON p.pos = cov.j GROUP BY cov.i
+    ), n{k} AS (
+      SELECT SQRT({sql_gsum("w * w")}) AS nrm FROM w{k}
+    ), v{k} AS (
+      SELECT w{k}.pos, w{k}.w / n{k}.nrm AS v FROM w{k} CROSS JOIN n{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT pos, v AS loading FROM v{PCA_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_sql(),
+    tags=("similarity", "vector", "iterative", "ml"),
+    doc=(
+        f"Top principal component of the embedding corpus: exact-integer "
+        f"covariance moments on the 2^-20 quantization grid, then "
+        f"{PCA_ITERS} power iterations over the dims x dims covariance "
+        "matrix with grid-sum matvecs and an IEEE sqrt normalization — "
+        "every float op deterministic, so the component loadings are "
+        "bit-identical across engines and parallelism. PCA as a "
+        "dataflow: no ML library, oracle-checkable."
+    ),
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding covariance (whitening /
+    drift-analysis primitive for an embedding pipeline).
+
+    Scale design: the only corpus-sized stage is the dims^2 moment
+    aggregation — a double explode (i, j) per vector, map-side
+    combinable, reducing 100 TB of vectors to 64^2 = 4096 exact-integer
+    sums (the standard outer-product accumulation; at larger dims the
+    explode swaps for a blocked Pandas-UDF Gram accumulation). Power
+    iterations are joins over the 4096-row covariance — broadcast-sized
+    — with the same chained-CTE oracle shape as graph_pagerank. The
+    quantized integer moments make the covariance bit-identical in both
+    engines; v0 = all-ones is deterministic and almost surely
+    non-orthogonal to the top component.
+    """
+    from argodb_mapreduce_spark.functions.oracle_safe import gsum
+
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    qf = float(_Q)
+    cells = (
+        qv.select("vec_id", "qemb", F.posexplode("qemb").alias("i", "qi"))
+        .select("i", "qi", F.posexplode("qemb").alias("j", "qj"))
+    )
+    moments = cells.groupBy("i", "j").agg(
+        F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).cast("double").alias("sqq"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).cast("double").alias("sqi"),
+        F.sum(F.col("qj").cast("decimal(38,0)")).cast("double").alias("sqj"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    cov = moments.select(
+        "i",
+        "j",
+        (
+            (F.col("sqq") / F.col("n") - (F.col("sqi") / F.col("n")) * (F.col("sqj") / F.col("n")))
+            / F.lit(qf)
+            / F.lit(qf)
+        ).alias("c"),
+    ).localCheckpoint()
+    v = cov.select(F.col("i").alias("pos")).distinct().withColumn("v", F.lit(1.0))
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(gsum(F.col("c") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(gsum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "pos", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    return v.select("pos", F.col("v").alias("loading"))

@@ -82,24 +82,25 @@ _QUERY_MODULES = (
 #: triangle count, fuzzy Levenshtein join, TV divergence, weighted
 #: Bernoulli sample, basket pair lift, exact EWMA, OLS trend,
 #: migration fingerprint, LATERAL top-k, recursive-CTE ancestors, ABC
-#: Pareto classes, last-touch attribution, snapshot diff) —
-#: first-ever driver evidence, then (d) the 9 longest-unrefreshed
-#: banked rows — all last witnessed in round 1. 6+7+5+9+14+9 = 50
-#: exactly.
+#: Pareto classes, last-touch attribution, snapshot diff, PCA top
+#: component) — first-ever driver evidence, then (d) the 8
+#: longest-unrefreshed banked rows — all last witnessed in round 1.
+#: 6+7+5+9+15+8 = 50 exactly.
 #:
-#: ROUND-6 ROTATION NOTE: thirty-three r1-banked rows did not fit this
+#: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
 #: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
 #: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
 #: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
-#: twenty-three displaced by the late-round-5 additions: ``q4_order_priority``,
+#: twenty-four displaced by the late-round-5 additions: ``q4_order_priority``,
 #: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
 #: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
 #: ``set_union_all``, ``set_intersect``, ``sort_limit``, ``window_rank``,
 #: ``window_lag_lead``, ``window_moving_sum``, ``topk_per_group``,
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
 #: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
-#: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, and the
+#: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
+#: and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -155,6 +156,7 @@ _PRIORITY = (
     "parts_abc_classification",
     "events_attribution_last_touch",
     "snapshot_diff",
+    "embedding_pca_top_component",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -164,7 +166,6 @@ _PRIORITY = (
     "agg_minmax_distinct",
     "agg_having",
     "agg_rollup",
-    "agg_cube",
 )
 
 

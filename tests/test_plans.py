@@ -603,3 +603,14 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     df = events_attribution_last_touch(spark, sf_dir)
     assert n_exchanges(df) == 1
     assert "Join" not in explain_str(df, "formatted")
+
+
+def test_pca_iterations_scan_embeddings_once(spark, sf_dir):
+    """After the covariance localCheckpoint the power-iteration plan
+    joins the materialized 4096-row matrix — no embeddings rescan per
+    iteration."""
+    from argodb_mapreduce_spark.operators.clustering import embedding_pca_top_component
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(embedding_pca_top_component(spark, sf_dir), "formatted")
+    assert "embeddings" not in plan.lower(), plan[:1500]
