@@ -88,6 +88,7 @@ HEADLINE = [
     "recursive_cte_ancestors",
     "parts_abc_classification",
     "events_attribution_last_touch",
+    "embedding_pca_top_component",
 ]
 
 
