@@ -394,3 +394,101 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "user_id", "ts", "event_id", "value", (num / den).alias("ewma")
     )
+
+
+#: ACF grid: deviation products of daily counts stay well under 2^43
+#: at any fixture SF, so 20 fractional bits keeps each scaled term
+#: inside BIGINT while quantizing at ~1e-6 — identical on both engines.
+ACF_GRID_BITS = 20
+ACF_MAX_LAG = 7
+
+
+def _acf_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_gsum
+
+    num = sql_gsum(
+        "(CAST(p.xa AS DOUBLE) - m.xbar) * (CAST(p.xb AS DOUBLE) - m.xbar)",
+        ACF_GRID_BITS,
+    )
+    den = sql_gsum("(CAST(cnt AS DOUBLE) - xbar) * (CAST(cnt AS DOUBLE) - xbar)", ACF_GRID_BITS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS xbar FROM daily
+    ), den AS (
+      SELECT {den} AS den FROM daily, m
+    ), lags AS (
+      SELECT CAST(k AS INT) AS lag FROM UNNEST(range(1, {ACF_MAX_LAG + 1})) AS t(k)
+    ), pairs AS (
+      SELECT l.lag, a.cnt AS xa, b.cnt AS xb
+      FROM daily a JOIN lags l ON TRUE
+      JOIN daily b ON b.day = a.day + l.lag
+    )
+    SELECT p.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ({num}) / ANY_VALUE(d.den) AS acf
+    FROM pairs p, m, den d
+    GROUP BY p.lag
+    """
+
+
+@register(
+    "events_autocorrelation",
+    oracle=_acf_sql(),
+    tags=("events", "timeseries", "statistics"),
+    doc=(
+        f"Autocorrelation function of the daily event-count series at "
+        f"lags 1..{ACF_MAX_LAG}: ACF(k) = sum((x_t-x̄)(x_(t+k)-x̄)) / "
+        "sum((x_t-x̄)²), the standard seasonality probe (a weekly cycle "
+        "shows as an ACF(7) peak). Centered moments ride the "
+        f"2^-{ACF_GRID_BITS} grid so the coefficients are bit-identical "
+        "across engines and parallelism."
+    ),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series ACF at lags 1..7 — the seasonality detector next to
+    the trend (orders_ols_trend) and level (events_ewma_smooth) ops.
+
+    Scale design: pass 1 reduces the event fact to one row per day
+    (map-combinable count; O(days) output — the series length grows
+    with TIME, not data volume, so everything downstream is tiny no
+    matter the corpus size). The lag table and the 1-row mean/denominator
+    aggregates broadcast onto the per-day rows; the lag-k pairing is a
+    self-join of the O(days) series shifted by calendar date. Integer
+    day counts make x̄ an exact sum/count division; the centered
+    products use grid sums, so ACF is deterministic at any parallelism.
+    """
+    from argodb_mapreduce_spark.functions.oracle_safe import gsum
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = daily.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("xbar")
+    )
+    dev = F.col("cnt").cast("double") - F.col("xbar")
+    den = (
+        daily.crossJoin(F.broadcast(m))
+        .agg(gsum(dev * dev, ACF_GRID_BITS).alias("den"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("cnt").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.date_add(F.col("a_day"), F.col("lag")))
+    )
+    da = F.col("xa").cast("double") - F.col("xbar")
+    db = F.col("xb").cast("double") - F.col("xbar")
+    return (
+        pairs.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (gsum(da * db, ACF_GRID_BITS) / F.any_value("den")).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+    )

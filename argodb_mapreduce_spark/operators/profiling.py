@@ -390,3 +390,173 @@ def table_migration_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(digest.cast("decimal(38,0)")).cast("string").alias("checksum"),
     ).select("table_name", "n_rows", "checksum")
+
+
+def _dq_sql() -> str:
+    return """
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+             CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS v_qty_null
+      FROM lineitem
+    ), ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+      FROM orders
+    ), ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_dup
+      FROM events
+    ), ri_li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), ri_cust AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT 'lineitem.l_discount:max(0.05)' AS constraint_name, 'lineitem' AS tbl,
+           checked_rows, v_discount AS violations, v_discount = 0 AS passed FROM li
+    UNION ALL
+    SELECT 'lineitem.l_quantity:not_null', 'lineitem',
+           checked_rows, v_qty_null, v_qty_null = 0 FROM li
+    UNION ALL
+    SELECT 'orders.o_orderstatus:in(F,O,P)', 'orders',
+           checked_rows, v_status, v_status = 0 FROM ord
+    UNION ALL
+    SELECT 'orders.o_totalprice:range[0,450000]', 'orders',
+           checked_rows, v_price, v_price = 0 FROM ord
+    UNION ALL
+    SELECT 'events.event_id:unique', 'events',
+           checked_rows, v_dup, v_dup = 0 FROM ev
+    UNION ALL
+    SELECT 'lineitem.l_orderkey:fk(orders.o_orderkey)', 'lineitem',
+           checked_rows, v_orphan, v_orphan = 0 FROM ri_li
+    UNION ALL
+    SELECT 'customer.c_nationkey:fk(nation.n_nationkey)', 'customer',
+           checked_rows, v_orphan, v_orphan = 0 FROM ri_cust
+    """
+
+
+@register(
+    "dq_constraint_audit",
+    oracle=_dq_sql(),
+    tags=("profiling", "quality", "audit"),
+    doc=(
+        "Declarative data-quality audit (the Deequ/dbt-test shape): "
+        "seven constraints — completeness, uniqueness, accepted values, "
+        "numeric range, business-rule max, and two referential-"
+        "integrity checks — evaluated in one pass per table and "
+        "emitted as a (constraint, checked, violations, passed) "
+        "report. Two rules genuinely fail on the fixture (discounts "
+        "above 5%, orders above the 450k cap), so the report exercises "
+        "both verdicts."
+    ),
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over lineitem/orders/events/customer.
+
+    Scale design: all per-table rules share ONE scan+aggregate per
+    table (map-combinable counters — the Deequ trick: N constraints
+    cost one pass, not N). Referential integrity is a left join
+    aggregated to two counters: customer→nation broadcasts the 25-row
+    dim; lineitem→orders shuffles on the join key (both sides are
+    facts — at 100 TB this is the one intentionally heavy check, keyed
+    so AQE can split skew). The final result is 7 rows, unioned from
+    1-row aggregates — nothing materializes on the driver.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("checked_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, one).otherwise(zero)).alias("v_discount"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("v_qty_null"),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem.l_discount:max(0.05)', v_discount,"
+            " 'lineitem.l_quantity:not_null', v_qty_null)"
+        ).alias("constraint_name", "violations"),
+        F.lit("lineitem").alias("tbl"),
+        "checked_rows",
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("checked_rows"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), one).otherwise(zero)
+        ).alias("v_status"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 450000), one
+            ).otherwise(zero)
+        ).alias("v_price"),
+    ).select(
+        F.expr(
+            "stack(2, 'orders.o_orderstatus:in(F,O,P)', v_status,"
+            " 'orders.o_totalprice:range[0,450000]', v_price)"
+        ).alias("constraint_name", "violations"),
+        F.lit("orders").alias("tbl"),
+        "checked_rows",
+    )
+    e_agg = e.agg(
+        F.count(F.lit(1)).alias("checked_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id"))).alias("violations"),
+    ).select(
+        F.lit("events.event_id:unique").alias("constraint_name"),
+        "violations",
+        F.lit("events").alias("tbl"),
+        "checked_rows",
+    )
+    # o_orderkey is the orders PK (unique), so the left join preserves
+    # lineitem's row count and the orphan counter is exact.
+    ri_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("checked_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), one).otherwise(zero)).alias("violations"),
+        )
+        .select(
+            F.lit("lineitem.l_orderkey:fk(orders.o_orderkey)").alias("constraint_name"),
+            "violations",
+            F.lit("lineitem").alias("tbl"),
+            "checked_rows",
+        )
+    )
+    ri_cust = (
+        c.select("c_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("checked_rows"),
+            F.sum(F.when(F.col("n_nationkey").isNull(), one).otherwise(zero)).alias("violations"),
+        )
+        .select(
+            F.lit("customer.c_nationkey:fk(nation.n_nationkey)").alias("constraint_name"),
+            "violations",
+            F.lit("customer").alias("tbl"),
+            "checked_rows",
+        )
+    )
+    parts = [li_agg, o_agg, e_agg, ri_li, ri_cust]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "constraint_name",
+        "tbl",
+        "checked_rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -83,9 +83,11 @@ _QUERY_MODULES = (
 #: Bernoulli sample, basket pair lift, exact EWMA, OLS trend,
 #: migration fingerprint, LATERAL top-k, recursive-CTE ancestors, ABC
 #: Pareto classes, last-touch attribution, snapshot diff, PCA top
-#: component) — first-ever driver evidence, then (d) the 8
+#: component) — first-ever driver evidence, then (c4) the two
+#: operators added after the first r5 freeze (data-quality constraint
+#: audit, daily-series autocorrelation), then (d) the 6
 #: longest-unrefreshed banked rows — all last witnessed in round 1.
-#: 6+7+5+9+15+8 = 50 exactly.
+#: 6+7+5+9+15+2+6 = 50 exactly.
 #:
 #: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
@@ -100,7 +102,8 @@ _QUERY_MODULES = (
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
 #: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
 #: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
-#: and the
+#: the two r1 refreshers displaced by the (c4) additions
+#: (``agg_having``, ``agg_rollup``), and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -157,6 +160,9 @@ _PRIORITY = (
     "events_attribution_last_touch",
     "snapshot_diff",
     "embedding_pca_top_component",
+    # --- (c4) post-freeze round-5 additions: first-ever driver evidence ---
+    "dq_constraint_audit",
+    "events_autocorrelation",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
@@ -164,8 +170,6 @@ _PRIORITY = (
     "scan_partition_nomatch",
     "scan_events",
     "agg_minmax_distinct",
-    "agg_having",
-    "agg_rollup",
 )
 
 
