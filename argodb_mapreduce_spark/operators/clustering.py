@@ -235,11 +235,11 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant eigenvector of the embedding covariance (whitening /
     drift-analysis primitive for an embedding pipeline).
 
-    Scale design: the only corpus-sized stage is the dims^2 moment
-    aggregation — a double explode (i, j) per vector, map-side
-    combinable, reducing 100 TB of vectors to 64^2 = 4096 exact-integer
-    sums (the standard outer-product accumulation; at larger dims the
-    explode swaps for a blocked Pandas-UDF Gram accumulation). Power
+    Scale design: the only corpus-sized stage is the Gram accumulation —
+    an Arrow-batched mapInPandas computing one exact int64 Q^T Q per
+    chunk, so 100 TB of vectors reduces to dims^2 = 4096 integer
+    partials per chunk (decimal-summed exactly across chunks), with no
+    row inflation of the scan stage. Power
     iterations are joins over the 4096-row covariance — broadcast-sized
     — with the same chained-CTE oracle shape as graph_pagerank. The
     quantized integer moments make the covariance bit-identical in both
@@ -252,25 +252,66 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
     qf = float(_Q)
-    cells = (
-        qv.select("vec_id", "qemb", F.posexplode("qemb").alias("i", "qi"))
-        .select("i", "qi", F.posexplode("qemb").alias("j", "qj"))
+
+    # Product moments via blocked Gram accumulation: each Arrow batch
+    # contributes one exact int64 Q^T Q (|q| <= 2^20 -> products <= 2^40,
+    # 4096-row chunk sums <= 2^52 — far from int64 overflow), emitting
+    # dims^2 partial rows per chunk instead of dims^2 rows PER VECTOR.
+    # The old double-posexplode inflated the scan stage 64x (8.2M rows
+    # at sf0.1, the whole query's cost); this is the blocked shape the
+    # scale note below always called for. groupBy then decimal-sums the
+    # integer partials exactly, so the covariance is bit-identical to
+    # the per-cell oracle sums.
+    def gram_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qemb"].to_numpy()).astype(np.int64)
+            for s in range(0, len(Q), 4096):
+                c = Q[s : s + 4096]
+                G = c.T @ c
+                d = G.shape[0]
+                ii, jj = np.indices((d, d))
+                yield pd.DataFrame(
+                    {
+                        "i": ii.ravel().astype("int32"),
+                        "j": jj.ravel().astype("int32"),
+                        "sqq": G.ravel(),
+                    }
+                )
+
+    sqq = (
+        qv.select("qemb")
+        .mapInPandas(gram_blocks, schema="i int, j int, sqq long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("sqq").cast("decimal(38,0)")).cast("double").alias("sqq"))
     )
-    moments = cells.groupBy("i", "j").agg(
-        F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).cast("double").alias("sqq"),
-        F.sum(F.col("qi").cast("decimal(38,0)")).cast("double").alias("sqi"),
-        F.sum(F.col("qj").cast("decimal(38,0)")).cast("double").alias("sqj"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+    # Marginal sums and the row count depend only on i — one cheap
+    # single explode (dims rows per vector), not per-(i,j) replication.
+    marg = (
+        qv.select(F.posexplode("qemb").alias("i", "q"))
+        .groupBy("i")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"))
     )
-    cov = moments.select(
-        "i",
-        "j",
-        (
-            (F.col("sqq") / F.col("n") - (F.col("sqi") / F.col("n")) * (F.col("sqj") / F.col("n")))
-            / F.lit(qf)
-            / F.lit(qf)
-        ).alias("c"),
-    ).localCheckpoint()
+    nrow = qv.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cov = (
+        sqq.join(F.broadcast(marg.select("i", F.col("s").alias("sqi"))), "i")
+        .join(F.broadcast(marg.select(F.col("i").alias("j"), F.col("s").alias("sqj"))), "j")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sqq") / F.col("n") - (F.col("sqi") / F.col("n")) * (F.col("sqj") / F.col("n")))
+                / F.lit(qf)
+                / F.lit(qf)
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
     v = cov.select(F.col("i").alias("pos")).distinct().withColumn("v", F.lit(1.0))
     for _ in range(PCA_ITERS):
         w = (

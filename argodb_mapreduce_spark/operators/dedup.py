@@ -320,7 +320,17 @@ def min_label_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = vertices.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    # Iterate ONLY over edge-touched vertices: a vertex with no edge can
+    # never change its label, so carrying the full corpus through every
+    # round is O(corpus x rounds) shuffle for nothing — at 100 TB the
+    # near-dup edge set is orders of magnitude smaller than the vertex
+    # set. Singletons re-join (labeled by themselves) after convergence.
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_rounds):
         neighbor_min = (
@@ -328,17 +338,31 @@ def min_label_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # The changed flag is computed inside the same join that builds
-        # the new labels and rides the checkpoint materialization — the
-        # convergence probe is then a filter-scan of checkpointed rows
-        # (no join, no shuffle), halving the per-round job cost vs the
-        # earlier new-vs-old label join.
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+            (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("chg_prop"),
+        )
+        # Pointer-jumping compression: re-label through the label of the
+        # current label (labels only ever decrease toward the component
+        # min and always carry the id of a touched vertex, so node
+        # cluster_id's own row exists and its label is <= cluster_id).
+        # Propagate+compress halves the effective diameter each round —
+        # O(log d) rounds instead of O(d) for chain-shaped components.
+        # The changed flag rides the same checkpoint materialization, so
+        # the convergence probe is a filter-scan of checkpointed rows
+        # (no join, no shuffle).
+        parent = propagated.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("via")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            propagated.join(parent, "cluster_id", "left")
             .select(
                 "id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
-                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("changed"),
+                F.least("cluster_id", F.coalesce("via", "cluster_id")).alias("cluster_id"),
+                (
+                    F.col("chg_prop") | (F.coalesce("via", "cluster_id") < F.col("cluster_id"))
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -353,7 +377,10 @@ def min_label_components(
             f"{max_rounds} rounds — component diameter exceeds the cap; raise "
             "the round limit rather than returning partial labels"
         )
-    return labels
+    return vertices.join(labels, vertices.id == labels.id, "left").select(
+        vertices.id.alias("id"),
+        F.coalesce(labels.cluster_id, vertices.id).alias("cluster_id"),
+    )
 
 
 @register(
