@@ -652,3 +652,103 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         gavg("p").alias("lm_score"),
     )
+
+
+#: RAKE phrase delimiter: the stopword list as a word-boundary regex.
+#: Matching on \b instead of surrounding spaces keeps consecutive
+#: stopwords ("a a the") from hiding each other (space-delimited
+#: patterns consume the shared space and skip every other match).
+_RAKE_STOP_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+
+def _rake_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_gsum
+
+    return f"""
+    WITH ph AS (
+      SELECT trim(p) AS phrase
+      FROM documents,
+           UNNEST(string_split(regexp_replace(text, '{_RAKE_STOP_RE}', '|', 'g'), '|')) AS t(p)
+      WHERE trim(p) <> ''
+    ), wo AS (
+      SELECT u.w, len(string_split(ph.phrase, ' ')) AS plen
+      FROM ph, UNNEST(string_split(ph.phrase, ' ')) AS u(w)
+    ), ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM wo GROUP BY w
+    ), pd AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
+    ), pw AS (
+      SELECT pd.phrase, pd.n_occ, u.w
+      FROM pd, UNNEST(string_split(pd.phrase, ' ')) AS u(w)
+    )
+    SELECT pw.phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ANY_VALUE(pw.n_occ) AS n_occ,
+           {sql_gsum("CAST(ws.degree AS DOUBLE) / ws.freq")} AS rake_score
+    FROM pw JOIN ws ON ws.w = pw.w
+    GROUP BY pw.phrase
+    ORDER BY rake_score DESC, n_occ DESC, phrase ASC
+    LIMIT 20
+    """
+
+
+@register(
+    "text_keyword_rake",
+    oracle=_rake_sql(),
+    tags=("text", "keywords"),
+    doc=(
+        "RAKE keyword extraction: split each document into candidate "
+        "phrases at stopword boundaries, score words by degree/freq "
+        "(degree = summed length of phrases the word appears in, freq = "
+        "occurrence count — both exact integers), score phrases as the "
+        "grid-sum of member word scores, return the corpus top 20 "
+        "phrases with a total order (score, occurrences, phrase). The "
+        "classic unsupervised keyword op, engine-exact."
+    ),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords over the documents table.
+
+    Scale design: phrase extraction is map-only string work; word
+    stats are a combiner-reduced groupBy on the vocabulary; phrase
+    scoring joins distinct phrases (not occurrences) against word
+    scores keyed on the word — AQE broadcasts when the vocabulary
+    fits. The final top-20 is a TakeOrderedAndProject, never a global
+    sort. Integer degree/freq + one IEEE division per word + a grid
+    sum per phrase keep every score bit-identical across engines.
+    """
+    from argodb_mapreduce_spark.functions.oracle_safe import gsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace("text", _RAKE_STOP_RE, "|"), r"\|")
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    wo = ph.select(
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = wo.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    pd_ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = pd_.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+    return (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.any_value("n_occ").alias("n_occ"),
+            gsum(F.col("degree").cast("double") / F.col("freq")).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("n_occ"), F.asc("phrase"))
+        .limit(20)
+    )

@@ -492,3 +492,79 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", "n_pairs", "acf")
     )
+
+
+@register(
+    "events_ab_welch_t",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sx_a,
+        CAST(CAST(SUM(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sx_b,
+        CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS sx2_a,
+        CAST(CAST(SUM(CASE WHEN user_id % 2 = 1 THEN CAST(value * value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS sx2_b
+      FROM events
+    ), m AS (
+      SELECT n_a, n_b,
+             sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+             (sx2_a - sx_a * sx_a / n_a) / (n_a - 1) AS var_a,
+             (sx2_b - sx_b * sx_b / n_b) / (n_b - 1) AS var_b
+      FROM s
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) AS t_stat,
+           ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
+    FROM m
+    """,
+    tags=("analytics", "statistics", "experiment"),
+    doc=(
+        "Welch two-sample t statistic between deterministic A/B halves "
+        "of the event stream (variant = user_id parity): exact-decimal "
+        "sums and sums-of-squares in ONE conditional aggregate pass, "
+        "then mean/variance/t/df as fixed-association IEEE scalar ops — "
+        "the experiment-analysis readout, bit-identical on both engines."
+    ),
+)
+def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over events.value.
+
+    Scale design: ONE scan of the fact table with six conditional
+    map-combinable aggregates (no per-variant shuffle split, no second
+    pass); everything after is scalar arithmetic on a 1-row frame. The
+    sum-of-squares variance form keeps the pass single; the decimal
+    casts make it order-independent, so the t statistic is identical at
+    any parallelism. Assignment by user_id parity is the deterministic
+    stand-in for a real experiment-assignment column — swap the
+    predicate for the column and the plan shape is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events")
+    is_a = F.col("user_id") % 2 == 0
+    s = e.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("value").cast("decimal(18,2)"))).cast("double").alias("sx_a"),
+        F.sum(F.when(~is_a, F.col("value").cast("decimal(18,2)"))).cast("double").alias("sx_b"),
+        F.sum(F.when(is_a, (F.col("value") * F.col("value")).cast("decimal(18,4)"))).cast("double").alias("sx2_a"),
+        F.sum(F.when(~is_a, (F.col("value") * F.col("value")).cast("decimal(18,4)"))).cast("double").alias("sx2_b"),
+    )
+    m = s.select(
+        "n_a", "n_b",
+        (F.col("sx_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("sx_b") / F.col("n_b")).alias("mean_b"),
+        ((F.col("sx2_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (F.col("n_a") - 1)).alias("var_a"),
+        ((F.col("sx2_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (F.col("n_b") - 1)).alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return m.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)).alias("t_stat"),
+        (
+            ((se_a + se_b) * (se_a + se_b))
+            / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1))
+        ).alias("df"),
+    )

@@ -421,3 +421,75 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dsum("revenue", 6).alias("class_revenue"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), aged AS (
+      SELECT f.cohort_month,
+             (EXTRACT(YEAR FROM o.o_orderdate) * 12 + EXTRACT(MONTH FROM o.o_orderdate))
+               - (EXTRACT(YEAR FROM f.cohort_month) * 12 + EXTRACT(MONTH FROM f.cohort_month)) AS age_months,
+             o.o_totalprice
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    ), cell AS (
+      SELECT cohort_month, CAST(age_months AS INT) AS age_months,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM aged GROUP BY cohort_month, CAST(age_months AS INT)
+    )
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month, age_months, revenue,
+           CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                       OVER (PARTITION BY cohort_month ORDER BY age_months) AS VARCHAR)
+                AS DOUBLE) AS cum_ltv
+    FROM cell
+    """,
+    tags=("bi", "cohort", "revenue"),
+    doc=(
+        "Cohort lifetime value: customers grouped by first-order month, "
+        "revenue summed per (cohort, months-since-first) cell, plus the "
+        "running cumulative LTV per cohort. The running sum re-enters "
+        "the exact-decimal domain (decimal window sum, cast back to "
+        "double) because float window sums associate differently across "
+        "engines (DuckDB segment-trees its window aggregates) — exact "
+        "decimal addition is associative, so the cumulative is "
+        "bit-identical anyway."
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue LTV triangle — the money twin of events_retention's
+    user-count triangle.
+
+    Scale design: per-customer first-order month is one combiner-reduced
+    aggregate; the cohort join is keyed on o_custkey (AQE broadcasts if
+    the customer dim fits); the (cohort, age) cell aggregate collapses
+    the fact table to O(months²) rows, so the cumulative window runs
+    over a tiny frame no matter the corpus size. Revenue sums are exact
+    decimals end-to-end — including the running sum, which would drift
+    between engines if left in double.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias("cohort_month")
+    )
+    month_idx = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    aged = o.join(first_order, "o_custkey").select(
+        "cohort_month",
+        (month_idx(F.col("o_orderdate")) - month_idx(F.col("cohort_month")))
+        .cast("int")
+        .alias("age_months"),
+        "o_totalprice",
+    )
+    cell = aged.groupBy("cohort_month", "age_months").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return cell.select(
+        F.col("cohort_month").cast("timestamp").alias("cohort_month"),
+        "age_months",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double").alias("cum_ltv"),
+    )

@@ -83,11 +83,12 @@ _QUERY_MODULES = (
 #: Bernoulli sample, basket pair lift, exact EWMA, OLS trend,
 #: migration fingerprint, LATERAL top-k, recursive-CTE ancestors, ABC
 #: Pareto classes, last-touch attribution, snapshot diff, PCA top
-#: component) — first-ever driver evidence, then (c4) the two
+#: component) — first-ever driver evidence, then (c4) the five
 #: operators added after the first r5 freeze (data-quality constraint
-#: audit, daily-series autocorrelation), then (d) the 6
-#: longest-unrefreshed banked rows — all last witnessed in round 1.
-#: 6+7+5+9+15+2+6 = 50 exactly.
+#: audit, daily-series autocorrelation, Welch A/B t-statistic, cohort
+#: LTV triangle, RAKE keywords), then (d) the 3 longest-unrefreshed
+#: banked rows — all last witnessed in round 1.
+#: 6+7+5+9+15+5+3 = 50 exactly.
 #:
 #: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
@@ -102,8 +103,9 @@ _QUERY_MODULES = (
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
 #: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
 #: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
-#: the two r1 refreshers displaced by the (c4) additions
-#: (``agg_having``, ``agg_rollup``), and the
+#: the five r1 refreshers displaced by the (c4) additions
+#: (``agg_having``, ``agg_rollup``, ``scan_partition_nomatch``,
+#: ``scan_events``, ``agg_minmax_distinct``), and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -163,13 +165,13 @@ _PRIORITY = (
     # --- (c4) post-freeze round-5 additions: first-ever driver evidence ---
     "dq_constraint_audit",
     "events_autocorrelation",
+    "events_ab_welch_t",
+    "orders_cohort_ltv",
+    "text_keyword_rake",
     # --- (d) longest-unrefreshed banked rows (all r1) ---
     "scan_lineitem",
     "scan_projection",
     "scan_partition_filter",
-    "scan_partition_nomatch",
-    "scan_events",
-    "agg_minmax_distinct",
 )
 
 

@@ -89,6 +89,11 @@ HEADLINE = [
     "parts_abc_classification",
     "events_attribution_last_touch",
     "embedding_pca_top_component",
+    "dq_constraint_audit",
+    "events_autocorrelation",
+    "events_ab_welch_t",
+    "orders_cohort_ltv",
+    "text_keyword_rake",
 ]
 
 
