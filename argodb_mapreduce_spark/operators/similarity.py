@@ -726,3 +726,216 @@ def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_comp"),
         F.max("v").alias("max_comp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3 extension — product quantization: the memory-bound ANN scale path.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dims)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_QUERIES = 5  # ADC demo query count
+PQ_TOPK = 10
+
+#: Shared encode CTEs: quantized vectors, the seeded codebook (the
+#: subvectors of the PQ_K smallest vec_ids — a deterministic Lloyd-0
+#: init; a production pipeline would refine it with kmeans_lloyd_step
+#: rounds, which changes centroid VALUES but not this dataflow), and
+#: the per-(vector, subspace) nearest-centroid assignment.
+_SQL_PQ_ENCODE_CTES = f"""
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id, qemb,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM qv ORDER BY vec_id LIMIT {PQ_K}
+    ), cb AS (
+      SELECT s.code, CAST(m AS INT) AS sub_id,
+             list_slice(s.qemb, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+      FROM seeds s, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), subs AS (
+      SELECT vec_id, CAST(m AS INT) AS sub_id,
+             list_slice(qemb, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM qv, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), cand AS (
+      SELECT su.vec_id, su.sub_id, cb.code,
+             CAST((SELECT SUM((su.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)])
+                              * (su.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)]))
+                   FROM UNNEST(range(1, {PQ_SUBDIM} + 1)) AS r(i)) AS BIGINT) AS dist_sq
+      FROM subs su JOIN cb ON cb.sub_id = su.sub_id
+    ), assigned AS (
+      SELECT vec_id, sub_id, code, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                ORDER BY dist_sq, code) AS rn
+      FROM cand
+    ), codes AS (
+      SELECT vec_id, sub_id, code, dist_sq FROM assigned WHERE rn = 1
+    )"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_id, code, dist_sq): the PQ code table plus the exact
+    integer quantization error of each assignment (grid² units)."""
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    w_seed = Window.orderBy("vec_id")
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w_seed) - 1).cast("int").alias("code"), "qemb")
+    )
+
+    def subvectors(col: str, out: str) -> Column:
+        return F.posexplode(
+            F.array(*[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("sub_id", out)
+
+    cb = seeds.select("code", subvectors("qemb", "cv"))
+    subs = qv.select("vec_id", subvectors("qemb", "sv"))
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = subs.join(F.broadcast(cb), "sub_id").select(
+        "vec_id", "sub_id", "code", d2.alias("dist_sq")
+    )
+    best = (
+        cand.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
+        .select("vec_id", "sub_id", F.col("b.code").alias("code"), F.col("b.dist_sq").alias("dist_sq"))
+    )
+    return best
+
+
+@register(
+    "similarity_pq_encode",
+    oracle=f"""
+    WITH {_SQL_PQ_ENCODE_CTES}
+    SELECT vec_id, sub_id, code, dist_sq FROM codes
+    """,
+    tags=("similarity", "vector", "ann", "pq"),
+    doc=(
+        f"Product-quantization encode: split each {PQ_M * PQ_SUBDIM}-dim "
+        f"vector into {PQ_M} subspaces, assign each subvector to its "
+        f"nearest of {PQ_K} codebook centroids (exact integer L2 on the "
+        "quantization grid, ties to the lower code), emitting the "
+        f"{PQ_M}x4-bit code table plus per-assignment quantization "
+        "error. The codebook is a deterministic Lloyd-0 seed (the "
+        f"{PQ_K} smallest vec_ids' subvectors) so the whole encode is "
+        "oracle-checkable; refining it with kmeans_lloyd_step rounds "
+        "changes centroid values, not this dataflow."
+    ),
+)
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code table — the memory-bound ANN representation (a 64-dim
+    float vector compresses to 8 four-bit codes: 64x smaller).
+
+    Scale design: the codebook is TakeOrdered-small and broadcast; the
+    subspace explode is a bounded PQ_M-fan map; the argmin is a
+    combiner-reduced min-struct aggregate keyed (vec_id, sub_id) — one
+    pass over the corpus, no all-pairs anything. Integer distances on
+    the quantization grid make assignment and error bit-identical
+    across engines and parallelism.
+    """
+    return _pq_codes(spark, sf_dir)
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH {_SQL_PQ_ENCODE_CTES}, queries AS (
+      SELECT vec_id AS query_id, sub_id, sv FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM seeds WHERE code < {PQ_QUERIES})
+    ), lut AS (
+      SELECT q.query_id, q.sub_id, cb.code,
+             CAST((SELECT SUM((q.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)])
+                              * (q.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)]))
+                   FROM UNNEST(range(1, {PQ_SUBDIM} + 1)) AS r(i)) AS BIGINT) AS qdist
+      FROM queries q JOIN cb ON cb.sub_id = q.sub_id
+    ), adc AS (
+      SELECT l.query_id, c.vec_id,
+             CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "vector", "ann", "pq"),
+    doc=(
+        f"Asymmetric-distance PQ search: per query, precompute the "
+        f"{PQ_M}x{PQ_K} lookup table of exact subspace distances to "
+        "every centroid, then score each database vector as the SUM of "
+        f"{PQ_M} table lookups selected by its stored codes — never "
+        f"touching the original vectors. Top-{PQ_TOPK} per query with a "
+        "(distance, vec_id) total order; integer distances keep the "
+        "ranking bit-identical across engines."
+    ),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ code table.
+
+    Scale design: the LUT is queries x PQ_M x PQ_K rows — broadcast
+    onto the code table keyed (sub_id, code), so search reads ONLY the
+    4-bit codes (64x less IO than raw vectors); the per-(query, vector)
+    sum is a combiner-reduced aggregate and the top-k is a bounded
+    window per query. This is the memory-bound complement to the
+    compute-bound IVF path: IVF prunes candidates, PQ compresses
+    storage; production engines stack them (IVF-PQ) — here each stage
+    is a separately oracle-checked operator.
+    """
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    w_seed = Window.orderBy("vec_id")
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w_seed) - 1).cast("int").alias("code"), "qemb")
+    )
+
+    def subvectors(col: str, out: str) -> Column:
+        return F.posexplode(
+            F.array(*[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("sub_id", out)
+
+    cb = seeds.select("code", subvectors("qemb", "cv"))
+    # The ADC queries are the PQ_QUERIES smallest vec_ids — the first
+    # PQ_QUERIES codebook seeds, so the demo needs no extra scan.
+    queries = (
+        qv.orderBy("vec_id")
+        .limit(PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), subvectors("qemb", "sv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = queries.join(F.broadcast(cb), "sub_id").select(
+        "query_id", "sub_id", "code", d2.alias("qdist")
+    )
+    codes = _pq_codes(spark, sf_dir).select("vec_id", "sub_id", "code")
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist")
+    )

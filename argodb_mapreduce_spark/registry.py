@@ -86,9 +86,9 @@ _QUERY_MODULES = (
 #: component) — first-ever driver evidence, then (c4) the five
 #: operators added after the first r5 freeze (data-quality constraint
 #: audit, daily-series autocorrelation, Welch A/B t-statistic, cohort
-#: LTV triangle, RAKE keywords), then (d) the 3 longest-unrefreshed
-#: banked rows — all last witnessed in round 1.
-#: 6+7+5+9+15+5+3 = 50 exactly.
+#: LTV triangle, RAKE keywords, PQ encode, PQ ADC search), then (d)
+#: the single longest-unrefreshed banked row (r1).
+#: 6+7+5+9+15+7+1 = 50 exactly.
 #:
 #: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
@@ -103,9 +103,10 @@ _QUERY_MODULES = (
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
 #: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
 #: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
-#: the five r1 refreshers displaced by the (c4) additions
+#: the seven r1 refreshers displaced by the (c4) additions
 #: (``agg_having``, ``agg_rollup``, ``scan_partition_nomatch``,
-#: ``scan_events``, ``agg_minmax_distinct``), and the
+#: ``scan_events``, ``agg_minmax_distinct``, ``scan_projection``,
+#: ``scan_partition_filter``), and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -168,10 +169,10 @@ _PRIORITY = (
     "events_ab_welch_t",
     "orders_cohort_ltv",
     "text_keyword_rake",
-    # --- (d) longest-unrefreshed banked rows (all r1) ---
+    "similarity_pq_encode",
+    "similarity_pq_adc_topk",
+    # --- (d) longest-unrefreshed banked row (r1) ---
     "scan_lineitem",
-    "scan_projection",
-    "scan_partition_filter",
 )
 
 

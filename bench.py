@@ -94,6 +94,8 @@ HEADLINE = [
     "events_ab_welch_t",
     "orders_cohort_ltv",
     "text_keyword_rake",
+    "similarity_pq_encode",
+    "similarity_pq_adc_topk",
 ]
 
 

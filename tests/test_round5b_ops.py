@@ -5,7 +5,6 @@ round bound."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.operators.analytics import (
@@ -117,3 +116,39 @@ def test_cc_converges_exactly_not_early(spark):
         for r in min_label_components(verts, pairs, caller="t").collect()
     }
     assert out == {5: 5, 7: 5, 9: 5, 20: 20, 21: 20, 99: 99}
+
+
+def test_pq_encode_shape_and_code_domain(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        similarity_pq_encode,
+    )
+    from argodb_mapreduce_spark.catalog import load_table
+
+    codes = similarity_pq_encode(spark, sf_dir)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    # Exactly PQ_M codes per vector, all codes in [0, PQ_K).
+    assert codes.count() == n_vec * PQ_M
+    assert codes.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count() == 0
+    assert codes.filter(F.col("dist_sq") < 0).count() == 0
+    # A codebook seed reconstructs itself exactly in every subspace.
+    seed_ids = [r["vec_id"] for r in codes.select("vec_id").distinct().orderBy("vec_id").limit(1).collect()]
+    assert codes.filter(F.col("vec_id") == seed_ids[0]).filter(F.col("dist_sq") != 0).count() == 0
+
+
+def test_pq_adc_topk_is_bounded_and_ordered(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.similarity import (
+        PQ_QUERIES,
+        PQ_TOPK,
+        similarity_pq_adc_topk,
+    )
+
+    top = similarity_pq_adc_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["vec_id"] != r["query_id"]
+        assert r["adc_dist"] >= 0
+    assert len(by_q) == PQ_QUERIES
+    assert all(len(v) == PQ_TOPK for v in by_q.values())
