@@ -939,3 +939,197 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("query_id", "vec_id", "adc_dist")
     )
+
+
+IVFPQ_PROBES = 4  # coarse lists scanned per query
+
+_PQ_DIMS = PQ_M * PQ_SUBDIM
+
+
+def _sql_l2(a: str, b: str, n: int) -> str:
+    """Exact integer squared-L2 between two BIGINT lists of length n."""
+    return (
+        f"CAST((SELECT SUM(({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])"
+        f" * ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)]))"
+        f" FROM UNNEST(range(1, {n} + 1)) AS r(i)) AS BIGINT)"
+    )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, qemb AS cemb FROM qv WHERE vec_id < {N_CENTROIDS}
+    ), cd AS (
+      SELECT v.vec_id, v.qemb, c.cid, c.cemb,
+             {_sql_l2("v.qemb", "c.cemb", _PQ_DIMS)} AS cdist
+      FROM qv v CROSS JOIN cent c
+    ), asg AS (
+      SELECT vec_id, qemb, cid, cemb FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT vec_id, cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> qemb[CAST(i AS INT)] - cemb[CAST(i AS INT)]) AS r
+      FROM asg
+    ), cbq AS (
+      SELECT CAST(s.vec_id AS INT) AS code, CAST(m AS INT) AS sub_id,
+             list_slice(s.r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+      FROM resid s, UNNEST(range(0, {PQ_M})) AS u(m)
+      WHERE s.vec_id < {PQ_K}
+    ), rsubs AS (
+      SELECT vec_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM resid, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), cand AS (
+      SELECT su.vec_id, su.cid, su.sub_id, cb.code,
+             {_sql_l2("su.sv", "cb.cv", PQ_SUBDIM)} AS dist_sq
+      FROM rsubs su JOIN cbq cb ON cb.sub_id = su.sub_id
+    ), codes AS (
+      SELECT vec_id, cid, sub_id, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist_sq, code) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, qemb FROM qv WHERE vec_id < {PQ_QUERIES}
+    ), qprobe AS (
+      SELECT query_id, cid, cemb FROM (
+        SELECT q.query_id, c.cid, c.cemb,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_l2("q.qemb", "c.cemb", _PQ_DIMS)}, c.cid) AS rn
+        FROM queries q CROSS JOIN cent c
+      ) WHERE rn <= {IVFPQ_PROBES}
+    ), qresid AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> q.qemb[CAST(i AS INT)] - p.cemb[CAST(i AS INT)]) AS r
+      FROM qprobe p JOIN queries q ON q.query_id = p.query_id
+    ), qsubs AS (
+      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
+      FROM qresid, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), lut AS (
+      SELECT s.query_id, s.cid, s.sub_id, cb.code,
+             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
+      FROM qsubs s JOIN cbq cb ON cb.sub_id = s.sub_id
+    ), adc AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN lut l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "vector", "ann", "pq", "ivf"),
+    doc=(
+        f"Stacked IVF-PQ search — the production ANN architecture: "
+        f"coarse-assign every vector to its nearest of {N_CENTROIDS} "
+        "centroids by exact integer L2, PQ-encode the RESIDUAL "
+        "(vector − centroid, still exact integers on the grid), then "
+        f"per query probe the {IVFPQ_PROBES} nearest lists and rank "
+        "members by asymmetric distance over per-(query, list) residual "
+        f"lookup tables. Top-{PQ_TOPK} under a (distance, vec_id) total "
+        "order; every stage deterministic, so the full stack is "
+        "hash-checked against the oracle."
+    ),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse pruning + residual codes + ADC ranking.
+
+    Scale design: coarse assignment is one broadcast-centroid pass
+    (min-struct aggregate, no shuffle beyond the agg); residual encode
+    is the same bounded-fan map + broadcast-codebook argmin as
+    similarity_pq_encode; search joins the 4-bit code table against a
+    broadcast LUT keyed (cid, sub_id, code) — only members of probed
+    lists match, so the probe pruning rides the join instead of a
+    separate filter pass. IO at search time is the code table (64x
+    smaller than raw vectors); candidate volume is n x probes/lists.
+    Centroids and PQ seeds are deterministic fixture ids (vec_id <
+    K) — kmeans training changes their values, not this dataflow.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
+    )
+
+    def l2(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cd = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qemb", "cid", l2(F.col("qemb"), F.col("cemb")).alias("cdist")
+    )
+    asg = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cid")).alias("b"), F.any_value("qemb").alias("qemb"))
+        .select("vec_id", "qemb", F.col("b.cid").alias("cid"))
+        .join(F.broadcast(cent), "cid")
+    )
+    resid = asg.select(
+        "vec_id", "cid", F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("r")
+    )
+
+    def subvectors(col: str, out: str) -> Column:
+        return F.posexplode(
+            F.array(*[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("sub_id", out)
+
+    cbq = resid.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("code"), subvectors("r", "cv")
+    )
+    rsubs = resid.select("vec_id", "cid", subvectors("r", "sv"))
+    codes = (
+        rsubs.join(F.broadcast(cbq), "sub_id")
+        .select("vec_id", "cid", "sub_id", "code", l2(F.col("sv"), F.col("cv")).alias("dist_sq"))
+        .groupBy("vec_id", "cid", "sub_id")
+        .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
+        .select("vec_id", "cid", "sub_id", F.col("b.code").alias("code"))
+    )
+    queries = e.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("qcdist", "cid")
+    qprobe = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "qq", "cid", "cemb", l2(F.col("qq"), F.col("cemb")).alias("qcdist"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVFPQ_PROBES)
+    )
+    qsubs = qprobe.select(
+        "query_id", "cid",
+        subvectors(F.zip_with("qq", "cemb", lambda a, b: a - b), "qsv"),  # type: ignore[arg-type]
+    )
+    lut = qsubs.join(F.broadcast(cbq), "sub_id").select(
+        "query_id", "cid", "sub_id", "code", l2(F.col("qsv"), F.col("cv")).alias("qdist")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist")
+    )

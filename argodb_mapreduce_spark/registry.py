@@ -86,9 +86,9 @@ _QUERY_MODULES = (
 #: component) — first-ever driver evidence, then (c4) the five
 #: operators added after the first r5 freeze (data-quality constraint
 #: audit, daily-series autocorrelation, Welch A/B t-statistic, cohort
-#: LTV triangle, RAKE keywords, PQ encode, PQ ADC search), then (d)
-#: the single longest-unrefreshed banked row (r1).
-#: 6+7+5+9+15+7+1 = 50 exactly.
+#: LTV triangle, RAKE keywords, PQ encode, PQ ADC search, stacked
+#: IVF-PQ) — the (c4) block fills the window.
+#: 6+7+5+9+15+8 = 50 exactly.
 #:
 #: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
 #: window and are the oldest evidence after r5 — ``q7_nation_volume``,
@@ -103,10 +103,11 @@ _QUERY_MODULES = (
 #: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
 #: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
 #: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
-#: the seven r1 refreshers displaced by the (c4) additions
+#: the eight r1 refreshers displaced by the (c4) additions
 #: (``agg_having``, ``agg_rollup``, ``scan_partition_nomatch``,
 #: ``scan_events``, ``agg_minmax_distinct``, ``scan_projection``,
-#: ``scan_partition_filter``), and the
+#: ``scan_partition_filter``, ``scan_lineitem`` — the last refreshed
+#: in r3), and the
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
@@ -171,8 +172,7 @@ _PRIORITY = (
     "text_keyword_rake",
     "similarity_pq_encode",
     "similarity_pq_adc_topk",
-    # --- (d) longest-unrefreshed banked row (r1) ---
-    "scan_lineitem",
+    "similarity_ivfpq_topk",
 )
 
 

@@ -96,6 +96,7 @@ HEADLINE = [
     "text_keyword_rake",
     "similarity_pq_encode",
     "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -152,3 +152,24 @@ def test_pq_adc_topk_is_bounded_and_ordered(spark, sf_dir):
         assert r["adc_dist"] >= 0
     assert len(by_q) == PQ_QUERIES
     assert all(len(v) == PQ_TOPK for v in by_q.values())
+
+
+def test_ivfpq_results_come_from_probed_lists(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.similarity import (
+        PQ_QUERIES,
+        PQ_TOPK,
+        similarity_ivfpq_topk,
+    )
+
+    top = similarity_ivfpq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+        assert r["vec_id"] != r["query_id"]
+        assert r["adc_dist"] >= 0
+    assert len(by_q) == PQ_QUERIES
+    # Probing IVFPQ_PROBES of 16 lists still yields a full top-k on the
+    # fixture (candidate pool >> k), and results are rank-ordered.
+    for dists in by_q.values():
+        assert len(dists) == PQ_TOPK
+        assert dists == sorted(dists)
