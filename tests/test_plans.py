@@ -614,3 +614,68 @@ def test_pca_iterations_scan_embeddings_once(spark, sf_dir):
 
     plan = explain_str(embedding_pca_top_component(spark, sf_dir), "formatted")
     assert "embeddings" not in plan.lower(), plan[:1500]
+
+
+def test_pq_encode_codebook_broadcasts(spark, sf_dir):
+    """The PQ argmin must be a broadcast join of the 16-seed codebook
+    onto the subspace rows (no shuffle of the corpus against the
+    codebook) and a combiner-reduced min aggregate, not a window sort."""
+    from argodb_mapreduce_spark.operators.similarity import similarity_pq_encode
+    from argodb_mapreduce_spark.plans.checks import explain_str, has_broadcast_join
+
+    df = similarity_pq_encode(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_lut_broadcasts_onto_codes(spark, sf_dir):
+    """ADC search reads the code table and broadcasts the per-query
+    LUT — the scan side must never shuffle for the lookup join."""
+    from argodb_mapreduce_spark.operators.similarity import (
+        similarity_ivfpq_topk,
+        similarity_pq_adc_topk,
+    )
+    from argodb_mapreduce_spark.plans.checks import explain_str, has_broadcast_join
+
+    for df in (similarity_pq_adc_topk(spark, sf_dir), similarity_ivfpq_topk(spark, sf_dir)):
+        assert has_broadcast_join(df)
+        assert "CartesianProduct" not in explain_str(df, "simple").replace(
+            "BroadcastNestedLoopJoin", ""
+        )
+
+
+def test_dq_audit_broadcasts_nation_and_scans_once_per_rule_table(spark, sf_dir):
+    """The 25-row nation dim must broadcast in the RI check; the
+    lineitem per-table rules ride ONE aggregate (the Deequ one-pass
+    shape), so the plan has no more than the expected lineitem scans
+    (rules pass + RI join side)."""
+    from argodb_mapreduce_spark.operators.profiling import dq_constraint_audit
+    from argodb_mapreduce_spark.plans.checks import explain_str, has_broadcast_join
+
+    df = dq_constraint_audit(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "formatted")
+    assert plan.lower().count("lineitem.parquet") <= 2, "per-rule scans must be fused"
+
+
+def test_rake_topk_is_take_ordered(spark, sf_dir):
+    """The RAKE top-20 must compile to TakeOrderedAndProject, not a
+    global sort of every phrase."""
+    from argodb_mapreduce_spark.functions.text import text_keyword_rake
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(text_keyword_rake(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_welch_single_pass_no_join(spark, sf_dir):
+    """Six conditional aggregates in one scan: no join, one exchange
+    (the 1-row final aggregation)."""
+    from argodb_mapreduce_spark.operators.analytics import events_ab_welch_t
+    from argodb_mapreduce_spark.plans.checks import explain_str, n_exchanges
+
+    df = events_ab_welch_t(spark, sf_dir)
+    assert "Join" not in explain_str(df, "formatted")
+    assert n_exchanges(df) == 1
