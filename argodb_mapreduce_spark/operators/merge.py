@@ -138,3 +138,79 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         F.sum("ps").cast("double").alias("sum_price"),
     )
+
+
+def merge_apply(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Full 3-branch MERGE: ``source`` carries an ``_op`` column —
+    matched + 'D' → delete, matched + 'U' → update (source wins),
+    unmatched + 'U' → insert (unmatched 'D' is a no-op). One anti-join
+    on the complete source key set removes update targets and delete
+    targets together, then only the upsert rows union back — the same
+    single-shuffle shape as merge_upsert, deletes included for free."""
+    survivors = target.join(source.select(key), key, "left_anti")
+    upserts = source.filter(F.col("_op") == "U").drop("_op")
+    return survivors.unionByName(upserts)
+
+
+@register(
+    "sink_merge_with_deletes",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+             'UPGRADED' AS c_mktsegment, 'U' AS _op
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D' AS _op
+      FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 0
+      UNION ALL
+      SELECT 900000 + r AS c_custkey, 'Customer#new' AS c_name, CAST(r AS INT) AS c_nationkey,
+             0.0 AS c_acctbal, 'NEW' AS c_mktsegment, 'U' AS _op
+      FROM (SELECT UNNEST(range(0, 5)) AS r)
+    )
+    SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM source WHERE _op = 'U'
+    """,
+    tags=("sink", "merge", "cdc"),
+    doc=(
+        "Full MERGE with the delete branch — the CDC-apply shape every "
+        "lakehouse MERGE INTO supports: a change batch updates every "
+        "10th customer, DELETES every 7th (where not updated), inserts "
+        "5 new rows. Deletes cost nothing extra: the same anti-join "
+        "that clears update targets clears delete targets; only upsert "
+        "rows union back."
+    ),
+)
+def sink_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-branch MERGE emulation over customer.
+
+    Scale design: identical to sink_merge_upsert — one key-shuffled
+    anti-join of the target against the change-batch keys plus a
+    union; the _op split is a map-side filter. At 100 TB the anti-join
+    is the rewrite cost every non-lakehouse MERGE pays; partition-
+    pruned targets (only rewrite touched partitions) are the standard
+    refinement and compose with the hive/range sinks here.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+        F.lit("U").alias("_op"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("D").alias("_op"),
+    )
+    inserts = spark.range(0, 5).select(
+        (F.lit(900000) + F.col("id")).alias("c_custkey"),
+        F.lit("Customer#new").alias("c_name"),
+        F.col("id").cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("U").alias("_op"),
+    )
+    return merge_apply(c, updates.unionByName(deletes).unionByName(inserts), "c_custkey")

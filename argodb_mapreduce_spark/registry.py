@@ -111,7 +111,8 @@ _QUERY_MODULES = (
 #: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
 #: and BI pack (``agg_mode``, ``window_percent_of_total``,
 #: ``orders_rfm_segments``) and the live session-window stream
-#: (``stream_session_live``) — registered after the window froze,
+#: (``stream_session_live``) and the 3-branch CDC merge
+#: (``sink_merge_with_deletes``) — registered after the window froze,
 #: strict-sim verified locally at sf0.01. Lead the r6 window with them
 #: (plus anything r6 adds or touches), then refresh the oldest r2 rows
 #: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
