@@ -279,3 +279,83 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
     )
+
+
+def rollback(path: str, to_version: int) -> int:
+    """RESTORE-style rollback: publish a NEW version whose segment list
+    is that of ``to_version`` — no data is rewritten or deleted, so
+    every existing snapshot (including the rolled-back-over ones) stays
+    readable; history moves only forward, exactly like Delta RESTORE.
+    Returns the new version number."""
+    entries = _read_manifest(path)
+    by_version = {e["version"]: e for e in entries}
+    if to_version not in by_version:
+        raise ValueError(f"unknown version {to_version}; have {sorted(by_version)}")
+    version = entries[-1]["version"] + 1
+    entries.append(
+        {"version": version, "segments": list(by_version[to_version]["segments"])}
+    )
+    _write_manifest(path, entries)
+    return version
+
+
+def _build_rollback_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The 3-version history plus a rollback of the destructive v2
+    overwrite: v3 restores v1's segment list (manifest-only)."""
+    out = _scratch(sf_dir) + "_rb"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 4
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), out, mode="overwrite")
+    rollback(out, 1)
+    return out
+
+
+@register(
+    "snapshot_rollback",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "rollback"),
+    doc=(
+        "RESTORE-style rollback: after a destructive overwrite (v2), "
+        "v3 is published with v1's segment list — a manifest-only "
+        "operation that rewrites zero bytes of data, leaves every "
+        "historical snapshot readable (v2 included), and moves history "
+        "forward only. The oracle pins v3 ≡ v1 content while v0/v2 "
+        "stay intact — the undo button a versioned store owes its "
+        "users."
+    ),
+)
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _build_rollback_fixture(spark, sf_dir)
+    frames = [
+        snapshot_read(spark, out, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("o_orderkey").cast("long").alias("min_key"))
+        .select(F.lit(v).alias("version"), "n_rows", "min_key")
+        for v in versions(out)
+    ]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionAll(f)
+    return df

@@ -97,3 +97,28 @@ def test_compaction_preserves_data_and_time_travel(spark, vt):
     # Older versions still time-travel to their original contents.
     assert sorted(r["k"] for r in snapshot_read(spark, vt, 0).collect()) == list(range(10))
     assert sorted(r["k"] for r in snapshot_read(spark, vt, 1).collect()) == list(range(15))
+
+
+def test_rollback_is_manifest_only_and_preserves_history(spark, sf_dir):
+    """RESTORE must not rewrite data: no new segment directory appears,
+    v3 reads v1's content, and the rolled-over v2 stays readable."""
+    import os
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _build_rollback_fixture,
+        snapshot_read,
+        versions,
+    )
+
+    out = _build_rollback_fixture(spark, sf_dir)
+    assert versions(out) == [0, 1, 2, 3]
+    # manifest-only: the rollback version owns no data-3 segment dir
+    assert not os.path.exists(os.path.join(out, "data-3"))
+    v1 = snapshot_read(spark, out, 1)
+    v3 = snapshot_read(spark, out, 3)
+    assert v3.count() == v1.count()
+    assert v3.exceptAll(v1).count() == 0
+    # the destructive overwrite remains time-travelable after rollback
+    v2 = snapshot_read(spark, out, 2)
+    assert v2.count() > 0
+    assert v2.count() != v1.count()
