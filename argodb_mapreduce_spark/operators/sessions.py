@@ -271,3 +271,97 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("last_click_ts").isNotNull().alias("attributed"),
         gap_s.alias("gap_s"),
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT s1.user_id, MIN(e.ts) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+        AND e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY s1.user_id
+    ), s3 AS (
+      SELECT s2.user_id, MIN(e.ts) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY s2.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click_within_{FUNNEL_WINDOW_HOURS}h', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase_within_{FUNNEL_WINDOW_HOURS}h', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    tags=("events", "funnel", "window"),
+    doc=(
+        f"Time-bounded conversion funnel: view → first click within "
+        f"{FUNNEL_WINDOW_HOURS}h → first purchase within "
+        f"{FUNNEL_WINDOW_HOURS}h of that click, counting users reaching "
+        "each stage. The earliest-qualifying-step chaining (each stage "
+        "anchors on the previous stage's FIRST qualifying event) is the "
+        "standard product-analytics semantics — the unbounded funnel "
+        "(events_funnel) overstates conversion on long horizons."
+    ),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel over the events stream.
+
+    Scale design: stage 1 is one combiner-reduced aggregate; each later
+    stage is a join keyed on user_id against a per-user 1-row frame —
+    shuffle volume O(stage-k users + candidate events of that type),
+    shrinking monotonically down the funnel. Timestamps compare raw
+    (no float math), so stage counts are engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    s2 = (
+        s1.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("t1"))
+            & (F.col("cts") <= F.col("t1") + iv),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("t2"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    s3 = (
+        s2.join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("t2"))
+            & (F.col("pts") <= F.col("t2") + iv),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+
+    return (
+        stage(s1, 1, "view")
+        .unionAll(stage(s2, 2, f"click_within_{FUNNEL_WINDOW_HOURS}h"))
+        .unionAll(stage(s3, 3, f"purchase_within_{FUNNEL_WINDOW_HOURS}h"))
+    )

@@ -113,7 +113,8 @@ _QUERY_MODULES = (
 #: ``orders_rfm_segments``) and the live session-window stream
 #: (``stream_session_live``) and the 3-branch CDC merge
 #: (``sink_merge_with_deletes``) and the RESTORE rollback
-#: (``snapshot_rollback``) — registered after the window froze,
+#: (``snapshot_rollback``) and the time-bounded funnel
+#: (``events_funnel_windowed``) — registered after the window froze,
 #: strict-sim verified locally at sf0.01. Lead the r6 window with them
 #: (plus anything r6 adds or touches), then refresh the oldest r2 rows
 #: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
