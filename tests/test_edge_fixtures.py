@@ -245,3 +245,59 @@ def test_tv_divergence_zero_for_identical_slices(spark, tmp_path_factory):
     rows = {r["lang"]: r["tv_distance"] for r in QS["corpus_tv_divergence"].fn(spark, d).collect()}
     assert rows["xx"] == 0.0
     assert rows["yy"] == 1.0  # disjoint vocabulary = maximal drift
+
+
+def test_rake_on_degenerate_docs(spark, edge_dir):
+    """Empty / whitespace / all-stopword docs contribute no phrases and
+    must not crash or emit empty-phrase rows."""
+    rows = QS["text_keyword_rake"].fn(spark, edge_dir).collect()
+    assert all(r["phrase"].strip() != "" for r in rows)
+    assert all(r["rake_score"] > 0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def edge_ab_events_dir(spark, tmp_path_factory):
+    """Hostile events: a single user, a single day, one variant side
+    nearly empty — the shapes that break ACF/Welch denominators."""
+    import datetime
+
+    d = str(tmp_path_factory.mktemp("edge_events"))
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 0 (variant A): three events, one day
+        (0, base, 0, "view", 1.0, "{}"),
+        (1, base + datetime.timedelta(minutes=1), 0, "click", 2.0, "{}"),
+        (2, base + datetime.timedelta(minutes=2), 0, "purchase", 3.0, "{}"),
+        # user 1 (variant B): two events so var_b is defined
+        (3, base + datetime.timedelta(minutes=3), 1, "view", 4.0, "{}"),
+        (4, base + datetime.timedelta(minutes=4), 1, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_acf_single_day_series_yields_no_pairs(spark, edge_ab_events_dir):
+    """A one-day series has no lag pairs: the ACF frame must be empty
+    (never a division error on the zero denominator)."""
+    rows = QS["events_autocorrelation"].fn(spark, edge_ab_events_dir).collect()
+    assert rows == []
+
+
+def test_welch_minimal_variants(spark, edge_ab_events_dir):
+    """Two rows per variant is the minimum for a defined variance; the
+    statistic must come back finite."""
+    import math
+
+    row = QS["events_ab_welch_t"].fn(spark, edge_ab_events_dir).collect()[0]
+    assert row["n_a"] == 3 and row["n_b"] == 2
+    assert math.isfinite(row["t_stat"]) and math.isfinite(row["df"])
+
+
+def test_windowed_funnel_single_user_path(spark, edge_ab_events_dir):
+    """User 0 completes view→click→purchase within minutes; user 1
+    never clicks: stage counts must be exactly [2, 1, 1]."""
+    rows = {r["step"]: r["n_users"] for r in QS["events_funnel_windowed"].fn(spark, edge_ab_events_dir).collect()}
+    assert rows == {1: 2, 2: 1, 3: 1}
