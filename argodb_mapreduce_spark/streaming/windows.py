@@ -560,3 +560,84 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_session_live_sink", "complete")
     return spark.table("stream_session_live_sink")
+
+
+@register(
+    "stream_quality_gate_live",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked_rows,
+             CAST(COUNT(*) - COUNT(value) AS BIGINT) AS v_null,
+             CAST(SUM(CASE WHEN value < 0 OR value > 450 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_domain
+      FROM events
+    )
+    SELECT 'events.value:not_null' AS constraint_name, checked_rows,
+           v_null AS violations, v_null = 0 AS passed FROM s
+    UNION ALL
+    SELECT 'events.value:range[0,450]', checked_rows, v_range, v_range = 0 FROM s
+    UNION ALL
+    SELECT 'events.event_type:accepted', checked_rows, v_domain, v_domain = 0 FROM s
+    """,
+    tags=("streaming", "live", "quality"),
+    doc=(
+        "Streaming quality gate — the ingest-time twin of "
+        "dq_constraint_audit: per-row constraint counters (null, range, "
+        "accepted-values) maintained as a REAL multi-batch Structured "
+        "Streaming aggregation (sharded source, maxFilesPerTrigger=1, "
+        "availableNow, complete mode). Row-local counters are "
+        "associative sums, so the final report is independent of the "
+        "batch split — which is exactly why the live run can be "
+        "oracle-checked against the batch query."
+    ),
+)
+def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-updated constraint counters over the event stream.
+
+    Scale design: the counters are a map-combinable global aggregate —
+    state is O(constraints), not O(rows), so the gate adds no shuffle
+    pressure to an ingest pipeline; at 100 TB/day the same plan runs
+    continuously and the report stays 3 rows. A range/domain violation
+    in a micro-batch surfaces in the next trigger's complete output —
+    the alerting hook a curation pipeline wants BEFORE bad data lands.
+    """
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_sharded_stream_dir(sf_dir))
+    )
+    events = _bridge_ts(raw, unit)
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    counters = events.agg(
+        F.count(F.lit(1)).alias("checked_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("v_null"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 450), one).otherwise(zero)
+        ).alias("v_range"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+                one,
+            ).otherwise(zero)
+        ).alias("v_domain"),
+    )
+    _run_to_memory(counters, "stream_quality_gate_sink", "complete")
+    s = spark.table("stream_quality_gate_sink")
+    return s.select(
+        F.expr(
+            "stack(3, 'events.value:not_null', v_null,"
+            " 'events.value:range[0,450]', v_range,"
+            " 'events.event_type:accepted', v_domain)"
+        ).alias("constraint_name", "violations"),
+        "checked_rows",
+    ).select(
+        "constraint_name",
+        "checked_rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
