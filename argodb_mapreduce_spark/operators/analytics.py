@@ -568,3 +568,88 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1))
         ).alias("df"),
     )
+
+
+CUSUM_GRID_BITS = 20
+CUSUM_SIGMA_K = 2.0
+
+
+def _cusum_sql() -> str:
+    from argodb_mapreduce_spark.functions.oracle_safe import sql_gsum
+
+    g = float(1 << CUSUM_GRID_BITS)
+    var = sql_gsum("(CAST(cnt AS DOUBLE) - xbar) * (CAST(cnt AS DOUBLE) - xbar)", CUSUM_GRID_BITS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS xbar,
+             SQRT(({var}) / COUNT(*)) AS sigma
+      FROM daily, (SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS xbar FROM daily) mm
+    ), gridded AS (
+      SELECT d.day, d.cnt,
+             CAST(ROUND((CAST(d.cnt AS DOUBLE) - m.xbar) * {g!r}) AS BIGINT) AS gdev
+      FROM daily d, m
+    )
+    SELECT CAST(g.day AS TIMESTAMP) AS day, g.cnt,
+           CAST(SUM(g.gdev) OVER (ORDER BY g.day) AS DOUBLE) / {g!r} AS cusum,
+           ABS(CAST(SUM(g.gdev) OVER (ORDER BY g.day) AS DOUBLE) / {g!r})
+             > {CUSUM_SIGMA_K!r} * ANY_VALUE(m.sigma) OVER () AS flagged
+    FROM gridded g, m
+    """
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=_cusum_sql(),
+    tags=("events", "timeseries", "anomaly"),
+    doc=(
+        "CUSUM level-shift detector on the daily event-count series: "
+        "running sum of mean-deviations, flagged where |CUSUM| exceeds "
+        f"{CUSUM_SIGMA_K}σ — the drift alarm that catches slow shifts "
+        "z-score screens miss. Deviations are grid-rounded to integers "
+        "BEFORE the running sum, so the cumulative is an exact integer "
+        "window sum — engine window-aggregation order cannot drift it."
+    ),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the time-series pack: trend (orders_ols_trend), level
+    (events_ewma_smooth), seasonality (events_autocorrelation), and now
+    level-SHIFT detection.
+
+    Scale design: the fact table reduces to O(days) counts (the series
+    grows with time, not volume); mean/σ are a broadcast 1-row frame;
+    the running sum is a window over the tiny series, kept exact by
+    summing grid integers (associative) rather than doubles (DuckDB
+    segment-trees window sums — float association would differ).
+    """
+    from pyspark.sql import Window
+
+    from argodb_mapreduce_spark.functions.oracle_safe import gsum
+
+    g = float(1 << CUSUM_GRID_BITS)
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("cnt"))
+    m1 = daily.agg((F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("xbar"))
+    dev = F.col("cnt").cast("double") - F.col("xbar")
+    m = (
+        daily.crossJoin(F.broadcast(m1))
+        .agg(
+            F.any_value("xbar").alias("xbar"),
+            F.sqrt(gsum(dev * dev, CUSUM_GRID_BITS) / F.count(F.lit(1))).alias("sigma"),
+        )
+    )
+    w = Window.orderBy("day")
+    gridded = daily.crossJoin(F.broadcast(m)).select(
+        "day", "cnt",
+        F.round((F.col("cnt").cast("double") - F.col("xbar")) * F.lit(g)).cast("long").alias("gdev"),
+        "sigma",
+    )
+    cusum = (F.sum("gdev").over(w).cast("double") / F.lit(g))
+    return gridded.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "cnt",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > F.lit(CUSUM_SIGMA_K) * F.col("sigma")).alias("flagged"),
+    )

@@ -115,7 +115,8 @@ _QUERY_MODULES = (
 #: (``sink_merge_with_deletes``) and the RESTORE rollback
 #: (``snapshot_rollback``) and the time-bounded funnel
 #: (``events_funnel_windowed``) and the streaming quality gate
-#: (``stream_quality_gate_live``) — registered after the window froze,
+#: (``stream_quality_gate_live``) and the CUSUM level-shift detector
+#: (``events_cusum_changepoint``) — registered after the window froze,
 #: strict-sim verified locally at sf0.01. Lead the r6 window with them
 #: (plus anything r6 adds or touches), then refresh the oldest r2 rows
 #: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
