@@ -117,7 +117,12 @@ _QUERY_MODULES = (
 #: (``events_funnel_windowed``) and the streaming quality gate
 #: (``stream_quality_gate_live``) and the CUSUM level-shift detector
 #: (``events_cusum_changepoint``) — registered after the window froze,
-#: strict-sim verified locally at sf0.01. Lead the r6 window with them
+#: strict-sim verified locally at sf0.01. ALSO lead r6 with
+#: ``dedup_minhash_clusters`` and ``dedup_minhash_survivors``: their
+#: r4-banked rows pre-date the late-r5 connected-components rework
+#: (edge-touched-vertex iteration + pointer jumping; the shared path's
+#: new-code evidence in r5 is ``similarity_embedding_clusters`` plus
+#: local parity). Lead the r6 window with all of the above
 #: (plus anything r6 adds or touches), then refresh the oldest r2 rows
 #: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
 #: udf pack).
