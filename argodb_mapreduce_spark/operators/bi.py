@@ -493,3 +493,61 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double").alias("cum_ltv"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS o_orderkey, MAX(CAST(l_shipdate AS DATE)) + 1 AS close_day
+      FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(1 AS BIGINT) AS delta FROM orders
+      UNION ALL
+      SELECT c.close_day AS day, CAST(-1 AS BIGINT) AS delta
+      FROM orders o JOIN closes c ON c.o_orderkey = o.o_orderkey
+    ), daily AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, net,
+           CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS n_open
+    FROM daily
+    """,
+    tags=("bi", "timeseries", "interval"),
+    doc=(
+        "Open-order backlog over time via the difference-array pattern: "
+        "+1 at order date, -1 the day after the last line ships, then a "
+        "running integer sum — interval stabbing as O(orders) deltas "
+        "instead of a day x open-interval join. Sparse output (only "
+        "days where the backlog changes); compose with events_gapfill "
+        "to densify."
+    ),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are open (placed, not fully shipped) each day.
+
+    Scale design: the day x interval join a naive version runs is
+    O(days x open orders) — quadratic-ish at 100 TB. The difference
+    array is two combiner-reduced aggregates (per-order close day, then
+    per-day net delta) and one running sum over the O(days) series;
+    every value is an exact integer so the window order can't drift the
+    cumulative between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.date_add(F.max(F.to_date("l_shipdate")), 1).alias("close_day")
+    )
+    opens = o.select(F.to_date("o_orderdate").alias("day"), F.lit(1).cast("bigint").alias("delta"))
+    closed = (
+        o.join(closes, "o_orderkey")
+        .select(F.col("close_day").alias("day"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    daily = opens.unionAll(closed).groupBy("day").agg(F.sum("delta").alias("net"))
+    from pyspark.sql import Window as W
+
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "net",
+        F.sum("net").over(W.orderBy("day")).cast("long").alias("n_open"),
+    )

@@ -365,3 +365,72 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s2, 2, f"click_within_{FUNNEL_WINDOW_HOURS}h"))
         .unionAll(stage(s3, 3, f"purchase_within_{FUNNEL_WINDOW_HOURS}h"))
     )
+
+
+_SQL_SCD2_CTE = """
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), scd2 AS (
+      SELECT user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS BIGINT) AS version,
+             valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    )"""
+
+
+@register(
+    "join_temporal_scd2",
+    oracle=f"""
+    WITH {_SQL_SCD2_CTE}
+    SELECT e.event_id, e.user_id, e.ts,
+           s.version AS state_version, s.event_type AS state_type
+    FROM events e JOIN scd2 s
+      ON s.user_id = e.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("join", "temporal", "scd2"),
+    doc=(
+        "Temporal dimension lookup: each purchase joins the SCD2 state "
+        "row valid AT ITS TIMESTAMP — interval containment, not the "
+        "as-of nearest-event semantics of join_asof. The SCD2 intervals "
+        "partition each user's timeline, so every fact matches exactly "
+        "one row; the join keys on user_id with the validity predicate "
+        "as a residual filter."
+    ),
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich facts with the dimension state valid at event time.
+
+    Scale design: the join is user_id-equi (shuffle or broadcast by
+    dim size, AQE's call) with the interval test as a cheap residual
+    predicate — never a full range cross join: each fact row meets only
+    its own user's handful of versions. At 100 TB both sides bucket by
+    user_id and the join elides its shuffle entirely
+    (sources/bucketing.py shows the layout)."""
+    e = load_table(spark, sf_dir, "events")
+    s = scd2_user_history(spark, sf_dir).select(
+        F.col("user_id").alias("su"),
+        F.col("version").alias("state_version"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            s,
+            (F.col("su") == F.col("user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "ts", "state_version", "state_type")
+    )

@@ -116,7 +116,8 @@ _QUERY_MODULES = (
 #: (``snapshot_rollback``) and the time-bounded funnel
 #: (``events_funnel_windowed``) and the streaming quality gate
 #: (``stream_quality_gate_live``) and the CUSUM level-shift detector
-#: (``events_cusum_changepoint``) — registered after the window froze,
+#: (``events_cusum_changepoint``) and the interval pair
+#: (``orders_open_backlog``, ``join_temporal_scd2``) — registered after the window froze,
 #: strict-sim verified locally at sf0.01. ALSO lead r6 with
 #: ``dedup_minhash_clusters`` and ``dedup_minhash_survivors``: their
 #: r4-banked rows pre-date the late-r5 connected-components rework
