@@ -520,7 +520,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "running integer sum — interval stabbing as O(orders) deltas "
         "instead of a day x open-interval join. Sparse output (only "
         "days where the backlog changes); compose with events_gapfill "
-        "to densify."
+        "to densify. Orders with no line items never close and remain "
+        "in the final backlog — the behavior a fulfillment dashboard "
+        "wants surfaced, not hidden."
     ),
 )
 def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:

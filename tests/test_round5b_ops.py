@@ -173,3 +173,43 @@ def test_ivfpq_results_come_from_probed_lists(spark, sf_dir):
     for dists in by_q.values():
         assert len(dists) == PQ_TOPK
         assert dists == sorted(dists)
+
+
+def test_open_backlog_invariants(spark, sf_dir):
+    """Backlog is a running count of live intervals: never negative,
+    drains to zero once every order has fully shipped, and the deltas
+    conserve (sum of net == final n_open)."""
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.bi import orders_open_backlog
+
+    rows = sorted(orders_open_backlog(spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert all(r["n_open"] >= 0 for r in rows)
+    # Orders with no lineitem rows never close: the backlog drains to
+    # exactly that count, not to zero.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    lineless = o.join(li, "o_orderkey", "left_anti").count()
+    assert rows[-1]["n_open"] == lineless
+    assert sum(r["net"] for r in rows) == rows[-1]["n_open"]
+    running = 0
+    for r in rows[:200]:
+        running += r["net"]
+        assert r["n_open"] == running
+
+
+def test_temporal_scd2_exactly_one_state_per_purchase(spark, sf_dir):
+    """SCD2 intervals partition each user's timeline, so every purchase
+    matches exactly one state row and the state is the purchase's own
+    run (the SCD2 attribute at purchase time is 'purchase')."""
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.sessions import join_temporal_scd2
+
+    enriched = join_temporal_scd2(spark, sf_dir)
+    n_purchases = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert enriched.count() == n_purchases
+    assert enriched.select("event_id").distinct().count() == n_purchases
+    # A purchase event starts-or-extends a 'purchase' run in the change
+    # feed, so its valid state must carry that attribute value.
+    assert enriched.filter(F.col("state_type") != "purchase").count() == 0
