@@ -97,6 +97,10 @@ HEADLINE = [
     "similarity_pq_encode",
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
+    "events_funnel_windowed",
+    "orders_open_backlog",
+    "stream_quality_gate_live",
+    "events_cusum_changepoint",
 ]
 
 
