@@ -553,3 +553,72 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.sum("net").over(W.orderBy("day")).cast("long").alias("n_open"),
     )
+
+
+@register(
+    "orders_seasonality_dow",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    ), dow AS (
+      SELECT CAST(EXTRACT(ISODOW FROM day) AS INT) AS day_of_week,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             {sql_dsum("revenue")} AS dow_revenue
+      FROM daily GROUP BY 1
+    ), total AS (
+      SELECT {sql_dsum("revenue")} AS all_revenue,
+             CAST(COUNT(*) AS BIGINT) AS all_days
+      FROM daily
+    )
+    SELECT d.day_of_week, d.n_days,
+           d.dow_revenue / d.n_days AS avg_daily_revenue,
+           (d.dow_revenue / d.n_days) / (t.all_revenue / t.all_days) AS seasonal_index
+    FROM dow d, total t
+    """,
+    tags=("bi", "timeseries", "seasonality"),
+    doc=(
+        "Day-of-week seasonal index: average daily revenue per ISO "
+        "weekday over the overall daily average — index > 1 marks "
+        "above-trend weekdays. Revenue rides exact decimals end-to-end; "
+        "the two averages and their ratio are fixed-association IEEE "
+        "ops, so the index is engine-exact (the multiplicative "
+        "seasonality read beside the ACF's autocorrelation view)."
+    ),
+)
+def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile of order revenue.
+
+    Scale design: the fact table reduces to O(days) exact-decimal
+    daily sums (map-combinable); the 7-row weekday aggregate and 1-row
+    total broadcast; everything after the first aggregate is constant
+    work regardless of corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    dow = daily.groupBy(
+        F.dayofweek(F.col("day")).alias("dow_sun1")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("revenue").alias("dow_revenue"),
+    ).select(
+        # Spark's dayofweek is Sunday=1; convert to ISO (Monday=1).
+        F.when(F.col("dow_sun1") == 1, F.lit(7)).otherwise(F.col("dow_sun1") - 1)
+        .cast("int")
+        .alias("day_of_week"),
+        "n_days",
+        "dow_revenue",
+    )
+    total = daily.agg(
+        dsum("revenue").alias("all_revenue"), F.count(F.lit(1)).alias("all_days")
+    )
+    avg_daily = F.col("dow_revenue") / F.col("n_days")
+    return dow.crossJoin(F.broadcast(total)).select(
+        "day_of_week",
+        "n_days",
+        avg_daily.alias("avg_daily_revenue"),
+        (avg_daily / (F.col("all_revenue") / F.col("all_days"))).alias("seasonal_index"),
+    )

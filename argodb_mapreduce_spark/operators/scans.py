@@ -150,3 +150,80 @@ def scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding_q"),
         "label",
     )
+
+
+def _evolved_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once) a two-generation table: segment 1 holds the original
+    5-column orders subset, segment 2 adds an o_channel column — the
+    add-a-column schema evolution every long-lived table goes through."""
+    out = _cache_dir(sf_dir, "orders_evolved")
+    marker = os.path.join(out, "_STAGED")
+    if fixture_stale(table_path(sf_dir, "orders"), marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+            F.when(F.col("o_custkey") % 2 == 0, F.lit("web")).otherwise(F.lit("store")).alias("o_channel"),
+        )
+        old.write.parquet(os.path.join(out, "gen=1"))
+        new.write.parquet(os.path.join(out, "gen=2"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_custkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_channel, '<pre-evolution>') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM unioned GROUP BY 1
+    """,
+    tags=("scan", "source", "schema-evolution"),
+    doc=(
+        "Schema-evolution read: a table whose newer segment added an "
+        "o_channel column is read as ONE DataFrame via mergeSchema — "
+        "pre-evolution rows surface NULL for the new column (grouped "
+        "here under a sentinel) with no rewrite of old files. The "
+        "reference's fixed getTableSchema contract "
+        "(ArgodbMapreduceInputFormat.java:307-313) cannot express this; "
+        "Spark's parquet source merges footers at plan time."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across an add-a-column schema change without rewriting.
+
+    Scale design: mergeSchema unions the footers of the generations at
+    planning (cost O(files), done once by the driver-side listing); the
+    scan itself stays a plain columnar read with the new column
+    NULL-filled for old files by the reader — no data migration, which
+    at 100 TB is the difference between a metadata operation and a
+    multi-day backfill.
+    """
+    path = _evolved_orders(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("<pre-evolution>")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+    )
