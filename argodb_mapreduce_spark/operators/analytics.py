@@ -653,3 +653,71 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (F.abs(cusum) > F.lit(CUSUM_SIGMA_K) * F.col("sigma")).alias("flagged"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), contrib AS (
+      SELECT user_id, day + CAST(i AS INT) AS end_day
+      FROM ud, UNNEST(range(0, {ROLLING_DAYS})) AS u(i)
+    ), wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM days d JOIN contrib c ON c.end_day = d.day
+      GROUP BY d.day
+    ), dau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+    tags=("analytics", "distinct", "engagement"),
+    doc=(
+        f"DAU/WAU stickiness: daily active users over the trailing "
+        f"{ROLLING_DAYS}-day active users, per day — the engagement "
+        "ratio product teams watch. Reuses the bounded-fan-out rolling "
+        "distinct rewrite (shuffle O(user-days x 7), never O(events)); "
+        "the ratio is one bigint/bigint IEEE division, engine-exact."
+    ),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement ratio beside events_rolling_distinct's raw count.
+
+    Scale design: both numerator and denominator reduce the fact table
+    to distinct (user, day) pairs first — one combiner-heavy shuffle —
+    then DAU is a per-day distinct count and WAU the 7-day fan-out
+    rewrite; the join keys on O(days) rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("end_day"),
+    )
+    wau = (
+        days.join(contrib, days.day == contrib.end_day)
+        .groupBy(days.day)
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        dau.join(wau.withColumnRenamed("day", "wday"), F.col("wday") == F.col("day"))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
