@@ -622,3 +622,77 @@ def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_daily.alias("avg_daily_revenue"),
         (avg_daily / (F.col("all_revenue") / F.col("all_days"))).alias("seasonal_index"),
     )
+
+
+@register(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ), g AS (
+      SELECT CAST(gap AS BIGINT) AS gap FROM gaps WHERE gap IS NOT NULL
+    ), ranked AS (
+      SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rn, COUNT(*) OVER () AS n
+      FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_days,
+           (SELECT CAST(gap AS DOUBLE) FROM ranked WHERE rn = (n + 1) // 2) AS median_gap_days,
+           (SELECT CAST(gap AS DOUBLE) FROM ranked WHERE rn = (9 * n + 9) // 10) AS p90_gap_days
+    FROM g
+    """,
+    tags=("bi", "timeseries", "statistics"),
+    doc=(
+        "Purchase-cadence profile: per-customer inter-order gaps (LAG "
+        "over the customer window, integer days), then global count / "
+        "mean / lower-median / p90. Integer gaps make the mean an "
+        "exact sum/count and the rank positions integer arithmetic, so "
+        "every statistic is engine-exact."
+    ),
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often customers reorder — the cadence input to forecasting
+    and churn models.
+
+    Scale design: the gap computation is one customer-keyed window
+    shuffle; the exact median/p90 rank over ALL gaps is a global total
+    order (the agg_median_manual trade-off) — fine at dimension scale,
+    and at 100 TB the documented swap is broadcast approx-quantile cut
+    points (profile_length_histogram pattern). Integer day gaps keep
+    mean and rank selection deterministic on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+            ).cast("long").alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    wr = Window.orderBy("gap")
+    ranked = gaps.select(
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    median = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select(F.col("gap").cast("double").alias("median_gap_days"))
+    p90 = ranked.filter(
+        F.col("rn") == ((9 * F.col("n") + 9) / 10).cast("long")
+    ).select(F.col("gap").cast("double").alias("p90_gap_days"))
+    stats = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("mean_gap_days"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(median))
+        .crossJoin(F.broadcast(p90))
+        .select("n_gaps", "mean_gap_days", "median_gap_days", "p90_gap_days")
+    )
