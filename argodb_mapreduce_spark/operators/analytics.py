@@ -721,3 +721,66 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rn,
+             COUNT(*) OVER () AS n,
+             SUM(n_events) OVER () AS total
+      FROM per_user
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
+           CAST(ANY_VALUE(total) AS BIGINT) AS n_events,
+           CAST(2 * SUM(rn * n_events) AS DOUBLE)
+             / (ANY_VALUE(n) * ANY_VALUE(total))
+             - CAST(ANY_VALUE(n) + 1 AS DOUBLE) / ANY_VALUE(n) AS gini
+    FROM ranked
+    """,
+    tags=("analytics", "statistics", "concentration"),
+    doc=(
+        "Activity concentration as an exact Gini coefficient: per-user "
+        "event counts ranked ascending (user_id tie-break), then "
+        "G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n — every sum is an exact "
+        "integer, the two divisions are fixed-association IEEE ops, so "
+        "the coefficient is bit-identical across engines. The "
+        "one-number answer to 'how skewed is our traffic?' that sizes "
+        "salting and skew-join decisions."
+    ),
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration summary over the user dimension.
+
+    Scale design: the fact table reduces to per-user counts (one
+    combiner-heavy shuffle); the rank is a total order over the USER
+    dimension (already aggregated — the agg_median_manual trade-off,
+    with the same documented approx-cut escape at extreme scale); the
+    Gini sums are exact integers so parallelism cannot drift them.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("n_events", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n_events",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("n_events").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n").alias("n_users"),
+        F.any_value("total").alias("n_events"),
+        (
+            (2 * F.sum(F.col("rn") * F.col("n_events"))).cast("double")
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + 1).cast("double") / F.any_value("n")
+        ).alias("gini"),
+    )

@@ -119,8 +119,8 @@ _QUERY_MODULES = (
 #: (``events_cusum_changepoint``) and the interval pair
 #: (``orders_open_backlog``, ``join_temporal_scd2``) and the final pair
 #: (``scan_schema_evolution``, ``orders_seasonality_dow``,
-#: ``events_dau_wau_stickiness``, ``orders_interarrival_stats``) —
-#: registered after the window froze,
+#: ``events_dau_wau_stickiness``, ``orders_interarrival_stats``,
+#: ``events_activity_gini``) — registered after the window froze,
 #: strict-sim verified locally at sf0.01. ALSO lead r6 with
 #: ``dedup_minhash_clusters`` and ``dedup_minhash_survivors``: their
 #: r4-banked rows pre-date the late-r5 connected-components rework
