@@ -1,0 +1,84 @@
+"""Two-phase exact rank statistics over fact-scale input.
+
+The naive exact median/percentile ranks every ROW with a window — at
+100 TB a per-group (or worse, global) total order over billions of
+rows lands in a handful of giant window partitions. When the measure
+lives on a bounded grid (2-decimal prices/values, integer day gaps),
+the scale-safe exact shape is TWO-PHASE:
+
+1. reduce the fact table to a per-(group, value) histogram — one
+   map-side-combinable groupBy whose output is O(|grid|), not O(rows);
+2. run the cumulative-count window over the tiny histogram only, and
+   select the value at rank r as MIN(value WHERE cum_count >= r).
+
+Selection by rank over sorted values is tie-agnostic, so the result is
+bit-identical to a ROW_NUMBER selection with any tie-break. Expressing
+the selection as MIN(CASE...) aggregates (instead of a filter + join)
+also keeps the 1-row-per-group summary alive on empty input — the
+degenerate case where a filter/crossJoin pipeline silently returns 0
+rows while a SQL aggregate oracle returns NULLs.
+
+Used by ``orders_interarrival_stats`` (operators/bi.py),
+``events_anomaly_mad`` / ``clean_winsorize`` (operators/cleaning.py)
+and ``agg_median_manual`` (functions/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_histogram(df: DataFrame, group: str | None, value: str) -> DataFrame:
+    """Per-(group, value) counts with cumulative rank.
+
+    Returns columns ``[group,] value, cnt, cum, n`` where ``cum`` is the
+    count of rows with value <= this value within the group and ``n``
+    the group total. The windows run over the HISTOGRAM (distinct
+    values), never the fact rows; ``group=None`` builds one global
+    histogram (the window partition is the whole — already bounded —
+    histogram).
+    """
+    keys = ([group] if group is not None else []) + [value]
+    hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    part = [group] if group is not None else []
+    wcum = (
+        Window.partitionBy(*part)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*part)
+    return hist.select(
+        *keys,
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+
+def value_at_rank(value: str, rank: Column) -> Column:
+    """Aggregate over a rank_histogram frame: the value whose cumulative
+    count first reaches ``rank`` — i.e. the element at 1-based position
+    ``rank`` of the sorted multiset. NULL when the group is empty or the
+    rank exceeds n."""
+    return F.min(F.when(F.col("cum") >= rank, F.col(value)))
+
+
+def median_rank_lo(n: Column) -> Column:
+    """Rank of the lower middle element: (n + 1) // 2."""
+    return F.floor((n + 1) / 2)
+
+
+def median_rank_hi(n: Column) -> Column:
+    """Rank of the upper middle element: (n + 2) // 2."""
+    return F.floor((n + 2) / 2)
+
+
+def median_exact(value: str, scale: int = 2) -> Column:
+    """Aggregate over a rank_histogram frame: exact median as the
+    decimal-grid average of the two middle elements (equal for odd n —
+    (2v)/2 is exact in double, so the odd case collapses to v). Matches
+    the SQL oracle's SUM(DECIMAL)/COUNT over ``rn IN (lo, hi)``."""
+    lo = value_at_rank(value, median_rank_lo(F.col("n"))).cast(f"decimal(18,{scale})")
+    hi = value_at_rank(value, median_rank_hi(F.col("n"))).cast(f"decimal(18,{scale})")
+    return (lo + hi).cast("double") / 2

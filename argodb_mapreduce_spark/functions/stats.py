@@ -76,22 +76,19 @@ def agg_stats_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact median (functions/rank_stats.py): the fact table
+    reduces to a per-(status, price) histogram first, so the rank
+    window sorts distinct prices — bounded by the 2-decimal price
+    domain — instead of every order row (3 statuses = 3 fact-scale
+    window partitions in the old per-row shape). Selection by rank over
+    sorted values is tie-agnostic, so this matches the oracle's
+    ROW_NUMBER/o_orderkey tie-break bit-for-bit."""
+    from argodb_mapreduce_spark.functions.rank_stats import median_exact, rank_histogram
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    wc = Window.partitionBy("o_orderstatus")
-    ranked = o.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-    )
-    return mid.groupBy("o_orderstatus").agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
-            "median_price"
-        )
+    h = rank_histogram(o, "o_orderstatus", "o_totalprice")
+    return h.groupBy("o_orderstatus").agg(
+        median_exact("o_totalprice", 2).alias("median_price")
     )
 
 

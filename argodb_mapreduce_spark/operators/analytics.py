@@ -509,15 +509,15 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT n_a, n_b,
              sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
-             (sx2_a - sx_a * sx_a / n_a) / (n_a - 1) AS var_a,
-             (sx2_b - sx_b * sx_b / n_b) / (n_b - 1) AS var_b
+             (sx2_a - sx_a * sx_a / n_a) / NULLIF(n_a - 1, 0) AS var_a,
+             (sx2_b - sx_b * sx_b / n_b) / NULLIF(n_b - 1, 0) AS var_b
       FROM s
     )
     SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
-           (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) AS t_stat,
+           (mean_a - mean_b) / NULLIF(SQRT(var_a / n_a + var_b / n_b), 0) AS t_stat,
            ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
-             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
+             / NULLIF((var_a / n_a) * (var_a / n_a) / NULLIF(n_a - 1, 0)
+                + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0) AS df
     FROM m
     """,
     tags=("analytics", "statistics", "experiment"),
@@ -551,21 +551,35 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, (F.col("value") * F.col("value")).cast("decimal(18,4)"))).cast("double").alias("sx2_a"),
         F.sum(F.when(~is_a, (F.col("value") * F.col("value")).cast("decimal(18,4)"))).cast("double").alias("sx2_b"),
     )
+    # NULLIF guards mirror the oracle: n=1 makes (n-1)=0 and identical
+    # samples make the pooled SE 0 — DuckDB IEEE division would yield
+    # inf/NaN while Spark's Divide yields NULL, so both engines null the
+    # zero denominators explicitly for exact degenerate-input parity.
     m = s.select(
         "n_a", "n_b",
         (F.col("sx_a") / F.col("n_a")).alias("mean_a"),
         (F.col("sx_b") / F.col("n_b")).alias("mean_b"),
-        ((F.col("sx2_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (F.col("n_a") - 1)).alias("var_a"),
-        ((F.col("sx2_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (F.col("n_b") - 1)).alias("var_b"),
+        (
+            (F.col("sx2_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a"))
+            / F.nullif(F.col("n_a") - 1, F.lit(0))
+        ).alias("var_a"),
+        (
+            (F.col("sx2_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b"))
+            / F.nullif(F.col("n_b") - 1, F.lit(0))
+        ).alias("var_b"),
     )
     se_a = F.col("var_a") / F.col("n_a")
     se_b = F.col("var_b") / F.col("n_b")
     return m.select(
         "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
-        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)).alias("t_stat"),
+        ((F.col("mean_a") - F.col("mean_b")) / F.nullif(F.sqrt(se_a + se_b), F.lit(0.0))).alias("t_stat"),
         (
             ((se_a + se_b) * (se_a + se_b))
-            / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1))
+            / F.nullif(
+                se_a * se_a / F.nullif(F.col("n_a") - 1, F.lit(0))
+                + se_b * se_b / F.nullif(F.col("n_b") - 1, F.lit(0)),
+                F.lit(0.0),
+            )
         ).alias("df"),
     )
 
@@ -738,8 +752,8 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
            CAST(ANY_VALUE(total) AS BIGINT) AS n_events,
-           CAST(2 * SUM(rn * n_events) AS DOUBLE)
-             / (ANY_VALUE(n) * ANY_VALUE(total))
+           CAST(CAST(2 * SUM(CAST(rn AS HUGEINT) * n_events) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(ANY_VALUE(n) AS HUGEINT) * ANY_VALUE(total) AS VARCHAR) AS DOUBLE)
              - CAST(ANY_VALUE(n) + 1 AS DOUBLE) / ANY_VALUE(n) AS gini
     FROM ranked
     """,
@@ -775,12 +789,19 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wall).alias("n"),
         F.sum("n_events").over(wall).alias("total"),
     )
+    # The rank-weighted sum reaches n_users * total_events — past 2^63
+    # long before 100 TB, where a non-ANSI long sum would wrap silently.
+    # decimal(38,0) accumulation is exact at any scale; the oracle twin
+    # routes its HUGEINT sums through the VARCHAR hop (sql_gsum
+    # convention) because DuckDB's direct int128->double cast can
+    # double-round past 2^53 while Spark's BigDecimal cast (and string
+    # parsing) are correctly rounded.
     return ranked.agg(
         F.any_value("n").alias("n_users"),
         F.any_value("total").alias("n_events"),
         (
-            (2 * F.sum(F.col("rn") * F.col("n_events"))).cast("double")
-            / (F.any_value("n") * F.any_value("total"))
+            (2 * F.sum(F.col("rn").cast("decimal(38,0)") * F.col("n_events"))).cast("double")
+            / (F.any_value("n").cast("decimal(38,0)") * F.any_value("total")).cast("double")
             - (F.any_value("n") + 1).cast("double") / F.any_value("n")
         ).alias("gini"),
     )

@@ -258,7 +258,7 @@ def _ols_sql() -> str:
     ), fit AS (
       SELECT d.o_orderpriority, ANY_VALUE(s.n_days) AS n_days,
              ANY_VALUE(s.xbar) AS xbar, ANY_VALUE(s.ybar) AS ybar,
-             ({cov}) / ({var}) AS slope
+             ({cov}) / NULLIF(({var}), 0) AS slope
       FROM daily d JOIN stats s ON s.o_orderpriority = d.o_orderpriority
       GROUP BY d.o_orderpriority
     )
@@ -317,7 +317,14 @@ def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n_days").alias("n_days"),
         F.any_value("xbar").alias("xbar"),
         F.any_value("ybar").alias("ybar"),
-        (gsum(dx * dy, OLS_GRID_BITS) / gsum(dx * dx, OLS_GRID_BITS)).alias("slope"),
+        # NULLIF guard: a single-day priority has Var(x)=0 — DuckDB IEEE
+        # division would yield inf/NaN while Spark's Divide yields NULL;
+        # nulling the zero denominator on BOTH engines keeps exact parity
+        # on degenerate input.
+        (
+            gsum(dx * dy, OLS_GRID_BITS)
+            / F.nullif(gsum(dx * dx, OLS_GRID_BITS), F.lit(0.0))
+        ).alias("slope"),
     )
     return fit.select(
         "o_orderpriority",
@@ -649,9 +656,12 @@ def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Purchase-cadence profile: per-customer inter-order gaps (LAG "
         "over the customer window, integer days), then global count / "
-        "mean / lower-median / p90. Integer gaps make the mean an "
-        "exact sum/count and the rank positions integer arithmetic, so "
-        "every statistic is engine-exact."
+        "mean / lower-median / p90 via a two-phase histogram rank "
+        "(gap-value counts first, cumulative rank over the tiny "
+        "histogram). Integer gaps make the mean an exact sum/count and "
+        "the rank positions integer arithmetic, so every statistic is "
+        "engine-exact; empty gap sets yield the same 1-row NULL summary "
+        "as the oracle's global aggregate."
     ),
 )
 def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,11 +669,17 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and churn models.
 
     Scale design: the gap computation is one customer-keyed window
-    shuffle; the exact median/p90 rank over ALL gaps is a global total
-    order (the agg_median_manual trade-off) — fine at dimension scale,
-    and at 100 TB the documented swap is broadcast approx-quantile cut
-    points (profile_length_histogram pattern). Integer day gaps keep
-    mean and rank selection deterministic on both engines.
+    shuffle; the exact median/p90 then runs TWO-PHASE — the fact-scale
+    gap stream reduces to a per-value histogram first (integer day
+    gaps: at most date-range-many distinct values, map-side
+    combinable), and only the tiny histogram sees a total order (the
+    cumulative-count window). No unpartitioned window ever receives
+    fact-scale input; at 100 TB the histogram is still a few thousand
+    rows. The value at rank r is the smallest gap whose cumulative
+    count reaches r — computed as MIN(CASE...) aggregates, so an empty
+    gap set still yields the 1-row (n_gaps=0, NULL stats) summary that
+    the oracle's global aggregate produces (the old crossJoin against
+    empty scalar frames returned 0 rows and diverged).
     """
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -675,24 +691,19 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap").isNotNull())
     )
-    wr = Window.orderBy("gap")
-    ranked = gaps.select(
+    hist = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h = hist.select(
         "gap",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
-    median = ranked.filter(
-        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
-    ).select(F.col("gap").cast("double").alias("median_gap_days"))
-    p90 = ranked.filter(
-        F.col("rn") == ((9 * F.col("n") + 9) / 10).cast("long")
-    ).select(F.col("gap").cast("double").alias("p90_gap_days"))
-    stats = gaps.agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("mean_gap_days"),
-    )
-    return (
-        stats.crossJoin(F.broadcast(median))
-        .crossJoin(F.broadcast(p90))
-        .select("n_gaps", "mean_gap_days", "median_gap_days", "p90_gap_days")
+    med_rank = F.floor((F.col("n") + 1) / 2)
+    p90_rank = F.floor((9 * F.col("n") + 9) / 10)
+    return h.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_gaps"),
+        (F.sum(F.col("gap") * F.col("cnt")).cast("double") / F.sum("cnt")).alias("mean_gap_days"),
+        F.min(F.when(F.col("cum") >= med_rank, F.col("gap"))).cast("double").alias("median_gap_days"),
+        F.min(F.when(F.col("cum") >= p90_rank, F.col("gap"))).cast("double").alias("p90_gap_days"),
     )

@@ -15,9 +15,15 @@ so every emitted double is bit-identical to the DuckDB twin.
   rank percentiles and re-aggregate: the standard tail-taming pass
   before a mean-based metric.
 
-Scale: each rank statistic is one window over (group, order-by) — a
-shuffle on the group key, per-group data sorted within partitions.
-That is the exact-percentile cost; at 100 TB the approximate path
+Scale: both operators use the TWO-PHASE exact-rank shape
+(``functions/rank_stats.py``): the fact table reduces to a bounded
+per-(group, value) histogram first (value is a 2-decimal grid — the
+histogram is O(|grid|) regardless of row count), and every rank window
+runs over the histogram only. The old per-row window shape put each
+event_type's entire fact partition through one sorter — with ~5 event
+types that is 5 giant partitions at 100 TB; the histogram shape never
+sorts more than |grid| rows per group and scans the fact table exactly
+once. For measures with UNBOUNDED domains the approximate path
 (``sketch_rollup_quantile`` / ``profile_length_histogram``) trades
 exactness for mergeable O(bins) state, and this module is the exact
 twin the approximations are validated against.
@@ -29,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
-from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum
+from argodb_mapreduce_spark.functions.rank_stats import (
+    median_exact,
+    rank_histogram,
+    value_at_rank,
+)
 from argodb_mapreduce_spark.registry import register
 
 #: Robust z threshold: 3.5 is the conventional MAD-screen cutoff; the
@@ -89,59 +100,56 @@ def _median_rank_filter(rn: str, n: str) -> str:
     ),
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    wc = Window.partitionBy("event_type")
-    ranked = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-    med = (
-        ranked.filter(mid)
-        .groupBy("event_type")
-        .agg(
-            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
-                "median_value"
-            )
-        )
-    )
-    dev = e.join(med, "event_type").select(
-        "event_type",
-        "event_id",
-        "value",
-        "median_value",
-        F.abs(F.col("value") - F.col("median_value")).alias("d"),
-    )
-    wd = Window.partitionBy("event_type").orderBy(F.col("d").asc(), F.col("event_id").asc())
-    dranked = dev.select(
-        "event_type",
-        "d",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    """Two-phase exact rank shape (functions/rank_stats.py): the fact
+    table reduces ONCE to a per-(event_type, value) histogram — value
+    is a bounded 2-decimal grid, so the histogram is O(|grid|) rows no
+    matter the corpus size — and every window (median rank, MAD rank)
+    runs over histograms only. With ~5 event types, the old per-row
+    rank windows were 5 fact-scale single partitions at 100 TB; the
+    histogram never exceeds |grid| rows per group. The deviation
+    histogram and the outlier counts are weighted re-aggregations of
+    the value histogram, so the fact table is scanned exactly once."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    h = rank_histogram(e, "event_type", "value")
+    med = h.groupBy("event_type").agg(median_exact("value", 2).alias("median_value"))
     # Deviations are |2-decimal − median|: the median of two middles can
     # carry a half-cent, so the exact-decimal sum uses scale 12 — still
-    # a decimal-grid value (no irrational ops), dsum territory.
-    mad = (
-        dranked.filter(mid)
-        .groupBy("event_type")
-        .agg(
-            (F.sum(F.col("d").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1))).alias(
-                "mad_value"
-            )
+    # a decimal-grid value (no irrational ops), dsum territory. Distinct
+    # values can collide on the same |v - median|, hence the re-group.
+    dev = (
+        h.select("event_type", "value", "cnt")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "median_value",
+            F.abs(F.col("value") - F.col("median_value")).alias("d"),
+            "cnt",
         )
     )
+    dhist = dev.groupBy("event_type", "d").agg(F.sum("cnt").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dh = dhist.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mad = dh.groupBy("event_type").agg(median_exact("d", 12).alias("mad_value"))
     return (
-        dev.join(mad, "event_type")
+        dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "median_value", "mad_value")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
             F.sum(
-                F.when(F.col("d") > F.lit(MAD_Z) * (F.lit(MAD_K) * F.col("mad_value")), 1).otherwise(0)
-            ).alias("n_outliers"),
+                F.when(
+                    F.col("d") > F.lit(MAD_Z) * (F.lit(MAD_K) * F.col("mad_value")), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
         )
         .select("event_type", "n", "median_value", "mad_value", "n_outliers")
     )
@@ -185,31 +193,38 @@ P_HI = 0.95
     ),
 )
 def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    wc = Window.partitionBy("event_type")
-    ranked = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    """Two-phase exact rank shape (functions/rank_stats.py): percentile
+    bounds are selected from the per-(event_type, value) histogram —
+    the value at rank r is the smallest value whose cumulative count
+    reaches r, identical to the oracle's ROW_NUMBER selection — and the
+    clipped re-aggregation is a weighted pass over the same histogram,
+    so the fact table is scanned exactly once and no window ever sees
+    fact-scale input."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    h = rank_histogram(e, "event_type", "value")
     lo_rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(P_LO) * F.col("n")))
     hi_rank = F.ceil(F.lit(P_HI) * F.col("n"))
-    bounds = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("lo"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("hi"),
+    bounds = h.groupBy("event_type").agg(
+        value_at_rank("value", lo_rank).alias("lo"),
+        value_at_rank("value", hi_rank).alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
-        e.join(bounds, "event_type")
+        h.select("event_type", "value", "cnt")
+        .join(F.broadcast(bounds), "event_type")
         .groupBy("event_type", "lo", "hi")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
             F.sum(
-                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
-            ).alias("n_clipped"),
-            dsum(clipped, 2).alias("winsorized_sum"),
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_clipped"),
+            # Weighted exact-decimal sum: v repeated c times sums to
+            # exactly c * decimal(v) — same bits as the oracle's row sum.
+            F.sum(F.col("cnt").cast("decimal(20,0)") * clipped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("winsorized_sum"),
         )
         .select("event_type", "n", "lo", "hi", "n_clipped", "winsorized_sum")
     )

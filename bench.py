@@ -1,8 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints the summary JSON line TWICE (identical bytes, totals-first key
+order):
+  {"metric": "...", "value": N, "unit": "sec", "r1_comparable_wall": N,
+   "sf": ..., "queries": {...}, "spread": {...}}
+
+Why twice: the round-5 driver tail-capture truncated the FRONT of the
+single summary line, losing the headline total while per-query times
+survived (BENCH_r05.json "parsed": null). Repeating the identical
+compact line at the very end guarantees a complete copy inside any
+tail window >= one line, and totals-first ordering puts the headline
+numbers in the best-protected position of each copy. A parser that
+reads the last line, the first line, or scavenges key-value pairs all
+recover the same totals.
+
+"spread" is the measured per-query noise floor: (max - min) wall over
+the 3 runs, in seconds. The host VM has multi-second noisy-neighbor
+drift (same plan, same data: 1.4-2.2x between same-day runs — commit
+9d396cd), so a cross-round delta smaller than the spread is machine
+noise, not regression.
 
 Each query is fully materialized through the noop sink (count() can
 short-circuit column reads; noop forces the whole plan). Wall-clock per
@@ -140,14 +157,16 @@ def main() -> None:
     # runs drops intermediates persisted by prior queries so accumulated
     # storage blocks don't pressure execution memory.
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
     # BENCH_r01 recorded 21 queries; later rounds grew the headline set.
@@ -162,18 +181,22 @@ def main() -> None:
         "text_tfidf_top_terms", "text_fingerprint_winnow",
         "multimodal_frame_sample", "stream_window_tumbling", "stream_session_window",
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "r1_comparable_wall": round(sum(v for k, v in times.items() if k in r1_set), 3),
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            # Totals first: the head of the line survives head-capture,
+            # and the duplicate final line survives tail-capture.
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "r1_comparable_wall": round(sum(v for k, v in times.items() if k in r1_set), 3),
+            "sf": sf,
+            "queries": times,
+            "spread": spread,
+        }
     )
+    print(line)
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -679,3 +679,45 @@ def test_welch_single_pass_no_join(spark, sf_dir):
     df = events_ab_welch_t(spark, sf_dir)
     assert "Join" not in explain_str(df, "formatted")
     assert n_exchanges(df) == 1
+
+
+def _rank_windows_are_pre_aggregated(df):
+    """Every cumulative-rank window (the sum(cnt) windows built by
+    functions/rank_stats.py) must take a HISTOGRAM as input: walking
+    down the plan from the Window node, a HashAggregate must appear
+    before any FileScan — i.e. the total order only ever sorts
+    pre-aggregated (bounded) rows, never the fact table."""
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    lines = explain_str(df, "simple").splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [sum(cnt" in ln]
+    assert win_idx, "expected at least one cumulative-rank window in the plan"
+    for i in win_idx:
+        for ln in lines[i + 1:]:
+            if "HashAggregate" in ln:
+                break
+            assert "FileScan" not in ln and "Scan parquet" not in ln, (
+                f"rank window at plan line {i} reads unaggregated fact rows:\n"
+                + "\n".join(lines[i:i + 6])
+            )
+
+
+def test_interarrival_rank_input_is_histogram(spark, sf_dir):
+    """orders_interarrival_stats (VERDICT r5 item 3): the exact
+    median/p90 rank must run over the per-gap histogram, so the
+    single-partition window input is O(distinct gaps), not O(orders)."""
+    from argodb_mapreduce_spark.operators.bi import orders_interarrival_stats
+
+    _rank_windows_are_pre_aggregated(orders_interarrival_stats(spark, sf_dir))
+
+
+def test_median_and_cleaning_rank_inputs_are_histograms(spark, sf_dir):
+    """agg_median_manual and the cleaning pack share the two-phase
+    rank shape: per-group windows sort distinct grid values, never
+    fact rows."""
+    from argodb_mapreduce_spark.functions.stats import agg_median_manual
+    from argodb_mapreduce_spark.operators.cleaning import clean_winsorize, events_anomaly_mad
+
+    _rank_windows_are_pre_aggregated(agg_median_manual(spark, sf_dir))
+    _rank_windows_are_pre_aggregated(clean_winsorize(spark, sf_dir))
+    _rank_windows_are_pre_aggregated(events_anomaly_mad(spark, sf_dir))
