@@ -514,6 +514,18 @@ def make_bucket_scorer(threshold: float, chunk: int = 2048):
     the full B x B matmul, so results stay bit-identical (unit-tested
     with a tiny chunk in tests/test_round5_fixes.py).
 
+    MIN-BAND FILTER: a pair colliding in k bands lands in k buckets; if
+    the input carries the full per-vector band-value array (``bands``
+    column) plus the grouping ``band_id``, the scorer emits a pair ONLY
+    from its first (lowest-id) colliding band — any pair whose band
+    arrays also agree on an earlier band is someone else's to emit. The
+    output is then exactly one row per verified pair, so the consumer
+    needs no distinct() (which was a full shuffle of k copies of every
+    pair). The check runs only on pairs that already passed the
+    threshold (O(survivors x band_id) integer compares), not on the
+    n^2 tile. Without the ``bands``/``band_id`` columns the scorer
+    keeps the old emit-every-collision behavior (deduped downstream).
+
     Factory-closure so cloudpickle ships the scorer BY VALUE — the
     driver contract runs executors that cannot import this repo (same
     pattern as sources/python_datasource.make_versioned_datasource)."""
@@ -533,6 +545,13 @@ def make_bucket_scorer(threshold: float, chunk: int = 2048):
         ids = pdf["vec_id"].to_numpy()
         Q = np.stack(pdf["qemb"].to_numpy()).astype(np.float64)
         root = np.sqrt(pdf["ss"].to_numpy().astype(np.float64))
+        band_id = int(pdf["band_id"].iloc[0]) if "band_id" in pdf.columns else 0
+        # Earlier-band signature matrix, only needed past band 0.
+        Bprev = (
+            np.stack(pdf["bands"].to_numpy()).astype(np.int64)[:, :band_id]
+            if band_id > 0 and "bands" in pdf.columns
+            else None
+        )
         n = len(ids)
         out = []
         for i0 in range(0, n, chunk):
@@ -544,6 +563,10 @@ def make_bucket_scorer(threshold: float, chunk: int = 2048):
                 ii, jj = np.nonzero(cos >= threshold)
                 gi, gj = ii + i0, jj + j0
                 keep = gi < gj  # ids sorted => a_id < b_id; drops diag/lower
+                if keep.any() and Bprev is not None:
+                    # min-band: drop pairs that also collide in an
+                    # earlier band (that band's bucket emits them).
+                    keep[keep] = ~(Bprev[gi[keep]] == Bprev[gj[keep]]).any(axis=1)
                 if keep.any():
                     out.append(pd.DataFrame({
                         "a_id": ids[gi[keep]],
@@ -586,8 +609,9 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than joining the full qemb arrays onto every candidate pair and
     # folding a 64-term HOF per pair (that shape moved ~1000x more bytes
     # through the verify join and was the slowest headline query). A
-    # pair that collides in k bands is scored k times with bit-identical
-    # results, so the final distinct() dedups safely. Hot buckets are
+    # pair colliding in k bands lands in k buckets, but the min-band
+    # filter emits it only from its first colliding band, so output
+    # pairs are unique without a distinct() shuffle. Hot buckets are
     # bounded by the band-bit count exactly as in the MinHash operator;
     # the shuffle key is (band_id, val) — the same layout the candidate
     # join needed anyway.
@@ -606,18 +630,25 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + bit(b * LSH_BAND_BITS + j) * (1 << j)
         return out.cast("int")
 
+    # Each row carries its FULL band array: the scorer's min-band filter
+    # (see make_bucket_scorer) emits a pair only from its first
+    # colliding band, so the output is distinct by construction — no
+    # k-copies-per-pair shuffle and no redundant re-emission. The array
+    # is LSH_N_BANDS ints per row, built once and reused by posexplode.
+    # qemb ships as int32 (|q| <= 2^20 on the quantization grid, and
+    # each vector crosses the bucket shuffle + Arrow boundary once per
+    # band) — the scorer's float64 upcast sees identical values.
     sig = e.select(
         "vec_id", "qemb", "ss",
-        F.posexplode(F.array(*[band_val(b) for b in range(LSH_N_BANDS)])).alias("band_id", "val"),
+        F.array(*[band_val(b) for b in range(LSH_N_BANDS)]).alias("bands"),
+    ).select(
+        "vec_id", F.col("qemb").cast("array<int>").alias("qemb"), "ss", "bands",
+        F.posexplode("bands").alias("band_id", "val"),
     )
 
-    return (
-        sig.groupBy("band_id", "val")
-        .applyInPandas(
-            make_bucket_scorer(LSH_COS_THRESHOLD),
-            schema="a_id long, b_id long, cos_sim double",
-        )
-        .distinct()
+    return sig.groupBy("band_id", "val").applyInPandas(
+        make_bucket_scorer(LSH_COS_THRESHOLD),
+        schema="a_id long, b_id long, cos_sim double",
     )
 
 

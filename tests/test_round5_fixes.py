@@ -161,3 +161,47 @@ def test_zorder_constant_column_yields_cell_zero(spark):
     zs = [r["z"] for r in out]
     assert all(z is not None for z in zs)
     assert len(set(zs)) > 1  # live axis still differentiates
+
+
+def test_bucket_scorer_min_band_emits_pair_once():
+    """A pair colliding in several bands must be emitted only by its
+    first colliding band, and the union over bands must equal the old
+    emit-everywhere set after dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from argodb_mapreduce_spark.operators.similarity import make_bucket_scorer
+
+    rng = np.random.RandomState(11)
+    n, d, n_bands = 17, 8, 4
+    base = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "qemb": [rng.randint(-100, 100, size=d).astype(np.int64) for _ in range(n)],
+    })
+    base["ss"] = [int((v.astype(object) ** 2).sum()) for v in base["qemb"]]
+    # Coarse band values force multi-band collisions: band b value is
+    # vec_id % (b + 2), so most pairs collide in more than one band.
+    bands = np.stack([np.arange(n, dtype=np.int64) % (b + 2) for b in range(n_bands)], axis=1)
+    base["bands"] = list(bands)
+
+    scorer = make_bucket_scorer(threshold=-1.1, chunk=5)  # score every pair
+    emitted = []
+    legacy = []
+    for b in range(n_bands):
+        for val in np.unique(bands[:, b]):
+            bucket = base[bands[:, b] == val].copy()
+            bucket["band_id"] = b
+            bucket["val"] = int(val)
+            emitted.append(scorer(bucket))
+            legacy.append(scorer(bucket.drop(columns=["bands", "band_id", "val"])))
+    got = pd.concat(emitted, ignore_index=True)
+    want = (
+        pd.concat(legacy, ignore_index=True)
+        .drop_duplicates()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    # exactly once: no duplicates before any dedup
+    assert not got.duplicated(["a_id", "b_id"]).any()
+    got = got.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
