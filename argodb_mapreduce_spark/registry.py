@@ -65,128 +65,85 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.modern_sql",
 )
 
-#: ROUND-5 DRIVER WINDOW (VERDICT r4 next-step 1). The driver checks the
+#: ROUND-6 DRIVER WINDOW (VERDICT r5 next-step 1). The driver checks the
 #: first 50 entries of ``queries()`` in dict order; this list pins those
-#: slots to (a) the 6 queries with no driver row ever — the five added
-#: after the r4 window froze plus round 5's new DPP query — reaching
-#: 174/174 ever-witnessed, then (b) the 7 queries whose code changed in
-#: round 5 (versioned-writer commit protocol + ns-cast, LSH blocked
-#: bucket scorer + CC consumer, shingle df cap, winnowing poly-hash
-#: mapInPandas kernel) so their banked rows are re-earned against the
-#: new code, then (c) the 5 partition/range sink round-trips whose
-#: staged layouts are governed by the round-5 fixture_stale boundary
-#: fix, then (c2) the nine operators added late in round 5
-#: (sessionize, SCD2, span dedup, PageRank, co-occurrence, embedding
-#: normalize, bloom join, bigram LM score, null-safe join) and (c3)
-#: the thirteen closing-round-5 operators (Markov transitions,
-#: triangle count, fuzzy Levenshtein join, TV divergence, weighted
-#: Bernoulli sample, basket pair lift, exact EWMA, OLS trend,
-#: migration fingerprint, LATERAL top-k, recursive-CTE ancestors, ABC
-#: Pareto classes, last-touch attribution, snapshot diff, PCA top
-#: component) — first-ever driver evidence, then (c4) the five
-#: operators added after the first r5 freeze (data-quality constraint
-#: audit, daily-series autocorrelation, Welch A/B t-statistic, cohort
-#: LTV triangle, RAKE keywords, PQ encode, PQ ADC search, stacked
-#: IVF-PQ) — the (c4) block fills the window.
-#: 6+7+5+9+15+8 = 50 exactly.
+#: slots to (a) the eighteen queries registered after the r5 window froze
+#: and therefore never driver-witnessed (the cleaning pack, BI pack,
+#: live session/quality-gate streams, MERGE deletes, RESTORE, temporal
+#: SCD2, schema evolution, windowed funnel, backlog, CUSUM, DOW
+#: seasonality, stickiness, interarrival, Gini) — green rows here reach
+#: 224/224 ever-witnessed for the r5 registry; then (b) the seven
+#: queries whose code changed in late r5 / r6 and must re-earn their
+#: banked rows: ``dedup_minhash_clusters``/``dedup_minhash_survivors``
+#: (connected-components rework: edge-touched iteration + pointer
+#: jumping), ``similarity_lsh_neardup``/``similarity_embedding_clusters``
+#: (min-band pair emission, int32 transfer), ``agg_median_manual``
+#: (two-phase histogram rank), ``events_ab_welch_t``/``orders_ols_trend``
+#: (NULLIF degenerate-input guards). Note ``orders_interarrival_stats``,
+#: ``events_activity_gini``, ``events_anomaly_mad`` and
+#: ``clean_winsorize`` also changed in r6 (histogram rank / exact-sum
+#: hardening) but already sit in block (a). Then (c) any operators
+#: round 6 adds, and (d) refreshers: the ten r1-banked rows that have
+#: never been re-checked since round 1, then the oldest r2-banked
+#: dedup/similarity/text/multimodal/udf rows.
 #:
-#: ROUND-6 ROTATION NOTE: thirty-four r1-banked rows did not fit this
-#: window and are the oldest evidence after r5 — ``q7_nation_volume``,
-#: ``q13_order_distribution``, ``window_range_frame``, ``events_funnel``,
-#: ``q14_promo_share``, ``q17_small_quantity``, ``q19_disjunctive``,
-#: ``window_rank_extended``, ``agg_boolean``, ``unpivot_melt``, plus the
-#: twenty-four displaced by the late-round-5 additions: ``q4_order_priority``,
-#: ``q6_revenue_forecast``, ``q10_top_returners``, ``subquery_in``,
-#: ``subquery_above_avg``, ``distinct_pairs``, ``set_except``,
-#: ``set_union_all``, ``set_intersect``, ``sort_limit``, ``window_rank``,
-#: ``window_lag_lead``, ``window_moving_sum``, ``topk_per_group``,
-#: ``q3_top_unshipped``, ``q5_local_supplier_volume``, ``join_cross``,
-#: ``join_anti``, ``join_left_outer``, ``join_full_outer``,
-#: ``agg_pivot``, ``join_inner``, ``agg_grouping_sets``, ``agg_cube``,
-#: the eight r1 refreshers displaced by the (c4) additions
-#: (``agg_having``, ``agg_rollup``, ``scan_partition_nomatch``,
-#: ``scan_events``, ``agg_minmax_distinct``, ``scan_projection``,
-#: ``scan_partition_filter``, ``scan_lineitem`` — the last refreshed
-#: in r3), and the
-#: round-5 cleaning pack (``events_anomaly_mad``, ``clean_winsorize``)
-#: and BI pack (``agg_mode``, ``window_percent_of_total``,
-#: ``orders_rfm_segments``) and the live session-window stream
-#: (``stream_session_live``) and the 3-branch CDC merge
-#: (``sink_merge_with_deletes``) and the RESTORE rollback
-#: (``snapshot_rollback``) and the time-bounded funnel
-#: (``events_funnel_windowed``) and the streaming quality gate
-#: (``stream_quality_gate_live``) and the CUSUM level-shift detector
-#: (``events_cusum_changepoint``) and the interval pair
-#: (``orders_open_backlog``, ``join_temporal_scd2``) and the final pair
-#: (``scan_schema_evolution``, ``orders_seasonality_dow``,
-#: ``events_dau_wau_stickiness``, ``orders_interarrival_stats``,
-#: ``events_activity_gini``) — registered after the window froze,
-#: strict-sim verified locally at sf0.01. ALSO lead r6 with
-#: ``dedup_minhash_clusters`` and ``dedup_minhash_survivors``: their
-#: r4-banked rows pre-date the late-r5 connected-components rework
-#: (edge-touched-vertex iteration + pointer jumping; the shared path's
-#: new-code evidence in r5 is ``similarity_embedding_clusters`` plus
-#: local parity). Lead the r6 window with all of the above
-#: (plus anything r6 adds or touches), then refresh the oldest r2 rows
-#: (dedup_exact_rows, simhash, cosine/neardup, text pack, multimodal,
-#: udf pack).
 _PRIORITY = (
-    # --- (a) never driver-witnessed: closes the book at 174/174 ---
-    "agg_salted_skew",
-    "stream_sliding_live",
-    "sink_zorder_roundtrip",
-    "join_asof_tolerance",
-    "agg_grouping_flags",
-    "scan_partition_dynamic",
-    # --- (b) code changed in round 5: re-earn the green row ---
-    "pyds_versioned_scan",
-    "pyds_versioned_write",
+    # --- (a) registered after the r5 window froze: never driver-witnessed ---
+    "sink_merge_with_deletes",
+    "snapshot_rollback",
+    "events_funnel_windowed",
+    "stream_quality_gate_live",
+    "events_cusum_changepoint",
+    "orders_open_backlog",
+    "join_temporal_scd2",
+    "scan_schema_evolution",
+    "orders_seasonality_dow",
+    "events_dau_wau_stickiness",
+    "orders_interarrival_stats",
+    "events_activity_gini",
+    "stream_session_live",
+    "events_anomaly_mad",
+    "clean_winsorize",
+    "agg_mode",
+    "window_percent_of_total",
+    "orders_rfm_segments",
+    # --- (b) code changed late-r5/r6: re-earn the banked rows ---
+    "dedup_minhash_clusters",
+    "dedup_minhash_survivors",
     "similarity_lsh_neardup",
     "similarity_embedding_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "text_fingerprint_winnow",
-    # --- (c) staged-layout sinks governed by the fixture_stale fix ---
-    "sink_partitioned_roundtrip",
-    "sink_partition_scan_null",
-    "sink_partitioned_multilevel",
-    "sink_range_roundtrip",
-    "sink_range_pruned_lookup",
-    # --- (c2) late round-5 additions: first-ever driver evidence ---
-    "events_sessionize",
-    "scd2_user_history",
-    "dedup_span_exact",
-    "graph_pagerank",
-    "text_cooccurrence_lift",
-    "embedding_normalize_stats",
-    "join_bloom_pruned",
-    "text_bigram_lm_score",
-    "join_null_safe",
-    # --- (c3) final round-5 additions: first-ever driver evidence ---
-    "events_markov_transition",
-    "graph_triangle_count",
-    "dedup_fuzzy_levenshtein",
-    "corpus_tv_divergence",
-    "sample_weighted_bernoulli",
-    "basket_pair_lift",
-    "events_ewma_smooth",
-    "orders_ols_trend",
-    "table_migration_fingerprint",
-    "join_lateral_topk",
-    "recursive_cte_ancestors",
-    "parts_abc_classification",
-    "events_attribution_last_touch",
-    "snapshot_diff",
-    "embedding_pca_top_component",
-    # --- (c4) post-freeze round-5 additions: first-ever driver evidence ---
-    "dq_constraint_audit",
-    "events_autocorrelation",
+    "agg_median_manual",
     "events_ab_welch_t",
-    "orders_cohort_ltv",
-    "text_keyword_rake",
-    "similarity_pq_encode",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
+    "orders_ols_trend",
+    # --- (c) new round-6 operators: first-ever driver evidence ---
+    # (inserted as round 6 adds them)
+    # --- (d) refreshers: r1 rows never re-checked since round 1 ---
+    "q7_nation_volume",
+    "q13_order_distribution",
+    "window_range_frame",
+    "events_funnel",
+    "q14_promo_share",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "window_rank_extended",
+    "agg_boolean",
+    "unpivot_melt",
+    # --- (d cont.) oldest r2-banked rows ---
+    "dedup_exact_rows",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_embedding_neardup",
+    "text_langid",
+    "text_quality_score",
+    "text_token_stats",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "multimodal_ingest",
+    "udf_pandas_scalar",
+    "udf_apply_in_pandas",
+    "udf_pandas_grouped_agg",
+    "udf_python_rowwise",
+    "text_pii_scrub",
 )
 
 
