@@ -74,6 +74,70 @@ def median_rank_hi(n: Column) -> Column:
     return F.floor((n + 2) / 2)
 
 
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], rn_name: str = "rn"
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a unique total order WITHOUT a
+    single-partition sort.
+
+    The naive ``Window.orderBy(...)`` funnels every row through one
+    reducer. The scale-safe exact shape: range-repartition on the order
+    (each partition holds one contiguous key range, sorted locally),
+    freeze partition ids with a localCheckpoint (so the two consumers
+    below cannot see different AQE-coalesced pid mappings), count rows
+    per partition, turn the O(P)-row count table into cumulative
+    offsets with an O(P) window, broadcast-join it back, and add the
+    per-partition local row_number to the partition's offset. Ranks
+    are identical to the single-sort ROW_NUMBER for any partition
+    boundaries because the total order is unique; max partition work is
+    n/P rows instead of n.
+
+    ``order_cols`` must be a unique total order (tie-break on a key)
+    and is used for BOTH the range partitioner and the local sort.
+    """
+    parts = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=False)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select("_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"))
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_name, (F.row_number().over(w_local) + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact NTILE(k) bucket from a 1-based global rank and total count.
+
+    SQL NTILE(k) over n rows: the first ``n % k`` buckets get
+    ``n div k + 1`` rows, the rest ``n div k``. Pure integer
+    arithmetic — composes with :func:`global_row_number` to give the
+    distributed NTILE that Spark's single-partition
+    ``ntile().over(Window.orderBy(...))`` cannot.
+    """
+    def idiv(a: Column, b: Column) -> Column:
+        # floor(a/b) in exact integer arithmetic: a%b is exact on longs
+        # and (a - a%b)/b divides evenly, so the double division is a
+        # representable integer (quotient < 2^53) — no float rounding.
+        return ((a - a % b) / b).cast("bigint")
+
+    q = idiv(n.cast("bigint"), F.lit(k))
+    r = (n.cast("bigint") % k).cast("bigint")
+    big = r * (q + 1)  # rows 1..big live in the r wide buckets
+    return (
+        F.when(rn <= big, idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + idiv(rn - big - 1, F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
 def median_exact(value: str, scale: int = 2) -> Column:
     """Aggregate over a rank_histogram frame: exact median as the
     decimal-grid average of the two middle elements (equal for odd n —

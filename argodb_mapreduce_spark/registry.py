@@ -65,85 +65,65 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.modern_sql",
 )
 
-#: ROUND-6 DRIVER WINDOW (VERDICT r5 next-step 1). The driver checks the
-#: first 50 entries of ``queries()`` in dict order; this list pins those
-#: slots to (a) the eighteen queries registered after the r5 window froze
-#: and therefore never driver-witnessed (the cleaning pack, BI pack,
-#: live session/quality-gate streams, MERGE deletes, RESTORE, temporal
-#: SCD2, schema evolution, windowed funnel, backlog, CUSUM, DOW
-#: seasonality, stickiness, interarrival, Gini) — green rows here reach
-#: 224/224 ever-witnessed for the r5 registry; then (b) the seven
-#: queries whose code changed in late r5 / r6 and must re-earn their
-#: banked rows: ``dedup_minhash_clusters``/``dedup_minhash_survivors``
-#: (connected-components rework: edge-touched iteration + pointer
-#: jumping), ``similarity_lsh_neardup``/``similarity_embedding_clusters``
-#: (min-band pair emission, int32 transfer), ``agg_median_manual``
-#: (two-phase histogram rank), ``events_ab_welch_t``/``orders_ols_trend``
-#: (NULLIF degenerate-input guards). Note ``orders_interarrival_stats``,
-#: ``events_activity_gini``, ``events_anomaly_mad`` and
-#: ``clean_winsorize`` also changed in r6 (histogram rank / exact-sum
-#: hardening) but already sit in block (a). Then (c) any operators
-#: round 6 adds, and (d) refreshers: the ten r1-banked rows that have
-#: never been re-checked since round 1, then the oldest r2-banked
-#: dedup/similarity/text/multimodal/udf rows.
-#:
+#: ROUND-7 DRIVER WINDOW (VERDICT r6 next-step 6). The driver checks the
+#: first 50 entries of ``queries()`` in dict order; all 224 queries have
+#: a driver-witnessed green row (union of CORRECTNESS_r01-r06 ==
+#: registry), so the r7 window is (a) queries whose CODE CHANGED in
+#: round 7 and must re-earn their banked rows — the two retired
+#: scale warts (``events_activity_gini`` on the two-phase histogram
+#: rank, ``orders_rfm_segments`` on distributed
+#: global_row_number + integer NTILE), extended as r7 touches more
+#: code — then (b) the staleness rotation: the 32 rows whose only
+#: green evidence is round 1 and the 8 whose newest is round 2
+#: (code unchanged since, but six rounds of fixture regeneration is
+#: a long bank). Post-r7 the staleness histogram should have no r01
+#: entries.
 _PRIORITY = (
-    # --- (a) registered after the r5 window froze: never driver-witnessed ---
-    "sink_merge_with_deletes",
-    "snapshot_rollback",
-    "events_funnel_windowed",
-    "stream_quality_gate_live",
-    "events_cusum_changepoint",
-    "orders_open_backlog",
-    "join_temporal_scd2",
-    "scan_schema_evolution",
-    "orders_seasonality_dow",
-    "events_dau_wau_stickiness",
-    "orders_interarrival_stats",
+    # --- (a) code changed in round 7: re-earn the rows ---
     "events_activity_gini",
-    "stream_session_live",
-    "events_anomaly_mad",
-    "clean_winsorize",
-    "agg_mode",
-    "window_percent_of_total",
     "orders_rfm_segments",
-    # --- (b) code changed late-r5/r6: re-earn the banked rows ---
-    "dedup_minhash_clusters",
-    "dedup_minhash_survivors",
-    "similarity_lsh_neardup",
-    "similarity_embedding_clusters",
-    "agg_median_manual",
-    "events_ab_welch_t",
-    "orders_ols_trend",
-    # --- (c) new round-6 operators: first-ever driver evidence ---
-    # (inserted as round 6 adds them)
-    # --- (d) refreshers: r1 rows never re-checked since round 1 ---
-    "q7_nation_volume",
-    "q13_order_distribution",
-    "window_range_frame",
-    "events_funnel",
-    "q14_promo_share",
-    "q17_small_quantity",
-    "q19_disjunctive",
-    "window_rank_extended",
-    "agg_boolean",
-    "unpivot_melt",
-    # --- (d cont.) oldest r2-banked rows ---
-    "dedup_exact_rows",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_embedding_neardup",
-    "text_langid",
-    "text_quality_score",
-    "text_token_stats",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    "multimodal_ingest",
-    "udf_pandas_scalar",
-    "udf_apply_in_pandas",
-    "udf_pandas_grouped_agg",
-    "udf_python_rowwise",
-    "text_pii_scrub",
+    # --- (b) staleness rotation: last-green r01 (32 rows) ---
+    "scan_lineitem",
+    "scan_projection",
+    "scan_partition_filter",
+    "scan_partition_nomatch",
+    "scan_events",
+    "agg_minmax_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_anti",
+    "join_cross",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "sort_limit",
+    "window_rank",
+    "window_lag_lead",
+    "window_moving_sum",
+    "topk_per_group",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "subquery_above_avg",
+    "subquery_in",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q10_top_returners",
+    # --- (b cont.) last-green r02 (8 rows) ---
+    "embedding_centroid_per_label",
+    "text_tfidf_top_terms",
+    "text_sentiment_lexicon",
+    "text_rarity_score",
+    "udtf_tokenize",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
 )
 
 

@@ -1,19 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints the summary JSON line TWICE (identical bytes, totals-first key
-order):
-  {"metric": "...", "value": N, "unit": "sec", "r1_comparable_wall": N,
-   "sf": ..., "queries": {...}, "spread": {...}}
+Output layout (designed for a ~2000-char tail capture window):
+  1. ONE full summary line (humans / full-stdout parsers):
+     {"metric": ..., "value": N, "unit": "sec", "r1_comparable_wall": N,
+      "sf": ..., "queries": {...}, "spread": {...}}
+  2. per-query SPREADS chunked into small JSON lines, keys "d_<query>";
+  3. per-query TIMES chunked into small JSON lines, keys "t_<query>";
+  4. the VERY LAST line: a totals-only JSON line under 200 chars.
 
-Why twice: the round-5 driver tail-capture truncated the FRONT of the
-single summary line, losing the headline total while per-query times
-survived (BENCH_r05.json "parsed": null). Repeating the identical
-compact line at the very end guarantees a complete copy inside any
-tail window >= one line, and totals-first ordering puts the headline
-numbers in the best-protected position of each copy. A parser that
-reads the last line, the first line, or scavenges key-value pairs all
-recover the same totals.
+Why: BENCH_r05 and BENCH_r06 both recorded "parsed": null — the full
+summary line is ~4.4 KB with 67 queries x 2 dicts, more than twice the
+driver's 2000-char tail window, so printing it twice (the r5 fix) left
+the tail entirely inside the second copy's trailing "spread" dict and
+every per-query time was unrecoverable (VERDICT r6 What's-wrong #1).
+Now the last ~2000 chars always contain the complete totals line plus
+the most recent time chunks; each chunk line is an independently
+parseable JSON object <=450 chars, and the distinct "t_"/"d_" key
+prefixes make times and spreads unambiguous to a scavenging parser.
+Times are printed AFTER spreads so the tail window preferentially
+keeps times.
 
 "spread" is the measured per-query noise floor: (max - min) wall over
 the 3 runs, in seconds. The host VM has multi-second noisy-neighbor
@@ -181,22 +187,54 @@ def main() -> None:
         "text_tfidf_top_terms", "text_fingerprint_winnow",
         "multimodal_frame_sample", "stream_window_tumbling", "stream_session_window",
     }
-    line = json.dumps(
+    r1_wall = round(sum(v for k, v in times.items() if k in r1_set), 3)
+    full_line = json.dumps(
         {
-            # Totals first: the head of the line survives head-capture,
-            # and the duplicate final line survives tail-capture.
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
-            "r1_comparable_wall": round(sum(v for k, v in times.items() if k in r1_set), 3),
+            "r1_comparable_wall": r1_wall,
             "sf": sf,
             "queries": times,
             "spread": spread,
         }
     )
-    print(line)
+    print(full_line)
+
+    def chunk_lines(prefix: str, d: dict[str, float], limit: int = 450) -> list[str]:
+        """Pack {prefix+name: time} entries into JSON lines <= limit chars."""
+        lines: list[str] = []
+        cur: dict[str, float] = {}
+        for k, v in d.items():
+            cur[prefix + k] = v
+            if len(json.dumps(cur)) > limit:
+                cur.pop(prefix + k)
+                lines.append(json.dumps(cur))
+                cur = {prefix + k: v}
+        if cur:
+            lines.append(json.dumps(cur))
+        return lines
+
+    # Spreads first, times after: the tail window keeps the LAST lines,
+    # so times survive preferentially over spreads.
+    for ln in chunk_lines("d_", spread):
+        print(ln)
+    for ln in chunk_lines("t_", times):
+        print(ln)
+    totals_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "r1_comparable_wall": r1_wall,
+            "sf": sf,
+            "n_queries": len(times),
+        }
+    )
+    assert len(totals_line) < 200, len(totals_line)
     sys.stdout.flush()
-    print(line)
+    print(totals_line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
