@@ -113,6 +113,55 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    cum_name: str = "cum",
+    total_name: str = "total",
+) -> DataFrame:
+    """Exact distributed cumulative sum over a unique total order —
+    the two-pass range-partitioned prefix sum.
+
+    Same shape as :func:`global_row_number`: range-repartition on the
+    order (pids frozen by a localCheckpoint), per-partition SUMs form
+    an O(P) table whose prefix sums become broadcast offsets, and each
+    row's global running sum is its partition-local running sum plus
+    the partition's offset. ``value`` must be an exact type (decimal /
+    integer) so partial-sum association equals the single-sort
+    cumulative bit-for-bit. Adds ``cum_name`` (running sum including
+    the current row) and ``total_name`` (grand total) columns; the
+    only unpartitioned window runs over the O(P) partition-sum table.
+    """
+    parts = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_v", value)
+        .localCheckpoint(eager=False)
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offs = (
+        parts.groupBy("_pid")
+        .agg(F.sum("_v").alias("_psum"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_psum").over(w_all).alias(total_name),
+        )
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(cum_name, F.sum("_v").over(w_local) + F.col("_off"))
+        .drop("_pid", "_off", "_v")
+    )
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """Exact NTILE(k) bucket from a 1-based global rank and total count.
 

@@ -4,11 +4,14 @@ Media (image/audio/video) is modeled as opaque ``binary`` columns with
 typed metadata — the Spark-native layout for a multimodal training-data
 lake. The decode/feature paths run as Arrow-batched ``mapInPandas``
 pipelines (the real plumbing: schema, batch iteration, partition
-parallelism), with the *decoder itself* stubbed deterministically —
-the container has no image/audio libs, so ``decode_image``/
-``decode_audio`` raise NotImplementedError behind an import-try, and
-the registered queries use deterministic byte-level feature extractors
-whose results are SQL-expressible, keeping even the Pandas-UDF path
+parallelism). The AUDIO path is a real decoder: stdlib ``wave`` is
+present, so ``multimodal_audio_decode`` round-trips genuine RIFF/WAVE
+containers (encode 8-bit PCM → binary column → parse header + frames)
+with oracle-checked amplitude features. IMAGE decode stays stubbed —
+the container has no image libs, so ``decode_image`` raises
+NotImplementedError behind an import-try, and the registered image
+queries use deterministic byte-level feature extractors whose results
+are SQL-expressible, keeping even the Pandas-UDF path
 DuckDB-oracle-checked (fixture text is ASCII, so byte ops == char ops).
 
 At 100 TB: mapInPandas streams Arrow batches executor-side — no
@@ -133,6 +136,109 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_channels int, sample_width int, framerate int, "
+    "n_frames long, duration_ms long, peak_amp int, sum_amp_sq long"
+)
+_AUDIO_RATE = 8000
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle=f"""
+    SELECT doc_id,
+           1 AS n_channels,
+           1 AS sample_width,
+           {_AUDIO_RATE} AS framerate,
+           CAST(LENGTH(text) AS BIGINT) AS n_frames,
+           CAST(LENGTH(text) * 1000 // {_AUDIO_RATE} AS BIGINT) AS duration_ms,
+           CAST((SELECT MAX(ABS(ascii(substring(text, i, 1)) - 128))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)) AS INT) AS peak_amp,
+           CAST(COALESCE((SELECT SUM((ascii(substring(text, i, 1)) - 128)
+                                     * (ascii(substring(text, i, 1)) - 128))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS BIGINT) AS sum_amp_sq
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "audio"),
+    doc=(
+        "REAL audio decode path (no stub): build genuine RIFF/WAVE "
+        "containers executor-side around the fixture bytes as 8-bit "
+        "PCM mono, ship the wav binary column through Arrow, then "
+        "parse it back with stdlib `wave` in a second mapInPandas "
+        "stage — header fields (channels/width/rate/frames) plus "
+        "amplitude features (peak |sample-128|, sum of squared "
+        "amplitudes) from the decoded frames. The oracle recomputes "
+        "the features from the source bytes, so the encode->decode "
+        "round trip is verified end-to-end. Swapping the stdlib "
+        "parser for soundfile/librosa changes only the inner call, "
+        "not the Spark plumbing."
+    ),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Arrow-batched stages with a real wav binary column between
+    them: encode (bytes -> WAV container) then decode (WAV -> header +
+    amplitude stats). 8-bit WAV PCM is unsigned with a 128 offset, so
+    amplitude = sample - 128. At 100 TB both stages stream executor-
+    side with no shuffle; real media files skip the encode stage and
+    enter at the decode contract."""
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+    rate = _AUDIO_RATE
+
+    def encode(batches):  # nested → pickled by value (see NB above)
+        import io
+        import wave as wave_mod
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(bytes(blob))
+                out.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": out})
+
+    wav = m.mapInPandas(encode, schema="doc_id long, wav binary")
+
+    def decode(batches):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_channels", "sample_width", "framerate",
+                "n_frames", "duration_ms", "peak_amp", "sum_amp_sq",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    nch, sw, fr, nf = (
+                        w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes(),
+                    )
+                    data = w.readframes(nf)
+                amp = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_width"].append(sw)
+                rows["framerate"].append(fr)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(nf * 1000 // fr)
+                rows["peak_amp"].append(int(np.abs(amp).max()) if amp.size else None)
+                rows["sum_amp_sq"].append(int((amp * amp).sum()))
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["peak_amp"] = pd.array(rows["peak_amp"], dtype="Int32")
+            yield pdf_out
+
+    return wav.mapInPandas(decode, schema=_AUDIO_SCHEMA)
 
 
 _FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"

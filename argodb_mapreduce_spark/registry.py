@@ -82,6 +82,10 @@ _PRIORITY = (
     # --- (a) code changed in round 7: re-earn the rows ---
     "events_activity_gini",
     "orders_rfm_segments",
+    "similarity_lsh_neardup",
+    "similarity_embedding_clusters",
+    # --- (a cont.) new round-7 operator: first driver evidence ---
+    "multimodal_audio_decode",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
     "scan_lineitem",
     "scan_projection",

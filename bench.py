@@ -124,6 +124,8 @@ HEADLINE = [
     "orders_open_backlog",
     "stream_quality_gate_live",
     "events_cusum_changepoint",
+    # round-7 addition: the real wav encode->decode round trip
+    "multimodal_audio_decode",
 ]
 
 
