@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
 from argodb_mapreduce_spark.functions.oracle_safe import dsum, sql_dsum
-from argodb_mapreduce_spark.functions.rank_stats import global_row_number, ntile_from_rank
+from argodb_mapreduce_spark.functions.rank_stats import (
+    global_row_number,
+    global_running_sum,
+    ntile_from_rank,
+)
 from argodb_mapreduce_spark.registry import register
 
 
@@ -410,36 +414,34 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto classification of parts by revenue contribution.
 
     Scale design: the fact table reduces to one row per part
-    (map-combinable groupBy); the global cumulative window then runs
-    over the |parts| aggregate — dimension-sized, not fact-sized. At a
-    true 100 TB parts dimension the global window becomes a two-pass
-    range-partitioned prefix sum (partition totals broadcast as
-    offsets); at every realistic parts cardinality Spark's single
-    window partition over the aggregate is the simpler, correct plan.
-    The running sum is exact decimal in a TOTAL order, so no float
-    accumulation-order drift exists for the share comparison.
+    (map-combinable groupBy); the global cumulative share then runs as
+    the two-pass range-partitioned prefix sum
+    (``rank_stats.global_running_sum``): each executor accumulates its
+    own contiguous (revenue DESC, partkey) range and adds a broadcast
+    partition offset — no single-partition window over the part
+    dimension at any cardinality (the r6-era plan sorted all |parts|
+    in one reducer; this retires that wart the same way as the RFM
+    NTILE). The running sum stays exact decimal in a TOTAL order, so
+    no float accumulation-order drift exists for the share comparison
+    and the class boundary falls identically to the oracle's
+    single-sort cumulative.
     """
-    from pyspark.sql import Window
-
     l = load_table(spark, sf_dir, "lineitem")
     part_rev = l.groupBy("l_partkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
         ).alias("rev_dec")
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = global_running_sum(
+        part_rev,
+        [F.col("rev_dec").desc(), F.col("l_partkey").asc()],
+        F.col("rev_dec"),
+        cum_name="cum_dec",
+        total_name="total_dec",
     )
-    wt = Window.partitionBy()
-    ranked = part_rev.select(
-        "l_partkey",
-        F.col("rev_dec").cast("double").alias("revenue"),
-        F.sum("rev_dec").over(w).cast("double").alias("cum"),
-        F.sum("rev_dec").over(wt).cast("double").alias("total"),
-    )
-    share = F.col("cum") / F.col("total")
+    share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
     classed = ranked.select(
-        "revenue",
+        F.col("rev_dec").cast("double").alias("revenue"),
         F.when(share <= ABC_A, "A").when(share <= ABC_B, "B").otherwise("C").alias("abc_class"),
     )
     from argodb_mapreduce_spark.functions.oracle_safe import dsum

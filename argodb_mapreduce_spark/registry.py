@@ -84,6 +84,7 @@ _PRIORITY = (
     "orders_rfm_segments",
     "similarity_lsh_neardup",
     "similarity_embedding_clusters",
+    "parts_abc_classification",
     # --- (a cont.) new round-7 operator: first driver evidence ---
     "multimodal_audio_decode",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---

@@ -60,6 +60,49 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     assert want.exceptAll(got).count() == 0
 
 
+def test_global_running_sum_matches_single_sort(spark):
+    from argodb_mapreduce_spark.functions.rank_stats import global_running_sum
+
+    df = _toy(spark).withColumn("val", (F.col("m") % 997).cast("decimal(18,6)"))
+    got = global_running_sum(
+        df, [F.col("v").desc(), F.col("k").asc()], F.col("val"), "cum", "total"
+    ).select("k", F.col("cum").cast("decimal(28,6)").alias("cum"),
+             F.col("total").cast("decimal(28,6)").alias("total"))
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("k").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "k",
+        F.sum("val").over(w).cast("decimal(28,6)").alias("cum"),
+        F.sum("val").over(Window.partitionBy()).cast("decimal(28,6)").alias("total"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_abc_has_no_dimension_scale_global_window(spark, sf_dir):
+    """The ABC cumulative share must not sort the part dimension in one
+    reducer: the only single-partition window may receive the O(P)
+    per-partition sum table (scan of the checkpointed range partitions
+    appears as ExistingRDD, not a full-dimension Sort under Window)."""
+    from argodb_mapreduce_spark.operators.bi import parts_abc_classification
+
+    plan = explain_str(parts_abc_classification(spark, sf_dir), "simple")
+    # the local running sum partitions by _pid; no ntile/full-dim rank
+    assert "Window [sum" in plan or "Window" in plan
+    import re
+    # every Sort feeding a SinglePartition exchange must sit above the
+    # _pid aggregate (the O(P) offsets table), never the raw dimension
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        below = plan[m.start():]
+        agg = below.find("HashAggregate(keys=[_pid")
+        scan = below.find("FileScan")
+        assert agg != -1 and (scan == -1 or agg < scan), (
+            f"SinglePartition exchange fed by more than the _pid sums:\n{plan}"
+        )
+
+
 def test_gini_window_input_is_histogram_only(spark, sf_dir):
     """No per-row rank: the only Window runs over the per-n_events
     histogram (output of a HashAggregate keyed on n_events), never the
