@@ -81,3 +81,157 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_copies"),
     )
     return ranked.filter(F.col("rn") == 1).select("doc_id", "n_tokens", "quality_score", "n_copies")
+
+
+# -- inter-document boilerplate: the CCNet/C4 frequent-phrase stage --------
+
+#: Phrase length for boilerplate detection (bigrams: the fixture vocab
+#: is small, so longer grams never repeat across documents; production
+#: corpora use 3-8 token phrases or whole lines — only this constant
+#: and the slice width change).
+BOILER_K = 2
+#: A phrase is boilerplate if it appears in >= this percent of docs.
+BOILER_DF_PCT = 7
+#: Drop documents with more than this fraction of boilerplate phrases.
+BOILER_DROP = 0.2
+
+_SQL_BOILER_CTES = f"""
+    tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(tk[i:i+{BOILER_K - 1}], ' ') AS gram
+      FROM tk, UNNEST(range(1, len(tk) - {BOILER_K - 2})) AS u(i)
+      WHERE len(tk) >= {BOILER_K}
+    ),
+    phrase_df AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY gram
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    boiler AS (
+      SELECT gram, df, n_docs FROM phrase_df, nd
+      WHERE df * 100 >= {BOILER_DF_PCT} * n_docs
+    )"""
+
+
+@register(
+    "text_boilerplate_phrases",
+    oracle=f"""
+    WITH {_SQL_BOILER_CTES}
+    SELECT gram, df,
+           CAST(df AS DOUBLE) / n_docs AS doc_frac
+    FROM boiler
+    """,
+    tags=("text", "curation", "boilerplate"),
+    doc=(
+        f"Inter-document boilerplate phrase mining: {BOILER_K}-gram "
+        f"phrases present in >= {BOILER_DF_PCT}% of documents (exact "
+        "integer df*100 >= pct*n_docs compare — no float threshold "
+        "drift). The CCNet/C4-style frequent-line stage re-expressed "
+        "over word n-grams; at web scale these are headers, footers, "
+        "cookie banners. One explode + one (gram) groupBy; df counts "
+        "are map-side combinable and the corpus size is a broadcast "
+        "1-row aggregate."
+    ),
+)
+def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = _doc_grams(d)
+    phrase_df = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (
+        phrase_df.crossJoin(nd)
+        .filter(F.col("df") * 100 >= BOILER_DF_PCT * F.col("n_docs"))
+        .select(
+            "gram",
+            "df",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("doc_frac"),
+        )
+    )
+
+
+def _doc_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, gram) with occurrence multiplicity — one per position."""
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    return tk.filter(F.size("tk") >= BOILER_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(tk) - {BOILER_K}), "
+                f"i -> concat_ws(' ', slice(tk, i + 1, {BOILER_K})))"
+            )
+        ).alias("gram"),
+    )
+
+
+@register(
+    "text_boilerplate_coverage",
+    oracle=f"""
+    WITH {_SQL_BOILER_CTES},
+    occ AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM g WHERE gram IN (SELECT gram FROM boiler)
+      GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(string_split(text, ' ')) - {BOILER_K - 1}, 0) AS BIGINT) AS n_grams
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_grams,
+           CAST(COALESCE(o.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(COALESCE(o.n_boiler, 0) AS DOUBLE) / NULLIF(b.n_grams, 0) AS boiler_ratio,
+           COALESCE(CAST(COALESCE(o.n_boiler, 0) AS DOUBLE) / NULLIF(b.n_grams, 0)
+                    <= {BOILER_DROP!r}, TRUE) AS keep
+    FROM base b LEFT JOIN occ o ON o.doc_id = b.doc_id
+    """,
+    tags=("text", "curation", "boilerplate"),
+    doc=(
+        f"Per-document boilerplate coverage: the fraction of a doc's "
+        f"{BOILER_K}-gram occurrences that are corpus-boilerplate "
+        f"(df >= {BOILER_DF_PCT}%), with a keep flag at "
+        f"coverage <= {BOILER_DROP} — the drop rule that removes "
+        "template-dominated pages. The ratio is one bigint/bigint IEEE "
+        "division, engine-exact. Dataflow: occurrences semi-join the "
+        "boilerplate set on the gram key (multiplicity preserved), one "
+        "per-doc count, one left join back to the corpus — no step "
+        "carries more than O(occurrences) rows, and the boilerplate "
+        "set is the natural broadcast side when bounded."
+    ),
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = _doc_grams(d)
+    phrase_df = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    boiler = (
+        phrase_df.crossJoin(nd)
+        .filter(F.col("df") * 100 >= BOILER_DF_PCT * F.col("n_docs"))
+        .select("gram")
+    )
+    occ = (
+        grams.join(boiler, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    base = d.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", " ")) - F.lit(BOILER_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    ratio = F.col("n_boiler").cast("double") / F.nullif(F.col("n_grams"), F.lit(0))
+    return (
+        base.join(occ, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            ratio.alias("boiler_ratio"),
+            F.coalesce(ratio <= BOILER_DROP, F.lit(True)).alias("keep"),
+        )
+    )

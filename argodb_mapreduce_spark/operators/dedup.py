@@ -314,10 +314,16 @@ def min_label_components(
     instead of returning wrong labels (ADVICE r1): a 100 TB run with
     longer chains must fail loud.
     """
+    # No distinct() on the edge set: both producers already emit unique
+    # (a_id < b_id) pairs (the minhash candidates are DISTINCT by
+    # construction, the embedding LSH emits each pair from its min
+    # colliding band only), and min-label propagation is idempotent
+    # under duplicate edges anyway — F.min over a group is unchanged by
+    # repeated rows. The distinct was a full O(E) shuffle spent
+    # deduplicating nothing.
     edges = (
         pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         .unionAll(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
-        .distinct()
         .localCheckpoint()
     )
     # Iterate ONLY over edge-touched vertices: a vertex with no edge can

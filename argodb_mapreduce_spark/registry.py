@@ -85,8 +85,10 @@ _PRIORITY = (
     "similarity_lsh_neardup",
     "similarity_embedding_clusters",
     "parts_abc_classification",
-    # --- (a cont.) new round-7 operator: first driver evidence ---
+    # --- (a cont.) new round-7 operators: first driver evidence ---
     "multimodal_audio_decode",
+    "text_boilerplate_phrases",
+    "text_boilerplate_coverage",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
     "scan_lineitem",
     "scan_projection",

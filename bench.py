@@ -124,8 +124,10 @@ HEADLINE = [
     "orders_open_backlog",
     "stream_quality_gate_live",
     "events_cusum_changepoint",
-    # round-7 addition: the real wav encode->decode round trip
+    # round-7 additions: the real wav encode->decode round trip and the
+    # CCNet-style inter-document boilerplate coverage stage
     "multimodal_audio_decode",
+    "text_boilerplate_coverage",
 ]
 
 
