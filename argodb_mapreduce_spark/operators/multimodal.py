@@ -241,6 +241,79 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav.mapInPandas(decode, schema=_AUDIO_SCHEMA)
 
 
+#: Thumbnail geometry: bytes laid out as a WIDTH-wide grid, box-filter
+#: pooled in BLOCK x BLOCK tiles (the real resize arithmetic — what an
+#: image pipeline computes per channel after decode; only the decode
+#: itself needs an image lib).
+THUMB_WIDTH = 32
+THUMB_BLOCK = 4
+
+_THUMB_SCHEMA = "doc_id long, block_row int, block_col int, n_px long, mean_val double"
+
+
+@register(
+    "multimodal_byte_thumbnail",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(((i - 1) // {THUMB_WIDTH}) // {THUMB_BLOCK} AS INT) AS block_row,
+           CAST(((i - 1) % {THUMB_WIDTH}) // {THUMB_BLOCK} AS INT) AS block_col,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(ascii(substring(text, i, 1))) AS DOUBLE) / COUNT(*) AS mean_val
+    FROM documents, UNNEST(range(1, LENGTH(text) + 1)) AS u(i)
+    GROUP BY doc_id, ((i - 1) // {THUMB_WIDTH}) // {THUMB_BLOCK},
+             ((i - 1) % {THUMB_WIDTH}) // {THUMB_BLOCK}
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+    doc=(
+        f"Image-style RESIZE arithmetic on opaque media bytes: lay the "
+        f"byte stream out as a {THUMB_WIDTH}-wide pixel grid and "
+        f"box-filter it in {THUMB_BLOCK}x{THUMB_BLOCK} tiles (partial "
+        "edge tiles average their available pixels, like edge-clamped "
+        "resampling). The pooling is vectorized numpy inside "
+        "mapInPandas — the exact per-channel math a real thumbnailer "
+        "runs after decode — and each tile mean is one exact "
+        "integer-sum / count IEEE division, so the downsampled grid is "
+        "oracle-checked bit-for-bit."
+    ),
+)
+def multimodal_byte_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+    width, block = THUMB_WIDTH, THUMB_BLOCK
+
+    def run(batches):  # nested → pickled by value (see NB above)
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, brs, bcs, ns, means = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                if a.size == 0:
+                    continue
+                pos = np.arange(a.size)
+                br = (pos // width) // block
+                bc = (pos % width) // block
+                key = br * (width // block) + bc
+                order = np.argsort(key, kind="stable")
+                ks, starts = np.unique(key[order], return_index=True)
+                sums = np.add.reduceat(a[order], starts)
+                cnts = np.diff(np.append(starts, a.size))
+                ids.extend([doc_id] * len(ks))
+                brs.extend((ks // (width // block)).tolist())
+                bcs.extend((ks % (width // block)).tolist())
+                ns.extend(cnts.tolist())
+                means.extend((sums / cnts).tolist())
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "block_row": pd.array(brs, dtype="int32"),
+                "block_col": pd.array(bcs, dtype="int32"),
+                "n_px": ns,
+                "mean_val": means,
+            })
+
+    return m.mapInPandas(run, schema=_THUMB_SCHEMA)
+
+
 _FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"
 
 

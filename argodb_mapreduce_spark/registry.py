@@ -87,6 +87,7 @@ _PRIORITY = (
     "parts_abc_classification",
     # --- (a cont.) new round-7 operators: first driver evidence ---
     "multimodal_audio_decode",
+    "multimodal_byte_thumbnail",
     "text_boilerplate_phrases",
     "text_boilerplate_coverage",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---

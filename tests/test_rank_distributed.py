@@ -103,6 +103,34 @@ def test_abc_has_no_dimension_scale_global_window(spark, sf_dir):
         )
 
 
+def test_ntile_from_rank_exhaustive_small(spark):
+    """Exhaustive (n, k, rn) sweep for n <= 40, k <= n+3 in ONE Spark
+    job: the integer NTILE formula must match the SQL definition
+    (first n%k buckets get n//k+1 rows) at every rank."""
+    rows = []
+    for n in range(1, 41):
+        for k in list(range(1, min(n, 9) + 1)) + [n + 3]:
+            q, r = divmod(n, k)
+            sizes = [q + 1] * r + [q] * (k - r)
+            want, b = [], 1
+            for size in sizes:
+                want.extend([b] * size)
+                b += 1
+            for rn in range(1, n + 1):
+                rows.append((n, k, rn, want[rn - 1]))
+    df = spark.createDataFrame(rows, "n long, k int, rn long, want int")
+    # ntile_from_rank takes a literal k; group rows by k and vectorize
+    ks = sorted({k for _, k, _, _ in rows})
+    bad = 0
+    for k in ks:
+        sub = df.filter(F.col("k") == k).select(
+            "n", "rn", "want",
+            ntile_from_rank(F.col("rn"), F.col("n"), k).alias("got"),
+        )
+        bad += sub.filter(F.col("got") != F.col("want")).count()
+    assert bad == 0
+
+
 def test_gini_window_input_is_histogram_only(spark, sf_dir):
     """No per-row rank: the only Window runs over the per-n_events
     histogram (output of a HashAggregate keyed on n_events), never the
