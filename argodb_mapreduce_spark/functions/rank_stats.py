@@ -20,7 +20,14 @@ rows while a SQL aggregate oracle returns NULLs.
 
 Used by ``orders_interarrival_stats`` (operators/bi.py),
 ``events_anomaly_mad`` / ``clean_winsorize`` (operators/cleaning.py)
-and ``agg_median_manual`` (functions/stats.py).
+and ``agg_median_manual`` (functions/stats.py). The histogram shape
+also powers ``events_activity_gini`` (rank-weighted sums from
+arithmetic-series tie blocks). When the measure is NOT on a bounded
+grid (near-unique values), the histogram degenerates to the dimension
+— that regime uses the distributed primitives below instead:
+``global_row_number`` / ``global_running_sum`` (range-repartition +
+broadcast partition offsets; ``orders_rfm_segments``,
+``parts_abc_classification``) and ``ntile_from_rank``.
 """
 
 from __future__ import annotations

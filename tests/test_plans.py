@@ -582,16 +582,21 @@ def test_recursive_cte_executes_natively(spark, sf_dir):
 
 
 def test_abc_windows_run_over_part_aggregate(spark, sf_dir):
-    """The Pareto windows must consume the per-part aggregate, never
-    raw lineitem: the plan aggregates before the (global) window."""
+    """The Pareto cumulative must consume the per-part aggregate, never
+    raw lineitem — and since round 7 it is the DISTRIBUTED two-pass
+    prefix sum: the cumulative window partitions by _pid (each executor
+    sums its own key range) and the only join is the broadcast of the
+    O(P) partition-offset table. The stronger plan-shape assertions
+    (single-partition exchanges fed only by the _pid sums) live in
+    tests/test_rank_distributed.py."""
     from argodb_mapreduce_spark.operators.bi import parts_abc_classification
     from argodb_mapreduce_spark.plans.checks import explain_str
 
     plan = explain_str(parts_abc_classification(spark, sf_dir), "formatted")
-    agg_pos = plan.find("HashAggregate")
-    win_pos = plan.find("Window")
-    assert agg_pos != -1 and win_pos != -1
-    assert "Join" not in plan, plan[:1500]
+    assert "Window" in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    # the running-sum window is per-partition, not a global sort
+    assert "windowspecdefinition(_pid" in plan, plan[:1500]
 
 
 def test_attribution_single_user_shuffle(spark, sf_dir):
