@@ -7,12 +7,17 @@ pipelines (the real plumbing: schema, batch iteration, partition
 parallelism). The AUDIO path is a real decoder: stdlib ``wave`` is
 present, so ``multimodal_audio_decode`` round-trips genuine RIFF/WAVE
 containers (encode 8-bit PCM → binary column → parse header + frames)
-with oracle-checked amplitude features. IMAGE decode stays stubbed —
-the container has no image libs, so ``decode_image`` raises
-NotImplementedError behind an import-try, and the registered image
-queries use deterministic byte-level feature extractors whose results
-are SQL-expressible, keeping even the Pandas-UDF path
-DuckDB-oracle-checked (fixture text is ASCII, so byte ops == char ops).
+with oracle-checked amplitude features. The IMAGE path is ALSO a real
+decoder: PNG is zlib-deflated filtered scanlines in CRC-32 chunks, all
+stdlib, so ``multimodal_image_decode`` round-trips spec-conformant
+grayscale-8 PNGs (encode with cycling None/Sub/Up filters → binary
+column → full five-filter reader) with pixel stats oracle-checked
+against the source bytes. Only codecs that genuinely need third-party
+libs (JPEG DCT, video containers) remain behind the ``decode_image``
+import-try stub; the other registered image queries use deterministic
+byte-level feature extractors whose results are SQL-expressible,
+keeping even the Pandas-UDF path DuckDB-oracle-checked (fixture text
+is ASCII, so byte ops == char ops).
 
 At 100 TB: mapInPandas streams Arrow batches executor-side — no
 driver involvement, no shuffle; per-file parallelism comes from the
@@ -56,17 +61,20 @@ except ImportError:
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """STUB: real image decode (resize / pixel stats) requires PIL.
+    """STUB: JPEG/WebP/video decode requires PIL/av (absent here).
 
-    The Spark-side contract (binary in, struct of features out via
-    mapInPandas) is what production code would keep; only the inner
-    ``Image.open`` call is missing in this environment.
+    PNG does NOT need this stub — ``multimodal_image_decode`` is a real
+    stdlib-zlib PNG codec. This entry point covers the formats whose
+    entropy coding genuinely needs a third-party lib; the Spark-side
+    contract (binary in, struct of features out via mapInPandas) is
+    what production code would keep — only the inner ``Image.open``
+    call is missing in this environment.
     """
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL, which is not available in this "
-            "environment; use multimodal_byte_features for the plumbing-"
-            "equivalent deterministic path"
+            "JPEG/WebP decode requires PIL, which is not available in "
+            "this environment; multimodal_image_decode provides the real "
+            "PNG path and multimodal_byte_features the deterministic one"
         )
     raise NotImplementedError("real decoder intentionally not implemented in v1")
 
@@ -239,6 +247,315 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf_out
 
     return wav.mapInPandas(decode, schema=_AUDIO_SCHEMA)
+
+
+#: PNG geometry: fixture bytes laid out as a PNG_WIDTH-wide 8-bit
+#: grayscale image (color type 0), zero-padded to full scanlines. The
+#: container IS a spec-conformant PNG — signature, IHDR, one IDAT of
+#: zlib-deflated filtered scanlines, IEND, CRC-32 per chunk — built and
+#: parsed with stdlib zlib/struct only. The encoder cycles filter types
+#: None/Sub/Up per row so the decoder's unfiltering is exercised for
+#: real (a filter-0-only "decoder" is just a memcpy).
+PNG_WIDTH = 24
+
+_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "n_px long, sum_px long, mean_px double, max_px int"
+)
+
+
+def _png_encode_batches(width: int):
+    """mapInPandas stage: raw bytes -> genuine PNG binary column.
+
+    Nested so the closure pickles by value (executors have no repo on
+    sys.path). Scanlines are filtered with type r%3 in {None, Sub, Up}
+    before deflate — the same per-row filter dispatch a real PNG writer
+    performs."""
+
+    def encode(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(tag: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                px = bytes(blob)
+                h = max(1, -(-len(px) // width))
+                px = px.ljust(width * h, b"\x00")
+                raw = bytearray()
+                prev = bytes(width)
+                for r in range(h):
+                    row = px[r * width : (r + 1) * width]
+                    ft = r % 3
+                    raw.append(ft)
+                    if ft == 0:  # None
+                        raw += row
+                    elif ft == 1:  # Sub: delta vs left neighbour
+                        raw += bytes(
+                            (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                            for i in range(width)
+                        )
+                    else:  # Up: delta vs row above
+                        raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+                out.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": out})
+
+    return encode
+
+
+def _png_decode_batches():
+    """mapInPandas stage: PNG binary -> header fields + pixel stats.
+
+    A complete grayscale-8 PNG reader on stdlib zlib/struct: chunk walk
+    with CRC-32 verification (fail-loud on corruption), IDAT
+    concatenation, inflate, and full five-filter unfiltering
+    (None/Sub/Up/Average/Paeth) even though the sibling encoder only
+    emits 0-2 — the decode contract accepts any conformant writer."""
+
+    def decode(batches):
+        import io  # noqa: F401 - parity with the audio stage imports
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def unfilter(raw: bytes, w: int, h: int) -> np.ndarray:
+            out = np.zeros((h, w), dtype=np.int64)
+            stride = w + 1
+            for r in range(h):
+                line = raw[r * stride : (r + 1) * stride]
+                ft, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+                above = out[r - 1] if r else np.zeros(w, dtype=np.int64)
+                if ft == 0:
+                    out[r] = data
+                elif ft == 2:  # Up
+                    out[r] = (data + above) & 0xFF
+                elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+                    left = 0
+                    for i in range(w):
+                        a, b = left, above[i]
+                        c = out[r - 1][i - 1] if (r and i) else 0
+                        if ft == 1:
+                            pred = a
+                        elif ft == 3:
+                            pred = (a + b) // 2
+                        else:
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        left = (data[i] + pred) & 0xFF
+                        out[r][i] = left
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+            return out
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "bit_depth", "color_type",
+                "n_px", "sum_px", "mean_px", "max_px",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
+                buf = bytes(blob)
+                if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("bad PNG signature")
+                pos, idat, hdr = 8, b"", None
+                while pos < len(buf):
+                    (length,) = struct.unpack(">I", buf[pos : pos + 4])
+                    tag = buf[pos + 4 : pos + 8]
+                    payload = buf[pos + 8 : pos + 8 + length]
+                    (crc,) = struct.unpack(
+                        ">I", buf[pos + 8 + length : pos + 12 + length]
+                    )
+                    if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"CRC mismatch in {tag!r}")
+                    if tag == b"IHDR":
+                        hdr = struct.unpack(">IIBBBBB", payload)
+                    elif tag == b"IDAT":
+                        idat += payload
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + length
+                w, h, depth, ctype = hdr[0], hdr[1], hdr[2], hdr[3]
+                px = unfilter(zlib.decompress(idat), w, h)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(depth)
+                rows["color_type"].append(ctype)
+                rows["n_px"].append(w * h)
+                rows["sum_px"].append(int(px.sum()))
+                rows["mean_px"].append(px.sum() / (w * h))
+                rows["max_px"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return decode
+
+
+@register(
+    "multimodal_image_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {PNG_WIDTH} AS width,
+           CAST(GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH}) AS INT) AS height,
+           8 AS bit_depth,
+           0 AS color_type,
+           CAST({PNG_WIDTH} * GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH}) AS BIGINT) AS n_px,
+           CAST(COALESCE((SELECT SUM(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS BIGINT) AS sum_px,
+           CAST(COALESCE((SELECT SUM(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS DOUBLE)
+             / ({PNG_WIDTH} * GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH})) AS mean_px,
+           CAST(COALESCE((SELECT MAX(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS INT) AS max_px
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "image"),
+    doc=(
+        "REAL image decode path (no stub, no image lib): fixture bytes "
+        "become spec-conformant grayscale-8 PNGs (stdlib zlib deflate, "
+        "CRC-32 chunks, per-row None/Sub/Up filters) in one Arrow "
+        "stage, and a complete PNG reader — chunk walk + CRC verify + "
+        "inflate + five-filter unfiltering — parses them back in a "
+        "second. Pixel stats from the DECODED array are oracle-checked "
+        "against the source bytes, so the encode->filter->deflate->"
+        "inflate->unfilter round trip is verified end-to-end. A PIL/"
+        "cv2-based decoder would replace only the inner parse, not the "
+        "Spark plumbing."
+    ),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Arrow-batched mapInPandas stages with a real PNG binary
+    column between them: encode (bytes -> PNG container) then decode
+    (PNG -> header + pixel stats). Mirrors multimodal_audio_decode
+    (multimodal.py:148): at 100 TB both stages stream executor-side
+    with no shuffle and no driver hop; real image files skip the encode
+    stage and enter at the decode contract."""
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+    png = m.mapInPandas(_png_encode_batches(PNG_WIDTH), schema="doc_id long, png binary")
+    return png.mapInPandas(_png_decode_batches(), schema=_IMAGE_SCHEMA)
+
+
+_HIST_BINS = 16
+
+_HIST_SCHEMA = "bin int, n_px long"
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle=f"""
+    WITH real_px AS (
+        SELECT ascii(substring(d.text, u.i, 1)) // {256 // _HIST_BINS} AS bin
+        FROM documents d, UNNEST(range(1, LENGTH(d.text) + 1)) AS u(i)
+    ),
+    pad AS (
+        SELECT COALESCE(SUM({PNG_WIDTH} * GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH})
+                            - LENGTH(text)), 0) AS n
+        FROM documents
+    ),
+    counts AS (SELECT bin, COUNT(*) AS c FROM real_px GROUP BY bin)
+    SELECT CAST(b.bin AS INT) AS bin,
+           CAST(COALESCE(c.c, 0)
+                + CASE WHEN b.bin = 0 THEN (SELECT n FROM pad) ELSE 0 END AS BIGINT) AS n_px
+    FROM (SELECT UNNEST(range(0, {_HIST_BINS})) AS bin) b
+    LEFT JOIN counts c ON b.bin = c.bin
+    ORDER BY bin
+    """,
+    tags=("multimodal", "pandas-udf", "image", "agg"),
+    doc=(
+        "Corpus-wide pixel-intensity histogram over DECODED PNG pixels: "
+        "the decode stage emits per-Arrow-batch partial (bin, count) "
+        "rows (a hand-rolled map-side combine — output is O(bins) per "
+        "batch, not O(pixels)), then one O(bins)-cardinality groupBy "
+        "sums the partials. The 16-bin scaffold joins broadcast so "
+        "empty bins survive with n_px=0. The oracle recounts source "
+        "bytes plus the zero-padding mass in bin 0."
+    ),
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> aggregate pipeline: per-batch partial histograms from
+    the PNG reader, reduced by a bins-sized groupBy. At 100 TB the
+    shuffle carries O(batches x bins) tiny rows — the pixel volume
+    never leaves the executors."""
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+    png = m.mapInPandas(_png_encode_batches(PNG_WIDTH), schema="doc_id long, png binary")
+    shift = (256 // _HIST_BINS).bit_length() - 1
+
+    def bin_partials(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        nbins = _HIST_BINS
+
+        def pixels(buf: bytes) -> "np.ndarray":
+            pos, idat, hdr = 8, b"", None
+            while pos < len(buf):
+                (length,) = struct.unpack(">I", buf[pos : pos + 4])
+                tag = buf[pos + 4 : pos + 8]
+                payload = buf[pos + 8 : pos + 8 + length]
+                if tag == b"IHDR":
+                    hdr = struct.unpack(">IIBBBBB", payload)
+                elif tag == b"IDAT":
+                    idat += payload
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            w, h = hdr[0], hdr[1]
+            raw = zlib.decompress(idat)
+            stride = w + 1
+            out = np.zeros((h, w), dtype=np.int64)
+            for r in range(h):
+                line = raw[r * stride : (r + 1) * stride]
+                ft = line[0]
+                data = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+                if ft == 0:
+                    out[r] = data
+                elif ft == 2:
+                    out[r] = (data + (out[r - 1] if r else 0)) & 0xFF
+                elif ft == 1:
+                    left = 0
+                    for i in range(w):
+                        left = (data[i] + left) & 0xFF
+                        out[r][i] = left
+                else:
+                    raise ValueError(f"encoder never emits filter {ft}")
+            return out
+
+        for pdf in batches:
+            acc = np.zeros(nbins, dtype=np.int64)
+            for blob in pdf["png"]:
+                px = pixels(bytes(blob))
+                acc += np.bincount(px.ravel() >> shift, minlength=nbins)
+            yield pd.DataFrame({"bin": np.arange(nbins, dtype=np.int32), "c": acc})
+
+    partials = png.mapInPandas(bin_partials, schema="bin int, c long")
+    scaffold = spark.range(_HIST_BINS).select(F.col("id").cast("int").alias("bin"))
+    counts = partials.groupBy("bin").agg(F.sum("c").alias("c"))
+    return (
+        scaffold.join(F.broadcast(counts), "bin", "left")
+        .select("bin", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_px"))
+        .orderBy("bin")
+    )
 
 
 #: Thumbnail geometry: bytes laid out as a WIDTH-wide grid, box-filter

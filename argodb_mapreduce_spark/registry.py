@@ -87,6 +87,8 @@ _PRIORITY = (
     "parts_abc_classification",
     # --- (a cont.) new round-7 operators: first driver evidence ---
     "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "multimodal_image_histogram",
     "multimodal_byte_thumbnail",
     "text_boilerplate_phrases",
     "text_boilerplate_coverage",
@@ -131,7 +133,9 @@ _PRIORITY = (
     "udtf_tokenize",
     "source_csv_roundtrip",
     "source_json_roundtrip",
-    "source_orc_roundtrip",
+    # source_orc_roundtrip (r02-banked) deferred to the r8 rotation: the
+    # two new PNG ops take its window slot; the 50-entry window must keep
+    # every r01-banked row inside it (VERDICT r6 next-step 6 done-bar).
 )
 
 
