@@ -291,3 +291,72 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH tf AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    ),
+    pairs AS (
+        SELECT substring(tok, CAST(i AS INT), 1) AS a,
+               substring(tok, CAST(i AS INT) + 1, 1) AS b,
+               cnt
+        FROM tf, UNNEST(range(1, LENGTH(tok))) AS u(i)
+        WHERE LENGTH(tok) >= 2
+    )
+    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 20
+    """,
+    tags=("training-data", "text", "topk"),
+    doc=(
+        "BPE merge-learning inner loop at corpus scale: adjacent-symbol "
+        "pair frequencies, the statistic a byte-pair-encoding tokenizer "
+        "trainer maximizes each merge iteration. The trick that makes "
+        "BPE tractable on TB corpora is applied literally: pairs are "
+        "enumerated over the TOKEN-FREQUENCY DICTIONARY (Zipf-bounded "
+        "types), weighted by count — never over the corpus stream. The "
+        "top pair of this query IS the first merge a standard BPE "
+        "trainer would learn from the fixture corpus."
+    ),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> token-frequency dict -> weighted adjacent char-pair
+    counts -> deterministic top-20. Scale: the only corpus-sized work is
+    the first map-combinable groupBy(token); the pair enumeration runs
+    over O(vocab) rows with O(token_len) fan-out, and the final
+    aggregate is O(alphabet^2). Each further merge iteration reuses the
+    same vocab-sized shape, which is why BPE training fits a 100 TB
+    corpus: the corpus is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        tf.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> struct(substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .select("p.a", "p.b", "cnt")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )

@@ -92,6 +92,7 @@ _PRIORITY = (
     "multimodal_byte_thumbnail",
     "text_boilerplate_phrases",
     "text_boilerplate_coverage",
+    "bpe_pair_stats",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
     "scan_lineitem",
     "scan_projection",
@@ -132,10 +133,10 @@ _PRIORITY = (
     "text_rarity_score",
     "udtf_tokenize",
     "source_csv_roundtrip",
-    "source_json_roundtrip",
-    # source_orc_roundtrip (r02-banked) deferred to the r8 rotation: the
-    # two new PNG ops take its window slot; the 50-entry window must keep
-    # every r01-banked row inside it (VERDICT r6 next-step 6 done-bar).
+    # source_json_roundtrip + source_orc_roundtrip (r02-banked) deferred
+    # to the r8 rotation: the two new PNG ops and bpe_pair_stats take
+    # their window slots; the 50-entry window must keep every r01-banked
+    # row inside it (VERDICT r6 next-step 6 done-bar).
 )
 
 

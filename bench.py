@@ -128,6 +128,8 @@ HEADLINE = [
     # CCNet-style inter-document boilerplate coverage stage
     "multimodal_audio_decode",
     "text_boilerplate_coverage",
+    # late round-7: the real PNG encode->decode round trip
+    "multimodal_image_decode",
 ]
 
 

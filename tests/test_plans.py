@@ -726,3 +726,25 @@ def test_median_and_cleaning_rank_inputs_are_histograms(spark, sf_dir):
     _rank_windows_are_pre_aggregated(agg_median_manual(spark, sf_dir))
     _rank_windows_are_pre_aggregated(clean_winsorize(spark, sf_dir))
     _rank_windows_are_pre_aggregated(events_anomaly_mad(spark, sf_dir))
+
+
+def test_png_decode_pipeline_is_shuffle_free(spark, sf_dir):
+    """Both Arrow stages of the PNG round trip chain onto the scan with
+    no Exchange: at 100 TB the pixel volume never crosses the network."""
+    from argodb_mapreduce_spark.operators.multimodal import multimodal_image_decode
+
+    assert n_exchanges(multimodal_image_decode(spark, sf_dir)) == 0
+
+
+def test_png_histogram_shuffles_only_bin_partials(spark, sf_dir):
+    """The decode->aggregate pipeline's only exchanges carry O(bins)
+    partial-count rows (groupBy on bin + the broadcast of the tiny
+    aggregate), never pixels or PNG blobs."""
+    from argodb_mapreduce_spark.operators.multimodal import multimodal_image_histogram
+
+    df = multimodal_image_histogram(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines, "expected the bin groupBy shuffle to exist"
+    for ln in exchange_lines:
+        assert "png" not in ln and "content" not in ln, ln
