@@ -301,3 +301,34 @@ def test_windowed_funnel_single_user_path(spark, edge_ab_events_dir):
     never clicks: stage counts must be exactly [2, 1, 1]."""
     rows = {r["step"]: r["n_users"] for r in QS["events_funnel_windowed"].fn(spark, edge_ab_events_dir).collect()}
     assert rows == {1: 2, 2: 1, 3: 1}
+
+
+def test_bpe_pair_stats_on_degenerate_docs(spark, edge_dir):
+    """Empty / whitespace-only / single-char-token docs contribute no
+    pairs but must not crash; the duplicated doc 4/5 doubles its pair
+    weights. Hand-check one pair: 'do' occurs in 'document' (docs 3,4,5)
+    and 'ordinary' contains 'di' not 'do' — count 'do' occurrences."""
+    rows = QS["bpe_pair_stats"].fn(spark, edge_dir).collect()
+    counts = {(r["a"], r["b"]): r["pair_count"] for r in rows}
+    assert all(c >= 1 for c in counts.values())
+    # 'do' appears once per 'document' token: docs 3, 4, 5 -> weight 3
+    if ("d", "o") in counts:
+        assert counts[("d", "o")] == 3
+    # top-20 ordering is (count desc, a, b) deterministic
+    vals = [r["pair_count"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_bpe_pair_stats_single_char_corpus(spark, tmp_path_factory):
+    """A corpus of only 1-char tokens has no adjacent pairs at all: the
+    operator must return an empty frame, not raise on the transform
+    over sequence(1, 0)."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("bpe_single"))
+    df = spark.createDataFrame(
+        [(0, "s", "en", "a b c a b", 9)],
+        "doc_id long, source string, lang string, text string, n_chars int",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    assert QS["bpe_pair_stats"].fn(spark, d).collect() == []
