@@ -13,6 +13,8 @@ import zlib
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from argodb_mapreduce_spark.operators.multimodal import (
     PNG_WIDTH,
@@ -149,3 +151,35 @@ def test_histogram_conserves_pixel_mass(spark, sf_dir):
     total_binned = sum(r["n_px"] for r in rows)
     total_px = multimodal_image_decode(spark, sf_dir).agg({"n_px": "sum"}).collect()[0][0]
     assert total_binned == total_px
+
+
+@settings(max_examples=50, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=5 * PNG_WIDTH + 7))
+def test_roundtrip_property_arbitrary_bytes(raw):
+    """Any byte string survives encode->decode with exact pixel stats —
+    including bytes that look like PNG chunk boundaries or deflate
+    sentinels inside the payload."""
+    row = _decode_one(_encode_one(raw))
+    h = max(1, -(-len(raw) // PNG_WIDTH))
+    assert row["n_px"] == PNG_WIDTH * h
+    assert row["sum_px"] == sum(raw)
+    assert row["max_px"] == (max(raw) if raw else 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pixels=st.lists(
+        st.lists(st.integers(0, 255), min_size=3, max_size=3),
+        min_size=1,
+        max_size=6,
+    ),
+    filters=st.data(),
+)
+def test_decode_property_any_filter_sequence(pixels, filters):
+    """For ANY per-row filter assignment the reader recovers the exact
+    pixel grid (checked via sum/max, which detect any byte error)."""
+    fts = [filters.draw(st.integers(0, 4)) for _ in pixels]
+    row = _decode_one(_png_with_filters(pixels, fts))
+    flat = [x for r in pixels for x in r]
+    assert row["sum_px"] == sum(flat)
+    assert row["max_px"] == max(flat)
