@@ -276,6 +276,7 @@ def _png_encode_batches(width: int):
         import struct
         import zlib
 
+        import numpy as np
         import pandas as pd
 
         def chunk(tag: bytes, payload: bytes) -> bytes:
@@ -292,22 +293,21 @@ def _png_encode_batches(width: int):
                 px = bytes(blob)
                 h = max(1, -(-len(px) // width))
                 px = px.ljust(width * h, b"\x00")
-                raw = bytearray()
-                prev = bytes(width)
-                for r in range(h):
-                    row = px[r * width : (r + 1) * width]
-                    ft = r % 3
-                    raw.append(ft)
-                    if ft == 0:  # None
-                        raw += row
-                    elif ft == 1:  # Sub: delta vs left neighbour
-                        raw += bytes(
-                            (row[i] - (row[i - 1] if i else 0)) & 0xFF
-                            for i in range(width)
-                        )
-                    else:  # Up: delta vs row above
-                        raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
-                    prev = row
+                # Vectorized filtering: compute Sub/Up deltas for the
+                # whole grid at once, pick per row by type (r % 3).
+                # uint8 wraparound IS mod-256 arithmetic.
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, width)
+                sub = arr.copy()
+                sub[:, 1:] -= arr[:, :-1]
+                up = arr.copy()
+                up[1:] -= arr[:-1]
+                fts = np.arange(h) % 3
+                lines = np.empty((h, width + 1), dtype=np.uint8)
+                lines[:, 0] = fts
+                lines[:, 1:] = np.where(
+                    (fts == 0)[:, None], arr, np.where((fts == 1)[:, None], sub, up)
+                )
+                raw = lines.tobytes()
                 ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
                 out.append(
                     b"\x89PNG\r\n\x1a\n"
@@ -346,16 +346,16 @@ def _png_decode_batches():
                 above = out[r - 1] if r else np.zeros(w, dtype=np.int64)
                 if ft == 0:
                     out[r] = data
+                elif ft == 1:  # Sub: out[i] = (Σ_{j<=i} data[j]) mod 256
+                    out[r] = np.cumsum(data) & 0xFF
                 elif ft == 2:  # Up
                     out[r] = (data + above) & 0xFF
-                elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+                elif ft in (3, 4):  # Average / Paeth: left-recurrent
                     left = 0
                     for i in range(w):
                         a, b = left, above[i]
                         c = out[r - 1][i - 1] if (r and i) else 0
-                        if ft == 1:
-                            pred = a
-                        elif ft == 3:
+                        if ft == 3:
                             pred = (a + b) // 2
                         else:
                             p = a + b - c
@@ -530,13 +530,10 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
                 if ft == 0:
                     out[r] = data
+                elif ft == 1:
+                    out[r] = np.cumsum(data) & 0xFF
                 elif ft == 2:
                     out[r] = (data + (out[r - 1] if r else 0)) & 0xFF
-                elif ft == 1:
-                    left = 0
-                    for i in range(w):
-                        left = (data[i] + left) & 0xFF
-                        out[r][i] = left
                 else:
                     raise ValueError(f"encoder never emits filter {ft}")
             return out
