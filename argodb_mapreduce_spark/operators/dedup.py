@@ -884,3 +884,103 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", dist.cast("long").alias("edit_distance")
     ).filter(F.col("edit_distance") <= LEV_MAX_DIST)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+CDC_K = 8    #: hash-window width (chars)
+CDC_D = 64   #: boundary divisor -> expected chunk length ~CDC_D chars
+
+
+def _cdc_hash_sql(expr: str) -> str:
+    """Engine-exact md5 integer of a SQL string expression (Spark form)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH seg AS (
+        SELECT doc_id, text,
+               list_concat(
+                   list_concat(
+                       [CAST(1 AS INT)],
+                       [CAST(i AS INT)
+                        FOR i IN range(2, GREATEST(LENGTH(text) - {CDC_K} + 2, 2))
+                        IF ('0x' || substring(md5(substring(text, CAST(i AS INT), {CDC_K})), 1, 15))::BIGINT
+                           % {CDC_D} = 0]),
+                   [CAST(LENGTH(text) + 1 AS INT)]) AS cuts
+        FROM documents
+        WHERE LENGTH(text) >= 1
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(cuts)),
+                   j -> substring(text, cuts[j], cuts[j + 1] - cuts[j]))) AS chunk
+        FROM seg
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(LENGTH(MIN(chunk)) AS INT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY md5(chunk)
+    HAVING COUNT(*) > 1
+    ORDER BY n_occ DESC, chunk_hash
+    LIMIT 50
+    """,
+    tags=("dedup", "cdc", "chunking"),
+    doc=(
+        f"Content-defined chunking dedup (the LBFS/rsync/storage-dedup "
+        f"primitive): a boundary falls BEFORE position i wherever the "
+        f"md5 of the {CDC_K}-char window at i is divisible by {CDC_D}, "
+        f"so chunk edges depend on CONTENT, not offsets — an insertion "
+        f"shifts one chunk instead of re-aligning every fixed-size "
+        f"block downstream (the failure mode of chunk_documents' "
+        f"fixed-width split). Duplicate chunks across the corpus are "
+        f"then a plain hash groupBy. Expected chunk length {CDC_D} "
+        f"chars; boundaries and hashes are engine-exact md5 integers."
+    ),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary detection, segmentation, and chunk hashing are all
+    per-row array expressions inside whole-stage codegen — no explode
+    until chunks exist, so the only shuffle is the final O(distinct
+    chunks) map-combinable groupBy. At 100 TB: identical shape; the
+    chunk-hash aggregate is the dedup-storage index build."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    h = _cdc_hash_sql(f"substring(text, i, {CDC_K})")
+    seg = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"concat(array(1), "
+            f"  filter(if(length(text) >= {CDC_K + 1}, sequence(2, length(text) - {CDC_K} + 1), array()), "
+            f"         i -> {h} % {CDC_D} = 0), "
+            f"  array(length(text) + 1))"
+        ).alias("cuts"),
+    )
+    chunks = seg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cuts) - 1), "
+                "j -> substring(text, element_at(cuts, j), "
+                "element_at(cuts, j + 1) - element_at(cuts, j)))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.length(F.min("chunk")).cast("int").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+        .limit(50)
+    )

@@ -93,6 +93,7 @@ _PRIORITY = (
     "text_boilerplate_phrases",
     "text_boilerplate_coverage",
     "bpe_pair_stats",
+    "dedup_cdc_chunks",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
     "scan_lineitem",
     "scan_projection",
@@ -132,11 +133,11 @@ _PRIORITY = (
     "text_sentiment_lexicon",
     "text_rarity_score",
     "udtf_tokenize",
-    "source_csv_roundtrip",
-    # source_json_roundtrip + source_orc_roundtrip (r02-banked) deferred
-    # to the r8 rotation: the two new PNG ops and bpe_pair_stats take
-    # their window slots; the 50-entry window must keep every r01-banked
-    # row inside it (VERDICT r6 next-step 6 done-bar).
+    # source_csv/json/orc_roundtrip (r02-banked) deferred to the r8
+    # rotation: the two new PNG ops, bpe_pair_stats, and
+    # dedup_cdc_chunks take their window slots; the 50-entry window
+    # must keep every r01-banked row inside it (VERDICT r6 next-step 6
+    # done-bar).
 )
 
 

@@ -128,8 +128,10 @@ HEADLINE = [
     # CCNet-style inter-document boilerplate coverage stage
     "multimodal_audio_decode",
     "text_boilerplate_coverage",
-    # late round-7: the real PNG encode->decode round trip
+    # late round-7: the real PNG encode->decode round trip and the
+    # content-defined-chunking dedup index build
     "multimodal_image_decode",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -332,3 +332,47 @@ def test_bpe_pair_stats_single_char_corpus(spark, tmp_path_factory):
     )
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     assert QS["bpe_pair_stats"].fn(spark, d).collect() == []
+
+
+def test_cdc_chunks_on_degenerate_docs(spark, edge_dir):
+    """Docs shorter than the hash window become a single whole-doc
+    chunk; empty docs are excluded; the duplicated doc pair 4/5 must
+    produce at least one chunk with n_occ >= 2."""
+    rows = QS["dedup_cdc_chunks"].fn(spark, edge_dir).collect()
+    assert all(r["n_occ"] > 1 for r in rows)
+    assert any(r["n_docs"] >= 2 for r in rows)
+
+
+def test_cdc_chunks_reassemble_documents(spark, sf_dir):
+    """Segmentation must be a partition of each document: per-doc chunk
+    lengths sum to the doc length (no gaps, overlaps, or dropped
+    tails)."""
+    from pyspark.sql import functions as F2
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.dedup import CDC_D, CDC_K
+
+    d = load_table(spark, sf_dir, "documents").filter(F2.length("text") >= 1)
+    h = f"cast(conv(substring(md5(substring(text, i, {CDC_K})), 1, 15), 16, 10) as bigint)"
+    seg = d.select(
+        "doc_id",
+        F2.length("text").alias("doc_len"),
+        F2.expr(
+            f"concat(array(1), "
+            f"  filter(if(length(text) >= {CDC_K + 1}, sequence(2, length(text) - {CDC_K} + 1), array()), "
+            f"         i -> {h} % {CDC_D} = 0), "
+            f"  array(length(text) + 1))"
+        ).alias("cuts"),
+    )
+    bad = seg.filter(
+        F2.expr("element_at(cuts, size(cuts)) - 1") != F2.col("doc_len")
+    ).count()
+    assert bad == 0
+    # cuts strictly increasing -> chunk lengths positive and summing to doc_len
+    nonmono = seg.filter(
+        F2.expr(
+            "exists(sequence(1, size(cuts) - 1), "
+            "j -> element_at(cuts, j + 1) <= element_at(cuts, j))"
+        )
+    ).count()
+    assert nonmono == 0
