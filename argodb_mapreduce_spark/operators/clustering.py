@@ -324,3 +324,91 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", (F.col("w") / F.col("nrm")).alias("v")
         )
     return v.select("pos", F.col("v").alias("loading"))
+
+
+SEMDEDUP_TAU = 0.40  #: within-cluster cosine threshold — matches
+#: LSH_COS_THRESHOLD (similarity.py:435): the synthetic embeddings
+#: have no true near-dups (max pairwise cos ~ 0.51), so a production
+#: 0.95 would make every stage vacuous; 0.40 keeps real work in the
+#: cluster -> pairwise -> keeper pipeline, which is unchanged at 0.95.
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    withss AS (
+        SELECT q.vec_id, a.cid, q.qe,
+               CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                             i -> q.qe[i] * q.qe[i])) AS BIGINT) AS ss
+        FROM q JOIN assigned a USING (vec_id)
+    ),
+    prs AS (
+        SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+               CAST(list_sum(list_transform(range(1, len(x.qe) + 1),
+                             i -> x.qe[i] * y.qe[i])) AS BIGINT) AS dot,
+               x.ss AS ssa, y.ss AS ssb
+        FROM withss x JOIN withss y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT b_id AS vec_id,
+           CAST(cid AS BIGINT) AS centroid_id,
+           MIN(a_id) AS kept_by,
+           CAST(COUNT(*) AS BIGINT) AS n_similar
+    FROM prs
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE))) >= {SEMDEDUP_TAU}
+    GROUP BY b_id, cid
+    """,
+    tags=("dedup", "clustering", "vector", "semantic"),
+    doc=(
+        f"SemDeDup-style semantic dedup: cluster embeddings with "
+        f"k-means (deterministic {K_CLUSTERS}-centroid assignment), "
+        f"then compare pairs ONLY within a cluster and drop every "
+        f"vector with a cosine >= {SEMDEDUP_TAU} neighbour of lower id "
+        f"(kept_by = its lowest such keeper). Clustering shrinks the "
+        f"candidate space from O(n^2) to O(n^2/K) without bands or "
+        f"hashes — the curation technique for pruning semantically "
+        f"redundant training data, complementary to the LSH leg "
+        f"(similarity_lsh_neardup) which catches cross-cluster dups."
+    ),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment is a broadcast argmin (vector table never shuffles);
+    the pairwise stage shuffles once on cid and compares pairs inside
+    clusters only. At 100 TB: K scales with corpus size to keep
+    clusters bounded (SemDeDup uses ~100k clusters), the per-cluster
+    compare becomes the tiled cogrouped matmul already used by the IVF
+    ops, and the keeper rule stays a per-pair min — no global state."""
+    from argodb_mapreduce_spark.operators.similarity import _cosine, _dot, _sq_norm
+
+    e = _quantized(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
+    )
+    v = (
+        e.join(assign(e, cent).select("vec_id", "cid"), "vec_id")
+        .select("vec_id", "cid", "qe", _sq_norm(F.col("qe")).alias("ss"))
+    )
+    x, y = v.alias("x"), v.alias("y")
+    pairs = x.join(
+        y, (F.col("x.cid") == F.col("y.cid")) & (F.col("x.vec_id") < F.col("y.vec_id"))
+    ).select(
+        F.col("x.cid").alias("cid"),
+        F.col("x.vec_id").alias("a_id"),
+        F.col("y.vec_id").alias("b_id"),
+        _cosine(
+            _dot(F.col("x.qe"), F.col("y.qe")), F.col("x.ss"), F.col("y.ss")
+        ).alias("cos_sim"),
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .groupBy(F.col("b_id").alias("vec_id"), F.col("cid").alias("centroid_id"))
+        .agg(F.min("a_id").alias("kept_by"), F.count(F.lit(1)).alias("n_similar"))
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "kept_by",
+            "n_similar",
+        )
+    )
