@@ -748,3 +748,21 @@ def test_png_histogram_shuffles_only_bin_partials(spark, sf_dir):
     assert exchange_lines, "expected the bin groupBy shuffle to exist"
     for ln in exchange_lines:
         assert "png" not in ln and "content" not in ln, ln
+
+
+def test_cdc_single_shuffle(spark, sf_dir):
+    """Boundary detection + segmentation are per-row array expressions;
+    only the chunk-hash aggregate (and its top-k) may exchange."""
+    from argodb_mapreduce_spark.operators.dedup import dedup_cdc_chunks
+
+    assert n_exchanges(dedup_cdc_chunks(spark, sf_dir)) <= 2
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """The k-means assignment inside SemDeDup must broadcast the K
+    centroids — the vector table reaches the pairwise stage without an
+    assignment shuffle."""
+    from argodb_mapreduce_spark.operators.clustering import dedup_semantic_clusters
+
+    plan = dedup_semantic_clusters(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
