@@ -892,11 +892,41 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_K = 8    #: hash-window width (chars)
 CDC_D = 64   #: boundary divisor -> expected chunk length ~CDC_D chars
+CDC_B = 37   #: polynomial base (odd -> a unit mod the power-of-two divisor)
 
 
-def _cdc_hash_sql(expr: str) -> str:
-    """Engine-exact md5 integer of a SQL string expression (Spark form)."""
-    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+def _cdc_window_hash(pos: str, cast_int: bool) -> str:
+    """Polynomial window hash at position ``pos``: Σ ascii(c_{pos+j}) ·
+    CDC_B^j over the CDC_K-char window — pure integer arithmetic,
+    identical in Spark and DuckDB. Replaces the original per-position
+    md5 (one full digest per CHARACTER of the corpus), which made the
+    query the second-slowest in the bench (2.9 s at sf0.1 → ~8 integer
+    mul-adds per position instead). Max value 255·CDC_K·CDC_B^(CDC_K-1)
+    < 2^48: no overflow in either engine."""
+    idx = (lambda j: f"CAST({pos} + {j} AS INT)") if cast_int else (lambda j: f"{pos} + {j}")
+    # coefficients are CAST to BIGINT: the small powers parse as INT and
+    # ascii()*INT would overflow 32 bits under ANSI mode
+    return "(" + " + ".join(
+        f"ascii(substring(text, {idx(j)}, 1)) * CAST({CDC_B ** j} AS BIGINT)"
+        for j in range(CDC_K)
+    ) + ")"
+
+
+def _cdc_codes_hash(pos: str) -> str:
+    """Spark form of the window hash over a precomputed ``codes`` int
+    array: UTF8 ``substring(text, i, 1)`` must scan i bytes (O(L²)
+    across a document — measured 4x slower than even per-position md5),
+    while ``element_at(codes, i)`` is O(1). The codes array is built
+    once per document; the values are identical to the substring form
+    the oracle uses."""
+    return "(" + " + ".join(
+        f"element_at(codes, {pos} + {j}) * CAST({CDC_B ** j} AS BIGINT)"
+        for j in range(CDC_K)
+    ) + ")"
+
+
+_CDC_HASH_DUCK = _cdc_window_hash("i", cast_int=True)
+_CDC_HASH_SPARK = _cdc_window_hash("i", cast_int=False)
 
 
 @register(
@@ -909,8 +939,7 @@ def _cdc_hash_sql(expr: str) -> str:
                        [CAST(1 AS INT)],
                        [CAST(i AS INT)
                         FOR i IN range(2, GREATEST(LENGTH(text) - {CDC_K} + 2, 2))
-                        IF ('0x' || substring(md5(substring(text, CAST(i AS INT), {CDC_K})), 1, 15))::BIGINT
-                           % {CDC_D} = 0]),
+                        IF {_CDC_HASH_DUCK} % {CDC_D} = 0]),
                    [CAST(LENGTH(text) + 1 AS INT)]) AS cuts
         FROM documents
         WHERE LENGTH(text) >= 1
@@ -936,13 +965,14 @@ def _cdc_hash_sql(expr: str) -> str:
     doc=(
         f"Content-defined chunking dedup (the LBFS/rsync/storage-dedup "
         f"primitive): a boundary falls BEFORE position i wherever the "
-        f"md5 of the {CDC_K}-char window at i is divisible by {CDC_D}, "
-        f"so chunk edges depend on CONTENT, not offsets — an insertion "
-        f"shifts one chunk instead of re-aligning every fixed-size "
-        f"block downstream (the failure mode of chunk_documents' "
-        f"fixed-width split). Duplicate chunks across the corpus are "
-        f"then a plain hash groupBy. Expected chunk length {CDC_D} "
-        f"chars; boundaries and hashes are engine-exact md5 integers."
+        f"polynomial hash of the {CDC_K}-char window at i is divisible "
+        f"by {CDC_D}, so chunk edges depend on CONTENT, not offsets — "
+        f"an insertion shifts one chunk instead of re-aligning every "
+        f"fixed-size block downstream (the failure mode of "
+        f"chunk_documents' fixed-width split). Duplicate chunks across "
+        f"the corpus are then a plain hash groupBy. Expected chunk "
+        f"length {CDC_D} chars; boundaries are engine-exact integer "
+        f"mul-adds, chunk identity is engine-exact md5."
     ),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,8 +982,12 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks) map-combinable groupBy. At 100 TB: identical shape; the
     chunk-hash aggregate is the dedup-storage index build."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    h = _cdc_hash_sql(f"substring(text, i, {CDC_K})")
+    h = _cdc_codes_hash("i")
     seg = d.select(
+        "doc_id",
+        "text",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    ).select(
         "doc_id",
         "text",
         F.expr(
