@@ -903,7 +903,7 @@ def _cdc_window_hash(pos: str, cast_int: bool) -> str:
     query the second-slowest in the bench (2.9 s at sf0.1 → ~8 integer
     mul-adds per position instead). Max value 255·CDC_K·CDC_B^(CDC_K-1)
     < 2^48: no overflow in either engine."""
-    idx = (lambda j: f"CAST({pos} + {j} AS INT)") if cast_int else (lambda j: f"{pos} + {j}")
+    idx = (lambda j: f"CAST({pos} + {j} AS INT)") if cast_int else (lambda j: f"{pos} + {j}")  # noqa: E501 - duckdb casts positions to INT
     # coefficients are CAST to BIGINT: the small powers parse as INT and
     # ascii()*INT would overflow 32 bits under ANSI mode
     return "(" + " + ".join(
@@ -926,7 +926,6 @@ def _cdc_codes_hash(pos: str) -> str:
 
 
 _CDC_HASH_DUCK = _cdc_window_hash("i", cast_int=True)
-_CDC_HASH_SPARK = _cdc_window_hash("i", cast_int=False)
 
 
 @register(
