@@ -1193,3 +1193,89 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("query_id", "vec_id", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (the faiss-SQ8 storage path)
+# ---------------------------------------------------------------------------
+
+SQ8_MAX = 127  #: symmetric int8 code range [-127, 127]
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, e, maxabs,
+               maxabs / {SQ8_MAX} AS scale,
+               CASE WHEN maxabs = 0
+                    THEN list_transform(e, x -> CAST(0 AS INT))
+                    ELSE list_transform(e, x -> CAST(ROUND(x * {SQ8_MAX} / maxabs) AS INT))
+               END AS codes
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS n_dims,
+           scale,
+           CAST(list_aggregate(codes, 'min') AS INT) AS qmin,
+           CAST(list_aggregate(codes, 'max') AS INT) AS qmax,
+           CASE WHEN maxabs = 0 THEN 0.0 ELSE
+               list_aggregate(
+                   list_transform(range(1, len(e) + 1),
+                                  i -> abs(e[i] - codes[i] * scale)), 'max')
+           END AS max_abs_err
+    FROM q
+    """,
+    tags=("similarity", "vector", "quantization"),
+    doc=(
+        f"Scalar int8 quantization (the faiss-SQ8 storage path): "
+        f"per-vector symmetric scale = max|x|/{SQ8_MAX}, codes = "
+        f"round(x/scale) in [-{SQ8_MAX}, {SQ8_MAX}] — 4x smaller than "
+        f"float32 with one multiply to dequantize, the standard "
+        f"vector-lake storage tier below PQ. The audit columns are all "
+        f"ORDER-INDEPENDENT per-vector stats (max/min — never a float "
+        f"sum), so the reconstruction-error check is engine-exact "
+        f"without grid tricks."
+    ),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row array expressions in codegen — no shuffle at all;
+    at 100 TB this is a map-only rewrite pass over the vector lake,
+    writing codes + scale next to (or instead of) the float column."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    s = e.select(
+        "vec_id", "e",
+        F.expr("array_max(transform(e, x -> abs(x)))").alias("maxabs"),
+    )
+    q = s.select(
+        "vec_id", "e", "maxabs",
+        (F.col("maxabs") / SQ8_MAX).alias("scale"),
+        F.expr(
+            f"IF(maxabs = 0, transform(e, x -> 0), "
+            f"transform(e, x -> cast(round(x * {SQ8_MAX} / maxabs) as int)))"
+        ).alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        "scale",
+        F.expr("array_min(codes)").cast("int").alias("qmin"),
+        F.expr("array_max(codes)").cast("int").alias("qmax"),
+        F.expr(
+            f"IF(maxabs = 0, cast(0.0 as double), "
+            f"array_max(zip_with(e, codes, (x, c) -> abs(x - c * (maxabs / {SQ8_MAX})))))"
+        ).alias("max_abs_err"),
+    )

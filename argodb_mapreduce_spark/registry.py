@@ -95,6 +95,7 @@ _PRIORITY = (
     "bpe_pair_stats",
     "dedup_cdc_chunks",
     "dedup_semantic_clusters",
+    "embedding_int8_quantize",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
     "scan_lineitem",
     "scan_projection",
@@ -132,11 +133,11 @@ _PRIORITY = (
     "embedding_centroid_per_label",
     "text_tfidf_top_terms",
     "text_sentiment_lexicon",
-    "text_rarity_score",
-    # udtf_tokenize + source_csv/json/orc_roundtrip (r02-banked)
-    # deferred to the r8 rotation: the new PNG/BPE/CDC/SemDeDup ops
-    # take their window slots; the 50-entry window must keep every
-    # r01-banked row inside it (VERDICT r6 next-step 6 done-bar).
+    # text_rarity_score, udtf_tokenize + source_csv/json/orc_roundtrip
+    # (r02-banked) deferred to the r8 rotation: the new
+    # PNG/BPE/CDC/SemDeDup/SQ8 ops take their window slots; the
+    # 50-entry window must keep every r01-banked row inside it
+    # (VERDICT r6 next-step 6 done-bar).
 )
 
 
