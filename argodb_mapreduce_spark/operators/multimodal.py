@@ -667,3 +667,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame_md5": hashes})
 
     return m.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+#: Scene-change threshold: mean |byte delta| of 32 per position over a
+#: FRAME_BYTES frame. English-like fixture text gives a mix of both
+#: classes (verified in the edge tests); real video uses the identical
+#: rule on per-channel pixel deltas after decode.
+KEYFRAME_ENERGY = 32 * FRAME_BYTES
+
+
+@register(
+    "multimodal_keyframe_detect",
+    oracle=f"""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(text, ''), c -> ascii(c)) AS cs
+        FROM documents
+        WHERE LENGTH(text) >= 2 * {FRAME_BYTES}
+    ),
+    frames AS (
+        SELECT doc_id, cs, CAST(LENGTH(cs) // {FRAME_BYTES} AS INT) AS nf FROM codes
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(list_sum(list_transform(
+               range(1, {FRAME_BYTES} + 1),
+               i -> abs(cs[(f - 1) * {FRAME_BYTES} + i] - cs[f * {FRAME_BYTES} + i])
+           )) AS BIGINT) AS energy,
+           CAST(list_sum(list_transform(
+               range(1, {FRAME_BYTES} + 1),
+               i -> abs(cs[(f - 1) * {FRAME_BYTES} + i] - cs[f * {FRAME_BYTES} + i])
+           )) >= {KEYFRAME_ENERGY} AS BOOLEAN) AS is_keyframe
+    FROM frames, UNNEST(range(1, nf)) AS u(f)
+    """,
+    tags=("multimodal", "video", "frames"),
+    doc=(
+        f"Scene-change / keyframe detection on the byte-frame stream: "
+        f"inter-frame energy = Σ|byte delta| between consecutive "
+        f"{FRAME_BYTES}-byte frames, keyframe where energy >= "
+        f"{KEYFRAME_ENERGY} — the shot-boundary arithmetic a video "
+        f"curation pipeline runs per channel after decode (frame "
+        f"extraction itself is multimodal_frame_sample's contract). "
+        f"Per-document work is one array expression; docs shorter than "
+        f"two full frames have no inter-frame pair and drop out."
+    ),
+)
+def multimodal_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row array algebra in codegen (no Python, no shuffle):
+    codes array once per document, per-frame energies via zip_with over
+    two slices. At 100 TB this is a map-only pass; the downstream
+    keyframe filter prunes ~all frames before anything shuffles."""
+    fb = FRAME_BYTES
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2 * fb)
+    codes = d.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
+    )
+    energies = codes.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(cs) div {fb} - 1), "
+                f"f -> struct(f AS frame_no, "
+                f"aggregate(zip_with(slice(cs, (f - 1) * {fb} + 1, {fb}), "
+                f"                   slice(cs, f * {fb} + 1, {fb}), "
+                f"                   (a, b) -> abs(a - b)), "
+                f"          cast(0 as bigint), (acc, x) -> acc + x) AS energy))"
+            )
+        ).alias("fe"),
+    )
+    return energies.select(
+        "doc_id",
+        F.col("fe.frame_no").cast("int").alias("frame_no"),
+        F.col("fe.energy").alias("energy"),
+        (F.col("fe.energy") >= KEYFRAME_ENERGY).alias("is_keyframe"),
+    )

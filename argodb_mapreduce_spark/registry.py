@@ -90,6 +90,7 @@ _PRIORITY = (
     "multimodal_image_decode",
     "multimodal_image_histogram",
     "multimodal_byte_thumbnail",
+    "multimodal_keyframe_detect",
     "text_boilerplate_phrases",
     "text_boilerplate_coverage",
     "bpe_pair_stats",
@@ -132,12 +133,11 @@ _PRIORITY = (
     # --- (b cont.) last-green r02 (8 rows) ---
     "embedding_centroid_per_label",
     "text_tfidf_top_terms",
-    "text_sentiment_lexicon",
-    # text_rarity_score, udtf_tokenize + source_csv/json/orc_roundtrip
-    # (r02-banked) deferred to the r8 rotation: the new
-    # PNG/BPE/CDC/SemDeDup/SQ8 ops take their window slots; the
-    # 50-entry window must keep every r01-banked row inside it
-    # (VERDICT r6 next-step 6 done-bar).
+    # text_sentiment_lexicon, text_rarity_score, udtf_tokenize +
+    # source_csv/json/orc_roundtrip (r02-banked) deferred to the r8
+    # rotation: the new PNG/BPE/CDC/SemDeDup/SQ8/keyframe ops take
+    # their window slots; the 50-entry window must keep every
+    # r01-banked row inside it (VERDICT r6 next-step 6 done-bar).
 )
 
 
