@@ -132,6 +132,11 @@ HEADLINE = [
     # content-defined-chunking dedup index build
     "multimodal_image_decode",
     "dedup_cdc_chunks",
+    # closing round-7: SemDeDup within-cluster prune, SQ8 rewrite pass,
+    # byte-frame keyframe detection
+    "dedup_semantic_clusters",
+    "embedding_int8_quantize",
+    "multimodal_keyframe_detect",
 ]
 
 
