@@ -927,18 +927,17 @@ def _cdc_codes_hash(pos: str) -> str:
 
 _CDC_HASH_DUCK = _cdc_window_hash("i", cast_int=True)
 
-
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
-    WITH seg AS (
+#: Shared DuckDB CTEs: seg (content-defined cut points per doc) and
+#: chunks (one row per chunk occurrence). Both CDC queries build on it.
+_SQL_CDC_CHUNKS = """
+    seg AS (
         SELECT doc_id, text,
                list_concat(
                    list_concat(
                        [CAST(1 AS INT)],
                        [CAST(i AS INT)
-                        FOR i IN range(2, GREATEST(LENGTH(text) - {CDC_K} + 2, 2))
-                        IF {_CDC_HASH_DUCK} % {CDC_D} = 0]),
+                        FOR i IN range(2, GREATEST(LENGTH(text) - {K} + 2, 2))
+                        IF {H} % {D} = 0]),
                    [CAST(LENGTH(text) + 1 AS INT)]) AS cuts
         FROM documents
         WHERE LENGTH(text) >= 1
@@ -950,6 +949,45 @@ _CDC_HASH_DUCK = _cdc_window_hash("i", cast_int=True)
                    j -> substring(text, cuts[j], cuts[j + 1] - cuts[j]))) AS chunk
         FROM seg
     )
+""".format(K=CDC_K, H=_CDC_HASH_DUCK, D=CDC_D)
+
+
+def _cdc_chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk): the Spark twin of the _SQL_CDC_CHUNKS CTEs —
+    per-row boundary detection over the precomputed code array, then
+    one explode. No shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    h = _cdc_codes_hash("i")
+    seg = d.select(
+        "doc_id",
+        "text",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    ).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"concat(array(1), "
+            f"  filter(if(length(text) >= {CDC_K + 1}, sequence(2, length(text) - {CDC_K} + 1), array()), "
+            f"         i -> {h} % {CDC_D} = 0), "
+            f"  array(length(text) + 1))"
+        ).alias("cuts"),
+    )
+    return seg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cuts) - 1), "
+                "j -> substring(text, element_at(cuts, j), "
+                "element_at(cuts, j + 1) - element_at(cuts, j)))"
+            )
+        ).alias("chunk"),
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_SQL_CDC_CHUNKS}
     SELECT md5(chunk) AS chunk_hash,
            CAST(LENGTH(MIN(chunk)) AS INT) AS chunk_len,
            CAST(COUNT(*) AS BIGINT) AS n_occ,
@@ -980,32 +1018,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     until chunks exist, so the only shuffle is the final O(distinct
     chunks) map-combinable groupBy. At 100 TB: identical shape; the
     chunk-hash aggregate is the dedup-storage index build."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    h = _cdc_codes_hash("i")
-    seg = d.select(
-        "doc_id",
-        "text",
-        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
-    ).select(
-        "doc_id",
-        "text",
-        F.expr(
-            f"concat(array(1), "
-            f"  filter(if(length(text) >= {CDC_K + 1}, sequence(2, length(text) - {CDC_K} + 1), array()), "
-            f"         i -> {h} % {CDC_D} = 0), "
-            f"  array(length(text) + 1))"
-        ).alias("cuts"),
-    )
-    chunks = seg.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(cuts) - 1), "
-                "j -> substring(text, element_at(cuts, j), "
-                "element_at(cuts, j + 1) - element_at(cuts, j)))"
-            )
-        ).alias("chunk"),
-    )
+    chunks = _cdc_chunks_df(spark, sf_dir)
     return (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
         .agg(
@@ -1016,4 +1029,63 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > 1)
         .orderBy(F.desc("n_occ"), "chunk_hash")
         .limit(50)
+    )
+
+
+CDC_BATCH_MOD = 43  #: doc_id % MOD == 0 -> today's ingest batch (the
+#: same held-out convention training_data.BENCH_MOD uses)
+
+
+@register(
+    "dedup_cdc_incremental",
+    oracle=f"""
+    WITH {{ctes}},
+    hashed AS (SELECT doc_id, md5(chunk) AS h FROM chunks),
+    corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {CDC_BATCH_MOD} <> 0),
+    batch AS (SELECT * FROM hashed WHERE doc_id % {CDC_BATCH_MOD} = 0)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM batch b LEFT JOIN corpus c USING (h)
+    GROUP BY b.doc_id
+    """.replace("{ctes}", _SQL_CDC_CHUNKS),
+    tags=("dedup", "cdc", "incremental"),
+    doc=(
+        f"Incremental CDC ingest dedup — the production use of "
+        f"content-defined chunking: today's batch (doc_id % "
+        f"{CDC_BATCH_MOD} == 0) is chunked and probed against the "
+        f"corpus chunk-hash index; per new document, how many of its "
+        f"chunks already exist anywhere in the corpus (byte-level "
+        f"containment an exact doc-hash misses and MinHash only "
+        f"estimates). High dup_ratio = re-crawled/boilerplate-shifted "
+        f"content to drop before training."
+    ),
+)
+def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest cost shape: the batch side is O(batch) rows; the
+    corpus index is the big side and the probe is a chunk-hash
+    equi-join (shuffle keyed on the hash — at 100 TB the index is
+    bucketed by hash so the probe co-locates, and only the O(batch)
+    side moves). Nothing rescans old documents' text."""
+    chunks = _cdc_chunks_df(spark, sf_dir).select(
+        "doc_id", F.md5("chunk").alias("h")
+    )
+    corpus = (
+        chunks.filter(F.col("doc_id") % CDC_BATCH_MOD != 0)
+        .select("h").distinct().withColumn("dup", F.lit(1))
+    )
+    batch = chunks.filter(F.col("doc_id") % CDC_BATCH_MOD == 0)
+    return (
+        batch.join(corpus, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("long").alias("n_dup"),
+            (
+                F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+        )
     )

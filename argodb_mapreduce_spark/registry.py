@@ -95,6 +95,7 @@ _PRIORITY = (
     "text_boilerplate_coverage",
     "bpe_pair_stats",
     "dedup_cdc_chunks",
+    "dedup_cdc_incremental",
     "dedup_semantic_clusters",
     "embedding_int8_quantize",
     # --- (b) staleness rotation: last-green r01 (32 rows) ---
