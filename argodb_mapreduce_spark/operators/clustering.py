@@ -326,11 +326,14 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("pos", F.col("v").alias("loading"))
 
 
-SEMDEDUP_TAU = 0.40  #: within-cluster cosine threshold — matches
+SEMDEDUP_TAU = 0.40  #: FIXTURE within-cluster cosine threshold — matches
 #: LSH_COS_THRESHOLD (similarity.py:435): the synthetic embeddings
 #: have no true near-dups (max pairwise cos ~ 0.51), so a production
-#: 0.95 would make every stage vacuous; 0.40 keeps real work in the
-#: cluster -> pairwise -> keeper pipeline, which is unchanged at 0.95.
+#: 0.95 (the SemDeDup paper's setting) would make every stage vacuous;
+#: 0.40 keeps real work in the cluster -> pairwise -> keeper pipeline,
+#: which is unchanged at 0.95. Production callers MUST pass their own
+#: tau to dedup_semantic_clusters(..., tau=0.95) — do not copy this
+#: fixture constant (ADVICE r7).
 
 
 @register(
@@ -373,7 +376,9 @@ SEMDEDUP_TAU = 0.40  #: within-cluster cosine threshold — matches
         f"(similarity_lsh_neardup) which catches cross-cluster dups."
     ),
 )
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
     """Assignment is a broadcast argmin (vector table never shuffles);
     the pairwise stage shuffles once on cid and compares pairs inside
     clusters only. At 100 TB: K scales with corpus size to keep
@@ -390,8 +395,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(assign(e, cent).select("vec_id", "cid"), "vec_id")
         .select("vec_id", "cid", "qe", _sq_norm(F.col("qe")).alias("ss"))
     )
-    tau = SEMDEDUP_TAU
-
     # Per-cluster numpy matmul (the IVF score_cluster shape,
     # similarity.py:302) rather than a pairwise SQL self-join: Catalyst
     # pushes the cosine filter into the SortMergeJoin condition, where
@@ -421,9 +424,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         Q = np.stack(pdf["qe"].to_numpy()).astype("int64")
         ss = pdf["ss"].to_numpy().astype("float64")
-        if np.abs(Q).max(initial=0) < (1 << 22):
+        # float64 matmul is bit-exact vs the SQL oracle only when every
+        # product (< 2^44) AND every dim-term partial sum stays below
+        # 2^53: |component| < 2^22 and dim <= 512 => sum < 2^53
+        # (ADVICE r7: magnitude alone is insufficient for wide vectors).
+        if np.abs(Q).max(initial=0) < (1 << 22) and Q.shape[1] <= 512:
             D = Q.astype("float64") @ Q.astype("float64").T
-        else:  # pragma: no cover - fixture grid never exceeds 2^22
+        else:  # pragma: no cover - fixture is 64-dim, grid < 2^22
             D = (Q @ Q.T).astype("float64")
         C = D / (np.sqrt(ss)[:, None] * np.sqrt(ss)[None, :])
         cid = int(pdf["cid"].iloc[0])

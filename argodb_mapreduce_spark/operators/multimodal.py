@@ -320,52 +320,87 @@ def _png_encode_batches(width: int):
     return encode
 
 
-def _png_decode_batches():
-    """mapInPandas stage: PNG binary -> header fields + pixel stats.
+def _png_reader():
+    """Build the ONE shared PNG parse function: chunk walk with CRC-32
+    verification (fail-loud on corruption), IDAT concatenation, inflate,
+    and full five-filter unfiltering (None/Sub/Up/Average/Paeth) even
+    though the sibling encoder only emits 0-2 — the decode contract
+    accepts any conformant grayscale-8 writer.
 
-    A complete grayscale-8 PNG reader on stdlib zlib/struct: chunk walk
-    with CRC-32 verification (fail-loud on corruption), IDAT
-    concatenation, inflate, and full five-filter unfiltering
-    (None/Sub/Up/Average/Paeth) even though the sibling encoder only
-    emits 0-2 — the decode contract accepts any conformant writer."""
+    Returned as a LOCAL function so cloudpickle ships it by value inside
+    whichever mapInPandas closure captures it (executors have no repo on
+    sys.path); the modules it references (struct/zlib/numpy) pickle by
+    name and exist on every worker. Both the image-decode stage and the
+    histogram partials use this single parser — the histogram previously
+    re-implemented a reduced reader (no CRC check, filters 0-2 only), a
+    divergence flagged by ADVICE r7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def unfilter(raw: bytes, w: int, h: int):
+        out = np.zeros((h, w), dtype=np.int64)
+        stride = w + 1
+        for r in range(h):
+            line = raw[r * stride : (r + 1) * stride]
+            ft, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+            above = out[r - 1] if r else np.zeros(w, dtype=np.int64)
+            if ft == 0:
+                out[r] = data
+            elif ft == 1:  # Sub: out[i] = (Σ_{j<=i} data[j]) mod 256
+                out[r] = np.cumsum(data) & 0xFF
+            elif ft == 2:  # Up
+                out[r] = (data + above) & 0xFF
+            elif ft in (3, 4):  # Average / Paeth: left-recurrent
+                left = 0
+                for i in range(w):
+                    a, b = left, above[i]
+                    c = out[r - 1][i - 1] if (r and i) else 0
+                    if ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    left = (data[i] + pred) & 0xFF
+                    out[r][i] = left
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+        return out
+
+    def parse(buf: bytes):
+        """PNG bytes -> ((width, height, bit_depth, color_type), pixel array)."""
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("bad PNG signature")
+        pos, idat, hdr = 8, b"", None
+        while pos < len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            payload = buf[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                raise ValueError(f"CRC mismatch in {tag!r}")
+            if tag == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", payload)
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        w, h = hdr[0], hdr[1]
+        return (w, h, hdr[2], hdr[3]), unfilter(zlib.decompress(idat), w, h)
+
+    return parse
+
+
+def _png_decode_batches():
+    """mapInPandas stage: PNG binary -> header fields + pixel stats,
+    via the shared `_png_reader` parser (CRC-verified, all 5 filters)."""
+    parse = _png_reader()
 
     def decode(batches):
-        import io  # noqa: F401 - parity with the audio stage imports
-        import struct
-        import zlib
-
-        import numpy as np
         import pandas as pd
-
-        def unfilter(raw: bytes, w: int, h: int) -> np.ndarray:
-            out = np.zeros((h, w), dtype=np.int64)
-            stride = w + 1
-            for r in range(h):
-                line = raw[r * stride : (r + 1) * stride]
-                ft, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
-                above = out[r - 1] if r else np.zeros(w, dtype=np.int64)
-                if ft == 0:
-                    out[r] = data
-                elif ft == 1:  # Sub: out[i] = (Σ_{j<=i} data[j]) mod 256
-                    out[r] = np.cumsum(data) & 0xFF
-                elif ft == 2:  # Up
-                    out[r] = (data + above) & 0xFF
-                elif ft in (3, 4):  # Average / Paeth: left-recurrent
-                    left = 0
-                    for i in range(w):
-                        a, b = left, above[i]
-                        c = out[r - 1][i - 1] if (r and i) else 0
-                        if ft == 3:
-                            pred = (a + b) // 2
-                        else:
-                            p = a + b - c
-                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                        left = (data[i] + pred) & 0xFF
-                        out[r][i] = left
-                else:
-                    raise ValueError(f"unknown PNG filter type {ft}")
-            return out
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -373,28 +408,7 @@ def _png_decode_batches():
                 "n_px", "sum_px", "mean_px", "max_px",
             )}
             for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
-                buf = bytes(blob)
-                if buf[:8] != b"\x89PNG\r\n\x1a\n":
-                    raise ValueError("bad PNG signature")
-                pos, idat, hdr = 8, b"", None
-                while pos < len(buf):
-                    (length,) = struct.unpack(">I", buf[pos : pos + 4])
-                    tag = buf[pos + 4 : pos + 8]
-                    payload = buf[pos + 8 : pos + 8 + length]
-                    (crc,) = struct.unpack(
-                        ">I", buf[pos + 8 + length : pos + 12 + length]
-                    )
-                    if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"CRC mismatch in {tag!r}")
-                    if tag == b"IHDR":
-                        hdr = struct.unpack(">IIBBBBB", payload)
-                    elif tag == b"IDAT":
-                        idat += payload
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + length
-                w, h, depth, ctype = hdr[0], hdr[1], hdr[2], hdr[3]
-                px = unfilter(zlib.decompress(idat), w, h)
+                (w, h, depth, ctype), px = parse(bytes(blob))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -407,6 +421,7 @@ def _png_decode_batches():
             yield pd.DataFrame(rows)
 
     return decode
+
 
 
 @register(
@@ -496,54 +511,27 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leaves the executors."""
     m = media_table(spark, sf_dir).select("doc_id", "content")
     png = m.mapInPandas(_png_encode_batches(PNG_WIDTH), schema="doc_id long, png binary")
-    shift = (256 // _HIST_BINS).bit_length() - 1
+    # Bin math must mirror the oracle's integer division
+    # `ascii // (256 // _HIST_BINS)` for ANY bin count that divides 256
+    # (ADVICE r7: the old power-of-two bit shift silently diverged if
+    # _HIST_BINS changed to a non-power-of-two divisor).
+    assert 256 % _HIST_BINS == 0, f"_HIST_BINS={_HIST_BINS} must divide 256"
+    div = 256 // _HIST_BINS
+    parse = _png_reader()
 
     def bin_partials(batches):
-        import struct
-        import zlib
-
         import numpy as np
         import pandas as pd
 
         nbins = _HIST_BINS
 
-        def pixels(buf: bytes) -> "np.ndarray":
-            pos, idat, hdr = 8, b"", None
-            while pos < len(buf):
-                (length,) = struct.unpack(">I", buf[pos : pos + 4])
-                tag = buf[pos + 4 : pos + 8]
-                payload = buf[pos + 8 : pos + 8 + length]
-                if tag == b"IHDR":
-                    hdr = struct.unpack(">IIBBBBB", payload)
-                elif tag == b"IDAT":
-                    idat += payload
-                elif tag == b"IEND":
-                    break
-                pos += 12 + length
-            w, h = hdr[0], hdr[1]
-            raw = zlib.decompress(idat)
-            stride = w + 1
-            out = np.zeros((h, w), dtype=np.int64)
-            for r in range(h):
-                line = raw[r * stride : (r + 1) * stride]
-                ft = line[0]
-                data = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
-                if ft == 0:
-                    out[r] = data
-                elif ft == 1:
-                    out[r] = np.cumsum(data) & 0xFF
-                elif ft == 2:
-                    out[r] = (data + (out[r - 1] if r else 0)) & 0xFF
-                else:
-                    raise ValueError(f"encoder never emits filter {ft}")
-            return out
-
         for pdf in batches:
             acc = np.zeros(nbins, dtype=np.int64)
             for blob in pdf["png"]:
-                px = pixels(bytes(blob))
-                acc += np.bincount(px.ravel() >> shift, minlength=nbins)
+                _, px = parse(bytes(blob))
+                acc += np.bincount(px.ravel() // div, minlength=nbins)
             yield pd.DataFrame({"bin": np.arange(nbins, dtype=np.int32), "c": acc})
+
 
     partials = png.mapInPandas(bin_partials, schema="bin int, c long")
     scaffold = spark.range(_HIST_BINS).select(F.col("id").cast("int").alias("bin"))

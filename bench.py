@@ -229,11 +229,23 @@ def main() -> None:
         return lines
 
     # Spreads first, times after: the tail window keeps the LAST lines,
-    # so times survive preferentially over spreads.
+    # so times survive preferentially over spreads. Within the times
+    # chunks, print in REVERSE priority — everything else first, the
+    # r1-comparable gate set LAST, immediately before the totals line —
+    # so the gate-critical 21 per-query times always fit the driver's
+    # 2000-char tail capture (VERDICT r7 next-step 2; the r7 artifact
+    # lost exactly the r1-comparable chunk to scroll-out).
     for ln in chunk_lines("d_", spread):
         print(ln)
-    for ln in chunk_lines("t_", times):
+    times_other = {k: v for k, v in times.items() if k not in r1_set}
+    times_r1 = {k: v for k, v in times.items() if k in r1_set}
+    for ln in chunk_lines("t_", times_other):
         print(ln)
+    for ln in chunk_lines("t_", times_r1):
+        print(ln)
+    # max_spread = the single-number drift indicator: the worst (max-min)
+    # wall over 3 runs across all queries. Cross-round deltas below this
+    # are VM noise, not regression.
     totals_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -242,6 +254,7 @@ def main() -> None:
             "r1_comparable_wall": r1_wall,
             "sf": sf,
             "n_queries": len(times),
+            "max_spread": round(max(spread.values()), 3) if spread else 0.0,
         }
     )
     assert len(totals_line) < 200, len(totals_line)
