@@ -1015,9 +1015,84 @@ def _sql_l2(a: str, b: str, n: int) -> str:
     )
 
 
-@register(
-    "similarity_ivfpq_topk",
-    oracle=f"""
+def _ivfpq_pipeline(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ dataflow: returns (e, queries, adc) where e is the
+    quantized vector table (vec_id, qemb), queries the PQ_QUERIES probe
+    vectors (query_id, qq), and adc the probe-pruned asymmetric-distance
+    candidates (query_id, vec_id, adc_dist). Both the plain top-k and
+    the exact-re-rank refined variant rank from this one pipeline."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
+    )
+
+    def l2(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cd = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qemb", "cid", l2(F.col("qemb"), F.col("cemb")).alias("cdist")
+    )
+    asg = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cid")).alias("b"), F.any_value("qemb").alias("qemb"))
+        .select("vec_id", "qemb", F.col("b.cid").alias("cid"))
+        .join(F.broadcast(cent), "cid")
+    )
+    resid = asg.select(
+        "vec_id", "cid", F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("r")
+    )
+
+    def subvectors(col: str, out: str) -> Column:
+        return F.posexplode(
+            F.array(*[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("sub_id", out)
+
+    cbq = resid.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("code"), subvectors("r", "cv")
+    )
+    rsubs = resid.select("vec_id", "cid", subvectors("r", "sv"))
+    codes = (
+        rsubs.join(F.broadcast(cbq), "sub_id")
+        .select("vec_id", "cid", "sub_id", "code", l2(F.col("sv"), F.col("cv")).alias("dist_sq"))
+        .groupBy("vec_id", "cid", "sub_id")
+        .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
+        .select("vec_id", "cid", "sub_id", F.col("b.code").alias("code"))
+    )
+    queries = e.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("qcdist", "cid")
+    qprobe = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "qq", "cid", "cemb", l2(F.col("qq"), F.col("cemb")).alias("qcdist"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVFPQ_PROBES)
+    )
+    qsubs = qprobe.select(
+        "query_id", "cid",
+        subvectors(F.zip_with("qq", "cemb", lambda a, b: a - b), "qsv"),  # type: ignore[arg-type]
+    )
+    lut = qsubs.join(F.broadcast(cbq), "sub_id").select(
+        "query_id", "cid", "sub_id", "code", l2(F.col("qsv"), F.col("cv")).alias("qdist")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    return e, queries, adc
+
+
+#: Shared IVF-PQ oracle dataflow (through the probe-pruned ADC
+#: candidates) — both the plain top-k and the refined re-rank extend it.
+_SQL_IVFPQ_CTES = f"""
     WITH qv AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -1087,6 +1162,13 @@ def _sql_l2(a: str, b: str, n: int) -> str:
       WHERE c.vec_id <> l.query_id
       GROUP BY l.query_id, c.vec_id
     )
+"""
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    {_SQL_IVFPQ_CTES}
     SELECT query_id, vec_id, adc_dist FROM (
       SELECT query_id, vec_id, adc_dist,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1121,12 +1203,98 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids and PQ seeds are deterministic fixture ids (vec_id <
     K) — kmeans training changes their values, not this dataflow.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    _e, _queries, adc = _ivfpq_pipeline(spark, sf_dir)
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist")
     )
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
+
+
+IVFPQ_REFINE_C = 30  #: ADC candidates re-ranked exactly per query
+
+
+@register(
+    "similarity_ivfpq_refined",
+    oracle=f"""
+    {_SQL_IVFPQ_CTES}
+    , cand_c AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {IVFPQ_REFINE_C}
+    ), exact AS (
+      SELECT c.query_id, c.vec_id,
+             {_sql_l2("q.qemb", "v.qemb", _PQ_DIMS)} AS exact_dist
+      FROM cand_c c
+      JOIN qv v ON v.vec_id = c.vec_id
+      JOIN queries q ON q.query_id = c.query_id
+    ), refined AS (
+      SELECT query_id, vec_id, exact_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY exact_dist, vec_id) AS BIGINT) AS rank
+      FROM exact
+      QUALIFY rank <= {PQ_TOPK}
+    ), truth AS (
+      SELECT q.query_id, v.vec_id,
+             {_sql_l2("q.qemb", "v.qemb", _PQ_DIMS)} AS tdist
+      FROM qv v CROSS JOIN queries q
+      WHERE v.vec_id <> q.query_id
+    ), truth_k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY tdist, vec_id) AS rn
+        FROM truth
+      ) WHERE rn <= {PQ_TOPK}
+    ), adc_k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_TOPK}
+    ), r_ref AS (
+      SELECT r.query_id, CAST(COUNT(t.vec_id) AS DOUBLE) / {PQ_TOPK} AS recall_refined
+      FROM refined r
+      LEFT JOIN truth_k t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+      GROUP BY r.query_id
+    ), r_adc AS (
+      SELECT a.query_id, CAST(COUNT(t.vec_id) AS DOUBLE) / {PQ_TOPK} AS recall_adc
+      FROM adc_k a
+      LEFT JOIN truth_k t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+      GROUP BY a.query_id
     )
+    SELECT r.query_id, r.rank, r.vec_id, r.exact_dist,
+           rr.recall_refined, ra.recall_adc
+    FROM refined r
+    JOIN r_ref rr ON rr.query_id = r.query_id
+    JOIN r_adc ra ON ra.query_id = r.query_id
+    """,
+    tags=("similarity", "vector", "ann", "pq", "ivf", "rerank"),
+    doc=(
+        f"IVF-PQ with an exact re-rank refine stage — what production "
+        f"ANN stacks do to recover the recall ADC quantization loses: "
+        f"take the top-{IVFPQ_REFINE_C} ADC candidates per query, fetch "
+        f"their ORIGINAL vectors by one equi-join, re-rank by exact "
+        f"integer L2, keep the top-{PQ_TOPK}. Emits per-query "
+        f"recall@{PQ_TOPK} against the exact brute-force truth for both "
+        f"the refined and the unrefined ranking; refined >= unrefined "
+        f"is asserted in tests (refined recall is provably >= whenever "
+        f"the true neighbors survive the candidate cut)."
+    ),
+)
+def similarity_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost shape at 100x: the refine stage touches IVFPQ_REFINE_C x
+    |queries| rows — an equi-join against the vector table on vec_id
+    (shuffle bounded by the candidate set, never O(n)); the brute-force
+    truth/recall legs are a SELF-CHECK bounded by the constant
+    PQ_QUERIES and drop out of a production deployment (recall is
+    estimated offline on a sampled query set exactly like this)."""
+    e, queries, adc = _ivfpq_pipeline(spark, sf_dir)
 
     def l2(a, b) -> Column:
         return F.aggregate(
@@ -1135,64 +1303,51 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    cd = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "qemb", "cid", l2(F.col("qemb"), F.col("cemb")).alias("cdist")
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    ranked_adc = adc.withColumn("rn", F.row_number().over(w_adc))
+    cand = ranked_adc.filter(F.col("rn") <= IVFPQ_REFINE_C).select("query_id", "vec_id")
+
+    exact = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", l2(F.col("qq"), F.col("qemb")).alias("exact_dist"))
     )
-    asg = (
-        cd.groupBy("vec_id")
-        .agg(F.min(F.struct("cdist", "cid")).alias("b"), F.any_value("qemb").alias("qemb"))
-        .select("vec_id", "qemb", F.col("b.cid").alias("cid"))
-        .join(F.broadcast(cent), "cid")
-    )
-    resid = asg.select(
-        "vec_id", "cid", F.zip_with("qemb", "cemb", lambda a, b: a - b).alias("r")
+    w_ref = Window.partitionBy("query_id").orderBy(F.asc("exact_dist"), F.asc("vec_id"))
+    refined = (
+        exact.withColumn("rank", F.row_number().over(w_ref).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
     )
 
-    def subvectors(col: str, out: str) -> Column:
-        return F.posexplode(
-            F.array(*[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
-        ).alias("sub_id", out)
-
-    cbq = resid.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").cast("int").alias("code"), subvectors("r", "cv")
-    )
-    rsubs = resid.select("vec_id", "cid", subvectors("r", "sv"))
-    codes = (
-        rsubs.join(F.broadcast(cbq), "sub_id")
-        .select("vec_id", "cid", "sub_id", "code", l2(F.col("sv"), F.col("cv")).alias("dist_sq"))
-        .groupBy("vec_id", "cid", "sub_id")
-        .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
-        .select("vec_id", "cid", "sub_id", F.col("b.code").alias("code"))
-    )
-    queries = e.filter(F.col("vec_id") < PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("qcdist", "cid")
-    qprobe = (
-        queries.crossJoin(F.broadcast(cent))
-        .select("query_id", "qq", "cid", "cemb", l2(F.col("qq"), F.col("cemb")).alias("qcdist"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVFPQ_PROBES)
-    )
-    qsubs = qprobe.select(
-        "query_id", "cid",
-        subvectors(F.zip_with("qq", "cemb", lambda a, b: a - b), "qsv"),  # type: ignore[arg-type]
-    )
-    lut = qsubs.join(F.broadcast(cbq), "sub_id").select(
-        "query_id", "cid", "sub_id", "code", l2(F.col("qsv"), F.col("cv")).alias("qdist")
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["cid", "sub_id", "code"])
+    # Exact ground truth: the vector table against the CONSTANT-size
+    # broadcast query set — bounded map-side fan-out, self-check only.
+    truth = (
+        e.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("qdist").alias("adc_dist"))
+        .select("query_id", "vec_id", l2(F.col("qq"), F.col("qemb")).alias("tdist"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rn", F.row_number().over(w_top))
+    w_truth = Window.partitionBy("query_id").orderBy(F.asc("tdist"), F.asc("vec_id"))
+    truth_k = (
+        truth.withColumn("rn", F.row_number().over(w_truth))
         .filter(F.col("rn") <= PQ_TOPK)
-        .select("query_id", "vec_id", "adc_dist")
+        .select("query_id", "vec_id")
     )
+    adc_k = ranked_adc.filter(F.col("rn") <= PQ_TOPK).select("query_id", "vec_id")
+
+    def recall(hits: DataFrame, name: str) -> DataFrame:
+        return (
+            hits.join(truth_k.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg((F.count("hit").cast("double") / PQ_TOPK).alias(name))
+        )
+
+    r_ref = recall(refined.select("query_id", "vec_id"), "recall_refined")
+    r_adc = recall(adc_k, "recall_adc")
+    return (
+        refined.join(F.broadcast(r_ref), "query_id")
+        .join(F.broadcast(r_adc), "query_id")
+        .select("query_id", "rank", "vec_id", "exact_dist", "recall_refined", "recall_adc")
+    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -68,3 +68,15 @@ def test_semdedup_k_scales_candidate_bound(spark):
         assert all(r.kept_by < r.vec_id for r in rows)
         assert len({r.vec_id for r in rows}) == len(rows)  # one row per drop
         assert len({r.centroid_id for r in rows}) <= k
+
+
+def test_ivfpq_refine_recovers_recall(spark):
+    """The exact re-rank must never lose recall vs the raw ADC ranking:
+    for every query, recall_refined >= recall_adc (refined re-ranks a
+    superset of the ADC top-k by the true metric)."""
+    from argodb_mapreduce_spark.operators.similarity import similarity_ivfpq_refined
+
+    rows = similarity_ivfpq_refined(spark, SF).collect()
+    assert rows
+    per_q = {r.query_id: (r.recall_refined, r.recall_adc) for r in rows}
+    assert all(ref >= adc for ref, adc in per_q.values()), per_q
