@@ -65,80 +65,74 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.modern_sql",
 )
 
-#: ROUND-7 DRIVER WINDOW (VERDICT r6 next-step 6). The driver checks the
-#: first 50 entries of ``queries()`` in dict order; all 224 queries have
-#: a driver-witnessed green row (union of CORRECTNESS_r01-r06 ==
-#: registry), so the r7 window is (a) queries whose CODE CHANGED in
-#: round 7 and must re-earn their banked rows — the two retired
-#: scale warts (``events_activity_gini`` on the two-phase histogram
-#: rank, ``orders_rfm_segments`` on distributed
-#: global_row_number + integer NTILE), extended as r7 touches more
-#: code — then (b) the staleness rotation: the 32 rows whose only
-#: green evidence is round 1 and the 8 whose newest is round 2
-#: (code unchanged since, but six rounds of fixture regeneration is
-#: a long bank). Post-r7 the staleness histogram should have no r01
-#: entries.
+#: ROUND-8 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
+#: window leads with (a) queries whose code CHANGED or is NEW this
+#: round — they must (re-)earn their green rows — then (b) the rows
+#: with the OLDEST banked evidence. After r7 the staleness floor was
+#: r02 (7 rows); those rotate in now, plus the 34 alphabetically-first
+#: of the 45 unchanged rows whose newest evidence is r03 (the other 11
+#: — q22_idle_customers q2_min_cost_supplier q8_market_share
+#: q9_product_profit sample_pergroup_topk sample_stratified
+#: scan_embeddings shuffle_shard_deterministic split_train_val_test
+#: text_repetition_ratio vocab_coverage — lead the r9 rotation).
+#: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
+#: 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) code changed in round 7: re-earn the rows ---
-    "events_activity_gini",
-    "orders_rfm_segments",
-    "similarity_lsh_neardup",
-    "similarity_embedding_clusters",
-    "parts_abc_classification",
-    # --- (a cont.) new round-7 operators: first driver evidence ---
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "multimodal_image_histogram",
-    "multimodal_byte_thumbnail",
-    "multimodal_keyframe_detect",
-    "text_boilerplate_phrases",
-    "text_boilerplate_coverage",
-    "bpe_pair_stats",
-    "dedup_cdc_chunks",
-    "dedup_cdc_incremental",
-    "dedup_semantic_clusters",
-    "embedding_int8_quantize",
-    # --- (b) staleness rotation: last-green r01 (32 rows) ---
-    "scan_lineitem",
-    "scan_projection",
-    "scan_partition_filter",
-    "scan_partition_nomatch",
-    "scan_events",
-    "agg_minmax_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_anti",
-    "join_cross",
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
-    "sort_limit",
-    "window_rank",
-    "window_lag_lead",
-    "window_moving_sum",
-    "topk_per_group",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "subquery_above_avg",
-    "subquery_in",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q10_top_returners",
-    # --- (b cont.) last-green r02 (8 rows) ---
-    "embedding_centroid_per_label",
+    # --- (a) new in round 8: first driver evidence ---
+    "stream_stateful_custom",
+    "similarity_ivfpq_refined",
+    "multimodal_jpeg_decode",
+    # --- (a cont.) code changed in round 8: re-earn the rows ---
+    "dedup_semantic_clusters",   # tau/k params + assign_blocked
+    "kmeans_assign",             # assign_blocked
+    "kmeans_lloyd_step",         # assign_blocked
+    "similarity_ivfpq_topk",     # refactored onto _ivfpq_pipeline
+    "multimodal_image_decode",   # shared _png_reader
+    "multimodal_image_histogram",  # shared _png_reader + div binning
+    # --- (b) staleness rotation: newest evidence r02 (all 7) ---
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "text_rarity_score",
+    "text_sentiment_lexicon",
     "text_tfidf_top_terms",
-    # text_sentiment_lexicon, text_rarity_score, udtf_tokenize +
-    # source_csv/json/orc_roundtrip (r02-banked) deferred to the r8
-    # rotation: the new PNG/BPE/CDC/SemDeDup/SQ8/keyframe ops take
-    # their window slots; the 50-entry window must keep every
-    # r01-banked row inside it (VERDICT r6 next-step 6 done-bar).
+    "udtf_tokenize",
+    # --- (b cont.) newest evidence r03 (34 of 45) ---
+    "agg_approx_count_distinct",
+    "agg_correlation",
+    "agg_listagg",
+    "agg_percentile_selfcheck",
+    "agg_stats_variance",
+    "chunk_documents",
+    "decontam_ngram_overlap",
+    "dedup_survivor_quality",
+    "fn_array",
+    "fn_array_extended",
+    "fn_array_fold",
+    "fn_bitwise",
+    "fn_cast_bridge",
+    "fn_conditional",
+    "fn_date",
+    "fn_datetime_extended",
+    "fn_hash",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_null_semantics",
+    "fn_regex",
+    "fn_sample_selfcheck",
+    "fn_string",
+    "fn_string_extended",
+    "fn_struct",
+    "pack_sequences",
+    "q11_important_stock",
+    "q12_shipmode_buckets",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
 )
 
 

@@ -80,3 +80,14 @@ def test_ivfpq_refine_recovers_recall(spark):
     assert rows
     per_q = {r.query_id: (r.recall_refined, r.recall_adc) for r in rows}
     assert all(ref >= adc for ref, adc in per_q.values()), per_q
+
+
+def test_priority_window_is_exactly_fifty():
+    """The driver checks exactly 50 rows; a 51st _PRIORITY entry would
+    silently fall out of the window (it did in r7 — ADVICE r7)."""
+    from argodb_mapreduce_spark import registry
+
+    assert len(registry._PRIORITY) == 50
+    qs = registry.all_queries()
+    missing = [n for n in registry._PRIORITY if n not in qs]
+    assert not missing, missing
