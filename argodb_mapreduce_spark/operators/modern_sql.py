@@ -111,3 +111,89 @@ def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY custkey
         """
     )
+
+
+@register(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("function", "variant", "json", "modern-sql"),
+    doc=(
+        "Spark 4 VARIANT type: parse_json lifts the events.props JSON "
+        "string into the binary VARIANT encoding once, then typed "
+        "variant_get path extraction feeds a per-event_type aggregate. "
+        "VARIANT is the semi-structured scale path — the shredded "
+        "binary form is parsed once at ingest instead of re-parsing "
+        "the JSON string in every expression, and path extraction is "
+        "O(path) on the encoded tree. DuckDB oracle uses json_extract "
+        "on the same strings; results are exact integers."
+    ),
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: props parses to VARIANT in the scan projection
+    (map-side, once), the aggregate is map-combinable on event_type —
+    one O(groups) shuffle. Reference parity: the serde bridge's string
+    column carrying JSON (ArgodbSerdeUtils.java:35-102 maps it to a
+    plain STRING; every downstream consumer re-parses) — VARIANT is
+    the Spark-4 upgrade of that contract."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct(F.col("k")).alias("distinct_k"),
+    )
+
+
+@register(
+    "pipe_syntax_priority_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("modern-sql", "pipe-syntax", "agg"),
+    doc=(
+        "Spark 4 SQL pipe syntax (|>): the same filter -> aggregate "
+        "plan written as a left-to-right pipeline (FROM orders |> WHERE "
+        "... |> AGGREGATE ... GROUP BY ...). Compiles to the identical "
+        "Catalyst plan as the ANSI form — registered to pin the modern "
+        "SQL surface, priced with the exact-decimal sum so the DOUBLE "
+        "result hash-matches the ANSI oracle."
+    ),
+)
+def pipe_syntax_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe syntax is sugar over the same logical plan — predicate
+    pushdown and partial aggregation apply unchanged, so the 100x story
+    is q1's. The exact-decimal SUM pattern (functions/oracle_safe) is
+    inlined in SQL form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_pipe_orders")
+    return spark.sql(
+        """
+        FROM v_pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                       AS total_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )

@@ -70,11 +70,12 @@ _QUERY_MODULES = (
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r7 the staleness floor was
-#: r02 (7 rows); those rotate in now, plus the 34 alphabetically-first
-#: of the 45 unchanged rows whose newest evidence is r03 (the other 11
-#: — q22_idle_customers q2_min_cost_supplier q8_market_share
-#: q9_product_profit sample_pergroup_topk sample_stratified
-#: scan_embeddings shuffle_shard_deterministic split_train_val_test
+#: r02 (7 rows); those rotate in now, plus the 32 alphabetically-first
+#: of the 45 unchanged rows whose newest evidence is r03 (the other 13
+#: — q20_potential_promotion q21_waiting_supplier q22_idle_customers
+#: q2_min_cost_supplier q8_market_share q9_product_profit
+#: sample_pergroup_topk sample_stratified scan_embeddings
+#: shuffle_shard_deterministic split_train_val_test
 #: text_repetition_ratio vocab_coverage — lead the r9 rotation).
 #: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
 #: 51st entry can never fall out of the window again (ADVICE r7).
@@ -83,6 +84,8 @@ _PRIORITY = (
     "stream_stateful_custom",
     "similarity_ivfpq_refined",
     "multimodal_jpeg_decode",
+    "fn_variant_extract",
+    "pipe_syntax_priority_summary",
     # --- (a cont.) code changed in round 8: re-earn the rows ---
     "dedup_semantic_clusters",   # tau/k params + assign_blocked
     "kmeans_assign",             # assign_blocked
@@ -131,8 +134,6 @@ _PRIORITY = (
     "q15_top_supplier",
     "q16_supplier_cnt",
     "q18_large_orders",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
 )
 
 

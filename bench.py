@@ -137,6 +137,12 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "embedding_int8_quantize",
     "multimodal_keyframe_detect",
+    # round-8 additions: timer-based stateful sessionization over a real
+    # multi-batch stream, the IVF-PQ exact re-rank refine stage, and the
+    # baseline-JPEG encode->decode round trip
+    "stream_stateful_custom",
+    "similarity_ivfpq_refined",
+    "multimodal_jpeg_decode",
 ]
 
 
