@@ -159,11 +159,24 @@ def _events_raw_schema(ts_unit: str) -> T.StructType:
 
 
 def _events_ts_unit(sf_dir: str) -> str:
-    """Footer-sniff the events fixture's ts storage unit ('ns' | 'us')."""
+    """Footer-sniff the events fixture's ts storage unit ('ns' | 'us').
+    Handles both a single ``events.parquet`` file and a directory of
+    part files (multi-split lake layout — first footer speaks for all,
+    same convention as catalog._ns_timestamp_columns)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise ValueError(f"no parquet parts under {path}")
+        path = parts[0]
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
     return "ns" if (pa.types.is_timestamp(t) and t.unit == "ns") else "us"
 
 

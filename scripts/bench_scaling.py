@@ -60,6 +60,10 @@ def _ops():
         k = max(8, table_rowcount(sf_dir, "embeddings") // 250)
         return dedup_semantic_clusters(spark, sf_dir, k=k)
 
+    from argodb_mapreduce_spark.operators.multimodal import multimodal_jpeg_decode
+    from argodb_mapreduce_spark.operators.similarity import similarity_ivfpq_refined
+    from argodb_mapreduce_spark.streaming.windows import stream_stateful_custom
+
     return {
         "similarity_embedding_clusters": similarity_embedding_clusters,
         "similarity_ivfpq_topk": similarity_ivfpq_topk,
@@ -71,6 +75,10 @@ def _ops():
         "bpe_pair_stats": bpe_pair_stats,
         "parts_abc_classification": parts_abc_classification,
         "orders_rfm_segments": orders_rfm_segments,
+        # round-8 additions
+        "stream_stateful_custom": stream_stateful_custom,
+        "similarity_ivfpq_refined": similarity_ivfpq_refined,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
     }
 
 
