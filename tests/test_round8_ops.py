@@ -91,3 +91,58 @@ def test_priority_window_is_exactly_fifty():
     qs = registry.all_queries()
     missing = [n for n in registry._PRIORITY if n not in qs]
     assert not missing, missing
+
+
+def test_assign_blocked_equals_sql_assign(spark):
+    """assign_blocked must be BIT-EXACT vs the cross-join + argmin
+    window form on the same inputs — same (vec_id, cid, dist2) triples,
+    same lowest-cid tie-breaks — at both the fixture k and a larger k."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import table_rowcount
+    from argodb_mapreduce_spark.operators.clustering import (
+        _quantized,
+        assign,
+        assign_blocked,
+    )
+
+    e = _quantized(spark, SF)
+    n = table_rowcount(SF, "embeddings")
+    for k in (8, 16):
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
+        )
+        ref = {(r.vec_id, r.cid, r.dist2) for r in assign(e, cent).collect()}
+        blk = {(r.vec_id, r.cid, r.dist2) for r in assign_blocked(e, cent, n).collect()}
+        assert blk == ref
+        assert len(blk) == n  # exactly one assignment per vector
+
+
+def test_jpeg_pipeline_has_no_exchange(spark):
+    """Both JPEG mapInPandas stages must chain onto the scan with zero
+    shuffles — the same plan shape as the PNG pipeline."""
+    from argodb_mapreduce_spark.operators.multimodal import multimodal_jpeg_decode
+    from argodb_mapreduce_spark.plans.checks import n_exchanges
+
+    assert n_exchanges(multimodal_jpeg_decode(spark, SF)) == 0
+
+
+def test_bpe_train_first_merge_equals_pair_stats_top(spark):
+    """Iteration 1 of the trainer must pick exactly the top row of
+    bpe_pair_stats (same statistic, same total order), and the three
+    learned merges must be distinct pairs with positive counts."""
+    from argodb_mapreduce_spark.operators.training_data import (
+        bpe_pair_stats,
+        bpe_train_merges,
+    )
+
+    merges = sorted(
+        bpe_train_merges(spark, SF).collect(), key=lambda r: r.step
+    )
+    assert [m.step for m in merges] == [1, 2, 3]
+    top = bpe_pair_stats(spark, SF).collect()[0]
+    assert (merges[0].left_sym, merges[0].right_sym, merges[0].pair_count) == (
+        top.a, top.b, top.pair_count,
+    )
+    assert len({(m.left_sym, m.right_sym) for m in merges}) == 3
+    assert all(m.pair_count > 0 for m in merges)
