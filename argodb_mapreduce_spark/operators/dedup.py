@@ -1089,3 +1089,129 @@ def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIGNATURE}),
+    bt AS ({{band_table}}),
+    corpus_bt AS (SELECT doc_id AS corpus_id, band, band_hash FROM bt
+                  WHERE doc_id % {CDC_BATCH_MOD} <> 0),
+    batch_bt AS (SELECT doc_id AS batch_id, band, band_hash FROM bt
+                 WHERE doc_id % {CDC_BATCH_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT b.batch_id, c.corpus_id
+      FROM batch_bt b JOIN corpus_bt c
+        ON b.band = c.band AND b.band_hash = c.band_hash
+    ),
+    sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.batch_id
+      JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+      GROUP BY c.batch_id, c.corpus_id
+    ),
+    verified AS (
+      SELECT i.batch_id, i.corpus_id,
+             CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.batch_id
+      JOIN sizes sb ON sb.doc_id = i.corpus_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+            >= {JACCARD_THRESHOLD}
+    ),
+    n_cand AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+               FROM cand GROUP BY batch_id),
+    best AS (
+      SELECT batch_id, corpus_id AS best_match_id, jaccard AS best_jaccard,
+             CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT) AS n_dup
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+                                         ORDER BY jaccard DESC, corpus_id) AS rn
+            FROM verified)
+      WHERE rn = 1
+    )
+    SELECT nc.batch_id, nc.n_candidates,
+           COALESCE(b.n_dup, 0) AS n_dup, b.best_match_id, b.best_jaccard
+    FROM n_cand nc LEFT JOIN best b USING (batch_id)
+    """.replace("{band_table}", _sql_band_table()),
+    tags=("dedup", "minhash", "incremental"),
+    doc=(
+        f"Incremental MinHash LSH ingest dedup — the near-dup twin of "
+        f"dedup_cdc_incremental: today's batch (doc_id % "
+        f"{CDC_BATCH_MOD} == 0) is signed and probed against the "
+        f"CORPUS band-bucket index only; batch-batch and corpus-corpus "
+        f"pairs are never formed. Candidates are Jaccard-verified at "
+        f">= {JACCARD_THRESHOLD}; per batch doc the output is its LSH "
+        f"candidate count, verified-dup count, and best corpus match "
+        f"(ties to the lower doc_id). O(batch) daily cost — nothing "
+        f"re-pairs the old corpus against itself."
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus band index is precomputed/bucketed by
+    (band, band_hash) in production, so the probe is a co-located
+    equi-join in which only the O(batch) side moves; the verify join
+    touches only candidate shingle sets. Same index, three consumers
+    (signature, sizes, verify) — one exchange, reused."""
+    sh = _doc_shingles(spark, sf_dir)
+    bt = _band_table(_minhash_signature(sh))
+    corpus_bt = bt.filter(F.col("doc_id") % CDC_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_hash"
+    )
+    batch_bt = bt.filter(F.col("doc_id") % CDC_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("batch_id"), "band", "band_hash"
+    )
+    cand = (
+        batch_bt.join(corpus_bt, ["band", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("batch_id"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("corpus_id"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na")), "batch_id")
+        .join(sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb")), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("batch_id").orderBy(F.desc("jaccard"), "corpus_id")
+    best = (
+        jac.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dup", F.count(F.lit(1)).over(Window.partitionBy("batch_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_id",
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.col("n_dup").cast("long"),
+        )
+    )
+    n_cand = cand.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return n_cand.join(best, "batch_id", "left").select(
+        "batch_id",
+        "n_candidates",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        "best_match_id",
+        "best_jaccard",
+    )
