@@ -70,9 +70,10 @@ _QUERY_MODULES = (
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r7 the staleness floor was
-#: r02 (7 rows); those rotate in now, plus the 30 alphabetically-first
-#: of the 45 unchanged rows whose newest evidence is r03 (the other 15
-#: — q16_supplier_cnt q18_large_orders q20_potential_promotion q21_waiting_supplier q22_idle_customers
+#: r02 (7 rows); those rotate in now, plus the 28 alphabetically-first
+#: of the 45 unchanged rows whose newest evidence is r03 (the other 17
+#: — q12_shipmode_buckets q15_top_supplier q16_supplier_cnt q18_large_orders
+#: q20_potential_promotion q21_waiting_supplier q22_idle_customers
 #: q2_min_cost_supplier q8_market_share q9_product_profit
 #: sample_pergroup_topk sample_stratified scan_embeddings
 #: shuffle_shard_deterministic split_train_val_test
@@ -88,6 +89,8 @@ _PRIORITY = (
     "pipe_syntax_priority_summary",
     "bpe_train_merges",
     "dedup_minhash_incremental",
+    "similarity_index_build",
+    "similarity_index_search",
     # --- (a cont.) code changed in round 8: re-earn the rows ---
     "dedup_semantic_clusters",   # tau/k params + assign_blocked
     "kmeans_assign",             # assign_blocked
@@ -132,8 +135,6 @@ _PRIORITY = (
     "fn_struct",
     "pack_sequences",
     "q11_important_stock",
-    "q12_shipmode_buckets",
-    "q15_top_supplier",
 )
 
 

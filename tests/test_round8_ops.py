@@ -146,3 +146,40 @@ def test_bpe_train_first_merge_equals_pair_stats_top(spark):
     )
     assert len({(m.left_sym, m.right_sym) for m in merges}) == 3
     assert all(m.pair_count > 0 for m in merges)
+
+
+def test_index_search_equals_live_encode(spark):
+    """Search from the persisted index must be bit-identical to the
+    live-encode IVF-PQ path (lossless persistence), and an APPEND to
+    the stored code table must be a manifest-only new version."""
+    import os
+
+    from argodb_mapreduce_spark.operators.similarity import (
+        _ensure_ivfpq_index,
+        similarity_index_search,
+        similarity_ivfpq_topk,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        versioned_write,
+        versions,
+    )
+
+    live = {tuple(r) for r in similarity_ivfpq_topk(spark, SF).collect()}
+    stored = {tuple(r) for r in similarity_index_search(spark, SF).collect()}
+    assert stored == live
+
+    codes_path = os.path.join(_ensure_ivfpq_index(spark, SF), "codes")
+    v_before = versions(codes_path)
+    n_before = snapshot_read(spark, codes_path).count()
+    batch = snapshot_read(spark, codes_path).limit(8)  # simulate an ingest
+    versioned_write(batch, codes_path, mode="append")
+    try:
+        assert len(versions(codes_path)) == len(v_before) + 1
+        assert snapshot_read(spark, codes_path).count() == n_before + 8
+        # the OLD snapshot still reads exactly the pre-append index
+        assert snapshot_read(spark, codes_path, version=v_before[-1]).count() == n_before
+    finally:
+        from argodb_mapreduce_spark.sources.versioned import rollback
+
+        rollback(codes_path, v_before[-1])
