@@ -1126,10 +1126,13 @@ def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
                FROM cand GROUP BY batch_id),
     best AS (
+      -- n_dup must be computed BEFORE the rn=1 filter: window functions in
+      -- the same block as "WHERE rn = 1" would see only the surviving row.
       SELECT batch_id, corpus_id AS best_match_id, jaccard AS best_jaccard,
-             CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT) AS n_dup
+             n_dup
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
-                                         ORDER BY jaccard DESC, corpus_id) AS rn
+                                         ORDER BY jaccard DESC, corpus_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT) AS n_dup
             FROM verified)
       WHERE rn = 1
     )

@@ -143,6 +143,11 @@ HEADLINE = [
     "stream_stateful_custom",
     "similarity_ivfpq_refined",
     "multimodal_jpeg_decode",
+    # late round-8: full BPE trainer loop, incremental MinHash ingest
+    # probe, and ANN search over the persisted (versioned-table) index
+    "bpe_train_merges",
+    "dedup_minhash_incremental",
+    "similarity_index_search",
 ]
 
 
