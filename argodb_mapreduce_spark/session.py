@@ -25,6 +25,10 @@ def get_spark(app_name: str = "argodb_mapreduce_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet footer min/max,
+        # which defeats both row-group skipping and the versioned store's
+        # manifest stats; µs is the modern lake-format standard.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
@@ -50,6 +54,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events fixture stores TIMESTAMP(NANOS) which Spark's reader rejects;
     # catalog.load_table converts the resulting long to a µs timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp sinks must emit stats-bearing µs, not stats-less INT96
+    # (data skipping + row-group pruning depend on footer min/max).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     # Size shuffles to the machine, not the 200 default (runtime-mutable;
     # results are partitioning-independent by the exact-arithmetic design).
     try:

@@ -28,6 +28,8 @@ columns/rows inside them as usual.
 
 from __future__ import annotations
 
+import datetime as _dt
+import glob as _glob
 import json
 import os
 import tempfile
@@ -36,9 +38,155 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum
 from argodb_mapreduce_spark.registry import register
 
 MANIFEST = "_snapshots.json"
+
+
+# ---------------------------------------------------------------------------
+# Segment-level min/max statistics (Delta/Iceberg-style data skipping)
+# ---------------------------------------------------------------------------
+#
+# The reference prunes only static partition equality
+# (ArgodbMapreduceInputFormat.java:208-255). Lake formats go further:
+# the manifest records per-file column min/max so a range predicate on
+# ANY column prunes whole segments at PLAN time, before Spark lists a
+# single data file. Stats are harvested from the parquet FOOTERS of the
+# just-written segment — an O(files) metadata read, never a data scan,
+# so collection is free at 100 TB relative to the write itself.
+
+def _stat_encode(v):
+    """JSON-safe encoding of a footer min/max value (None = unusable)."""
+    if isinstance(v, bool):  # bool is int subclass; min/max on bool is useless
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        # Parquet µs timestamps are UTC-adjusted; store naive-UTC so
+        # stats compare cleanly with the engine's naive-UTC literals.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _stat_decode(v):
+    if isinstance(v, dict):
+        if v["t"] == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v["t"] == "date":
+            return _dt.date.fromisoformat(v["v"])
+        raise ValueError(f"unknown stat tag {v['t']!r}")
+    return v
+
+
+def _coerce_literal(lit, stat_sample):
+    """Make a pruning literal comparable with decoded stat values."""
+    if isinstance(stat_sample, _dt.datetime) and isinstance(lit, str):
+        return _dt.datetime.fromisoformat(lit)
+    if isinstance(stat_sample, _dt.datetime) and type(lit) is _dt.date:
+        return _dt.datetime(lit.year, lit.month, lit.day)
+    if type(stat_sample) is _dt.date and isinstance(lit, str):
+        return _dt.date.fromisoformat(lit)
+    return lit
+
+
+def collect_segment_stats(seg_path: str) -> dict[str, list]:
+    """Per-column [min, max] for one segment, from parquet footers only.
+
+    Columns without usable footer stats (nested types, undecodable
+    binary) are simply absent — absent stats disable pruning for that
+    column, never correctness. Mirrors how Iceberg builds its manifest
+    ``lower_bounds``/``upper_bounds`` from file metadata at commit time.
+    """
+    import pyarrow.parquet as pq
+
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    dropped: set[str] = set()
+    for f in sorted(_glob.glob(os.path.join(seg_path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                name = col.path_in_schema
+                if name in dropped or "." in name:  # nested leaves: skip
+                    continue
+                st = col.statistics
+                mn = _stat_encode(st.min) if st is not None and st.has_min_max else None
+                mx = _stat_encode(st.max) if st is not None and st.has_min_max else None
+                if mn is None or mx is None:
+                    # one stats-less row group poisons the whole column:
+                    # a partial min/max would prune rows we cannot see.
+                    dropped.add(name)
+                    lo.pop(name, None)
+                    hi.pop(name, None)
+                    continue
+                dmn, dmx = _stat_decode(mn), _stat_decode(mx)
+                if name not in lo or dmn < _stat_decode(lo[name]):
+                    lo[name] = mn
+                if name not in hi or dmx > _stat_decode(hi[name]):
+                    hi[name] = mx
+    return {name: [lo[name], hi[name]] for name in lo}
+
+
+#: Supported pruning operators: predicate (col, op, literal).
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=")
+
+
+def _segment_may_match(stats: dict[str, list] | None, predicates) -> bool:
+    """Conservative overlap test: False ONLY when the segment's [min,max]
+    provably excludes every predicate. Missing stats => True (scan it)."""
+    if not stats:
+        return True
+    for col, op, lit in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+        if col not in stats:
+            continue
+        mn, mx = _stat_decode(stats[col][0]), _stat_decode(stats[col][1])
+        lit = _coerce_literal(lit, mn)
+        if op == "<" and not (mn < lit):
+            return False
+        if op == "<=" and not (mn <= lit):
+            return False
+        if op == ">" and not (mx > lit):
+            return False
+        if op == ">=" and not (mx >= lit):
+            return False
+        if op == "=" and not (mn <= lit <= mx):
+            return False
+    return True
+
+
+def prune_segments(
+    path: str, version: int | None = None, predicates=()
+) -> tuple[list[str], list[str]]:
+    """Plan-time data skipping: (kept_segments, all_segments) for a version.
+
+    A segment is kept unless its manifest min/max stats PROVE no row can
+    satisfy all predicates (AND semantics). Segments written before
+    stats existed have no entry and are always kept — old manifests
+    stay readable, pruning is a pure optimization.
+    """
+    entries = _read_manifest(path)
+    by_version = {e["version"]: e for e in entries}
+    if version is None:
+        version = entries[-1]["version"]
+    entry = by_version[version]
+    all_segments = list(entry["segments"])
+    stats = entry.get("stats", {})
+    kept = [s for s in all_segments if _segment_may_match(stats.get(s), predicates)]
+    return kept, all_segments
 
 
 def _read_manifest(path: str) -> list[dict]:
@@ -56,27 +204,54 @@ def _write_manifest(path: str, entries: list[dict]) -> None:
 
 
 def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
-    """Write ``df`` as a new version; returns the new version number."""
+    """Write ``df`` as a new version; returns the new version number.
+
+    The new segment's per-column min/max is harvested from its parquet
+    footers (metadata-only) and recorded in the manifest entry, keyed by
+    segment, so readers can data-skip (:func:`prune_segments`). Appends
+    carry forward the previous entry's stats for the reused segments.
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # Guard against externally created sessions (the driver's) that still
+    # default to INT96: stats-less timestamps would silently disable
+    # data skipping on every date column of this segment.
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(path, exist_ok=True)
     entries = _read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else []
     version = entries[-1]["version"] + 1 if entries else 0
     segment = f"data-{version}"
     df.write.mode("errorifexists").parquet(os.path.join(path, segment))
     prev = entries[-1]["segments"] if (entries and mode == "append") else []
-    entries.append({"version": version, "segments": [*prev, segment]})
+    stats = dict(entries[-1].get("stats", {})) if (entries and mode == "append") else {}
+    stats = {s: stats[s] for s in prev if s in stats}
+    stats[segment] = collect_segment_stats(os.path.join(path, segment))
+    entries.append({"version": version, "segments": [*prev, segment], "stats": stats})
     _write_manifest(path, entries)
     return version
 
 
-def snapshot_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicates=(),
+) -> DataFrame:
     """Snapshot-consistent read of ``path`` at ``version`` (default latest).
 
     The manifest is resolved to concrete segment paths *here*, at plan
     time — the returned DataFrame's file set is pinned and unaffected
     by concurrent ``versioned_write`` calls, mirroring the reference's
     RO-snapshot transaction semantics.
+
+    ``predicates`` — a list of ``(column, op, literal)`` with op in
+    ``< <= > >= =`` — enables manifest-level DATA SKIPPING: segments
+    whose recorded min/max provably exclude every predicate are dropped
+    from the file set before Spark ever lists them, and the SAME
+    predicates are re-applied as a DataFrame filter on the survivors
+    (pruning is segment-granular, the residual filter is row-granular —
+    the Delta/Iceberg split, safe by construction). Pruning an empty
+    file set returns an empty frame with the table's schema.
     """
     entries = _read_manifest(path)
     by_version = {e["version"]: e for e in entries}
@@ -84,8 +259,18 @@ def snapshot_read(spark: SparkSession, path: str, version: int | None = None) ->
         version = entries[-1]["version"]
     if version not in by_version:
         raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
-    segments = [os.path.join(path, s) for s in by_version[version]["segments"]]
-    return spark.read.parquet(*segments)
+    all_names = by_version[version]["segments"]
+    names = prune_segments(path, version, predicates)[0] if predicates else all_names
+    if not names:  # fully pruned: preserve schema from any real segment
+        df = spark.read.parquet(os.path.join(path, all_names[0])).limit(0)
+    else:
+        df = spark.read.parquet(*[os.path.join(path, s) for s in names])
+    for col, op, lit in predicates:
+        c = F.col(col)
+        df = df.filter(
+            {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit, "=": c == lit}[op]
+        )
+    return df
 
 
 def versions(path: str) -> list[int]:
@@ -359,3 +544,90 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         df = df.unionAll(f)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Data skipping: manifest min/max stats prune the planned file set
+# ---------------------------------------------------------------------------
+
+#: Date boundaries for the 4 time-ordered ingest segments (orders span
+#: 1995-01-01 .. 2001-08-01 in the fixture data at every SF).
+_PRUNE_BOUNDS = ("1997-01-01", "1999-01-01", "2001-01-01")
+#: The query window: overlaps ONLY segment [1999-01-01, 2001-01-01).
+_PRUNE_LO, _PRUNE_HI = "1999-03-01", "2000-09-01"
+
+
+def _build_pruned_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders appended as 4 time-ordered segments (the daily/period-ingest
+    shape): each append's o_orderdate range is disjoint, so the manifest
+    stats make range predicates on the date prune whole segments."""
+    out = _scratch(sf_dir) + "_pruned"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 4
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    b0, b1, b2 = (F.lit(b).cast("timestamp") for b in _PRUNE_BOUNDS)
+    versioned_write(o.filter(d < b0), out, mode="append")
+    versioned_write(o.filter((d >= b0) & (d < b1)), out, mode="append")
+    versioned_write(o.filter((d >= b1) & (d < b2)), out, mode="append")
+    versioned_write(o.filter(d >= b2), out, mode="append")
+    return out
+
+
+@register(
+    "snapshot_pruned_scan",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 2)} AS sum_price,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS min_date,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date,
+           4 AS segments_total,
+           1 AS segments_scanned
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+      AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+    """,
+    tags=("source", "snapshot", "data-skipping"),
+    doc=(
+        "Manifest-level DATA SKIPPING on a non-partition column: the "
+        "versioned table's manifest records per-segment min/max "
+        "(harvested from parquet footers at write time), and a range "
+        "predicate on o_orderdate prunes the planned file set from 4 "
+        "segments to 1 BEFORE Spark lists any data file — the "
+        "Delta/Iceberg upgrade over the reference's static "
+        "partition-equality pruning "
+        "(ArgodbMapreduceInputFormat.java:208-255). The oracle pins "
+        "both the surviving rows AND the literal 4→1 segment counts, "
+        "so the pruning decision itself is hash-checked."
+    ),
+)
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: pruning reads only the manifest (O(segments) driver
+    work — the same metadata a lake format's planning phase reads); the
+    residual filter still applies row-level parquet pushdown inside the
+    surviving segments. At 100 TB with daily ingest this turns a
+    7-year scan into a 2-month scan without any partitioning scheme."""
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    out = _build_pruned_fixture(spark, sf_dir)
+    preds = [
+        ("o_orderdate", ">=", _dt.datetime.fromisoformat(_PRUNE_LO)),
+        ("o_orderdate", "<", _dt.datetime.fromisoformat(_PRUNE_HI)),
+    ]
+    kept, everything = prune_segments(out, predicates=preds)
+    df = snapshot_read(spark, out, predicates=preds)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.lit(len(everything)).alias("segments_total"),
+        F.lit(len(kept)).alias("segments_scanned"),
+    )

@@ -122,3 +122,107 @@ def test_rollback_is_manifest_only_and_preserves_history(spark, sf_dir):
     v2 = snapshot_read(spark, out, 2)
     assert v2.count() > 0
     assert v2.count() != v1.count()
+
+
+# ---------------------------------------------------------------------------
+# Manifest min/max data skipping (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_records_segment_stats(spark, vt):
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest
+
+    entry = _read_manifest(vt)[1]  # v1 = two append segments
+    assert set(entry["stats"]) == {"data-0", "data-1"}
+    assert entry["stats"]["data-0"]["k"] == [0, 9]
+    assert entry["stats"]["data-1"]["k"] == [10, 14]
+
+
+def test_prune_drops_provably_excluded_segments(spark, vt):
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    kept, everything = prune_segments(vt, version=1, predicates=[("k", ">=", 12)])
+    assert everything == ["data-0", "data-1"]
+    assert kept == ["data-1"]
+    # equality inside a segment's range keeps only that segment
+    kept, _ = prune_segments(vt, version=1, predicates=[("k", "=", 3)])
+    assert kept == ["data-0"]
+    # predicate satisfiable by both keeps both (conservative AND)
+    kept, _ = prune_segments(vt, version=1, predicates=[("k", ">", -1)])
+    assert kept == ["data-0", "data-1"]
+
+
+def test_pruned_read_equals_full_filtered_read(spark, vt):
+    preds = [("k", ">=", 5), ("k", "<", 12)]
+    pruned = snapshot_read(spark, vt, 1, predicates=preds)
+    full = snapshot_read(spark, vt, 1).filter((F.col("k") >= 5) & (F.col("k") < 12))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(r["k"] for r in full.collect())
+
+
+def test_fully_pruned_read_keeps_schema(spark, vt):
+    empty = snapshot_read(spark, vt, 1, predicates=[("k", ">=", 10_000)])
+    assert empty.count() == 0
+    assert empty.columns == snapshot_read(spark, vt, 1).columns
+
+
+def test_pruning_scans_fewer_files(spark, vt):
+    """The actual plan-level guarantee: the pruned frame's file set is a
+    strict subset of the full snapshot's."""
+    pruned = snapshot_read(spark, vt, 1, predicates=[("k", ">=", 12)])
+    full = snapshot_read(spark, vt, 1)
+    n_pruned = len(pruned.inputFiles())
+    n_full = len(full.inputFiles())
+    assert 0 < n_pruned < n_full
+
+
+def test_stats_missing_column_disables_pruning_not_correctness(spark, vt):
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    kept, everything = prune_segments(vt, version=1, predicates=[("nonexistent", ">=", 1)])
+    assert kept == everything
+
+
+def test_old_manifest_without_stats_still_reads_and_never_prunes(spark, tmp_path):
+    """Manifests written before stats existed must stay readable; pruning
+    degrades to scan-everything, never to wrong answers."""
+    import json
+    import os
+
+    from argodb_mapreduce_spark.sources.versioned import MANIFEST, prune_segments
+
+    path = str(tmp_path / "legacy")
+    versioned_write(spark.range(5).withColumnRenamed("id", "k"), path, mode="append")
+    with open(os.path.join(path, MANIFEST)) as f:
+        entries = json.load(f)
+    for e in entries:
+        e.pop("stats", None)
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(entries, f)
+    kept, everything = prune_segments(path, predicates=[("k", ">=", 10_000)])
+    assert kept == everything  # no stats -> conservative keep
+    assert snapshot_read(spark, path, predicates=[("k", ">=", 3)]).count() == 2
+
+
+def test_timestamp_stats_prune_date_ranges(spark, sf_dir):
+    """The registered fixture: 4 time-ordered ingest segments; a 18-month
+    window predicate must plan exactly one of them."""
+    import datetime as dt
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _PRUNE_HI,
+        _PRUNE_LO,
+        _build_pruned_fixture,
+        prune_segments,
+    )
+
+    out = _build_pruned_fixture(spark, sf_dir)
+    preds = [
+        ("o_orderdate", ">=", dt.datetime.fromisoformat(_PRUNE_LO)),
+        ("o_orderdate", "<", dt.datetime.fromisoformat(_PRUNE_HI)),
+    ]
+    kept, everything = prune_segments(out, predicates=preds)
+    assert len(everything) == 4
+    assert kept == ["data-2"]
+    # ISO-string literals coerce to the stored timestamp stats
+    kept2, _ = prune_segments(out, predicates=[("o_orderdate", ">=", _PRUNE_LO), ("o_orderdate", "<", _PRUNE_HI)])
+    assert kept2 == ["data-2"]
