@@ -98,7 +98,14 @@ def assign_blocked(e: DataFrame, cent: DataFrame, n_rows: int) -> DataFrame:
     returns the FIRST minimal column, and centroids are sorted by cid,
     so ties break to the lowest cid exactly like the SQL row_number."""
     n_blocks = max(1, n_rows // 1024)
-    eb = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    # Hash before pmod: raw ids can be non-uniform modulo n_blocks
+    # (strided ingest ids would pile whole strides into one block and
+    # blow the per-group dense matrix); xxhash64 equidistributes any id
+    # scheme. Block membership only shapes the physical grouping — the
+    # per-row argmin output is identical either way (ADVICE r8).
+    eb = e.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
+    )
     cb = cent.crossJoin(
         cent.sparkSession.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
     )

@@ -1481,22 +1481,57 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     codebook, code table) into versioned tables if absent or staler
     than the fixture. Incremental shape: a daily ingest appends its new
     vectors' codes via versioned_write(mode='append') — a manifest-only
-    publish, nothing rewrites the banked codes."""
+    publish, nothing rewrites the banked codes.
+
+    NOTE on oracle parity: similarity_index_build/search recompute their
+    DuckDB oracles from the pristine corpus, so parity is guaranteed
+    only for the untouched initial build; a test that appends must
+    invalidate the _BUILT marker before mutating and restore it only
+    after a verified rollback (tests/test_round8_ops.py).
+
+    Concurrent sessions (driver sweep + bench/pytest) may race here;
+    the build is serialized with an atomic mkdir lock — losers wait for
+    the winner's marker instead of colliding inside versioned_write's
+    errorifexists segment write (ADVICE r8).
+    """
     import os
+    import shutil
+    import time
 
     from argodb_mapreduce_spark.catalog import fixture_stale, table_path
     from argodb_mapreduce_spark.sources.versioned import versioned_write
 
     root = _ivfpq_index_root(sf_dir)
     marker = os.path.join(root, "_BUILT")
-    if fixture_stale(table_path(sf_dir, "embeddings"), marker):
-        os.makedirs(root, exist_ok=True)
-        _e, cent, cbq, codes = _ivfpq_encode(spark, sf_dir)
-        versioned_write(cent, os.path.join(root, "cent"), mode="overwrite")
-        versioned_write(cbq, os.path.join(root, "cbq"), mode="overwrite")
-        versioned_write(codes, os.path.join(root, "codes"), mode="overwrite")
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    src = table_path(sf_dir, "embeddings")
+    if not fixture_stale(src, marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "_BUILDING")
+    deadline = time.monotonic() + 600
+    while True:
+        try:
+            os.mkdir(lock)  # atomic on POSIX: exactly one builder wins
+            break
+        except FileExistsError:
+            # another session is building; stale locks (crashed builder)
+            # expire after 10 min of no progress
+            if time.monotonic() > deadline:
+                shutil.rmtree(lock, ignore_errors=True)
+                continue
+            time.sleep(0.5)
+            if not fixture_stale(src, marker):
+                return root  # the winner finished while we waited
+    try:
+        if fixture_stale(src, marker):  # re-check under the lock
+            _e, cent, cbq, codes = _ivfpq_encode(spark, sf_dir)
+            for name, df in (("cent", cent), ("cbq", cbq), ("codes", codes)):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                versioned_write(df, os.path.join(root, name), mode="overwrite")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
     return root
 
 

@@ -364,6 +364,15 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 3  #: merge iterations trained by bpe_train_merges
 _BPE_REPL = 5  #: replace() passes per merge — covers words up to ~10 chars
+#: Trainer token-length cap: a word with more than _BPE_REPL
+#: boundary-sharing repeats of the merged pair would be left PARTIALLY
+#: merged by the fixed-pass REPLACE (occurrences <= len/2, so 2*_BPE_REPL
+#: chars is the provable safe bound); tokens above the cap — and tokens
+#: containing the '|' symbol separator — are EXCLUDED identically on both
+#: engines rather than silently under-merged (ADVICE r8). The fixture
+#: corpus maxes out at 8 chars with no '|', so the cap is a no-op there
+#: (asserted in tests/test_round9_ops.py).
+_BPE_MAX_TOK = 2 * _BPE_REPL
 
 
 def _bpe_sql_pairs(src: str) -> str:
@@ -402,7 +411,7 @@ _BPE_TRAIN_SQL = f"""
     WITH tf AS (
         SELECT tok, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-        WHERE tok <> ''
+        WHERE tok <> '' AND LENGTH(tok) <= {_BPE_MAX_TOK} AND tok NOT LIKE '%|%'
         GROUP BY tok
     ),
     v0 AS (
@@ -453,6 +462,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
+        # cap + '|'-free guard: see _BPE_MAX_TOK — over-cap tokens would
+        # be silently under-merged by the fixed-pass REPLACE, and a
+        # literal '|' corrupts the symbol encoding; both are excluded
+        # identically in the oracle.
+        .filter((F.length("tok") <= _BPE_MAX_TOK) & (~F.col("tok").contains("|")))
     )
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = tf.select(

@@ -169,12 +169,20 @@ def test_index_search_equals_live_encode(spark):
     stored = {tuple(r) for r in similarity_index_search(spark, SF).collect()}
     assert stored == live
 
-    codes_path = os.path.join(_ensure_ivfpq_index(spark, SF), "codes")
+    root = _ensure_ivfpq_index(spark, SF)
+    codes_path = os.path.join(root, "codes")
+    marker = os.path.join(root, "_BUILT")
     v_before = versions(codes_path)
     n_before = snapshot_read(spark, codes_path).count()
     batch = snapshot_read(spark, codes_path).limit(8)  # simulate an ingest
-    versioned_write(batch, codes_path, mode="append")
+    # Invalidate the marker BEFORE mutating the shared index: if anything
+    # below crashes, the next consumer sees a stale index and rebuilds it
+    # instead of silently serving the appended duplicate code rows
+    # (ADVICE r8). The marker is restored only after a clean rollback.
+    os.remove(marker)
+    restored = False
     try:
+        versioned_write(batch, codes_path, mode="append")
         assert len(versions(codes_path)) == len(v_before) + 1
         assert snapshot_read(spark, codes_path).count() == n_before + 8
         # the OLD snapshot still reads exactly the pre-append index
@@ -182,4 +190,11 @@ def test_index_search_equals_live_encode(spark):
     finally:
         from argodb_mapreduce_spark.sources.versioned import rollback
 
-        rollback(codes_path, v_before[-1])
+        try:
+            rollback(codes_path, v_before[-1])
+            restored = snapshot_read(spark, codes_path).count() == n_before
+        except Exception:
+            pass  # marker stays absent -> poisoned index rebuilds
+        if restored:
+            with open(marker, "w") as fh:
+                fh.write("ok")

@@ -1,0 +1,70 @@
+"""Round-9 additions: data skipping wiring, ADVICE fixes, CBO evidence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_assign_blocked_balances_strided_ids(spark):
+    """ADVICE r8: ids strided by exactly n_blocks would all collapse into
+    one block under plain pmod; the xxhash64 pre-hash must keep realized
+    block sizes near the ~1024 target AND preserve bit-exact output."""
+    from argodb_mapreduce_spark.operators.clustering import assign, assign_blocked
+
+    n = 4096
+    n_blocks = max(1, n // 1024)  # 4 blocks, stride picked adversarially
+    stride = n_blocks
+    e = (
+        spark.range(n)
+        .select((F.col("id") * stride).alias("vec_id"))
+        .withColumn(
+            "qe", F.expr("transform(sequence(1, 8), i -> (vec_id * i) % 97)")
+        )
+    )
+    cent = e.filter(F.col("vec_id") < 8 * stride).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("qc")
+    )
+    # realized block sizes: recompute the blocking key the operator uses
+    sizes = (
+        e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == n_blocks  # every block populated (pmod alone -> 1)
+    assert max(r["count"] for r in sizes) < 4 * 1024  # no pile-up
+    ref = {(r.vec_id, r.cid, r.dist2) for r in assign(e, cent).collect()}
+    blk = {(r.vec_id, r.cid, r.dist2) for r in assign_blocked(e, cent, n).collect()}
+    assert blk == ref
+
+
+def test_bpe_fixture_within_trainer_cap(spark):
+    """The _BPE_MAX_TOK cap must be a NO-OP on the fixture corpus (max
+    token 8 chars, no '|'), so the guard excludes nothing today and the
+    banked oracle evidence stays valid."""
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.training_data import _BPE_MAX_TOK
+
+    d = load_table(spark, SF, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    bad = toks.filter(
+        (F.length("tok") > _BPE_MAX_TOK) | F.col("tok").contains("|")
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_repl_passes_cover_cap():
+    """Provable bound: a token of length L yields at most floor(L/2)
+    boundary-sharing occurrences of any merged pair, so _BPE_REPL passes
+    fully merge every token the cap admits."""
+    from argodb_mapreduce_spark.operators.training_data import _BPE_MAX_TOK, _BPE_REPL
+
+    assert _BPE_MAX_TOK // 2 <= _BPE_REPL
