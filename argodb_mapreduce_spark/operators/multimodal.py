@@ -768,12 +768,15 @@ def _jpeg_codec():
     a JFIF container (SOI/APP0/DQT/SOF0/DHTx2/SOS/EOI).
 
     Decoder: general baseline sequential grayscale — marker walk with
-    truncation guards, DQT/DHT table parsing (any conformant tables,
-    not just the encoder's), Huffman scan decode, dequantize, inverse
-    zigzag, IDCT, clamp. Fails loud on: bad signature, cut-off
-    segments, progressive/arithmetic SOF markers, multi-component
-    scans, 16-bit quant tables, invalid codes, truncated entropy
-    stream, missing EOI."""
+    truncation guards (fill bytes and standalone TEM/RSTn handled),
+    DQT/DHT table parsing (any conformant tables, not just the
+    encoder's), DRI/RSTn restart intervals (DC predictor reset +
+    byte-aligned resync, sequence-validated), Huffman scan decode,
+    dequantize, inverse zigzag, IDCT, clamp. Fails loud on: bad
+    signature, cut-off segments, progressive/arithmetic SOF markers,
+    multi-component scans, 16-bit quant tables, invalid codes,
+    truncated entropy stream, out-of-sequence or DRI-less restart
+    markers, missing EOI."""
     import struct
 
     import numpy as np
@@ -840,9 +843,13 @@ def _jpeg_codec():
         n = abs(v).bit_length()
         return n, (v if v > 0 else v + (1 << n) - 1)
 
-    def encode(arr, qval: int = 8):
+    def encode(arr, qval: int = 8, restart_interval: int = 0):
         """np.uint8 (h, w), h/w multiples of 8 preferred (edge-replicated
-        otherwise) -> baseline grayscale JFIF bytes."""
+        otherwise) -> baseline grayscale JFIF bytes. ``restart_interval``
+        > 0 emits a DRI segment and RSTn markers every that many MCUs
+        (DC predictor reset + byte-aligned resync, ITU T.81 §B.2.1.2) —
+        the error-resilience feature real encoders default on for large
+        images."""
         h, w = arr.shape
         q = np.full(64, qval, dtype=np.int64)
         bh, bw = -(-h // 8), -(-w // 8)
@@ -877,7 +884,13 @@ def _jpeg_codec():
                     out.append(0x00)
 
         prev_dc = 0
-        for zz in Qz:
+        for bi, zz in enumerate(Qz):
+            if restart_interval and bi and bi % restart_interval == 0:
+                if nbits:  # byte-align with 1-bits, then the raw marker
+                    put((1 << (8 - nbits)) - 1, 8 - nbits)
+                out.append(0xFF)
+                out.append(0xD0 + ((bi // restart_interval - 1) % 8))
+                prev_dc = 0
             diff = int(zz[0]) - prev_dc
             prev_dc = int(zz[0])
             cat, bits = category(diff)
@@ -919,6 +932,7 @@ def _jpeg_codec():
             + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
             + seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
             + seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+            + (seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b"")
             + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
             + scan
             + b"\xff\xd9"
@@ -929,14 +943,20 @@ def _jpeg_codec():
         if buf[:2] != b"\xff\xd8":
             raise ValueError("bad JPEG signature (no SOI)")
         pos, qtabs, htabs, sof, scan_info, scan_start = 2, {}, {}, None, None, None
+        restart_interval = 0
         while pos < len(buf):
             if buf[pos] != 0xFF:
                 raise ValueError(f"expected marker at byte {pos}")
+            while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+                pos += 1  # optional 0xFF fill bytes before a marker (§B.1.1.2)
             m = buf[pos + 1] if pos + 1 < len(buf) else None
             if m is None:
                 raise ValueError("truncated JPEG: lone 0xFF at end")
             if m == 0xD9:
                 break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                pos += 2  # TEM/RSTn are standalone: no length word follows
+                continue
             if pos + 4 > len(buf):
                 raise ValueError("truncated JPEG: marker length cut off")
             (length,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
@@ -977,6 +997,10 @@ def _jpeg_codec():
                 raise ValueError(
                     f"non-baseline SOF marker 0xFF{m:02X} (progressive/arithmetic unsupported)"
                 )
+            elif m == 0xDD:
+                if length != 4:
+                    raise ValueError("malformed DRI segment")
+                (restart_interval,) = struct.unpack(">H", payload)
             elif m == 0xDA:
                 if payload[0] != 1:
                     raise ValueError("interleaved multi-component scan unsupported")
@@ -998,24 +1022,51 @@ def _jpeg_codec():
         dct, act = htabs[(0, scan_info[0])], htabs[(1, scan_info[1])]
 
         # --- scan decode: 16-bit-lookahead LUT (the libjpeg shape) ---
-        # Unstuff the whole entropy segment vectorized, then decode each
+        # Unstuff each entropy segment vectorized, then decode each
         # symbol with ONE peek of the next 16 bits into a table mapping
         # every 16-bit window to (code length << 8 | symbol) — ~10x less
         # interpreter work than per-bit Huffman walking (measured 10.2 s
         # -> ~2 s for the sf0.1 query on the per-bit reader this
         # replaces). Entry 0 marks prefixes that are no valid code.
+        #
+        # Restart markers (DRI/RSTn, §B.2.1.2): the scan splits into
+        # byte-aligned segments at each RSTn; every segment restarts the
+        # DC predictor and covers exactly `restart_interval` MCUs (the
+        # last may be short). Marker sequence numbers cycle D0..D7 and
+        # are validated — a skipped or repeated marker fails loud.
         raw = np.frombuffer(data, dtype=np.uint8)
         if len(raw) == 0:
             raise ValueError("truncated JPEG entropy stream")
         is_ff = raw == 0xFF
         if is_ff[-1]:
             raise ValueError("truncated JPEG entropy stream at 0xFF")
-        if (is_ff[:-1] & (raw[1:] != 0x00)).any():
+        nxt = raw[1:]
+        is_rst = is_ff[:-1] & (nxt >= 0xD0) & (nxt <= 0xD7)
+        if (is_ff[:-1] & (nxt != 0x00) & ~is_rst).any():
             raise ValueError("unexpected marker inside scan")
-        drop = np.zeros(len(raw), dtype=bool)
-        drop[1:] = is_ff[:-1] & (raw[1:] == 0x00)
-        stream = raw[~drop].tobytes()
-        total_bits = 8 * len(stream)
+        rst_at = np.nonzero(is_rst)[0]
+        if len(rst_at) and restart_interval == 0:
+            raise ValueError("RSTn marker in scan but no DRI segment")
+        chunks = []  # (unstuffed bytes) per restart segment
+        start = 0
+        for i, p in enumerate(rst_at):
+            expected = 0xD0 + (i % 8)
+            if int(raw[p + 1]) != expected:
+                raise ValueError(
+                    f"RST marker out of sequence: got 0xFF{int(raw[p + 1]):02X}, "
+                    f"expected 0xFF{expected:02X}"
+                )
+            chunks.append(raw[start:p])
+            start = int(p) + 2
+        chunks.append(raw[start:])
+
+        def unstuff(seg):
+            if len(seg) == 0:
+                raise ValueError("truncated JPEG entropy stream")
+            ff = seg == 0xFF
+            drop = np.zeros(len(seg), dtype=bool)
+            drop[1:] = ff[:-1] & (seg[1:] == 0x00)
+            return seg[~drop].tobytes()
 
         def lut_of(key, bits, vals):
             cached = _lut_cache.get(key)
@@ -1029,72 +1080,89 @@ def _jpeg_codec():
 
         dc_lut, ac_lut = lut_of(*dct), lut_of(*act)
 
-        spos, sacc, snbits = 0, 0, 0  # byte cursor, bit accumulator
-
-        def ensure(n):
-            # top up the accumulator to >= n bits; virtual 1-padding past
-            # the stream end is allowed for LOOKAHEAD only — consuming it
-            # is caught by the per-block consumed-bits check below.
-            nonlocal spos, sacc, snbits
-            while snbits < n:
-                if spos < len(stream):
-                    sacc = ((sacc & ((1 << snbits) - 1)) << 8) | stream[spos]
-                    spos += 1
-                else:
-                    sacc = ((sacc & ((1 << snbits) - 1)) << 8) | 0xFF
-                snbits += 8
-
-        consumed = 0
-
-        def read_sym(lut):
-            nonlocal snbits, consumed
-            ensure(16)
-            entry = int(lut[(sacc >> (snbits - 16)) & 0xFFFF])
-            if entry == 0:
-                raise ValueError("invalid Huffman code in scan")
-            length = entry >> 8
-            snbits -= length
-            consumed += length
-            return entry & 0xFF
-
-        def read_bits(n):
-            nonlocal snbits, consumed
-            if n == 0:
-                return 0
-            ensure(n)
-            snbits -= n
-            consumed += n
-            return (sacc >> snbits) & ((1 << n) - 1)
-
         def extend(bits, cat):
             if cat == 0:
                 return 0
             return bits if bits >> (cat - 1) else bits - (1 << cat) + 1
 
+        def decode_segment(stream, coeffs, base, n_blocks):
+            """Decode ``n_blocks`` MCUs from one byte-aligned restart
+            segment into coeffs[base:base+n_blocks]; the DC predictor
+            starts at 0 (reset semantics)."""
+            total_bits = 8 * len(stream)
+            spos, sacc, snbits = 0, 0, 0  # byte cursor, bit accumulator
+
+            def ensure(n):
+                # top up the accumulator to >= n bits; virtual 1-padding
+                # past the segment end is allowed for LOOKAHEAD only —
+                # consuming it is caught by the consumed-bits check below.
+                nonlocal spos, sacc, snbits
+                while snbits < n:
+                    if spos < len(stream):
+                        sacc = ((sacc & ((1 << snbits) - 1)) << 8) | stream[spos]
+                        spos += 1
+                    else:
+                        sacc = ((sacc & ((1 << snbits) - 1)) << 8) | 0xFF
+                    snbits += 8
+
+            consumed = 0
+
+            def read_sym(lut):
+                nonlocal snbits, consumed
+                ensure(16)
+                entry = int(lut[(sacc >> (snbits - 16)) & 0xFFFF])
+                if entry == 0:
+                    raise ValueError("invalid Huffman code in scan")
+                length = entry >> 8
+                snbits -= length
+                consumed += length
+                return entry & 0xFF
+
+            def read_bits(n):
+                nonlocal snbits, consumed
+                if n == 0:
+                    return 0
+                ensure(n)
+                snbits -= n
+                consumed += n
+                return (sacc >> snbits) & ((1 << n) - 1)
+
+            prev_dc = 0
+            for n in range(n_blocks):
+                zz = coeffs[base + n]
+                cat = read_sym(dc_lut)
+                prev_dc += extend(read_bits(cat), cat) if cat else 0
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    sym = read_sym(ac_lut)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC coefficient run overruns block")
+                    zz[i] = extend(read_bits(cat), cat)
+                    i += 1
+                if consumed > total_bits:
+                    raise ValueError("truncated JPEG entropy stream")
+
         bh, bw = -(-hh // 8), -(-ww // 8)
-        coeffs = np.zeros((bh * bw, 64), dtype=np.int64)
-        prev_dc = 0
-        for n in range(bh * bw):
-            zz = coeffs[n]
-            cat = read_sym(dc_lut)
-            prev_dc += extend(read_bits(cat), cat) if cat else 0
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_sym(ac_lut)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC coefficient run overruns block")
-                zz[i] = extend(read_bits(cat), cat)
-                i += 1
-            if consumed > total_bits:
-                raise ValueError("truncated JPEG entropy stream")
+        n_total = bh * bw
+        coeffs = np.zeros((n_total, 64), dtype=np.int64)
+        per = restart_interval if restart_interval else n_total
+        expected_chunks = max(1, -(-n_total // per))
+        if len(chunks) != expected_chunks:
+            raise ValueError(
+                f"restart segment count mismatch: {len(chunks)} segments "
+                f"for {n_total} MCUs at interval {per}"
+            )
+        for ci, seg_raw in enumerate(chunks):
+            base = ci * per
+            decode_segment(unstuff(seg_raw), coeffs, base, min(per, n_total - base))
         nat = np.zeros_like(coeffs)
         nat[:, ZIGZAG] = coeffs
         D = (nat * qnat).reshape(-1, 8, 8).astype(np.float64)

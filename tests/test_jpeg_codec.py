@@ -149,3 +149,69 @@ def test_spark_query_matches_oracle(spark):
         r = rows[od["doc_id"][i]]
         for c in ("width", "height", "n_px", "sum_px", "max_px"):
             assert r[c] == od[c][i], (c, r, od.iloc[i].to_dict())
+
+
+# ---------------------------------------------------------------------------
+# Restart markers (DRI/RSTn, round 9 — ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_interval_roundtrips_exact():
+    """A DRI-encoded stream must decode to the SAME pixels as the
+    marker-free encoding of the same image, across interval sizes that
+    hit aligned, unaligned, and single-MCU restart boundaries."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(40, 64), dtype=np.uint8)  # 5x8 = 40 MCUs
+    (_, _, _), ref = parse(encode(img))
+    for ri in (1, 3, 8, 7, 40, 64):
+        buf = encode(img, restart_interval=ri)
+        assert b"\xff\xdd" in buf  # DRI segment present
+        (w, h, prec), px = parse(buf)
+        assert (w, h, prec) == (64, 40, 8)
+        assert np.array_equal(px, ref), f"interval {ri}"
+
+
+def test_restart_markers_cycle_d0_to_d7():
+    img = np.zeros((8, 8 * 20), dtype=np.uint8)  # 20 MCUs, interval 2 -> 9 RSTs
+    buf = encode(img, restart_interval=2)
+    seen = []
+    i = 0
+    scan = buf[buf.find(b"\xff\xda") + 2 :]
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+            seen.append(scan[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert seen == [i % 8 for i in range(9)]
+
+
+def test_rst_without_dri_raises():
+    img = np.zeros((8, 16), dtype=np.uint8)
+    buf = bytearray(encode(img, restart_interval=1))
+    dri = buf.find(b"\xff\xdd")
+    del buf[dri : dri + 6]  # strip the DRI segment, keep the RSTs
+    with pytest.raises(ValueError, match="no DRI"):
+        parse(bytes(buf))
+
+
+def test_rst_out_of_sequence_raises():
+    img = np.zeros((8, 8 * 4), dtype=np.uint8)
+    buf = bytearray(encode(img, restart_interval=1))
+    scan = buf.find(b"\xff\xda")
+    first_rst = buf.find(b"\xff\xd0", scan)
+    assert first_rst > 0
+    buf[first_rst + 1] = 0xD5  # corrupt the sequence number
+    with pytest.raises(ValueError, match="out of sequence"):
+        parse(bytes(buf))
+
+
+def test_dc_predictor_resets_at_restart():
+    """A gradient image makes DC prediction matter: if the decoder did
+    NOT reset the predictor at each RST, every segment after the first
+    would decode shifted. Interval 1 maximizes resets."""
+    img = np.repeat(np.arange(16, dtype=np.uint8)[None, :] * 16, 8, axis=0)
+    img = np.repeat(img, 8, axis=1)[:8, : 8 * 16]
+    _, ref = parse(encode(img))
+    _, px = parse(encode(img, restart_interval=1))
+    assert np.array_equal(px, ref)
