@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.cleaning",
     "argodb_mapreduce_spark.operators.bi",
     "argodb_mapreduce_spark.operators.modern_sql",
+    "argodb_mapreduce_spark.operators.cbo",
 )
 
 #: ROUND-8 DRIVER WINDOW. The driver checks the first 50 entries of

@@ -68,3 +68,37 @@ def test_bpe_repl_passes_cover_cap():
     from argodb_mapreduce_spark.operators.training_data import _BPE_MAX_TOK, _BPE_REPL
 
     assert _BPE_MAX_TOK // 2 <= _BPE_REPL
+
+
+def test_cbo_join_reorder_fires_with_stats_not_without(spark):
+    """The optimizer evidence itself: with ANALYZE stats + CBO the
+    optimized plan joins the selective nation dim before the lineitem
+    fact; without CBO the literal fact-first order survives."""
+    from argodb_mapreduce_spark.operators.cbo import cbo_reorder_evidence
+
+    ev = cbo_reorder_evidence(spark, SF)
+    assert ev["off"][0] == "lineitem"  # literal order preserved
+    assert ev["off"].index("lineitem") < ev["off"].index("nation")
+    assert ev["on"].index("nation") < ev["on"].index("lineitem")  # reordered
+    assert ev["fired"] is True
+
+
+def test_cbo_query_result_independent_of_reordering(spark):
+    """Join reordering must never change results: the registered query's
+    aggregate equals the plain load_table computation."""
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.cbo import cbo_join_reorder
+
+    got = {(r.n_name, r.cnt) for r in cbo_join_reorder(spark, SF).collect()}
+    l = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation").filter(F.col("n_name") == "NATION_7")
+    ref = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    assert got == {(r.n_name, r["count"]) for r in ref.collect()}
