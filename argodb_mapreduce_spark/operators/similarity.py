@@ -1029,17 +1029,13 @@ def _ivfpq_pipeline(spark: SparkSession, sf_dir: str):
     return e, queries, adc
 
 
-def _ivfpq_encode(spark: SparkSession, sf_dir: str):
-    """The ENCODE half of IVF-PQ: coarse-assign every vector, PQ-encode
-    the residual. Returns (e, cent, cbq, codes) — cent/cbq/codes are
-    the three index artifacts a production stack PERSISTS
-    (similarity_index_build) so search runs off stored codes."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantize(F.col("embedding")).alias("qemb")
-    )
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
-    )
+def _ivfpq_encode_from(e: DataFrame, cent: DataFrame):
+    """ENCODE against a GIVEN centroid table: coarse-assign every vector
+    of corpus ``e`` (vec_id, qemb), PQ-encode the residual; the codebook
+    is trained on the residuals of the corpus' PQ_K lowest vec_ids under
+    THESE centroids. Returns (cbq, codes). Decoupled so the refresh
+    lifecycle can encode the same corpus under stale vs retrained
+    centroid sets (similarity_index_refresh)."""
     cd = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "qemb", "cid", _ivfpq_l2(F.col("qemb"), F.col("cemb")).alias("cdist")
     )
@@ -1063,6 +1059,21 @@ def _ivfpq_encode(spark: SparkSession, sf_dir: str):
         .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
         .select("vec_id", "cid", "sub_id", F.col("b.code").alias("code"))
     )
+    return cbq, codes
+
+
+def _ivfpq_encode(spark: SparkSession, sf_dir: str):
+    """The ENCODE half of IVF-PQ: coarse-assign every vector, PQ-encode
+    the residual. Returns (e, cent, cbq, codes) — cent/cbq/codes are
+    the three index artifacts a production stack PERSISTS
+    (similarity_index_build) so search runs off stored codes."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
+    )
+    cbq, codes = _ivfpq_encode_from(e, cent)
     return e, cent, cbq, codes
 
 
@@ -1116,6 +1127,75 @@ def _ivfpq_adc_from(
     )
 
 
+def _sql_ivfpq_block(sfx: str, corpus: str, cent: str, queries: str) -> str:
+    """DuckDB CTE chain for one IVF-PQ index instance: encode ``corpus``
+    (vec_id, qemb) against centroid table ``cent`` (cid, cemb), then
+    ADC-search it for ``queries`` (query_id, qemb). All CTE names carry
+    ``sfx`` so two instances (e.g. a stale and a retrained index —
+    similarity_index_refresh) compose inside one WITH. ``sfx=''``
+    reproduces the original shared dataflow verbatim."""
+    return f"""cd{sfx} AS (
+      SELECT v.vec_id, v.qemb, c.cid, c.cemb,
+             {_sql_l2("v.qemb", "c.cemb", _PQ_DIMS)} AS cdist
+      FROM {corpus} v CROSS JOIN {cent} c
+    ), asg{sfx} AS (
+      SELECT vec_id, qemb, cid, cemb FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rn
+        FROM cd{sfx}
+      ) WHERE rn = 1
+    ), resid{sfx} AS (
+      SELECT vec_id, cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> qemb[CAST(i AS INT)] - cemb[CAST(i AS INT)]) AS r
+      FROM asg{sfx}
+    ), cbq{sfx} AS (
+      SELECT CAST(s.vec_id AS INT) AS code, CAST(m AS INT) AS sub_id,
+             list_slice(s.r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+      FROM resid{sfx} s, UNNEST(range(0, {PQ_M})) AS u(m)
+      WHERE s.vec_id < {PQ_K}
+    ), rsubs{sfx} AS (
+      SELECT vec_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM resid{sfx}, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), cand{sfx} AS (
+      SELECT su.vec_id, su.cid, su.sub_id, cb.code,
+             {_sql_l2("su.sv", "cb.cv", PQ_SUBDIM)} AS dist_sq
+      FROM rsubs{sfx} su JOIN cbq{sfx} cb ON cb.sub_id = su.sub_id
+    ), codes{sfx} AS (
+      SELECT vec_id, cid, sub_id, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist_sq, code) AS rn
+        FROM cand{sfx}
+      ) WHERE rn = 1
+    ), qprobe{sfx} AS (
+      SELECT query_id, cid, cemb FROM (
+        SELECT q.query_id, c.cid, c.cemb,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_l2("q.qemb", "c.cemb", _PQ_DIMS)}, c.cid) AS rn
+        FROM {queries} q CROSS JOIN {cent} c
+      ) WHERE rn <= {IVFPQ_PROBES}
+    ), qresid{sfx} AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> q.qemb[CAST(i AS INT)] - p.cemb[CAST(i AS INT)]) AS r
+      FROM qprobe{sfx} p JOIN {queries} q ON q.query_id = p.query_id
+    ), qsubs{sfx} AS (
+      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
+      FROM qresid{sfx}, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), lut{sfx} AS (
+      SELECT s.query_id, s.cid, s.sub_id, cb.code,
+             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
+      FROM qsubs{sfx} s JOIN cbq{sfx} cb ON cb.sub_id = s.sub_id
+    ), adc{sfx} AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+      FROM codes{sfx} c
+      JOIN lut{sfx} l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )"""
+
+
 #: Shared IVF-PQ oracle dataflow (through the probe-pruned ADC
 #: candidates) — both the plain top-k and the refined re-rank extend it.
 _SQL_IVFPQ_CTES = f"""
@@ -1126,68 +1206,9 @@ _SQL_IVFPQ_CTES = f"""
       FROM embeddings
     ), cent AS (
       SELECT vec_id AS cid, qemb AS cemb FROM qv WHERE vec_id < {N_CENTROIDS}
-    ), cd AS (
-      SELECT v.vec_id, v.qemb, c.cid, c.cemb,
-             {_sql_l2("v.qemb", "c.cemb", _PQ_DIMS)} AS cdist
-      FROM qv v CROSS JOIN cent c
-    ), asg AS (
-      SELECT vec_id, qemb, cid, cemb FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rn
-        FROM cd
-      ) WHERE rn = 1
-    ), resid AS (
-      SELECT vec_id, cid,
-             list_transform(range(1, {_PQ_DIMS} + 1),
-               i -> qemb[CAST(i AS INT)] - cemb[CAST(i AS INT)]) AS r
-      FROM asg
-    ), cbq AS (
-      SELECT CAST(s.vec_id AS INT) AS code, CAST(m AS INT) AS sub_id,
-             list_slice(s.r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
-      FROM resid s, UNNEST(range(0, {PQ_M})) AS u(m)
-      WHERE s.vec_id < {PQ_K}
-    ), rsubs AS (
-      SELECT vec_id, cid, CAST(m AS INT) AS sub_id,
-             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
-      FROM resid, UNNEST(range(0, {PQ_M})) AS u(m)
-    ), cand AS (
-      SELECT su.vec_id, su.cid, su.sub_id, cb.code,
-             {_sql_l2("su.sv", "cb.cv", PQ_SUBDIM)} AS dist_sq
-      FROM rsubs su JOIN cbq cb ON cb.sub_id = su.sub_id
-    ), codes AS (
-      SELECT vec_id, cid, sub_id, code FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                                     ORDER BY dist_sq, code) AS rn
-        FROM cand
-      ) WHERE rn = 1
     ), queries AS (
       SELECT vec_id AS query_id, qemb FROM qv WHERE vec_id < {PQ_QUERIES}
-    ), qprobe AS (
-      SELECT query_id, cid, cemb FROM (
-        SELECT q.query_id, c.cid, c.cemb,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_sql_l2("q.qemb", "c.cemb", _PQ_DIMS)}, c.cid) AS rn
-        FROM queries q CROSS JOIN cent c
-      ) WHERE rn <= {IVFPQ_PROBES}
-    ), qresid AS (
-      SELECT p.query_id, p.cid,
-             list_transform(range(1, {_PQ_DIMS} + 1),
-               i -> q.qemb[CAST(i AS INT)] - p.cemb[CAST(i AS INT)]) AS r
-      FROM qprobe p JOIN queries q ON q.query_id = p.query_id
-    ), qsubs AS (
-      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
-             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
-      FROM qresid, UNNEST(range(0, {PQ_M})) AS u(m)
-    ), lut AS (
-      SELECT s.query_id, s.cid, s.sub_id, cb.code,
-             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
-      FROM qsubs s JOIN cbq cb ON cb.sub_id = s.sub_id
-    ), adc AS (
-      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
-      FROM codes c
-      JOIN lut l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
-      WHERE c.vec_id <> l.query_id
-      GROUP BY l.query_id, c.vec_id
-    )
+    ), {_sql_ivfpq_block("", "qv", "cent", "queries")}
 """
 
 
@@ -1494,18 +1515,37 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     the winner's marker instead of colliding inside versioned_write's
     errorifexists segment write (ADVICE r8).
     """
+    from argodb_mapreduce_spark.catalog import table_path
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    root = _ivfpq_index_root(sf_dir)
+
+    def build():
+        import os
+        import shutil
+
+        _e, cent, cbq, codes = _ivfpq_encode(spark, sf_dir)
+        for name, df in (("cent", cent), ("cbq", cbq), ("codes", codes)):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            versioned_write(df, os.path.join(root, name), mode="overwrite")
+
+    _locked_build(root, table_path(sf_dir, "embeddings"), build)
+    return root
+
+
+def _locked_build(root: str, src: str, build) -> None:
+    """Run ``build()`` exactly once per stale fixture across concurrent
+    sessions: atomic-mkdir lock; losers wait for the winner's _BUILT
+    marker; stale locks from crashed builders expire after 10 min."""
     import os
     import shutil
     import time
 
-    from argodb_mapreduce_spark.catalog import fixture_stale, table_path
-    from argodb_mapreduce_spark.sources.versioned import versioned_write
+    from argodb_mapreduce_spark.catalog import fixture_stale
 
-    root = _ivfpq_index_root(sf_dir)
     marker = os.path.join(root, "_BUILT")
-    src = table_path(sf_dir, "embeddings")
     if not fixture_stale(src, marker):
-        return root
+        return
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, "_BUILDING")
     deadline = time.monotonic() + 600
@@ -1514,25 +1554,19 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
             os.mkdir(lock)  # atomic on POSIX: exactly one builder wins
             break
         except FileExistsError:
-            # another session is building; stale locks (crashed builder)
-            # expire after 10 min of no progress
             if time.monotonic() > deadline:
                 shutil.rmtree(lock, ignore_errors=True)
                 continue
             time.sleep(0.5)
             if not fixture_stale(src, marker):
-                return root  # the winner finished while we waited
+                return  # the winner finished while we waited
     try:
         if fixture_stale(src, marker):  # re-check under the lock
-            _e, cent, cbq, codes = _ivfpq_encode(spark, sf_dir)
-            for name, df in (("cent", cent), ("cbq", cbq), ("codes", codes)):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                versioned_write(df, os.path.join(root, name), mode="overwrite")
+            build()
             with open(marker, "w") as fh:
                 fh.write("ok")
     finally:
         shutil.rmtree(lock, ignore_errors=True)
-    return root
 
 
 _SQL_IVFPQ_INDEX_SUMMARY = f"""
@@ -1619,4 +1653,243 @@ def similarity_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= PQ_TOPK)
         .select("query_id", "vec_id", "adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: drift, incremental ingest, retrain, republish
+# ---------------------------------------------------------------------------
+
+REFRESH_OFFSET = 1_000_000  #: vec_id offset for the synthetic drift batch
+REFRESH_SHIFT = 0.75  #: per-dimension embedding shift of the drift batch
+REFRESH_MOD = 10  #: every REFRESH_MOD-th base vector spawns a drifted twin
+
+
+def _refresh_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic drift scenario: 10% of the corpus reappears shifted
+    by +REFRESH_SHIFT per dimension under offset ids — a region the
+    original centroids never saw. Returns (union, queries, cent_stale,
+    cent_new); queries are the PQ_QUERIES lowest drifted ids (new data
+    is what gets searched next)."""
+    e0 = load_table(spark, sf_dir, "embeddings")
+    base = e0.select("vec_id", _quantize(F.col("embedding")).alias("qemb"))
+    drift = e0.filter(F.col("vec_id") % REFRESH_MOD == 0).select(
+        (F.col("vec_id") + REFRESH_OFFSET).alias("vec_id"),
+        _quantize(
+            F.expr(f"transform(embedding, x -> cast(x as double) + {REFRESH_SHIFT}d)")
+        ).alias("qemb"),
+    )
+    union = base.unionByName(drift)
+    queries = drift.orderBy("vec_id").limit(PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
+    )
+    cent_stale = base.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb")
+    )
+    half = N_CENTROIDS // 2
+    cent_new = union.filter(
+        (F.col("vec_id") < half)
+        | (
+            (F.col("vec_id") >= REFRESH_OFFSET)
+            & (F.col("vec_id") < REFRESH_OFFSET + REFRESH_MOD * half)
+        )
+    ).select(F.col("vec_id").cast("int").alias("cid"), F.col("qemb").alias("cemb"))
+    return union, queries, cent_stale, cent_new
+
+
+def _refresh_index_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "ivfpq_refresh"
+    )
+
+
+def _ensure_refresh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the full index LIFECYCLE as versioned-table history:
+
+    * cent/cbq v0  = the stale index (base corpus, original centroids);
+    * codes  v0    = base codes under the stale index;
+    * codes  v1    = + the drift batch encoded with the STALE artifacts
+                     (manifest-only append — the daily-ingest path);
+    * cent/cbq v1, codes v2 = the RETRAIN: centroids re-seeded to cover
+                     the drifted region, whole corpus re-encoded,
+                     republished as new versions (old versions stay
+                     time-travelable, exactly like any snapshot table).
+    """
+    from argodb_mapreduce_spark.catalog import table_path
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    root = _refresh_index_root(sf_dir)
+
+    def build():
+        import os
+        import shutil
+
+        union, _q, cent_stale, cent_new = _refresh_frames(spark, sf_dir)
+        cbq_s, codes_s = _ivfpq_encode_from(union, cent_stale)
+        base_codes = codes_s.filter(F.col("vec_id") < REFRESH_OFFSET)
+        drift_codes = codes_s.filter(F.col("vec_id") >= REFRESH_OFFSET)
+        cbq_n, codes_n = _ivfpq_encode_from(union, cent_new)
+        for name in ("cent", "cbq", "codes"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        versioned_write(cent_stale, os.path.join(root, "cent"), mode="overwrite")
+        versioned_write(cbq_s, os.path.join(root, "cbq"), mode="overwrite")
+        versioned_write(base_codes, os.path.join(root, "codes"), mode="overwrite")
+        versioned_write(drift_codes, os.path.join(root, "codes"), mode="append")
+        versioned_write(cent_new, os.path.join(root, "cent"), mode="overwrite")
+        versioned_write(cbq_n, os.path.join(root, "cbq"), mode="overwrite")
+        versioned_write(codes_n, os.path.join(root, "codes"), mode="overwrite")
+
+    _locked_build(root, table_path(sf_dir, "embeddings"), build)
+    return root
+
+
+_SQL_REFRESH = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {float(_Q)}) AS BIGINT)) AS qemb
+      FROM embeddings
+    ), dv AS (
+      SELECT vec_id + {REFRESH_OFFSET} AS vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND((CAST(x AS DOUBLE) + {REFRESH_SHIFT}) * {float(_Q)}) AS BIGINT)) AS qemb
+      FROM embeddings WHERE vec_id % {REFRESH_MOD} = 0
+    ), uv AS (
+      SELECT vec_id, qemb FROM qv UNION ALL SELECT vec_id, qemb FROM dv
+    ), qrs AS (
+      SELECT vec_id AS query_id, qemb FROM dv ORDER BY vec_id LIMIT {PQ_QUERIES}
+    ), cent_s AS (
+      SELECT CAST(vec_id AS INT) AS cid, qemb AS cemb FROM qv WHERE vec_id < {N_CENTROIDS}
+    ), cent_n AS (
+      SELECT CAST(vec_id AS INT) AS cid, qemb AS cemb FROM uv
+      WHERE vec_id < {N_CENTROIDS // 2}
+         OR (vec_id >= {REFRESH_OFFSET}
+             AND vec_id < {REFRESH_OFFSET + REFRESH_MOD * (N_CENTROIDS // 2)})
+    ), gt AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_l2("q.qemb", "v.qemb", _PQ_DIMS)}, v.vec_id) AS rn
+        FROM qrs q CROSS JOIN uv v WHERE v.vec_id <> q.query_id
+      ) WHERE rn <= {PQ_TOPK}
+    ), {_sql_ivfpq_block("_s", "uv", "cent_s", "qrs")},
+    {_sql_ivfpq_block("_n", "uv", "cent_n", "qrs")},
+    top_s AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+        FROM adc_s
+      ) WHERE rn <= {PQ_TOPK}
+    ), top_n AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+        FROM adc_n
+      ) WHERE rn <= {PQ_TOPK}
+    ), ov_s AS (
+      SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top_s t JOIN gt g ON g.query_id = t.query_id AND g.vec_id = t.vec_id
+      GROUP BY t.query_id
+    ), ov_n AS (
+      SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top_n t JOIN gt g ON g.query_id = t.query_id AND g.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(s.hits, 0) AS BIGINT) AS hits_stale,
+           CAST(COALESCE(n.hits, 0) AS BIGINT) AS hits_retrained,
+           COALESCE(s.hits, 0) / {float(PQ_TOPK)} AS recall_stale,
+           COALESCE(n.hits, 0) / {float(PQ_TOPK)} AS recall_retrained
+    FROM qrs q
+    LEFT JOIN ov_s s ON s.query_id = q.query_id
+    LEFT JOIN ov_n n ON n.query_id = q.query_id
+"""
+
+
+@register(
+    "similarity_index_refresh",
+    oracle=_SQL_REFRESH,
+    tags=("similarity", "vector", "ann", "index", "lifecycle"),
+    doc=(
+        f"ANN index LIFECYCLE: 10% of the corpus drifts into a region "
+        f"the original {N_CENTROIDS} centroids never saw; the drift "
+        f"batch is ingested incrementally (encoded with the STALE "
+        f"centroids/codebook, appended to the code table as a "
+        f"manifest-only new version), then the index is RETRAINED "
+        f"(centroids re-seeded to cover the drifted region, corpus "
+        f"re-encoded, republished as new table versions — old versions "
+        f"stay time-travelable). Output: per drifted query, recall@"
+        f"{PQ_TOPK} vs the exact ground truth under the stale index "
+        f"(drops to ~0 — huge residuals overflow the PQ codebook) and "
+        f"under the retrained one (recovers to 0.5-0.8). Both searches "
+        f"run FROM THE PERSISTED version-pinned artifacts; the oracle "
+        f"hash-checks every per-query recall value."
+    ),
+)
+def similarity_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: retrain cost equals one encode pass (the same
+    O(n·k) blocked assignment the build paid), and the republish is
+    atomic via the manifest — searches either see the old index or the
+    new one, never a half-retrained mix. Recall monitoring like this
+    query's before/after columns is exactly the signal a production
+    vector lake uses to schedule retrains."""
+    import os
+
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    root = _ensure_refresh_index(spark, sf_dir)
+    union, queries, _cs, _cn = _refresh_frames(spark, sf_dir)
+
+    # exact ground truth over the full (post-drift) corpus
+    gt = (
+        queries.crossJoin(union)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _ivfpq_l2(F.col("qq"), F.col("qemb")).alias("d"))
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    gt10 = (
+        gt.withColumn("rn", F.row_number().over(w_gt))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+
+    def hits_from(cent_v, cbq_v, codes_v, out: str) -> DataFrame:
+        cent = snapshot_read(spark, os.path.join(root, "cent"), cent_v)
+        cbq = snapshot_read(spark, os.path.join(root, "cbq"), cbq_v)
+        codes = snapshot_read(spark, os.path.join(root, "codes"), codes_v)
+        adc = _ivfpq_adc_from(queries, cent, cbq, codes)
+        top = (
+            adc.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= PQ_TOPK)
+            .select("query_id", "vec_id")
+        )
+        return (
+            top.join(gt10, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    # stale = version-pinned reads: cent/cbq v0, codes v1 (base + ingest)
+    stale = hits_from(0, 0, 1, "hits_stale")
+    # retrained = latest versions (cent/cbq v1, codes v2)
+    fresh = hits_from(None, None, None, "hits_retrained")
+    return (
+        queries.select("query_id")
+        .join(stale, "query_id", "left")
+        .join(fresh, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits_stale", F.lit(0)).cast("long").alias("hits_stale"),
+            F.coalesce("hits_retrained", F.lit(0)).cast("long").alias("hits_retrained"),
+            (F.coalesce("hits_stale", F.lit(0)) / F.lit(float(PQ_TOPK))).alias("recall_stale"),
+            (F.coalesce("hits_retrained", F.lit(0)) / F.lit(float(PQ_TOPK))).alias(
+                "recall_retrained"
+            ),
+        )
     )

@@ -102,3 +102,38 @@ def test_cbo_query_result_independent_of_reordering(spark):
         .count()
     )
     assert got == {(r.n_name, r["count"]) for r in ref.collect()}
+
+
+def test_index_refresh_version_history_and_recall(spark):
+    """The lifecycle must leave the documented version history (stale
+    build -> manifest-only ingest -> retrain republish) and the
+    retrained index must strictly beat the stale one on the drifted
+    queries in aggregate."""
+    import os as _os
+
+    from argodb_mapreduce_spark.operators.similarity import (
+        _ensure_refresh_index,
+        similarity_index_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, versions
+
+    root = _ensure_refresh_index(spark, SF)
+    assert versions(_os.path.join(root, "cent")) == [0, 1]
+    assert versions(_os.path.join(root, "cbq")) == [0, 1]
+    assert versions(_os.path.join(root, "codes")) == [0, 1, 2]
+    # the ingest (codes v1) reuses v0's segment — manifest-only append
+    entries = {e["version"]: e for e in _read_manifest(_os.path.join(root, "codes"))}
+    assert entries[1]["segments"][0] == entries[0]["segments"][0]
+    assert len(entries[1]["segments"]) == 2
+    # the retrain overwrote: v2 references a single fresh segment
+    assert len(entries[2]["segments"]) == 1
+    assert entries[2]["segments"][0] not in entries[1]["segments"]
+
+    rows = similarity_index_refresh(spark, SF).collect()
+    from argodb_mapreduce_spark.operators.similarity import PQ_QUERIES, PQ_TOPK
+
+    assert len(rows) == PQ_QUERIES
+    assert all(0 <= r.hits_stale <= PQ_TOPK and 0 <= r.hits_retrained <= PQ_TOPK for r in rows)
+    assert sum(r.hits_retrained for r in rows) > sum(r.hits_stale for r in rows)
+    # recall columns are hits/k exactly
+    assert all(abs(r.recall_stale - r.hits_stale / PQ_TOPK) < 1e-12 for r in rows)
