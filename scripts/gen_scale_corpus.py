@@ -307,13 +307,82 @@ def gen_embeddings(out: str, scale: float, files: int) -> None:
     )
 
 
+def gen_skew_facts(out: str, scale: float, files: int) -> None:
+    """Zipf-skewed join/agg stress variant (VERDICT r8 next-step 3):
+    orders as usual, but lineitem's l_orderkey puts ~20% of all rows on
+    ONE hot key (key 0) and Zipf(1.2)-distributes the rest — the
+    shape where an unsalted shuffle join/agg develops a straggler
+    reducer. Only the two tables the skew bench reads are written."""
+    n_orders = int(BASE["orders"] * scale)
+    g = _rng("orders", scale)
+    n = n_orders
+    dates = np.datetime64("1995-01-01") + g.integers(0, 2405, n).astype("timedelta64[D]")
+    _write(
+        out,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array(g.integers(0, int(BASE["customer"] * scale), n), pa.int64()),
+                "o_orderstatus": pa.array(np.array(["O", "F", "P"])[g.integers(0, 3, n)]),
+                "o_totalprice": np.round(g.uniform(900, 500_000, n), 2),
+                "o_orderdate": pa.array(dates.astype("datetime64[us]")),
+                "o_orderpriority": pa.array(np.array(PRIORITIES)[g.integers(0, 5, n)]),
+            }
+        ),
+        files,
+    )
+
+    g = _rng("lineitem_skew", scale)
+    n = int(BASE["lineitem"] * scale)
+    n_hot = n // 5  # one key carries 20% of the fact table
+    tail = np.minimum(g.zipf(1.2, n - n_hot) % n_orders, n_orders - 1).astype("int64")
+    keys = np.concatenate([np.zeros(n_hot, dtype="int64"), tail])
+    g.shuffle(keys)
+    sdates = np.datetime64("1995-01-01") + g.integers(0, 2405, n).astype("timedelta64[D]")
+    _write(
+        out,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "l_partkey": pa.array(g.integers(0, int(BASE["part"] * scale), n), pa.int64()),
+                "l_suppkey": pa.array(g.integers(0, int(BASE["supplier"] * scale), n), pa.int64()),
+                "l_linenumber": pa.array(g.integers(1, 8, n), pa.int32()),
+                "l_quantity": g.integers(1, 51, n).astype("float64"),
+                "l_extendedprice": np.round(g.uniform(900, 100_000, n), 2),
+                "l_discount": np.round(g.integers(0, 11, n) / 100.0, 2),
+                "l_tax": np.round(g.integers(0, 9, n) / 100.0, 2),
+                "l_returnflag": pa.array(np.array(["N", "A", "R"])[g.integers(0, 3, n)]),
+                "l_linestatus": pa.array(np.array(["O", "F"])[g.integers(0, 2, n)]),
+                "l_shipdate": pa.array(sdates.astype("datetime64[us]")),
+            }
+        ),
+        files,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, required=True, help="multiplier over sf0.1 sizes")
     ap.add_argument("--out", required=True)
     ap.add_argument("--files", type=int, default=8, help="part files per big table")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="write only the Zipf-skewed orders+lineitem pair for the skew bench",
+    )
     a = ap.parse_args()
     os.makedirs(a.out, exist_ok=True)
+    if a.skew:
+        gen_skew_facts(a.out, a.scale, a.files)
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(a.out)
+            for f in fs
+        )
+        print(f"wrote SKEW scale={a.scale} corpus to {a.out} ({total/1e6:.1f} MB)")
+        return
     gen_dims(a.out, a.scale, a.files)
     gen_facts(a.out, a.scale, a.files)
     gen_documents(a.out, a.scale, a.files)
