@@ -222,7 +222,9 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bridge_ts(raw, unit)
 
 
-def _run_to_memory(df, name: str, output_mode: str) -> None:
+def _run_to_memory(df, name: str, output_mode: str):
+    """Run to completion under availableNow; returns the finished query
+    so callers can harvest recentProgress (state-store metrics)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -231,6 +233,7 @@ def _run_to_memory(df, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 @register(
@@ -757,19 +760,35 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
     watermark; the memory-sink collapse below is a driver-side test
     convenience — production writes the update stream to a keyed sink.
     """
+    sessions = _stateful_sessions_stream(spark, sf_dir, _timer_marker_dir)
+    _run_to_memory(sessions, "stream_stateful_custom_sink", "update")
+    s = spark.table("stream_stateful_custom_sink")
+    return _collapse_provisional_sessions(s)
+
+
+def _stateful_sessions_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    marker_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Unstarted update-mode stream for the timer-based session
+    aggregator; parametric batch granularity so the throughput bench
+    (scripts/bench_stream_throughput.py) can sweep maxFilesPerTrigger
+    over a deeper shard ladder while the registered query keeps its
+    4-shard, one-file-per-batch contract."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_ms = 30 * 60 * 1_000
     unit = _events_ts_unit(sf_dir)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_events_raw_schema(unit))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_time_sharded_stream_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(_events_raw_schema(unit))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(_time_sharded_stream_dir(sf_dir, n_shards))
     events = _bridge_ts(raw, unit).withWatermark("ts", "30 minutes")
-    marker_dir = _timer_marker_dir
 
     def track_sessions(key, pdfs, state):
         import pandas as pd
@@ -790,9 +809,23 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
                 open(f"{marker_dir}/timer_{user_id}_{start_us}", "w").close()
         else:
             cur = list(state.get) if state.exists else None
-            for pdf in pdfs:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+            # Concatenate ALL of this batch's chunks before sorting: when
+            # a micro-batch spans several input files, the key's rows
+            # arrive as arbitrarily interleaved Arrow chunks and
+            # per-chunk sorting silently splits sessions (caught by the
+            # r9 throughput bench: 300,998 vs the true 300,893 sessions
+            # on the 10x corpus at maxFilesPerTrigger=4/unbounded; the
+            # registered 1-file-per-batch contract masked it).
+            import pandas as _pd
+
+            chunks = [p for p in pdfs if len(p)]
+            batch = (
+                _pd.concat(chunks).sort_values(["ts", "event_id"])
+                if chunks
+                else None
+            )
+            if batch is not None:
+                ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()
                 for t in ts_us:
                     t = int(t)
                     if cur is None:
@@ -820,15 +853,16 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
             }
         )
 
-    sessions = events.groupBy("user_id").applyInPandasWithState(
+    return events.groupBy("user_id").applyInPandasWithState(
         track_sessions,
         outputStructType="user_id long, session_start long, session_end long, n_events long",
         stateStructType="start_us long, end_us long, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    _run_to_memory(sessions, "stream_stateful_custom_sink", "update")
-    s = spark.table("stream_stateful_custom_sink")
+
+
+def _collapse_provisional_sessions(s: DataFrame) -> DataFrame:
     # Collapse provisional emissions (same user+start, growing end/n),
     # then number sessions per user in start order — O(sessions) rows.
     from pyspark.sql import Window
