@@ -66,76 +66,72 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.cbo",
 )
 
-#: ROUND-8 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-9 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) the rows
-#: with the OLDEST banked evidence. After r7 the staleness floor was
-#: r02 (7 rows); those rotate in now, plus the 28 alphabetically-first
-#: of the 45 unchanged rows whose newest evidence is r03 (the other 17
-#: — q12_shipmode_buckets q15_top_supplier q16_supplier_cnt q18_large_orders
-#: q20_potential_promotion q21_waiting_supplier q22_idle_customers
-#: q2_min_cost_supplier q8_market_share q9_product_profit
-#: sample_pergroup_topk sample_stratified scan_embeddings
-#: shuffle_shard_deterministic split_train_val_test
-#: text_repetition_ratio vocab_coverage — lead the r9 rotation).
+#: with the OLDEST banked evidence. After r8 the staleness floor was
+#: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
+#: plus the 14 alphabetically-first of the 41 rows whose newest
+#: evidence is r04 (the rest — events_anomaly_zscore onward minus the
+#: 14 taken — lead the r10 rotation; post-r9 floor is r04).
 #: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
 #: 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 8: first driver evidence ---
-    "stream_stateful_custom",
-    "similarity_ivfpq_refined",
-    "multimodal_jpeg_decode",
-    "fn_variant_extract",
-    "pipe_syntax_priority_summary",
-    "bpe_train_merges",
-    "dedup_minhash_incremental",
-    "similarity_index_build",
-    "similarity_index_search",
-    # --- (a cont.) code changed in round 8: re-earn the rows ---
-    "dedup_semantic_clusters",   # tau/k params + assign_blocked
-    "kmeans_assign",             # assign_blocked
-    "kmeans_lloyd_step",         # assign_blocked
-    "similarity_ivfpq_topk",     # refactored onto _ivfpq_pipeline
-    "multimodal_image_decode",   # shared _png_reader
-    "multimodal_image_histogram",  # shared _png_reader + div binning
-    # --- (b) staleness rotation: newest evidence r02 (all 7) ---
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "text_rarity_score",
-    "text_sentiment_lexicon",
-    "text_tfidf_top_terms",
-    "udtf_tokenize",
-    # --- (b cont.) newest evidence r03 (34 of 45) ---
-    "agg_approx_count_distinct",
-    "agg_correlation",
-    "agg_listagg",
-    "agg_percentile_selfcheck",
-    "agg_stats_variance",
-    "chunk_documents",
-    "decontam_ngram_overlap",
-    "dedup_survivor_quality",
-    "fn_array",
-    "fn_array_extended",
-    "fn_array_fold",
-    "fn_bitwise",
-    "fn_cast_bridge",
-    "fn_conditional",
-    "fn_date",
-    "fn_datetime_extended",
-    "fn_hash",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_null_semantics",
-    "fn_regex",
-    "fn_sample_selfcheck",
-    "fn_string",
-    "fn_string_extended",
-    "fn_struct",
-    "pack_sequences",
-    "q11_important_stock",
+    # --- (a) new in round 9: first driver evidence ---
+    "snapshot_pruned_scan",       # manifest min/max data skipping
+    "cbo_join_reorder",           # ANALYZE stats + CBO join reorder
+    "similarity_index_refresh",   # drift -> ingest -> retrain lifecycle
+    # --- (a cont.) code changed in round 9: re-earn the rows ---
+    "stream_stateful_custom",     # multi-file batch chunk-sort fix
+    "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
+    "bpe_train_merges",           # token-length cap on both engines
+    "similarity_ivfpq_topk",      # oracle rebuilt from the CTE template
+    "similarity_ivfpq_refined",   # oracle rebuilt from the CTE template
+    "similarity_index_build",     # _locked_build + encode split
+    "similarity_index_search",    # _locked_build + encode split
+    "kmeans_assign",              # assign_blocked hashes ids pre-pmod
+    "kmeans_lloyd_step",          # assign_blocked hashes ids pre-pmod
+    "dedup_semantic_clusters",    # assign_blocked hashes ids pre-pmod
+    "snapshot_time_travel",       # manifest now carries segment stats
+    "snapshot_compaction",        # manifest now carries segment stats
+    "snapshot_diff",              # manifest now carries segment stats
+    "snapshot_rollback",          # manifest now carries segment stats
+    "pyds_versioned_scan",        # reads the evolved manifest format
+    "pyds_versioned_write",       # commits alongside stats-bearing entries
+    # --- (b) staleness rotation: newest evidence r03 (all 17) ---
+    "q12_shipmode_buckets",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_pergroup_topk",
+    "sample_stratified",
+    "scan_embeddings",
+    "shuffle_shard_deterministic",
+    "split_train_val_test",
+    "text_repetition_ratio",
+    "vocab_coverage",
+    # --- (b cont.) newest evidence r04 (14 of 41, alphabetical) ---
+    "curation_pipeline",
+    "data_mixture_sample",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "dedup_minhash_verified",
+    "dedup_simhash_pairs",
+    "events_anomaly_zscore",
+    "events_gapfill",
+    "events_retention",
+    "events_rolling_distinct",
+    "join_asof",
+    "join_broadcast_dim",
 )
 
 
