@@ -82,6 +82,7 @@ _PRIORITY = (
     "snapshot_pruned_scan",       # manifest min/max data skipping
     "cbo_join_reorder",           # ANALYZE stats + CBO join reorder
     "similarity_index_refresh",   # drift -> ingest -> retrain lifecycle
+    "snapshot_vacuum",            # expire versions, reclaim segments
     # --- (a cont.) code changed in round 9: re-earn the rows ---
     "stream_stateful_custom",     # multi-file batch chunk-sort fix
     "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
@@ -131,7 +132,6 @@ _PRIORITY = (
     "events_retention",
     "events_rolling_distinct",
     "join_asof",
-    "join_broadcast_dim",
 )
 
 

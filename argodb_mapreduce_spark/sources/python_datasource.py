@@ -211,7 +211,23 @@ def make_versioned_datasource():
                     )
             _shutil.rmtree(staging_dir, ignore_errors=True)
             prev = entries[-1]["segments"] if (entries and not self.overwrite) else []
-            entries.append({"version": version, "segments": [*prev, segment]})
+            # Manifest stats parity with versioned_write: harvest the new
+            # segment's min/max from its parquet footers so reads through
+            # snapshot_read(..., predicates=) can data-skip writer-made
+            # segments too. Guarded: if the repo package is unimportable
+            # in this commit context, stats are simply absent — pruning
+            # degrades to scan-everything, never to wrong answers.
+            stats = dict(entries[-1].get("stats", {})) if (entries and not self.overwrite) else {}
+            stats = {s: stats[s] for s in prev if s in stats}
+            try:
+                from argodb_mapreduce_spark.sources.versioned import (
+                    collect_segment_stats as _css,
+                )
+
+                stats[segment] = _css(segment_dir)
+            except Exception:  # noqa: BLE001 - stats are an optimization only
+                pass
+            entries.append({"version": version, "segments": [*prev, segment], "stats": stats})
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 _json.dump(entries, f)

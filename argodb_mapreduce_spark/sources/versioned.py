@@ -631,3 +631,121 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(everything)).alias("segments_total"),
         F.lit(len(kept)).alias("segments_scanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VACUUM: expire old versions, reclaim unreferenced segments
+# ---------------------------------------------------------------------------
+
+
+def vacuum(path: str, keep_versions: int = 2) -> dict:
+    """Delta-style VACUUM: retain only the newest ``keep_versions``
+    manifest entries and DELETE every segment directory no retained
+    version references. Storage is reclaimed; the time-travel horizon
+    shrinks to the retained versions (reads of expired versions raise,
+    exactly like Delta after ``VACUUM RETAIN``). Returns a summary dict.
+
+    Scale design: the decision is manifest-only (set difference of
+    segment lists, O(versions x segments) driver work); deletion is the
+    only data-touching step and removes exactly the unreferenced
+    bytes — the small-file/storage-growth answer for a store whose
+    appends and overwrites otherwise keep every historical segment
+    forever. Single-writer assumed, like ``versioned_write``; a reader
+    holding a plan against an expired version keeps working until its
+    files are unlinked (same contract as Delta VACUUM, which is why
+    production retention is hours/days, not versions=1).
+    """
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    import shutil
+
+    entries = _read_manifest(path)
+    kept_entries = entries[-keep_versions:]
+    expired = entries[: -keep_versions] if len(entries) > keep_versions else []
+    referenced = {s for e in kept_entries for s in e["segments"]}
+    all_segments = {s for e in entries for s in e["segments"]}
+    doomed = sorted(all_segments - referenced)
+    bytes_reclaimed = 0
+    for seg in doomed:
+        seg_dir = os.path.join(path, seg)
+        for root, _dirs, fs in os.walk(seg_dir):
+            bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    _write_manifest(path, kept_entries)
+    return {
+        "versions_removed": len(expired),
+        "versions_kept": len(kept_entries),
+        "segments_deleted": doomed,
+        "bytes_reclaimed": bytes_reclaimed,
+    }
+
+
+@register(
+    "snapshot_vacuum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           4 AS versions_before,
+           1 AS versions_after,
+           1 AS segments_deleted,
+           TRUE AS latest_unchanged
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "vacuum", "lifecycle"),
+    doc=(
+        "VACUUM lifecycle: a 4-version history (append, append, "
+        "overwrite, rollback-to-v1) is vacuumed to the newest 2 "
+        "versions; the overwrite-only segment data-2 — referenced by "
+        "no retained version — is DELETED from disk while data-0/1 "
+        "(shared by both retained versions) survive, and the latest "
+        "read is byte-identical before and after. The oracle pins the "
+        "retained content plus the exact version/segment accounting. "
+        "Completes the store's lifecycle: write -> time travel -> "
+        "compact -> rollback -> VACUUM."
+    ),
+)
+def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    src = _build_rollback_fixture(spark, sf_dir)
+    # Private copy: the shared rollback fixture must keep its 4-version
+    # shape for snapshot_rollback (same isolation pattern as compaction).
+    out = _scratch(sf_dir) + "_vacuum"
+    if fixture_stale(os.path.join(src, MANIFEST), os.path.join(out, "_VACUUMED")):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        os.remove(os.path.join(out, "_VACUUMED")) if os.path.exists(
+            os.path.join(out, "_VACUUMED")
+        ) else None
+        n_versions_before = len(versions(out))
+        before = snapshot_read(spark, out).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").cast("long").alias("s")
+        ).collect()[0]
+        summary = vacuum(out, keep_versions=1)
+        with open(os.path.join(out, "_VACUUMED"), "w") as fh:
+            json.dump(
+                {
+                    "versions_before": n_versions_before,
+                    "before_n": before.n,
+                    "before_s": before.s,
+                    **{k: v for k, v in summary.items() if k != "bytes_reclaimed"},
+                },
+                fh,
+            )
+    with open(os.path.join(out, "_VACUUMED")) as fh:
+        meta = json.load(fh)
+    latest = snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    return latest.select(
+        "n_rows",
+        "sum_key",
+        F.lit(meta["versions_before"]).alias("versions_before"),
+        F.lit(meta["versions_kept"]).alias("versions_after"),
+        F.lit(len(meta["segments_deleted"])).alias("segments_deleted"),
+        (
+            (F.col("n_rows") == F.lit(meta["before_n"]))
+            & (F.col("sum_key") == F.lit(meta["before_s"]))
+        ).alias("latest_unchanged"),
+    )

@@ -137,3 +137,59 @@ def test_index_refresh_version_history_and_recall(spark):
     assert sum(r.hits_retrained for r in rows) > sum(r.hits_stale for r in rows)
     # recall columns are hits/k exactly
     assert all(abs(r.recall_stale - r.hits_stale / PQ_TOPK) < 1e-12 for r in rows)
+
+
+def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path):
+    """VACUUM must delete exactly the segments no retained version
+    references, keep retained versions readable, and leave the latest
+    read identical; expired versions must raise on read."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        vacuum,
+        versioned_write,
+        versions,
+    )
+
+    path = str(tmp_path / "vac")
+    versioned_write(spark.range(10).withColumnRenamed("id", "k"), path, "append")   # v0: data-0
+    versioned_write(spark.range(10, 15).withColumnRenamed("id", "k"), path, "append")  # v1
+    versioned_write(spark.range(50, 53).withColumnRenamed("id", "k"), path, "overwrite")  # v2: data-2
+    versioned_write(spark.range(90, 92).withColumnRenamed("id", "k"), path, "append")  # v3: data-2,3
+    before = sorted(r.k for r in snapshot_read(spark, path).collect())
+    summary = vacuum(path, keep_versions=2)
+    assert summary["versions_removed"] == 2 and summary["versions_kept"] == 2
+    assert summary["segments_deleted"] == ["data-0", "data-1"]
+    assert summary["bytes_reclaimed"] > 0
+    assert not _os.path.exists(_os.path.join(path, "data-0"))
+    assert _os.path.exists(_os.path.join(path, "data-2"))
+    assert versions(path) == [2, 3]
+    # retained versions read fine; latest identical
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == before
+    assert snapshot_read(spark, path, 2).count() == 3
+    # expired version now raises
+    with _pytest.raises(ValueError, match="unknown version"):
+        snapshot_read(spark, path, 0)
+    # degenerate retention rejected
+    with _pytest.raises(ValueError, match="keep_versions"):
+        vacuum(path, keep_versions=0)
+
+
+def test_pyds_writer_records_manifest_stats(spark, tmp_path):
+    """The Python DataSource Arrow writer must publish the same
+    stats-bearing manifest entries versioned_write does, so its
+    segments participate in data skipping."""
+    from argodb_mapreduce_spark.sources.python_datasource import register_datasource
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, prune_segments
+
+    register_datasource(spark)
+    path = str(tmp_path / "pyds")
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df.write.format("argodb_versioned").option("path", path).mode("append").save()
+    entry = _read_manifest(path)[-1]
+    assert entry["stats"][entry["segments"][0]]["k"] == [0, 99]
+    kept, everything = prune_segments(path, predicates=[("k", ">=", 1000)])
+    assert kept == [] and everything == entry["segments"]
