@@ -720,7 +720,7 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_versions_before = len(versions(out))
         before = snapshot_read(spark, out).agg(
             F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").cast("long").alias("s")
-        ).collect()[0]
+        ).first()  # one-row scalar fetch for fixture accounting only
         summary = vacuum(out, keep_versions=1)
         with open(os.path.join(out, "_VACUUMED"), "w") as fh:
             json.dump(

@@ -148,6 +148,12 @@ HEADLINE = [
     "bpe_train_merges",
     "dedup_minhash_incremental",
     "similarity_index_search",
+    # round-9 additions: manifest data skipping, ANALYZE-stats CBO join
+    # reorder, the ANN drift->retrain lifecycle, and VACUUM
+    "snapshot_pruned_scan",
+    "cbo_join_reorder",
+    "similarity_index_refresh",
+    "snapshot_vacuum",
 ]
 
 

@@ -61,7 +61,10 @@ def _ops():
         return dedup_semantic_clusters(spark, sf_dir, k=k)
 
     from argodb_mapreduce_spark.operators.multimodal import multimodal_jpeg_decode
-    from argodb_mapreduce_spark.operators.similarity import similarity_ivfpq_refined
+    from argodb_mapreduce_spark.operators.similarity import (
+        similarity_index_refresh,
+        similarity_ivfpq_refined,
+    )
     from argodb_mapreduce_spark.streaming.windows import stream_stateful_custom
 
     return {
@@ -79,6 +82,9 @@ def _ops():
         "stream_stateful_custom": stream_stateful_custom,
         "similarity_ivfpq_refined": similarity_ivfpq_refined,
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        # round-9 addition: the drift->retrain lifecycle (two full
+        # encode passes + two searches + exact ground truth)
+        "similarity_index_refresh": similarity_index_refresh,
     }
 
 

@@ -59,7 +59,10 @@ def test_commit_publishes_only_message_files(tmp_path):
     assert sorted(os.listdir(seg)) == ["part-00000-winner.parquet"]
     assert not staging.exists()
     entries = json.loads((tmp_path / "_snapshots.json").read_text())
-    assert entries == [{"version": 0, "segments": ["data-0"]}]
+    assert len(entries) == 1
+    assert entries[0]["version"] == 0 and entries[0]["segments"] == ["data-0"]
+    # r9: commits also publish footer-harvested min/max stats per segment
+    assert set(entries[0].get("stats", {})) <= {"data-0"}
 
 
 def test_failed_write_attempt_leaves_no_file(tmp_path, monkeypatch):
