@@ -72,9 +72,9 @@ _QUERY_MODULES = (
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r8 the staleness floor was
 #: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: plus the 14 alphabetically-first of the 41 rows whose newest
-#: evidence is r04 (the rest — events_anomaly_zscore onward minus the
-#: 14 taken — lead the r10 rotation; post-r9 floor is r04).
+#: plus the 12 alphabetically-first of the 41 rows whose newest
+#: evidence is r04 (the remaining 29 — join_asof alphabetically
+#: onward — lead the r10 rotation; post-r9 floor is r04).
 #: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
 #: 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
@@ -83,6 +83,7 @@ _PRIORITY = (
     "cbo_join_reorder",           # ANALYZE stats + CBO join reorder
     "similarity_index_refresh",   # drift -> ingest -> retrain lifecycle
     "snapshot_vacuum",            # expire versions, reclaim segments
+    "snapshot_history",           # DESCRIBE HISTORY audit surface
     # --- (a cont.) code changed in round 9: re-earn the rows ---
     "stream_stateful_custom",     # multi-file batch chunk-sort fix
     "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
@@ -118,7 +119,7 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) newest evidence r04 (14 of 41, alphabetical) ---
+    # --- (b cont.) newest evidence r04 (12 of 41, alphabetical) ---
     "curation_pipeline",
     "data_mixture_sample",
     "dedup_exact",
@@ -131,7 +132,6 @@ _PRIORITY = (
     "events_gapfill",
     "events_retention",
     "events_rolling_distinct",
-    "join_asof",
 )
 
 

@@ -749,3 +749,71 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sum_key") == F.lit(meta["before_s"]))
         ).alias("latest_unchanged"),
     )
+
+
+@register(
+    "snapshot_history",
+    oracle="""
+    SELECT 0 AS version, 1 AS n_segments, 'overwrite' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, 2, 'append', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, 1, 'overwrite', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 3, 2, 'rollback', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "history"),
+    doc=(
+        "DESCRIBE HISTORY for the versioned store: one row per version "
+        "with segment count, the inferred operation (append = previous "
+        "segments carried forward + one new; overwrite = fresh list "
+        "with a new segment; rollback = an existing list republished; "
+        "compaction entries carry their provenance marker), and the "
+        "version's row count read through its own snapshot. The "
+        "operation classification and per-version contents are both "
+        "oracle-pinned on the 4-version rollback fixture — the audit "
+        "surface (who changed what, when) every lake format exposes "
+        "and the reference's transaction log keeps server-side."
+    ),
+)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest introspection is O(versions) driver-side metadata — the
+    same read DESCRIBE HISTORY does on a Delta log; only the per-version
+    row counts touch data, each through its manifest-pinned snapshot."""
+    out = _build_rollback_fixture(spark, sf_dir)
+    entries = _read_manifest(out)
+    seen_lists: list[list[str]] = []
+    meta = []
+    for i, e in enumerate(entries):
+        segs = e["segments"]
+        prev = entries[i - 1]["segments"] if i else []
+        if "compacted_from" in e:
+            op = "compaction"
+        elif any(segs == s for s in seen_lists):
+            op = "rollback"
+        elif prev and segs[:-1] == prev and len(segs) == len(prev) + 1:
+            op = "append"
+        else:
+            op = "overwrite"
+        seen_lists.append(list(segs))
+        meta.append((e["version"], len(segs), op))
+    counts = [
+        snapshot_read(spark, out, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(v).alias("version"),
+            F.lit(n).alias("n_segments"),
+            F.lit(op).alias("operation"),
+            "n_rows",
+        )
+        for v, n, op in meta
+    ]
+    df = counts[0]
+    for f in counts[1:]:
+        df = df.unionAll(f)
+    return df
