@@ -154,6 +154,7 @@ HEADLINE = [
     "cbo_join_reorder",
     "similarity_index_refresh",
     "snapshot_vacuum",
+    "snapshot_history",
 ]
 
 
