@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.operators.similarity import (
+    _SQL_NORMS,
+    _SQL_WITH_SS,
+    _sql_cos,
+)
 from argodb_mapreduce_spark.registry import register
 
 #: BM25 constants (standard defaults). K1P1 is written literally so both
@@ -44,10 +49,9 @@ N_QUERY_TERMS = 3
 TOP_DOCS = 20
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+#: Shared BM25 CTE chain (toks..pivoted) — reused by the hybrid
+#: RRF fusion oracle below.
+_SQL_BM25_CTES = f"""toks AS (
       SELECT doc_id, tok
       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> ''
@@ -92,7 +96,13 @@ TOP_DOCS = 20
              COALESCE(MAX(CASE WHEN qrank = 2 THEN score END), 0.0) AS s2,
              COALESCE(MAX(CASE WHEN qrank = 3 THEN score END), 0.0) AS s3
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
     SELECT doc_id, s1, s2, s3, s1 + s2 + s3 AS bm25
     FROM pivoted
     ORDER BY s1 + s2 + s3 DESC, doc_id ASC
@@ -175,4 +185,127 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pivoted.select("doc_id", "s1", "s2", "s3", total.alias("bm25"))
         .orderBy(total.desc(), F.col("doc_id").asc())
         .limit(TOP_DOCS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense vectors fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  #: the standard RRF smoothing constant (Cormack et al.)
+VEC_TOPK = 20  #: dense candidates considered
+HYBRID_TOPK = 10  #: fused results returned
+PROBE_VEC = 0  #: deterministic probe: vec_id 0's embedding
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY s1 + s2 + s3 DESC, doc_id ASC) AS INT) AS lex_rank
+      FROM (SELECT doc_id, s1, s2, s3 FROM pivoted
+            ORDER BY s1 + s2 + s3 DESC, doc_id ASC LIMIT {TOP_DOCS})
+    ),
+    qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS}),
+    probe AS (SELECT qemb AS pq, ss AS pss FROM v WHERE vec_id = {PROBE_VEC}),
+    cosined AS (
+      SELECT a.vec_id AS doc_id,
+             CAST({_sql_cos("a.qemb", "p.pq", "a.ss", "p.pss")} AS DOUBLE) AS cos_sim
+      FROM v a CROSS JOIN probe p
+      WHERE a.vec_id <> {PROBE_VEC}
+    ),
+    vec AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS vec_rank
+      FROM (SELECT * FROM cosined ORDER BY cos_sim DESC, doc_id ASC LIMIT {VEC_TOPK})
+    )
+    SELECT COALESCE(l.doc_id, vv.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank,
+           vv.vec_rank AS vec_rank,
+           COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vv.vec_rank), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec vv ON l.doc_id = vv.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {HYBRID_TOPK}
+    """,
+    tags=("text", "retrieval", "vector", "hybrid"),
+    doc=(
+        f"HYBRID retrieval: the BM25 lexical top-{TOP_DOCS} and the "
+        f"dense cosine top-{VEC_TOPK} (probe = vec_id {PROBE_VEC}'s "
+        f"embedding over the id-aligned embeddings table) fused by "
+        f"reciprocal rank — score = Σ 1/({RRF_K}+rank), the "
+        f"Cormack/Clarke RRF that needs no score normalization across "
+        f"heterogeneous rankers. A doc ranked by only one side "
+        f"contributes that side's term alone (FULL OUTER fusion). "
+        f"Rank arithmetic is 1/(int) in IEEE double — bit-identical on "
+        f"both engines, so the fused ordering is oracle-exact."
+    ),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: each ranker's candidate set is top-k'd FIRST
+    (TakeOrderedAndProject), so the fusion join touches k rows per
+    ranker, not the corpus; the dense side is the exact scorer here but
+    swaps for the IVF-PQ index path unchanged (same (doc_id, rank)
+    contract). At 100 TB the rankers run as separate candidate
+    generators and RRF is the cheap last-mile join — the standard
+    architecture of a hybrid search stack."""
+    from argodb_mapreduce_spark.operators.similarity import (
+        _cosine,
+        _dot,
+        _quantize,
+        _sq_norm,
+    )
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("int")
+            .alias("lex_rank"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qemb")
+    )
+    v = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
+    probe = v.filter(F.col("vec_id") == PROBE_VEC).select(
+        F.col("qemb").alias("pq"), F.col("ss").alias("pss")
+    )
+    cosined = (
+        v.filter(F.col("vec_id") != PROBE_VEC)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cosine(_dot(F.col("qemb"), F.col("pq")), F.col("ss"), F.col("pss")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    vec = (
+        cosined.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(VEC_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc()))
+            .cast("int")
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        HYBRID_TOPK
     )

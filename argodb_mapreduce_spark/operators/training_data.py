@@ -518,3 +518,108 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "bpe_encode_documents",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> '' AND LENGTH(tok) <= {_BPE_MAX_TOK} AND tok NOT LIKE '%|%'
+        GROUP BY tok
+    ),
+    v0 AS (
+        SELECT '|' || array_to_string(string_split_regex(tok, ''), '|') || '|' AS w, cnt
+        FROM tf
+    ),
+    m1 AS ({_bpe_sql_best(f'({_bpe_sql_pairs("v0")})')}),
+    v1 AS (SELECT {_sql_apply('v0.w', 'm1')} AS w, cnt FROM v0, m1),
+    m2 AS ({_bpe_sql_best(f'({_bpe_sql_pairs("v1")})')}),
+    v2 AS (SELECT {_sql_apply('v1.w', 'm2')} AS w, cnt FROM v1, m2),
+    m3 AS ({_bpe_sql_best(f'({_bpe_sql_pairs("v2")})')}),
+    vm0 AS (
+        SELECT tok, '|' || array_to_string(string_split_regex(tok, ''), '|') || '|' AS w
+        FROM tf
+    ),
+    vm1 AS (SELECT tok, {_sql_apply('vm0.w', 'm1')} AS w FROM vm0, m1),
+    vm2 AS (SELECT tok, {_sql_apply('vm1.w', 'm2')} AS w FROM vm1, m2),
+    vm3 AS (SELECT tok, {_sql_apply('vm2.w', 'm3')} AS w FROM vm2, m3),
+    toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> '' AND LENGTH(tok) <= {_BPE_MAX_TOK} AND tok NOT LIKE '%|%'
+    ),
+    enc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(LENGTH(t.tok)) AS BIGINT) AS n_char_symbols,
+               CAST(SUM(len(string_split(m.w, '|')) - 2) AS BIGINT) AS n_bpe_tokens
+        FROM toks t JOIN vm3 m ON m.tok = t.tok
+        GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(e.n_words, 0)) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(e.n_char_symbols, 0)) AS BIGINT) AS n_char_symbols,
+           CAST(SUM(COALESCE(e.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("training-data", "text", "tokenizer"),
+    doc=(
+        f"BPE APPLY — the serving half of the tokenizer loop: the "
+        f"{BPE_MERGES} learned merges re-derive lazily (the trainer's "
+        f"exact chain), the distinct-token vocabulary is encoded once "
+        f"through all merges, and the corpus joins against that "
+        f"vocabulary mapping — so the corpus-sized table is touched "
+        f"exactly once and the merge application runs at O(vocab), "
+        f"never O(corpus tokens). Per-source totals: words, character "
+        f"symbols (pre-merge), BPE tokens (post-merge; strictly fewer "
+        f"wherever a learned pair occurs) — the token-budget accounting "
+        f"a training-data pipeline runs before packing."
+    ),
+)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: vocab encode is O(distinct tokens) with three
+    broadcast 1-row joins (the merges); the only corpus-scale ops are
+    one explode + one vocab equi-join + one per-source aggregate. At
+    100 TB the learned-merge table would be a persisted artifact
+    (similarity_index_build pattern) instead of a lazy recompute."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .filter((F.length("tok") <= _BPE_MAX_TOK) & (~F.col("tok").contains("|")))
+    )
+    merges = bpe_train_merges(spark, sf_dir)
+    vmap = toks.select("tok").distinct().select(
+        "tok", F.expr("'|' || array_join(split(tok, ''), '|') || '|'").alias("w")
+    )
+    repl = "w"
+    for _ in range(_BPE_REPL):
+        repl = f"replace({repl}, '|' || a || '|' || b || '|', '|' || a || b || '|')"
+    for step in range(1, BPE_MERGES + 1):
+        m = merges.filter(F.col("step") == step).select(
+            F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
+        )
+        vmap = vmap.crossJoin(F.broadcast(m)).select("tok", F.expr(repl).alias("w"))
+    enc = (
+        toks.join(vmap, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("tok")).cast("long").alias("n_char_symbols"),
+            F.sum(F.size(F.split("w", "\\|")) - 2).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        d.join(enc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_words", F.lit(0))).cast("long").alias("n_words"),
+            F.sum(F.coalesce("n_char_symbols", F.lit(0))).cast("long").alias("n_char_symbols"),
+            F.sum(F.coalesce("n_bpe_tokens", F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        )
+    )

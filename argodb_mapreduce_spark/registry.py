@@ -72,8 +72,8 @@ _QUERY_MODULES = (
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r8 the staleness floor was
 #: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: plus the 12 alphabetically-first of the 41 rows whose newest
-#: evidence is r04 (the remaining 29 — join_asof alphabetically
+#: plus the 10 alphabetically-first of the 41 rows whose newest
+#: evidence is r04 (the remaining 31 — events_retention alphabetically
 #: onward — lead the r10 rotation; post-r9 floor is r04).
 #: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
 #: 51st entry can never fall out of the window again (ADVICE r7).
@@ -84,6 +84,8 @@ _PRIORITY = (
     "similarity_index_refresh",   # drift -> ingest -> retrain lifecycle
     "snapshot_vacuum",            # expire versions, reclaim segments
     "snapshot_history",           # DESCRIBE HISTORY audit surface
+    "retrieval_hybrid_rrf",       # BM25 + dense RRF fusion
+    "bpe_encode_documents",       # tokenizer apply: vocab-encoded corpus
     # --- (a cont.) code changed in round 9: re-earn the rows ---
     "stream_stateful_custom",     # multi-file batch chunk-sort fix
     "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
@@ -119,7 +121,7 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) newest evidence r04 (12 of 41, alphabetical) ---
+    # --- (b cont.) newest evidence r04 (10 of 41, alphabetical) ---
     "curation_pipeline",
     "data_mixture_sample",
     "dedup_exact",
@@ -130,8 +132,6 @@ _PRIORITY = (
     "dedup_simhash_pairs",
     "events_anomaly_zscore",
     "events_gapfill",
-    "events_retention",
-    "events_rolling_distinct",
 )
 
 

@@ -155,6 +155,8 @@ HEADLINE = [
     "similarity_index_refresh",
     "snapshot_vacuum",
     "snapshot_history",
+    "retrieval_hybrid_rrf",
+    "bpe_encode_documents",
 ]
 
 

@@ -193,3 +193,52 @@ def test_pyds_writer_records_manifest_stats(spark, tmp_path):
     assert entry["stats"][entry["segments"][0]]["k"] == [0, 99]
     kept, everything = prune_segments(path, predicates=[("k", ">=", 1000)])
     assert kept == [] and everything == entry["segments"]
+
+
+# ---------------------------------------------------------------------------
+# Property: pruning is ALWAYS a pure optimization (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_pruning_never_changes_results_property(spark, tmp_path):
+    """For arbitrary predicate sets over a multi-segment table, the
+    pruned read must equal the unpruned filtered read — the safety
+    property that makes manifest stats a pure optimization. Driven by
+    hypothesis over ops, literals, and predicate counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        prune_segments,
+        snapshot_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "prop")
+    # 4 segments with overlapping, gapped, and single-value ranges
+    for lo, hi in ((0, 25), (20, 40), (100, 101), (60, 90)):
+        versioned_write(
+            spark.range(lo, hi).withColumnRenamed("id", "k"), path, "append"
+        )
+    full = snapshot_read(spark, path)
+    all_rows = sorted(r.k for r in full.collect())
+
+    pred = st.tuples(
+        st.just("k"),
+        st.sampled_from(["<", "<=", ">", ">=", "="]),
+        st.integers(min_value=-5, max_value=110),
+    )
+
+    @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(preds=st.lists(pred, min_size=1, max_size=3))
+    def check(preds):
+        got = sorted(r.k for r in snapshot_read(spark, path, predicates=preds).collect())
+        ops = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+               ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+               "=": lambda a, b: a == b}
+        want = [k for k in all_rows if all(ops[op](k, lit) for _c, op, lit in preds)]
+        assert got == want, (preds, got[:5], want[:5])
+        kept, everything = prune_segments(path, predicates=preds)
+        assert set(kept) <= set(everything)
+
+    check()
