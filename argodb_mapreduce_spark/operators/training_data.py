@@ -605,7 +605,12 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vmap = vmap.crossJoin(F.broadcast(m)).select("tok", F.expr(repl).alias("w"))
     enc = (
-        toks.join(vmap, "tok")
+        # Broadcast the encoded vocabulary: O(distinct capped tokens) —
+        # bounded and small next to the corpus-sized toks, so the
+        # corpus-scale side never shuffles for this join. (A corpus
+        # whose distinct-token table outgrew broadcast would drop the
+        # hint and take the shuffle join.)
+        toks.join(F.broadcast(vmap), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

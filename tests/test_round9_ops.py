@@ -242,3 +242,35 @@ def test_pruning_never_changes_results_property(spark, tmp_path):
         assert set(kept) <= set(everything)
 
     check()
+
+
+def test_bpe_encode_broadcasts_vocab_map(spark):
+    """The corpus-sized token table must never shuffle for the vocab
+    join: the encoded vocabulary map is broadcast."""
+    from argodb_mapreduce_spark.operators.training_data import bpe_encode_documents
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    s = explain_str(bpe_encode_documents(spark, SF), "simple")
+    assert "BroadcastHashJoin" in s
+
+
+def test_hybrid_rrf_ranks_and_fusion_semantics(spark):
+    """RRF invariants: ranks are 1..k and dense, a doc present in both
+    rankers outscores the same ranks singly, and the output is exactly
+    HYBRID_TOPK rows ordered by (rrf desc, doc_id)."""
+    from argodb_mapreduce_spark.operators.retrieval import (
+        HYBRID_TOPK,
+        RRF_K,
+        retrieval_hybrid_rrf,
+    )
+
+    rows = retrieval_hybrid_rrf(spark, SF).collect()
+    assert len(rows) == HYBRID_TOPK
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expected = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf_score - expected) < 1e-15
