@@ -753,7 +753,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
     mechanical translation of this processor (ValueState + timers in
     ``handleInputRows``/``handleExpiredTimer``); it is env-blocked here
     because its state protocol imports google.protobuf, which this
-    container does not ship (re-probed 2026-08-14).
+    container does not ship (re-probed 2026-08-15, still absent).
 
     100x scale: state is O(active users), keys partition across
     executors, timers bound state lifetime to one gap past the
