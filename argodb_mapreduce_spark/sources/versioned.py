@@ -358,7 +358,16 @@ def compact(spark: SparkSession, path: str) -> int:
     spark.read.parquet(*old).coalesce(1).write.mode("errorifexists").parquet(
         os.path.join(path, segment)
     )
-    entries.append({"version": version, "segments": [segment], "compacted_from": latest["version"]})
+    entries.append(
+        {
+            "version": version,
+            "segments": [segment],
+            "compacted_from": latest["version"],
+            # The rewritten segment gets fresh footer stats — compaction
+            # must not silently turn off data skipping for the table.
+            "stats": {segment: collect_segment_stats(os.path.join(path, segment))},
+        }
+    )
     _write_manifest(path, entries)
     return version
 
@@ -478,7 +487,13 @@ def rollback(path: str, to_version: int) -> int:
         raise ValueError(f"unknown version {to_version}; have {sorted(by_version)}")
     version = entries[-1]["version"] + 1
     entries.append(
-        {"version": version, "segments": list(by_version[to_version]["segments"])}
+        {
+            "version": version,
+            "segments": list(by_version[to_version]["segments"]),
+            # Restore the segment stats with the segment list: a
+            # rollback must keep the restored version data-skippable.
+            "stats": dict(by_version[to_version].get("stats", {})),
+        }
     )
     _write_manifest(path, entries)
     return version

@@ -274,3 +274,33 @@ def test_hybrid_rrf_ranks_and_fusion_semantics(spark):
             1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
         )
         assert abs(r.rrf_score - expected) < 1e-15
+
+
+def test_compact_and_rollback_preserve_stats(spark, tmp_path):
+    """Manifest stats must survive the whole lifecycle: compaction
+    records fresh stats for its rewritten segment, and rollback restores
+    the target version's stats with its segment list — neither silently
+    disables data skipping."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact,
+        prune_segments,
+        rollback,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "life")
+    versioned_write(spark.range(0, 10).withColumnRenamed("id", "k"), path, "append")
+    versioned_write(spark.range(100, 110).withColumnRenamed("id", "k"), path, "append")
+    compact(spark, path)  # v2: one rewritten segment
+    entry = _read_manifest(path)[-1]
+    seg = entry["segments"][0]
+    assert entry["stats"][seg]["k"] == [0, 109]
+    # pruning works on the compacted version
+    kept, _ = prune_segments(path, predicates=[("k", ">=", 1000)])
+    assert kept == []
+    rollback(path, 1)  # v3 restores v1's two segments
+    entry = _read_manifest(path)[-1]
+    assert set(entry["stats"]) == set(entry["segments"])
+    kept, everything = prune_segments(path, predicates=[("k", ">=", 100)])
+    assert len(everything) == 2 and kept == [everything[1]]
