@@ -72,8 +72,8 @@ _QUERY_MODULES = (
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r8 the staleness floor was
 #: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: plus the 10 alphabetically-first of the 41 rows whose newest
-#: evidence is r04 (the remaining 31 — events_retention alphabetically
+#: plus the 9 alphabetically-first of the 41 rows whose newest
+#: evidence is r04 (the remaining 32 — events_gapfill alphabetically
 #: onward — lead the r10 rotation; post-r9 floor is r04).
 #: tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a silent
 #: 51st entry can never fall out of the window again (ADVICE r7).
@@ -86,6 +86,7 @@ _PRIORITY = (
     "snapshot_history",           # DESCRIBE HISTORY audit surface
     "retrieval_hybrid_rrf",       # BM25 + dense RRF fusion
     "bpe_encode_documents",       # tokenizer apply: vocab-encoded corpus
+    "stream_versioned_ingest",    # streaming source over the versioned store
     # --- (a cont.) code changed in round 9: re-earn the rows ---
     "stream_stateful_custom",     # multi-file batch chunk-sort fix
     "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
@@ -121,7 +122,7 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) newest evidence r04 (10 of 41, alphabetical) ---
+    # --- (b cont.) newest evidence r04 (9 of 41, alphabetical) ---
     "curation_pipeline",
     "data_mixture_sample",
     "dedup_exact",
@@ -131,7 +132,6 @@ _PRIORITY = (
     "dedup_minhash_verified",
     "dedup_simhash_pairs",
     "events_anomaly_zscore",
-    "events_gapfill",
 )
 
 

@@ -157,6 +157,7 @@ HEADLINE = [
     "snapshot_history",
     "retrieval_hybrid_rrf",
     "bpe_encode_documents",
+    "stream_versioned_ingest",
 ]
 
 

@@ -107,3 +107,77 @@ def test_writer_failed_job_publishes_nothing(spark, tmp_path):
     segs = [d for d in os.listdir(path) if d.startswith("data-")]
     assert segs == ["data-0"], segs
     assert sorted(r["k"] for r in read_versioned(spark, path).collect()) == list(range(5))
+
+
+# ---------------------------------------------------------------------------
+# Streaming source (round 9): subscribe-to-a-table semantics
+# ---------------------------------------------------------------------------
+
+
+def test_stream_consumes_only_new_segments_on_restart(spark, tmp_path):
+    """The Delta-streaming contract: a checkpointed stream that drained
+    versions 0..1 must, after a new append, consume ONLY the new
+    segment's rows on the next run."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    register_datasource(spark)
+    path = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    versioned_write(spark.range(0, 10).withColumnRenamed("id", "k"), path, "append")
+    versioned_write(spark.range(10, 25).withColumnRenamed("id", "k"), path, "append")
+
+    def drain():
+        s = spark.readStream.format(FORMAT_NAME).load(path)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import json as _json
+
+        return sum(
+            _json.loads(p.json).get("numInputRows", 0) for p in q.recentProgress
+        )
+
+    assert drain() == 25
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == list(range(25))
+    versioned_write(spark.range(100, 103).withColumnRenamed("id", "k"), path, "append")
+    # SAME checkpoint: the second run inputs ONLY the new segment's rows
+    assert drain() == 3
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == list(range(25)) + [100, 101, 102]
+
+
+def test_stream_rejects_non_append_history(spark, tmp_path):
+    """Overwrite removes segments from the manifest — the stream must
+    fail loud instead of silently skipping or re-reading data."""
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    register_datasource(spark)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(0, 10).withColumnRenamed("id", "k"), path, "append")
+    versioned_write(spark.range(50, 53).withColumnRenamed("id", "k"), path, "overwrite")
+    s = spark.readStream.format(FORMAT_NAME).load(path)
+    q = (
+        s.writeStream.format("memory")
+        .queryName("vs_reject")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="non-append change"):
+        q.awaitTermination()
