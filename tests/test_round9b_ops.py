@@ -1,0 +1,149 @@
+"""Round-9 storage-layer additions: deletion vectors (merge-on-read
+DELETE WHERE) and their interaction with every existing lifecycle op —
+time travel, compaction, rollback, VACUUM, history classification."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.sources.versioned import (
+    MANIFEST,
+    _read_manifest,
+    compact,
+    delete_where,
+    rollback,
+    snapshot_read,
+    vacuum,
+    versioned_write,
+    versions,
+)
+
+
+@pytest.fixture()
+def dv_store(spark, sf_dir, tmp_path):
+    """v0 append (keys %3==0), v1 append (%3==1), v2 DELETE status='F'."""
+    out = str(tmp_path / "dv_store")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), out, mode="append")
+    v, n = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    assert v == 2 and n > 0
+    return out
+
+
+def test_delete_is_merge_on_read(spark, dv_store):
+    entries = _read_manifest(dv_store)
+    # Segment list unchanged; only a DV sidecar + manifest entry appeared.
+    assert entries[2]["segments"] == entries[1]["segments"]
+    assert entries[2]["dv"] == "deletes-2"
+    assert os.path.isdir(os.path.join(dv_store, "deletes-2"))
+    live = snapshot_read(spark, dv_store)
+    assert live.filter(F.col("o_orderstatus") == "F").count() == 0
+    # Deleted rows are exactly the 'F' rows: counts reconcile.
+    v1 = snapshot_read(spark, dv_store, 1)
+    assert v1.count() == live.count() + v1.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_time_travel_resurrects_deleted_rows(spark, dv_store):
+    v1 = snapshot_read(spark, dv_store, 1)
+    assert v1.filter(F.col("o_orderstatus") == "F").count() > 0
+
+
+def test_second_delete_is_cumulative_and_idempotent(spark, dv_store):
+    before = snapshot_read(spark, dv_store).count()
+    v, n = delete_where(spark, dv_store, [("o_totalprice", ">=", 150000.0)])
+    assert v == 3 and n > 0
+    after = snapshot_read(spark, dv_store)
+    assert after.count() == before - n
+    assert after.filter(F.col("o_orderstatus") == "F").count() == 0
+    assert after.filter(F.col("o_totalprice") >= 150000.0).count() == 0
+    # Re-deleting already-deleted rows is a 0-row no-op commit.
+    v2, n2 = delete_where(spark, dv_store, [("o_orderstatus", "=", "F")])
+    assert n2 == 0
+    assert snapshot_read(spark, dv_store).count() == after.count()
+
+
+def test_append_after_delete_carries_dv_forward(spark, sf_dir, dv_store):
+    o = load_table(spark, sf_dir, "orders")
+    v = versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), dv_store, mode="append")
+    entries = _read_manifest(dv_store)
+    assert entries[-1]["dv"] == "deletes-2"
+    live = snapshot_read(spark, dv_store, v)
+    # Old segments stay deleted; the new segment's 'F' rows are live.
+    assert (
+        live.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 != 2)).count() == 0
+    )
+    assert live.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 2)).count() > 0
+
+
+def test_compaction_materializes_deletion_vector(spark, dv_store):
+    expect = snapshot_read(spark, dv_store).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    v = compact(spark, dv_store)
+    entries = _read_manifest(dv_store)
+    assert entries[-1]["segments"] == [f"data-{v}"]
+    assert "dv" not in entries[-1]
+    got = snapshot_read(spark, dv_store, v).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    assert (got.n, got.s) == (expect.n, expect.s)
+    # The compacted segment physically excludes deleted rows.
+    raw = spark.read.parquet(os.path.join(dv_store, f"data-{v}"))
+    assert raw.filter(F.col("o_orderstatus") == "F").count() == 0
+
+
+def test_rollback_across_delete(spark, dv_store):
+    n_deleted_state = snapshot_read(spark, dv_store).count()
+    v_restore = rollback(dv_store, 1)  # past the delete: rows resurrect
+    assert snapshot_read(spark, dv_store, v_restore).filter(
+        F.col("o_orderstatus") == "F"
+    ).count() > 0
+    v_redo = rollback(dv_store, 2)  # back TO the deleted state: DV restored
+    entries = _read_manifest(dv_store)
+    assert entries[-1]["dv"] == "deletes-2"
+    assert snapshot_read(spark, dv_store, v_redo).count() == n_deleted_state
+
+
+def test_vacuum_reclaims_unreferenced_dv(spark, dv_store):
+    # A second delete supersedes deletes-2; vacuum to the newest version
+    # must reclaim the old sidecar and keep the live one.
+    delete_where(spark, dv_store, [("o_totalprice", ">=", 150000.0)])
+    expect = snapshot_read(spark, dv_store).count()
+    summary = vacuum(dv_store, keep_versions=1)
+    assert "deletes-2" in summary["segments_deleted"]
+    assert not os.path.isdir(os.path.join(dv_store, "deletes-2"))
+    assert os.path.isdir(os.path.join(dv_store, "deletes-3"))
+    assert snapshot_read(spark, dv_store).count() == expect
+
+
+def test_history_classifies_delete(spark, dv_store):
+    from argodb_mapreduce_spark.sources import versioned as V
+
+    entries = _read_manifest(dv_store)
+    assert "deleted_where" in entries[-1]
+    # The history op-classifier sees a delete, not a rollback, even
+    # though the segment list repeats the previous version's.
+    segs = entries[-1]["segments"]
+    assert segs == entries[-2]["segments"]
+
+
+def test_delete_prunes_segments_with_stats(spark, sf_dir, tmp_path):
+    """A delete whose predicate provably misses a segment never scans it:
+    the DV references files only from min/max-surviving segments."""
+    out = str(tmp_path / "dv_pruned")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") < 500), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") >= 500), out, mode="append")
+    _, n = delete_where(spark, out, [("o_orderkey", "<", 100)])
+    assert n > 0
+    dv = spark.read.parquet(os.path.join(out, "deletes-2"))
+    files = [r.file_path for r in dv.select("file_path").distinct().collect()]
+    assert files and all("data-0" in f for f in files)
+    live = snapshot_read(spark, out)
+    assert live.filter(F.col("o_orderkey") < 100).count() == 0
+    assert live.count() == o.count() - n
