@@ -139,6 +139,99 @@ def collect_segment_stats(seg_path: str) -> dict[str, list]:
     return {name: [lo[name], hi[name]] for name in lo}
 
 
+# ---------------------------------------------------------------------------
+# Per-segment bloom filters (point-lookup data skipping)
+# ---------------------------------------------------------------------------
+#
+# Min/max stats cannot prune equality lookups on high-cardinality
+# UNSORTED columns (every segment's [min,max] spans nearly the full
+# domain). Lake formats answer with per-file BLOOM FILTERS (Delta's
+# bloom filter index, Parquet's bloom_filter pages): the manifest
+# stores a tiny bitset per (segment, column); a point predicate probes
+# it at plan time and drops segments that provably lack the value.
+#
+# Hashing must be computable identically JVM-side (build: a Spark scan
+# over the new segment) and driver-side (probe: a Python literal), so
+# positions derive from ONE sha256 of the value's canonical string
+# form, sliced into K disjoint 60-bit windows — `F.sha2` and
+# `hashlib.sha256` agree byte-for-byte, no Spark job at plan time.
+
+_BLOOM_K = 4
+_BLOOM_MIN_BITS = 4096
+#: bits per distinct value (k*n/m = 4/32 -> ~2e-4 false-positive rate)
+_BLOOM_BITS_PER_KEY = 32
+
+
+def _bloom_size(n_distinct: int) -> int:
+    m = _BLOOM_MIN_BITS
+    while m < n_distinct * _BLOOM_BITS_PER_KEY:
+        m *= 2
+    return m
+
+
+def _bloom_position_exprs(col: str, m: int) -> list:
+    """K plan-side position expressions over sha256 hex slices."""
+    h = F.sha2(F.col(col).cast("string"), 256)
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"), F.lit(m)
+        ).cast("int")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_probe_positions(value, m: int) -> list[int]:
+    """The same K positions for a Python literal (canonical str form)."""
+    import hashlib
+
+    h = hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+    return [int(h[15 * i : 15 * (i + 1)], 16) % m for i in range(_BLOOM_K)]
+
+
+def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
+    """Per-column bloom bitsets for one segment, as manifest JSON.
+
+    The build is one distributed scan of the just-written segment: K
+    sha256-derived positions per value, global ``distinct`` (bounded by
+    m, never by rows), then an O(m/8)-byte bitset packed driver-side.
+    The manifest cost is ~4 bytes/distinct-key — at 100 TB the bitsets
+    stay megabytes while saving full-segment reads on every point
+    lookup."""
+    import base64
+
+    import numpy as np
+
+    seg = spark.read.parquet(seg_path)
+    out: dict[str, dict] = {}
+    for col in columns:
+        n_distinct = seg.select(col).distinct().count()
+        m = _bloom_size(n_distinct)
+        pos_rows = (
+            seg.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
+            .distinct()
+            .collect()
+        )  # ≤ m ints of metadata, the same class as a stats collect
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for r in pos_rows:
+            bits[r.p >> 3] |= 1 << (r.p & 7)
+        out[col] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bits.tobytes()).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Conservative membership: False ONLY when provably absent."""
+    import base64
+
+    raw = base64.b64decode(bloom["b64"])
+    return all(
+        raw[p >> 3] & (1 << (p & 7)) for p in _bloom_probe_positions(value, bloom["m"])
+    )
+
+
 #: Supported pruning operators: predicate (col, op, literal).
 _PRUNE_OPS = ("<", "<=", ">", ">=", "=")
 
@@ -185,7 +278,20 @@ def prune_segments(
     entry = by_version[version]
     all_segments = list(entry["segments"])
     stats = entry.get("stats", {})
-    kept = [s for s in all_segments if _segment_may_match(stats.get(s), predicates)]
+    blooms = entry.get("bloom", {})
+
+    def _bloom_ok(seg: str) -> bool:
+        for col, op, lit in predicates:
+            b = blooms.get(seg, {}).get(col)
+            if op == "=" and b and not _bloom_might_contain(b, lit):
+                return False
+        return True
+
+    kept = [
+        s
+        for s in all_segments
+        if _segment_may_match(stats.get(s), predicates) and _bloom_ok(s)
+    ]
     return kept, all_segments
 
 
@@ -203,13 +309,19 @@ def _write_manifest(path: str, entries: list[dict]) -> None:
     os.replace(tmp, os.path.join(path, MANIFEST))
 
 
-def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def versioned_write(
+    df: DataFrame, path: str, mode: str = "append", bloom_columns=()
+) -> int:
     """Write ``df`` as a new version; returns the new version number.
 
     The new segment's per-column min/max is harvested from its parquet
     footers (metadata-only) and recorded in the manifest entry, keyed by
     segment, so readers can data-skip (:func:`prune_segments`). Appends
     carry forward the previous entry's stats for the reused segments.
+
+    ``bloom_columns`` additionally builds per-segment bloom filters for
+    those columns (one extra scan of the new segment only), enabling
+    equality-predicate skipping where min/max cannot prune.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -227,6 +339,16 @@ def versioned_write(df: DataFrame, path: str, mode: str = "append") -> int:
     stats = {s: stats[s] for s in prev if s in stats}
     stats[segment] = collect_segment_stats(os.path.join(path, segment))
     entry = {"version": version, "segments": [*prev, segment], "stats": stats}
+    # Bloom filters follow the stats lifecycle: reused segments keep
+    # theirs, the new segment builds its own when requested.
+    bloom = dict(entries[-1].get("bloom", {})) if (entries and mode == "append") else {}
+    bloom = {s: bloom[s] for s in prev if s in bloom}
+    if bloom_columns:
+        bloom[segment] = build_segment_bloom(
+            df.sparkSession, os.path.join(path, segment), bloom_columns
+        )
+    if bloom:
+        entry["bloom"] = bloom
     # An append carries the previous deletion vector forward: its
     # positions reference only the reused segments, and the new segment
     # has no deleted rows. An overwrite starts clean.
@@ -389,16 +511,22 @@ def compact(spark: SparkSession, path: str) -> int:
     snapshot_read(spark, path, latest["version"]).coalesce(1).write.mode(
         "errorifexists"
     ).parquet(os.path.join(path, segment))
-    entries.append(
-        {
-            "version": version,
-            "segments": [segment],
-            "compacted_from": latest["version"],
-            # The rewritten segment gets fresh footer stats — compaction
-            # must not silently turn off data skipping for the table.
-            "stats": {segment: collect_segment_stats(os.path.join(path, segment))},
+    entry = {
+        "version": version,
+        "segments": [segment],
+        "compacted_from": latest["version"],
+        # The rewritten segment gets fresh footer stats — compaction
+        # must not silently turn off data skipping for the table.
+        "stats": {segment: collect_segment_stats(os.path.join(path, segment))},
+    }
+    # Rebuild blooms for whichever columns the table was tracking, so
+    # compaction keeps point-lookup skipping alive too.
+    bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
+    if bloom_cols:
+        entry["bloom"] = {
+            segment: build_segment_bloom(spark, os.path.join(path, segment), bloom_cols)
         }
-    )
+    entries.append(entry)
     _write_manifest(path, entries)
     return version
 
@@ -524,6 +652,8 @@ def rollback(path: str, to_version: int) -> int:
         # rollback must keep the restored version data-skippable.
         "stats": dict(by_version[to_version].get("stats", {})),
     }
+    if by_version[to_version].get("bloom"):
+        entry["bloom"] = dict(by_version[to_version]["bloom"])
     # Restore the deletion vector too: rolling back past a DELETE must
     # resurrect the deleted rows, and rolling back TO a deleted state
     # must keep them deleted.
@@ -953,15 +1083,18 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
             pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(os.path.join(path, latest["dv"], "*.parquet"))
         )
-    entries.append(
-        {
-            "version": version,
-            "segments": list(latest["segments"]),
-            "stats": dict(latest.get("stats", {})),
-            "dv": dv_name,
-            "deleted_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
-        }
-    )
+    entry = {
+        "version": version,
+        "segments": list(latest["segments"]),
+        "stats": dict(latest.get("stats", {})),
+        "dv": dv_name,
+        "deleted_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
+    }
+    # Blooms overstate membership after a delete — conservative-safe,
+    # same contract as the carried-forward min/max stats.
+    if latest.get("bloom"):
+        entry["bloom"] = dict(latest["bloom"])
+    entries.append(entry)
     _write_manifest(path, entries)
     return version, n_total - n_prev
 
@@ -1049,3 +1182,92 @@ def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         df = df.unionAll(f)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned point lookup (equality skipping where min/max cannot help)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEGMENTS = 8
+
+
+def _build_bloom_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders appended as 8 segments hash-split BY o_custkey with a
+    bloom filter on that column: every customer's orders land in exactly
+    one segment, yet each segment's custkey [min,max] spans nearly the
+    full domain — the shape where range stats are useless and only a
+    membership structure can skip."""
+    out = _scratch(sf_dir) + "_bloom"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == _BLOOM_SEGMENTS
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64("o_custkey"), _BLOOM_SEGMENTS)
+    for i in range(_BLOOM_SEGMENTS):
+        versioned_write(
+            o.filter(bucket == i), out, mode="append", bloom_columns=("o_custkey",)
+        )
+    return out
+
+
+@register(
+    "snapshot_bloom_pruned_scan",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {_BLOOM_SEGMENTS} AS segments_total,
+           1 AS segments_scanned,
+           TRUE AS minmax_cannot_prune
+    FROM orders
+    WHERE o_custkey = (SELECT o_custkey FROM orders
+                       WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders))
+    """,
+    tags=("source", "snapshot", "data-skipping", "bloom"),
+    doc=(
+        "BLOOM-FILTER data skipping for point lookups: the versioned "
+        "table's manifest carries a per-(segment, column) bloom bitset "
+        "built at write time; an equality predicate on the "
+        "high-cardinality, hash-distributed o_custkey prunes the "
+        "planned file set 8 -> 1 at PLAN time, while the oracle-pinned "
+        "minmax_cannot_prune flag proves the min/max stats alone would "
+        "have scanned all 8 segments — the two skipping structures are "
+        "complementary, exactly as in Delta's bloom index vs its "
+        "column stats. Both the surviving rows and the pruning "
+        "decision are hash-checked."
+    ),
+)
+def snapshot_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: the probe is driver-side bit arithmetic over ~4
+    bytes/key of manifest metadata — no file listing, no Spark job; the
+    residual equality filter still pushes down into the one surviving
+    segment's parquet scan. At 100 TB a needle-in-haystack customer
+    lookup touches one segment instead of the table."""
+    out = _build_bloom_fixture(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    # Plan-time scalar fetch of the lookup key (pruning metadata, the
+    # same driver-side class as reading the manifest itself).
+    target = (
+        o.orderBy("o_orderkey").select("o_custkey").first()["o_custkey"]
+    )
+    preds = [("o_custkey", "=", int(target))]
+    kept, everything = prune_segments(out, predicates=preds)
+    entry = _read_manifest(out)[-1]
+    stats_only_kept = [
+        s
+        for s in entry["segments"]
+        if _segment_may_match(entry.get("stats", {}).get(s), preds)
+    ]
+    df = snapshot_read(spark, out, predicates=preds)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(len(everything)).alias("segments_total"),
+        F.lit(len(kept)).alias("segments_scanned"),
+        F.lit(len(stats_only_kept) == len(everything)).alias("minmax_cannot_prune"),
+    )
