@@ -1,0 +1,234 @@
+"""Incremental materialized-view maintenance over the versioned store.
+
+The reference delegates every aggregate to user MapReduce code and
+recomputes from scratch each run (its InputFormat has no notion of a
+derived table — ArgodbMapreduceInputFormat.java scans, nothing more).
+Lake engines close that gap with INCREMENTALLY MAINTAINED materialized
+views (Delta Live Tables, Materialize, Snowflake dynamic tables): a
+stored aggregate plus a log-aware refresh that consumes only the data
+added since the last refresh and MERGES it into the stored state.
+
+This module implements the pattern over ``sources.versioned``:
+
+* an MV is itself a versioned table (so its refreshes are snapshots —
+  readers pin a consistent MV version while a refresh publishes);
+* its ``_mv.json`` metadata records the BASE VERSION the stored state
+  reflects plus the aggregate spec (group keys, mergeable measures);
+* ``mv_refresh`` inspects the base manifest: if every version since the
+  recorded one is a pure append (same segments + one new, unchanged
+  deletion vector), it aggregates ONLY the new segments and full-outer
+  merges the partials into the stored state — O(delta), never O(base);
+  anything else (overwrite, delete, compaction) falls back to a full
+  recompute, exactly when incremental maintenance would be unsound.
+
+Only MERGEABLE measures are maintained (SUM, COUNT — AVG derives as
+SUM/COUNT): the classic self-maintainable aggregate class. MIN/MAX are
+append-safe too but not delete-safe; they would force full refresh on
+any delete, which the append-only gate already handles.
+
+At 100 TB this is the difference between a nightly full-table aggregate
+and an O(today's ingest) merge: the refresh cost tracks the delta, and
+the merge shuffles only |MV| + |delta groups| rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+from argodb_mapreduce_spark.registry import register
+from argodb_mapreduce_spark.sources.versioned import (
+    MANIFEST,
+    _read_manifest,
+    snapshot_read,
+    versioned_write,
+    versions,
+)
+
+_MV_META = "_mv.json"
+
+
+def _agg_columns(sum_cols: list[str]):
+    """COUNT(*) plus exact BIGINT sums — the mergeable measure set."""
+    return [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(c).cast("long").alias(f"sum_{c}") for c in sum_cols
+    ]
+
+
+def mv_create(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Materialize the aggregate at the base table's LATEST version."""
+    base_version = _read_manifest(base_path)[-1]["version"]
+    agg = (
+        snapshot_read(spark, base_path, base_version)
+        .groupBy(*group_cols)
+        .agg(*_agg_columns(sum_cols))
+    )
+    versioned_write(agg, mv_path, mode="overwrite")
+    with open(os.path.join(mv_path, _MV_META), "w") as f:
+        json.dump(
+            {
+                "base_path": base_path,
+                "base_version": base_version,
+                "group_cols": group_cols,
+                "sum_cols": sum_cols,
+            },
+            f,
+        )
+    return base_version
+
+
+def _appended_segments_since(base_path: str, since_version: int) -> list[str] | None:
+    """New segments if history since ``since_version`` is pure appends,
+    else None (incremental maintenance unsound: overwrite/delete/
+    compaction rewrote or tombstoned rows the stored state already
+    aggregated)."""
+    entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
+    new: list[str] = []
+    for prev, cur in zip(entries, entries[1:]):
+        pure_append = (
+            cur["segments"][: len(prev["segments"])] == prev["segments"]
+            and len(cur["segments"]) == len(prev["segments"]) + 1
+            and cur.get("dv") == prev.get("dv")
+        )
+        if not pure_append:
+            return None
+        new.append(cur["segments"][-1])
+    return new
+
+
+def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
+    """Bring the MV up to the base table's latest version.
+
+    Returns ``{"mode": "incremental"|"full"|"noop", "delta_segments": N,
+    "base_version": V}``. Incremental reads ONLY the appended segments
+    (asserted via the delta plan's file list in tests)."""
+    with open(os.path.join(mv_path, _MV_META)) as f:
+        meta = json.load(f)
+    base_path = meta["base_path"]
+    latest = _read_manifest(base_path)[-1]["version"]
+    if latest == meta["base_version"]:
+        return {"mode": "noop", "delta_segments": 0, "base_version": latest}
+    new_segments = _appended_segments_since(base_path, meta["base_version"])
+    group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
+    if new_segments is None:
+        agg = (
+            snapshot_read(spark, base_path, latest)
+            .groupBy(*group_cols)
+            .agg(*_agg_columns(sum_cols))
+        )
+        mode, n_delta = "full", 0
+    else:
+        delta = spark.read.parquet(
+            *[os.path.join(base_path, s) for s in new_segments]
+        )
+        partial = delta.groupBy(*group_cols).agg(*_agg_columns(sum_cols))
+        stored = snapshot_read(spark, mv_path)
+        measures = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+        merged = stored.alias("s").join(
+            partial.alias("d"), on=group_cols, how="full_outer"
+        )
+        agg = merged.select(
+            *group_cols,
+            *[
+                (
+                    F.coalesce(F.col(f"s.{m}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+                ).alias(m)
+                for m in measures
+            ],
+        )
+        mode, n_delta = "incremental", len(new_segments)
+    versioned_write(agg, mv_path, mode="overwrite")
+    meta["base_version"] = latest
+    with open(os.path.join(mv_path, _MV_META), "w") as f:
+        json.dump(meta, f)
+    return {"mode": mode, "delta_segments": n_delta, "base_version": latest}
+
+
+# ---------------------------------------------------------------------------
+# Registered query
+# ---------------------------------------------------------------------------
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag, name)
+
+
+def _build_mv_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
+    """Base: v0 = 3/5 of orders, then two appends. MV created at v0,
+    refreshed once across both appends — the daily-rollup shape."""
+    base = _scratch(sf_dir, "orders_mv_base")
+    mv = _scratch(sf_dir, "orders_mv")
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(mv, "_REFRESHED")
+    if not fixture_stale(src, marker):
+        with open(marker) as f:
+            return base, mv, json.load(f)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 <= 2), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    versioned_write(o.filter(F.col("o_orderkey") % 5 == 3), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 == 4), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    with open(marker, "w") as f:
+        json.dump(summary, f)
+    return base, mv, summary
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+           'incremental' AS refresh_mode,
+           2 AS delta_segments
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("mv", "incremental", "snapshot", "aggregation"),
+    doc=(
+        "Incrementally maintained MATERIALIZED VIEW: an aggregate "
+        "(count + sum per order priority) is materialized at base "
+        "version 0, the base receives two appends, and ONE refresh "
+        "consumes exactly the two appended segments — aggregating the "
+        "delta and full-outer-merging the partials into the stored "
+        "state without rescanning version-0 data (file-set asserted in "
+        "tests/test_round9b_ops.py). The oracle pins the refreshed MV "
+        "to a from-scratch aggregate over the full base, plus the "
+        "refresh mode and delta-segment count. Overwrites/deletes in "
+        "base history force a full recompute (tested) — the soundness "
+        "gate every incremental-view engine needs."
+    ),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: refresh cost is O(delta rows) + a shuffle of |MV| +
+    |delta groups| rows; the stored MV is read through its own
+    manifest-pinned snapshot, so concurrent readers never see a
+    half-merged state. The full-history fallback is the correctness
+    escape hatch, not the steady state."""
+    _base, mv, summary = _build_mv_fixture(spark, sf_dir)
+    return snapshot_read(spark, mv).select(
+        "o_orderpriority",
+        "n_rows",
+        "sum_o_orderkey",
+        F.lit(summary["mode"]).alias("refresh_mode"),
+        F.lit(summary["delta_segments"]).alias("delta_segments"),
+    )

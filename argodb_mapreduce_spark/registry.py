@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.bi",
     "argodb_mapreduce_spark.operators.modern_sql",
     "argodb_mapreduce_spark.operators.cbo",
+    "argodb_mapreduce_spark.operators.materialized_view",
 )
 
 #: ROUND-9 DRIVER WINDOW. The driver checks the first 50 entries of

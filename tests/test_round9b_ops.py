@@ -220,3 +220,102 @@ def test_bloom_probe_matches_spark_hash(spark, sf_dir):
     rows = o.select("o_custkey", F.array(*_bloom_position_exprs("o_custkey", 4096)).alias("p")).collect()
     for r in rows:
         assert list(r.p) == _bloom_probe_positions(int(r.o_custkey), 4096)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _mv_state(spark, mv_path):
+    rows = snapshot_read(spark, mv_path).orderBy("o_orderpriority").collect()
+    return [(r.o_orderpriority, r.n_rows, r.sum_o_orderkey) for r in rows]
+
+
+@pytest.fixture()
+def mv_pair(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.operators.materialized_view import mv_create
+
+    base = str(tmp_path / "mv_base")
+    mv = str(tmp_path / "mv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 <= 2), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    return base, mv
+
+
+def test_mv_incremental_equals_full_recompute(spark, sf_dir, mv_pair):
+    from argodb_mapreduce_spark.operators.materialized_view import mv_refresh
+
+    base, mv = mv_pair
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 == 3), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 == 4), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "incremental" and summary["delta_segments"] == 2
+    want = [
+        (r.o_orderpriority, r.n, r.s)
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").cast("long").alias("s"))
+        .orderBy("o_orderpriority")
+        .collect()
+    ]
+    assert _mv_state(spark, mv) == want
+    # Refresh with nothing new is a noop: no MV version is published.
+    n_versions = len(versions(mv))
+    assert mv_refresh(spark, mv)["mode"] == "noop"
+    assert len(versions(mv)) == n_versions
+
+
+def test_mv_refresh_reads_only_delta(spark, sf_dir, mv_pair):
+    """The incremental path's scan lists only appended segments."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        _appended_segments_since,
+    )
+
+    base, mv = mv_pair
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 5 == 3), base, mode="append")
+    new = _appended_segments_since(base, 0)
+    assert new == ["data-1"]
+    delta = spark.read.parquet(os.path.join(base, "data-1"))
+    assert all("data-1" in f for f in delta.inputFiles())
+
+
+def test_mv_overwrite_forces_full_refresh(spark, sf_dir, mv_pair):
+    from argodb_mapreduce_spark.operators.materialized_view import mv_refresh
+
+    base, mv = mv_pair
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "full"
+    want = [
+        (r.o_orderpriority, r.n, r.s)
+        for r in o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").cast("long").alias("s"))
+        .orderBy("o_orderpriority")
+        .collect()
+    ]
+    assert _mv_state(spark, mv) == want
+
+
+def test_mv_delete_forces_full_refresh(spark, sf_dir, mv_pair):
+    from argodb_mapreduce_spark.operators.materialized_view import mv_refresh
+
+    base, mv = mv_pair
+    delete_where(spark, base, [("o_orderstatus", "=", "F")])
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "full"
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 5 <= 2) & (F.col("o_orderstatus") != "F")
+    )
+    want = [
+        (r.o_orderpriority, r.n, r.s)
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").cast("long").alias("s"))
+        .orderBy("o_orderpriority")
+        .collect()
+    ]
+    assert _mv_state(spark, mv) == want
