@@ -359,6 +359,47 @@ def versioned_write(
     return version
 
 
+def versioned_write_txn(
+    df: DataFrame, path: str, app_id: str, batch_id: int, mode: str = "append"
+) -> tuple[int, bool]:
+    """Idempotent transactional write: ``(version, committed)``.
+
+    The manifest entry records ``txn: {app_id, batch_id}``; a write
+    whose batch_id is <= the highest already committed for ``app_id``
+    is SKIPPED (returns ``committed=False``) — the Delta
+    ``txnAppId``/``txnVersion`` contract that makes foreachBatch sinks
+    exactly-once: Structured Streaming replays a failed micro-batch
+    with the SAME batch_id, and the replay becomes a no-op instead of
+    a duplicate append. A segment directory orphaned by a crash
+    between data write and manifest commit is detected (present on
+    disk, referenced by no entry) and cleared before retrying — the
+    manifest append is the only atomic commit point.
+    """
+    exists = os.path.exists(os.path.join(path, MANIFEST))
+    entries = _read_manifest(path) if exists else []
+    last = max(
+        (
+            e["txn"]["batch_id"]
+            for e in entries
+            if e.get("txn", {}).get("app_id") == app_id
+        ),
+        default=-1,
+    )
+    if batch_id <= last:
+        return entries[-1]["version"], False
+    next_seg = f"data-{entries[-1]['version'] + 1 if entries else 0}"
+    referenced = {s for e in entries for s in e["segments"]}
+    if next_seg not in referenced and os.path.isdir(os.path.join(path, next_seg)):
+        import shutil
+
+        shutil.rmtree(os.path.join(path, next_seg))
+    version = versioned_write(df, path, mode=mode)
+    entries = _read_manifest(path)
+    entries[-1]["txn"] = {"app_id": app_id, "batch_id": batch_id}
+    _write_manifest(path, entries)
+    return version, True
+
+
 def snapshot_read(
     spark: SparkSession,
     path: str,

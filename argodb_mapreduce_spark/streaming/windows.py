@@ -878,3 +878,94 @@ def _collapse_provisional_sessions(s: DataFrame) -> DataFrame:
         F.timestamp_micros(F.col("end_us")).alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_versioned_sink",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           3 AS n_versions,
+           TRUE AS retry_skipped
+    FROM events
+    """,
+    tags=("streaming", "sink", "snapshot", "live", "exactly-once"),
+    doc=(
+        "EXACTLY-ONCE streaming sink into the versioned store: a real "
+        "3-batch availableNow stream (maxFilesPerTrigger=1 over the "
+        "sharded events source) lands each micro-batch through "
+        "foreachBatch + versioned_write_txn, whose manifest txn "
+        "metadata (app_id, batch_id) makes replays no-ops — the Delta "
+        "txnAppId/txnVersion idempotent-commit contract. After the "
+        "stream drains, the LAST batch is deliberately re-applied with "
+        "its committed batch_id and the oracle-pinned retry_skipped "
+        "flag proves the duplicate was refused (version count "
+        "unchanged). The final table equals the full events set with "
+        "one version per micro-batch. Completes the loop opened by "
+        "stream_versioned_ingest: the store is now both a streaming "
+        "source AND an exactly-once streaming sink."
+    ),
+)
+def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each micro-batch commit is one segment write + an O(1)
+    manifest append; the idempotency check reads only manifest
+    metadata. Recovery after a crash between segment write and
+    manifest commit clears the orphaned directory — the manifest is
+    the single atomic commit point, so replays never double-count."""
+    import os
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        snapshot_read,
+        versioned_write_txn,
+        versions,
+    )
+
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_sharded_stream_dir(sf_dir))
+    )
+    events = _bridge_ts(raw, unit).select("event_id", "user_id", "value")
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_vsink"
+    )
+    # Rebuild per run: the query must be deterministic under re-execution.
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_vsink_ckpt_")
+    app_id = "stream_versioned_sink"
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versioned_write_txn(batch_df, out, app_id, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Replay the last committed batch: exactly-once means a no-op.
+    n_versions = len(versions(out))
+    last_bid = _read_manifest(out)[-1]["txn"]["batch_id"]
+    _, committed = versioned_write_txn(
+        snapshot_read(spark, out).limit(1), out, app_id, last_bid
+    )
+    retry_skipped = (not committed) and len(versions(out)) == n_versions
+
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(n_versions).alias("n_versions"),
+        F.lit(retry_skipped).alias("retry_skipped"),
+    )

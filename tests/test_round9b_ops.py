@@ -319,3 +319,41 @@ def test_mv_delete_forces_full_refresh(spark, sf_dir, mv_pair):
         .collect()
     ]
     assert _mv_state(spark, mv) == want
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once transactional writes (the streaming-sink commit protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_txn_write_is_idempotent(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import versioned_write_txn
+
+    out = str(tmp_path / "txn_store")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    v0, c0 = versioned_write_txn(o, out, "app", 0)
+    assert (v0, c0) == (0, True)
+    # Replay of batch 0 and any stale batch id: refused, no new version.
+    assert versioned_write_txn(o, out, "app", 0) == (0, False)
+    v1, c1 = versioned_write_txn(o, out, "app", 1)
+    assert (v1, c1) == (1, True)
+    assert versioned_write_txn(o, out, "app", 0) == (1, False)
+    assert len(versions(out)) == 2
+    # A DIFFERENT app id is an independent ledger.
+    v2, c2 = versioned_write_txn(o, out, "other", 0)
+    assert (v2, c2) == (2, True)
+
+
+def test_txn_write_recovers_orphaned_segment(spark, sf_dir, tmp_path):
+    """Crash between segment write and manifest commit: the orphaned
+    data dir must not break the retry (errorifexists would)."""
+    from argodb_mapreduce_spark.sources.versioned import versioned_write_txn
+
+    out = str(tmp_path / "txn_orphan")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    versioned_write_txn(o, out, "app", 0)
+    # Simulate the crash: segment data-1 exists, no manifest entry.
+    o.write.parquet(os.path.join(out, "data-1"))
+    v, committed = versioned_write_txn(o, out, "app", 1)
+    assert (v, committed) == (1, True)
+    assert snapshot_read(spark, out).count() == 200
