@@ -158,6 +158,13 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "bpe_encode_documents",
     "stream_versioned_ingest",
+    # late round-9: the lakehouse completeness pack — deletion vectors,
+    # bloom point-lookup skipping, incremental MV maintenance, and the
+    # exactly-once foreachBatch txn sink
+    "snapshot_delete_where",
+    "snapshot_bloom_pruned_scan",
+    "mv_incremental_refresh",
+    "stream_versioned_sink",
 ]
 
 
