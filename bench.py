@@ -165,6 +165,7 @@ HEADLINE = [
     "snapshot_bloom_pruned_scan",
     "mv_incremental_refresh",
     "stream_versioned_sink",
+    "snapshot_change_feed",
 ]
 
 

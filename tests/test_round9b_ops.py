@@ -357,3 +357,46 @@ def test_txn_write_recovers_orphaned_segment(spark, sf_dir, tmp_path):
     v, committed = versioned_write_txn(o, out, "app", 1)
     assert (v, committed) == (1, True)
     assert snapshot_read(spark, out).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# Change data feed (O(changes) version-to-version deltas)
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_appends_and_deletes(spark, sf_dir, dv_store):
+    from argodb_mapreduce_spark.sources.versioned import change_feed
+
+    feed = change_feed(spark, dv_store, 0, 2)
+    ins = feed.filter(F.col("_change_type") == "insert")
+    dels = feed.filter(F.col("_change_type") == "delete")
+    o = load_table(spark, sf_dir, "orders")
+    assert ins.count() == o.filter(F.col("o_orderkey") % 3 == 1).count()
+    # Deletes = the 'F' rows across BOTH base segments.
+    assert (
+        dels.count()
+        == o.filter(
+            (F.col("o_orderkey") % 3 <= 1) & (F.col("o_orderstatus") == "F")
+        ).count()
+    )
+    # Feed rows carry full table columns + the tag.
+    assert "_change_type" in feed.columns and "o_orderkey" in feed.columns
+
+
+def test_change_feed_delete_delta_only(spark, dv_store):
+    """A second delete's feed contains only the NEWLY deleted rows."""
+    from argodb_mapreduce_spark.sources.versioned import change_feed
+
+    _, n = delete_where(spark, dv_store, [("o_totalprice", ">=", 150000.0)])
+    feed = change_feed(spark, dv_store, 2, 3)
+    assert feed.count() == n
+    assert feed.filter(F.col("_change_type") != "delete").count() == 0
+
+
+def test_change_feed_refuses_overwrite(spark, sf_dir, dv_store):
+    from argodb_mapreduce_spark.sources.versioned import change_feed
+
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.limit(10), dv_store, mode="overwrite")
+    with pytest.raises(ValueError, match="snapshot_diff"):
+        change_feed(spark, dv_store, 0, len(versions(dv_store)) - 1)
