@@ -166,6 +166,7 @@ HEADLINE = [
     "mv_incremental_refresh",
     "stream_versioned_sink",
     "snapshot_change_feed",
+    "snapshot_schema_merge",
 ]
 
 

@@ -400,3 +400,40 @@ def test_change_feed_refuses_overwrite(spark, sf_dir, dv_store):
     versioned_write(o.limit(10), dv_store, mode="overwrite")
     with pytest.raises(ValueError, match="snapshot_diff"):
         change_feed(spark, dv_store, 0, len(versions(dv_store)) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Schema enforcement + evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_enforcement_rejects_type_change(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "schema_store")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    versioned_write(o.limit(50), out, mode="append")
+    bad = o.limit(10).withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(ValueError, match="schema enforcement"):
+        versioned_write(bad, out, mode="append")
+    # Refusal happened BEFORE any bytes landed: no orphaned segment, and
+    # the table is still appendable.
+    assert not os.path.exists(os.path.join(out, "data-1"))
+    assert versioned_write(o.limit(10), out, mode="append") == 1
+
+
+def test_schema_evolution_null_backfills(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "schema_evolve")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out, mode="append")
+    evolved = o.filter(F.col("o_orderkey") % 2 == 1).withColumn("o_note", F.lit("new"))
+    versioned_write(evolved, out, mode="append")
+    live = snapshot_read(spark, out)
+    assert "o_note" in live.columns
+    assert live.filter(F.col("o_note").isNull()).count() == o.filter(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
+    # Time travel to v0 keeps the ORIGINAL schema (no phantom column).
+    assert "o_note" not in snapshot_read(spark, out, 0).columns
+    # Overwrite resets the ledger: a type change is then legal.
+    retyped = o.limit(5).withColumn("o_orderstatus", F.lit(1).cast("long"))
+    versioned_write(retyped, out, mode="overwrite")
+    assert dict(snapshot_read(spark, out).dtypes)["o_orderstatus"] == "bigint"
