@@ -73,13 +73,14 @@ _QUERY_MODULES = (
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r8 the staleness floor was
 #: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: plus the 3 alphabetically-first of the 41 rows whose newest
-#: evidence is r04 (the remaining 38 — dedup_incremental
+#: plus the 2 alphabetically-first of the 41 rows whose newest
+#: evidence is r04 (the remaining 39 — dedup_exact
 #: alphabetically onward — lead the r10 rotation; post-r9 floor is
 #: r04). tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
 #: silent 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 9: first driver evidence ---
+    "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
     "snapshot_schema_merge",      # schema enforcement + evolution ledger
     "snapshot_change_feed",       # O(changes) CDF over appends + DV deletes
     "snapshot_delete_where",      # deletion vectors (merge-on-read DELETE)
@@ -129,10 +130,9 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) newest evidence r04 (3 of 41, alphabetical) ---
+    # --- (b cont.) newest evidence r04 (2 of 41, alphabetical) ---
     "curation_pipeline",
     "data_mixture_sample",
-    "dedup_exact",
 )
 
 

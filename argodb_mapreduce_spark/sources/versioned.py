@@ -1614,3 +1614,202 @@ def snapshot_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_channel", "n_rows", "sum_key", F.lit(len(distinct) > 1).alias("evolved_read")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE with segment pruning (the lakehouse upsert)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, source: DataFrame, key_col: str
+) -> dict:
+    """MERGE (upsert) ``source`` into the table's latest version,
+    rewriting ONLY the segments that can contain a source key.
+
+    The Delta/Iceberg copy-on-write MERGE algorithm:
+
+    1. *Find touched files*: inner-join target×source on the key with
+       ``_metadata.file_path`` projected — O(matches) driver metadata,
+       never a table scan collected. Segments owning no touched file
+       carry forward UNMODIFIED (no read, no write).
+    2. *Rewrite*: touched segments' non-matching rows are kept, every
+       source row is written (updating its match or inserting fresh) —
+       one new segment replaces the touched ones.
+    3. *Commit*: a manifest entry lists untouched + rewritten segments,
+       with fresh stats (and blooms, if the table tracks them) for the
+       new segment. Old versions keep time-traveling.
+
+    Upsert semantics: final = (target rows whose key ∉ source) ∪ source.
+    Tables with a pending deletion vector must compact first (the DV
+    references files a rewrite would orphan) — fail-loud, documented.
+    Returns ``{"version", "segments_rewritten", "segments_total",
+    "rows_upserted"}``.
+
+    At 100 TB: a daily upsert touching 1% of keys rewrites ~1% of
+    segments (better with clustering/bloom-friendly layout), while the
+    naive overwrite rewrites the table. Pruning exactness is the same
+    conservative contract as the read path: provably-untouched or
+    rewritten.
+    """
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    if latest.get("dv"):
+        raise ValueError(
+            "merge_upsert on a table with a pending deletion vector: "
+            "compact() first to materialize it"
+        )
+    segs = latest["segments"]
+    tgt = spark.read.parquet(*[os.path.join(path, s) for s in segs])
+    keys = source.select(key_col).distinct()
+    touched_files = [
+        r.fp
+        for r in tgt.select(
+            F.col(key_col), F.col("_metadata.file_path").alias("fp")
+        )
+        .join(F.broadcast(keys), key_col, "inner")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    touched = sorted(
+        {s for s in segs if any(f"/{s}/" in f or f.endswith(s) for f in touched_files)}
+    )
+    untouched = [s for s in segs if s not in touched]
+    version = latest["version"] + 1
+    new_seg = f"data-{version}"
+    if touched:
+        kept = (
+            spark.read.parquet(*[os.path.join(path, s) for s in touched])
+            .join(F.broadcast(keys), key_col, "left_anti")
+        )
+        rewrite = kept.unionByName(source)
+    else:
+        rewrite = source
+    rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    stats = {s: v for s, v in latest.get("stats", {}).items() if s in untouched}
+    stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
+    entry = {
+        "version": version,
+        "segments": [*untouched, new_seg],
+        "stats": stats,
+        "merged_from": latest["version"],
+        "schemas": {
+            **{
+                s: v
+                for s, v in latest.get("schemas", {}).items()
+                if s in untouched
+            },
+            new_seg: {f.name: f.dataType.simpleString() for f in rewrite.schema.fields},
+        },
+    }
+    bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
+    if bloom_cols:
+        entry["bloom"] = {
+            s: v for s, v in latest.get("bloom", {}).items() if s in untouched
+        }
+        entry["bloom"][new_seg] = build_segment_bloom(
+            spark, os.path.join(path, new_seg), bloom_cols
+        )
+    entries.append(entry)
+    _write_manifest(path, entries)
+    import pyarrow.parquet as pq
+
+    n_upserted = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(path, new_seg, "*.parquet"))
+    )
+    return {
+        "version": version,
+        "segments_rewritten": len(touched),
+        "segments_total": len(segs),
+        "rows_upserted": n_upserted,
+    }
+
+
+def _build_merge_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """4 time-ordered segments; the source updates ONLY the third
+    segment's date window (price doubled) and inserts offset-key rows —
+    so exactly one segment must rewrite."""
+    out = _scratch(sf_dir) + "_merge"
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(out, "_MERGED")
+    if not fixture_stale(src, marker):
+        with open(marker) as f:
+            return out, json.load(f)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    b0, b1, b2 = (F.lit(b).cast("timestamp") for b in _PRUNE_BOUNDS)
+    versioned_write(o.filter(d < b0), out, mode="append")
+    versioned_write(o.filter((d >= b0) & (d < b1)), out, mode="append")
+    versioned_write(o.filter((d >= b1) & (d < b2)), out, mode="append")
+    versioned_write(o.filter(d >= b2), out, mode="append")
+    lo = F.lit(_PRUNE_LO).cast("timestamp")
+    hi = F.lit(_PRUNE_HI).cast("timestamp")
+    updates = o.filter((d >= lo) & (d < hi)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = o.filter(F.col("o_orderkey") < 100).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    summary = merge_upsert(
+        spark, out, updates.unionByName(inserts), "o_orderkey"
+    )
+    with open(marker, "w") as f:
+        json.dump(summary, f)
+    return out, summary
+
+
+@register(
+    "snapshot_merge_pruned",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_dsum('o_totalprice', 2)} AS sum_price,
+           1 AS segments_rewritten,
+           4 AS segments_total
+    FROM merged
+    """,
+    tags=("sink", "snapshot", "merge", "copy-on-write"),
+    doc=(
+        "Copy-on-write MERGE with SEGMENT PRUNING: the source updates "
+        "one date window (price doubled) and inserts offset-key rows; "
+        "the touched-files inner join proves only the one segment "
+        "containing that window holds source keys, so 3 of 4 segments "
+        "carry forward without a read or a write and exactly one "
+        "rewrite segment is committed (counts oracle-pinned). The "
+        "merged content — updates applied, non-matches kept, inserts "
+        "added — is hash-checked against the SQL merge semantics. "
+        "This is THE lakehouse write op (Delta/Iceberg MERGE INTO) "
+        "over the same manifest the reference pins its RO snapshots "
+        "on; pre-merge versions still time-travel (tested)."
+    ),
+)
+def snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: touched-file discovery is an inner join collecting
+    O(matched files) paths; the rewrite reads/writes only touched
+    segments + source. A 1%-of-keys daily upsert costs ~1% of the
+    table, not an overwrite."""
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    out, summary = _build_merge_fixture(spark, sf_dir)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+        F.lit(summary["segments_rewritten"]).alias("segments_rewritten"),
+        F.lit(summary["segments_total"]).alias("segments_total"),
+    )

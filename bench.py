@@ -167,6 +167,7 @@ HEADLINE = [
     "stream_versioned_sink",
     "snapshot_change_feed",
     "snapshot_schema_merge",
+    "snapshot_merge_pruned",
 ]
 
 

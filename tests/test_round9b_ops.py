@@ -437,3 +437,63 @@ def test_schema_evolution_null_backfills(spark, sf_dir, tmp_path):
     retyped = o.limit(5).withColumn("o_orderstatus", F.lit(1).cast("long"))
     versioned_write(retyped, out, mode="overwrite")
     assert dict(snapshot_read(spark, out).dtypes)["o_orderstatus"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE with segment pruning
+# ---------------------------------------------------------------------------
+
+
+def test_merge_rewrites_only_touched_segments(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "merge_store")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") < 500), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") >= 500), out, mode="append")
+    source = o.filter(F.col("o_orderkey") < 50).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    before = snapshot_read(spark, out).count()
+    summary = merge_upsert(spark, out, source, "o_orderkey")
+    assert summary["segments_rewritten"] == 1 and summary["segments_total"] == 2
+    entries = _read_manifest(out)
+    # The untouched high-key segment carries forward byte-identical.
+    assert "data-1" in entries[-1]["segments"]
+    assert "data-0" not in entries[-1]["segments"]
+    live = snapshot_read(spark, out)
+    assert live.count() == before  # pure update, no inserts
+    assert live.filter((F.col("o_orderkey") < 50) & (F.col("o_totalprice") != 1.0)).count() == 0
+    # Pre-merge version still time-travels with original prices.
+    old = snapshot_read(spark, out, 1)
+    assert old.filter((F.col("o_orderkey") < 50) & (F.col("o_totalprice") == 1.0)).count() == 0
+
+
+def test_merge_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "merge_insert")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out, mode="append")
+    fresh = o.limit(20).withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    summary = merge_upsert(spark, out, fresh, "o_orderkey")
+    assert summary["segments_rewritten"] == 0
+    assert snapshot_read(spark, out).count() == o.count() + 20
+
+
+def test_merge_refuses_pending_dv(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "merge_dv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    with pytest.raises(ValueError, match="compact"):
+        merge_upsert(spark, out, o.limit(5), "o_orderkey")
+    # After compaction the merge goes through; deleted rows stay gone
+    # except where the SOURCE legitimately re-upserts them.
+    compact(spark, out)
+    src = o.filter(F.col("o_orderstatus") != "F").limit(5)
+    summary = merge_upsert(spark, out, src, "o_orderkey")
+    assert summary["version"] == len(versions(out)) - 1
+    assert snapshot_read(spark, out).filter(F.col("o_orderstatus") == "F").count() == 0
