@@ -309,8 +309,37 @@ def _write_manifest(path: str, entries: list[dict]) -> None:
     os.replace(tmp, os.path.join(path, MANIFEST))
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A commit's base version is no longer the table head (OCC)."""
+
+
+def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None:
+    """Optimistic commit: append ``entry`` ONLY if the manifest head is
+    still ``base_version`` — otherwise remove the staged artifacts and
+    raise :class:`ConcurrentWriteError`. Read-dependent commits (DELETE,
+    MERGE, compaction) must go through this check: their output was
+    derived from the base they read, so a moved head invalidates it —
+    the Delta/Iceberg serializable check-and-retry contract."""
+    import shutil
+
+    entries = _read_manifest(path)
+    if entries[-1]["version"] != base_version:
+        for d in cleanup_dirs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"table advanced past v{base_version} (head is "
+            f"v{entries[-1]['version']}); re-read and retry"
+        )
+    entries.append(entry)
+    _write_manifest(path, entries)
+
+
 def versioned_write(
-    df: DataFrame, path: str, mode: str = "append", bloom_columns=()
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    bloom_columns=(),
+    expected_version: int | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the new version number.
 
@@ -322,7 +351,18 @@ def versioned_write(
     ``bloom_columns`` additionally builds per-segment bloom filters for
     those columns (one extra scan of the new segment only), enabling
     equality-predicate skipping where min/max cannot prune.
+
+    Concurrency (optimistic, Delta-style): data is written to a STAGED
+    directory and renamed at commit, where the manifest is re-read and
+    the version recomputed — a blind append therefore REBASES safely
+    onto a head moved by a concurrent writer (appends commute). Pass
+    ``expected_version`` when the write's content depends on what was
+    read: a moved head then removes the staged data and raises
+    :class:`ConcurrentWriteError` instead of committing a lost update.
     """
+    import shutil
+    import uuid
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     # Guard against externally created sessions (the driver's) that still
@@ -330,28 +370,43 @@ def versioned_write(
     # data skipping on every date column of this segment.
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(path, exist_ok=True)
-    entries = _read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else []
-    version = entries[-1]["version"] + 1 if entries else 0
-    segment = f"data-{version}"
-    # Schema enforcement BEFORE any bytes land (Delta-style): an append
-    # may ADD columns (readers NULL-backfill old segments) but a type
-    # conflict on a shared column is refused at commit time.
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    prev_schemas = (
-        dict(entries[-1].get("schemas", {})) if (entries and mode == "append") else {}
-    )
-    for seg_schema in prev_schemas.values():
-        conflicts = {
-            c: (t, new_schema[c])
-            for c, t in seg_schema.items()
-            if c in new_schema and new_schema[c] != t
-        }
-        if conflicts:
-            raise ValueError(
-                f"schema enforcement: append changes column types {conflicts}; "
-                "evolution may only ADD columns"
+    staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(staged)
+    try:
+        entries = (
+            _read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else []
+        )
+        head = entries[-1]["version"] if entries else None
+        if expected_version is not None and head != expected_version:
+            raise ConcurrentWriteError(
+                f"table advanced past v{expected_version} (head is v{head})"
             )
-    df.write.mode("errorifexists").parquet(os.path.join(path, segment))
+        # Schema enforcement at commit, against the head actually built
+        # on (Delta-style): an append may ADD columns (readers
+        # NULL-backfill old segments) but a type conflict on a shared
+        # column is refused — staged bytes are discarded, the table is
+        # untouched.
+        new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        prev_schemas = (
+            dict(entries[-1].get("schemas", {})) if (entries and mode == "append") else {}
+        )
+        for seg_schema in prev_schemas.values():
+            conflicts = {
+                c: (t, new_schema[c])
+                for c, t in seg_schema.items()
+                if c in new_schema and new_schema[c] != t
+            }
+            if conflicts:
+                raise ValueError(
+                    f"schema enforcement: append changes column types {conflicts}; "
+                    "evolution may only ADD columns"
+                )
+        version = entries[-1]["version"] + 1 if entries else 0
+        segment = f"data-{version}"
+        os.rename(staged, os.path.join(path, segment))
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     prev = entries[-1]["segments"] if (entries and mode == "append") else []
     stats = dict(entries[-1].get("stats", {})) if (entries and mode == "append") else {}
     stats = {s: stats[s] for s in prev if s in stats}
@@ -604,8 +659,10 @@ def compact(spark: SparkSession, path: str) -> int:
         entry["bloom"] = {
             segment: build_segment_bloom(spark, os.path.join(path, segment), bloom_cols)
         }
-    entries.append(entry)
-    _write_manifest(path, entries)
+    # Compaction rewrote exactly the rows of the version it read: a
+    # moved head (e.g. a concurrent DELETE) would be silently undone if
+    # this committed — OCC-gate it.
+    _commit_entry(path, latest["version"], entry, cleanup_dirs=(segment,))
     return version
 
 
@@ -1172,8 +1229,9 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     # same contract as the carried-forward min/max stats.
     if latest.get("bloom"):
         entry["bloom"] = dict(latest["bloom"])
-    entries.append(entry)
-    _write_manifest(path, entries)
+    # The DV was computed against the version read above: OCC-gate the
+    # commit so a concurrent append/delete cannot be half-tombstoned.
+    _commit_entry(path, latest["version"], entry, cleanup_dirs=(dv_name,))
     return version, n_total - n_prev
 
 
@@ -1711,8 +1769,8 @@ def merge_upsert(
         entry["bloom"][new_seg] = build_segment_bloom(
             spark, os.path.join(path, new_seg), bloom_cols
         )
-    entries.append(entry)
-    _write_manifest(path, entries)
+    # The rewrite derives from the version read above — OCC-gate it.
+    _commit_entry(path, latest["version"], entry, cleanup_dirs=(new_seg,))
     import pyarrow.parquet as pq
 
     n_upserted = sum(

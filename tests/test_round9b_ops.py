@@ -497,3 +497,58 @@ def test_merge_refuses_pending_dv(spark, sf_dir, tmp_path):
     summary = merge_upsert(spark, out, src, "o_orderkey")
     assert summary["version"] == len(versions(out)) - 1
     assert snapshot_read(spark, out).filter(F.col("o_orderstatus") == "F").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency control
+# ---------------------------------------------------------------------------
+
+
+def test_occ_expected_version_conflict(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import ConcurrentWriteError
+
+    out = str(tmp_path / "occ_store")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    versioned_write(o, out, mode="append")
+    versioned_write(o, out, mode="append")  # head moves to v1
+    with pytest.raises(ConcurrentWriteError, match="advanced past v0"):
+        versioned_write(o, out, mode="append", expected_version=0)
+    # No staged directory or orphan segment survived the refusal.
+    leftovers = [d for d in os.listdir(out) if d.startswith("_staged-")]
+    assert leftovers == []
+    assert len(versions(out)) == 2
+    # With the CORRECT expectation the same write commits.
+    assert versioned_write(o, out, mode="append", expected_version=1) == 2
+
+
+def test_occ_read_dependent_commit_conflicts(spark, sf_dir, tmp_path):
+    """A DELETE whose base moved must refuse to commit and clean up its
+    sidecar — simulated by racing an append between read and commit via
+    the commit hook itself."""
+    from argodb_mapreduce_spark.sources import versioned as V
+
+    out = str(tmp_path / "occ_delete")
+    o = load_table(spark, sf_dir, "orders").limit(200)
+    versioned_write(o, out, mode="append")
+
+    real_commit = V._commit_entry
+    raced = {}
+
+    def racing_commit(path, base_version, entry, cleanup_dirs=()):
+        if not raced:
+            raced["done"] = True
+            versioned_write(o.limit(10), path, mode="append")  # concurrent writer
+        return real_commit(path, base_version, entry, cleanup_dirs)
+
+    V._commit_entry = racing_commit
+    try:
+        with pytest.raises(V.ConcurrentWriteError):
+            delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    finally:
+        V._commit_entry = real_commit
+    # The refused DV sidecar was cleaned up; the concurrent append won.
+    assert not any(d.startswith("deletes-") for d in os.listdir(out))
+    assert len(versions(out)) == 2
+    # A retry against the new head succeeds.
+    v, n = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    assert n > 0 and v == 2
