@@ -279,7 +279,10 @@ def make_versioned_datasource():
             return VersionedArrowWriter(self._path, overwrite)
 
         def streamReader(self, schema):
-            return VersionedStreamReader(self._path)
+            ignore_deletes = str(
+                self.options.get("ignoreDeletes", "false")
+            ).lower() in ("true", "1")
+            return VersionedStreamReader(self._path, ignore_deletes)
 
     class VersionedStreamReader(DataSourceStreamReader):
         """STREAMING source over the versioned table — "subscribe to a
@@ -292,15 +295,21 @@ def make_versioned_datasource():
         (overwrite, rollback, vacuum-rewritten history) is a non-append
         change and fails loud — the same default Delta's streaming
         source applies — because silently re-reading or skipping
-        rewritten data corrupts downstream aggregates.
+        rewritten data corrupts downstream aggregates. A DELETION-VECTOR
+        commit likewise fails by default (a subscriber that only tails
+        inserts would silently diverge from the table); passing
+        ``option("ignoreDeletes", "true")`` opts into skipping DV-only
+        commits and keeps tailing appends — exactly Delta's
+        ``ignoreDeletes`` contract.
 
         Scale: partitions(start, end) lists only the DELTA segments'
         files (one partition per file, the batch reader's split
         contract), so a day's micro-batches each touch O(new data), and
         the offset log is O(versions)."""
 
-        def __init__(self, path: str):
+        def __init__(self, path: str, ignore_deletes: bool = False):
             self._path = path
+            self._ignore_deletes = ignore_deletes
 
         def _entries(self):
             with open(_os.path.join(self._path, "_snapshots.json")) as f:
@@ -316,6 +325,7 @@ def make_versioned_datasource():
             entries = {e["version"]: e for e in self._entries()}
             lo, hi = start["version"], end["version"]
             prev = set(entries[lo]["segments"]) if lo in entries else set()
+            prev_dv = entries[lo].get("dv") if lo in entries else None
             new_segments = []
             for v in sorted(v for v in entries if lo < v <= hi):
                 segs = set(entries[v]["segments"])
@@ -326,8 +336,16 @@ def make_versioned_datasource():
                         f"{sorted(removed)}); the versioned stream supports "
                         f"append-only history"
                     )
+                if entries[v].get("dv") != prev_dv and not self._ignore_deletes:
+                    raise ValueError(
+                        f"deletion-vector change at version {v}; an "
+                        "insert-tailing subscriber would diverge from the "
+                        "table — pass option('ignoreDeletes', 'true') to "
+                        "skip delete commits deliberately"
+                    )
                 new_segments.extend(sorted(segs - prev))
                 prev = segs
+                prev_dv = entries[v].get("dv")
             files = []
             for seg in new_segments:
                 seg_dir = _os.path.join(self._path, seg)

@@ -552,3 +552,54 @@ def test_occ_read_dependent_commit_conflicts(spark, sf_dir, tmp_path):
     # A retry against the new head succeeds.
     v, n = delete_where(spark, out, [("o_orderstatus", "=", "F")])
     assert n > 0 and v == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming source vs deletion vectors (ignoreDeletes contract)
+# ---------------------------------------------------------------------------
+
+
+def _drain_versioned_stream(spark, path, sink_name, ignore_deletes=None):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    r = spark.readStream.format(FORMAT_NAME)
+    if ignore_deletes is not None:
+        r = r.option("ignoreDeletes", ignore_deletes)
+    s = r.load(path)
+    q = (
+        s.groupBy().count().writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+def test_stream_fails_on_delete_by_default(spark, sf_dir, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    out = str(tmp_path / "stream_dv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    with pytest.raises(StreamingQueryException, match="ignoreDeletes"):
+        _drain_versioned_stream(spark, out, "sink_dv_fail")
+
+
+def test_stream_ignore_deletes_tails_appends(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stream_dv_ok")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out, mode="append")
+    got = _drain_versioned_stream(spark, out, "sink_dv_ok", ignore_deletes="true")
+    # The subscriber sees every APPENDED row (deletes deliberately
+    # skipped — that is what the option opts into).
+    assert got.collect()[0]["count"] == o.count()
