@@ -92,6 +92,8 @@ def _ops():
         "bloom_build_probe": _bloom_build_probe,
         "mv_incremental_lifecycle": _mv_incremental_lifecycle,
         "stream_versioned_sink": _stream_sink,
+        "merge_pruned_lifecycle": _merge_pruned_lifecycle,
+        "cdf_lifecycle": _cdf_lifecycle,
     }
 
 
@@ -184,6 +186,47 @@ def _stream_sink(spark, sf_dir):
     from argodb_mapreduce_spark.streaming.windows import stream_versioned_sink
 
     return stream_versioned_sink(spark, sf_dir)
+
+
+def _merge_pruned_lifecycle(spark, sf_dir):
+    """2 appends split by key range + a MERGE touching only the low
+    half + read-back — the pruned copy-on-write upsert end to end."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert, snapshot_read, versioned_write
+
+    out = _fresh_dir("scale_merge_")
+    o = load_table(spark, sf_dir, "orders")
+    mid = 75000  # x1 orders span 0..150k; x10 0..1.5M — low half always touched
+    versioned_write(o.filter(F.col("o_orderkey") < mid), out)
+    versioned_write(o.filter(F.col("o_orderkey") >= mid), out)
+    source = o.filter(F.col("o_orderkey") < mid // 10).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    summary = merge_upsert(spark, out, source, "o_orderkey")
+    assert summary["segments_rewritten"] == 1, summary
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+
+
+def _cdf_lifecycle(spark, sf_dir):
+    """2 appends + a DV delete + the O(changes) change feed over all."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import change_feed, delete_where, versioned_write
+
+    out = _fresh_dir("scale_cdf_")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out)
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return change_feed(spark, out, 0, 2).groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
 
 
 def time_op(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
