@@ -603,3 +603,16 @@ def test_stream_ignore_deletes_tails_appends(spark, sf_dir, tmp_path):
     # The subscriber sees every APPENDED row (deletes deliberately
     # skipped — that is what the option opts into).
     assert got.collect()[0]["count"] == o.count()
+
+
+def test_history_classifies_merge(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "hist_merge")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out, mode="append")
+    merge_upsert(spark, out, o.limit(5), "o_orderkey")
+    entries = _read_manifest(out)
+    assert entries[-1]["merged_from"] == 0
+    # Mirror the DESCRIBE HISTORY classifier's precedence on this entry.
+    assert "deleted_where" not in entries[-1] and "compacted_from" not in entries[-1]
