@@ -1119,6 +1119,8 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             op = "delete"
         elif "merged_from" in e:
             op = "merge"
+        elif "zordered_from" in e:
+            op = "optimize"
         elif any(segs == s for s in seen_lists):
             op = "rollback"
         elif prev and segs[:-1] == prev and len(segs) == len(prev) + 1:
@@ -1879,4 +1881,166 @@ def snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", 2).alias("sum_price"),
         F.lit(summary["segments_rewritten"]).alias("segments_rewritten"),
         F.lit(summary["segments_total"]).alias("segments_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER: multi-column clustering rewrite for two-axis skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_rewrite(
+    spark: SparkSession, path: str, col_x: str, col_y: str, n_segments: int = 8
+) -> int:
+    """Rewrite the latest version z-clustered on ``(col_x, col_y)`` so
+    the manifest's per-segment min/max prune range predicates on EITHER
+    column — Delta's ``OPTIMIZE ... ZORDER BY`` over this manifest.
+
+    One data pass: Morton-interleave the two grid-scaled columns,
+    ``repartitionByRange`` on the z-value (each output file owns a
+    contiguous z-interval — a fractal block, tight on both axes), then
+    promote each staged file to its own manifest segment so stats are
+    per-block. A pending deletion vector is materialized by the rewrite
+    (reads go through the snapshot reader), like compaction. Publishes
+    one version tagged ``zordered_from``; old versions keep their
+    layout and stay time-travelable.
+
+    At 100 TB this converts "clustered by ingest time only" into
+    two-dimensional skipping: a predicate on either clustered column
+    prunes most blocks, where a single-column sort helps only its own
+    column and a random layout helps neither.
+    """
+    import shutil
+    import uuid
+
+    from argodb_mapreduce_spark.operators.zorder import morton_code, scale_to_grid
+
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    df = snapshot_read(spark, path, latest["version"])
+    frame = df.agg(
+        F.min(col_x).alias("xmn"),
+        F.max(col_x).alias("xmx"),
+        F.min(col_y).alias("ymn"),
+        F.max(col_y).alias("ymx"),
+    )
+    dfz = df.crossJoin(F.broadcast(frame)).withColumn(
+        "__z",
+        morton_code(
+            scale_to_grid(F.col(col_x), F.col("xmn"), F.col("xmx")),
+            scale_to_grid(F.col(col_y), F.col("ymn"), F.col("ymx")),
+        ),
+    ).drop("xmn", "xmx", "ymn", "ymx")
+    staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+    (
+        dfz.repartitionByRange(n_segments, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("errorifexists")
+        .parquet(staged)
+    )
+    version = latest["version"] + 1
+    try:
+        files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
+        segments, stats, schemas = [], {}, {}
+        seg_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for i, f in enumerate(files):
+            seg = f"data-{version}-z{i}"
+            os.makedirs(os.path.join(path, seg))
+            os.rename(f, os.path.join(path, seg, os.path.basename(f)))
+            segments.append(seg)
+            stats[seg] = collect_segment_stats(os.path.join(path, seg))
+            schemas[seg] = seg_schema
+        entry = {
+            "version": version,
+            "segments": segments,
+            "stats": stats,
+            "schemas": schemas,
+            "zordered_from": latest["version"],
+        }
+        bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
+        if bloom_cols:
+            entry["bloom"] = {
+                seg: build_segment_bloom(spark, os.path.join(path, seg), bloom_cols)
+                for seg in segments
+            }
+        _commit_entry(path, latest["version"], entry, cleanup_dirs=tuple(segments))
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return version
+
+
+def _build_zorder_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """4 hash-random segments (neither custkey nor totalprice prunable),
+    then OPTIMIZE ZORDER BY (o_custkey, o_totalprice) into 8 blocks."""
+    out = _scratch(sf_dir) + "_zorder"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 5
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64("o_orderkey"), 4)
+    for i in range(4):
+        versioned_write(o.filter(bucket == i), out, mode="append")
+    zorder_rewrite(spark, out, "o_custkey", "o_totalprice")
+    return out
+
+
+@register(
+    "snapshot_zorder_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS zorder_prunes_custkey,
+           TRUE AS zorder_prunes_price,
+           TRUE AS random_layout_cannot_prune
+    FROM orders
+    WHERE o_custkey <= (SELECT MIN(o_custkey)
+                          + (MAX(o_custkey) - MIN(o_custkey)) / 8.0
+                        FROM orders)
+    """,
+    tags=("source", "snapshot", "zorder", "data-skipping", "optimize"),
+    doc=(
+        "OPTIMIZE ZORDER BY on the versioned store: 4 hash-random "
+        "segments (min/max useless on every column — pinned by the "
+        "random_layout_cannot_prune flag against the PRE-rewrite "
+        "version) are rewritten into 8 z-clustered blocks on "
+        "(o_custkey, o_totalprice); the manifest stats then prune a "
+        "range predicate on EITHER axis (both flags oracle-pinned) — "
+        "two-dimensional skipping a single-column sort cannot give. "
+        "The probe's surviving rows are hash-checked; the rewrite is "
+        "one repartitionByRange pass with each contiguous z-block "
+        "promoted to its own stats-bearing segment."
+    ),
+)
+def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the rewrite is one shuffle of the table (the price every
+    OPTIMIZE pays, amortized over all future scans); every later probe
+    on either clustered column is metadata-only pruning + a residual
+    scan of the surviving fractal blocks."""
+    out = _build_zorder_fixture(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    # Plan-time scalar bounds (metadata-class, same as the manifest read).
+    b = o.agg(
+        (F.min("o_custkey") + (F.max("o_custkey") - F.min("o_custkey")) / 8.0).alias("ck"),
+        (F.min("o_totalprice") + (F.max("o_totalprice") - F.min("o_totalprice")) / 8.0).alias("tp"),
+    ).first()
+    ck_pred = [("o_custkey", "<=", float(b.ck))]
+    tp_pred = [("o_totalprice", "<=", float(b.tp))]
+    zv = versions(out)[-1]
+    kept_ck, all_z = prune_segments(out, zv, ck_pred)
+    kept_tp, _ = prune_segments(out, zv, tp_pred)
+    kept_rand, all_rand = prune_segments(out, zv - 1, ck_pred)
+    df = snapshot_read(spark, out, zv, predicates=ck_pred)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(len(kept_ck) < len(all_z)).alias("zorder_prunes_custkey"),
+        F.lit(len(kept_tp) < len(all_z)).alias("zorder_prunes_price"),
+        F.lit(len(kept_rand) == len(all_rand)).alias("random_layout_cannot_prune"),
     )

@@ -168,6 +168,7 @@ HEADLINE = [
     "snapshot_change_feed",
     "snapshot_schema_merge",
     "snapshot_merge_pruned",
+    "snapshot_zorder_scan",
 ]
 
 

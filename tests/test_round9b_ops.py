@@ -616,3 +616,51 @@ def test_history_classifies_merge(spark, sf_dir, tmp_path):
     assert entries[-1]["merged_from"] == 0
     # Mirror the DESCRIBE HISTORY classifier's precedence on this entry.
     assert "deleted_where" not in entries[-1] and "compacted_from" not in entries[-1]
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_rewrite_preserves_content_and_prunes(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import prune_segments, zorder_rewrite
+
+    out = str(tmp_path / "zorder_store")
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64("o_orderkey"), 2)
+    for i in range(2):
+        versioned_write(o.filter(bucket == i), out, mode="append")
+    v = zorder_rewrite(spark, out, "o_custkey", "o_totalprice", n_segments=4)
+    live = snapshot_read(spark, out, v)
+    assert live.count() == o.count()
+    assert live.agg(F.sum("o_orderkey")).first()[0] == o.agg(F.sum("o_orderkey")).first()[0]
+    entries = _read_manifest(out)
+    assert entries[-1]["zordered_from"] == 1
+    assert len(entries[-1]["segments"]) >= 2
+    # Both clustered columns prune after the rewrite.
+    b = o.agg(
+        (F.min("o_custkey") + (F.max("o_custkey") - F.min("o_custkey")) / 8.0).alias("ck"),
+        (F.min("o_totalprice") + (F.max("o_totalprice") - F.min("o_totalprice")) / 8.0).alias("tp"),
+    ).first()
+    for col, bound in (("o_custkey", float(b.ck)), ("o_totalprice", float(b.tp))):
+        kept, everything = prune_segments(out, v, [(col, "<=", bound)])
+        assert len(kept) < len(everything), f"{col} did not prune after zorder"
+    # The pre-rewrite random layout prunes neither.
+    kept, everything = prune_segments(out, 1, [("o_custkey", "<=", float(b.ck))])
+    assert len(kept) == len(everything)
+    # Time travel to the pre-rewrite version still works.
+    assert snapshot_read(spark, out, 1).count() == o.count()
+
+
+def test_zorder_materializes_dv(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import zorder_rewrite
+
+    out = str(tmp_path / "zorder_dv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out, mode="append")
+    _, n = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    v = zorder_rewrite(spark, out, "o_custkey", "o_totalprice", n_segments=4)
+    entries = _read_manifest(out)
+    assert "dv" not in entries[-1]
+    assert snapshot_read(spark, out, v).count() == o.count() - n
