@@ -73,13 +73,12 @@ _QUERY_MODULES = (
 #: round — they must (re-)earn their green rows — then (b) the rows
 #: with the OLDEST banked evidence. After r8 the staleness floor was
 #: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: plus the 1 alphabetically-first of the 41 rows whose newest
-#: evidence is r04 (the remaining 40 — data_mixture_sample
-#: alphabetically onward — lead the r10 rotation; post-r9 floor is
-#: r04). tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
+#: (the full 41-row r04 tier — curation_pipeline alphabetically
+#: onward — leads the r10 rotation; post-r9 floor is r04). tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
 #: silent 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 9: first driver evidence ---
+    "stream_mv_maintenance",      # continuous MV refresh from a stream
     "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
     "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
     "snapshot_schema_merge",      # schema enforcement + evolution ledger
@@ -131,8 +130,6 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) newest evidence r04 (1 of 41, alphabetical) ---
-    "curation_pipeline",
 )
 
 

@@ -969,3 +969,109 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_versions).alias("n_versions"),
         F.lit(retry_skipped).alias("retry_skipped"),
     )
+
+
+@register(
+    "stream_mv_maintenance",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           3 AS n_refreshes,
+           TRUE AS post_bootstrap_incremental
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 20
+    """,
+    tags=("streaming", "mv", "incremental", "live", "exactly-once"),
+    doc=(
+        "CONTINUOUS MATERIALIZED-VIEW MAINTENANCE: each micro-batch of "
+        "a real 3-batch stream lands in the versioned base table "
+        "through the exactly-once txn sink, then the stored MV "
+        "(count + sum per user) refreshes INCREMENTALLY off the new "
+        "segment — after the bootstrap, every refresh is O(batch), "
+        "never O(base), and the refresh count is oracle-pinned. The "
+        "final MV equals a from-scratch aggregate over all events — "
+        "the Delta Live Tables / dynamic-table pattern composed "
+        "entirely from this repo's own primitives (txn sink + manifest "
+        "delta detection + mergeable-partial refresh)."
+    ),
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per batch, one segment write + one O(batch) delta
+    aggregate + a shuffle of |MV| + |batch groups| rows. The MV is
+    itself versioned, so dashboard readers pin a consistent refresh
+    while the next one publishes."""
+    import os
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        versioned_write_txn,
+    )
+
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_sharded_stream_dir(sf_dir))
+    )
+    events = _bridge_ts(raw, unit).select("event_id", "user_id")
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_mv_base"
+    )
+    mv = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_mv_live"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_mv_ckpt_")
+    modes: list[str] = []
+
+    def land_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        _, committed = versioned_write_txn(
+            batch_df, base, "stream_mv_maintenance", batch_id
+        )
+        if not committed:
+            return  # replayed batch: base unchanged, MV already reflects it
+        if not os.path.exists(os.path.join(mv, "_mv.json")):
+            mv_create(batch_df.sparkSession, base, mv, ["user_id"], ["event_id"])
+            modes.append("bootstrap")
+        else:
+            modes.append(mv_refresh(batch_df.sparkSession, mv)["mode"])
+
+    q = (
+        events.writeStream.foreachBatch(land_and_refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # 3 shards -> 3 batches: one bootstrap (the MV creation covers
+    # batch 0) then every later batch refreshes INCREMENTALLY — the
+    # steady state the op exists to prove.
+    post_bootstrap_incremental = modes[0] == "bootstrap" and all(
+        m == "incremental" for m in modes[1:]
+    )
+    return (
+        snapshot_read(spark, mv)
+        .orderBy("user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            "n_rows",
+            F.col("sum_event_id"),
+            F.lit(len(modes)).alias("n_refreshes"),
+            F.lit(post_bootstrap_incremental).alias("post_bootstrap_incremental"),
+        )
+    )

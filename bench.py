@@ -169,6 +169,7 @@ HEADLINE = [
     "snapshot_schema_merge",
     "snapshot_merge_pruned",
     "snapshot_zorder_scan",
+    "stream_mv_maintenance",
 ]
 
 

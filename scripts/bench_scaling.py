@@ -94,6 +94,7 @@ def _ops():
         "stream_versioned_sink": _stream_sink,
         "merge_pruned_lifecycle": _merge_pruned_lifecycle,
         "cdf_lifecycle": _cdf_lifecycle,
+        "zorder_rewrite_lifecycle": _zorder_rewrite_lifecycle,
     }
 
 
@@ -227,6 +228,31 @@ def _cdf_lifecycle(spark, sf_dir):
     return change_feed(spark, out, 0, 2).groupBy("_change_type").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+def _zorder_rewrite_lifecycle(spark, sf_dir):
+    """2 random appends + OPTIMIZE ZORDER + a both-axis pruned probe."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        versioned_write,
+        zorder_rewrite,
+    )
+
+    out = _fresh_dir("scale_zorder_")
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64("o_orderkey"), 2)
+    for i in range(2):
+        versioned_write(o.filter(bucket == i), out)
+    v = zorder_rewrite(spark, out, "o_custkey", "o_totalprice")
+    b = o.agg(
+        (F.min("o_custkey") + (F.max("o_custkey") - F.min("o_custkey")) / 8.0).alias("ck")
+    ).first()
+    return snapshot_read(
+        spark, out, v, predicates=[("o_custkey", "<=", float(b.ck))]
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 def time_op(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:

@@ -664,3 +664,13 @@ def test_zorder_materializes_dv(spark, sf_dir, tmp_path):
     entries = _read_manifest(out)
     assert "dv" not in entries[-1]
     assert snapshot_read(spark, out, v).count() == o.count() - n
+
+
+def test_dv_scan_broadcasts_tombstones(spark, dv_store):
+    """The merge-on-read anti-join must broadcast the DV side — no
+    fact-table shuffle for a delete scan (the 100 TB property)."""
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(snapshot_read(spark, dv_store), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
