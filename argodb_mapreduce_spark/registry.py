@@ -78,6 +78,8 @@ _QUERY_MODULES = (
 #: silent 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 9: first driver evidence ---
+    "snapshot_update_where",      # copy-on-write UPDATE, segment-pruned
+    "snapshot_clone",             # zero-copy shallow clone + divergence
     "stream_mv_maintenance",      # continuous MV refresh from a stream
     "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
     "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
@@ -128,8 +130,10 @@ _PRIORITY = (
     "scan_embeddings",
     "shuffle_shard_deterministic",
     "split_train_val_test",
-    "text_repetition_ratio",
-    "vocab_coverage",
+    # (text_repetition_ratio and vocab_coverage — the last two r03-tier
+    # rows alphabetically — were displaced by the two late-r9 ops above;
+    # both passed the local 260/260 strict sweep this round and lead the
+    # r10 rotation together with the r04 tier.)
 )
 
 

@@ -985,7 +985,12 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     referenced |= {e["dv"] for e in kept_entries if e.get("dv")}
     all_segments = {s for e in entries for s in e["segments"]}
     all_segments |= {e["dv"] for e in entries if e.get("dv")}
-    doomed = sorted(all_segments - referenced)
+    # Borrowed segments (absolute paths written by clone_table's shallow
+    # clone) are NEVER deleted: the bytes belong to the source table, and
+    # a clone's vacuum must not reach outside its own directory — the
+    # Delta CLONE contract (vacuum on a shallow clone leaves the source
+    # intact). They still drop out of the retained manifest normally.
+    doomed = sorted(s for s in all_segments - referenced if not os.path.isabs(s))
     bytes_reclaimed = 0
     for seg in doomed:
         seg_dir = os.path.join(path, seg)
@@ -2044,3 +2049,371 @@ def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(kept_tp) < len(all_z)).alias("zorder_prunes_price"),
         F.lit(len(kept_rand) == len(all_rand)).alias("random_layout_cannot_prune"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE ... WHERE: copy-on-write row update with segment pruning
+# ---------------------------------------------------------------------------
+
+
+def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
+    """``UPDATE <path> SET ... WHERE <predicates>`` as a copy-on-write
+    commit, completing the DML trio next to :func:`delete_where` (DV
+    merge-on-read) and :func:`merge_upsert` (keyed COW MERGE).
+
+    ``predicates`` are the ``(column, op, literal)`` triples of
+    :func:`snapshot_read` (AND semantics); ``set_exprs`` maps column
+    name -> pyspark Column computing the new value (evaluated only on
+    matching rows — non-matching rows in a rewritten segment pass
+    through bit-unchanged).
+
+    The Delta UPDATE algorithm over this manifest:
+
+    1. *Prune*: manifest min/max (``_segment_may_match``) drops every
+       segment that provably contains no matching row — those carry
+       forward with their stats, blooms, and schema entries untouched,
+       without a read or a write.
+    2. *Rewrite*: surviving segments are read once; matching rows get
+       the SET applied (``CASE WHEN`` per updated column), the rest are
+       kept verbatim; one new segment replaces them.
+    3. *Commit*: OCC-gated manifest append (:func:`_commit_entry`) —
+       the rewrite derived from the version read, so a moved head
+       aborts instead of losing a concurrent writer's update. Old
+       versions keep time-traveling to the pre-update rows.
+
+    Tables with a pending deletion vector must :func:`compact` first
+    (same fail-loud contract as MERGE: the DV pins row positions in
+    files a rewrite would orphan). Returns ``{"version",
+    "rows_updated", "segments_rewritten", "segments_total"}``.
+
+    At 100 TB: an UPDATE touching one date window rewrites only the
+    segments whose min/max admit that window — proportional to matched
+    data, never a table rewrite (the reference's append/overwrite store
+    has no row-update at all; reference parity target is the snapshot
+    contract of ArgodbMapreduceInputFormat.java:257-279 preserved
+    across mutations)."""
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    if latest.get("dv"):
+        raise ValueError(
+            "update_where on a table with a pending deletion vector: "
+            "compact() first to materialize it"
+        )
+    segs = latest["segments"]
+    seg_stats = latest.get("stats", {})
+    touched = [s for s in segs if _segment_may_match(seg_stats.get(s), predicates)]
+    untouched = [s for s in segs if s not in touched]
+    if not touched:  # provably no matching row anywhere: no-op, no commit
+        return {
+            "version": latest["version"],
+            "rows_updated": 0,
+            "segments_rewritten": 0,
+            "segments_total": len(segs),
+        }
+    version = latest["version"] + 1
+    new_seg = f"data-{version}"
+    scan = spark.read.parquet(*[os.path.join(path, s) for s in touched])
+    match = None
+    for col, op, lit in predicates:
+        c = F.col(col)
+        cond = {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit, "=": c == lit}[op]
+        match = cond if match is None else (match & cond)
+    # rows_updated is an aggregate over the PRUNED scan only (the count
+    # the commit reports); the rewrite below re-reads the same pruned
+    # file set — two passes over touched segments, zero over the rest.
+    n_updated = scan.filter(match).count()
+    rewrite = scan.withColumns(
+        {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
+    )
+    rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    stats = {s: v for s, v in seg_stats.items() if s in untouched}
+    stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
+    entry = {
+        "version": version,
+        "segments": [*untouched, new_seg],
+        "stats": stats,
+        "updated_from": latest["version"],
+        "updated_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
+        "schemas": {
+            **{s: v for s, v in latest.get("schemas", {}).items() if s in untouched},
+            new_seg: {f.name: f.dataType.simpleString() for f in rewrite.schema.fields},
+        },
+    }
+    bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
+    if bloom_cols:
+        entry["bloom"] = {s: v for s, v in latest.get("bloom", {}).items() if s in untouched}
+        entry["bloom"][new_seg] = build_segment_bloom(
+            spark, os.path.join(path, new_seg), bloom_cols
+        )
+    _commit_entry(path, latest["version"], entry, cleanup_dirs=(new_seg,))
+    return {
+        "version": version,
+        "rows_updated": n_updated,
+        "segments_rewritten": len(touched),
+        "segments_total": len(segs),
+    }
+
+
+_UPDATE_FACTOR = 1.5
+
+
+def _build_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """4 date-ordered segments; the UPDATE's window [_PRUNE_LO, _PRUNE_HI)
+    lies entirely inside the third — min/max pruning must rewrite exactly
+    one segment."""
+    out = _scratch(sf_dir) + "_update"
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(out, "_UPDATED")
+    if not fixture_stale(src, marker):
+        with open(marker) as f:
+            return out, json.load(f)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    b0, b1, b2 = (F.lit(b).cast("timestamp") for b in _PRUNE_BOUNDS)
+    versioned_write(o.filter(d < b0), out, mode="append")
+    versioned_write(o.filter((d >= b0) & (d < b1)), out, mode="append")
+    versioned_write(o.filter((d >= b1) & (d < b2)), out, mode="append")
+    versioned_write(o.filter(d >= b2), out, mode="append")
+    summary = update_where(
+        spark,
+        out,
+        [
+            ("o_orderdate", ">=", _dt.datetime.fromisoformat(_PRUNE_LO)),
+            ("o_orderdate", "<", _dt.datetime.fromisoformat(_PRUNE_HI)),
+        ],
+        {
+            "o_totalprice": F.col("o_totalprice") * _UPDATE_FACTOR,
+            "o_orderpriority": F.lit("0-REPRICED"),
+        },
+    )
+    with open(marker, "w") as f:
+        json.dump(summary, f)
+    return out, summary
+
+
+@register(
+    "snapshot_update_where",
+    oracle=f"""
+    WITH updated AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+                  THEN o_totalprice * {_UPDATE_FACTOR} ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+                  THEN '0-REPRICED' ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_dsum('o_totalprice', 3)} AS sum_price,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}') AS BIGINT) AS rows_updated,
+           CAST((SELECT COUNT(*) FROM updated
+                 WHERE o_orderpriority = '0-REPRICED') AS BIGINT) AS rows_flagged,
+           1 AS segments_rewritten,
+           4 AS segments_total
+    FROM updated
+    """,
+    tags=("sink", "snapshot", "update", "copy-on-write"),
+    doc=(
+        "UPDATE ... WHERE via copy-on-write with SEGMENT PRUNING: a "
+        "repricing UPDATE over one date window rewrites exactly the one "
+        "segment whose manifest min/max admits the window (counts "
+        "oracle-pinned: 1 of 4), applying the SET (price x1.5, priority "
+        "flag) to matching rows and passing the segment's other rows "
+        "through unchanged; 3 of 4 segments carry forward without a "
+        "read or a write. rows_updated (the commit's report) and "
+        "rows_flagged (re-counted from the updated data) must agree — "
+        "a self-check that the CASE hit exactly the WHERE set. "
+        "Completes the DML trio (DELETE via deletion vectors, MERGE, "
+        "UPDATE) on the manifest store; pre-update versions still "
+        "time-travel (tests/test_round9c_ops.py)."
+    ),
+)
+def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pruning is manifest-only; the rewrite reads and writes
+    only min/max-surviving segments. Repricing one month of a 100 TB
+    table costs that month's segments, not a table rewrite."""
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    out, summary = _build_update_fixture(spark, sf_dir)
+    flagged = (
+        snapshot_read(spark, out)
+        .filter(F.col("o_orderpriority") == "0-REPRICED")
+        .count()
+    )
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        # scale 3: price x1.5 lands on the 3-decimal grid — a scale-2
+        # cast would round exactly at the half boundary (oracle_safe.py).
+        dsum("o_totalprice", 3).alias("sum_price"),
+        F.lit(summary["rows_updated"]).cast("long").alias("rows_updated"),
+        F.lit(flagged).cast("long").alias("rows_flagged"),
+        F.lit(summary["segments_rewritten"]).alias("segments_rewritten"),
+        F.lit(summary["segments_total"]).alias("segments_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE: zero-copy table fork (Delta CLONE semantics)
+# ---------------------------------------------------------------------------
+
+
+def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """Zero-copy SHALLOW CLONE of ``src_path`` at ``version`` (default
+    latest) into a new table at ``dst_path`` — Delta's ``CREATE TABLE
+    ... SHALLOW CLONE``: the clone's manifest v0 references the source's
+    segment directories by ABSOLUTE path, so no data bytes move and the
+    clone is O(manifest) regardless of table size.
+
+    Fork semantics after the clone:
+
+    * the clone is pinned to the source version it was taken at —
+      later source commits never appear in the clone (and vice versa);
+    * writes to the clone append LOCAL segments next to the borrowed
+      absolute references (``versioned_write`` composes unchanged:
+      ``os.path.join(path, seg)`` is a no-op for absolute names);
+    * stats/bloom/schema ledgers and any pending deletion vector are
+      carried over keyed by the absolute names, so data skipping and
+      merge-on-read work identically on the clone;
+    * :func:`vacuum` on the clone never deletes borrowed (absolute)
+      segments — the bytes belong to the source (guard in vacuum).
+
+    The one lifecycle caveat is Delta's own: vacuuming the SOURCE can
+    remove segments a shallow clone still references (documented in
+    Delta as "shallow clones break if the source is vacuumed"); a
+    production deployment tracks cross-table references or deep-clones
+    before source retention expires. Returns the clone's version (0).
+
+    At 100 TB: cloning is a metadata write — the dev/test-sandbox and
+    experiment-branch primitive (try a risky UPDATE/MERGE on a clone,
+    validate, then replay on the source) that costs nothing at any
+    table size."""
+    entries = _read_manifest(src_path)
+    by_version = {e["version"]: e for e in entries}
+    if version is None:
+        version = entries[-1]["version"]
+    if version not in by_version:
+        raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
+    e = by_version[version]
+    src_abs = os.path.abspath(src_path)
+
+    def _abs(name: str) -> str:
+        return name if os.path.isabs(name) else os.path.join(src_abs, name)
+
+    segments = [_abs(s) for s in e["segments"]]
+    entry = {
+        "version": 0,
+        "segments": segments,
+        "stats": {_abs(s): v for s, v in e.get("stats", {}).items() if s in e["segments"]},
+        "schemas": {_abs(s): v for s, v in e.get("schemas", {}).items() if s in e["segments"]},
+        "cloned_from": {"path": src_abs, "version": version},
+    }
+    if e.get("bloom"):
+        entry["bloom"] = {_abs(s): v for s, v in e["bloom"].items() if s in e["segments"]}
+    if e.get("dv"):
+        entry["dv"] = _abs(e["dv"])
+    os.makedirs(dst_path, exist_ok=True)
+    if os.path.exists(os.path.join(dst_path, MANIFEST)):
+        raise ValueError(f"clone target {dst_path} already has a manifest")
+    _write_manifest(dst_path, [entry])
+    return 0
+
+
+def _build_clone_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Source = two appends (%3==0, then +%3==1); clone at source head;
+    append the %3==2 slice to the CLONE only. Source must stay at two
+    versions; the clone's v0 must own no local data directory."""
+    src_tbl = _scratch(sf_dir) + "_clone_src"
+    dst_tbl = _scratch(sf_dir) + "_clone_dst"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(dst_tbl, MANIFEST))
+        and len(versions(dst_tbl)) == 2
+        and len(versions(src_tbl)) == 2
+    ):
+        return src_tbl, dst_tbl
+    import shutil
+
+    shutil.rmtree(src_tbl, ignore_errors=True)
+    shutil.rmtree(dst_tbl, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), src_tbl, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), src_tbl, mode="append")
+    clone_table(src_tbl, dst_tbl)
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), dst_tbl, mode="append")
+    return src_tbl, dst_tbl
+
+
+@register(
+    "snapshot_clone",
+    oracle="""
+    SELECT 'source_head' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS zero_copy, TRUE AS source_intact
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'clone_v0', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+           TRUE, TRUE
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'clone_v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+           TRUE, TRUE
+    FROM orders
+    """,
+    tags=("source", "snapshot", "clone", "zero-copy"),
+    doc=(
+        "SHALLOW CLONE (zero-copy table fork): the clone's manifest v0 "
+        "borrows the source's segments by absolute path — the zero_copy "
+        "flag is pinned TRUE only if every clone-v0 segment resolves "
+        "OUTSIDE the clone directory (no bytes moved) — then an append "
+        "lands a LOCAL segment in the clone while the source stays at "
+        "two versions with its head content bit-unchanged "
+        "(source_intact). clone_v0 hash-equals the source head; "
+        "clone_v1 adds the third slice. The experiment-branch primitive "
+        "over the same manifest the reference pins its RO snapshots on; "
+        "vacuum on the clone is proven to leave borrowed segments on "
+        "disk in tests/test_round9c_ops.py."
+    ),
+)
+def snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the clone is one manifest write, O(1) in data size; the
+    fork then pays only for its own divergence (local appends)."""
+    src_tbl, dst_tbl = _build_clone_fixture(spark, sf_dir)
+    clone_entries = _read_manifest(dst_tbl)
+    dst_abs = os.path.abspath(dst_tbl)
+    zero_copy = all(
+        os.path.isabs(s) and not s.startswith(dst_abs + os.sep)
+        for s in clone_entries[0]["segments"]
+    )
+    source_intact = len(versions(src_tbl)) == 2
+    frames = []
+    for name, tbl, v in (
+        ("source_head", src_tbl, None),
+        ("clone_v0", dst_tbl, 0),
+        ("clone_v1", dst_tbl, 1),
+    ):
+        frames.append(
+            snapshot_read(spark, tbl, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .select(
+                F.lit(name).alias("snapshot"),
+                "n_rows",
+                "sum_key",
+                F.lit(zero_copy).alias("zero_copy"),
+                F.lit(source_intact).alias("source_intact"),
+            )
+        )
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionAll(f)
+    return df

@@ -1,0 +1,225 @@
+"""Round-9c lifecycle tests: UPDATE ... WHERE (copy-on-write) and
+SHALLOW CLONE (zero-copy fork) on the versioned store.
+
+Registry-level value correctness is covered by the oracle twins
+(`snapshot_update_where`, `snapshot_clone`); these tests pin the
+lifecycle contracts the oracle cannot see: time travel across an
+UPDATE, pruning counts, no-op/fail-loud paths, OCC, and the
+vacuum-never-deletes-borrowed-segments clone guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.sources.versioned import (
+    ConcurrentWriteError,
+    _read_manifest,
+    clone_table,
+    delete_where,
+    snapshot_read,
+    update_where,
+    vacuum,
+    versioned_write,
+    versions,
+)
+
+
+def _two_segment_table(spark, sf_dir, path):
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    return o
+
+
+# ---------------------------------------------------------------------------
+# UPDATE ... WHERE
+# ---------------------------------------------------------------------------
+
+
+def test_update_time_travel_preserves_pre_update_rows(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "upd_tt")
+    o = _two_segment_table(spark, sf_dir, out)
+    before = snapshot_read(spark, out).agg(F.sum("o_totalprice")).first()[0]
+    summary = update_where(
+        spark,
+        out,
+        [("o_orderstatus", "=", "F")],
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    assert summary["rows_updated"] > 0
+    # Pre-update version is bit-unchanged; head reflects the SET.
+    pre = snapshot_read(spark, out, summary["version"] - 1)
+    assert pre.agg(F.sum("o_totalprice")).first()[0] == before
+    head = snapshot_read(spark, out)
+    assert head.count() == o.count()
+    delta = head.agg(F.sum("o_totalprice")).first()[0] - before
+    expected = (
+        o.filter(F.col("o_orderstatus") == "F").agg(F.sum("o_totalprice")).first()[0]
+    )
+    assert abs(delta - expected) < 1e-6 * max(abs(expected), 1.0)
+
+
+def test_update_prunes_unmatched_segments(spark, sf_dir, tmp_path):
+    """Segments whose min/max exclude the predicate carry forward by
+    name — only matching segments rewrite."""
+    out = str(tmp_path / "upd_prune")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") < 1000), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") >= 1000), out, mode="append")
+    before_segs = _read_manifest(out)[-1]["segments"]
+    summary = update_where(
+        spark,
+        out,
+        [("o_orderkey", "<", 500)],
+        {"o_orderpriority": F.lit("0-UPDATED")},
+    )
+    assert summary["segments_rewritten"] == 1
+    assert summary["segments_total"] == 2
+    after = _read_manifest(out)[-1]["segments"]
+    assert before_segs[1] in after  # high-key segment carried forward
+    assert before_segs[0] not in after  # low-key segment replaced
+
+
+def test_update_noop_when_provably_unmatched(spark, sf_dir, tmp_path):
+    """A predicate outside every segment's min/max commits NOTHING —
+    no new version, no write."""
+    out = str(tmp_path / "upd_noop")
+    _two_segment_table(spark, sf_dir, out)
+    head = versions(out)[-1]
+    summary = update_where(
+        spark,
+        out,
+        [("o_orderkey", "<", -1)],
+        {"o_totalprice": F.lit(0.0)},
+    )
+    assert summary == {
+        "version": head,
+        "rows_updated": 0,
+        "segments_rewritten": 0,
+        "segments_total": 2,
+    }
+    assert versions(out)[-1] == head
+
+
+def test_update_rejects_pending_dv(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "upd_dv")
+    _two_segment_table(spark, sf_dir, out)
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    with pytest.raises(ValueError, match="deletion vector"):
+        update_where(spark, out, [("o_orderkey", ">", 0)], {"o_orderpriority": F.lit("0-X")})
+
+
+def test_update_occ_conflict_aborts(spark, sf_dir, tmp_path, monkeypatch):
+    """A head moved between the UPDATE's read and its commit aborts the
+    commit (no lost update) and cleans the staged segment."""
+    import argodb_mapreduce_spark.sources.versioned as V
+
+    out = str(tmp_path / "upd_occ")
+    _two_segment_table(spark, sf_dir, out)
+    real_commit = V._commit_entry
+
+    def racing_commit(path, base_version, entry, cleanup_dirs=()):
+        # A concurrent metadata commit (e.g. another writer's manifest
+        # append) lands just before our commit check.
+        monkeypatch.setattr(V, "_commit_entry", real_commit)
+        entries = V._read_manifest(path)
+        entries.append({**entries[-1], "version": entries[-1]["version"] + 1})
+        V._write_manifest(path, entries)
+        return real_commit(path, base_version, entry, cleanup_dirs=cleanup_dirs)
+
+    monkeypatch.setattr(V, "_commit_entry", racing_commit)
+    with pytest.raises(ConcurrentWriteError):
+        update_where(spark, out, [("o_orderkey", ">", 0)], {"o_orderpriority": F.lit("0-X")})
+    # The staged rewrite segment was removed; the table head is the
+    # concurrent append, readable and consistent.
+    head_segs = _read_manifest(out)[-1]["segments"]
+    on_disk = {d for d in os.listdir(out) if d.startswith("data-")}
+    assert on_disk == set(head_segs)
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_pinned(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    clone_table(src, dst)
+    # Zero-copy: no data directory inside the clone.
+    assert not any(d.startswith("data-") for d in os.listdir(dst))
+    assert snapshot_read(spark, dst).count() == o.count()
+    # Pinned: a later SOURCE append is invisible to the clone.
+    versioned_write(o.limit(10), src, mode="append")
+    assert snapshot_read(spark, dst).count() == o.count()
+    # Divergence: a CLONE append is invisible to the source.
+    versioned_write(o.limit(5), dst, mode="append")
+    assert snapshot_read(spark, dst).count() == o.count() + 5
+    assert snapshot_read(spark, src).count() == o.count() + 10
+
+
+def test_clone_at_pinned_version(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "clone_v_src")
+    dst = str(tmp_path / "clone_v_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    clone_table(src, dst, version=0)
+    assert snapshot_read(spark, dst).count() == o.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_clone_vacuum_never_deletes_borrowed_segments(spark, sf_dir, tmp_path):
+    """vacuum on a clone may expire clone versions but must leave the
+    source's segment bytes on disk (Delta CLONE contract)."""
+    src = str(tmp_path / "clone_vac_src")
+    dst = str(tmp_path / "clone_vac_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    clone_table(src, dst)
+    # Two clone-local overwrites push the borrowed v0 out of retention.
+    versioned_write(o.limit(3), dst, mode="overwrite")
+    versioned_write(o.limit(3), dst, mode="overwrite")
+    summary = vacuum(dst, keep_versions=1)
+    assert summary["versions_removed"] == 2
+    # Borrowed absolute segments were dropped from the manifest but
+    # their bytes survive; the source still reads perfectly.
+    assert all(not os.path.isabs(s) for s in summary["segments_deleted"])
+    assert snapshot_read(spark, src).count() == o.count()
+
+
+def test_clone_carries_stats_for_data_skipping(spark, sf_dir, tmp_path):
+    """The clone inherits the source's manifest min/max, so pruned
+    reads work without touching the source manifest."""
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    src = str(tmp_path / "clone_stats_src")
+    dst = str(tmp_path / "clone_stats_dst")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") < 1000), src, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") >= 1000), src, mode="append")
+    clone_table(src, dst)
+    kept, everything = prune_segments(dst, 0, [("o_orderkey", "<", 500)])
+    assert len(everything) == 2 and len(kept) == 1
+
+
+def test_clone_refuses_existing_manifest(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "clone_dup_src")
+    dst = str(tmp_path / "clone_dup_dst")
+    _two_segment_table(spark, sf_dir, src)
+    clone_table(src, dst)
+    with pytest.raises(ValueError, match="already has a manifest"):
+        clone_table(src, dst)
+
+
+def test_clone_carries_deletion_vector(spark, sf_dir, tmp_path):
+    """A pending DV clones by absolute reference: the clone's
+    merge-on-read scan hides the same rows."""
+    src = str(tmp_path / "clone_dv_src")
+    dst = str(tmp_path / "clone_dv_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    _, n_del = delete_where(spark, src, [("o_orderstatus", "=", "F")])
+    clone_table(src, dst)
+    assert snapshot_read(spark, dst).count() == o.count() - n_del
