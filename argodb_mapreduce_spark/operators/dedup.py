@@ -1218,3 +1218,115 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_match_id",
         "best_jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# C1 — URL canonicalization dedup (web-crawl ingest).
+# ---------------------------------------------------------------------------
+#
+# Web-crawl corpora carry the same page under many URL spellings:
+# scheme variants, WWW. prefixes, host case, tracking query params
+# (utm_*), fragments, trailing slashes. Canonicalize-then-group is the
+# standard first dedup pass BEFORE any content hashing — it collapses
+# refetches without reading a byte of body text. The whole pipeline is
+# string expressions in whole-stage codegen; the only shuffle is the
+# final groupBy on the canonical key (map-side combinable).
+
+#: Deterministic synthetic URL per document (the documents fixture has
+#: no URL column): spelling noise — scheme, WWW., host case, tracking
+#: params, fragment, trailing slash — varies BY doc_id so every
+#: canonical target has several raw variants, exactly reproducible in
+#: SQL for the oracle.
+_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || "
+    "source || '.Example.COM/docs/' || CAST(doc_id % 40 AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=' || CAST(doc_id AS VARCHAR) ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#section-' || CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+def canonicalize_url(url):
+    """Aggressive crawl-style URL canonicalization as ONE codegen'd
+    expression chain: lowercase FIRST (so WWW./HTTP:// spellings match
+    the strip patterns), then drop fragment, drop query, strip scheme
+    and a leading www., strip the trailing slash. (Lowercasing the path
+    too is the aggressive variant common in crawl dedup; a
+    host-only-lowercase variant is a one-line change.)"""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "\\?.*$", "")
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+_CANON_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(LOWER({u}), '#.*$', ''), '\\?.*$', ''), '^https?://', ''), "
+    "'^www\\.', ''), '/$', '')"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url, {_CANON_SQL.format(u='url')} AS canonical_url FROM urls
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    tags=("dedup", "url", "curation"),
+    doc=(
+        "URL canonicalization dedup (crawl-ingest first pass): raw URLs "
+        "with scheme/WWW./case/tracking-param/fragment/trailing-slash "
+        "noise are canonicalized by one codegen'd regexp chain and "
+        "grouped — n_fetches raw rows collapse to one canonical_url with "
+        "n_spellings distinct raw forms, keeping the lowest doc_id. "
+        "Collapses refetches before any content hash is computed."
+    ),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: canonicalization is map-side string codegen; the one
+    shuffle is the canonical-key groupBy (partial-agg combinable).
+    100 TB of URLs dedup at scan speed — no content bytes read."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("#section-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    # Explicit two-phase aggregation (per-spelling, then per-canonical)
+    # instead of a mixed COUNT DISTINCT — two clean exchanges, both
+    # map-side combinable, no distinct-expand.
+    per_spelling = (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url", "url")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    )
+    return per_spelling.groupBy("canonical_url").agg(
+        F.sum("n").cast("long").alias("n_fetches"),
+        F.count(F.lit(1)).alias("n_spellings"),
+        F.min("min_doc").cast("long").alias("keep_doc_id"),
+    )

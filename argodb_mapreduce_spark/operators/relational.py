@@ -234,6 +234,70 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p50_exact,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p95_exact,
+           TRUE AS approx_within_1pct
+    FROM ranked GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "percentile"),
+    doc=(
+        "approx_percentile (KLL/GK-style mergeable quantile sketch, "
+        "accuracy 10000) self-validated against the EXACT inverted-CDF "
+        "percentile (the value at rank ceil(q*n), computed by "
+        "distributed row_number — deterministic even under price ties, "
+        "since the rank-th value of a value-ordered sort is tie-"
+        "independent). Only the exact percentiles and the within-1pct "
+        "flag are emitted: the sketch estimate itself is engine-internal "
+        "(same contract as agg_approx_count_distinct). The sketch is the "
+        "100 TB path — one pass, mergeable partials, no global sort; the "
+        "exact rank is the oracle-checkable self-check."
+    ),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.50 * F.col("n")), F.col("l_extendedprice"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("l_extendedprice"))
+        ).alias("p95_exact"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pa")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        (
+            (F.abs(F.col("pa")[0] - F.col("p50_exact")) / F.col("p50_exact") <= 0.01)
+            & (F.abs(F.col("pa")[1] - F.col("p95_exact")) / F.col("p95_exact") <= 0.01)
+        ).alias("approx_within_1pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (B4): reduce-side join ≙ shuffle join; map-side (distributed cache)
 # join ≙ broadcast. Catalyst + AQE pick the physical strategy; broadcast is

@@ -80,6 +80,8 @@ _PRIORITY = (
     # --- (a) new in round 9: first driver evidence ---
     "snapshot_update_where",      # copy-on-write UPDATE, segment-pruned
     "snapshot_clone",             # zero-copy shallow clone + divergence
+    "dedup_url_canonical",        # crawl URL canonicalize-then-group
+    "agg_approx_percentile",      # quantile sketch vs exact rank check
     "stream_mv_maintenance",      # continuous MV refresh from a stream
     "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
     "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
@@ -128,11 +130,10 @@ _PRIORITY = (
     "sample_pergroup_topk",
     "sample_stratified",
     "scan_embeddings",
-    "shuffle_shard_deterministic",
-    "split_train_val_test",
-    # (text_repetition_ratio and vocab_coverage — the last two r03-tier
-    # rows alphabetically — were displaced by the two late-r9 ops above;
-    # both passed the local 260/260 strict sweep this round and lead the
+    # (shuffle_shard_deterministic, split_train_val_test,
+    # text_repetition_ratio, and vocab_coverage — the last four r03-tier
+    # rows alphabetically — were displaced by the four late-r9 ops above;
+    # all passed the local 260/260 strict sweep this round and lead the
     # r10 rotation together with the r04 tier.)
 )
 

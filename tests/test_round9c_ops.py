@@ -223,3 +223,49 @@ def test_clone_carries_deletion_vector(spark, sf_dir, tmp_path):
     _, n_del = delete_where(spark, src, [("o_orderstatus", "=", "F")])
     clone_table(src, dst)
     assert snapshot_read(spark, dst).count() == o.count() - n_del
+
+
+# ---------------------------------------------------------------------------
+# Round-9c query ops: URL canonicalization dedup, approx percentile
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonical_plan_is_one_shuffle(spark, sf_dir):
+    """Canonicalization must be map-side codegen; the only exchange is
+    the canonical-key groupBy (partial agg before it)."""
+    from argodb_mapreduce_spark.operators.dedup import dedup_url_canonical
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(dedup_url_canonical(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 2 and "Join" not in plan
+    # Column pruning: the scan must read only the two source columns
+    # (canonicalization is a projection, never a full-row read).
+    formatted = explain_str(dedup_url_canonical(spark, sf_dir), "formatted")
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in formatted
+
+
+def test_url_canonical_collapses_spelling_noise(spark, sf_dir):
+    """Every canonical group with >1 fetch must have collapsed at least
+    one DISTINCT raw spelling pair, and no canonical url keeps scheme,
+    www., query, fragment, or trailing slash."""
+    from argodb_mapreduce_spark.operators.dedup import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        u = r.canonical_url
+        assert not u.startswith(("http://", "https://", "www."))
+        assert "?" not in u and "#" not in u and not u.endswith("/")
+        assert u == u.lower()
+        assert r.n_spellings <= r.n_fetches
+    assert any(r.n_spellings > 1 for r in rows)  # noise actually collapsed
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.relational import agg_approx_percentile
+
+    rows = agg_approx_percentile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_within_1pct, r
+        assert r.p50_exact <= r.p95_exact
