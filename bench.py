@@ -170,6 +170,12 @@ HEADLINE = [
     "snapshot_merge_pruned",
     "snapshot_zorder_scan",
     "stream_mv_maintenance",
+    # round-9c: copy-on-write UPDATE, shallow clone, URL dedup, approx
+    # percentile with exact-rank self-check
+    "snapshot_update_where",
+    "snapshot_clone",
+    "dedup_url_canonical",
+    "agg_approx_percentile",
 ]
 
 

@@ -95,6 +95,9 @@ def _ops():
         "merge_pruned_lifecycle": _merge_pruned_lifecycle,
         "cdf_lifecycle": _cdf_lifecycle,
         "zorder_rewrite_lifecycle": _zorder_rewrite_lifecycle,
+        # round-9c DML/fork additions
+        "update_where_lifecycle": _update_where_lifecycle,
+        "clone_fork_lifecycle": _clone_fork_lifecycle,
     }
 
 
@@ -253,6 +256,63 @@ def _zorder_rewrite_lifecycle(spark, sf_dir):
     return snapshot_read(
         spark, out, v, predicates=[("o_custkey", "<=", float(b.ck))]
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _update_where_lifecycle(spark, sf_dir):
+    """2 appends split by key range + an UPDATE whose predicate touches
+    only the low half + read-back — pruned copy-on-write UPDATE end to
+    end. The updated fraction is CONSTANT (a fixed key prefix of the
+    low segment), so wall should track the rewritten segment size."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        update_where,
+        versioned_write,
+    )
+
+    out = _fresh_dir("scale_update_")
+    o = load_table(spark, sf_dir, "orders")
+    mid = 75000  # x1 orders span 0..150k; x10 0..1.5M — low half always touched
+    versioned_write(o.filter(F.col("o_orderkey") < mid), out)
+    versioned_write(o.filter(F.col("o_orderkey") >= mid), out)
+    summary = update_where(
+        spark,
+        out,
+        [("o_orderkey", "<", mid // 10)],
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    assert summary["segments_rewritten"] == 1, summary
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+
+
+def _clone_fork_lifecycle(spark, sf_dir):
+    """2 appends + shallow clone + a clone-local append + both-side
+    read-back. The clone itself must be O(manifest): wall is dominated
+    by the builds and reads, with the clone step itself ~constant."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        clone_table,
+        snapshot_read,
+        versioned_write,
+    )
+
+    src = _fresh_dir("scale_clone_src_")
+    dst = _fresh_dir("scale_clone_dst_")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), src)
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), src)
+    clone_table(src, dst)
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), dst)
+    a = snapshot_read(spark, src).agg(F.count(F.lit(1)).alias("n_rows"))
+    b = snapshot_read(spark, dst).agg(F.count(F.lit(1)).alias("n_rows"))
+    return a.unionAll(b)
 
 
 def time_op(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
