@@ -1285,3 +1285,288 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, jpeg binary",
     )
     return jpg.mapInPandas(_jpeg_decode_batches(), schema=_JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real GIF87a codec (stdlib struct + numpy; LZW IS the format's substance)
+# ---------------------------------------------------------------------------
+#
+# Third image format with a REAL decoder: GIF87a is an LZW-compressed
+# 8-bit indexed raster with a color table — entirely decodable with the
+# stdlib, unlike WebP/video (the one remaining documented stub above).
+# Fixture bytes lay out as a PNG_WIDTH-wide image over a 256-entry
+# grayscale palette, so the decoded intensity stats are oracle-checkable
+# against the source text exactly like the PNG/JPEG twins.
+
+_GIF_SCHEMA = (
+    "doc_id long, width int, height int, palette_size int, "
+    "n_px long, sum_px long, mean_px double, max_px int"
+)
+
+
+def _lzw_codec():
+    """Build the shared GIF-variant LZW (encode, decode) pair: variable
+    width codes 9..12 bits packed LSB-first, CLEAR/EOI, table reset at
+    4096 — the full coding layer of the GIF spec. Local so cloudpickle
+    ships it by value into the mapInPandas closures."""
+
+    def encode(data: bytes, min_code: int = 8) -> bytes:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out = bytearray()
+        acc = nbits = 0
+        width = min_code + 1
+
+        def emit(code, w):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code = eoi + 1
+        emit(clear, width)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            table[wc] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            elif next_code > 4095:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(1 << min_code)}
+                next_code = eoi + 1
+                width = min_code + 1
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def decode(data: bytes, min_code: int = 8) -> bytes:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out = bytearray()
+        acc = nbits = pos = 0
+        width = min_code + 1
+
+        def read():
+            nonlocal acc, nbits, pos
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("LZW stream truncated before EOI")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return code
+
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        prev = None
+        while True:
+            code = read()
+            if code == clear:
+                table = table[: eoi + 1]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK special case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+        return bytes(out)
+
+    return encode, decode
+
+
+def _gif_encode_batches(width: int):
+    """mapInPandas stage: raw bytes -> genuine GIF87a binary column
+    (logical screen descriptor, 256-entry grayscale global color table,
+    image descriptor, LZW sub-blocks, trailer)."""
+
+    def encode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        lzw_encode, _ = _lzw_codec()
+        gct = b"".join(bytes((i, i, i)) for i in range(256))
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                px = bytes(blob)
+                h = max(1, -(-len(px) // width))
+                px = px.ljust(width * h, b"\x00")
+                buf = bytearray(b"GIF87a")
+                buf += struct.pack("<HHBBB", width, h, 0xF7, 0, 0)
+                buf += gct
+                buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, h, 0)
+                buf.append(8)  # LZW minimum code size
+                comp = lzw_encode(px)
+                for i in range(0, len(comp), 255):
+                    block = comp[i : i + 255]
+                    buf.append(len(block))
+                    buf += block
+                buf += b"\x00\x3b"
+                out.append(bytes(buf))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": out})
+
+    return encode_batches
+
+
+def _gif_reader():
+    """Build the shared GIF parse function: signature (87a/89a), screen
+    descriptor, global color table, extension-block skip, image
+    descriptor, LZW sub-block reassembly + decode, trailer check.
+    Fail-loud on interlace (row reordering this fixture never emits)
+    and on pixel-count mismatch."""
+    import struct
+
+    import numpy as np
+
+    _, lzw_decode = _lzw_codec()
+
+    def parse(buf: bytes):
+        """GIF bytes -> ((width, height, palette_size), index array)."""
+        if buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        w, h, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+        pos = 13
+        n_pal = 0
+        palette = None
+        if packed & 0x80:
+            n_pal = 2 << (packed & 0x07)
+            palette = np.frombuffer(buf[pos : pos + 3 * n_pal], dtype=np.uint8).reshape(
+                n_pal, 3
+            )
+            pos += 3 * n_pal
+        while buf[pos] == 0x21:  # extension blocks (GIF89a GCE etc.)
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        if buf[pos] != 0x2C:
+            raise ValueError(f"expected image descriptor, got {buf[pos]:#x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if ipacked & 0x80:  # local color table overrides the global one
+            n_pal = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(buf[pos : pos + 3 * n_pal], dtype=np.uint8).reshape(
+                n_pal, 3
+            )
+            pos += 3 * n_pal
+        min_code = buf[pos]
+        pos += 1
+        comp = bytearray()
+        while buf[pos]:
+            n = buf[pos]
+            comp += buf[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        if buf[pos] != 0x3B:
+            raise ValueError("missing GIF trailer")
+        idx = np.frombuffer(lzw_decode(bytes(comp), min_code), dtype=np.uint8)
+        if len(idx) != iw * ih:
+            raise ValueError(f"pixel count {len(idx)} != {iw}x{ih}")
+        return (w, h, n_pal), idx.reshape(ih, iw)
+
+    return parse
+
+
+def _gif_decode_batches():
+    """mapInPandas stage: GIF binary -> header fields + intensity stats
+    via the grayscale palette (intensity = palette[index].red, which for
+    this fixture's identity-gray table equals the index)."""
+    parse = _gif_reader()
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "palette_size",
+                    "n_px", "sum_px", "mean_px", "max_px",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["gif"]):
+                (w, h, n_pal), idx = parse(bytes(blob))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["palette_size"].append(n_pal)
+                rows["n_px"].append(w * h)
+                rows["sum_px"].append(int(idx.sum()))
+                rows["mean_px"].append(idx.sum() / (w * h))
+                rows["max_px"].append(int(idx.max()))
+            yield pd.DataFrame(rows)
+
+    return decode
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {PNG_WIDTH} AS width,
+           CAST(GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH}) AS INT) AS height,
+           256 AS palette_size,
+           CAST({PNG_WIDTH} * GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH}) AS BIGINT) AS n_px,
+           CAST(COALESCE((SELECT SUM(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS BIGINT) AS sum_px,
+           CAST(COALESCE((SELECT SUM(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS DOUBLE)
+             / ({PNG_WIDTH} * GREATEST(1, (LENGTH(text) + {PNG_WIDTH - 1}) // {PNG_WIDTH})) AS mean_px,
+           CAST(COALESCE((SELECT MAX(ascii(substring(text, i, 1)))
+                 FROM UNNEST(range(1, LENGTH(text) + 1)) AS u(i)), 0) AS INT) AS max_px
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "image", "gif"),
+    doc=(
+        "REAL GIF87a decode path (third real image codec after PNG and "
+        "baseline JPEG): fixture bytes become spec-conformant GIFs — "
+        "256-entry grayscale color table, LZW sub-blocks with variable "
+        "9..12-bit codes, CLEAR/EOI, table reset at 4096 — and a full "
+        "reader (header/descriptor walk, extension skip, sub-block "
+        "reassembly, LZW decode, trailer check) parses them back. "
+        "Intensity stats from the DECODED index array are oracle-checked "
+        "against the source bytes, so the LZW encode->pack->unpack->"
+        "decode round trip is verified end-to-end, including the KwKwK "
+        "special case and code-width growth."
+    ),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Arrow-batched mapInPandas stages with a real GIF binary
+    column between them, mirroring the PNG/JPEG twins: no shuffle, no
+    driver hop; real GIF files skip the encode stage and enter at the
+    decode contract. LZW is O(pixels) with dict ops per byte — ~100x
+    cheaper than the JPEG DCT path per doc."""
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+    gif = m.mapInPandas(_gif_encode_batches(PNG_WIDTH), schema="doc_id long, gif binary")
+    return gif.mapInPandas(_gif_decode_batches(), schema=_GIF_SCHEMA)

@@ -248,3 +248,90 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_kept"),
         dsum(F.when(kept, F.col("o_totalprice"))).alias("kept_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling per group (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+#: Reservoir size per group.
+RESERVOIR_K = 5
+
+#: Grid bits for the A-ES key (see functions/oracle_safe.py: the key
+#: goes through ln(), whose last-ulp rounding is engine-specific, so it
+#: is snapped to the 2^-40 grid before ranking — near-ties become exact
+#: ties resolved by the unique-key tie-break, identically everywhere).
+_AES_GRID = float(1 << 40)
+
+
+def _aes_sql() -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROUND(LN((CAST(('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 + 0.5)
+                      / 10000.0)
+                   / o_totalprice * {_AES_GRID!r}) AS key_grid
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY key_grid DESC, o_orderkey) AS rank
+      FROM keyed
+    )
+    SELECT o_orderpriority, CAST(rank AS INT) AS rank,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+    FROM ranked WHERE rank <= {RESERVOIR_K}
+    """
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_aes_sql(),
+    tags=("sampling", "curation", "topk"),
+    doc=(
+        "Weighted reservoir sampling per group (Efraimidis-Spirakis "
+        "A-ES): each row draws a deterministic uniform u from "
+        "md5(o_orderkey) and ranks by u^(1/w) — realized as "
+        "ln(u)/o_totalprice snapped to the 2^-40 grid so the ln() "
+        "last-ulp never flips a rank across engines — and the top-"
+        f"{RESERVOIR_K} per priority ARE a weighted sample without "
+        "replacement. This is THE distributed weighted-sampling "
+        "algorithm: key assignment is map-side, selection is one "
+        "top-k-per-group window (partial TakeOrdered per partition, "
+        "no global sort), and reservoirs from disjoint splits merge by "
+        "just keeping the k best keys — the mergeability that makes it "
+        "work on a 1000-executor scan."
+    ),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: O(n) key computation in codegen + one k-bounded window
+    per group; merging partial reservoirs is an associative top-k, so
+    a 100 TB scan never materializes more than k rows per group per
+    partition."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    key_grid = F.round(F.log(u) / F.col("o_totalprice") * F.lit(_AES_GRID))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("key_grid"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            key_grid.alias("key_grid"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select(
+            "o_orderpriority",
+            F.col("rank").cast("int"),
+            F.col("o_orderkey").cast("long"),
+            "o_totalprice",
+        )
+    )

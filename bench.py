@@ -176,6 +176,8 @@ HEADLINE = [
     "snapshot_clone",
     "dedup_url_canonical",
     "agg_approx_percentile",
+    "multimodal_gif_decode",
+    "sample_weighted_reservoir",
 ]
 
 

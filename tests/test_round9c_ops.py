@@ -269,3 +269,44 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r.approx_within_1pct, r
         assert r.p50_exact <= r.p95_exact
+
+
+def test_weighted_reservoir_favors_heavy_rows(spark, sf_dir):
+    """A-ES with w = o_totalprice must overrepresent expensive orders:
+    the sampled mean price exceeds the corpus mean in every group."""
+    from argodb_mapreduce_spark.operators.sampling import (
+        RESERVOIR_K,
+        sample_weighted_reservoir,
+    )
+
+    sampled = sample_weighted_reservoir(spark, sf_dir)
+    per_group = {
+        r.o_orderpriority: r.m
+        for r in sampled.groupBy("o_orderpriority").agg(
+            F.avg("o_totalprice").alias("m"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    corpus = {
+        r.o_orderpriority: r.m
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    assert per_group.keys() == corpus.keys()
+    heavier = sum(per_group[g] > corpus[g] for g in corpus)
+    # k=5 draws are noisy; demand a clear majority of groups lean heavy.
+    assert heavier >= len(corpus) - 1, (per_group, corpus)
+    counts = sampled.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == RESERVOIR_K for r in counts)
+
+
+def test_weighted_reservoir_plan_uses_group_limit(spark, sf_dir):
+    """The rank<=k filter must push into the window as a per-partition
+    group limit — the property that bounds state to k rows per group
+    per partition on a big scan."""
+    from argodb_mapreduce_spark.operators.sampling import sample_weighted_reservoir
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    plan = explain_str(sample_weighted_reservoir(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
