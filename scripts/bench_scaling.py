@@ -98,6 +98,8 @@ def _ops():
         # round-9c DML/fork additions
         "update_where_lifecycle": _update_where_lifecycle,
         "clone_fork_lifecycle": _clone_fork_lifecycle,
+        # round-9c codec addition (per-doc pure-Python LZW — linear)
+        "multimodal_gif_decode": _gif_decode_op,
     }
 
 
@@ -256,6 +258,12 @@ def _zorder_rewrite_lifecycle(spark, sf_dir):
     return snapshot_read(
         spark, out, v, predicates=[("o_custkey", "<=", float(b.ck))]
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _gif_decode_op(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.multimodal import multimodal_gif_decode
+
+    return multimodal_gif_decode(spark, sf_dir)
 
 
 def _update_where_lifecycle(spark, sf_dir):
