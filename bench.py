@@ -178,6 +178,7 @@ HEADLINE = [
     "agg_approx_percentile",
     "multimodal_gif_decode",
     "sample_weighted_reservoir",
+    "snapshot_check_constraint",
 ]
 
 

@@ -310,3 +310,75 @@ def test_weighted_reservoir_plan_uses_group_limit(spark, sf_dir):
 
     plan = explain_str(sample_weighted_reservoir(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+
+def test_add_constraint_validates_existing_data(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    out = str(tmp_path / "con_existing")
+    _two_segment_table(spark, sf_dir, out)
+    with pytest.raises(ConstraintViolation, match="existing rows violate"):
+        add_constraint(spark, out, "impossible", "o_totalprice < 0")
+    # A satisfiable constraint registers and duplicate names are refused.
+    assert add_constraint(spark, out, "price_positive", "o_totalprice > 0") == 1
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, out, "price_positive", "o_totalprice > 1")
+
+
+def test_constraint_null_counts_as_violation(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    out = str(tmp_path / "con_null")
+    o = _two_segment_table(spark, sf_dir, out)
+    add_constraint(spark, out, "status_known", "o_orderstatus IN ('F','O','P')")
+    nulled = o.limit(3).withColumn("o_orderstatus", F.lit(None).cast("string"))
+    with pytest.raises(ConstraintViolation, match="status_known"):
+        versioned_write(nulled, out, mode="append")
+
+
+def test_constraint_violating_write_leaves_no_artifacts(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    out = str(tmp_path / "con_clean")
+    o = _two_segment_table(spark, sf_dir, out)
+    add_constraint(spark, out, "price_positive", "o_totalprice > 0")
+    head = versions(out)[-1]
+    before = set(os.listdir(out))
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(ConstraintViolation):
+        versioned_write(bad, out, mode="append")
+    assert versions(out)[-1] == head
+    assert set(os.listdir(out)) == before  # no staged dir, no segment
+
+
+def test_clone_inherits_constraints(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    src = str(tmp_path / "con_clone_src")
+    dst = str(tmp_path / "con_clone_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    add_constraint(spark, src, "price_positive", "o_totalprice > 0")
+    clone_table(src, dst)
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(ConstraintViolation):
+        versioned_write(bad, dst, mode="append")
+    # Valid writes still flow into the clone.
+    versioned_write(o.limit(5), dst, mode="append")
+    assert snapshot_read(spark, dst).count() == o.count() + 5
