@@ -2622,3 +2622,202 @@ def snapshot_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(summary["refused"]["update"]).alias("update_refused"),
         F.lit(summary["head_unchanged"]).alias("head_unchanged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bin-packing OPTIMIZE: size-targeted compaction (small-file problem)
+# ---------------------------------------------------------------------------
+
+
+def _segment_bytes(path: str, seg: str) -> int:
+    total = 0
+    for root, _dirs, fs in os.walk(os.path.join(path, seg)):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+    return total
+
+
+def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
+    """Size-targeted OPTIMIZE: bin-pack the latest version's SMALL
+    segments (< ``target_bytes``) into merged segments of about the
+    target size, carrying every already-large segment forward BY NAME —
+    the real Delta/Iceberg OPTIMIZE shape, where a nightly run touches
+    only the day's small appends and never rewrites the settled bulk
+    (:func:`compact` is the everything-into-one special case).
+
+    Greedy first-fit-decreasing over on-disk segment sizes (an O(files)
+    metadata walk, no data read); bins holding a single segment carry
+    forward unchanged (a one-segment rewrite is pure waste). Tables
+    with a pending deletion vector must :func:`compact` first (the DV
+    spans carried and rewritten segments; fail-loud, same contract as
+    MERGE/UPDATE). Commit is OCC-gated. Returns ``{"version",
+    "segments_before", "segments_after", "bins_rewritten",
+    "bytes_rewritten"}`` (version unchanged if nothing needed packing).
+
+    At 100 TB: a table taking 10k small streaming appends a day packs
+    them into ~target-sized files for pennies — the rewrite reads
+    exactly the small-file bytes — while petabytes of settled segments
+    are never touched, and readers keep their pinned snapshots
+    throughout."""
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    if latest.get("dv"):
+        raise ValueError(
+            "compact_binpack on a table with a pending deletion vector: "
+            "compact() first to materialize it"
+        )
+    segs = latest["segments"]
+    sizes = {s: _segment_bytes(path, s) for s in segs}
+    small = sorted(
+        (s for s in segs if sizes[s] < target_bytes), key=lambda s: -sizes[s]
+    )
+    bins: list[list[str]] = []
+    fill: list[int] = []
+    for s in small:  # first-fit decreasing
+        for i, used in enumerate(fill):
+            if used + sizes[s] <= target_bytes:
+                bins[i].append(s)
+                fill[i] += sizes[s]
+                break
+        else:
+            bins.append([s])
+            fill.append(sizes[s])
+    rewrite_bins = [b for b in bins if len(b) >= 2]
+    if not rewrite_bins:
+        return {
+            "version": latest["version"],
+            "segments_before": len(segs),
+            "segments_after": len(segs),
+            "bins_rewritten": 0,
+            "bytes_rewritten": 0,
+        }
+    packed = {s for b in rewrite_bins for s in b}
+    carried = [s for s in segs if s not in packed]
+    version = latest["version"] + 1
+    schemas = latest.get("schemas", {})
+    new_segments, new_stats, new_schemas = [], {}, {}
+    bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
+    new_bloom = {}
+    try:
+        for i, b in enumerate(rewrite_bins):
+            seg = f"data-{version}-p{i}"
+            # mergeSchema only if the bin's members actually diverge.
+            known = {json.dumps(schemas[s], sort_keys=True) for s in b if s in schemas}
+            reader = (
+                spark.read.option("mergeSchema", "true")
+                if len(known) > 1
+                else spark.read
+            )
+            df = reader.parquet(*[os.path.join(path, s) for s in b])
+            df.coalesce(1).write.mode("errorifexists").parquet(os.path.join(path, seg))
+            new_segments.append(seg)
+            new_stats[seg] = collect_segment_stats(os.path.join(path, seg))
+            new_schemas[seg] = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if bloom_cols:
+                new_bloom[seg] = build_segment_bloom(
+                    spark, os.path.join(path, seg), bloom_cols
+                )
+        entry = {
+            "version": version,
+            "segments": [*carried, *new_segments],
+            "stats": {
+                **{s: v for s, v in latest.get("stats", {}).items() if s in carried},
+                **new_stats,
+            },
+            "schemas": {
+                **{s: v for s, v in schemas.items() if s in carried},
+                **new_schemas,
+            },
+            "packed_from": latest["version"],
+        }
+        if bloom_cols:
+            entry["bloom"] = {
+                **{s: v for s, v in latest.get("bloom", {}).items() if s in carried},
+                **new_bloom,
+            }
+        _commit_entry(path, latest["version"], entry, cleanup_dirs=tuple(new_segments))
+    except BaseException:
+        import shutil
+
+        for seg in new_segments:
+            if seg not in _read_manifest(path)[-1]["segments"]:
+                shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
+        raise
+    return {
+        "version": version,
+        "segments_before": len(segs),
+        "segments_after": len(carried) + len(new_segments),
+        "bins_rewritten": len(rewrite_bins),
+        "bytes_rewritten": sum(sizes[s] for s in packed),
+    }
+
+
+def _build_binpack_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, dict, bool]:
+    """One LARGE append (~98% of the orders) + five tiny slivers
+    (1/300th each), then a bin-pack targeted at (sum of sliver sizes)+1:
+    the large segment is over target at any SF (its bytes grow with the
+    data; sliver bytes are parquet-overhead-dominated constants), so it
+    must carry forward BY NAME while all five slivers fit one bin."""
+    out = _scratch(sf_dir) + "_binpack"
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(out, "_PACKED")
+    # Shape guard alongside the mtime check: 6 appends + 1 pack commit.
+    if not fixture_stale(src, marker) and len(versions(out)) == 7:
+        with open(marker) as f:
+            saved = json.load(f)
+        return out, saved["summary"], saved["large_carried"]
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 300
+    versioned_write(o.filter(k >= 5), out, mode="append")
+    for i in range(5):
+        versioned_write(o.filter(k == i), out, mode="append")
+    segs = _read_manifest(out)[-1]["segments"]
+    large, smalls = segs[0], segs[1:]
+    target = sum(_segment_bytes(out, s) for s in smalls) + 1
+    assert _segment_bytes(out, large) >= target, "fixture: large under target"
+    summary = compact_binpack(spark, out, target)
+    large_carried = large in _read_manifest(out)[-1]["segments"]
+    with open(marker, "w") as f:
+        json.dump({"summary": summary, "large_carried": large_carried}, f)
+    return out, summary, large_carried
+
+
+@register(
+    "snapshot_compact_binpack",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           6 AS segments_before,
+           2 AS segments_after,
+           1 AS bins_rewritten,
+           TRUE AS large_segment_untouched
+    FROM orders
+    """,
+    tags=("source", "snapshot", "compaction", "optimize", "bin-packing"),
+    doc=(
+        "Size-targeted OPTIMIZE (bin-packing compaction): five small "
+        "append slivers merge into one ~target-size segment while the "
+        "large settled segment carries forward BY NAME without a read "
+        "or a write — 6 segments -> 2, one bin rewritten, all counts "
+        "and the untouched-large-segment fact oracle-pinned, content "
+        "hash-checked unchanged. The real nightly-OPTIMIZE shape "
+        "(Delta/Iceberg rewrite small files toward a target size) that "
+        "plain compact()'s everything-into-one cannot give at scale; "
+        "pre-pack versions keep time-traveling."
+    ),
+)
+def snapshot_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the size census is an O(files) metadata walk; the rewrite
+    reads exactly the small-file bytes. Packing a day's 10k streaming
+    appends never touches the settled bulk of a 100 TB table."""
+    out, summary, large_carried = _build_binpack_fixture(spark, sf_dir)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(summary["segments_before"]).alias("segments_before"),
+        F.lit(summary["segments_after"]).alias("segments_after"),
+        F.lit(summary["bins_rewritten"]).alias("bins_rewritten"),
+        F.lit(large_carried).alias("large_segment_untouched"),
+    )

@@ -179,6 +179,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "sample_weighted_reservoir",
     "snapshot_check_constraint",
+    "snapshot_compact_binpack",
 ]
 
 

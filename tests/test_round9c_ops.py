@@ -382,3 +382,94 @@ def test_clone_inherits_constraints(spark, sf_dir, tmp_path):
     # Valid writes still flow into the clone.
     versioned_write(o.limit(5), dst, mode="append")
     assert snapshot_read(spark, dst).count() == o.count() + 5
+
+
+# ---------------------------------------------------------------------------
+# Bin-packing OPTIMIZE
+# ---------------------------------------------------------------------------
+
+
+def test_binpack_carries_large_and_merges_small(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segment_bytes,
+        compact_binpack,
+    )
+
+    out = str(tmp_path / "binpack")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 100
+    versioned_write(o.filter(k >= 4), out)  # large
+    for i in range(4):
+        versioned_write(o.filter(k == i), out)  # 4 slivers
+    segs = _read_manifest(out)[-1]["segments"]
+    target = sum(_segment_bytes(out, s) for s in segs[1:]) + 1
+    summary = compact_binpack(spark, out, target)
+    assert summary["segments_before"] == 5
+    assert summary["segments_after"] == 2
+    assert summary["bins_rewritten"] == 1
+    head = _read_manifest(out)[-1]["segments"]
+    assert segs[0] in head  # large carried by name
+    assert snapshot_read(spark, out).count() == o.count()
+    # Pre-pack version still time-travels with all 5 segments.
+    assert snapshot_read(spark, out, summary["version"] - 1).count() == o.count()
+
+
+def test_binpack_noop_when_nothing_to_pack(spark, sf_dir, tmp_path):
+    """All-large segments (target below every size) and a single small
+    segment (bin of one) both commit NOTHING."""
+    from argodb_mapreduce_spark.sources.versioned import compact_binpack
+
+    out = str(tmp_path / "binpack_noop")
+    o = _two_segment_table(spark, sf_dir, out)
+    head = versions(out)[-1]
+    assert compact_binpack(spark, out, 1)["bins_rewritten"] == 0  # all large
+    big = 10**12
+    # Two segments fit one bin -> they DO pack; use a fresh table with
+    # one small + one large instead to exercise the singleton-bin path.
+    out2 = str(tmp_path / "binpack_single")
+    versioned_write(o.filter(F.col("o_orderkey") % 100 == 0), out2)
+    s = compact_binpack(spark, out2, big)
+    assert s["bins_rewritten"] == 0 and versions(out2)[-1] == 0
+    assert versions(out)[-1] == head
+
+
+def test_binpack_rejects_pending_dv(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import compact_binpack
+
+    out = str(tmp_path / "binpack_dv")
+    _two_segment_table(spark, sf_dir, out)
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    with pytest.raises(ValueError, match="deletion vector"):
+        compact_binpack(spark, out, 10**12)
+
+
+def test_binpack_preserves_data_skipping(spark, sf_dir, tmp_path):
+    """Packed segments get fresh stats: a range predicate still prunes."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        compact_binpack,
+        prune_segments,
+    )
+
+    from argodb_mapreduce_spark.sources.versioned import _segment_bytes
+
+    out = str(tmp_path / "binpack_stats")
+    o = load_table(spark, sf_dir, "orders")
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    c1, c2 = lo + 150, lo + 300  # two 150-key slivers, the rest large
+    versioned_write(o.filter(F.col("o_orderkey") >= c2), out)  # large, high keys
+    versioned_write(o.filter(F.col("o_orderkey") < c1), out)
+    versioned_write(
+        o.filter((F.col("o_orderkey") >= c1) & (F.col("o_orderkey") < c2)), out
+    )
+    segs = _read_manifest(out)[-1]["segments"]
+    target = sum(_segment_bytes(out, s) for s in segs[1:]) + 1
+    assert _segment_bytes(out, segs[0]) >= target
+    summary = compact_binpack(spark, out, target)
+    assert summary["bins_rewritten"] == 1  # both small low-key segments
+    # The packed low-key segment carries fresh min/max: a low-key probe
+    # prunes the untouched large segment, keeping only the packed one.
+    kept, everything = prune_segments(
+        out, summary["version"], [("o_orderkey", "<", lo + 100)]
+    )
+    assert len(everything) == 2 and len(kept) == 1
+    assert kept[0] not in segs  # the survivor IS the newly packed segment
