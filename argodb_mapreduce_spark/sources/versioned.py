@@ -332,8 +332,32 @@ def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None
             f"table advanced past v{base_version} (head is "
             f"v{entries[-1]['version']}); re-read and retry"
         )
+    entry.setdefault("ts", _now())
     entries.append(entry)
     _write_manifest(path, entries)
+
+
+def _now() -> float:
+    """Commit wall-clock, isolated for test monkeypatching."""
+    import time
+
+    return time.time()
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Resolve ``AS OF TIMESTAMP`` to a version: the newest version
+    whose commit time is <= ``ts`` (Delta's timestamp resolution rule;
+    a ts between two commits reads the older one). Entries predating
+    timestamp recording are always eligible. Raises if ``ts`` is
+    before the first commit."""
+    entries = _read_manifest(path)
+    eligible = [e["version"] for e in entries if e.get("ts", float("-inf")) <= ts]
+    if not eligible:
+        first = entries[0].get("ts")
+        raise ValueError(
+            f"no version committed at or before ts={ts} (first commit ts={first})"
+        )
+    return max(eligible)
 
 
 # ---------------------------------------------------------------------------
@@ -521,6 +545,7 @@ def versioned_write(
     # has no deleted rows. An overwrite starts clean.
     if mode == "append" and entries and entries[-1].get("dv"):
         entry["dv"] = entries[-1]["dv"]
+    entry["ts"] = _now()
     entries.append(entry)
     _write_manifest(path, entries)
     return version
@@ -572,6 +597,7 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     predicates=(),
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read of ``path`` at ``version`` (default latest).
 
@@ -591,6 +617,10 @@ def snapshot_read(
     """
     entries = _read_manifest(path)
     by_version = {e["version"]: e for e in entries}
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_at_timestamp(path, as_of_ts)
     if version is None:
         version = entries[-1]["version"]
     if version not in by_version:
@@ -879,6 +909,7 @@ def rollback(path: str, to_version: int) -> int:
     # must keep them deleted.
     if by_version[to_version].get("dv"):
         entry["dv"] = by_version[to_version]["dv"]
+    entry["ts"] = _now()
     entries.append(entry)
     _write_manifest(path, entries)
     return version
@@ -2821,3 +2852,96 @@ def snapshot_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(summary["bins_rewritten"]).alias("bins_rewritten"),
         F.lit(large_carried).alias("large_segment_untouched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AS OF TIMESTAMP time travel
+# ---------------------------------------------------------------------------
+
+
+def _build_ts_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The standard 3-version history (append, append, overwrite), built
+    fresh under a _ts suffix so every manifest entry carries a commit
+    timestamp (the shared fixture may predate ts recording)."""
+    out = _scratch(sf_dir) + "_ts"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 3
+        and all("ts" in e for e in _read_manifest(out))
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), out, mode="overwrite")
+    return out
+
+
+@register(
+    "snapshot_time_travel_ts",
+    oracle="""
+    SELECT 'at_v0' AS probe, 0 AS resolved_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'mid_v0_v1', 0, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'at_v1', 1, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'mid_v1_v2', 1, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'at_v2', 2, CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    tags=("source", "snapshot", "time-travel", "timestamp"),
+    doc=(
+        "AS OF TIMESTAMP time travel: every commit records its wall-"
+        "clock in the manifest, and a timestamp probe resolves to the "
+        "newest version committed at-or-before it (Delta's rule — a ts "
+        "BETWEEN two commits reads the older one, pinned by the two "
+        "midpoint probes resolving backward). Five probes (each "
+        "commit's exact ts + the two midpoints) are read back; resolved "
+        "version numbers and version contents are both oracle-checked. "
+        "Completes the time-travel surface next to version-number "
+        "travel (snapshot_time_travel) and DESCRIBE HISTORY."
+    ),
+)
+def snapshot_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: resolution is a scan of the O(versions) manifest — no
+    data touched until the resolved version's pinned file set is read."""
+    out = _build_ts_fixture(spark, sf_dir)
+    ts = {e["version"]: e["ts"] for e in _read_manifest(out)}
+    probes = [
+        ("at_v0", ts[0]),
+        ("mid_v0_v1", (ts[0] + ts[1]) / 2),
+        ("at_v1", ts[1]),
+        ("mid_v1_v2", (ts[1] + ts[2]) / 2),
+        ("at_v2", ts[2]),
+    ]
+    frames = []
+    for label, t in probes:
+        v = version_at_timestamp(out, t)
+        frames.append(
+            snapshot_read(spark, out, as_of_ts=t)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+            )
+            .select(
+                F.lit(label).alias("probe"),
+                F.lit(v).alias("resolved_version"),
+                "n_rows",
+                "min_key",
+            )
+        )
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionAll(f)
+    return df

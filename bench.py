@@ -180,6 +180,7 @@ HEADLINE = [
     "sample_weighted_reservoir",
     "snapshot_check_constraint",
     "snapshot_compact_binpack",
+    "snapshot_time_travel_ts",
 ]
 
 

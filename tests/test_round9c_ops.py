@@ -473,3 +473,53 @@ def test_binpack_preserves_data_skipping(spark, sf_dir, tmp_path):
     )
     assert len(everything) == 2 and len(kept) == 1
     assert kept[0] not in segs  # the survivor IS the newly packed segment
+
+
+# ---------------------------------------------------------------------------
+# AS OF TIMESTAMP
+# ---------------------------------------------------------------------------
+
+
+def test_as_of_timestamp_resolution(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read as sread,
+        version_at_timestamp,
+    )
+
+    out = str(tmp_path / "ts_travel")
+    o = _two_segment_table(spark, sf_dir, out)
+    ts = {e["version"]: e["ts"] for e in _read_manifest(out)}
+    assert version_at_timestamp(out, ts[0]) == 0
+    assert version_at_timestamp(out, (ts[0] + ts[1]) / 2) == 0  # older wins
+    assert version_at_timestamp(out, ts[1]) == 1
+    assert version_at_timestamp(out, ts[1] + 10) == 1  # future ts -> head
+    with pytest.raises(ValueError, match="no version committed"):
+        version_at_timestamp(out, ts[0] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        sread(spark, out, version=0, as_of_ts=ts[0])
+    assert sread(spark, out, as_of_ts=ts[0]).count() == sread(spark, out, 0).count()
+    assert sread(spark, out, as_of_ts=ts[1] + 10).count() == o.count()
+
+
+def test_every_write_path_stamps_ts(spark, sf_dir, tmp_path):
+    """append, DELETE (DV), MERGE, UPDATE, compact, rollback, binpack —
+    each commit must carry a monotonically nondecreasing ts."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        compact,
+        compact_binpack,
+        merge_upsert,
+        rollback,
+        update_where,
+    )
+
+    out = str(tmp_path / "ts_paths")
+    o = _two_segment_table(spark, sf_dir, out)
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    compact(spark, out)
+    merge_upsert(spark, out, o.limit(10), "o_orderkey")
+    update_where(spark, out, [("o_orderkey", ">", 0)], {"o_totalprice": F.col("o_totalprice")})
+    rollback(out, 0)
+    compact_binpack(spark, out, 10**12)
+    stamps = [e.get("ts") for e in _read_manifest(out)]
+    assert all(t is not None for t in stamps), stamps
+    assert stamps == sorted(stamps)
