@@ -29,9 +29,19 @@ ships them BY VALUE — executors cannot import this repo.
 Scale: one partition per file gives the same parallelism contract as
 the reference's file-aligned splits; a 100 TB versioned table fans out
 to its file count, and Spark schedules partitions with the usual
-locality/packing. (Filter pushdown via ``pushFilters`` is left to
-Catalyst-over-parquet for the built-in path; this source demonstrates
-the split/reader contract.)
+locality/packing. Source-level DATA SKIPPING is implemented through an
+immutable ``prune`` LOAD OPTION (JSON ``(col, op, literal)`` triples):
+``partitions()`` drops every file whose manifest min/max provably
+excludes the predicates — the same channel the reference uses for its
+partition filter (a conf-passed string, ArgodbMapreduceInputFormat
+.java:208-255), generalized to range predicates on any stats-bearing
+column. Catalyst's ``pushFilters`` hook (4.1, off by default) is
+deliberately NOT used: Spark's scan-reuse cache matches a later
+unfiltered plan of the same relation to the pushed-down scan WITHOUT
+re-invoking the reader (verified empirically — the stale pruned
+partition list then silently drops rows), while load options are
+pinned per relation, so every plan derived from one load() shares the
+same predicates and cached-scan reuse stays correct by construction.
 """
 
 from __future__ import annotations
@@ -66,7 +76,25 @@ def make_versioned_datasource():
         def __init__(self, path: str):
             self.path = path
 
-    def _resolve_files(path: str, version: int | None) -> list:
+    def _stat_decode_local(v):
+        # Parity twin of versioned._stat_decode, inlined so the pickled
+        # classes stay repo-import-free.
+        import datetime as _ldt
+
+        if isinstance(v, dict):
+            if v["t"] == "ts":
+                return _ldt.datetime.fromisoformat(v["v"])
+            if v["t"] == "date":
+                return _ldt.date.fromisoformat(v["v"])
+            raise ValueError(f"unknown stat tag {v['t']!r}")
+        return v
+
+    def _resolve_files(path: str, version: int | None) -> tuple[list, dict]:
+        """(ordered file list, {file -> decoded per-column [min,max]}).
+
+        Stats ride the manifest (harvested at write time from parquet
+        footers); they are decoded here at PLAN time so pushed-filter
+        pruning in ``partitions()`` is pure metadata — no file opened."""
         with open(_os.path.join(path, "_snapshots.json")) as f:
             entries = _json.load(f)
         by_version = {e["version"]: e for e in entries}
@@ -74,15 +102,65 @@ def make_versioned_datasource():
             version = entries[-1]["version"]
         if version not in by_version:
             raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
-        files = []
-        for seg in by_version[version]["segments"]:
+        entry = by_version[version]
+        files, file_stats = [], {}
+        for seg in entry["segments"]:
             seg_dir = _os.path.join(path, seg)
-            files.extend(
-                _os.path.join(seg_dir, f)
-                for f in sorted(_os.listdir(seg_dir))
-                if f.endswith(".parquet")
+            raw = entry.get("stats", {}).get(seg)
+            decoded = (
+                {c: [_stat_decode_local(lo), _stat_decode_local(hi)] for c, (lo, hi) in raw.items()}
+                if raw
+                else None
             )
-        return files
+            for f in sorted(_os.listdir(seg_dir)):
+                if f.endswith(".parquet"):
+                    fp = _os.path.join(seg_dir, f)
+                    files.append(fp)
+                    file_stats[fp] = decoded
+        return files, file_stats
+
+    def _coerce_lit(lit, stat_sample):
+        """Make an option-passed literal (JSON: str/int/float) or a
+        datetime comparable with the decoded stat values — parity twin
+        of versioned._coerce_literal plus naive-UTC normalization."""
+        import datetime as _ldt
+
+        if isinstance(lit, _ldt.datetime) and lit.tzinfo is not None:
+            lit = lit.astimezone(_ldt.timezone.utc).replace(tzinfo=None)
+        if isinstance(stat_sample, _ldt.datetime) and isinstance(lit, str):
+            return _ldt.datetime.fromisoformat(lit)
+        if isinstance(stat_sample, _ldt.datetime) and type(lit) is _ldt.date:
+            return _ldt.datetime(lit.year, lit.month, lit.day)
+        if type(stat_sample) is _ldt.date and isinstance(lit, str):
+            return _ldt.date.fromisoformat(lit)
+        return lit
+
+    def _stats_may_match(stats, pushed) -> bool:
+        """Conservative segment-stat test, parity twin of
+        versioned._segment_may_match: True unless some pushed predicate
+        PROVABLY excludes every row. Missing stats / incomparable types
+        keep the file."""
+        if not stats:
+            return True
+        for col, op, lit in pushed:
+            if col not in stats:
+                continue
+            mn, mx = stats[col]
+            lit = _coerce_lit(lit, mn)
+            try:
+                if op == "=" and not (mn <= lit <= mx):
+                    return False
+                if op == "<" and not (mn < lit):
+                    return False
+                if op == "<=" and not (mn <= lit):
+                    return False
+                if op == ">" and not (mx > lit):
+                    return False
+                if op == ">=" and not (mx >= lit):
+                    return False
+            except TypeError:
+                continue  # incomparable literal/stat: conservative keep
+        return True
 
     def _us_schema(schema):
         """Arrow schema with every ns timestamp demoted to µs. Spark's
@@ -101,13 +179,27 @@ def make_versioned_datasource():
         return pa.schema(fields)
 
     class VersionedReader(DataSourceReader):
-        def __init__(self, files: list):
+        def __init__(self, files: list, file_stats: dict, prune: list):
             self.files = files
+            self.file_stats = file_stats
+            # Immutable per relation (parsed from the load option): every
+            # plan derived from this load() shares the same predicates,
+            # so Spark's cross-plan scan-reuse cache cannot leak a
+            # pruned file set into an unpruned query (see module doc —
+            # this is why Catalyst pushFilters is NOT used here).
+            self.prune = prune
 
         def partitions(self):
             # One partition per parquet file — the reference's
-            # file-aligned splits (splitRowSetsToFiles).
-            return [SegmentFilePartition(f) for f in self.files]
+            # file-aligned splits (splitRowSetsToFiles) — minus every
+            # file whose segment stats provably exclude the option
+            # predicates (plan-time data skipping INSIDE the source).
+            files = [
+                f
+                for f in self.files
+                if _stats_may_match(self.file_stats.get(f), self.prune)
+            ]
+            return [SegmentFilePartition(f) for f in files]
 
         def read(self, partition):
             import pyarrow as pa
@@ -244,6 +336,11 @@ def make_versioned_datasource():
             super().__init__(options)
             self._path = options["path"]
             self._version = int(options.get("version", -1))
+            # Source-level data skipping: JSON [[col, op, literal], ...]
+            # triples, AND semantics — immutable for this relation.
+            self._prune = [
+                (c, o, v) for c, o, v in _json.loads(options.get("prune", "[]"))
+            ]
             # Manifest resolved ONCE, when the DataSource instance is
             # built at load()/plan time — the file set is pinned into
             # this instance, so concurrent versioned_write calls cannot
@@ -253,9 +350,10 @@ def make_versioned_datasource():
             # Deferred-tolerant: a write to a fresh path has no manifest
             # yet, so resolution failures surface at reader() time only.
             try:
-                self._files = _resolve_files(self._path, self._version)
+                self._files, self._file_stats = _resolve_files(self._path, self._version)
             except (FileNotFoundError, ValueError):
                 self._files = None
+                self._file_stats = {}
 
         @classmethod
         def name(cls):
@@ -272,7 +370,7 @@ def make_versioned_datasource():
         def reader(self, schema):
             if self._files is None:
                 raise ValueError(f"no versioned table at {self._path!r}")
-            return VersionedReader(self._files)
+            return VersionedReader(self._files, self._file_stats, self._prune)
 
         def writer(self, schema, overwrite):
             _os.makedirs(self._path, exist_ok=True)
@@ -358,7 +456,7 @@ def make_versioned_datasource():
 
         def read(self, partition):
             # Same Arrow-batch file reader as the batch path.
-            return VersionedReader([]).read(partition)
+            return VersionedReader([], {}, []).read(partition)
 
         def commit(self, end):
             pass  # offsets live in the query's checkpoint, nothing to GC
@@ -374,12 +472,39 @@ def register_datasource(spark: SparkSession) -> None:
         spark.conf.set(key, "1")
 
 
-def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_versioned(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicates=(),
+) -> DataFrame:
+    """Read a versioned table through the custom format. ``predicates``
+    — (column, op, literal) triples, op in ``< <= > >= =`` — ride the
+    ``prune`` load option so the SOURCE skips provably-unmatched files
+    at plan time, and are re-applied row-level on the returned frame
+    (the same conservative prune+refilter split as snapshot_read);
+    datetime literals are passed as ISO strings and re-typed against
+    the stat values."""
+    import datetime as _dt
+    import json as _json
+
     register_datasource(spark)
     r = spark.read.format(FORMAT_NAME)
     if version is not None:
         r = r.option("version", str(version))
-    return r.load(path)
+    if predicates:
+        enc = [
+            [c, o, v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v]
+            for c, o, v in predicates
+        ]
+        r = r.option("prune", _json.dumps(enc))
+    df = r.load(path)
+    for col, op, lit in predicates:
+        c = F.col(col)
+        df = df.filter(
+            {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit, "=": c == lit}[op]
+        )
+    return df
 
 
 @register(
@@ -549,3 +674,61 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "pyds_pruned_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS source_pruned_files
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-03-01'
+      AND o_orderdate <  TIMESTAMP '2000-09-01'
+    """,
+    tags=("source", "datasource", "pushdown", "data-skipping"),
+    doc=(
+        "Predicate pushdown INSIDE the custom Python DataSource: a "
+        "date-range predicate rides the immutable `prune` load option "
+        "and partitions() drops every file whose manifest min/max "
+        "provably excludes it — the filtered relation plans FEWER file "
+        "partitions than an unpruned load (flag oracle-pinned) while "
+        "the row-level residual keeps the result exact (hash-checked). "
+        "This is the reference's own pushdown CHANNEL (a filter string "
+        "passed beside the path, ArgodbMapreduceInputFormat.java:"
+        "208-255) generalized from static partition equality to range "
+        "predicates on any stats-bearing column. Catalyst's 4.1 "
+        "pushFilters hook is deliberately not used: Spark's scan-reuse "
+        "cache leaks a pushed-down partition list into later unfiltered "
+        "plans of the same relation (empirically verified), while load "
+        "options are pinned per relation — correct by construction "
+        "(tests/test_python_datasource.py pins both facts)."
+    ),
+)
+def pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: option parse + stat compare are plan-time metadata over
+    the O(segments) manifest; a selective predicate on a 100 TB table
+    launches tasks only for the surviving files."""
+    import datetime as _dt
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _PRUNE_HI,
+        _PRUNE_LO,
+        _build_pruned_fixture,
+    )
+
+    path = _build_pruned_fixture(spark, sf_dir)
+    preds = [
+        ("o_orderdate", ">=", _dt.datetime.fromisoformat(_PRUNE_LO)),
+        ("o_orderdate", "<", _dt.datetime.fromisoformat(_PRUNE_HI)),
+    ]
+    full_parts = read_versioned(spark, path).rdd.getNumPartitions()
+    pruned_df = read_versioned(spark, path, predicates=preds)
+    # Partition counts ARE the pruning evidence: the python-datasource
+    # scan plans one task per surviving file (metadata-only check).
+    pruned = pruned_df.rdd.getNumPartitions() < full_parts
+    return pruned_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(pruned).alias("source_pruned_files"),
+    )

@@ -181,6 +181,7 @@ HEADLINE = [
     "snapshot_check_constraint",
     "snapshot_compact_binpack",
     "snapshot_time_travel_ts",
+    "pyds_pruned_scan",
 ]
 
 

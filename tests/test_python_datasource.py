@@ -7,6 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from argodb_mapreduce_spark.catalog import load_table
 from argodb_mapreduce_spark.sources.python_datasource import read_versioned
 from argodb_mapreduce_spark.sources.versioned import (
     snapshot_read,
@@ -181,3 +182,59 @@ def test_stream_rejects_non_append_history(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="non-append change"):
         q.awaitTermination()
+
+
+def test_prune_option_skips_files_and_stays_exact(spark, sf_dir):
+    """The `prune` load option drops provably-unmatched files at plan
+    time; the row-level residual keeps results exact; and an unpruned
+    relation read AFTERWARD still sees every row (load options are
+    per-relation — the leak the 4.1 pushFilters hook has is structurally
+    impossible here)."""
+    import datetime as dt
+
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import (
+        _PRUNE_HI,
+        _PRUNE_LO,
+        _build_pruned_fixture,
+        snapshot_read,
+    )
+
+    path = _build_pruned_fixture(spark, sf_dir)
+    preds = [
+        ("o_orderdate", ">=", dt.datetime.fromisoformat(_PRUNE_LO)),
+        ("o_orderdate", "<", dt.datetime.fromisoformat(_PRUNE_HI)),
+    ]
+    full = read_versioned(spark, path)
+    pruned = read_versioned(spark, path, predicates=preds)
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    expected = snapshot_read(spark, path, predicates=preds).count()
+    assert pruned.count() == expected
+    # The unpruned relation is untouched by the pruned one's planning —
+    # in either interleaving order.
+    assert full.count() == snapshot_read(spark, path).count()
+    assert read_versioned(spark, path).count() == snapshot_read(spark, path).count()
+
+
+def test_prune_option_conservative_on_statless_column(spark, sf_dir, tmp_path):
+    """Predicates on a column without manifest stats must keep every
+    file (conservative) and still return exact rows via the residual."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    out = str(tmp_path / "pyds_statless")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out)
+    # Strip one column's stats from the manifest to simulate a legacy
+    # or unstatable column.
+    import json
+
+    mpath = os.path.join(out, "_snapshots.json")
+    entries = json.load(open(mpath))
+    for seg_stats in entries[-1].get("stats", {}).values():
+        seg_stats.pop("o_totalprice", None)
+    json.dump(entries, open(mpath, "w"))
+    preds = [("o_totalprice", ">", 1e18)]  # provably empty, but no stats
+    pruned = read_versioned(spark, out, predicates=preds)
+    assert pruned.rdd.getNumPartitions() == read_versioned(spark, out).rdd.getNumPartitions()
+    assert pruned.count() == 0  # residual filter still exact
