@@ -434,3 +434,83 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "state_version", "state_type")
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), dim AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT d.event_type AS state_at_event_time,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,4))) AS VARCHAR)::DOUBLE AS total_value
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.event_type
+    """,
+    tags=("join", "scd2", "temporal"),
+    doc=(
+        "POINT-IN-TIME join (the warehouse temporal-join primitive): "
+        "each fact row joins the SCD2 dimension version whose "
+        "[valid_from, valid_to) interval contains the fact's event "
+        "time — user_id equi-join plus an interval residual, so every "
+        "event matches exactly one history version. Results aggregate "
+        "per as-of-time state; the exact-decimal sum keeps the value "
+        "column hash-checkable. Composes scd2_user_history (the "
+        "dimension) with the fact stream it was derived from, closing "
+        "the derive-history -> join-at-time loop a training-data or "
+        "attribution pipeline needs."
+    ),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the dimension derivation shuffles once on user_id; the
+    PIT join is an equi-join on the same key (AQE picks SMJ/broadcast
+    by dim size) with the interval test as a cheap residual — never a
+    cross join. A 100 TB fact stream joins a per-key history whose
+    size is O(changes), not O(events)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    wd = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("state_at_event_time"),
+        "valid_from",
+        F.lead("valid_from").over(wd).alias("valid_to"),
+    )
+    f = e.select("user_id", "ts", "value")
+    joined = f.join(
+        dim,
+        (f["user_id"] == dim["user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+        "inner",
+    )
+    return joined.groupBy("state_at_event_time").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

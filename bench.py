@@ -182,6 +182,7 @@ HEADLINE = [
     "snapshot_compact_binpack",
     "snapshot_time_travel_ts",
     "pyds_pruned_scan",
+    "join_point_in_time",
 ]
 
 
