@@ -2233,7 +2233,17 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         }
     version = latest["version"] + 1
     new_seg = f"data-{version}"
-    scan = spark.read.parquet(*[os.path.join(path, s) for s in touched])
+    # Schema-evolution-aware touched read (same ledger gate as
+    # snapshot_read): divergent segment schemas NULL-backfill via
+    # mergeSchema; uniform-schema tables keep the plain read.
+    schemas_ledger = latest.get("schemas", {})
+    known = {
+        json.dumps(schemas_ledger[s], sort_keys=True)
+        for s in touched
+        if s in schemas_ledger
+    }
+    reader = spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
+    scan = reader.parquet(*[os.path.join(path, s) for s in touched])
     match = None
     for col, op, lit in predicates:
         c = F.col(col)

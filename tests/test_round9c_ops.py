@@ -523,3 +523,33 @@ def test_every_write_path_stamps_ts(spark, sf_dir, tmp_path):
     stamps = [e.get("ts") for e in _read_manifest(out)]
     assert all(t is not None for t in stamps), stamps
     assert stamps == sorted(stamps)
+
+
+def test_update_on_schema_evolved_table(spark, sf_dir, tmp_path):
+    """UPDATE over a table whose segments have divergent schemas reads
+    with mergeSchema: the old segment's missing column NULL-backfills
+    and the SET still applies."""
+    out = str(tmp_path / "upd_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn("region_tag", F.lit("emea")),
+        out,
+    )
+    summary = update_where(
+        spark,
+        out,
+        [("o_orderkey", ">", 0)],
+        {"o_orderpriority": F.lit("0-EVOLVED")},
+    )
+    assert summary["segments_rewritten"] == 2
+    head = snapshot_read(spark, out)
+    assert head.count() == o.count()
+    # o_orderkey == 0 (if present) fails the > 0 predicate and keeps
+    # its original priority; every other row got the SET.
+    untouched = head.filter(F.col("o_orderpriority") != "0-EVOLVED").count()
+    assert untouched == o.filter(F.col("o_orderkey") <= 0).count()
+    # Evolved column survives the rewrite with NULL backfill on old rows.
+    assert "region_tag" in head.columns
+    nulls = head.filter(F.col("region_tag").isNull()).count()
+    assert nulls == o.filter(F.col("o_orderkey") % 2 == 0).count()
