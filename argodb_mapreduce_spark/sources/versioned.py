@@ -1867,11 +1867,24 @@ def merge_upsert(
     version = latest["version"] + 1
     new_seg = f"data-{version}"
     if touched:
+        # Schema-evolution-aware touched read (same ledger gate as
+        # snapshot_read / update_where): divergent segment schemas
+        # NULL-backfill via mergeSchema instead of dropping columns.
+        ledger = latest.get("schemas", {})
+        known = {
+            json.dumps(ledger[s], sort_keys=True) for s in touched if s in ledger
+        }
+        reader = (
+            spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
+        )
         kept = (
-            spark.read.parquet(*[os.path.join(path, s) for s in touched])
+            reader.parquet(*[os.path.join(path, s) for s in touched])
             .join(F.broadcast(keys), key_col, "left_anti")
         )
-        rewrite = kept.unionByName(source)
+        # Strict column match on uniform tables (a mis-shaped source
+        # must fail loud); NULL-backfill only when the table itself is
+        # schema-divergent and the merged read added columns.
+        rewrite = kept.unionByName(source, allowMissingColumns=len(known) > 1)
     else:
         rewrite = source
     rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))

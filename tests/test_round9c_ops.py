@@ -553,3 +553,29 @@ def test_update_on_schema_evolved_table(spark, sf_dir, tmp_path):
     assert "region_tag" in head.columns
     nulls = head.filter(F.col("region_tag").isNull()).count()
     assert nulls == o.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_merge_on_schema_evolved_table(spark, sf_dir, tmp_path):
+    """MERGE over a schema-evolved table NULL-backfills the evolved
+    column for untouched-source rows instead of dropping it; a
+    mis-shaped source on a UNIFORM table still fails loud."""
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "merge_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn("region_tag", F.lit("emea")),
+        out,
+    )
+    source = o.limit(10).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    merge_upsert(spark, out, source, "o_orderkey")
+    head = snapshot_read(spark, out)
+    assert head.count() == o.count()
+    assert "region_tag" in head.columns
+    # Uniform table + source with a missing column -> loud failure.
+    out2 = str(tmp_path / "merge_uniform")
+    versioned_write(o, out2)
+    bad = o.limit(3).drop("o_orderpriority")
+    with pytest.raises(Exception, match="o_orderpriority|UNION|column"):
+        merge_upsert(spark, out2, bad, "o_orderkey")
