@@ -100,6 +100,9 @@ def _ops():
         "clone_fork_lifecycle": _clone_fork_lifecycle,
         # round-9c codec addition (per-doc pure-Python LZW — linear)
         "multimodal_gif_decode": _gif_decode_op,
+        # round-9c query additions (codegen + single-shuffle shapes)
+        "dedup_url_canonical": _url_canonical_op,
+        "join_point_in_time": _pit_join_op,
     }
 
 
@@ -264,6 +267,18 @@ def _gif_decode_op(spark, sf_dir):
     from argodb_mapreduce_spark.operators.multimodal import multimodal_gif_decode
 
     return multimodal_gif_decode(spark, sf_dir)
+
+
+def _url_canonical_op(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.dedup import dedup_url_canonical
+
+    return dedup_url_canonical(spark, sf_dir)
+
+
+def _pit_join_op(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.sessions import join_point_in_time
+
+    return join_point_in_time(spark, sf_dir)
 
 
 def _update_where_lifecycle(spark, sf_dir):
