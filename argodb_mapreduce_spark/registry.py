@@ -89,6 +89,7 @@ _PRIORITY = (
     "snapshot_time_travel_ts",    # AS OF TIMESTAMP resolution
     "pyds_pruned_scan",           # source-level option-predicate skipping
     "join_point_in_time",         # SCD2 temporal join at event time
+    "mv_query_rewrite",           # answer aggregates from the stored MV
     "stream_mv_maintenance",      # continuous MV refresh from a stream
     "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
     "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
@@ -129,15 +130,15 @@ _PRIORITY = (
     "q16_supplier_cnt",
     "q18_large_orders",
     "q20_potential_promotion",
-    "q21_waiting_supplier",
-    # (q22_idle_customers, q2_min_cost_supplier, q8_market_share, q9_product_profit,
+    # (q21_waiting_supplier, q22_idle_customers, q2_min_cost_supplier,
+    # q8_market_share, q9_product_profit,
     # sample_pergroup_topk, sample_stratified,
     # scan_embeddings, shuffle_shard_deterministic, split_train_val_test,
-    # text_repetition_ratio, and vocab_coverage — the last eleven
-    # r03-tier rows alphabetically — were displaced by the eleven
+    # text_repetition_ratio, and vocab_coverage — the last twelve
+    # r03-tier rows alphabetically — were displaced by the twelve
     # late-r9 ops above;
     # all displaced rows passed the local 266/266 strict sweep this
-    # round, the eleven new ops were each strict-verified individually
+    # round, the twelve new ops were each strict-verified individually
     # at sf0.001 AND sf0.01 by the same harness, and the displaced rows
     # lead the r10 rotation together with the r04 tier.)
 )

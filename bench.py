@@ -183,6 +183,7 @@ HEADLINE = [
     "snapshot_time_travel_ts",
     "pyds_pruned_scan",
     "join_point_in_time",
+    "mv_query_rewrite",
 ]
 
 

@@ -579,3 +579,43 @@ def test_merge_on_schema_evolved_table(spark, sf_dir, tmp_path):
     bad = o.limit(3).drop("o_orderpriority")
     with pytest.raises(Exception, match="o_orderpriority|UNION|column"):
         merge_upsert(spark, out2, bad, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# MV query rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_mv_answer_freshness_gate_and_key_validation(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        StaleMaterializedView,
+        mv_answer,
+        mv_create,
+        mv_refresh,
+    )
+
+    base = str(tmp_path / "mvqr_base")
+    mv = str(tmp_path / "mvqr_mv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), base)
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    # Fresh: exact-key answer equals a direct aggregate.
+    ans = {r.o_orderpriority: r.n_rows for r in mv_answer(spark, mv, ["o_orderpriority"]).collect()}
+    direct = {
+        r.o_orderpriority: r.n
+        for r in snapshot_read(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ans == direct
+    # A non-subset key set is refused.
+    with pytest.raises(ValueError, match="cannot answer"):
+        mv_answer(spark, mv, ["o_orderstatus"])
+    # Base advances -> answering raises until refresh.
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), base)
+    with pytest.raises(StaleMaterializedView):
+        mv_answer(spark, mv, ["o_orderpriority"])
+    mv_refresh(spark, mv)
+    total = mv_answer(spark, mv, []).first()
+    assert total.n_rows == o.count()
