@@ -1330,3 +1330,65 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spellings"),
         F.min("min_doc").cast("long").alias("keep_doc_id"),
     )
+
+
+#: Prefix length for truncation-dup detection (chars).
+PREFIX_K = 40
+
+
+@register(
+    "dedup_doc_prefix",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, text, md5(substring(text, 1, {PREFIX_K})) AS prefix_hash
+      FROM documents
+      WHERE LENGTH(text) >= {PREFIX_K}
+    )
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_full,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+    FROM keyed
+    GROUP BY prefix_hash
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "curation", "prefix"),
+    doc=(
+        f"Truncation-duplicate detection (crawl-ingest pass): documents "
+        f"sharing their first {PREFIX_K} characters group by prefix "
+        "hash; a group with n_distinct_full > 1 holds TRUE truncation/"
+        "extension variants (same opening, different bodies — refetches "
+        "cut at different lengths), which exact content hashing can "
+        "never link and MinHash only links when the shared prefix "
+        "dominates the shingle set. min_len/max_len expose the "
+        "truncation spread; keep the longest (or lowest-id) variant. "
+        "Complements dedup_exact (identical bodies), dedup_url_canonical "
+        "(identical addresses), and dedup_span_exact (shared interior "
+        "spans) as the fourth exact-family dedup axis."
+    ),
+)
+def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side substring+md5 per doc, one combinable
+    groupBy on the prefix hash — identical shape to dedup_exact, never
+    touches text beyond the prefix until a group is flagged."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= PREFIX_K
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.md5(F.substring("text", 1, PREFIX_K)).alias("prefix_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_full"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.min(F.length("text")).cast("long").alias("min_len"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -184,6 +184,7 @@ HEADLINE = [
     "pyds_pruned_scan",
     "join_point_in_time",
     "mv_query_rewrite",
+    "dedup_doc_prefix",
 ]
 
 
