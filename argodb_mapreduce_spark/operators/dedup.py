@@ -1259,13 +1259,13 @@ def canonicalize_url(url):
     c = F.regexp_replace(c, "\\?.*$", "")
     c = F.regexp_replace(c, "^https?://", "")
     c = F.regexp_replace(c, "^www\\.", "")
-    return F.regexp_replace(c, "/$", "")
+    return F.regexp_replace(c, "/+$", "")
 
 
 _CANON_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "regexp_replace(LOWER({u}), '#.*$', ''), '\\?.*$', ''), '^https?://', ''), "
-    "'^www\\.', ''), '/$', '')"
+    "'^www\\.', ''), '/+$', '')"
 )
 
 

@@ -260,3 +260,48 @@ def test_grid_sum_cross_engine_boundary_values(spark):
     ).fetchone()
     assert srow["s"] == osum, (srow["s"], osum)
     assert srow["a"] == oavg, (srow["a"], oavg)
+
+
+@given(data=st.binary(max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    """GIF LZW encode->decode is the identity on arbitrary byte strings
+    (covers empty input, runs, the KwKwK case, and — at the size cap —
+    code-width growth)."""
+    from argodb_mapreduce_spark.operators.multimodal import _lzw_codec
+
+    enc, dec = _lzw_codec()
+    assert dec(enc(data)) == data
+
+
+@given(
+    host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+    path=st.from_regex(r"[A-Za-z0-9/_-]{0,30}", fullmatch=True),
+    scheme=st.sampled_from(["http://", "https://", "HTTP://", ""]),
+    www=st.sampled_from(["www.", "WWW.", ""]),
+    query=st.sampled_from(["", "?utm_source=x", "?a=1&b=2"]),
+    frag=st.sampled_from(["", "#top", "#s-1"]),
+    slash=st.sampled_from(["", "/"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_url_canonicalization_idempotent_and_noise_free(
+    spark, host, path, scheme, www, query, frag, slash
+):
+    """canonicalize_url is idempotent and strips every noise class —
+    evaluated through the real Spark expression (the same codegen the
+    query runs), not a Python reimplementation."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.operators.dedup import canonicalize_url
+
+    raw = f"{scheme}{www}{host}/{path}{slash}{query}{frag}"
+    df = spark.createDataFrame([(raw,)], "url string").select(
+        canonicalize_url(F.col("url")).alias("c1")
+    )
+    df = df.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    row = df.first()
+    assert row.c2 == row.c1  # idempotent
+    c = row.c1
+    assert not c.startswith(("http://", "https://", "www."))
+    assert "?" not in c and "#" not in c and not c.endswith("/")
+    assert c == c.lower()
