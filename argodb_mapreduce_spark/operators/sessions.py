@@ -436,6 +436,59 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pit_state_propagation(e: DataFrame) -> DataFrame:
+    """Core of join_point_in_time over an arbitrary events frame
+    (user_id, ts, event_id, event_type, value) — exposed for the
+    brute-force equivalence property test."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            F.col("ts"),
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_change"),
+        )
+    )
+    facts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        "value",
+        F.lit(0).alias("is_change"),
+    )
+    # Changes sort BEFORE facts at equal (ts, event_id): valid_from is
+    # inclusive, so the fact row that IS the change event sees the new
+    # state; among equal-ts changes the later event_id wins, matching
+    # the empty-interval semantics of the declarative form.
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_change"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = changes.unionByName(facts).withColumn(
+        "state_at_event_time", F.last("state", ignorenulls=True).over(ws)
+    )
+    return (
+        tagged.filter(F.col("is_change") == 0)
+        .groupBy("state_at_event_time")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
 @register(
     "join_point_in_time",
     oracle="""
@@ -489,51 +542,4 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, no pair enumeration — the same reformulation join_asof uses.
     The SQL oracle keeps the declarative interval-join form; this is
     exactly the Catalyst-vs-semantics split the engine exists for."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.select(
-            "user_id",
-            "event_type",
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
-        .select(
-            "user_id",
-            F.col("ts"),
-            "event_id",
-            F.col("event_type").alias("state"),
-            F.lit(None).cast("double").alias("value"),
-            F.lit(1).alias("is_change"),
-        )
-    )
-    facts = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast("string").alias("state"),
-        "value",
-        F.lit(0).alias("is_change"),
-    )
-    # Changes sort BEFORE facts at equal (ts, event_id): valid_from is
-    # inclusive, so the fact row that IS the change event sees the new
-    # state; among equal-ts changes the later event_id wins, matching
-    # the empty-interval semantics of the declarative form.
-    ws = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_change"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = changes.unionByName(facts).withColumn(
-        "state_at_event_time", F.last("state", ignorenulls=True).over(ws)
-    )
-    return (
-        tagged.filter(F.col("is_change") == 0)
-        .groupBy("state_at_event_time")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
-    )
+    return _pit_state_propagation(load_table(spark, sf_dir, "events"))

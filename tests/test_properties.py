@@ -305,3 +305,61 @@ def test_url_canonicalization_idempotent_and_noise_free(
     assert not c.startswith(("http://", "https://", "www."))
     assert "?" not in c and "#" not in c and not c.endswith("/")
     assert c == c.lower()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),           # user_id
+            st.integers(min_value=0, max_value=8),    # ts (collisions likely)
+            st.sampled_from(["X", "Y", "Z"]),         # event_type
+            st.integers(min_value=0, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_pit_state_propagation_matches_interval_bruteforce(spark, rows):
+    """The ordered-state-propagation reformulation of the point-in-time
+    join must equal the declarative interval join on arbitrary small
+    event sets — INCLUDING timestamp collisions, where the tie rules
+    (inclusive valid_from; empty intervals for superseded same-ts
+    changes) live."""
+    from argodb_mapreduce_spark.operators.sessions import _pit_state_propagation
+
+    data = [
+        (u, t, i, et, float(v)) for i, (u, t, et, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, ts long, event_id long, event_type string, value double"
+    )
+    got = {
+        r.state_at_event_time: (r.n_events, round(r.total_value, 4))
+        for r in _pit_state_propagation(df).collect()
+    }
+    # Brute force: derive SCD2 versions per user, interval-join each fact.
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, i, et, v in data:
+        per_user[u].append((t, i, et, v))
+    agg = defaultdict(lambda: [0, 0.0])
+    for u, evs in per_user.items():
+        evs.sort()
+        versions = []  # (valid_from, event_id, state)
+        prev = None
+        for t, i, et, _v in evs:
+            if prev is None or et != prev:
+                versions.append((t, i, et))
+            prev = et
+        bounds = [vf for vf, _i, _s in versions[1:]] + [None]
+        for t, _i, _et, v in evs:
+            state = None
+            for (vf, _vi, s), vt in zip(versions, bounds):
+                if t >= vf and (vt is None or t < vt):
+                    state = s  # later same-vf version overwrites: empty
+            agg[state][0] += 1
+            agg[state][1] += v
+    want = {s: (n, round(tv, 4)) for s, (n, tv) in agg.items()}
+    assert got == want, (got, want, data)
