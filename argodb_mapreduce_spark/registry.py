@@ -91,6 +91,7 @@ _PRIORITY = (
     "join_point_in_time",         # SCD2 temporal join at event time
     "mv_query_rewrite",           # answer aggregates from the stored MV
     "dedup_doc_prefix",           # truncation-dup detection by prefix hash
+    "stream_change_feed_live",    # streaming CDC: inserts + DV deletes
     "stream_mv_maintenance",      # continuous MV refresh from a stream
     "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
     "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
@@ -129,16 +130,15 @@ _PRIORITY = (
     "q12_shipmode_buckets",
     "q15_top_supplier",
     "q16_supplier_cnt",
-    "q18_large_orders",
-    # (q20_potential_promotion, q21_waiting_supplier, q22_idle_customers,
+    # (q18_large_orders, q20_potential_promotion, q21_waiting_supplier, q22_idle_customers,
     # q2_min_cost_supplier, q8_market_share, q9_product_profit,
     # sample_pergroup_topk, sample_stratified,
     # scan_embeddings, shuffle_shard_deterministic, split_train_val_test,
-    # text_repetition_ratio, and vocab_coverage — the last thirteen
-    # r03-tier rows alphabetically — were displaced by the thirteen
+    # text_repetition_ratio, and vocab_coverage — the last fourteen
+    # r03-tier rows alphabetically — were displaced by the fourteen
     # late-r9 ops above;
     # all displaced rows passed the local 266/266 strict sweep this
-    # round, the thirteen new ops were each strict-verified individually
+    # round, the fourteen new ops were each strict-verified individually
     # at sf0.001 AND sf0.01 by the same harness, and the displaced rows
     # lead the r10 rotation together with the r04 tier.)
 )

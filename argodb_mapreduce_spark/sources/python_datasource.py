@@ -76,6 +76,17 @@ def make_versioned_datasource():
         def __init__(self, path: str):
             self.path = path
 
+    class CDFPartition(InputPartition):
+        """One change-feed unit: an appended file (kind='insert') or
+        the deleted positions of one file from a DV delta
+        (kind='delete', positions = sorted row indices)."""
+
+        def __init__(self, kind: str, path: str, version: int, positions=None):
+            self.kind = kind
+            self.path = path
+            self.version = version
+            self.positions = positions
+
     def _stat_decode_local(v):
         # Parity twin of versioned._stat_decode, inlined so the pickled
         # classes stay repo-import-free.
@@ -360,12 +371,18 @@ def make_versioned_datasource():
             return "argodb_versioned"
 
         def schema(self):
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
             if self._files is None:
                 raise ValueError(f"no versioned table at {self._path!r}")
-            return from_arrow_schema(_us_schema(pq.ParquetFile(self._files[0]).schema_arrow))
+            s = _us_schema(pq.ParquetFile(self._files[0]).schema_arrow)
+            if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
+                s = s.append(pa.field("_change_type", pa.string())).append(
+                    pa.field("_commit_version", pa.int64())
+                )
+            return from_arrow_schema(s)
 
         def reader(self, schema):
             if self._files is None:
@@ -380,7 +397,15 @@ def make_versioned_datasource():
             ignore_deletes = str(
                 self.options.get("ignoreDeletes", "false")
             ).lower() in ("true", "1")
-            return VersionedStreamReader(self._path, ignore_deletes)
+            cdf = str(
+                self.options.get("readChangeFeed", "false")
+            ).lower() in ("true", "1")
+            if cdf and ignore_deletes:
+                raise ValueError(
+                    "readChangeFeed and ignoreDeletes are contradictory: "
+                    "the change feed EMITS deletes, ignoreDeletes skips them"
+                )
+            return VersionedStreamReader(self._path, ignore_deletes, cdf)
 
     class VersionedStreamReader(DataSourceStreamReader):
         """STREAMING source over the versioned table — "subscribe to a
@@ -405,9 +430,12 @@ def make_versioned_datasource():
         contract), so a day's micro-batches each touch O(new data), and
         the offset log is O(versions)."""
 
-        def __init__(self, path: str, ignore_deletes: bool = False):
+        def __init__(
+            self, path: str, ignore_deletes: bool = False, cdf: bool = False
+        ):
             self._path = path
             self._ignore_deletes = ignore_deletes
+            self._cdf = cdf
 
         def _entries(self):
             with open(_os.path.join(self._path, "_snapshots.json")) as f:
@@ -419,12 +447,35 @@ def make_versioned_datasource():
         def latestOffset(self):
             return {"version": self._entries()[-1]["version"]}
 
+        def _dv_positions(self, dv_name):
+            """(file_path, row_index) set of one DV sidecar, read with
+            pyarrow at PLAN time (DVs are O(deleted rows), tiny)."""
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            out = set()
+            if not dv_name:
+                return out
+            for f in sorted(
+                _glob.glob(_os.path.join(self._path, dv_name, "*.parquet"))
+            ):
+                t = pq.read_table(f, columns=["file_path", "row_index"])
+                for fp, ri in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("row_index").to_pylist(),
+                ):
+                    # Spark's _metadata.file_path carries a scheme.
+                    local = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
+                    out.add((local, ri))
+            return out
+
         def partitions(self, start, end):
             entries = {e["version"]: e for e in self._entries()}
             lo, hi = start["version"], end["version"]
             prev = set(entries[lo]["segments"]) if lo in entries else set()
             prev_dv = entries[lo].get("dv") if lo in entries else None
-            new_segments = []
+            parts = []
             for v in sorted(v for v in entries if lo < v <= hi):
                 segs = set(entries[v]["segments"])
                 removed = prev - segs
@@ -434,29 +485,79 @@ def make_versioned_datasource():
                         f"{sorted(removed)}); the versioned stream supports "
                         f"append-only history"
                     )
-                if entries[v].get("dv") != prev_dv and not self._ignore_deletes:
-                    raise ValueError(
-                        f"deletion-vector change at version {v}; an "
-                        "insert-tailing subscriber would diverge from the "
-                        "table — pass option('ignoreDeletes', 'true') to "
-                        "skip delete commits deliberately"
-                    )
-                new_segments.extend(sorted(segs - prev))
+                if entries[v].get("dv") != prev_dv:
+                    if self._cdf:
+                        # CDF: the DV DELTA becomes delete rows — one
+                        # partition per touched file with its positions.
+                        old = self._dv_positions(prev_dv)
+                        new = self._dv_positions(entries[v].get("dv"))
+                        per_file: dict = {}
+                        for fp, ri in new - old:
+                            per_file.setdefault(fp, []).append(ri)
+                        for fp in sorted(per_file):
+                            parts.append(
+                                CDFPartition(
+                                    "delete", fp, v, tuple(sorted(per_file[fp]))
+                                )
+                            )
+                    elif not self._ignore_deletes:
+                        raise ValueError(
+                            f"deletion-vector change at version {v}; an "
+                            "insert-tailing subscriber would diverge from the "
+                            "table — pass option('ignoreDeletes', 'true') to "
+                            "skip delete commits deliberately, or "
+                            "option('readChangeFeed', 'true') to consume "
+                            "them as change rows"
+                        )
+                for seg in sorted(segs - prev):
+                    seg_dir = _os.path.join(self._path, seg)
+                    for f in sorted(_os.listdir(seg_dir)):
+                        if f.endswith(".parquet"):
+                            fp = _os.path.join(seg_dir, f)
+                            parts.append(
+                                CDFPartition("insert", fp, v)
+                                if self._cdf
+                                else SegmentFilePartition(fp)
+                            )
                 prev = segs
                 prev_dv = entries[v].get("dv")
-            files = []
-            for seg in new_segments:
-                seg_dir = _os.path.join(self._path, seg)
-                files.extend(
-                    _os.path.join(seg_dir, f)
-                    for f in sorted(_os.listdir(seg_dir))
-                    if f.endswith(".parquet")
-                )
-            return [SegmentFilePartition(f) for f in files]
+            return parts
 
         def read(self, partition):
-            # Same Arrow-batch file reader as the batch path.
-            return VersionedReader([], {}, []).read(partition)
+            if not isinstance(partition, CDFPartition):
+                # Same Arrow-batch file reader as the batch path.
+                return VersionedReader([], {}, []).read(partition)
+            return self._read_cdf(partition)
+
+        def _read_cdf(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            def tag(batch, n):
+                cols = list(batch.columns) + [
+                    pa.array([partition.kind] * n, type=pa.string()),
+                    pa.array([partition.version] * n, type=pa.int64()),
+                ]
+                names = list(batch.schema.names) + ["_change_type", "_commit_version"]
+                return pa.RecordBatch.from_arrays(cols, names=names)
+
+            pf = pq.ParquetFile(partition.path)
+            target = _us_schema(pf.schema_arrow)
+            if partition.kind == "insert":
+                for batch in pf.iter_batches():
+                    if batch.schema != target:
+                        batch = (
+                            pa.Table.from_batches([batch])
+                            .cast(target, safe=False)
+                            .combine_chunks()
+                            .to_batches()[0]
+                        )
+                    yield tag(batch, batch.num_rows)
+            else:  # delete: materialize the tombstoned positions
+                t = pq.read_table(partition.path).cast(target, safe=False)
+                t = t.take(pa.array(list(partition.positions), type=pa.int64()))
+                for batch in t.combine_chunks().to_batches():
+                    yield tag(batch, batch.num_rows)
 
         def commit(self, end):
             pass  # offsets live in the query's checkpoint, nothing to GC
@@ -732,3 +833,89 @@ def pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.lit(pruned).alias("source_pruned_files"),
     )
+
+
+def _cdf_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Append-only history with a trailing DV delete: v0/v1 = orders
+    %3==0 / +%3==1, v2 = DELETE WHERE o_orderstatus='F'."""
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        delete_where,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "orders_vcdc"
+    )
+    src = table_path(sf_dir, "orders")
+    if not fixture_stale(src, os.path.join(out, MANIFEST)) and len(versions(out)) == 3:
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return out
+
+
+@register(
+    "stream_change_feed_live",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'delete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+    """,
+    tags=("streaming", "source", "cdc", "deletion-vector", "live"),
+    doc=(
+        "STREAMING CHANGE DATA FEED: the versioned-store stream source "
+        "with option('readChangeFeed','true') emits appended segments "
+        "as _change_type='insert' rows AND deletion-vector commits as "
+        "'delete' rows — the tombstoned positions of each DV DELTA are "
+        "resolved per file at plan time and materialized back into full "
+        "rows executor-side, each tagged with its _commit_version. The "
+        "drained feed is oracle-pinned: inserts equal the two appends' "
+        "union, deletes equal exactly the status-'F' rows the DV "
+        "removed. Completes streaming CDC over the store: the plain "
+        "tail (fail-loud on deletes), ignoreDeletes (skip them), and "
+        "now the Delta readChangeFeed contract (consume them)."
+    ),
+)
+def stream_change_feed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: insert partitions list only delta segments (O(new data));
+    delete partitions carry O(deleted rows) positions resolved from the
+    tiny DV sidecars — a day's CDC stream costs the day's changes,
+    never a table scan."""
+    register_datasource(spark)
+    out = _cdf_stream_fixture(spark, sf_dir)
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(out)
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    sink = "stream_change_feed_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -185,6 +185,7 @@ HEADLINE = [
     "join_point_in_time",
     "mv_query_rewrite",
     "dedup_doc_prefix",
+    "stream_change_feed_live",
 ]
 
 

@@ -238,3 +238,70 @@ def test_prune_option_conservative_on_statless_column(spark, sf_dir, tmp_path):
     pruned = read_versioned(spark, out, predicates=preds)
     assert pruned.rdd.getNumPartitions() == read_versioned(spark, out).rdd.getNumPartitions()
     assert pruned.count() == 0  # residual filter still exact
+
+
+def test_cdf_stream_incremental_and_option_conflict(spark, sf_dir, tmp_path):
+    """A checkpointed CDF stream consumes history once, then a second
+    run sees ONLY the new DV delta (no re-delivered inserts, no
+    re-delivered old deletes); readChangeFeed + ignoreDeletes raise."""
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import delete_where, versioned_write
+
+    register_datasource(spark)
+    out = str(tmp_path / "cdf_stream")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    n_f = delete_where(spark, out, [("o_orderstatus", "=", "F")])[1]
+    ckpt = str(tmp_path / "ckpt")
+
+    sink_dir = str(tmp_path / "cdf_sink")
+
+    def drain(run):
+        s = spark.readStream.format(FORMAT_NAME).option("readChangeFeed", "true").load(out)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r._change_type, r._commit_version): r.n
+            for r in spark.read.parquet(sink_dir)
+            .groupBy("_change_type", "_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    first = drain(1)
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert first[("insert", 0)] == n_even
+    assert first[("delete", 1)] == n_f
+    # Second delta only: another DV delete; the continuation stream
+    # must deliver exactly its rows.
+    _, n_p = delete_where(spark, out, [("o_totalprice", ">=", 300000.0)])
+    second = drain(2)
+    # Cumulative sink: first-run rows unchanged, plus ONLY the new delta.
+    expected = dict(first)
+    if n_p:
+        expected[("delete", 2)] = n_p
+    assert second == expected, (second, expected)
+    with _pytest.raises(Exception, match="contradictory"):
+        (
+            spark.readStream.format(FORMAT_NAME)
+            .option("readChangeFeed", "true")
+            .option("ignoreDeletes", "true")
+            .load(out)
+            .writeStream.format("memory")
+            .queryName("cdf_bad")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
