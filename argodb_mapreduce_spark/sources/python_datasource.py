@@ -73,8 +73,11 @@ def make_versioned_datasource():
     )
 
     class SegmentFilePartition(InputPartition):
-        def __init__(self, path: str):
+        def __init__(self, path: str, excluded=()):
             self.path = path
+            # Tombstoned row positions from the version's deletion
+            # vector (merge-on-read): dropped during read().
+            self.excluded = excluded
 
     class CDFPartition(InputPartition):
         """One change-feed unit: an appended file (kind='insert') or
@@ -128,7 +131,29 @@ def make_versioned_datasource():
                     fp = _os.path.join(seg_dir, f)
                     files.append(fp)
                     file_stats[fp] = decoded
-        return files, file_stats
+        # Merge-on-read parity with snapshot_read: the version's
+        # deletion vector resolves to per-file tombstoned positions at
+        # PLAN time (DVs are O(deleted rows), read with pyarrow).
+        dv_excluded: dict = {}
+        if entry.get("dv"):
+            dv_excluded = _dv_positions_local(path, entry["dv"])
+        return files, file_stats, dv_excluded
+
+    def _dv_positions_local(path: str, dv_name: str) -> dict:
+        """{local_file_path -> sorted tuple of deleted row positions}."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        per_file: dict = {}
+        for f in sorted(_glob.glob(_os.path.join(path, dv_name, "*.parquet"))):
+            t = pq.read_table(f, columns=["file_path", "row_index"])
+            for fp, ri in zip(
+                t.column("file_path").to_pylist(), t.column("row_index").to_pylist()
+            ):
+                local = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
+                per_file.setdefault(local, set()).add(ri)
+        return {fp: tuple(sorted(s)) for fp, s in per_file.items()}
 
     def _coerce_lit(lit, stat_sample):
         """Make an option-passed literal (JSON: str/int/float) or a
@@ -157,8 +182,8 @@ def make_versioned_datasource():
             if col not in stats:
                 continue
             mn, mx = stats[col]
-            lit = _coerce_lit(lit, mn)
             try:
+                lit = _coerce_lit(lit, mn)
                 if op == "=" and not (mn <= lit <= mx):
                     return False
                 if op == "<" and not (mn < lit):
@@ -169,8 +194,8 @@ def make_versioned_datasource():
                     return False
                 if op == ">=" and not (mx >= lit):
                     return False
-            except TypeError:
-                continue  # incomparable literal/stat: conservative keep
+            except (TypeError, ValueError):
+                continue  # incomparable/malformed literal: conservative keep
         return True
 
     def _us_schema(schema):
@@ -189,8 +214,27 @@ def make_versioned_datasource():
         ]
         return pa.schema(fields)
 
+    def _cast_batches_to_us(pf):
+        """Stream a ParquetFile's batches cast to the µs-normalized
+        schema; zero-row batches are skipped (to_batches() on an empty
+        table is empty — the latent [0] IndexError)."""
+        import pyarrow as pa
+
+        target = _us_schema(pf.schema_arrow)
+        for batch in pf.iter_batches():
+            if batch.num_rows == 0:
+                continue
+            if batch.schema != target:
+                batch = (
+                    pa.Table.from_batches([batch])
+                    .cast(target, safe=False)
+                    .combine_chunks()
+                    .to_batches()[0]
+                )
+            yield batch
+
     class VersionedReader(DataSourceReader):
-        def __init__(self, files: list, file_stats: dict, prune: list):
+        def __init__(self, files: list, file_stats: dict, prune: list, excluded=None):
             self.files = files
             self.file_stats = file_stats
             # Immutable per relation (parsed from the load option): every
@@ -199,6 +243,7 @@ def make_versioned_datasource():
             # pruned file set into an unpruned query (see module doc —
             # this is why Catalyst pushFilters is NOT used here).
             self.prune = prune
+            self.excluded = excluded or {}
 
         def partitions(self):
             # One partition per parquet file — the reference's
@@ -210,7 +255,9 @@ def make_versioned_datasource():
                 for f in self.files
                 if _stats_may_match(self.file_stats.get(f), self.prune)
             ]
-            return [SegmentFilePartition(f) for f in files]
+            return [
+                SegmentFilePartition(f, self.excluded.get(f, ())) for f in files
+            ]
 
         def read(self, partition):
             import pyarrow as pa
@@ -218,22 +265,29 @@ def make_versioned_datasource():
 
             # Columnar batch path (≙ ReadMode.BatchMode): stream Arrow
             # record batches straight through, no per-row Python. ns
-            # timestamps are truncated to µs batch-by-batch (zero-copy
-            # for every other column).
+            # timestamps are truncated to µs batch-by-batch (safe=False:
+            # sub-µs remainders TRUNCATE, matching read_parquet_any and
+            # DuckDB). Merge-on-read: rows at the version's tombstoned
+            # positions are masked out by running file offset — the same
+            # (file, row-position) identity snapshot_read anti-joins on.
+            excluded = set(getattr(partition, "excluded", ()) or ())
             pf = pq.ParquetFile(partition.path)
-            target = _us_schema(pf.schema_arrow)
-            for batch in pf.iter_batches():
-                if batch.schema != target:
-                    # safe=False: ns values with a sub-µs remainder must
-                    # TRUNCATE (matching catalog.read_parquet_any's
-                    # `div 1000` and DuckDB), not raise ArrowInvalid.
-                    batch = (
-                        pa.Table.from_batches([batch])
-                        .cast(target, safe=False)
-                        .combine_chunks()
-                        .to_batches()[0]
-                    )
-                yield batch
+            offset = 0
+            for batch in _cast_batches_to_us(pf):
+                n = batch.num_rows
+                if excluded:
+                    keep = [
+                        i for i in range(n) if (offset + i) not in excluded
+                    ]
+                    if len(keep) < n:
+                        batch = (
+                            batch.take(pa.array(keep, type=pa.int64()))
+                            if keep
+                            else None
+                        )
+                offset += n
+                if batch is not None and batch.num_rows:
+                    yield batch
 
     class VersionedCommit(WriterCommitMessage):
         def __init__(self, filename):
@@ -306,6 +360,15 @@ def make_versioned_datasource():
             # whole dir keeps them out of the committed version.
             staging_dir = _os.path.join(self.path, self.staging)
             segment_dir = _os.path.join(self.path, segment)
+            # Orphan recovery (the versioned_write_txn contract): a
+            # crash between a previous attempt's segment creation and
+            # its manifest publish leaves an unreferenced dir with the
+            # same computed name — clear it instead of failing forever.
+            referenced = {s for e in entries for s in e["segments"]}
+            if segment not in referenced and _os.path.isdir(segment_dir):
+                import shutil as _sh
+
+                _sh.rmtree(segment_dir)
             _os.makedirs(segment_dir)
             for msg in messages:
                 if msg is not None and msg.filename is not None:
@@ -331,7 +394,43 @@ def make_versioned_datasource():
                 stats[segment] = _css(segment_dir)
             except Exception:  # noqa: BLE001 - stats are an optimization only
                 pass
-            entries.append({"version": version, "segments": [*prev, segment], "stats": stats})
+            entry = {"version": version, "segments": [*prev, segment], "stats": stats}
+            # Manifest parity with versioned_write: an append carries the
+            # previous deletion vector forward (its positions reference
+            # only reused segments; dropping it would resurrect deleted
+            # rows AND make a plain append look like a DV change to the
+            # stream source), records the per-segment schema ledger so
+            # later schema enforcement / mergeSchema gating keeps
+            # working, and stamps the commit wall-clock so AS OF
+            # TIMESTAMP resolution stays correct for pyds-written
+            # versions.
+            if entries and not self.overwrite:
+                schemas = dict(entries[-1].get("schemas", {}))
+                schemas = {s: schemas[s] for s in prev if s in schemas}
+                if entries[-1].get("dv"):
+                    entry["dv"] = entries[-1]["dv"]
+            else:
+                schemas = {}
+            try:
+                import glob as _glob
+
+                import pyarrow.parquet as _pq2
+                from pyspark.sql.pandas.types import from_arrow_schema as _fas
+
+                seg_files = sorted(_glob.glob(_os.path.join(segment_dir, "*.parquet")))
+                if seg_files:
+                    st = _fas(_us_schema(_pq2.ParquetFile(seg_files[0]).schema_arrow))
+                    schemas[segment] = {
+                        f.name: f.dataType.simpleString() for f in st.fields
+                    }
+            except Exception:  # noqa: BLE001 - ledger is enforcement metadata
+                pass
+            if schemas:
+                entry["schemas"] = schemas
+            import time as _time
+
+            entry["ts"] = _time.time()
+            entries.append(entry)
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 _json.dump(entries, f)
@@ -361,10 +460,13 @@ def make_versioned_datasource():
             # Deferred-tolerant: a write to a fresh path has no manifest
             # yet, so resolution failures surface at reader() time only.
             try:
-                self._files, self._file_stats = _resolve_files(self._path, self._version)
+                self._files, self._file_stats, self._dv_excluded = _resolve_files(
+                    self._path, self._version
+                )
             except (FileNotFoundError, ValueError):
                 self._files = None
                 self._file_stats = {}
+                self._dv_excluded = {}
 
         @classmethod
         def name(cls):
@@ -375,8 +477,10 @@ def make_versioned_datasource():
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            if self._files is None:
-                raise ValueError(f"no versioned table at {self._path!r}")
+            if not self._files:
+                raise ValueError(
+                    f"no versioned table (or no data files) at {self._path!r}"
+                )
             s = _us_schema(pq.ParquetFile(self._files[0]).schema_arrow)
             if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
                 s = s.append(pa.field("_change_type", pa.string())).append(
@@ -385,9 +489,18 @@ def make_versioned_datasource():
             return from_arrow_schema(s)
 
         def reader(self, schema):
-            if self._files is None:
-                raise ValueError(f"no versioned table at {self._path!r}")
-            return VersionedReader(self._files, self._file_stats, self._prune)
+            if not self._files:
+                raise ValueError(
+                    f"no versioned table (or no data files) at {self._path!r}"
+                )
+            if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
+                raise ValueError(
+                    "readChangeFeed is a STREAMING option (spark.readStream); "
+                    "for batch change queries use versioned.change_feed()"
+                )
+            return VersionedReader(
+                self._files, self._file_stats, self._prune, self._dv_excluded
+            )
 
         def writer(self, schema, overwrite):
             _os.makedirs(self._path, exist_ok=True)
@@ -473,6 +586,13 @@ def make_versioned_datasource():
         def partitions(self, start, end):
             entries = {e["version"]: e for e in self._entries()}
             lo, hi = start["version"], end["version"]
+            if lo >= 0 and lo not in entries:
+                raise ValueError(
+                    f"checkpointed offset version {lo} is no longer in the "
+                    "manifest (vacuumed/expired); resuming would re-ingest "
+                    "already-consumed data — reset the checkpoint or raise "
+                    "vacuum retention"
+                )
             prev = set(entries[lo]["segments"]) if lo in entries else set()
             prev_dv = entries[lo].get("dv") if lo in entries else None
             parts = []
@@ -526,7 +646,7 @@ def make_versioned_datasource():
         def read(self, partition):
             if not isinstance(partition, CDFPartition):
                 # Same Arrow-batch file reader as the batch path.
-                return VersionedReader([], {}, []).read(partition)
+                return VersionedReader([], {}, [], {}).read(partition)
             return self._read_cdf(partition)
 
         def _read_cdf(self, partition):
@@ -544,14 +664,7 @@ def make_versioned_datasource():
             pf = pq.ParquetFile(partition.path)
             target = _us_schema(pf.schema_arrow)
             if partition.kind == "insert":
-                for batch in pf.iter_batches():
-                    if batch.schema != target:
-                        batch = (
-                            pa.Table.from_batches([batch])
-                            .cast(target, safe=False)
-                            .combine_chunks()
-                            .to_batches()[0]
-                        )
+                for batch in _cast_batches_to_us(pf):
                     yield tag(batch, batch.num_rows)
             else:  # delete: materialize the tombstoned positions
                 t = pq.read_table(partition.path).cast(target, safe=False)

@@ -305,3 +305,145 @@ def test_cdf_stream_incremental_and_option_conflict(spark, sf_dir, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+def test_batch_reader_applies_deletion_vector(spark, sf_dir, tmp_path):
+    """read_versioned must hide the same tombstoned rows snapshot_read
+    hides (merge-on-read parity in the custom source)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        snapshot_read,
+        versioned_write,
+    )
+
+    out = str(tmp_path / "pyds_dv")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out)
+    _, n_del = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    assert n_del > 0
+    got = read_versioned(spark, out)
+    assert got.count() == o.count() - n_del
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 0
+    # Pre-delete version still returns everything.
+    assert read_versioned(spark, out, version=1).count() == o.count()
+    # Pruned + DV-aware read composes.
+    pruned = read_versioned(spark, out, predicates=[("o_orderkey", "<", 500)])
+    assert pruned.count() == snapshot_read(
+        spark, out, predicates=[("o_orderkey", "<", 500)]
+    ).count()
+
+
+def test_pyds_writer_commit_manifest_parity(spark, sf_dir, tmp_path):
+    """The Arrow writer's commit carries the DV forward on append,
+    stamps ts, and records the schema ledger — so deleted rows stay
+    deleted, AS OF TIMESTAMP keeps resolving, and the stream source
+    does not see a spurious DV change on a plain append."""
+    import json
+
+    from argodb_mapreduce_spark.sources.python_datasource import write_versioned
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        delete_where,
+        snapshot_read,
+        versioned_write,
+        version_at_timestamp,
+    )
+
+    out = str(tmp_path / "pyds_commit")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    _, n_del = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    extra = o.filter(F.col("o_orderkey") % 2 == 1)
+    write_versioned(extra, out, mode="append")
+    head = _read_manifest(out)[-1]
+    assert head.get("dv"), "append must carry the DV forward"
+    assert head.get("ts") is not None
+    assert any(seg in head.get("schemas", {}) for seg in head["segments"])
+    # Deleted rows stay hidden through the pyds-written head.
+    assert snapshot_read(spark, out).count() == o.count() - n_del
+    # AS OF the head's ts resolves to the head, not past it.
+    assert version_at_timestamp(out, head["ts"]) == head["version"]
+
+
+def test_stream_raises_on_vacuumed_offset(spark, sf_dir, tmp_path):
+    """A checkpointed offset older than the manifest's retained history
+    must fail loud, not silently re-ingest."""
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import vacuum, versioned_write
+
+    register_datasource(spark)
+    out = str(tmp_path / "pyds_vac_stream")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.limit(20), out)
+
+    def drain():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # consumes v0, checkpoint at version 0
+    versioned_write(o.limit(5), out, mode="overwrite")  # v1
+    versioned_write(o.limit(5), out, mode="overwrite")  # v2
+    vacuum(out, keep_versions=1)  # only v2 retained; offset v0 expired
+    with _pytest.raises(Exception, match="no longer in the manifest"):
+        drain()
+
+
+def test_batch_read_change_feed_option_refused(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    register_datasource(spark)
+    out = str(tmp_path / "pyds_cdf_batch")
+    versioned_write(load_table(spark, sf_dir, "orders").limit(10), out)
+    with _pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("readChangeFeed", "true")
+            .load(out)
+            .count()
+        )
+
+
+def test_prune_malformed_literal_keeps_files(spark, sf_dir, tmp_path):
+    """A literal that cannot coerce against the stat type must keep the
+    file conservatively (and the residual filter still applies)."""
+    import json
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    register_datasource(spark)
+    out = str(tmp_path / "pyds_badlit")
+    versioned_write(load_table(spark, sf_dir, "orders").limit(50), out)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("prune", json.dumps([["o_orderdate", "=", "not-a-date"]]))
+        .load(out)
+    )
+    assert df.rdd.getNumPartitions() >= 1  # planning did not crash
+    assert df.count() == 50  # prune kept everything; no residual applied here
