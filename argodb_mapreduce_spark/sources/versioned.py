@@ -203,13 +203,31 @@ def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
 
     seg = spark.read.parquet(seg_path)
     out: dict[str, dict] = {}
+    # Canonical-form guard: the build hashes Spark's cast-to-string form
+    # and the probe hashes Python str(value); these agree for integers
+    # and strings but NOT for floats/decimals/booleans (1e7 -> "1.0E7"
+    # vs "10000000.0"), where a mismatch would WRONGLY PRUNE segments
+    # that contain the value. Fail loud on unsupported types instead.
+    allowed = ("tinyint", "smallint", "int", "bigint", "string")
+    types = {f.name: f.dataType.simpleString() for f in seg.schema.fields}
     for col in columns:
-        n_distinct = seg.select(col).distinct().count()
+        if types.get(col) not in allowed:
+            raise ValueError(
+                f"bloom filter on column {col!r} of type {types.get(col)!r} "
+                f"is unsupported (canonical string forms diverge between "
+                f"build and probe); supported: {allowed}"
+            )
+    for col in columns:
+        # NULLs carry no membership information (Delta blooms skip them
+        # too); without the filter sha2(NULL) positions explode to null
+        # rows and the driver-side bit set crashes.
+        vals = seg.select(col).filter(F.col(col).isNotNull())
+        n_distinct = vals.distinct().count()
         m = _bloom_size(n_distinct)
         # metadata-collect: <= m distinct bit positions (bounded by the
         # bitset size, never by rows) — manifest-construction metadata.
         pos_rows = (
-            seg.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
+            vals.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
             .distinct()
             .collect()
         )
@@ -444,6 +462,7 @@ def versioned_write(
     mode: str = "append",
     bloom_columns=(),
     expected_version: int | None = None,
+    _txn: dict | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the new version number.
 
@@ -456,13 +475,23 @@ def versioned_write(
     those columns (one extra scan of the new segment only), enabling
     equality-predicate skipping where min/max cannot prune.
 
-    Concurrency (optimistic, Delta-style): data is written to a STAGED
-    directory and renamed at commit, where the manifest is re-read and
-    the version recomputed — a blind append therefore REBASES safely
-    onto a head moved by a concurrent writer (appends commute). Pass
-    ``expected_version`` when the write's content depends on what was
-    read: a moved head then removes the staged data and raises
+    Concurrency (optimistic, Delta-style): ALL Spark work — the data
+    write, constraint validation, stats harvest, bloom build — runs
+    against a STAGED directory; the manifest is re-read at the COMMIT
+    point after that work, so the window between deciding the version
+    and publishing it contains only metadata operations (the same
+    narrow window :func:`_commit_entry` has) and a blind append REBASES
+    onto a head moved during the expensive phase instead of clobbering
+    it. Pass ``expected_version`` when the write's content depends on
+    what was read: a moved head then removes the staged data and raises
     :class:`ConcurrentWriteError` instead of committing a lost update.
+    A crash-orphaned same-name segment directory from a previous
+    attempt is cleared at commit; a failure after the rename removes
+    the renamed segment so no orphan ever blocks the next write.
+
+    ``_txn`` (internal, used by :func:`versioned_write_txn`) is merged
+    into the manifest entry under the ``txn`` key so the idempotency
+    stamp and the data commit are ONE atomic manifest write.
     """
     import shutil
     import uuid
@@ -476,7 +505,19 @@ def versioned_write(
     os.makedirs(path, exist_ok=True)
     staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staged)
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     try:
+        # Heavy phase — everything that launches Spark jobs runs against
+        # the staged bytes; the table is untouched if any of it fails.
+        _check_constraints(df.sparkSession, path, staged)
+        staged_stats = collect_segment_stats(staged)
+        staged_bloom = (
+            build_segment_bloom(df.sparkSession, staged, bloom_columns)
+            if bloom_columns
+            else None
+        )
+        # COMMIT point: re-read the manifest now that the expensive work
+        # is done, so concurrent appends that landed meanwhile are seen.
         entries = (
             _read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else []
         )
@@ -485,12 +526,9 @@ def versioned_write(
             raise ConcurrentWriteError(
                 f"table advanced past v{expected_version} (head is v{head})"
             )
-        # Schema enforcement at commit, against the head actually built
-        # on (Delta-style): an append may ADD columns (readers
-        # NULL-backfill old segments) but a type conflict on a shared
-        # column is refused — staged bytes are discarded, the table is
-        # untouched.
-        new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # Schema enforcement against the head actually committed on
+        # (Delta-style): an append may ADD columns (readers NULL-backfill
+        # old segments) but a type conflict on a shared column is refused.
         prev_schemas = (
             dict(entries[-1].get("schemas", {})) if (entries and mode == "append") else {}
         )
@@ -505,49 +543,56 @@ def versioned_write(
                     f"schema enforcement: append changes column types {conflicts}; "
                     "evolution may only ADD columns"
                 )
-        # CHECK-constraint enforcement (Delta-style invariants): the
-        # staged bytes are validated BEFORE the rename, so a violating
-        # write leaves the table untouched. One scan of the new segment
-        # only — never the table.
-        _check_constraints(df.sparkSession, path, staged)
         version = entries[-1]["version"] + 1 if entries else 0
         segment = f"data-{version}"
-        os.rename(staged, os.path.join(path, segment))
+        segment_dir = os.path.join(path, segment)
+        # Crash orphan from a previous attempt (died between rename and
+        # manifest write): by construction data-{version} is referenced
+        # by no entry, so clearing it is always safe.
+        if os.path.isdir(segment_dir):
+            shutil.rmtree(segment_dir)
+        os.rename(staged, segment_dir)
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
         raise
-    prev = entries[-1]["segments"] if (entries and mode == "append") else []
-    stats = dict(entries[-1].get("stats", {})) if (entries and mode == "append") else {}
-    stats = {s: stats[s] for s in prev if s in stats}
-    stats[segment] = collect_segment_stats(os.path.join(path, segment))
-    # Schema ledger: the per-segment record readers use to decide
-    # whether a mergeSchema read is needed (see snapshot_read).
-    schemas = {s: prev_schemas[s] for s in prev if s in prev_schemas}
-    schemas[segment] = new_schema
-    entry = {
-        "version": version,
-        "segments": [*prev, segment],
-        "stats": stats,
-        "schemas": schemas,
-    }
-    # Bloom filters follow the stats lifecycle: reused segments keep
-    # theirs, the new segment builds its own when requested.
-    bloom = dict(entries[-1].get("bloom", {})) if (entries and mode == "append") else {}
-    bloom = {s: bloom[s] for s in prev if s in bloom}
-    if bloom_columns:
-        bloom[segment] = build_segment_bloom(
-            df.sparkSession, os.path.join(path, segment), bloom_columns
-        )
-    if bloom:
-        entry["bloom"] = bloom
-    # An append carries the previous deletion vector forward: its
-    # positions reference only the reused segments, and the new segment
-    # has no deleted rows. An overwrite starts clean.
-    if mode == "append" and entries and entries[-1].get("dv"):
-        entry["dv"] = entries[-1]["dv"]
-    entry["ts"] = _now()
-    entries.append(entry)
-    _write_manifest(path, entries)
+    try:
+        prev = entries[-1]["segments"] if (entries and mode == "append") else []
+        stats = dict(entries[-1].get("stats", {})) if (entries and mode == "append") else {}
+        stats = {s: stats[s] for s in prev if s in stats}
+        stats[segment] = staged_stats
+        # Schema ledger: the per-segment record readers use to decide
+        # whether a mergeSchema read is needed (see snapshot_read).
+        schemas = {s: prev_schemas[s] for s in prev if s in prev_schemas}
+        schemas[segment] = new_schema
+        entry = {
+            "version": version,
+            "segments": [*prev, segment],
+            "stats": stats,
+            "schemas": schemas,
+        }
+        # Bloom filters follow the stats lifecycle: reused segments keep
+        # theirs, the new segment builds its own when requested.
+        bloom = dict(entries[-1].get("bloom", {})) if (entries and mode == "append") else {}
+        bloom = {s: bloom[s] for s in prev if s in bloom}
+        if staged_bloom is not None:
+            bloom[segment] = staged_bloom
+        if bloom:
+            entry["bloom"] = bloom
+        # An append carries the previous deletion vector forward: its
+        # positions reference only the reused segments, and the new
+        # segment has no deleted rows. An overwrite starts clean.
+        if mode == "append" and entries and entries[-1].get("dv"):
+            entry["dv"] = entries[-1]["dv"]
+        if _txn is not None:
+            entry["txn"] = dict(_txn)
+        entry["ts"] = _now()
+        entries.append(entry)
+        _write_manifest(path, entries)
+    except BaseException:
+        # Never leave an unreferenced data-N behind to block the next
+        # writer: the manifest write failed, so nothing references it.
+        shutil.rmtree(os.path.join(path, segment), ignore_errors=True)
+        raise
     return version
 
 
@@ -562,10 +607,11 @@ def versioned_write_txn(
     ``txnAppId``/``txnVersion`` contract that makes foreachBatch sinks
     exactly-once: Structured Streaming replays a failed micro-batch
     with the SAME batch_id, and the replay becomes a no-op instead of
-    a duplicate append. A segment directory orphaned by a crash
-    between data write and manifest commit is detected (present on
-    disk, referenced by no entry) and cleared before retrying — the
-    manifest append is the only atomic commit point.
+    a duplicate append. The txn stamp rides INSIDE the data commit's
+    single manifest write (via ``versioned_write(_txn=...)``), so there
+    is no window in which the data is committed but the stamp is not —
+    the manifest append truly is the only atomic commit point; crash
+    orphans are handled inside ``versioned_write``.
     """
     exists = os.path.exists(os.path.join(path, MANIFEST))
     entries = _read_manifest(path) if exists else []
@@ -579,16 +625,9 @@ def versioned_write_txn(
     )
     if batch_id <= last:
         return entries[-1]["version"], False
-    next_seg = f"data-{entries[-1]['version'] + 1 if entries else 0}"
-    referenced = {s for e in entries for s in e["segments"]}
-    if next_seg not in referenced and os.path.isdir(os.path.join(path, next_seg)):
-        import shutil
-
-        shutil.rmtree(os.path.join(path, next_seg))
-    version = versioned_write(df, path, mode=mode)
-    entries = _read_manifest(path)
-    entries[-1]["txn"] = {"app_id": app_id, "batch_id": batch_id}
-    _write_manifest(path, entries)
+    version = versioned_write(
+        df, path, mode=mode, _txn={"app_id": app_id, "batch_id": batch_id}
+    )
     return version, True
 
 
@@ -637,8 +676,14 @@ def snapshot_read(
     schemas = entry.get("schemas", {})
     known = [json.dumps(schemas[s], sort_keys=True) for s in all_names if s in schemas]
     evolved = len(set(known)) > 1
-    if not names:  # fully pruned: preserve schema from any real segment
-        df = spark.read.parquet(os.path.join(path, all_names[0])).limit(0)
+    if not names:  # fully pruned: preserve the version's FULL schema
+        # (mergeSchema over all segments when evolved — an empty frame
+        # built from one pre-evolution segment would lack added columns
+        # and break residual predicates on them).
+        reader0 = spark.read.option("mergeSchema", "true") if evolved else spark.read
+        df = reader0.parquet(
+            *[os.path.join(path, s) for s in all_names]
+        ).limit(0)
     else:
         reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
         df = reader.parquet(*[os.path.join(path, s) for s in names])
@@ -756,9 +801,10 @@ def compact(spark: SparkSession, path: str) -> int:
     # materialized: the compacted segment physically excludes deleted
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
     # absorbs DVs into rewritten files.
-    snapshot_read(spark, path, latest["version"]).coalesce(1).write.mode(
-        "errorifexists"
-    ).parquet(os.path.join(path, segment))
+    compacted = snapshot_read(spark, path, latest["version"])
+    compacted.coalesce(1).write.mode("errorifexists").parquet(
+        os.path.join(path, segment)
+    )
     entry = {
         "version": version,
         "segments": [segment],
@@ -766,6 +812,11 @@ def compact(spark: SparkSession, path: str) -> int:
         # The rewritten segment gets fresh footer stats — compaction
         # must not silently turn off data skipping for the table.
         "stats": {segment: collect_segment_stats(os.path.join(path, segment))},
+        # One uniform rewritten segment: record its schema so later
+        # appends keep type enforcement (an absent ledger would skip it).
+        "schemas": {
+            segment: {f.name: f.dataType.simpleString() for f in compacted.schema.fields}
+        },
     }
     # Rebuild blooms for whichever columns the table was tracking, so
     # compaction keeps point-lookup skipping alive too.
@@ -904,6 +955,11 @@ def rollback(path: str, to_version: int) -> int:
     }
     if by_version[to_version].get("bloom"):
         entry["bloom"] = dict(by_version[to_version]["bloom"])
+    # Restore the schema ledger with the segment list: a rolled-back
+    # mixed-schema version must keep its mergeSchema gate and later
+    # appends must keep type enforcement.
+    if by_version[to_version].get("schemas"):
+        entry["schemas"] = dict(by_version[to_version]["schemas"])
     # Restore the deletion vector too: rolling back past a DELETE must
     # resurrect the deleted rows, and rolling back TO a deleted state
     # must keep them deleted.
@@ -1311,7 +1367,13 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     ]
     frames = []
     if kept:
-        scan = spark.read.parquet(*[os.path.join(path, s) for s in kept])
+        # Schema-evolution-aware scan (same ledger gate as snapshot_read).
+        ledger = latest.get("schemas", {})
+        known = {json.dumps(ledger[s], sort_keys=True) for s in kept if s in ledger}
+        reader = (
+            spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
+        )
+        scan = reader.parquet(*[os.path.join(path, s) for s in kept])
         if latest.get("dv"):
             scan = _apply_deletion_vector(spark, path, latest["dv"], scan)
         matched = _apply_predicates(scan, predicates).select(
@@ -1350,6 +1412,11 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
         "dv": dv_name,
         "deleted_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
     }
+    # The segment list is unchanged: carry the schema ledger so evolved
+    # tables keep their mergeSchema gate and type enforcement after a
+    # DELETE.
+    if latest.get("schemas"):
+        entry["schemas"] = dict(latest["schemas"])
     # Blooms overstate membership after a delete — conservative-safe,
     # same contract as the carried-forward min/max stats.
     if latest.get("bloom"):
@@ -1631,7 +1698,10 @@ def change_feed(
         return base.withColumn("_change_type", F.lit(""))
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # allowMissingColumns: a feed spanning a schema-evolving append
+        # (a transition class this function supports) NULL-backfills the
+        # added columns instead of failing the union.
+        out = out.unionByName(f, allowMissingColumns=True)
     return out
 
 
@@ -1860,9 +1930,16 @@ def merge_upsert(
         .distinct()
         .collect()
     ]
-    touched = sorted(
-        {s for s in segs if any(f"/{s}/" in f or f.endswith(s) for f in touched_files)}
-    )
+    # Map each touched file to its segment by DIRECTORY identity —
+    # name-substring matching breaks on a shallow clone's absolute-path
+    # borrowed segments, silently skipping the rewrite and duplicating
+    # matched keys.
+    def _local(uri: str) -> str:
+        return "/" + uri.split(":", 1)[-1].lstrip("/") if ":" in uri else uri
+
+    seg_dirs = {s: os.path.abspath(os.path.join(path, s)) for s in segs}
+    touched_dirs = {os.path.dirname(_local(f)) for f in touched_files}
+    touched = sorted(s for s, d in seg_dirs.items() if d in touched_dirs)
     untouched = [s for s in segs if s not in touched]
     version = latest["version"] + 1
     new_seg = f"data-{version}"

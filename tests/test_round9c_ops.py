@@ -619,3 +619,126 @@ def test_mv_answer_freshness_gate_and_key_validation(spark, sf_dir, tmp_path):
     mv_refresh(spark, mv)
     total = mv_answer(spark, mv, []).first()
     assert total.n_rows == o.count()
+
+
+# ---------------------------------------------------------------------------
+# Review-pass fixes (round 9d)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_on_clone_rewrites_borrowed_segments(spark, sf_dir, tmp_path):
+    """MERGE on a shallow clone must classify borrowed absolute-path
+    segments as touched and rewrite them — not duplicate matched keys."""
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    src = str(tmp_path / "mc_src")
+    dst = str(tmp_path / "mc_dst")
+    o = _two_segment_table(spark, sf_dir, src)
+    clone_table(src, dst)
+    source = o.limit(20).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    summary = merge_upsert(spark, dst, source, "o_orderkey")
+    assert summary["segments_rewritten"] >= 1
+    head = snapshot_read(spark, dst)
+    assert head.count() == o.count()  # upsert of existing keys: no growth
+    dup = head.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    # Source stays untouched.
+    assert snapshot_read(spark, src).count() == o.count()
+
+
+def test_delete_preserves_schema_ledger_and_enforcement(spark, sf_dir, tmp_path):
+    """DELETE keeps the schemas ledger: evolved reads still NULL-backfill
+    and a type-conflicting append is still refused afterwards."""
+    out = str(tmp_path / "del_ledger")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn("region_tag", F.lit("x")), out
+    )
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    head = snapshot_read(spark, out)
+    assert "region_tag" in head.columns  # mergeSchema gate survived
+    bad = o.limit(3).withColumn("o_totalprice", F.lit("strung"))
+    with pytest.raises(ValueError, match="schema enforcement"):
+        versioned_write(bad, out, mode="append")
+
+
+def test_rollback_and_compact_preserve_schema_ledger(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import compact, rollback
+
+    out = str(tmp_path / "rb_ledger")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn("region_tag", F.lit("x")), out
+    )
+    rollback(out, 1)
+    assert _read_manifest(out)[-1].get("schemas"), "rollback dropped the ledger"
+    assert "region_tag" in snapshot_read(spark, out).columns
+    compact(spark, out)
+    assert _read_manifest(out)[-1].get("schemas"), "compact dropped the ledger"
+    bad = o.limit(3).withColumn("o_totalprice", F.lit("strung"))
+    with pytest.raises(ValueError, match="schema enforcement"):
+        versioned_write(bad, out, mode="append")
+
+
+def test_bloom_null_safe_and_type_guarded(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    out = str(tmp_path / "bloom_null")
+    o = load_table(spark, sf_dir, "orders").limit(200)
+    with_nulls = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_custkey")),
+    )
+    versioned_write(with_nulls, out, bloom_columns=("o_custkey",))  # must not crash
+    some_key = with_nulls.filter(F.col("o_custkey").isNotNull()).first().o_custkey
+    kept, _ = prune_segments(out, 0, [("o_custkey", "=", int(some_key))])
+    assert kept  # present value never pruned
+    with pytest.raises(ValueError, match="unsupported"):
+        versioned_write(
+            o.limit(5), str(tmp_path / "bloom_double"), bloom_columns=("o_totalprice",)
+        )
+
+
+def test_txn_stamp_is_atomic_with_the_data_commit(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import versioned_write_txn
+
+    out = str(tmp_path / "txn_atomic")
+    o = load_table(spark, sf_dir, "orders").limit(10)
+    v, committed = versioned_write_txn(o, out, "app", 0)
+    assert committed
+    entry = _read_manifest(out)[-1]
+    # One manifest entry, already stamped: no second write ever happened.
+    assert entry["txn"] == {"app_id": "app", "batch_id": 0}
+    assert entry.get("ts") is not None
+    # Replay refused.
+    assert versioned_write_txn(o, out, "app", 0) == (v, False)
+
+
+def test_change_feed_spans_schema_evolution(spark, sf_dir, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import change_feed
+
+    out = str(tmp_path / "cf_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn("region_tag", F.lit("x")), out
+    )
+    feed = change_feed(spark, out, 0, 1)
+    assert feed.count() == o.filter(F.col("o_orderkey") % 2 == 1).count()
+    assert "region_tag" in feed.columns
+
+
+def test_fully_pruned_read_keeps_evolved_schema(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "pruned_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") < 500), out)
+    versioned_write(
+        o.filter(F.col("o_orderkey") >= 500).withColumn("region_tag", F.lit("x")), out
+    )
+    # Predicate prunes EVERY segment; the empty result must still carry
+    # the evolved column so residual filters on it resolve.
+    df = snapshot_read(spark, out, predicates=[("o_orderkey", "<", -5)])
+    assert df.count() == 0
+    assert "region_tag" in df.columns
