@@ -103,8 +103,9 @@ def make_versioned_datasource():
             raise ValueError(f"unknown stat tag {v['t']!r}")
         return v
 
-    def _resolve_files(path: str, version: int | None) -> tuple[list, dict]:
-        """(ordered file list, {file -> decoded per-column [min,max]}).
+    def _resolve_files(path: str, version: int | None) -> tuple[list, dict, dict]:
+        """(ordered file list, {file -> decoded per-column [min,max]},
+        {file -> deleted row positions from the deletion vector}).
 
         Stats ride the manifest (harvested at write time from parquet
         footers); they are decoded here at PLAN time so pushed-filter

@@ -28,6 +28,7 @@ columns/rows inside them as usual.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
 import glob as _glob
 import json
@@ -333,26 +334,100 @@ class ConcurrentWriteError(RuntimeError):
     """A commit's base version is no longer the table head (OCC)."""
 
 
+class _TxnDuplicate(Exception):
+    """Internal: a txn-stamped write found its batch already committed
+    (raised under the commit lock, caught by versioned_write_txn)."""
+
+    def __init__(self, head: int):
+        self.head = head
+        super().__init__(f"txn batch already committed at head v{head}")
+
+
+_LOCK_NAME = "_commit.lock"
+#: How long a committer waits for the lock before failing loud. Holders
+#: only perform metadata operations (a manifest read, a directory
+#: rename, a manifest append), so normal hold times are milliseconds.
+_LOCK_TIMEOUT_S = 60.0
+#: A lock file older than this is a crashed holder and is broken.
+_LOCK_STALE_S = 300.0
+
+
+@contextlib.contextmanager
+def _commit_lock(path: str):
+    """Serialize the metadata commit window across concurrent writers.
+
+    The reference arbitrates concurrent table mutation with a catalog
+    lock held around the split/commit metadata section
+    (ArgodbMapreduceInputFormat.java:257-279); the filesystem analogue
+    is an ``O_CREAT|O_EXCL`` create of ``_commit.lock`` — atomic
+    put-if-absent on POSIX and on HDFS/NFS-style stores. Everything
+    expensive (parquet write, constraint scan, stats/bloom build)
+    happens BEFORE the lock against staged bytes; under the lock a
+    committer only re-reads the manifest, renames one directory, and
+    appends one manifest entry, so contention cost is O(writers), not
+    O(data). A lock older than ``_LOCK_STALE_S`` is treated as a
+    crashed holder and broken; waiting longer than ``_LOCK_TIMEOUT_S``
+    raises :class:`ConcurrentWriteError` rather than queueing forever.
+    """
+    import time
+
+    lock = os.path.join(path, _LOCK_NAME)
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                # Real wall clock, NOT _now(): tests monkeypatch _now for
+                # time-travel fixtures and must not affect lock aging.
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between create-fail and stat
+            if age > _LOCK_STALE_S:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)  # crashed holder; next loop re-races
+                continue
+            if time.monotonic() > deadline:
+                raise ConcurrentWriteError(
+                    f"commit lock {lock} held for {age:.0f}s (> "
+                    f"{_LOCK_TIMEOUT_S:.0f}s wait); a concurrent writer "
+                    "is stuck or the lock is orphaned"
+                )
+            time.sleep(0.005)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
 def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None:
     """Optimistic commit: append ``entry`` ONLY if the manifest head is
     still ``base_version`` — otherwise remove the staged artifacts and
     raise :class:`ConcurrentWriteError`. Read-dependent commits (DELETE,
     MERGE, compaction) must go through this check: their output was
     derived from the base they read, so a moved head invalidates it —
-    the Delta/Iceberg serializable check-and-retry contract."""
+    the Delta/Iceberg serializable check-and-retry contract. The
+    check-then-append runs under :func:`_commit_lock`, so two commits
+    racing the same base serialize: one wins, the other observes the
+    moved head and raises instead of clobbering."""
     import shutil
 
-    entries = _read_manifest(path)
-    if entries[-1]["version"] != base_version:
-        for d in cleanup_dirs:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"table advanced past v{base_version} (head is "
-            f"v{entries[-1]['version']}); re-read and retry"
-        )
-    entry.setdefault("ts", _now())
-    entries.append(entry)
-    _write_manifest(path, entries)
+    with _commit_lock(path):
+        entries = _read_manifest(path)
+        if entries[-1]["version"] != base_version:
+            for d in cleanup_dirs:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table advanced past v{base_version} (head is "
+                f"v{entries[-1]['version']}); re-read and retry"
+            )
+        entry.setdefault("ts", _now())
+        entries.append(entry)
+        _write_manifest(path, entries)
 
 
 def _now() -> float:
@@ -477,14 +552,16 @@ def versioned_write(
 
     Concurrency (optimistic, Delta-style): ALL Spark work — the data
     write, constraint validation, stats harvest, bloom build — runs
-    against a STAGED directory; the manifest is re-read at the COMMIT
-    point after that work, so the window between deciding the version
-    and publishing it contains only metadata operations (the same
-    narrow window :func:`_commit_entry` has) and a blind append REBASES
-    onto a head moved during the expensive phase instead of clobbering
-    it. Pass ``expected_version`` when the write's content depends on
-    what was read: a moved head then removes the staged data and raises
-    :class:`ConcurrentWriteError` instead of committing a lost update.
+    against a STAGED directory; the COMMIT (manifest re-read, version
+    choice, directory rename, manifest append) then runs atomically
+    under the table's :func:`_commit_lock`, so concurrent writers
+    serialize: a blind append REBASES onto a head moved during the
+    expensive phase instead of clobbering it, and two writers can
+    never pick the same version or delete each other's committed
+    segments. Pass ``expected_version`` when the write's content
+    depends on what was read: a moved head then removes the staged
+    data and raises :class:`ConcurrentWriteError` instead of
+    committing a lost update.
     A crash-orphaned same-name segment directory from a previous
     attempt is cleared at commit; a failure after the rename removes
     the renamed segment so no orphan ever blocks the next write.
@@ -506,6 +583,7 @@ def versioned_write(
     staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staged)
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    renamed = False
     try:
         # Heavy phase — everything that launches Spark jobs runs against
         # the staged bytes; the table is untouched if any of it fails.
@@ -516,82 +594,120 @@ def versioned_write(
             if bloom_columns
             else None
         )
-        # COMMIT point: re-read the manifest now that the expensive work
-        # is done, so concurrent appends that landed meanwhile are seen.
-        entries = (
-            _read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else []
-        )
-        head = entries[-1]["version"] if entries else None
-        if expected_version is not None and head != expected_version:
-            raise ConcurrentWriteError(
-                f"table advanced past v{expected_version} (head is v{head})"
+        # COMMIT point: take the table's commit lock, then re-read the
+        # manifest so concurrent appends that landed during the heavy
+        # phase are seen. EVERYTHING from the head read to the manifest
+        # append runs under the lock — a concurrent writer can no
+        # longer commit the same version between our head read and our
+        # rename (which previously rmtree'd its committed segment and
+        # clobbered its manifest entry).
+        with _commit_lock(path):
+            entries = (
+                _read_manifest(path)
+                if os.path.exists(os.path.join(path, MANIFEST))
+                else []
             )
-        # Schema enforcement against the head actually committed on
-        # (Delta-style): an append may ADD columns (readers NULL-backfill
-        # old segments) but a type conflict on a shared column is refused.
-        prev_schemas = (
-            dict(entries[-1].get("schemas", {})) if (entries and mode == "append") else {}
-        )
-        for seg_schema in prev_schemas.values():
-            conflicts = {
-                c: (t, new_schema[c])
-                for c, t in seg_schema.items()
-                if c in new_schema and new_schema[c] != t
-            }
-            if conflicts:
-                raise ValueError(
-                    f"schema enforcement: append changes column types {conflicts}; "
-                    "evolution may only ADD columns"
+            head = entries[-1]["version"] if entries else None
+            if _txn is not None and entries:
+                last_batch = max(
+                    (
+                        e["txn"]["batch_id"]
+                        for e in entries
+                        if e.get("txn", {}).get("app_id") == _txn["app_id"]
+                    ),
+                    default=-1,
                 )
-        version = entries[-1]["version"] + 1 if entries else 0
-        segment = f"data-{version}"
-        segment_dir = os.path.join(path, segment)
-        # Crash orphan from a previous attempt (died between rename and
-        # manifest write): by construction data-{version} is referenced
-        # by no entry, so clearing it is always safe.
-        if os.path.isdir(segment_dir):
-            shutil.rmtree(segment_dir)
-        os.rename(staged, segment_dir)
+                if _txn["batch_id"] <= last_batch:
+                    # Authoritative idempotency check: a concurrent
+                    # replay committed this batch while we staged.
+                    raise _TxnDuplicate(head)
+            if expected_version is not None and head != expected_version:
+                raise ConcurrentWriteError(
+                    f"table advanced past v{expected_version} (head is v{head})"
+                )
+            # Schema enforcement against the head actually committed on
+            # (Delta-style): an append may ADD columns (readers
+            # NULL-backfill old segments) but a type conflict on a
+            # shared column is refused.
+            prev_schemas = (
+                dict(entries[-1].get("schemas", {}))
+                if (entries and mode == "append")
+                else {}
+            )
+            for seg_schema in prev_schemas.values():
+                conflicts = {
+                    c: (t, new_schema[c])
+                    for c, t in seg_schema.items()
+                    if c in new_schema and new_schema[c] != t
+                }
+                if conflicts:
+                    raise ValueError(
+                        f"schema enforcement: append changes column types "
+                        f"{conflicts}; evolution may only ADD columns"
+                    )
+            version = entries[-1]["version"] + 1 if entries else 0
+            segment = f"data-{version}"
+            segment_dir = os.path.join(path, segment)
+            # Crash orphan from a previous attempt (died between rename
+            # and manifest write): under the lock nothing can have
+            # committed version yet, so data-{version} is referenced by
+            # no entry and clearing it is safe.
+            if os.path.isdir(segment_dir):
+                shutil.rmtree(segment_dir)
+            os.rename(staged, segment_dir)
+            renamed = True
+            try:
+                prev = entries[-1]["segments"] if (entries and mode == "append") else []
+                stats = (
+                    dict(entries[-1].get("stats", {}))
+                    if (entries and mode == "append")
+                    else {}
+                )
+                stats = {s: stats[s] for s in prev if s in stats}
+                stats[segment] = staged_stats
+                # Schema ledger: the per-segment record readers use to
+                # decide whether a mergeSchema read is needed.
+                schemas = {s: prev_schemas[s] for s in prev if s in prev_schemas}
+                schemas[segment] = new_schema
+                entry = {
+                    "version": version,
+                    "segments": [*prev, segment],
+                    "stats": stats,
+                    "schemas": schemas,
+                }
+                # Bloom filters follow the stats lifecycle: reused
+                # segments keep theirs, the new segment builds its own
+                # when requested.
+                bloom = (
+                    dict(entries[-1].get("bloom", {}))
+                    if (entries and mode == "append")
+                    else {}
+                )
+                bloom = {s: bloom[s] for s in prev if s in bloom}
+                if staged_bloom is not None:
+                    bloom[segment] = staged_bloom
+                if bloom:
+                    entry["bloom"] = bloom
+                # An append carries the previous deletion vector forward:
+                # its positions reference only the reused segments, and
+                # the new segment has no deleted rows. An overwrite
+                # starts clean.
+                if mode == "append" and entries and entries[-1].get("dv"):
+                    entry["dv"] = entries[-1]["dv"]
+                if _txn is not None:
+                    entry["txn"] = dict(_txn)
+                entry["ts"] = _now()
+                entries.append(entry)
+                _write_manifest(path, entries)
+            except BaseException:
+                # Never leave an unreferenced data-N behind to block the
+                # next writer: the manifest write failed, so nothing
+                # references it.
+                shutil.rmtree(segment_dir, ignore_errors=True)
+                raise
     except BaseException:
-        shutil.rmtree(staged, ignore_errors=True)
-        raise
-    try:
-        prev = entries[-1]["segments"] if (entries and mode == "append") else []
-        stats = dict(entries[-1].get("stats", {})) if (entries and mode == "append") else {}
-        stats = {s: stats[s] for s in prev if s in stats}
-        stats[segment] = staged_stats
-        # Schema ledger: the per-segment record readers use to decide
-        # whether a mergeSchema read is needed (see snapshot_read).
-        schemas = {s: prev_schemas[s] for s in prev if s in prev_schemas}
-        schemas[segment] = new_schema
-        entry = {
-            "version": version,
-            "segments": [*prev, segment],
-            "stats": stats,
-            "schemas": schemas,
-        }
-        # Bloom filters follow the stats lifecycle: reused segments keep
-        # theirs, the new segment builds its own when requested.
-        bloom = dict(entries[-1].get("bloom", {})) if (entries and mode == "append") else {}
-        bloom = {s: bloom[s] for s in prev if s in bloom}
-        if staged_bloom is not None:
-            bloom[segment] = staged_bloom
-        if bloom:
-            entry["bloom"] = bloom
-        # An append carries the previous deletion vector forward: its
-        # positions reference only the reused segments, and the new
-        # segment has no deleted rows. An overwrite starts clean.
-        if mode == "append" and entries and entries[-1].get("dv"):
-            entry["dv"] = entries[-1]["dv"]
-        if _txn is not None:
-            entry["txn"] = dict(_txn)
-        entry["ts"] = _now()
-        entries.append(entry)
-        _write_manifest(path, entries)
-    except BaseException:
-        # Never leave an unreferenced data-N behind to block the next
-        # writer: the manifest write failed, so nothing references it.
-        shutil.rmtree(os.path.join(path, segment), ignore_errors=True)
+        if not renamed:
+            shutil.rmtree(staged, ignore_errors=True)
         raise
     return version
 
@@ -623,11 +739,16 @@ def versioned_write_txn(
         ),
         default=-1,
     )
-    if batch_id <= last:
+    if batch_id <= last:  # fast path: no staging work for a known replay
         return entries[-1]["version"], False
-    version = versioned_write(
-        df, path, mode=mode, _txn={"app_id": app_id, "batch_id": batch_id}
-    )
+    try:
+        version = versioned_write(
+            df, path, mode=mode, _txn={"app_id": app_id, "batch_id": batch_id}
+        )
+    except _TxnDuplicate as dup:
+        # Authoritative check under the commit lock: a concurrent replay
+        # committed this batch while we staged. Still exactly-once.
+        return dup.head, False
     return version, True
 
 
@@ -1937,8 +2058,18 @@ def merge_upsert(
     def _local(uri: str) -> str:
         return "/" + uri.split(":", 1)[-1].lstrip("/") if ":" in uri else uri
 
-    seg_dirs = {s: os.path.abspath(os.path.join(path, s)) for s in segs}
-    touched_dirs = {os.path.dirname(_local(f)) for f in touched_files}
+    seg_dirs = {s: os.path.realpath(os.path.join(path, s)) for s in segs}
+    touched_dirs = {os.path.realpath(os.path.dirname(_local(f))) for f in touched_files}
+    # Fail LOUD if any touched file maps to no known segment (symlinked
+    # temp roots, scheme normalization): silently dropping it would
+    # leave matched keys in "untouched" segments and DUPLICATE rows
+    # after the merge instead of upserting them.
+    unmatched = touched_dirs - set(seg_dirs.values())
+    if unmatched:
+        raise RuntimeError(
+            f"merge_upsert: touched files resolve outside the table's "
+            f"segments: {sorted(unmatched)} not in {sorted(seg_dirs.values())}"
+        )
     touched = sorted(s for s, d in seg_dirs.items() if d in touched_dirs)
     untouched = [s for s in segs if s not in touched]
     version = latest["version"] + 1
@@ -2702,10 +2833,13 @@ def _build_constraint_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, di
     summary = {
         "refused": refused,
         "head_unchanged": versions(out)[-1] == head_before,
-        "no_orphans": not any(
-            d.startswith(("data-", "_staged")) and f"data-{head_before}" < d
+        # Check both orphan families directly: leftover staged dirs and
+        # any data-N with N beyond the head, comparing INTEGER suffixes
+        # (a lexicographic "data-10" < "data-9" compare hides orphans).
+        "no_orphans": not any(d.startswith("_staged") for d in os.listdir(out))
+        and not any(
+            d.startswith("data-") and d[5:].isdigit() and int(d[5:]) > head_before
             for d in os.listdir(out)
-            if d.startswith("_staged")
         ),
     }
     with open(marker, "w") as f:
