@@ -192,12 +192,27 @@ def _bloom_probe_positions(value, m: int) -> list[int]:
 def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
     """Per-column bloom bitsets for one segment, as manifest JSON.
 
-    The build is one distributed scan of the just-written segment: K
-    sha256-derived positions per value, global ``distinct`` (bounded by
-    m, never by rows), then an O(m/8)-byte bitset packed driver-side.
+    The build is fully executor-side (round 10; the r9 build collected
+    every distinct bit position to the driver — O(distinct × K) rows,
+    gigabytes for a 100 TB daily segment). Two distributed passes over
+    the just-written segment, both with map-side partial aggregation:
+
+    1. *Sizing*: ``approx_count_distinct`` (HLL sketch, one 1-row
+       fetch) with headroom for the sketch's relative error picks the
+       power-of-two bitset size ``m``.
+    2. *Bitmap*: each of the K sha256-derived positions becomes a
+       ``(word = p >> 6, bit = 1L << (p & 63))`` pair, reduced by
+       ``bit_or`` per 64-bit word — partial OR-combine happens on the
+       executors, so the driver receives at most ``m/64`` packed longs
+       (~``m/8`` bytes, the size of the bitset itself), independent of
+       row or distinct-key count.
+
     The manifest cost is ~4 bytes/distinct-key — at 100 TB the bitsets
     stay megabytes while saving full-segment reads on every point
-    lookup."""
+    lookup. Probe semantics (:func:`_bloom_probe_positions`) are
+    untouched: positions still come from the same sha256 slicing, and
+    the little-endian int64 word packing is bit-identical to the byte
+    layout the probe indexes (byte ``p>>3``, bit ``p&7``)."""
     import base64
 
     import numpy as np
@@ -221,20 +236,30 @@ def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
     for col in columns:
         # NULLs carry no membership information (Delta blooms skip them
         # too); without the filter sha2(NULL) positions explode to null
-        # rows and the driver-side bit set crashes.
+        # rows and poison the word aggregation.
         vals = seg.select(col).filter(F.col(col).isNotNull())
-        n_distinct = vals.distinct().count()
-        m = _bloom_size(n_distinct)
-        # metadata-collect: <= m distinct bit positions (bounded by the
-        # bitset size, never by rows) — manifest-construction metadata.
-        pos_rows = (
+        # metadata-collect: ONE aggregate row (HLL sketch), never rows.
+        approx = vals.agg(F.approx_count_distinct(col, 0.02).alias("n")).first()["n"]
+        # 5% headroom over the sketch's 2% rsd keeps bits-per-key at or
+        # above target; undercounting only raises the false-positive
+        # rate slightly, never correctness (blooms stay conservative).
+        m = _bloom_size(int(approx * 1.05) + 1)
+        # Arrow-batched fetch (two int64 columns): the driver payload is
+        # <= m/64 packed words (~2x the bitset's own bytes), independent
+        # of rows and distinct keys — never position-shaped rows.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = (
             vals.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
-            .distinct()
-            .collect()
+            .groupBy(F.shiftright("p", 6).alias("w"))
+            # SQL shiftleft accepts a column shift amount (the pyspark
+            # wrapper takes only int literals).
+            .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("bits"))
+            .toPandas()  # metadata-collect: O(m/64) words, columnar
         )
         bits = np.zeros(m // 8, dtype=np.uint8)
-        for r in pos_rows:
-            bits[r.p >> 3] |= 1 << (r.p & 7)
+        words = bits.view("<u8")  # little-endian: word bit j == byte (j>>3), bit (j&7)
+        # groupBy guarantees unique word indexes: one vectorized scatter.
+        words[pdf["w"].to_numpy(np.int64)] = pdf["bits"].to_numpy(np.int64).view(np.uint64)
         out[col] = {
             "m": m,
             "k": _BLOOM_K,
