@@ -48,3 +48,35 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df, "simple"))))
+
+
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Executed-plan file-scan metrics (numFiles, filesSize,
+    numPartitions, numOutputRows, ...), one dict per scan leaf.
+
+    Call AFTER an action on the SAME DataFrame (e.g. ``df.collect()``) —
+    metrics live on the executed plan instance; a fresh action like
+    ``df.count()`` builds a different plan and leaves these at zero.
+    This is the observable proof that partition pruning / data skipping
+    actually reduced the planned file set, not just the plan text."""
+
+    def _leaves(node, acc):
+        n = node.children().size()
+        if n == 0:
+            acc.append(node)
+        else:
+            for i in range(n):
+                _leaves(node.children().apply(i), acc)
+        return acc
+
+    out = []
+    for leaf in _leaves(df._jdf.queryExecution().executedPlan(), []):
+        if "Scan" in leaf.getClass().getSimpleName():
+            m = leaf.metrics()
+            it = m.keys().iterator()
+            vals = {}
+            while it.hasNext():
+                k = it.next()
+                vals[k] = m.apply(k).value()
+            out.append(vals)
+    return out

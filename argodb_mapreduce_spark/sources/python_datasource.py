@@ -118,6 +118,14 @@ def make_versioned_datasource():
         if version not in by_version:
             raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
         entry = by_version[version]
+        if any(entry.get("partition_by", {}).get(s) for s in entry["segments"]):
+            # A flat listdir of a Hive-partitioned segment would find no
+            # files (or drop partition columns) — fail loud, never serve
+            # a silently wrong scan. compact() flattens the table.
+            raise ValueError(
+                "the Python DataSource does not support Hive-partitioned "
+                "segments yet; compact() the table first"
+            )
         files, file_stats = [], {}
         for seg in entry["segments"]:
             seg_dir = _os.path.join(path, seg)

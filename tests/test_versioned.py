@@ -345,3 +345,147 @@ def test_commit_lock_stale_holder_is_broken(spark, tmp_path):
     os.utime(lock, (old, old))
     assert _append(spark, path, 10, 15) == 1  # breaks the stale lock
     assert not os.path.exists(lock)
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned segments (VERDICT r9 #5): partition pruning stacks
+# with manifest min/max + bloom skipping
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    """Two appends partitioned by k (ints 0..3), split by v at 100."""
+    path = str(tmp_path / "hive_part")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k")
+    )
+    versioned_write(mk(0, 100), path, partition_by=("k",))
+    versioned_write(mk(100, 200), path, partition_by=("k",))
+    return path
+
+
+def test_partitioned_roundtrip_and_layout(spark, part_table):
+    import glob
+
+    back = snapshot_read(spark, part_table)
+    assert back.count() == 200
+    assert sorted(back.columns) == ["k", "v"]
+    assert back.groupBy("k").count().count() == 4
+    # real Hive layout on disk
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(part_table, "data-0", "k=*"))
+    )
+    assert dirs == ["k=0", "k=1", "k=2", "k=3"]
+
+
+def test_partitioned_scan_prunes_directories_in_plan(spark, part_table):
+    """Spark's own PartitionFilters fire inside the surviving segments —
+    only the k=2 directories are planned."""
+    import glob
+
+    from argodb_mapreduce_spark.plans.checks import scan_metrics
+
+    df = snapshot_read(spark, part_table, predicates=[("k", "=", 2)])
+    assert len(df.collect()) == 50
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "k#" in plan
+    # planned-file proof from executed metrics: exactly the k=2 files of
+    # both segments were listed, one partition dir per segment
+    k2_files = len(glob.glob(os.path.join(part_table, "data-*", "k=2", "*.parquet")))
+    all_files = len(glob.glob(os.path.join(part_table, "data-*", "k=*", "*.parquet")))
+    metrics = scan_metrics(df)
+    assert sum(m["numFiles"] for m in metrics) == k2_files < all_files
+    assert all(m.get("numPartitions") == 1 for m in metrics)
+
+
+def test_partitioned_segment_pruning_stacks(spark, part_table):
+    """Manifest min/max (on the data column v) prunes whole segments
+    BEFORE partition pruning: v >= 150 provably excludes data-0."""
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    kept, everything = prune_segments(part_table, predicates=[("v", ">=", 150)])
+    assert (len(kept), len(everything)) == (1, 2)
+    df = snapshot_read(spark, part_table, predicates=[("v", ">=", 150), ("k", "=", 1)])
+    assert df.count() == 12  # 153,157,...,197
+    assert all("data-1" in f for f in df.inputFiles())
+
+
+def test_partition_column_stats_from_dirnames(spark, part_table):
+    """Partition-column min/max ride the manifest (decoded from dir
+    names, no file opened) so equality predicates on the partition
+    column can ALSO prune whole segments when ranges are disjoint."""
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest
+
+    entry = _read_manifest(part_table)[-1]
+    for seg in entry["segments"]:
+        assert entry["stats"][seg]["k"] == [0, 3]
+    assert entry["partition_by"] == {s: ["k"] for s in entry["segments"]}
+
+
+def test_partition_null_sentinel_roundtrip(spark, tmp_path):
+    """NULL partition values use Hive's __HIVE_DEFAULT_PARTITION__
+    sentinel (the reference record reader's NULL-sentinel contract,
+    ArgodbMapreduceRecordReader.java:172-198): rows round-trip as real
+    NULLs, and predicates on the partition column stay correct (NULL
+    never satisfies =, so pruning on non-null dir stats is safe)."""
+    path = str(tmp_path / "null_part")
+    src = spark.range(20).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 3).cast("int").alias("k"),
+    )
+    versioned_write(src, path, partition_by=("k",))
+    assert os.path.isdir(os.path.join(path, "data-0", "k=__HIVE_DEFAULT_PARTITION__"))
+    back = snapshot_read(spark, path)
+    assert back.filter(F.col("k").isNull()).count() == 4
+    assert snapshot_read(spark, path, predicates=[("k", "=", 1)]).count() == 6
+
+
+def test_partitioned_dml_fails_loud_compact_flattens(spark, part_table):
+    """File-positional ops refuse partitioned segments with a clear
+    error; compact() is the documented escape hatch — it rewrites to a
+    flat segment after which DML works again."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        compact,
+        delete_where,
+        merge_upsert,
+        update_where,
+    )
+
+    for op, call in [
+        ("delete_where", lambda: delete_where(spark, part_table, [("v", "<", 10)])),
+        ("update_where", lambda: update_where(spark, part_table, [("v", "<", 10)], {"v": F.lit(0)})),
+        ("merge_upsert", lambda: merge_upsert(spark, part_table, snapshot_read(spark, part_table).limit(1), "v")),
+    ]:
+        with pytest.raises(ValueError, match="partitioned"):
+            call()
+    compact(spark, part_table)
+    _v, n = delete_where(spark, part_table, [("v", "<", 10)])
+    assert n == 10
+    assert snapshot_read(spark, part_table).count() == 190
+
+
+def test_partitioned_clone_keeps_layout(spark, part_table, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import clone_table
+
+    import glob
+
+    from argodb_mapreduce_spark.plans.checks import scan_metrics
+
+    dst = str(tmp_path / "part_clone")
+    clone_table(part_table, dst)
+    df = snapshot_read(spark, dst, predicates=[("k", "=", 3)])
+    assert len(df.collect()) == 50
+    # borrowed absolute segments still partition-prune: planned files ==
+    # the k=3 files of the SOURCE's segment dirs
+    k3 = len(glob.glob(os.path.join(part_table, "data-*", "k=3", "*.parquet")))
+    assert sum(m["numFiles"] for m in scan_metrics(df)) == k3
+
+
+def test_pyds_refuses_partitioned_table(spark, part_table):
+    from argodb_mapreduce_spark.sources.python_datasource import register_datasource
+
+    register_datasource(spark)
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("argodb_versioned").load(part_table).collect()
