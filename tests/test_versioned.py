@@ -489,3 +489,48 @@ def test_pyds_refuses_partitioned_table(spark, part_table):
     register_datasource(spark)
     with pytest.raises(Exception, match="partitioned"):
         spark.read.format("argodb_versioned").load(part_table).collect()
+
+
+# ---------------------------------------------------------------------------
+# Skipping observability (VERDICT r9 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_prune_report_reasons(spark, tmp_path):
+    """prune_report attributes each skip to the structure that proved
+    it: disjoint ranges -> minmax, absent point key -> bloom."""
+    from argodb_mapreduce_spark.sources.versioned import prune_report
+
+    path = str(tmp_path / "report")
+    base = spark.range(0, 300).withColumnRenamed("id", "k")
+    for i in range(3):  # interleaved: every segment spans ~[i, 297+i]
+        versioned_write(base.filter(F.col("k") % 3 == i), path, bloom_columns=("k",))
+    rep = prune_report(path, predicates=[("k", ">=", 2000)])
+    assert [r["skipped_by"] for r in rep] == ["minmax"] * 3
+    # 42 % 3 == 0: inside every segment's [min,max] (minmax can't prune)
+    # but only segment 0's bitset contains it -> bloom skips the others
+    rep = prune_report(path, predicates=[("k", "=", 42)])
+    assert rep[0]["planned"] and [r["skipped_by"] for r in rep[1:]] == ["bloom", "bloom"]
+    # report agrees with prune_segments exactly
+    from argodb_mapreduce_spark.sources.versioned import prune_segments
+
+    kept, everything = prune_segments(path, predicates=[("k", "=", 42)])
+    assert kept == [r["segment"] for r in rep if r["planned"]]
+    assert everything == [r["segment"] for r in rep]
+
+
+def test_history_written_rows_metrics(spark, tmp_path):
+    """Every data commit records footer-derived operationMetrics; the
+    manifest-only rollback shows NULL written_rows in HISTORY."""
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, rollback
+
+    path = str(tmp_path / "hist_metrics")
+    versioned_write(spark.range(0, 70).withColumnRenamed("id", "k"), path)
+    versioned_write(spark.range(70, 100).withColumnRenamed("id", "k"), path)
+    rollback(path, 0)
+    entries = _read_manifest(path)
+    assert entries[0]["metrics"]["num_rows"] == 70
+    assert entries[1]["metrics"]["num_rows"] == 30
+    assert "metrics" not in entries[2]  # rollback wrote no data
+    assert entries[0]["metrics"]["num_files"] >= 1
+    assert entries[0]["metrics"]["bytes"] > 0
