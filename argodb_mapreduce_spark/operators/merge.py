@@ -78,6 +78,127 @@ def salted_join(
     return salted_l.join(salted_r, cond).drop("salt")
 
 
+def detect_hot_keys(
+    left: DataFrame, left_key: str, hot_factor: float = 1.5
+) -> DataFrame:
+    """Heavy-hitter join keys: one combiner-reduced count over the fact
+    side, keys above ``hot_factor`` x the mean frequency. Returns a
+    1-column ``__hk`` DataFrame — broadcast-sized by definition. In
+    production this runs ONCE per table (alongside ANALYZE statistics)
+    and is reused across queries; the detection pass need not be paid
+    per join."""
+    cnt = left.groupBy(F.col(left_key).alias("__hk")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    stats = cnt.agg((F.sum("__cnt") / F.count(F.lit(1))).alias("__mean"))
+    return (
+        cnt.crossJoin(F.broadcast(stats))
+        .filter(F.col("__cnt") > F.lit(hot_factor) * F.col("__mean"))
+        .select("__hk")
+    )
+
+
+def targeted_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    hot_factor: float = 1.5,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Stats-driven skew mitigation (VERDICT r9 #4): salt ONLY the
+    heavy-hitter keys.
+
+    The r9 skew bench proved blanket salting LOSES to AQE when AQE can
+    split (every key pays the n_salts-way build replication and the
+    wider shuffle; SCALING.md round-9 section). The production pattern
+    for the cases AQE cannot cover — stream-stream joins, build-side
+    skew, fixed-partitioning stages — is targeted: one combiner-reduced
+    count over the fact side finds keys whose frequency exceeds
+    ``hot_factor`` x mean, ONLY those keys' probe rows are scattered
+    over ``n_salts`` reducers and ONLY those keys' build rows replicate;
+    every cold key takes the plain single-copy join. Both the hot-key
+    set and the threshold stats row stay broadcast-sized by definition
+    (heavy hitters are few), so no driver collect is involved.
+
+    Cost model at 100 TB: detection is one map-side-combined groupBy of
+    the fact keys (O(distinct keys) shuffle, the same stats ANALYZE
+    already gathers — pass ``hot_keys`` to reuse a stored set and skip
+    it); the hot branch replicates the build side only
+    ``n_hot x n_salts`` rows instead of ``|build| x n_salts``."""
+    hot = (
+        hot_keys.select(F.col(hot_keys.columns[0]).alias("__hk"))
+        if hot_keys is not None
+        else detect_hot_keys(left, left_key, hot_factor)
+    )
+    l_tag = left.join(
+        F.broadcast(hot), left[left_key] == hot["__hk"], "left"
+    )
+    l_hot = l_tag.filter(F.col("__hk").isNotNull()).drop("__hk")
+    l_cold = l_tag.filter(F.col("__hk").isNull()).drop("__hk")
+    # Cold path: plain single-copy equi-join (AQE/SMJ as Catalyst picks);
+    # hot build rows simply find no cold probe partner.
+    cold = l_cold.join(right, l_cold[left_key] == right[right_key])
+    # Hot path: replicate ONLY the hot build rows across the salts.
+    r_hot = right.join(
+        F.broadcast(hot), right[right_key] == hot["__hk"], "semi"
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    l_salt = l_hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    hot_joined = l_salt.join(
+        r_hot,
+        (l_salt[left_key] == r_hot[right_key]) & (l_salt["__salt"] == r_hot["__salt"]),
+    ).drop("__salt")
+    return cold.unionByName(hot_joined)
+
+
+@register(
+    "join_salted_targeted",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    ), st AS (SELECT SUM(c) * 1.0 / COUNT(*) AS mean FROM cnt)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cnt, st WHERE c > 1.5 * mean)
+               AS n_hot_keys
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+    doc=(
+        "TARGETED salted join (VERDICT r9 #4): heavy-hitter detection "
+        "(keys above 1.5x the mean fact-side frequency, computed with "
+        "one combiner-reduced count and a broadcast stats row — no "
+        "collect) composed with salting of ONLY those keys; cold keys "
+        "join single-copy. Result equals the plain join (the oracle), "
+        "and the oracle additionally pins the hot-key count so the "
+        "detection itself — not just the join output — is hash-checked "
+        "on both engines. The skew-bench comparison against blanket "
+        "salting and AQE is in SCALING.md round 10."
+    ),
+)
+def join_salted_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = targeted_salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    hot_n = cnt.crossJoin(
+        F.broadcast(cnt.agg((F.sum("c") / F.count(F.lit(1))).alias("mean")))
+    ).filter(F.col("c") > 1.5 * F.col("mean")).agg(
+        F.count(F.lit(1)).alias("n_hot_keys")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty")
+    ).crossJoin(F.broadcast(hot_n))
+
+
 @register(
     "join_salted_skew",
     oracle="""

@@ -116,3 +116,27 @@ def test_driver_witnessed_union_covers_registry():
         f"{len(unwitnessed)} queries have no driver evidence and no window slot: "
         f"{sorted(unwitnessed)[:10]}"
     )
+
+
+def test_targeted_salted_join_equals_plain(spark, sf_dir):
+    """Targeted salting (hot keys only) is result-identical to the
+    plain join, via both the self-detected and the precomputed
+    hot-key paths, on data where hot and cold branches BOTH carry rows."""
+    from argodb_mapreduce_spark.operators.merge import (
+        detect_hot_keys,
+        targeted_salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+    expected = {(r[0], r[1]) for r in plain.collect()}
+    hot = detect_hot_keys(li, "l_orderkey", hot_factor=1.5)
+    assert 0 < hot.count() < li.select("l_orderkey").distinct().count()
+    for hk in (None, hot):
+        got = (
+            targeted_salted_join(li, o, "l_orderkey", "o_orderkey", hot_keys=hk)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert {(r[0], r[1]) for r in got.collect()} == expected
