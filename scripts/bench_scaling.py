@@ -103,7 +103,33 @@ def _ops():
         # round-9c query additions (codegen + single-shuffle shapes)
         "dedup_url_canonical": _url_canonical_op,
         "join_point_in_time": _pit_join_op,
+        # round-10 additions (VERDICT r9 #6): the r9 streaming ops'
+        # argued O(changes)/O(batch) shapes, measured. Fixtures cache
+        # after rep 1, so best-of-reps times the streaming DRAIN itself
+        # (stream_mv_maintenance rebuilds its base+MV every run by
+        # design — its wall is the full land+refresh lifecycle).
+        "stream_versioned_ingest": _stream_ingest_op,
+        "stream_change_feed_live": _stream_cdf_op,
+        "stream_mv_maintenance": _stream_mv_op,
     }
+
+
+def _stream_ingest_op(spark, sf_dir):
+    from argodb_mapreduce_spark.sources.python_datasource import stream_versioned_ingest
+
+    return stream_versioned_ingest(spark, sf_dir)
+
+
+def _stream_cdf_op(spark, sf_dir):
+    from argodb_mapreduce_spark.sources.python_datasource import stream_change_feed_live
+
+    return stream_change_feed_live(spark, sf_dir)
+
+
+def _stream_mv_op(spark, sf_dir):
+    from argodb_mapreduce_spark.streaming.windows import stream_mv_maintenance
+
+    return stream_mv_maintenance(spark, sf_dir)
 
 
 def _fresh_dir(prefix: str) -> str:
