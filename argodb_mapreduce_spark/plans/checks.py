@@ -54,9 +54,9 @@ def scan_metrics(df: DataFrame) -> list[dict]:
     """Executed-plan file-scan metrics (numFiles, filesSize,
     numPartitions, numOutputRows, ...), one dict per scan leaf.
 
-    Call AFTER an action on the SAME DataFrame (e.g. ``df.collect()``) —
-    metrics live on the executed plan instance; a fresh action like
-    ``df.count()`` builds a different plan and leaves these at zero.
+    Call AFTER an action executed the SAME DataFrame — metrics live on
+    the executed plan instance; a fresh action like ``df.count()``
+    builds a different plan and leaves these at zero.
     This is the observable proof that partition pruning / data skipping
     actually reduced the planned file set, not just the plan text."""
 

@@ -67,80 +67,75 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.materialized_view",
 )
 
-#: ROUND-9 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-10 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
-#: round — they must (re-)earn their green rows — then (b) the rows
-#: with the OLDEST banked evidence. After r8 the staleness floor was
-#: r03 (17 rows, all listed in the r8 verdict); those rotate in now,
-#: (the full 41-row r04 tier — curation_pipeline alphabetically
-#: onward — leads the r10 rotation; post-r9 floor is r04). tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
-#: silent 51st entry can never fall out of the window again (ADVICE r7).
+#: round — they must (re-)earn their green rows — then (b) at least 20
+#: slots of staleness rotation, oldest banked evidence first. After r9
+#: the staleness floor was r03: exactly 14 rows (measured from the
+#: CORRECTNESS union, not the 4 COVERAGE.md once claimed — both now
+#: corrected per the r9 verdict); ALL 14 rotate in below, then the 26
+#: alphabetically-first r04-tier rows fill the window, leaving a
+#: post-r10 floor of r04 (13 rows: sketch_rollup_hll onward, which
+#: lead the r11 rotation). tests/test_round8_ops.py asserts
+#: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
+#: the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 9: first driver evidence ---
-    "snapshot_update_where",      # copy-on-write UPDATE, segment-pruned
-    "snapshot_clone",             # zero-copy shallow clone + divergence
-    "dedup_url_canonical",        # crawl URL canonicalize-then-group
-    "agg_approx_percentile",      # quantile sketch vs exact rank check
-    "multimodal_gif_decode",      # real GIF87a LZW codec roundtrip
-    "sample_weighted_reservoir",  # A-ES weighted top-k per group
-    "snapshot_check_constraint",  # CHECK invariants on every write path
-    "snapshot_compact_binpack",   # size-targeted OPTIMIZE bin-packing
-    "snapshot_time_travel_ts",    # AS OF TIMESTAMP resolution
-    "pyds_pruned_scan",           # source-level option-predicate skipping
-    "join_point_in_time",         # SCD2 temporal join at event time
-    "mv_query_rewrite",           # answer aggregates from the stored MV
-    "dedup_doc_prefix",           # truncation-dup detection by prefix hash
-    "stream_change_feed_live",    # streaming CDC: inserts + DV deletes
-    "stream_mv_maintenance",      # continuous MV refresh from a stream
-    "snapshot_zorder_scan",       # OPTIMIZE ZORDER two-axis skipping
-    "snapshot_merge_pruned",      # copy-on-write MERGE, segment-pruned
-    "snapshot_schema_merge",      # schema enforcement + evolution ledger
-    "snapshot_change_feed",       # O(changes) CDF over appends + DV deletes
-    "snapshot_delete_where",      # deletion vectors (merge-on-read DELETE)
-    "snapshot_bloom_pruned_scan", # bloom-filter point-lookup skipping
-    "mv_incremental_refresh",     # incremental materialized view
-    "stream_versioned_sink",      # exactly-once foreachBatch txn sink
-    "snapshot_pruned_scan",       # manifest min/max data skipping
-    "cbo_join_reorder",           # ANALYZE stats + CBO join reorder
-    "similarity_index_refresh",   # drift -> ingest -> retrain lifecycle
-    "snapshot_vacuum",            # expire versions, reclaim segments
-    "snapshot_history",           # DESCRIBE HISTORY audit surface
-    "retrieval_hybrid_rrf",       # BM25 + dense RRF fusion
-    "bpe_encode_documents",       # tokenizer apply: vocab-encoded corpus
-    "stream_versioned_ingest",    # streaming source over the versioned store
-    # --- (a cont.) code changed in round 9: re-earn the rows ---
-    "stream_stateful_custom",     # multi-file batch chunk-sort fix
-    "multimodal_jpeg_decode",     # DRI/RSTn restart-marker decoder
-    "bpe_train_merges",           # token-length cap on both engines
-    "similarity_ivfpq_topk",      # oracle rebuilt from the CTE template
-    "similarity_ivfpq_refined",   # oracle rebuilt from the CTE template
-    "similarity_index_build",     # _locked_build + encode split
-    "similarity_index_search",    # _locked_build + encode split
-    "kmeans_assign",              # assign_blocked hashes ids pre-pmod
-    "kmeans_lloyd_step",          # assign_blocked hashes ids pre-pmod
-    "dedup_semantic_clusters",    # assign_blocked hashes ids pre-pmod
-    "snapshot_time_travel",       # manifest now carries segment stats
-    "snapshot_compaction",        # manifest now carries segment stats
-    "snapshot_diff",              # manifest now carries segment stats
-    "snapshot_rollback",          # manifest now carries segment stats
-    "pyds_versioned_scan",        # reads the evolved manifest format
-    "pyds_versioned_write",       # commits alongside stats-bearing entries
-    # --- (b) staleness rotation: newest evidence r03 (all 17) ---
-    "q12_shipmode_buckets",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    # (q18_large_orders, q20_potential_promotion, q21_waiting_supplier, q22_idle_customers,
-    # q2_min_cost_supplier, q8_market_share, q9_product_profit,
-    # sample_pergroup_topk, sample_stratified,
-    # scan_embeddings, shuffle_shard_deterministic, split_train_val_test,
-    # text_repetition_ratio, and vocab_coverage — the last fourteen
-    # r03-tier rows alphabetically — were displaced by the fourteen
-    # late-r9 ops above;
-    # all displaced rows passed the local 266/266 strict sweep this
-    # round, the fourteen new ops were each strict-verified individually
-    # at sf0.001 AND sf0.01 by the same harness, and the displaced rows
-    # lead the r10 rotation together with the r04 tier.)
+    # --- (a) new in round 10: first driver evidence ---
+    "snapshot_partitioned_scan",  # Hive layout: 3-level stacked pruning
+    "snapshot_scan_metrics",      # per-segment skip decisions, queryable
+    "join_salted_targeted",       # stats-driven hot-key-only salting
+    # --- (a cont.) code changed in round 10: re-earn the rows ---
+    "snapshot_bloom_pruned_scan", # bloom build moved executor-side
+    "snapshot_history",           # written_rows operationMetrics column
+    "snapshot_merge_pruned",      # touched-dir mapping fails loud now
+    "snapshot_check_constraint",  # no_orphans self-check fixed (ADVICE)
+    "stream_versioned_sink",      # txn idempotency re-checked under lock
+    "snapshot_pruned_scan",       # prune_segments -> prune_report refactor
+    "snapshot_compaction",        # compact records write metrics
+    # --- (b) staleness rotation: ALL 14 rows whose newest evidence is
+    # r03 (VERDICT r9 #2, verified against the CORRECTNESS union) ---
+    "q18_large_orders",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_pergroup_topk",
+    "sample_stratified",
+    "scan_embeddings",
+    "shuffle_shard_deterministic",
+    "split_train_val_test",
+    "text_repetition_ratio",
+    "vocab_coverage",
+    # --- (b cont.) the 26 alphabetically-first r04-tier rows ---
+    "curation_pipeline",
+    "data_mixture_sample",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "dedup_minhash_verified",
+    "dedup_simhash_pairs",
+    "events_anomaly_zscore",
+    "events_gapfill",
+    "events_retention",
+    "events_rolling_distinct",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_range_bands",
+    "join_salted_skew",
+    "join_semi",
+    "profile_join_skew",
+    "profile_length_histogram",
+    "profile_orders",
+    "profile_token_spectrum",
+    "q1_pricing_summary",
+    "similarity_ivf_recall",
+    "similarity_ivf_topk",
+    "sink_merge_upsert",
+    "sketch_count_min",
 )
 
 

@@ -1263,34 +1263,37 @@ def rollback(path: str, to_version: int) -> int:
     is that of ``to_version`` — no data is rewritten or deleted, so
     every existing snapshot (including the rolled-back-over ones) stays
     readable; history moves only forward, exactly like Delta RESTORE.
-    Returns the new version number."""
-    entries = _read_manifest(path)
-    by_version = {e["version"]: e for e in entries}
-    if to_version not in by_version:
-        raise ValueError(f"unknown version {to_version}; have {sorted(by_version)}")
-    version = entries[-1]["version"] + 1
-    entry = {
-        "version": version,
-        "segments": list(by_version[to_version]["segments"]),
-        # Restore the segment stats with the segment list: a
-        # rollback must keep the restored version data-skippable.
-        "stats": dict(by_version[to_version].get("stats", {})),
-    }
-    if by_version[to_version].get("bloom"):
-        entry["bloom"] = dict(by_version[to_version]["bloom"])
-    # Restore the schema ledger with the segment list: a rolled-back
-    # mixed-schema version must keep its mergeSchema gate and later
-    # appends must keep type enforcement.
-    if by_version[to_version].get("schemas"):
-        entry["schemas"] = dict(by_version[to_version]["schemas"])
-    # Restore the deletion vector too: rolling back past a DELETE must
-    # resurrect the deleted rows, and rolling back TO a deleted state
-    # must keep them deleted.
-    if by_version[to_version].get("dv"):
-        entry["dv"] = by_version[to_version]["dv"]
-    entry["ts"] = _now()
-    entries.append(entry)
-    _write_manifest(path, entries)
+    Returns the new version number. Runs under the commit lock: a
+    concurrent append between the manifest read and the republish
+    would otherwise be erased (lost update)."""
+    with _commit_lock(path):
+        entries = _read_manifest(path)
+        by_version = {e["version"]: e for e in entries}
+        if to_version not in by_version:
+            raise ValueError(f"unknown version {to_version}; have {sorted(by_version)}")
+        version = entries[-1]["version"] + 1
+        entry = {
+            "version": version,
+            "segments": list(by_version[to_version]["segments"]),
+            # Restore the segment stats with the segment list: a
+            # rollback must keep the restored version data-skippable.
+            "stats": dict(by_version[to_version].get("stats", {})),
+        }
+        if by_version[to_version].get("bloom"):
+            entry["bloom"] = dict(by_version[to_version]["bloom"])
+        # Restore the schema ledger with the segment list: a rolled-back
+        # mixed-schema version must keep its mergeSchema gate and later
+        # appends must keep type enforcement.
+        if by_version[to_version].get("schemas"):
+            entry["schemas"] = dict(by_version[to_version]["schemas"])
+        # Restore the deletion vector too: rolling back past a DELETE must
+        # resurrect the deleted rows, and rolling back TO a deleted state
+        # must keep them deleted.
+        if by_version[to_version].get("dv"):
+            entry["dv"] = by_version[to_version]["dv"]
+        entry["ts"] = _now()
+        entries.append(entry)
+        _write_manifest(path, entries)
     return version
 
 
@@ -1561,34 +1564,38 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     forever. Single-writer assumed, like ``versioned_write``; a reader
     holding a plan against an expired version keeps working until its
     files are unlinked (same contract as Delta VACUUM, which is why
-    production retention is hours/days, not versions=1).
+    production retention is hours/days, not versions=1). Runs under the
+    commit lock: a concurrent append between the manifest read and the
+    retained-manifest write would otherwise be ERASED (its entry lost,
+    its freshly committed segment orphaned).
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     import shutil
 
-    entries = _read_manifest(path)
-    kept_entries = entries[-keep_versions:]
-    expired = entries[: -keep_versions] if len(entries) > keep_versions else []
-    # Deletion-vector sidecars are lifecycle-managed like segments: a DV
-    # referenced by no retained version is reclaimed with its bytes.
-    referenced = {s for e in kept_entries for s in e["segments"]}
-    referenced |= {e["dv"] for e in kept_entries if e.get("dv")}
-    all_segments = {s for e in entries for s in e["segments"]}
-    all_segments |= {e["dv"] for e in entries if e.get("dv")}
-    # Borrowed segments (absolute paths written by clone_table's shallow
-    # clone) are NEVER deleted: the bytes belong to the source table, and
-    # a clone's vacuum must not reach outside its own directory — the
-    # Delta CLONE contract (vacuum on a shallow clone leaves the source
-    # intact). They still drop out of the retained manifest normally.
-    doomed = sorted(s for s in all_segments - referenced if not os.path.isabs(s))
-    bytes_reclaimed = 0
-    for seg in doomed:
-        seg_dir = os.path.join(path, seg)
-        for root, _dirs, fs in os.walk(seg_dir):
-            bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
-        shutil.rmtree(seg_dir, ignore_errors=True)
-    _write_manifest(path, kept_entries)
+    with _commit_lock(path):
+        entries = _read_manifest(path)
+        kept_entries = entries[-keep_versions:]
+        expired = entries[: -keep_versions] if len(entries) > keep_versions else []
+        # Deletion-vector sidecars are lifecycle-managed like segments: a DV
+        # referenced by no retained version is reclaimed with its bytes.
+        referenced = {s for e in kept_entries for s in e["segments"]}
+        referenced |= {e["dv"] for e in kept_entries if e.get("dv")}
+        all_segments = {s for e in entries for s in e["segments"]}
+        all_segments |= {e["dv"] for e in entries if e.get("dv")}
+        # Borrowed segments (absolute paths written by clone_table's shallow
+        # clone) are NEVER deleted: the bytes belong to the source table, and
+        # a clone's vacuum must not reach outside its own directory — the
+        # Delta CLONE contract (vacuum on a shallow clone leaves the source
+        # intact). They still drop out of the retained manifest normally.
+        doomed = sorted(s for s in all_segments - referenced if not os.path.isabs(s))
+        bytes_reclaimed = 0
+        for seg in doomed:
+            seg_dir = os.path.join(path, seg)
+            for root, _dirs, fs in os.walk(seg_dir):
+                bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+            shutil.rmtree(seg_dir, ignore_errors=True)
+        _write_manifest(path, kept_entries)
     return {
         "versions_removed": len(expired),
         "versions_kept": len(kept_entries),
@@ -1694,8 +1701,11 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with segment count, the inferred operation (append = previous "
         "segments carried forward + one new; overwrite = fresh list "
         "with a new segment; rollback = an existing list republished; "
-        "compaction entries carry their provenance marker), and the "
-        "version's row count read through its own snapshot. The "
+        "compaction entries carry their provenance marker), the "
+        "version's row count read through its own snapshot, and (r10) "
+        "the written_rows operationMetrics column — rows THE COMMIT "
+        "wrote, from footer metadata recorded at write time, NULL for "
+        "manifest-only commits like rollback. The "
         "operation classification and per-version contents are both "
         "oracle-pinned on the 4-version rollback fixture — the audit "
         "surface (who changed what, when) every lake format exposes "

@@ -186,6 +186,11 @@ HEADLINE = [
     "mv_query_rewrite",
     "dedup_doc_prefix",
     "stream_change_feed_live",
+    # round-10 additions: Hive-partitioned segments with stacked pruning,
+    # per-segment skip-decision observability, and targeted skew salting
+    "snapshot_partitioned_scan",
+    "snapshot_scan_metrics",
+    "join_salted_targeted",
 ]
 
 
