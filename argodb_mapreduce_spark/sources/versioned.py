@@ -212,19 +212,13 @@ def _segment_partition_cols(entry: dict, segments=None) -> dict[str, list]:
     return {s: pb[s] for s in segs if pb.get(s)}
 
 
-def _require_unpartitioned(entry: dict, op: str) -> None:
-    """Row-level DML, Z-ORDER, bin-packing, CDF and the Python
-    DataSource currently address files by flat-segment position; on a
-    Hive-partitioned table they must fail LOUD (a silent flat read
-    would drop the partition columns). ``compact()`` is the escape
-    hatch — it rewrites any version into one flat segment."""
-    parts = _segment_partition_cols(entry)
-    if parts:
-        raise ValueError(
-            f"{op} does not support Hive-partitioned segments yet "
-            f"(partitioned: {sorted(parts)}); compact() the table into a "
-            "flat segment first"
-        )
+def _carry_partition_by(entry: dict, kept_segments) -> dict:
+    """Partition-layout ledger entries for the segments a commit keeps
+    (DML rewrites emit FLAT new segments; reused partitioned segments
+    keep their recorded layout so reads keep per-segment basePath
+    discovery and pruning)."""
+    pb = entry.get("partition_by", {})
+    return {s: pb[s] for s in kept_segments if s in pb}
 
 
 # ---------------------------------------------------------------------------
@@ -972,19 +966,18 @@ def snapshot_read(
         # and break residual predicates on them).
         df = _read_segment_dirs(spark, path, all_names, entry, evolved).limit(0)
     else:
-        df = _read_segment_dirs(spark, path, names, entry, evolved)
-        if entry.get("dv"):
-            if _segment_partition_cols(entry, names):
-                raise ValueError(
-                    "deletion vectors over Hive-partitioned segments are "
-                    "not supported; compact() first"
-                )
-            df = _apply_deletion_vector(spark, path, entry["dv"], df)
+        dv_name = entry.get("dv")
+        df = _read_segment_dirs(
+            spark, path, names, entry, evolved, with_pos=bool(dv_name)
+        )
+        if dv_name:
+            df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
     return _apply_predicates(df, predicates)
 
 
 def _read_segment_dirs(
-    spark: SparkSession, path: str, segs, entry: dict, evolved: bool
+    spark: SparkSession, path: str, segs, entry: dict, evolved: bool,
+    with_pos: bool = False,
 ) -> DataFrame:
     """One DataFrame over a version's segment directories.
 
@@ -996,18 +989,34 @@ def _read_segment_dirs(
     name; Spark's partition-directory pruning then fires per branch
     (``PartitionFilters`` in each scan), stacking under the manifest's
     segment-level min/max + bloom skipping. Branch count is O(segments
-    of one version) — bounded by compaction, not by data."""
+    of one version) — bounded by compaction, not by data.
+
+    ``with_pos`` attaches the parquet row identity — ``__fp``
+    (_metadata.file_path) and ``__ri`` (_metadata.row_index) — PER
+    BRANCH before any union (``_metadata`` only resolves on a direct
+    file scan), so deletion vectors and touched-file discovery work
+    identically on flat and partitioned layouts."""
+
+    def _pos(df: DataFrame) -> DataFrame:
+        if not with_pos:
+            return df
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
     parts = _segment_partition_cols(entry, segs)
     if not parts:
         reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
-        return reader.parquet(*[os.path.join(path, s) for s in segs])
+        return _pos(reader.parquet(*[os.path.join(path, s) for s in segs]))
     frames = []
     for s in segs:
         seg_dir = os.path.join(path, s)
         reader = spark.read.option("basePath", seg_dir)
         if evolved:
             reader = reader.option("mergeSchema", "true")
-        frames.append(reader.parquet(seg_dir))
+        frames.append(_pos(reader.parquet(seg_dir)))
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f, allowMissingColumns=evolved)
@@ -1023,19 +1032,30 @@ def _apply_predicates(df: DataFrame, predicates) -> DataFrame:
     return df
 
 
-def _apply_deletion_vector(spark: SparkSession, path: str, dv_name: str, df: DataFrame) -> DataFrame:
-    """Merge-on-read: anti-join the scan against the version's deletion
-    vector on (file, row position). The DV is tiny relative to the data
-    (it lists deleted positions only), so it is broadcast — the same
-    asymmetry Delta's DV reader exploits; no shuffle of the fact side."""
+def _anti_join_dv(
+    spark: SparkSession, path: str, dv_name: str, probe: DataFrame
+) -> DataFrame:
+    """Merge-on-read: anti-join a position-carrying scan (``__fp``/
+    ``__ri`` from :func:`_read_segment_dirs` ``with_pos``) against the
+    version's deletion vector on (file, row position). The DV is tiny
+    relative to the data (it lists deleted positions only), so it is
+    broadcast — the same asymmetry Delta's DV reader exploits; no
+    shuffle of the fact side. Keeps ``__fp``/``__ri`` on the result for
+    callers that need them (DELETE's matched-position harvest)."""
     dv = spark.read.parquet(os.path.join(path, dv_name)).select("file_path", "row_index")
+    cond = (probe["__fp"] == dv["file_path"]) & (probe["__ri"] == dv["row_index"])
+    return probe.join(F.broadcast(dv), cond, "left_anti")
+
+
+def _apply_deletion_vector(spark: SparkSession, path: str, dv_name: str, df: DataFrame) -> DataFrame:
+    """DV anti-join for a DIRECT flat file scan (attaches ``_metadata``
+    itself — only resolvable on a non-union scan)."""
     probe = df.select(
         "*",
-        F.col("_metadata.file_path").alias("__dv_fp"),
-        F.col("_metadata.row_index").alias("__dv_ri"),
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
     )
-    cond = (probe["__dv_fp"] == dv["file_path"]) & (probe["__dv_ri"] == dv["row_index"])
-    return probe.join(F.broadcast(dv), cond, "left_anti").drop("__dv_fp", "__dv_ri")
+    return _anti_join_dv(spark, path, dv_name, probe).drop("__fp", "__ri")
 
 
 def versions(path: str) -> list[int]:
@@ -1291,6 +1311,10 @@ def rollback(path: str, to_version: int) -> int:
         # must keep them deleted.
         if by_version[to_version].get("dv"):
             entry["dv"] = by_version[to_version]["dv"]
+        # Restore the partition-layout ledger with the segment list:
+        # rolled-back partitioned segments must keep basePath reads.
+        if by_version[to_version].get("partition_by"):
+            entry["partition_by"] = dict(by_version[to_version]["partition_by"])
         entry["ts"] = _now()
         entries.append(entry)
         _write_manifest(path, entries)
@@ -1796,7 +1820,6 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     """
     entries = _read_manifest(path)
     latest = entries[-1]
-    _require_unpartitioned(latest, "delete_where")
     version = latest["version"] + 1
     dv_name = f"deletes-{version}"
     # Prune with the delete predicates, then read survivors DV-aware so
@@ -1808,18 +1831,19 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     ]
     frames = []
     if kept:
-        # Schema-evolution-aware scan (same ledger gate as snapshot_read).
+        # Schema-evolution-aware scan (same ledger gate as snapshot_read);
+        # with_pos attaches row identity per branch, so DELETE works on
+        # flat AND Hive-partitioned segments identically.
         ledger = latest.get("schemas", {})
         known = {json.dumps(ledger[s], sort_keys=True) for s in kept if s in ledger}
-        reader = (
-            spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
+        scan = _read_segment_dirs(
+            spark, path, kept, latest, evolved=len(known) > 1, with_pos=True
         )
-        scan = reader.parquet(*[os.path.join(path, s) for s in kept])
         if latest.get("dv"):
-            scan = _apply_deletion_vector(spark, path, latest["dv"], scan)
+            scan = _anti_join_dv(spark, path, latest["dv"], scan)
         matched = _apply_predicates(scan, predicates).select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("row_index"),
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
         )
         frames.append(matched)
     if latest.get("dv"):
@@ -1862,6 +1886,9 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     # same contract as the carried-forward min/max stats.
     if latest.get("bloom"):
         entry["bloom"] = dict(latest["bloom"])
+    # Same segment list: the partition-layout ledger carries verbatim.
+    if latest.get("partition_by"):
+        entry["partition_by"] = dict(latest["partition_by"])
     # The DV was computed against the version read above: OCC-gate the
     # commit so a concurrent append/delete cannot be half-tombstoned.
     _commit_entry(path, latest["version"], entry, cleanup_dirs=(dv_name,))
@@ -2176,6 +2203,15 @@ def change_feed(
             )
             frames.append(ins)
         elif is_delete:
+            if _segment_partition_cols(cur):
+                # Delete recovery reads individual parquet FILES; rows
+                # from a Hive-partitioned segment would silently lack
+                # the partition columns. Fail loud; snapshot_diff gives
+                # the full-fidelity (O(table)) delta.
+                raise ValueError(
+                    "change_feed cannot recover DV deletes over "
+                    "Hive-partitioned segments; use snapshot_diff"
+                )
             dv_cur = spark.read.parquet(os.path.join(path, cur["dv"])).select(
                 "file_path", "row_index"
             )
@@ -2434,47 +2470,53 @@ def merge_upsert(
     """
     entries = _read_manifest(path)
     latest = entries[-1]
-    _require_unpartitioned(latest, "merge_upsert")
     if latest.get("dv"):
         raise ValueError(
             "merge_upsert on a table with a pending deletion vector: "
             "compact() first to materialize it"
         )
     segs = latest["segments"]
-    tgt = spark.read.parquet(*[os.path.join(path, s) for s in segs])
+    tgt = _read_segment_dirs(spark, path, segs, latest, evolved=False, with_pos=True)
     keys = source.select(key_col).distinct()
     # metadata-collect: O(matched files) distinct paths — Delta's
     # touched-file discovery; rows are never collected.
     touched_files = [
         r.fp
-        for r in tgt.select(
-            F.col(key_col), F.col("_metadata.file_path").alias("fp")
-        )
+        for r in tgt.select(F.col(key_col), F.col("__fp").alias("fp"))
         .join(F.broadcast(keys), key_col, "inner")
         .select("fp")
         .distinct()
         .collect()
     ]
-    # Map each touched file to its segment by DIRECTORY identity —
-    # name-substring matching breaks on a shallow clone's absolute-path
-    # borrowed segments, silently skipping the rewrite and duplicating
-    # matched keys.
+    # Map each touched file to its segment by DIRECTORY ANCESTRY (a
+    # Hive-partitioned segment's files live under col=value/ subdirs;
+    # its segment dir is an ancestor, not the dirname) — name-substring
+    # matching breaks on a shallow clone's absolute-path borrowed
+    # segments, silently skipping the rewrite and duplicating matched
+    # keys.
     def _local(uri: str) -> str:
         return "/" + uri.split(":", 1)[-1].lstrip("/") if ":" in uri else uri
 
     seg_dirs = {s: os.path.realpath(os.path.join(path, s)) for s in segs}
-    touched_dirs = {os.path.realpath(os.path.dirname(_local(f))) for f in touched_files}
+    touched_paths = {os.path.realpath(_local(f)) for f in touched_files}
+    touched_set, unmatched = set(), set()
+    for fp in touched_paths:
+        owners = [s for s, d in seg_dirs.items() if fp.startswith(d + os.sep)]
+        if owners:
+            # longest dir wins if one segment path prefixes another
+            touched_set.add(max(owners, key=lambda s: len(seg_dirs[s])))
+        else:
+            unmatched.add(fp)
     # Fail LOUD if any touched file maps to no known segment (symlinked
     # temp roots, scheme normalization): silently dropping it would
     # leave matched keys in "untouched" segments and DUPLICATE rows
     # after the merge instead of upserting them.
-    unmatched = touched_dirs - set(seg_dirs.values())
     if unmatched:
         raise RuntimeError(
             f"merge_upsert: touched files resolve outside the table's "
             f"segments: {sorted(unmatched)} not in {sorted(seg_dirs.values())}"
         )
-    touched = sorted(s for s, d in seg_dirs.items() if d in touched_dirs)
+    touched = sorted(touched_set)
     untouched = [s for s in segs if s not in touched]
     version = latest["version"] + 1
     new_seg = f"data-{version}"
@@ -2486,13 +2528,9 @@ def merge_upsert(
         known = {
             json.dumps(ledger[s], sort_keys=True) for s in touched if s in ledger
         }
-        reader = (
-            spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
-        )
-        kept = (
-            reader.parquet(*[os.path.join(path, s) for s in touched])
-            .join(F.broadcast(keys), key_col, "left_anti")
-        )
+        kept = _read_segment_dirs(
+            spark, path, touched, latest, evolved=len(known) > 1
+        ).join(F.broadcast(keys), key_col, "left_anti")
         # Strict column match on uniform tables (a mis-shaped source
         # must fail loud); NULL-backfill only when the table itself is
         # schema-divergent and the merged read added columns.
@@ -2514,6 +2552,11 @@ def merge_upsert(
         "segments": [*untouched, new_seg],
         "stats": stats,
         "merged_from": latest["version"],
+        **(
+            {"partition_by": pb}
+            if (pb := _carry_partition_by(latest, untouched))
+            else {}
+        ),
         "schemas": {
             **{
                 s: v
@@ -2668,7 +2711,6 @@ def zorder_rewrite(
 
     entries = _read_manifest(path)
     latest = entries[-1]
-    _require_unpartitioned(latest, "zorder_rewrite")
     df = snapshot_read(spark, path, latest["version"])
     frame = df.agg(
         F.min(col_x).alias("xmn"),
@@ -2841,7 +2883,6 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     across mutations)."""
     entries = _read_manifest(path)
     latest = entries[-1]
-    _require_unpartitioned(latest, "update_where")
     if latest.get("dv"):
         raise ValueError(
             "update_where on a table with a pending deletion vector: "
@@ -2869,8 +2910,7 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         for s in touched
         if s in schemas_ledger
     }
-    reader = spark.read.option("mergeSchema", "true") if len(known) > 1 else spark.read
-    scan = reader.parquet(*[os.path.join(path, s) for s in touched])
+    scan = _read_segment_dirs(spark, path, touched, latest, evolved=len(known) > 1)
     match = None
     for col, op, lit in predicates:
         c = F.col(col)
@@ -2899,6 +2939,11 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         "stats": stats,
         "updated_from": latest["version"],
         "updated_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
+        **(
+            {"partition_by": pb}
+            if (pb := _carry_partition_by(latest, untouched))
+            else {}
+        ),
         "schemas": {
             **{s: v for s, v in latest.get("schemas", {}).items() if s in untouched},
             new_seg: {f.name: f.dataType.simpleString() for f in rewrite.schema.fields},
@@ -3337,7 +3382,6 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
     throughout."""
     entries = _read_manifest(path)
     latest = entries[-1]
-    _require_unpartitioned(latest, "compact_binpack")
     if latest.get("dv"):
         raise ValueError(
             "compact_binpack on a table with a pending deletion vector: "
@@ -3380,12 +3424,9 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
             seg = f"data-{version}-p{i}"
             # mergeSchema only if the bin's members actually diverge.
             known = {json.dumps(schemas[s], sort_keys=True) for s in b if s in schemas}
-            reader = (
-                spark.read.option("mergeSchema", "true")
-                if len(known) > 1
-                else spark.read
+            df = _read_segment_dirs(
+                spark, path, b, latest, evolved=len(known) > 1
             )
-            df = reader.parquet(*[os.path.join(path, s) for s in b])
             df.coalesce(1).write.mode("errorifexists").parquet(os.path.join(path, seg))
             new_segments.append(seg)
             new_stats[seg] = collect_segment_stats(os.path.join(path, seg))
@@ -3405,6 +3446,11 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
                 **{s: v for s, v in schemas.items() if s in carried},
                 **new_schemas,
             },
+            **(
+                {"partition_by": pb}
+                if (pb := _carry_partition_by(latest, carried))
+                else {}
+            ),
             "packed_from": latest["version"],
         }
         if bloom_cols:

@@ -442,28 +442,85 @@ def test_partition_null_sentinel_roundtrip(spark, tmp_path):
     assert snapshot_read(spark, path, predicates=[("k", "=", 1)]).count() == 6
 
 
-def test_partitioned_dml_fails_loud_compact_flattens(spark, part_table):
-    """File-positional ops refuse partitioned segments with a clear
-    error; compact() is the documented escape hatch — it rewrites to a
-    flat segment after which DML works again."""
-    from argodb_mapreduce_spark.sources.versioned import (
-        compact,
-        delete_where,
-        merge_upsert,
-        update_where,
-    )
+def test_partitioned_delete_where_dv(spark, part_table):
+    """Row-level DELETE works on Hive-partitioned segments: positions
+    are harvested per branch, the DV anti-join applies on the union
+    read, and the partition ledger carries so pruning keeps firing."""
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, delete_where
 
-    for op, call in [
-        ("delete_where", lambda: delete_where(spark, part_table, [("v", "<", 10)])),
-        ("update_where", lambda: update_where(spark, part_table, [("v", "<", 10)], {"v": F.lit(0)})),
-        ("merge_upsert", lambda: merge_upsert(spark, part_table, snapshot_read(spark, part_table).limit(1), "v")),
-    ]:
-        with pytest.raises(ValueError, match="partitioned"):
-            call()
-    compact(spark, part_table)
     _v, n = delete_where(spark, part_table, [("v", "<", 10)])
     assert n == 10
-    assert snapshot_read(spark, part_table).count() == 190
+    back = snapshot_read(spark, part_table)
+    assert back.count() == 190
+    assert back.filter(F.col("v") < 10).count() == 0
+    entry = _read_manifest(part_table)[-1]
+    assert entry["partition_by"]  # ledger carried through the DELETE
+    # partition pruning still fires on the DV-merged read
+    assert snapshot_read(spark, part_table, predicates=[("k", "=", 2)]).count() == 48
+    # a second, cumulative delete through the same partitioned path
+    _v, n2 = delete_where(spark, part_table, [("k", "=", 3), ("v", ">=", 196)])
+    assert n2 == 1  # v=199
+    assert snapshot_read(spark, part_table).count() == 189
+
+
+def test_partitioned_update_where(spark, part_table):
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, update_where
+
+    res = update_where(
+        spark, part_table, [("v", ">=", 150)], {"v": F.col("v") + 1000}
+    )
+    assert res["rows_updated"] == 50
+    # only the >=100 segment was touched; the other keeps its layout
+    assert res["segments_rewritten"] == 1
+    back = snapshot_read(spark, part_table)
+    assert back.count() == 200
+    assert back.filter(F.col("v") >= 1150).count() == 50
+    entry = _read_manifest(part_table)[-1]
+    assert "data-0" in entry["partition_by"]  # untouched keeps the ledger
+    assert snapshot_read(spark, part_table, predicates=[("k", "=", 1)]).count() == 50
+
+
+def test_partitioned_merge_upsert(spark, part_table):
+    """MERGE maps touched files to partitioned segments by directory
+    ANCESTRY (files live under k=value subdirs) and rewrites only the
+    touched segment — no duplicate rows, untouched layout carried."""
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, merge_upsert
+
+    source = spark.range(150, 160).select(
+        F.col("id").alias("v"), F.lit(9).cast("int").alias("k")
+    )
+    merge_upsert(spark, part_table, source, "v")
+    back = snapshot_read(spark, part_table)
+    assert back.count() == 200  # pure upsert of existing keys
+    assert back.filter((F.col("v") >= 150) & (F.col("v") < 160) & (F.col("k") == 9)).count() == 10
+    assert back.select("v").distinct().count() == 200  # no duplicates
+    entry = _read_manifest(part_table)[-1]
+    assert "data-0" in entry["partition_by"]  # untouched segment carried
+
+
+def test_partitioned_rollback_restores_layout(spark, part_table):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact,
+        rollback,
+    )
+
+    compact(spark, part_table)  # v2: flat
+    assert "partition_by" not in _read_manifest(part_table)[-1]
+    rollback(part_table, 1)  # restore the partitioned version
+    entry = _read_manifest(part_table)[-1]
+    assert set(entry["partition_by"]) == {"data-0", "data-1"}
+    assert snapshot_read(spark, part_table, predicates=[("k", "=", 0)]).count() == 50
+
+
+def test_partitioned_change_feed_delete_fails_loud(spark, part_table):
+    from argodb_mapreduce_spark.sources.versioned import change_feed, delete_where
+
+    delete_where(spark, part_table, [("v", "<", 5)])
+    feed = change_feed(spark, part_table, 0, 1)  # pure append span: fine
+    assert feed.count() == 100
+    with pytest.raises(ValueError, match="snapshot_diff"):
+        change_feed(spark, part_table, 1, 2).count()
 
 
 def test_partitioned_clone_keeps_layout(spark, part_table, tmp_path):
