@@ -111,7 +111,39 @@ def _ops():
         "stream_versioned_ingest": _stream_ingest_op,
         "stream_change_feed_live": _stream_cdf_op,
         "stream_mv_maintenance": _stream_mv_op,
+        # round-10: the Hive-partitioned store lifecycle (2 partitioned
+        # appends + a stacked-prune scan + a partitioned DELETE + a
+        # post-delete pruned read)
+        "partitioned_store_lifecycle": _partitioned_lifecycle,
     }
+
+
+def _partitioned_lifecycle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        snapshot_read,
+        versioned_write,
+    )
+
+    out = _fresh_dir("scale_hivepart_")
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    for part in (o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)):
+        versioned_write(part, out, partition_by=("o_orderpriority",))
+    import datetime as dt
+
+    preds = [
+        ("o_orderdate", ">=", dt.datetime(1998, 1, 1)),
+        ("o_orderpriority", "=", "1-URGENT"),
+    ]
+    n1 = snapshot_read(spark, out, predicates=preds).count()
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return snapshot_read(spark, out, predicates=preds).agg(
+        F.count(F.lit(1)).alias("n_after"), F.lit(n1).alias("n_before")
+    )
 
 
 def _stream_ingest_op(spark, sf_dir):
