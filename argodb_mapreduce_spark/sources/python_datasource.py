@@ -121,10 +121,10 @@ def make_versioned_datasource():
         if any(entry.get("partition_by", {}).get(s) for s in entry["segments"]):
             # A flat listdir of a Hive-partitioned segment would find no
             # files (or drop partition columns) — fail loud, never serve
-            # a silently wrong scan. compact() flattens the table.
+            # a silently wrong scan.
             raise ValueError(
                 "the Python DataSource does not support Hive-partitioned "
-                "segments yet; compact() the table first"
+                "segments yet; compact(flatten=True) the table first"
             )
         files, file_stats = [], {}
         for seg in entry["segments"]:

@@ -876,7 +876,12 @@ def versioned_write(
 
 
 def versioned_write_txn(
-    df: DataFrame, path: str, app_id: str, batch_id: int, mode: str = "append"
+    df: DataFrame,
+    path: str,
+    app_id: str,
+    batch_id: int,
+    mode: str = "append",
+    partition_by=(),
 ) -> tuple[int, bool]:
     """Idempotent transactional write: ``(version, committed)``.
 
@@ -906,7 +911,11 @@ def versioned_write_txn(
         return entries[-1]["version"], False
     try:
         version = versioned_write(
-            df, path, mode=mode, _txn={"app_id": app_id, "batch_id": batch_id}
+            df,
+            path,
+            mode=mode,
+            partition_by=partition_by,
+            _txn={"app_id": app_id, "batch_id": batch_id},
         )
     except _TxnDuplicate as dup:
         # Authoritative check under the commit lock: a concurrent replay
@@ -1124,12 +1133,19 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def compact(spark: SparkSession, path: str) -> int:
+def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
     """OPTIMIZE-style segment compaction: rewrite the latest version's
     segments into one, publish it as a new version. Data is unchanged;
     older versions keep referencing the original segments, so time
     travel still works — exactly how Delta OPTIMIZE / Iceberg rewrite
     interact with snapshots. Returns the new version number.
+
+    Partition layout is PRESERVED when the version's segments share one
+    (Delta OPTIMIZE compacts within partitions, it never un-partitions
+    a table); pass ``flatten=True`` to deliberately rewrite into a flat
+    segment — the escape hatch the Python DataSource and CDF
+    delete-recovery point at. A mixed flat/partitioned version always
+    flattens (there is no single layout to preserve).
 
     At scale this is the small-file problem's fix: manifest-pinned
     rewrites compact thousands of append segments without blocking
@@ -1139,28 +1155,37 @@ def compact(spark: SparkSession, path: str) -> int:
     latest = entries[-1]
     version = latest["version"] + 1
     segment = f"data-{version}"
+    layouts = {
+        tuple(latest.get("partition_by", {}).get(s, ())) for s in latest["segments"]
+    }
+    keep_layout = () if flatten or len(layouts) != 1 else next(iter(layouts))
     # Read THROUGH the snapshot reader so a pending deletion vector is
     # materialized: the compacted segment physically excludes deleted
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
     # absorbs DVs into rewritten files.
     compacted = snapshot_read(spark, path, latest["version"])
-    compacted.coalesce(1).write.mode("errorifexists").parquet(
-        os.path.join(path, segment)
-    )
+    writer = compacted.coalesce(1).write.mode("errorifexists")
+    if keep_layout:
+        writer = writer.partitionBy(*keep_layout)
+    writer.parquet(os.path.join(path, segment))
+    schema = {f.name: f.dataType.simpleString() for f in compacted.schema.fields}
+    stats = collect_segment_stats(os.path.join(path, segment))
+    if keep_layout:
+        stats.update(_partition_stats(os.path.join(path, segment), keep_layout, schema))
     entry = {
         "version": version,
         "segments": [segment],
         "compacted_from": latest["version"],
         # The rewritten segment gets fresh footer stats — compaction
         # must not silently turn off data skipping for the table.
-        "stats": {segment: collect_segment_stats(os.path.join(path, segment))},
+        "stats": {segment: stats},
         "metrics": _segment_file_metrics(os.path.join(path, segment)),
         # One uniform rewritten segment: record its schema so later
         # appends keep type enforcement (an absent ledger would skip it).
-        "schemas": {
-            segment: {f.name: f.dataType.simpleString() for f in compacted.schema.fields}
-        },
+        "schemas": {segment: schema},
     }
+    if keep_layout:
+        entry["partition_by"] = {segment: list(keep_layout)}
     # Rebuild blooms for whichever columns the table was tracking, so
     # compaction keeps point-lookup skipping alive too.
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})

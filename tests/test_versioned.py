@@ -505,7 +505,7 @@ def test_partitioned_rollback_restores_layout(spark, part_table):
         rollback,
     )
 
-    compact(spark, part_table)  # v2: flat
+    compact(spark, part_table, flatten=True)  # v2: deliberately flat
     assert "partition_by" not in _read_manifest(part_table)[-1]
     rollback(part_table, 1)  # restore the partitioned version
     entry = _read_manifest(part_table)[-1]
@@ -591,3 +591,72 @@ def test_history_written_rows_metrics(spark, tmp_path):
     assert "metrics" not in entries[2]  # rollback wrote no data
     assert entries[0]["metrics"]["num_files"] >= 1
     assert entries[0]["metrics"]["bytes"] > 0
+
+
+
+def test_compact_preserves_partition_layout(spark, part_table):
+    """OPTIMIZE semantics: compacting a uniformly partitioned version
+    keeps the Hive layout (fresh partition-col stats included);
+    flatten=True is the explicit un-partitioning escape hatch."""
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, compact
+
+    v = compact(spark, part_table)
+    entry = _read_manifest(part_table)[-1]
+    seg = entry["segments"][0]
+    assert entry["partition_by"] == {seg: ["k"]}
+    assert entry["stats"][seg]["k"] == [0, 3]  # dir-name stats refreshed
+    assert os.path.isdir(os.path.join(part_table, seg, "k=2"))
+    df = snapshot_read(spark, part_table, predicates=[("k", "=", 2)])
+    assert df.count() == 50
+    assert compact(spark, part_table, flatten=True) == v + 1
+    assert "partition_by" not in _read_manifest(part_table)[-1]
+    assert snapshot_read(spark, part_table).count() == 200
+
+
+def test_txn_sink_writes_partitioned(spark, tmp_path):
+    """The exactly-once txn write composes with the Hive layout: the
+    replay is refused and the committed segment is partitioned."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        versioned_write_txn,
+    )
+
+    path = str(tmp_path / "txn_part")
+    df = spark.range(40).select(F.col("id").alias("v"), (F.col("id") % 2).cast("int").alias("k"))
+    v, committed = versioned_write_txn(df, path, "app", 0, partition_by=("k",))
+    assert committed
+    _v2, replay = versioned_write_txn(df, path, "app", 0, partition_by=("k",))
+    assert not replay
+    entry = _read_manifest(path)[-1]
+    assert entry["partition_by"] == {"data-0": ["k"]}
+    assert snapshot_read(spark, path, predicates=[("k", "=", 1)]).count() == 20
+
+
+def test_many_concurrent_writers_stress(spark, tmp_path):
+    """4 threads x 3 appends racing one table: every commit lands,
+    versions are gapless, every referenced segment exists, and the
+    final row count equals the sum of all appends."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest
+
+    path = str(tmp_path / "stress")
+    versioned_write(spark.range(0, 10).withColumnRenamed("id", "k"), path)
+
+    def writer(i):
+        got = []
+        for j in range(3):
+            lo = 1000 * (i + 1) + 100 * j
+            got.append(_append(spark, path, lo, lo + 10))
+        return got
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        all_versions = sorted(v for vs in ex.map(writer, range(4)) for v in vs)
+    assert all_versions == list(range(1, 13))
+    entries = _read_manifest(path)
+    assert [e["version"] for e in entries] == list(range(13))
+    for e in entries:
+        for seg in e["segments"]:
+            assert os.path.isdir(os.path.join(path, seg))
+    assert snapshot_read(spark, path).count() == 10 + 12 * 10
+    assert not any(d.startswith("_staged") for d in os.listdir(path))
