@@ -85,6 +85,7 @@ _PRIORITY = (
     "snapshot_partitioned_scan",  # Hive layout: 3-level stacked pruning
     "snapshot_scan_metrics",      # per-segment skip decisions, queryable
     "join_salted_targeted",       # stats-driven hot-key-only salting
+    "snapshot_expect_quarantine", # DLT-style expectation-gated ingest
     # --- (a cont.) code changed in round 10: re-earn the rows ---
     "snapshot_bloom_pruned_scan", # bloom build moved executor-side
     "snapshot_history",           # written_rows operationMetrics column
@@ -135,7 +136,8 @@ _PRIORITY = (
     "similarity_ivf_recall",
     "similarity_ivf_topk",
     "sink_merge_upsert",
-    "sketch_count_min",
+    # (sketch_count_min, displaced by snapshot_expect_quarantine, leads
+    # the r11 rotation with the 13 remaining r04-tier rows.)
 )
 
 

@@ -658,6 +658,77 @@ def _check_constraints(spark: SparkSession, path: str, seg_path: str) -> None:
         )
 
 
+def versioned_write_expect(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    on_violation: str = "quarantine",
+    quarantine_path: str | None = None,
+) -> dict:
+    """Expectation-gated ingest (Delta Live Tables ``EXPECT ... ON
+    VIOLATION DROP/QUARANTINE``): rows violating ANY of the table's
+    registered CHECK constraints are split out BEFORE the commit
+    instead of failing the whole batch — the behavior a 100 TB daily
+    ingest actually wants, where 0.1% malformed rows must not block the
+    day's data.
+
+    * ``on_violation="drop"`` — discard violating rows, report counts;
+    * ``on_violation="quarantine"`` — land them (tagged with a
+      ``_violated`` column naming every failed constraint) in a sidecar
+      VERSIONED table (default ``<path>_quarantine``) for triage and
+      replay;
+    * ``on_violation="fail"`` — plain :func:`versioned_write` (the
+      refuse-the-batch contract ``snapshot_check_constraint`` pins).
+
+    NULL check results count as violations, per the SQL standard and
+    the fail path's semantics. Cost: the batch (never the table) is
+    scanned once per output — the same two-pass price DLT pays; persist
+    the input upstream if it is expensive to recompute. Returns
+    ``{"version", "rows_committed", "rows_violating",
+    "quarantine_version"}``."""
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(f"on_violation must be fail|drop|quarantine, got {on_violation!r}")
+    cons = _read_constraints(path)
+    if on_violation == "fail" or not cons:
+        version = versioned_write(df, path, mode=mode)
+        committed = _read_manifest(path)[-1]["metrics"]["num_rows"]
+        return {
+            "version": version,
+            "rows_committed": committed,
+            "rows_violating": 0,
+            "quarantine_version": None,
+        }
+    tagged = df.withColumn(
+        "_violated",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(F.expr(e), F.lit(False)), F.lit(name))
+                    for name, e in sorted(cons.items())
+                ]
+            )
+        ),
+    )
+    ok = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    bad = tagged.filter(F.size("_violated") > 0)
+    version = versioned_write(ok, path, mode=mode)
+    committed = _read_manifest(path)[-1]["metrics"]["num_rows"]
+    q_version = None
+    n_bad = 0
+    if on_violation == "quarantine":
+        qp = quarantine_path or (path.rstrip("/") + "_quarantine")
+        q_version = versioned_write(bad, qp, mode="append")
+        n_bad = _read_manifest(qp)[-1]["metrics"]["num_rows"]
+    else:
+        n_bad = bad.count()
+    return {
+        "version": version,
+        "rows_committed": committed,
+        "rows_violating": n_bad,
+        "quarantine_version": q_version,
+    }
+
+
 def versioned_write(
     df: DataFrame,
     path: str,
@@ -3369,6 +3440,81 @@ def snapshot_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(summary["refused"]["update"]).alias("update_refused"),
         F.lit(summary["head_unchanged"]).alias("head_unchanged"),
     )
+
+
+#: Expectation threshold for the quarantine fixture (distribution-stable
+#: across TPC-H scale factors: both sides are always non-empty).
+_EXPECT_PRICE_CAP = 150000.0
+
+
+def _build_expect_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """A fresh table with two CHECK constraints (one violated by ~half
+    the batch, one never) ingested through versioned_write_expect with
+    quarantine routing. Deterministic, idempotent."""
+    out = _scratch(sf_dir) + "_expect"
+    qp = out + "_quarantine"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and os.path.exists(os.path.join(qp, MANIFEST))
+    ):
+        return out, qp
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(qp, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    add_constraint(spark, out, "price_cap", f"o_totalprice < {_EXPECT_PRICE_CAP}")
+    add_constraint(spark, out, "priority_present", "o_orderpriority IS NOT NULL")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write_expect(o, out, on_violation="quarantine", quarantine_path=qp)
+    return out, qp
+
+
+@register(
+    "snapshot_expect_quarantine",
+    oracle=f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_totalprice < {_EXPECT_PRICE_CAP}) AS n_committed,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+             WHERE o_totalprice < {_EXPECT_PRICE_CAP}) AS sum_key_committed,
+           CAST(COUNT(*) AS BIGINT) AS n_quarantined,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_quarantined,
+           'price_cap' AS violated_tag
+    FROM orders WHERE NOT (o_totalprice < {_EXPECT_PRICE_CAP})
+    """,
+    tags=("sink", "snapshot", "constraint", "data-quality", "quarantine"),
+    doc=(
+        "Expectation-gated ingest (Delta Live Tables EXPECT ... ON "
+        "VIOLATION): instead of refusing the whole batch (the "
+        "snapshot_check_constraint contract), versioned_write_expect "
+        "splits rows violating any registered CHECK constraint out of "
+        "the commit and lands them in a sidecar VERSIONED quarantine "
+        "table, tagged with every constraint they failed — the ingest "
+        "behavior a 100 TB daily pipeline needs when 0.1% malformed "
+        "rows must not block the day. Both tables' contents AND the "
+        "violation attribution (only price_cap fires; the always-true "
+        "priority_present never taints the tag) are oracle-pinned."
+    ),
+)
+def snapshot_expect_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the split is two codegen predicate scans of the BATCH
+    (never the table) — the same two-pass price DLT expectations pay;
+    the quarantine lands through the ordinary versioned commit, so
+    triage/replay gets time travel and CDF for free."""
+    out, qp = _build_expect_fixture(spark, sf_dir)
+    committed = snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_committed"),
+        F.sum("o_orderkey").cast("long").alias("sum_key_committed"),
+    )
+    quarantined = snapshot_read(spark, qp).agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.sum("o_orderkey").cast("long").alias("sum_key_quarantined"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_violated")))), ","
+        ).alias("violated_tag"),
+    )
+    return committed.crossJoin(quarantined)
 
 
 # ---------------------------------------------------------------------------

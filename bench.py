@@ -191,6 +191,7 @@ HEADLINE = [
     "snapshot_partitioned_scan",
     "snapshot_scan_metrics",
     "join_salted_targeted",
+    "snapshot_expect_quarantine",
 ]
 
 

@@ -660,3 +660,45 @@ def test_many_concurrent_writers_stress(spark, tmp_path):
             assert os.path.isdir(os.path.join(path, seg))
     assert snapshot_read(spark, path).count() == 10 + 12 * 10
     assert not any(d.startswith("_staged") for d in os.listdir(path))
+
+
+def test_expect_write_modes(spark, tmp_path):
+    """drop discards with counts; quarantine lands tagged rows in a
+    versioned sidecar; fail refuses the batch; NULL checks violate."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        versioned_write_expect,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("checked"),
+    )
+    # drop mode
+    p1 = str(tmp_path / "t_drop")
+    os.makedirs(p1)
+    add_constraint(spark, p1, "c1", "checked IS NOT NULL AND checked < 15")
+    res = versioned_write_expect(df, p1, on_violation="drop")
+    # violations: nulls {0,5,10,15} plus {16..19} (15 already null) = 8
+    assert (res["rows_committed"], res["rows_violating"]) == (12, 8)
+    assert snapshot_read(spark, p1).count() == 12
+    assert res["quarantine_version"] is None
+    # quarantine mode: tagged rows land in a versioned sidecar
+    p2 = str(tmp_path / "t_quar")
+    os.makedirs(p2)
+    add_constraint(spark, p2, "nonnull", "checked IS NOT NULL")
+    add_constraint(spark, p2, "small", "v < 15")
+    res = versioned_write_expect(df, p2, on_violation="quarantine")
+    quar = snapshot_read(spark, p2 + "_quarantine")
+    assert res["rows_violating"] == quar.count() == 20 - res["rows_committed"]
+    both = quar.filter(
+        (F.size("_violated") == 2)
+    ).count()
+    assert both == 1  # v=15 is null-checked AND >= 15
+    # fail mode delegates to the refusing path
+    with pytest.raises(ConstraintViolation):
+        versioned_write_expect(df, p2, on_violation="fail")
+    # bad mode name fails loud
+    with pytest.raises(ValueError, match="on_violation"):
+        versioned_write_expect(df, p2, on_violation="ignore")
