@@ -1392,3 +1392,122 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# CDF-driven dedup-index maintenance (round 10): the storage layer and
+# the LLM-pipeline layer composed — subscribe to a versioned documents
+# table's CHANGE DATA FEED and keep a STORED MinHash band index current
+# at O(changes) per commit, never re-signing the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _band_index_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) for a set of documents — MinHash is
+    per-document (no corpus coupling, unlike tf-idf), which is exactly
+    why the index maintains incrementally."""
+    shingles = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {SHINGLE_K}), i -> concat_ws(' ', slice(tk, i + 1, {SHINGLE_K})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    return _band_table(_minhash_signature(shingles))
+
+
+def _build_cdf_index_fixture(spark: SparkSession, sf_dir: str):
+    """documents as a 2-version versioned table (80% base + 20% append)
+    with a STORED band index maintained from the change feed."""
+    import os
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        change_feed,
+        snapshot_read,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
+    docs_tbl = os.path.join(root, "docs_cdf_store")
+    idx_tbl = os.path.join(root, "docs_band_index")
+    src = table_path(sf_dir, "documents")
+    if (
+        not fixture_stale(src, os.path.join(idx_tbl, MANIFEST))
+        and os.path.exists(os.path.join(docs_tbl, MANIFEST))
+        and len(versions(idx_tbl)) == 2
+    ):
+        return docs_tbl, idx_tbl
+    import shutil
+
+    shutil.rmtree(docs_tbl, ignore_errors=True)
+    shutil.rmtree(idx_tbl, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versioned_write(docs.filter(F.col("doc_id") % 5 != 0), docs_tbl)  # v0: 80%
+    # index v0: sign the BASE corpus once
+    versioned_write(_band_index_for(snapshot_read(spark, docs_tbl, 0)), idx_tbl)
+    # day-2 ingest lands on the docs table...
+    versioned_write(docs.filter(F.col("doc_id") % 5 == 0), docs_tbl, mode="append")
+    # ...and the maintenance job consumes ONLY the change feed: the new
+    # docs' bands append to the index — O(changes), the corpus is never
+    # re-signed (MinHash has no corpus-level term like idf).
+    delta = change_feed(spark, docs_tbl, 0, 1).filter(
+        F.col("_change_type") == "insert"
+    ).select("doc_id", "text")
+    versioned_write(_band_index_for(delta), idx_tbl, mode="append")
+    return docs_tbl, idx_tbl
+
+
+@register(
+    "dedup_index_cdf_maintenance",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIGNATURE})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS n_buckets,
+           TRUE AS incremental_equals_full
+    FROM ({_sql_band_table()}) GROUP BY band
+    """,
+    tags=("dedup", "minhash", "snapshot", "cdc", "incremental"),
+    doc=(
+        "CDF-DRIVEN INDEX MAINTENANCE (r10): the dedup band index lives "
+        "as a versioned table; a day-2 append to the documents table is "
+        "consumed through the CHANGE DATA FEED and ONLY the new docs "
+        "are shingled/signed/banded and appended to the index — the "
+        "O(changes) maintenance contract an MV gives aggregates, here "
+        "for the LSH index a 100 TB dedup pipeline keeps hot. The "
+        "incrementally-maintained index is proven EQUAL to a "
+        "from-scratch index over the full corpus (exceptAll both ways, "
+        "flag oracle-pinned) and its per-band entry/bucket counts are "
+        "hash-checked against the oracle's full recompute."
+    ),
+)
+def dedup_index_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per commit the maintenance cost is the delta's shingling
+    (O(new docs)) + one manifest append; the stored index is
+    band-bucket-joinable for O(batch) probe dedup (dedup_incremental)
+    without ever rebuilding. The storage seam (versioned store + CDF)
+    and the pipeline seam (MinHash LSH) compose with no new machinery."""
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    docs_tbl, idx_tbl = _build_cdf_index_fixture(spark, sf_dir)
+    idx = snapshot_read(spark, idx_tbl)  # v1: base build + CDF delta
+    full = _band_index_for(snapshot_read(spark, docs_tbl))
+    equal = (
+        idx.exceptAll(full).limit(1).count() == 0
+        and full.exceptAll(idx).limit(1).count() == 0
+    )
+    return idx.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("band_hash").alias("n_buckets"),
+        F.lit(equal).alias("incremental_equals_full"),
+    )

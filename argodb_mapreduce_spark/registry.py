@@ -86,6 +86,7 @@ _PRIORITY = (
     "snapshot_scan_metrics",      # per-segment skip decisions, queryable
     "join_salted_targeted",       # stats-driven hot-key-only salting
     "snapshot_expect_quarantine", # DLT-style expectation-gated ingest
+    "dedup_index_cdf_maintenance", # CDF-maintained stored LSH index
     # --- (a cont.) code changed in round 10: re-earn the rows ---
     "snapshot_bloom_pruned_scan", # bloom build moved executor-side
     "snapshot_history",           # written_rows operationMetrics column
@@ -135,9 +136,9 @@ _PRIORITY = (
     "q1_pricing_summary",
     "similarity_ivf_recall",
     "similarity_ivf_topk",
-    "sink_merge_upsert",
-    # (sketch_count_min, displaced by snapshot_expect_quarantine, leads
-    # the r11 rotation with the 13 remaining r04-tier rows.)
+    # (sink_merge_upsert and sketch_count_min, displaced by the two
+    # late-r10 ops above, lead the r11 rotation with the 13 remaining
+    # r04-tier rows.)
 )
 
 

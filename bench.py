@@ -192,6 +192,7 @@ HEADLINE = [
     "snapshot_scan_metrics",
     "join_salted_targeted",
     "snapshot_expect_quarantine",
+    "dedup_index_cdf_maintenance",
 ]
 
 
