@@ -115,7 +115,60 @@ def _ops():
         # appends + a stacked-prune scan + a partitioned DELETE + a
         # post-delete pruned read)
         "partitioned_store_lifecycle": _partitioned_lifecycle,
+        # round-10: expectation-gated ingest and CDF-driven index upkeep
+        "expect_quarantine_lifecycle": _expect_lifecycle,
+        "cdf_index_maintenance_lifecycle": _cdf_index_lifecycle,
     }
+
+
+def _expect_lifecycle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        snapshot_read,
+        versioned_write_expect,
+    )
+
+    out = _fresh_dir("scale_expect_")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    add_constraint(spark, out, "price_cap", "o_totalprice < 150000.0")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write_expect(o, out, on_violation="quarantine")
+    return snapshot_read(spark, out).agg(F.count(F.lit(1)).alias("n_ok")).crossJoin(
+        snapshot_read(spark, out + "_quarantine").agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+
+
+def _cdf_index_lifecycle(spark, sf_dir):
+    """Base index build is the dominant fixed term; the measured claim
+    is the MAINTENANCE leg staying O(delta) — asserted structurally in
+    tests; here the whole lifecycle (build + append + CDF upkeep +
+    equality probe) must stay ~linear."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.dedup import _band_index_for
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        snapshot_read,
+        versioned_write,
+    )
+
+    docs_tbl = _fresh_dir("scale_cdfdocs_")
+    idx_tbl = _fresh_dir("scale_cdfidx_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versioned_write(docs.filter(F.col("doc_id") % 5 != 0), docs_tbl)
+    versioned_write(_band_index_for(snapshot_read(spark, docs_tbl, 0)), idx_tbl)
+    versioned_write(docs.filter(F.col("doc_id") % 5 == 0), docs_tbl, mode="append")
+    delta = change_feed(spark, docs_tbl, 0, 1).filter(
+        F.col("_change_type") == "insert"
+    ).select("doc_id", "text")
+    versioned_write(_band_index_for(delta), idx_tbl, mode="append")
+    return snapshot_read(spark, idx_tbl).groupBy("band").count()
 
 
 def _partitioned_lifecycle(spark, sf_dir):
