@@ -30,3 +30,69 @@ def test_cdf_index_maintenance_is_o_changes(spark, sf_dir):
         (F.col("doc_id") % 5 != 0) & (F.size(F.split("text", " ")) >= SHINGLE_K)
     ).count()
     assert entries[0]["metrics"]["num_rows"] == n_base_docs * N_BANDS
+
+
+def test_targeted_salted_join_plan_shapes(spark, sf_dir):
+    """The hot-key set and detection stats ride BROADCAST joins (never
+    a shuffle of the fact side for metadata), and the plan is a union
+    of the cold single-copy join and the salted hot join."""
+    from argodb_mapreduce_spark.operators.merge import targeted_salted_join
+    from argodb_mapreduce_spark.plans.checks import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    df = targeted_salted_join(li, o, "l_orderkey", "o_orderkey")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan  # hot tagging + semi + stats
+    assert "Union" in plan  # cold branch + hot branch
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_rewrite_on_partitioned_table(spark, tmp_path):
+    """OPTIMIZE ZORDER reads a partitioned table through the snapshot
+    reader (union of basePath branches) and rewrites flat z-segments —
+    the clustered layout replaces the Hive layout by design."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        snapshot_read,
+        versioned_write,
+        zorder_rewrite,
+    )
+
+    path = str(tmp_path / "zpart")
+    df = spark.range(400).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 37) % 400).alias("y"),
+        (F.col("id") % 4).cast("int").alias("k"),
+    )
+    versioned_write(df, path, partition_by=("k",))
+    v = zorder_rewrite(spark, path, "x", "y")
+    entry = _read_manifest(path)[-1]
+    assert entry["version"] == v and "partition_by" not in entry
+    back = snapshot_read(spark, path)
+    assert back.count() == 400
+    assert sorted(back.columns) == ["k", "x", "y"]  # partition col kept as data
+    assert back.groupBy("k").count().count() == 4
+
+
+def test_binpack_on_partitioned_table(spark, tmp_path):
+    """Bin-packing reads small partitioned segments through the union
+    helper, rewrites them flat, and carries any unpacked partitioned
+    segment with its layout ledger intact."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact_binpack,
+        snapshot_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "bp_part")
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("v"), (F.col("id") % 3).cast("int").alias("k")
+        )
+        versioned_write(df, path, partition_by=("k",))
+    res = compact_binpack(spark, path, target_bytes=1 << 30)  # all bins pack
+    assert res["bins_rewritten"] >= 1
+    assert snapshot_read(spark, path).count() == 300
+    assert snapshot_read(spark, path).select("v").distinct().count() == 300
