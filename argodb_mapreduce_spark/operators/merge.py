@@ -187,13 +187,14 @@ def join_salted_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    joined = targeted_salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
-    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
-    hot_n = cnt.crossJoin(
-        F.broadcast(cnt.agg((F.sum("c") / F.count(F.lit(1))).alias("mean")))
-    ).filter(F.col("c") > 1.5 * F.col("mean")).agg(
-        F.count(F.lit(1)).alias("n_hot_keys")
+    # Detect ONCE; the join reuses the set (the stored-stats pattern)
+    # and n_hot_keys aggregates the same frame — one detection shuffle
+    # per query, not two.
+    hot = detect_hot_keys(li, "l_orderkey", hot_factor=1.5)
+    joined = targeted_salted_join(
+        li, o, "l_orderkey", "o_orderkey", n_salts=8, hot_keys=hot
     )
+    hot_n = hot.agg(F.count(F.lit(1)).alias("n_hot_keys"))
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty")
     ).crossJoin(F.broadcast(hot_n))

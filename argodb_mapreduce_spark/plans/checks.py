@@ -61,6 +61,11 @@ def scan_metrics(df: DataFrame) -> list[dict]:
     actually reduced the planned file set, not just the plan text."""
 
     def _leaves(node, acc):
+        # AdaptiveSparkPlanExec is a leaf node wrapping the real plan:
+        # without unwrapping, any AQE-finalized query (anything with an
+        # exchange) would silently report no scans at all.
+        if "AdaptiveSparkPlan" in node.getClass().getSimpleName():
+            return _leaves(node.executedPlan(), acc)
         n = node.children().size()
         if n == 0:
             acc.append(node)

@@ -74,10 +74,12 @@ _QUERY_MODULES = (
 #: slots of staleness rotation, oldest banked evidence first. After r9
 #: the staleness floor was r03: exactly 14 rows (measured from the
 #: CORRECTNESS union, not the 4 COVERAGE.md once claimed — both now
-#: corrected per the r9 verdict); ALL 14 rotate in below, then the 26
-#: alphabetically-first r04-tier rows fill the window, leaving a
-#: post-r10 floor of r04 (13 rows: sketch_rollup_hll onward, which
-#: lead the r11 rotation). tests/test_round8_ops.py asserts
+#: corrected per the r9 verdict); ALL 14 rotate in below, then the 24
+#: alphabetically-first r04-tier rows fill the window (12 new/changed +
+#: 14 + 24 = 50), leaving a post-r10 floor of r04 (15 rows:
+#: sink_merge_upsert, sketch_count_min, and the 13 from
+#: sketch_rollup_hll onward, which lead the r11 rotation).
+#: tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
@@ -111,7 +113,7 @@ _PRIORITY = (
     "split_train_val_test",
     "text_repetition_ratio",
     "vocab_coverage",
-    # --- (b cont.) the 26 alphabetically-first r04-tier rows ---
+    # --- (b cont.) the 24 alphabetically-first r04-tier rows ---
     "curation_pipeline",
     "data_mixture_sample",
     "dedup_exact",
@@ -138,7 +140,7 @@ _PRIORITY = (
     "similarity_ivf_topk",
     # (sink_merge_upsert and sketch_count_min, displaced by the two
     # late-r10 ops above, lead the r11 rotation with the 13 remaining
-    # r04-tier rows.)
+    # r04-tier rows — 15 r04-tier rows total after r10.)
 )
 
 

@@ -108,11 +108,21 @@ def collect_segment_stats(seg_path: str) -> dict[str, list]:
     column, never correctness. Mirrors how Iceberg builds its manifest
     ``lower_bounds``/``upper_bounds`` from file metadata at commit time.
     """
+    return _segment_stats_and_metrics(seg_path)[0]
+
+
+def _segment_stats_and_metrics(seg_path: str) -> tuple[dict, dict]:
+    """(min/max stats, operationMetrics) in ONE footer pass — a
+    many-file segment (the small-file ingest shape) must not pay the
+    footer I/O twice per commit."""
     import pyarrow.parquet as pq
 
     lo: dict[str, object] = {}
     hi: dict[str, object] = {}
     dropped: set[str] = set()
+    n_files = 0
+    n_rows = 0
+    n_bytes = 0
     # Recursive: a Hive-partitioned segment keeps its files under k=v
     # subdirectories; partition-COLUMN stats come from the dir names
     # (_partition_stats), the footer stats here cover the data columns.
@@ -120,6 +130,9 @@ def collect_segment_stats(seg_path: str) -> dict[str, list]:
         _glob.glob(os.path.join(seg_path, "**", "*.parquet"), recursive=True)
     ):
         md = pq.ParquetFile(f).metadata
+        n_files += 1
+        n_rows += md.num_rows
+        n_bytes += os.path.getsize(f)
         for rg in range(md.num_row_groups):
             grp = md.row_group(rg)
             for ci in range(grp.num_columns):
@@ -142,24 +155,17 @@ def collect_segment_stats(seg_path: str) -> dict[str, list]:
                     lo[name] = mn
                 if name not in hi or dmx > _stat_decode(hi[name]):
                     hi[name] = mx
-    return {name: [lo[name], hi[name]] for name in lo}
+    return (
+        {name: [lo[name], hi[name]] for name in lo},
+        {"num_files": n_files, "num_rows": n_rows, "bytes": n_bytes},
+    )
 
 
 def _segment_file_metrics(seg_path: str) -> dict:
     """Delta ``operationMetrics``-style write accounting for one
-    segment — file count, row count, bytes — read from parquet FOOTERS
-    only (num_rows is footer metadata; no data page is touched)."""
-    import pyarrow.parquet as pq
-
-    files = sorted(
-        _glob.glob(os.path.join(seg_path, "**", "*.parquet"), recursive=True)
-    )
-    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    return {
-        "num_files": len(files),
-        "num_rows": rows,
-        "bytes": sum(os.path.getsize(f) for f in files),
-    }
+    segment — file count, row count, bytes — footer metadata only,
+    shared single pass with the stats harvest."""
+    return _segment_stats_and_metrics(seg_path)[1]
 
 
 #: Spark/Hive's directory name for a NULL partition value — the same
@@ -327,16 +333,27 @@ def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
         m = _bloom_size(int(approx * 1.05) + 1)
         # Arrow-batched fetch (two int64 columns): the driver payload is
         # <= m/64 packed words (~2x the bitset's own bytes), independent
-        # of rows and distinct keys — never position-shaped rows.
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        pdf = (
-            vals.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
-            .groupBy(F.shiftright("p", 6).alias("w"))
-            # SQL shiftleft accepts a column shift amount (the pyspark
-            # wrapper takes only int literals).
-            .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("bits"))
-            .toPandas()  # metadata-collect: O(m/64) words, columnar
-        )
+        # of rows and distinct keys — never position-shaped rows. The
+        # Arrow switch is scoped: a user session that deliberately runs
+        # with Arrow off must not have its toPandas semantics silently
+        # changed by a bloom-bearing write.
+        _arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        _arrow_prev = spark.conf.get(_arrow_key, None)
+        spark.conf.set(_arrow_key, "true")
+        try:
+            pdf = (
+                vals.select(F.explode(F.array(*_bloom_position_exprs(col, m))).alias("p"))
+                .groupBy(F.shiftright("p", 6).alias("w"))
+                # SQL shiftleft accepts a column shift amount (the pyspark
+                # wrapper takes only int literals).
+                .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("bits"))
+                .toPandas()  # metadata-collect: O(m/64) words, columnar
+            )
+        finally:
+            if _arrow_prev is None:
+                spark.conf.unset(_arrow_key)
+            else:
+                spark.conf.set(_arrow_key, _arrow_prev)
         bits = np.zeros(m // 8, dtype=np.uint8)
         words = bits.view("<u8")  # little-endian: word bit j == byte (j>>3), bit (j&7)
         # groupBy guarantees unique word indexes: one vectorized scatter.
@@ -470,6 +487,15 @@ class _TxnDuplicate(Exception):
         super().__init__(f"txn batch already committed at head v{head}")
 
 
+def _stage_dir(path: str) -> str:
+    """A unique staging directory path under the table root (not
+    created). Staged names collide with no committer; final segment
+    names are claimed only under the commit lock."""
+    import uuid
+
+    return os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+
+
 _LOCK_NAME = "_commit.lock"
 #: How long a committer waits for the lock before failing loud. Holders
 #: only perform metadata operations (a manifest read, a directory
@@ -514,9 +540,17 @@ def _commit_lock(path: str):
             except OSError:
                 continue  # holder released between create-fail and stat
             if age > _LOCK_STALE_S:
+                # Break by atomic RENAME, not unlink: of N waiters that
+                # all observed the stale lock, exactly ONE rename
+                # succeeds; an unlink here could race another breaker's
+                # already-recreated FRESH lock and let two holders in.
+                import uuid as _uuid
+
+                takeover = f"{lock}.stale-{_uuid.uuid4().hex}"
                 with contextlib.suppress(OSError):
-                    os.unlink(lock)  # crashed holder; next loop re-races
-                continue
+                    os.rename(lock, takeover)
+                    os.unlink(takeover)
+                continue  # re-race the O_EXCL create
             if time.monotonic() > deadline:
                 raise ConcurrentWriteError(
                     f"commit lock {lock} held for {age:.0f}s (> "
@@ -531,7 +565,9 @@ def _commit_lock(path: str):
             os.unlink(lock)
 
 
-def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None:
+def _commit_entry(
+    path: str, base_version, entry: dict, cleanup_dirs=(), renames=None
+) -> None:
     """Optimistic commit: append ``entry`` ONLY if the manifest head is
     still ``base_version`` — otherwise remove the staged artifacts and
     raise :class:`ConcurrentWriteError`. Read-dependent commits (DELETE,
@@ -540,21 +576,55 @@ def _commit_entry(path: str, base_version, entry: dict, cleanup_dirs=()) -> None
     the Delta/Iceberg serializable check-and-retry contract. The
     check-then-append runs under :func:`_commit_lock`, so two commits
     racing the same base serialize: one wins, the other observes the
-    moved head and raises instead of clobbering."""
+    moved head and raises instead of clobbering.
+
+    ``renames`` maps STAGED directory paths to final segment names,
+    published by rename INSIDE the lock after the OCC check passes —
+    DML rewrites must never materialize ``data-{version}`` directly:
+    an unlocked final-name directory is indistinguishable from a crash
+    orphan to a concurrent ``versioned_write`` (which would rmtree it)
+    and the OCC-failure cleanup here would conversely delete a
+    concurrent appender's committed segment of the same name. Staged
+    names collide with nobody; final names are claimed only under the
+    lock, only on a still-current base. ``cleanup_dirs`` (relative to
+    ``path``) and the staged sources are removed on conflict."""
     import shutil
 
+    renames = dict(renames or {})
     with _commit_lock(path):
         entries = _read_manifest(path)
         if entries[-1]["version"] != base_version:
             for d in cleanup_dirs:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            for staged in renames:
+                shutil.rmtree(staged, ignore_errors=True)
             raise ConcurrentWriteError(
                 f"table advanced past v{base_version} (head is "
                 f"v{entries[-1]['version']}); re-read and retry"
             )
-        entry.setdefault("ts", _now())
-        entries.append(entry)
-        _write_manifest(path, entries)
+        done = []
+        try:
+            for staged, final in renames.items():
+                final_dir = os.path.join(path, final)
+                # Under the lock with head == base, a final-name dir can
+                # only be a crash orphan (its version > head is
+                # referenced by no entry): clearing it is safe.
+                if os.path.isdir(final_dir):
+                    shutil.rmtree(final_dir)
+                os.rename(staged, final_dir)
+                done.append(final_dir)
+            entry.setdefault("ts", _now())
+            entries.append(entry)
+            _write_manifest(path, entries)
+        except BaseException:
+            # Manifest write (or a rename) failed: nothing references
+            # the published names — remove them so no orphan blocks the
+            # next writer.
+            for d in done:
+                shutil.rmtree(d, ignore_errors=True)
+            for staged in renames:
+                shutil.rmtree(staged, ignore_errors=True)
+            raise
 
 
 def _now() -> float:
@@ -688,10 +758,18 @@ def versioned_write_expect(
     "quarantine_version"}``."""
     if on_violation not in ("fail", "drop", "quarantine"):
         raise ValueError(f"on_violation must be fail|drop|quarantine, got {on_violation!r}")
+    def _rows_of(tbl: str, v: int) -> int:
+        # The entry for the version WE committed — a concurrent commit
+        # can land before this read, so [-1] would report someone
+        # else's metrics.
+        return next(
+            e for e in _read_manifest(tbl) if e["version"] == v
+        )["metrics"]["num_rows"]
+
     cons = _read_constraints(path)
     if on_violation == "fail" or not cons:
         version = versioned_write(df, path, mode=mode)
-        committed = _read_manifest(path)[-1]["metrics"]["num_rows"]
+        committed = _rows_of(path, version)
         return {
             "version": version,
             "rows_committed": committed,
@@ -712,13 +790,13 @@ def versioned_write_expect(
     ok = tagged.filter(F.size("_violated") == 0).drop("_violated")
     bad = tagged.filter(F.size("_violated") > 0)
     version = versioned_write(ok, path, mode=mode)
-    committed = _read_manifest(path)[-1]["metrics"]["num_rows"]
+    committed = _rows_of(path, version)
     q_version = None
     n_bad = 0
     if on_violation == "quarantine":
         qp = quarantine_path or (path.rstrip("/") + "_quarantine")
         q_version = versioned_write(bad, qp, mode="append")
-        n_bad = _read_manifest(qp)[-1]["metrics"]["num_rows"]
+        n_bad = _rows_of(qp, q_version)
     else:
         n_bad = bad.count()
     return {
@@ -800,8 +878,7 @@ def versioned_write(
         # Heavy phase — everything that launches Spark jobs runs against
         # the staged bytes; the table is untouched if any of it fails.
         _check_constraints(df.sparkSession, path, staged)
-        staged_stats = collect_segment_stats(staged)
-        staged_metrics = _segment_file_metrics(staged)
+        staged_stats, staged_metrics = _segment_stats_and_metrics(staged)
         if partition_by:
             # Partition-column min/max come from dir names, not footers.
             staged_stats.update(
@@ -1235,14 +1312,18 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
     # absorbs DVs into rewritten files.
     compacted = snapshot_read(spark, path, latest["version"])
+    # Stage, never materialize data-{version} pre-commit: an unlocked
+    # final-name dir is a crash orphan to a concurrent versioned_write
+    # (which would rmtree it); _commit_entry publishes under the lock.
+    staged = _stage_dir(path)
     writer = compacted.coalesce(1).write.mode("errorifexists")
     if keep_layout:
         writer = writer.partitionBy(*keep_layout)
-    writer.parquet(os.path.join(path, segment))
+    writer.parquet(staged)
     schema = {f.name: f.dataType.simpleString() for f in compacted.schema.fields}
-    stats = collect_segment_stats(os.path.join(path, segment))
+    stats, seg_metrics = _segment_stats_and_metrics(staged)
     if keep_layout:
-        stats.update(_partition_stats(os.path.join(path, segment), keep_layout, schema))
+        stats.update(_partition_stats(staged, keep_layout, schema))
     entry = {
         "version": version,
         "segments": [segment],
@@ -1250,7 +1331,7 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
         # The rewritten segment gets fresh footer stats — compaction
         # must not silently turn off data skipping for the table.
         "stats": {segment: stats},
-        "metrics": _segment_file_metrics(os.path.join(path, segment)),
+        "metrics": seg_metrics,
         # One uniform rewritten segment: record its schema so later
         # appends keep type enforcement (an absent ledger would skip it).
         "schemas": {segment: schema},
@@ -1261,13 +1342,11 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
     # compaction keeps point-lookup skipping alive too.
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     if bloom_cols:
-        entry["bloom"] = {
-            segment: build_segment_bloom(spark, os.path.join(path, segment), bloom_cols)
-        }
+        entry["bloom"] = {segment: build_segment_bloom(spark, staged, bloom_cols)}
     # Compaction rewrote exactly the rows of the version it read: a
     # moved head (e.g. a concurrent DELETE) would be silently undone if
     # this committed — OCC-gate it.
-    _commit_entry(path, latest["version"], entry, cleanup_dirs=(segment,))
+    _commit_entry(path, latest["version"], entry, renames={staged: segment})
     return version
 
 
@@ -1953,12 +2032,16 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     dv = frames[0]
     for f in frames[1:]:
         dv = dv.unionAll(f)
-    dv.coalesce(1).write.mode("errorifexists").parquet(os.path.join(path, dv_name))
+    # Stage the DV sidecar; _commit_entry publishes deletes-{version}
+    # under the lock (a pre-commit final name could collide with a
+    # concurrent delete racing the same version and fail arbitrarily).
+    dv_staged = _stage_dir(path)
+    dv.coalesce(1).write.mode("errorifexists").parquet(dv_staged)
     import pyarrow.parquet as pq
 
     n_total = sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(path, dv_name, "*.parquet"))
+        for f in _glob.glob(os.path.join(dv_staged, "*.parquet"))
     )
     n_prev = 0
     if latest.get("dv"):
@@ -1987,7 +2070,7 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
         entry["partition_by"] = dict(latest["partition_by"])
     # The DV was computed against the version read above: OCC-gate the
     # commit so a concurrent append/delete cannot be half-tombstoned.
-    _commit_entry(path, latest["version"], entry, cleanup_dirs=(dv_name,))
+    _commit_entry(path, latest["version"], entry, renames={dv_staged: dv_name})
     return version, n_total - n_prev
 
 
@@ -2633,16 +2716,20 @@ def merge_upsert(
         rewrite = kept.unionByName(source, allowMissingColumns=len(known) > 1)
     else:
         rewrite = source
-    rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    # Stage the rewrite; _commit_entry publishes the final name under
+    # the lock (a pre-commit data-{version} dir would look like a crash
+    # orphan to a concurrent versioned_write).
+    staged = _stage_dir(path)
+    rewrite.write.mode("errorifexists").parquet(staged)
     try:
-        _check_constraints(spark, path, os.path.join(path, new_seg))
+        _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
 
-        shutil.rmtree(os.path.join(path, new_seg), ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
         raise
     stats = {s: v for s, v in latest.get("stats", {}).items() if s in untouched}
-    stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
+    stats[new_seg] = collect_segment_stats(staged)
     entry = {
         "version": version,
         "segments": [*untouched, new_seg],
@@ -2667,17 +2754,15 @@ def merge_upsert(
         entry["bloom"] = {
             s: v for s, v in latest.get("bloom", {}).items() if s in untouched
         }
-        entry["bloom"][new_seg] = build_segment_bloom(
-            spark, os.path.join(path, new_seg), bloom_cols
-        )
-    # The rewrite derives from the version read above — OCC-gate it.
-    _commit_entry(path, latest["version"], entry, cleanup_dirs=(new_seg,))
+        entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
     import pyarrow.parquet as pq
 
     n_upserted = sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(path, new_seg, "*.parquet"))
+        for f in _glob.glob(os.path.join(staged, "*.parquet"))
     )
+    # The rewrite derives from the version read above — OCC-gate it.
+    _commit_entry(path, latest["version"], entry, renames={staged: new_seg})
     return {
         "version": version,
         "segments_rewritten": len(touched),
@@ -2832,14 +2917,19 @@ def zorder_rewrite(
     version = latest["version"] + 1
     try:
         files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
-        segments, stats, schemas = [], {}, {}
+        segments, stats, schemas, renames = [], {}, {}, {}
         seg_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for i, f in enumerate(files):
             seg = f"data-{version}-z{i}"
-            os.makedirs(os.path.join(path, seg))
-            os.rename(f, os.path.join(path, seg, os.path.basename(f)))
+            # Stage each z-segment; final names publish under the lock
+            # in _commit_entry (a pre-commit final dir is a crash
+            # orphan to concurrent committers).
+            seg_staged = _stage_dir(path)
+            os.makedirs(seg_staged)
+            os.rename(f, os.path.join(seg_staged, os.path.basename(f)))
             segments.append(seg)
-            stats[seg] = collect_segment_stats(os.path.join(path, seg))
+            renames[seg_staged] = seg
+            stats[seg] = collect_segment_stats(seg_staged)
             schemas[seg] = seg_schema
         entry = {
             "version": version,
@@ -2851,10 +2941,10 @@ def zorder_rewrite(
         bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
         if bloom_cols:
             entry["bloom"] = {
-                seg: build_segment_bloom(spark, os.path.join(path, seg), bloom_cols)
-                for seg in segments
+                renames[sd]: build_segment_bloom(spark, sd, bloom_cols)
+                for sd in renames
             }
-        _commit_entry(path, latest["version"], entry, cleanup_dirs=tuple(segments))
+        _commit_entry(path, latest["version"], entry, renames=renames)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return version
@@ -3019,16 +3109,18 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     rewrite = scan.withColumns(
         {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
     )
-    rewrite.write.mode("errorifexists").parquet(os.path.join(path, new_seg))
+    # Stage the rewrite; the final name publishes under the commit lock.
+    staged = _stage_dir(path)
+    rewrite.write.mode("errorifexists").parquet(staged)
     try:
-        _check_constraints(spark, path, os.path.join(path, new_seg))
+        _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
 
-        shutil.rmtree(os.path.join(path, new_seg), ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
         raise
     stats = {s: v for s, v in seg_stats.items() if s in untouched}
-    stats[new_seg] = collect_segment_stats(os.path.join(path, new_seg))
+    stats[new_seg] = collect_segment_stats(staged)
     entry = {
         "version": version,
         "segments": [*untouched, new_seg],
@@ -3048,10 +3140,8 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     if bloom_cols:
         entry["bloom"] = {s: v for s, v in latest.get("bloom", {}).items() if s in untouched}
-        entry["bloom"][new_seg] = build_segment_bloom(
-            spark, os.path.join(path, new_seg), bloom_cols
-        )
-    _commit_entry(path, latest["version"], entry, cleanup_dirs=(new_seg,))
+        entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
+    _commit_entry(path, latest["version"], entry, renames={staged: new_seg})
     return {
         "version": version,
         "rows_updated": n_updated,
@@ -3590,6 +3680,7 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
     new_segments, new_stats, new_schemas = [], {}, {}
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     new_bloom = {}
+    renames = {}
     try:
         for i, b in enumerate(rewrite_bins):
             seg = f"data-{version}-p{i}"
@@ -3598,14 +3689,16 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
             df = _read_segment_dirs(
                 spark, path, b, latest, evolved=len(known) > 1
             )
-            df.coalesce(1).write.mode("errorifexists").parquet(os.path.join(path, seg))
+            # Stage each packed segment; final names publish under the
+            # commit lock in _commit_entry.
+            seg_staged = _stage_dir(path)
+            df.coalesce(1).write.mode("errorifexists").parquet(seg_staged)
             new_segments.append(seg)
-            new_stats[seg] = collect_segment_stats(os.path.join(path, seg))
+            renames[seg_staged] = seg
+            new_stats[seg] = collect_segment_stats(seg_staged)
             new_schemas[seg] = {f.name: f.dataType.simpleString() for f in df.schema.fields}
             if bloom_cols:
-                new_bloom[seg] = build_segment_bloom(
-                    spark, os.path.join(path, seg), bloom_cols
-                )
+                new_bloom[seg] = build_segment_bloom(spark, seg_staged, bloom_cols)
         entry = {
             "version": version,
             "segments": [*carried, *new_segments],
@@ -3629,13 +3722,14 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
                 **{s: v for s, v in latest.get("bloom", {}).items() if s in carried},
                 **new_bloom,
             }
-        _commit_entry(path, latest["version"], entry, cleanup_dirs=tuple(new_segments))
+        _commit_entry(path, latest["version"], entry, renames=renames)
     except BaseException:
         import shutil
 
-        for seg in new_segments:
-            if seg not in _read_manifest(path)[-1]["segments"]:
-                shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
+        # _commit_entry cleans whatever it touched; staged dirs from a
+        # failure BEFORE the commit call are removed here.
+        for sd in renames:
+            shutil.rmtree(sd, ignore_errors=True)
         raise
     return {
         "version": version,

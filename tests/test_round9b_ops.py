@@ -534,11 +534,11 @@ def test_occ_read_dependent_commit_conflicts(spark, sf_dir, tmp_path):
     real_commit = V._commit_entry
     raced = {}
 
-    def racing_commit(path, base_version, entry, cleanup_dirs=()):
+    def racing_commit(path, base_version, entry, cleanup_dirs=(), renames=None):
         if not raced:
             raced["done"] = True
             versioned_write(o.limit(10), path, mode="append")  # concurrent writer
-        return real_commit(path, base_version, entry, cleanup_dirs)
+        return real_commit(path, base_version, entry, cleanup_dirs, renames=renames)
 
     V._commit_entry = racing_commit
     try:

@@ -123,14 +123,14 @@ def test_update_occ_conflict_aborts(spark, sf_dir, tmp_path, monkeypatch):
     _two_segment_table(spark, sf_dir, out)
     real_commit = V._commit_entry
 
-    def racing_commit(path, base_version, entry, cleanup_dirs=()):
+    def racing_commit(path, base_version, entry, cleanup_dirs=(), renames=None):
         # A concurrent metadata commit (e.g. another writer's manifest
         # append) lands just before our commit check.
         monkeypatch.setattr(V, "_commit_entry", real_commit)
         entries = V._read_manifest(path)
         entries.append({**entries[-1], "version": entries[-1]["version"] + 1})
         V._write_manifest(path, entries)
-        return real_commit(path, base_version, entry, cleanup_dirs=cleanup_dirs)
+        return real_commit(path, base_version, entry, cleanup_dirs=cleanup_dirs, renames=renames)
 
     monkeypatch.setattr(V, "_commit_entry", racing_commit)
     with pytest.raises(ConcurrentWriteError):
