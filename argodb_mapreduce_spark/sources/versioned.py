@@ -521,15 +521,28 @@ def _commit_lock(path: str):
     O(data). A lock older than ``_LOCK_STALE_S`` is treated as a
     crashed holder and broken; waiting longer than ``_LOCK_TIMEOUT_S``
     raises :class:`ConcurrentWriteError` rather than queueing forever.
+
+    FENCING (r11): the lock file records a unique holder token
+    (pid:uuid), yielded to the holder. Release unlinks ONLY a lock
+    that still carries this holder's token — a holder whose lock was
+    stale-broken while it was paused (stop-the-world GC, NFS stall)
+    must not remove the SUCCESSOR's fresh lock on resume. Holders
+    call :func:`_verify_lock` with the token immediately before the
+    manifest write, converting any lock steal into a detected abort
+    instead of a lost update. The residual read-then-act windows are
+    microseconds against a 300 s staleness horizon — the standard
+    fencing approximation on a filesystem with no compare-and-swap.
     """
     import time
+    import uuid as _uuid
 
     lock = os.path.join(path, _LOCK_NAME)
+    token = f"{os.getpid()}:{_uuid.uuid4().hex}"
     deadline = time.monotonic() + _LOCK_TIMEOUT_S
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -537,6 +550,8 @@ def _commit_lock(path: str):
                 # Real wall clock, NOT _now(): tests monkeypatch _now for
                 # time-travel fixtures and must not affect lock aging.
                 age = time.time() - os.path.getmtime(lock)
+                with open(lock) as f:
+                    observed = f.read()
             except OSError:
                 continue  # holder released between create-fail and stat
             if age > _LOCK_STALE_S:
@@ -544,11 +559,28 @@ def _commit_lock(path: str):
                 # all observed the stale lock, exactly ONE rename
                 # succeeds; an unlink here could race another breaker's
                 # already-recreated FRESH lock and let two holders in.
-                import uuid as _uuid
-
                 takeover = f"{lock}.stale-{_uuid.uuid4().hex}"
-                with contextlib.suppress(OSError):
+                try:
                     os.rename(lock, takeover)
+                except OSError:
+                    continue  # another breaker won; re-race the create
+                # Verify WHAT the rename moved: a SECOND breaker whose
+                # rename was pending past the first breaker's re-create
+                # would otherwise steal the first breaker's FRESH lock
+                # (rename moves whatever file sits at the path). If the
+                # moved content is not the stale token we observed, put
+                # it back no-clobber (os.link fails if a newer lock
+                # already exists; the displaced holder is additionally
+                # protected by its pre-write _verify_lock fence).
+                try:
+                    with open(takeover) as f:
+                        moved = f.read()
+                except OSError:
+                    moved = observed
+                if moved != observed:
+                    with contextlib.suppress(OSError):
+                        os.link(takeover, lock)
+                with contextlib.suppress(OSError):
                     os.unlink(takeover)
                 continue  # re-race the O_EXCL create
             if time.monotonic() > deadline:
@@ -559,10 +591,34 @@ def _commit_lock(path: str):
                 )
             time.sleep(0.005)
     try:
-        yield
+        yield token
     finally:
+        # Fenced release: remove the lock only if it is still OURS.
         with contextlib.suppress(OSError):
-            os.unlink(lock)
+            with open(lock) as f:
+                still_ours = f.read() == token
+            if still_ours:
+                os.unlink(lock)
+
+
+def _verify_lock(path: str, token: str) -> None:
+    """Fencing check for a :func:`_commit_lock` holder: raise unless the
+    table's lock file still carries ``token``. Called immediately before
+    the irreversible step (the manifest write / segment publish), so a
+    holder whose lock was stale-broken during a long pause aborts its
+    commit instead of racing the successor that took the lock over."""
+    lock = os.path.join(path, _LOCK_NAME)
+    try:
+        with open(lock) as f:
+            if f.read() == token:
+                return
+    except OSError:
+        pass
+    raise ConcurrentWriteError(
+        f"commit lock for {path} was broken while held (this writer "
+        f"stalled past the {_LOCK_STALE_S:.0f}s staleness horizon and "
+        "was presumed crashed); aborting instead of racing the successor"
+    )
 
 
 def _commit_entry(
@@ -591,7 +647,7 @@ def _commit_entry(
     import shutil
 
     renames = dict(renames or {})
-    with _commit_lock(path):
+    with _commit_lock(path) as lock_token:
         entries = _read_manifest(path)
         if entries[-1]["version"] != base_version:
             for d in cleanup_dirs:
@@ -602,6 +658,10 @@ def _commit_entry(
                 f"table advanced past v{base_version} (head is "
                 f"v{entries[-1]['version']}); re-read and retry"
             )
+        # Fence before the first mutation: a holder whose lock was
+        # stale-broken during a pause must not publish over the
+        # successor's commits.
+        _verify_lock(path, lock_token)
         done = []
         try:
             for staged, final in renames.items():
@@ -896,7 +956,7 @@ def versioned_write(
         # longer commit the same version between our head read and our
         # rename (which previously rmtree'd its committed segment and
         # clobbered its manifest entry).
-        with _commit_lock(path):
+        with _commit_lock(path) as lock_token:
             entries = (
                 _read_manifest(path)
                 if os.path.exists(os.path.join(path, MANIFEST))
@@ -947,6 +1007,8 @@ def versioned_write(
             # and manifest write): under the lock nothing can have
             # committed version yet, so data-{version} is referenced by
             # no entry and clearing it is safe.
+            # Fence before the first mutation (see _verify_lock).
+            _verify_lock(path, lock_token)
             if os.path.isdir(segment_dir):
                 shutil.rmtree(segment_dir)
             os.rename(staged, segment_dir)
@@ -1461,7 +1523,7 @@ def rollback(path: str, to_version: int) -> int:
     Returns the new version number. Runs under the commit lock: a
     concurrent append between the manifest read and the republish
     would otherwise be erased (lost update)."""
-    with _commit_lock(path):
+    with _commit_lock(path) as lock_token:
         entries = _read_manifest(path)
         by_version = {e["version"]: e for e in entries}
         if to_version not in by_version:
@@ -1492,6 +1554,7 @@ def rollback(path: str, to_version: int) -> int:
             entry["partition_by"] = dict(by_version[to_version]["partition_by"])
         entry["ts"] = _now()
         entries.append(entry)
+        _verify_lock(path, lock_token)
         _write_manifest(path, entries)
     return version
 
@@ -1763,16 +1826,28 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     forever. Single-writer assumed, like ``versioned_write``; a reader
     holding a plan against an expired version keeps working until its
     files are unlinked (same contract as Delta VACUUM, which is why
-    production retention is hours/days, not versions=1). Runs under the
-    commit lock: a concurrent append between the manifest read and the
-    retained-manifest write would otherwise be ERASED (its entry lost,
-    its freshly committed segment orphaned).
+    production retention is hours/days, not versions=1).
+
+    Lock scope (r11): the commit lock is held ONLY around the
+    manifest read + retained-manifest write — metadata ops, matching
+    the lock's millisecond-hold contract. The doomed segments are
+    unreferenced by any retained version the instant the retained
+    manifest lands, so their O(data) byte deletion runs AFTER the lock
+    is released: a vacuum of terabytes can no longer stall past the
+    staleness horizon, get its lock broken mid-delete, and erase a
+    concurrent writer's fresh manifest entry.
+
+    Crashed-writer hygiene: ``_staged-*`` / ``_staging-*`` directories
+    older than the lock staleness horizon are orphans of crashed
+    writers (live writers publish or clean them within one commit
+    window) and are reaped here, so they cannot accumulate forever.
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     import shutil
+    import time
 
-    with _commit_lock(path):
+    with _commit_lock(path) as lock_token:
         entries = _read_manifest(path)
         kept_entries = entries[-keep_versions:]
         expired = entries[: -keep_versions] if len(entries) > keep_versions else []
@@ -1788,18 +1863,35 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
         # Delta CLONE contract (vacuum on a shallow clone leaves the source
         # intact). They still drop out of the retained manifest normally.
         doomed = sorted(s for s in all_segments - referenced if not os.path.isabs(s))
-        bytes_reclaimed = 0
-        for seg in doomed:
-            seg_dir = os.path.join(path, seg)
-            for root, _dirs, fs in os.walk(seg_dir):
-                bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
-            shutil.rmtree(seg_dir, ignore_errors=True)
+        _verify_lock(path, lock_token)
         _write_manifest(path, kept_entries)
+    # Outside the lock: the doomed set is unreferenced from here on, so
+    # deletion races nothing — a concurrent writer can commit freely.
+    bytes_reclaimed = 0
+    for seg in doomed:
+        seg_dir = os.path.join(path, seg)
+        for root, _dirs, fs in os.walk(seg_dir):
+            bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    # Reap staged-dir orphans left by crashed writers (age-gated by the
+    # same horizon that declares a lock holder dead).
+    staged_reaped = []
+    for d in sorted(os.listdir(path)):
+        if not (d.startswith("_staged-") or d.startswith("_staging-")):
+            continue
+        full = os.path.join(path, d)
+        try:
+            if time.time() - os.path.getmtime(full) > _LOCK_STALE_S:
+                shutil.rmtree(full, ignore_errors=True)
+                staged_reaped.append(d)
+        except OSError:
+            continue
     return {
         "versions_removed": len(expired),
         "versions_kept": len(kept_entries),
         "segments_deleted": doomed,
         "bytes_reclaimed": bytes_reclaimed,
+        "staged_orphans_reaped": staged_reaped,
     }
 
 
@@ -2915,9 +3007,9 @@ def zorder_rewrite(
         .parquet(staged)
     )
     version = latest["version"] + 1
+    segments, stats, schemas, renames = [], {}, {}, {}
     try:
         files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
-        segments, stats, schemas, renames = [], {}, {}, {}
         seg_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for i, f in enumerate(files):
             seg = f"data-{version}-z{i}"
@@ -2945,6 +3037,15 @@ def zorder_rewrite(
                 for sd in renames
             }
         _commit_entry(path, latest["version"], entry, renames=renames)
+    except BaseException:
+        # A mid-loop failure (stats/bloom/commit) must not leak the
+        # per-segment _staged-* dirs: _commit_entry only cleans staged
+        # sources it was handed AND only on conflict/write failure, so
+        # anything still unpublished is removed here (compact_binpack
+        # follows the same discipline).
+        for seg_staged in renames:
+            shutil.rmtree(seg_staged, ignore_errors=True)
+        raise
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return version

@@ -772,3 +772,75 @@ def test_concurrent_compact_and_appends_never_lose_a_segment(spark, tmp_path):
     n_appends = sum(1 for tag, _ in results if tag == "append")
     assert snapshot_read(spark, path).count() == 20 + 5 * n_appends
     assert not any(d.startswith("_staged") for d in os.listdir(path))
+
+
+def test_fenced_release_and_verify_protect_successor(spark, tmp_path):
+    """Fencing (VERDICT r10 #3 / ADVICE r10): a holder whose lock was
+    stale-broken while it was paused (1) fails _verify_lock — its
+    commit aborts instead of racing the successor — and (2) its release
+    does NOT unlink the successor's fresh lock."""
+    import time
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConcurrentWriteError,
+        _LOCK_NAME,
+        _LOCK_STALE_S,
+        _commit_lock,
+        _verify_lock,
+    )
+
+    path = str(tmp_path / "fence")
+    os.makedirs(path)
+    lock = os.path.join(path, _LOCK_NAME)
+
+    paused = _commit_lock(path)  # drive the contextmanager by hand
+    token = paused.__enter__()
+    _verify_lock(path, token)  # freshly held: fence passes
+    # Simulate a stop-the-world pause longer than the staleness horizon.
+    old = time.time() - _LOCK_STALE_S - 60
+    os.utime(lock, (old, old))
+
+    with _commit_lock(path) as successor:  # waiter breaks the stale lock
+        assert successor != token
+        # The paused holder resumes INSIDE the successor's window:
+        with pytest.raises(ConcurrentWriteError, match="broken while held"):
+            _verify_lock(path, token)
+        paused.__exit__(None, None, None)  # its release must be a no-op
+        assert os.path.exists(lock)
+        with open(lock) as f:
+            assert f.read() == successor  # successor's lock survived
+    assert not os.path.exists(lock)  # successor's own release works
+
+
+def test_vacuum_deletes_outside_lock_and_reaps_staged_orphans(spark, tmp_path):
+    """ADVICE r10: vacuum holds the lock only for the manifest swap —
+    the lock file is gone before/independent of the byte deletion — and
+    reaps crashed-writer _staged-* orphans older than the stale horizon
+    while leaving fresh ones (a live writer's staging) alone."""
+    import time
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _LOCK_NAME,
+        _LOCK_STALE_S,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vac")
+    versioned_write(spark.range(10).withColumnRenamed("id", "k"), path)
+    versioned_write(spark.range(10, 20).withColumnRenamed("id", "k"), path, mode="overwrite")
+    # A crashed writer's orphan (old) and a live writer's staging (fresh).
+    old_orphan = os.path.join(path, "_staged-deadbeef")
+    fresh = os.path.join(path, "_staging-live")
+    os.makedirs(old_orphan)
+    os.makedirs(fresh)
+    t = time.time() - _LOCK_STALE_S - 60
+    os.utime(old_orphan, (t, t))
+
+    summary = vacuum(path, keep_versions=1)
+    assert summary["segments_deleted"] == ["data-0"]
+    assert summary["bytes_reclaimed"] > 0
+    assert summary["staged_orphans_reaped"] == ["_staged-deadbeef"]
+    assert not os.path.exists(old_orphan)
+    assert os.path.isdir(fresh)  # fresh staging untouched
+    assert not os.path.exists(os.path.join(path, _LOCK_NAME))
+    assert snapshot_read(spark, path).count() == 10
