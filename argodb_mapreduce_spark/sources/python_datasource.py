@@ -73,22 +73,30 @@ def make_versioned_datasource():
     )
 
     class SegmentFilePartition(InputPartition):
-        def __init__(self, path: str, excluded=()):
+        def __init__(self, path: str, excluded=(), parts=()):
             self.path = path
             # Tombstoned row positions from the version's deletion
             # vector (merge-on-read): dropped during read().
             self.excluded = excluded
+            # Hive partition values decoded from the file's directory
+            # branch at PLAN time: ((col, raw_string_or_None), ...) —
+            # None is the reference's NULL sentinel directory
+            # (ArgodbMapreduceRecordReader.java:172-198). read() appends
+            # them as constant typed columns, the record-reader
+            # partition-value append re-expressed.
+            self.parts = parts
 
     class CDFPartition(InputPartition):
         """One change-feed unit: an appended file (kind='insert') or
         the deleted positions of one file from a DV delta
         (kind='delete', positions = sorted row indices)."""
 
-        def __init__(self, kind: str, path: str, version: int, positions=None):
+        def __init__(self, kind: str, path: str, version: int, positions=None, parts=()):
             self.kind = kind
             self.path = path
             self.version = version
             self.positions = positions
+            self.parts = parts
 
     def _stat_decode_local(v):
         # Parity twin of versioned._stat_decode, inlined so the pickled
@@ -103,13 +111,67 @@ def make_versioned_datasource():
             raise ValueError(f"unknown stat tag {v['t']!r}")
         return v
 
-    def _resolve_files(path: str, version: int | None) -> tuple[list, dict, dict]:
+    _HIVE_NULL_LOCAL = "__HIVE_DEFAULT_PARTITION__"
+
+    def _decode_part_value(raw, type_str):
+        """Directory-name string -> typed Python value per the manifest
+        schema ledger (the reference record reader's partition-value
+        decode, ArgodbMapreduceRecordReader.java:172-198). None stays
+        None (NULL sentinel). Unknown types stay strings — Spark's own
+        partition discovery has the same string fallback."""
+        import datetime as _ldt
+
+        if raw is None:
+            return None
+        t = (type_str or "string").lower()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return int(raw)
+        if t == "date":
+            return _ldt.date.fromisoformat(raw)
+        if t in ("double", "float"):
+            return float(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        return raw
+
+    def _walk_partition_files(seg_dir: str, part_cols) -> list:
+        """[(file_path, ((col, raw_or_None), ...)), ...] for one
+        Hive-partitioned segment: partition values decoded from the
+        directory branch of each parquet file, NULL sentinel -> None."""
+        from urllib.parse import unquote as _unq
+
+        out = []
+        for root, _dirs, fs in sorted(_os.walk(seg_dir)):
+            pairs = {}
+            rel = _os.path.relpath(root, seg_dir)
+            if rel != ".":
+                for comp in rel.split(_os.sep):
+                    if "=" in comp:
+                        c, v = comp.split("=", 1)
+                        v = _unq(v)
+                        pairs[c] = None if v == _HIVE_NULL_LOCAL else v
+            parts = tuple((c, pairs.get(c)) for c in part_cols)
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    out.append((_os.path.join(root, f), parts))
+        return sorted(out)
+
+    def _resolve_files(path: str, version: int | None) -> tuple[list, dict, dict, dict, dict]:
         """(ordered file list, {file -> decoded per-column [min,max]},
-        {file -> deleted row positions from the deletion vector}).
+        {file -> deleted row positions from the deletion vector},
+        {file -> ((partition col, raw value), ...)},
+        {partition col -> simpleString type from the schema ledger}).
 
         Stats ride the manifest (harvested at write time from parquet
         footers); they are decoded here at PLAN time so pushed-filter
-        pruning in ``partitions()`` is pure metadata — no file opened."""
+        pruning in ``partitions()`` is pure metadata — no file opened.
+        For a Hive-partitioned segment (r10 layout, versioned.py
+        partition_by) every parquet file is walked out of its
+        ``col=value`` directory branch and the decoded value becomes
+        BOTH the file's exact per-column stat (equality/range pruning
+        on partition columns is file-precise) and a constant column
+        appended at read() time — the reference's file-aligned splits +
+        record-reader partition append, including the NULL sentinel."""
         with open(_os.path.join(path, "_snapshots.json")) as f:
             entries = _json.load(f)
         by_version = {e["version"]: e for e in entries}
@@ -118,15 +180,7 @@ def make_versioned_datasource():
         if version not in by_version:
             raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
         entry = by_version[version]
-        if any(entry.get("partition_by", {}).get(s) for s in entry["segments"]):
-            # A flat listdir of a Hive-partitioned segment would find no
-            # files (or drop partition columns) — fail loud, never serve
-            # a silently wrong scan.
-            raise ValueError(
-                "the Python DataSource does not support Hive-partitioned "
-                "segments yet; compact(flatten=True) the table first"
-            )
-        files, file_stats = [], {}
+        files, file_stats, file_parts, part_types = [], {}, {}, {}
         for seg in entry["segments"]:
             seg_dir = _os.path.join(path, seg)
             raw = entry.get("stats", {}).get(seg)
@@ -135,18 +189,38 @@ def make_versioned_datasource():
                 if raw
                 else None
             )
-            for f in sorted(_os.listdir(seg_dir)):
-                if f.endswith(".parquet"):
-                    fp = _os.path.join(seg_dir, f)
-                    files.append(fp)
-                    file_stats[fp] = decoded
+            part_cols = entry.get("partition_by", {}).get(seg) or ()
+            ledger = entry.get("schemas", {}).get(seg, {})
+            for c in part_cols:
+                part_types.setdefault(c, ledger.get(c, "string"))
+            if not part_cols:
+                for f in sorted(_os.listdir(seg_dir)):
+                    if f.endswith(".parquet"):
+                        fp = _os.path.join(seg_dir, f)
+                        files.append(fp)
+                        file_stats[fp] = decoded
+                continue
+            for fp, parts in _walk_partition_files(seg_dir, part_cols):
+                files.append(fp)
+                file_parts[fp] = parts
+                # File-precise partition stats: [v, v] tightens the
+                # segment-level min/max for pruning; NULL branches get
+                # no stat (a range/equality predicate never matches
+                # NULL, but the conservative contract is KEEP + let the
+                # residual row filter drop them).
+                pstats = dict(decoded or {})
+                for c, v in parts:
+                    tv = _decode_part_value(v, part_types.get(c))
+                    if tv is not None:
+                        pstats[c] = [tv, tv]
+                file_stats[fp] = pstats or None
         # Merge-on-read parity with snapshot_read: the version's
         # deletion vector resolves to per-file tombstoned positions at
         # PLAN time (DVs are O(deleted rows), read with pyarrow).
         dv_excluded: dict = {}
         if entry.get("dv"):
             dv_excluded = _dv_positions_local(path, entry["dv"])
-        return files, file_stats, dv_excluded
+        return files, file_stats, dv_excluded, file_parts, part_types
 
     def _dv_positions_local(path: str, dv_name: str) -> dict:
         """{local_file_path -> sorted tuple of deleted row positions}."""
@@ -242,8 +316,58 @@ def make_versioned_datasource():
                 )
             yield batch
 
+    def _arrow_type_of(type_str):
+        """Spark simpleString -> Arrow type for a PARTITION column (the
+        directory-encodable types; unknowns fall back to string, the
+        same fallback Spark's partition discovery uses)."""
+        import pyarrow as pa
+
+        return {
+            "tinyint": pa.int8(),
+            "smallint": pa.int16(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "string": pa.string(),
+            "date": pa.date32(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+        }.get((type_str or "string").lower(), pa.string())
+
+    def _emit_batch(batch, parts, col_order):
+        """Append the split's partition values as constant typed columns
+        (NULL sentinel -> null column) and reorder to the plan schema —
+        the record reader's partition-value append
+        (ArgodbMapreduceRecordReader.java:172-198). ``col_order`` is
+        None for all-flat tables: the batch passes through untouched
+        (zero overhead on the common path)."""
+        if not col_order:
+            return batch
+        if not parts and batch.schema.names == list(col_order):
+            return batch  # flat file already in plan order: passthrough
+        import pyarrow as pa
+
+        n = batch.num_rows
+        arrays = dict(zip(batch.schema.names, batch.columns))
+        for c, raw, type_str in parts or ():
+            tv = _decode_part_value(raw, type_str)
+            t = _arrow_type_of(type_str)
+            arrays[c] = pa.nulls(n, t) if tv is None else pa.array([tv] * n, type=t)
+        return pa.RecordBatch.from_arrays(
+            [arrays[name] for name in col_order], names=list(col_order)
+        )
+
     class VersionedReader(DataSourceReader):
-        def __init__(self, files: list, file_stats: dict, prune: list, excluded=None):
+        def __init__(
+            self,
+            files: list,
+            file_stats: dict,
+            prune: list,
+            excluded=None,
+            file_parts=None,
+            part_types=None,
+            col_order=None,
+        ):
             self.files = files
             self.file_stats = file_stats
             # Immutable per relation (parsed from the load option): every
@@ -253,19 +377,36 @@ def make_versioned_datasource():
             # this is why Catalyst pushFilters is NOT used here).
             self.prune = prune
             self.excluded = excluded or {}
+            self.file_parts = file_parts or {}
+            self.part_types = part_types or {}
+            # Plan-schema column order; set ONLY when the version has
+            # partitioned segments (engages the append/reorder path).
+            self.col_order = col_order
+
+        def _split_parts(self, f):
+            """((col, raw, type), ...) for one file — self-contained on
+            the partition object so executors need no shared state."""
+            return tuple(
+                (c, v, self.part_types.get(c, "string"))
+                for c, v in self.file_parts.get(f, ())
+            )
 
         def partitions(self):
             # One partition per parquet file — the reference's
             # file-aligned splits (splitRowSetsToFiles) — minus every
             # file whose segment stats provably exclude the option
             # predicates (plan-time data skipping INSIDE the source).
+            # Partitioned-segment files carry exact [v, v] stats for
+            # their partition columns, so equality/range predicates on
+            # them prune file-precisely (Hive partition pruning).
             files = [
                 f
                 for f in self.files
                 if _stats_may_match(self.file_stats.get(f), self.prune)
             ]
             return [
-                SegmentFilePartition(f, self.excluded.get(f, ())) for f in files
+                SegmentFilePartition(f, self.excluded.get(f, ()), self._split_parts(f))
+                for f in files
             ]
 
         def read(self, partition):
@@ -280,6 +421,7 @@ def make_versioned_datasource():
             # positions are masked out by running file offset — the same
             # (file, row-position) identity snapshot_read anti-joins on.
             excluded = set(getattr(partition, "excluded", ()) or ())
+            parts = getattr(partition, "parts", ()) or ()
             pf = pq.ParquetFile(partition.path)
             offset = 0
             for batch in _cast_batches_to_us(pf):
@@ -296,7 +438,7 @@ def make_versioned_datasource():
                         )
                 offset += n
                 if batch is not None and batch.num_rows:
-                    yield batch
+                    yield _emit_batch(batch, parts, self.col_order)
 
     class VersionedCommit(WriterCommitMessage):
         def __init__(self, filename):
@@ -469,13 +611,19 @@ def make_versioned_datasource():
             # Deferred-tolerant: a write to a fresh path has no manifest
             # yet, so resolution failures surface at reader() time only.
             try:
-                self._files, self._file_stats, self._dv_excluded = _resolve_files(
-                    self._path, self._version
-                )
+                (
+                    self._files,
+                    self._file_stats,
+                    self._dv_excluded,
+                    self._file_parts,
+                    self._part_types,
+                ) = _resolve_files(self._path, self._version)
             except (FileNotFoundError, ValueError):
                 self._files = None
                 self._file_stats = {}
                 self._dv_excluded = {}
+                self._file_parts = {}
+                self._part_types = {}
 
         @classmethod
         def name(cls):
@@ -491,6 +639,14 @@ def make_versioned_datasource():
                     f"no versioned table (or no data files) at {self._path!r}"
                 )
             s = _us_schema(pq.ParquetFile(self._files[0]).schema_arrow)
+            # Partition columns live in directory names, not file
+            # footers: append any the first file doesn't carry inline,
+            # typed from the manifest schema ledger (Spark's partition
+            # discovery appends them last too, so native reads and pyds
+            # reads of the same table agree on column order).
+            for c, t in self._part_types.items():
+                if c not in s.names:
+                    s = s.append(pa.field(c, _arrow_type_of(t)))
             if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
                 s = s.append(pa.field("_change_type", pa.string())).append(
                     pa.field("_commit_version", pa.int64())
@@ -507,8 +663,18 @@ def make_versioned_datasource():
                     "readChangeFeed is a STREAMING option (spark.readStream); "
                     "for batch change queries use versioned.change_feed()"
                 )
+            # col_order engages the partition-append/reorder path only
+            # when this version actually has partitioned segments; flat
+            # tables keep the untouched passthrough batches.
+            col_order = [f.name for f in schema.fields] if self._file_parts else None
             return VersionedReader(
-                self._files, self._file_stats, self._prune, self._dv_excluded
+                self._files,
+                self._file_stats,
+                self._prune,
+                self._dv_excluded,
+                self._file_parts,
+                self._part_types,
+                col_order,
             )
 
         def writer(self, schema, overwrite):
@@ -527,7 +693,12 @@ def make_versioned_datasource():
                     "readChangeFeed and ignoreDeletes are contradictory: "
                     "the change feed EMITS deletes, ignoreDeletes skips them"
                 )
-            return VersionedStreamReader(self._path, ignore_deletes, cdf)
+            base_cols = [
+                f.name
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+            return VersionedStreamReader(self._path, ignore_deletes, cdf, base_cols)
 
     class VersionedStreamReader(DataSourceStreamReader):
         """STREAMING source over the versioned table — "subscribe to a
@@ -553,11 +724,20 @@ def make_versioned_datasource():
         the offset log is O(versions)."""
 
         def __init__(
-            self, path: str, ignore_deletes: bool = False, cdf: bool = False
+            self,
+            path: str,
+            ignore_deletes: bool = False,
+            cdf: bool = False,
+            base_cols=None,
         ):
             self._path = path
             self._ignore_deletes = ignore_deletes
             self._cdf = cdf
+            # Plan-schema order (without the CDF tag columns): batches
+            # from partitioned appends get their partition values
+            # appended and every batch is emitted in this order, so
+            # flat and partitioned segments union cleanly downstream.
+            self._base_cols = base_cols
 
         def _entries(self):
             with open(_os.path.join(self._path, "_snapshots.json")) as f:
@@ -626,7 +806,11 @@ def make_versioned_datasource():
                         for fp in sorted(per_file):
                             parts.append(
                                 CDFPartition(
-                                    "delete", fp, v, tuple(sorted(per_file[fp]))
+                                    "delete",
+                                    fp,
+                                    v,
+                                    tuple(sorted(per_file[fp])),
+                                    parts=self._parts_of_file(entries[v], fp),
                                 )
                             )
                     elif not self._ignore_deletes:
@@ -640,29 +824,86 @@ def make_versioned_datasource():
                         )
                 for seg in sorted(segs - prev):
                     seg_dir = _os.path.join(self._path, seg)
-                    for f in sorted(_os.listdir(seg_dir)):
-                        if f.endswith(".parquet"):
-                            fp = _os.path.join(seg_dir, f)
-                            parts.append(
-                                CDFPartition("insert", fp, v)
-                                if self._cdf
-                                else SegmentFilePartition(fp)
+                    part_cols = entries[v].get("partition_by", {}).get(seg) or ()
+                    ledger = entries[v].get("schemas", {}).get(seg, {})
+                    if part_cols:
+                        # Partitioned append: walk the col=value branches
+                        # and attach the decoded values + ledger types to
+                        # each file split (NULL sentinel -> None).
+                        listed = [
+                            (
+                                fp,
+                                tuple(
+                                    (c, raw, ledger.get(c, "string"))
+                                    for c, raw in pp
+                                ),
                             )
+                            for fp, pp in _walk_partition_files(seg_dir, part_cols)
+                        ]
+                    else:
+                        listed = [
+                            (_os.path.join(seg_dir, f), ())
+                            for f in sorted(_os.listdir(seg_dir))
+                            if f.endswith(".parquet")
+                        ]
+                    for fp, pp in listed:
+                        parts.append(
+                            CDFPartition("insert", fp, v, parts=pp)
+                            if self._cdf
+                            else SegmentFilePartition(fp, parts=pp)
+                        )
                 prev = segs
                 prev_dv = entries[v].get("dv")
             return parts
 
+        def _parts_of_file(self, entry, fp):
+            """((col, raw, type), ...) for a DV-referenced file: resolve
+            its owning segment by directory ancestry, then decode the
+            partition branch between segment root and file (NULL
+            sentinel -> None). Flat segments return ()."""
+            from urllib.parse import unquote as _unq
+
+            for seg in entry["segments"]:
+                seg_root = _os.path.join(self._path, seg)
+                if not fp.startswith(seg_root + _os.sep):
+                    continue
+                part_cols = entry.get("partition_by", {}).get(seg) or ()
+                if not part_cols:
+                    return ()
+                ledger = entry.get("schemas", {}).get(seg, {})
+                pairs = {}
+                rel = _os.path.relpath(_os.path.dirname(fp), seg_root)
+                if rel != ".":
+                    for comp in rel.split(_os.sep):
+                        if "=" in comp:
+                            c, v = comp.split("=", 1)
+                            v = _unq(v)
+                            pairs[c] = None if v == _HIVE_NULL_LOCAL else v
+                return tuple(
+                    (c, pairs.get(c), ledger.get(c, "string")) for c in part_cols
+                )
+            return ()
+
         def read(self, partition):
             if not isinstance(partition, CDFPartition):
-                # Same Arrow-batch file reader as the batch path.
-                return VersionedReader([], {}, [], {}).read(partition)
+                # Same Arrow-batch file reader as the batch path; the
+                # plan-order emit appends partition values for splits
+                # from partitioned segments (no-op for flat files
+                # already in plan order).
+                return VersionedReader(
+                    [], {}, [], {}, col_order=self._base_cols
+                ).read(partition)
             return self._read_cdf(partition)
 
         def _read_cdf(self, partition):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            def tag(batch, n):
+            def tag(batch):
+                # Partition append + plan ordering BEFORE the CDF tag
+                # columns, so flat and partitioned change rows align.
+                batch = _emit_batch(batch, partition.parts, self._base_cols)
+                n = batch.num_rows
                 cols = list(batch.columns) + [
                     pa.array([partition.kind] * n, type=pa.string()),
                     pa.array([partition.version] * n, type=pa.int64()),
@@ -674,12 +915,12 @@ def make_versioned_datasource():
             target = _us_schema(pf.schema_arrow)
             if partition.kind == "insert":
                 for batch in _cast_batches_to_us(pf):
-                    yield tag(batch, batch.num_rows)
+                    yield tag(batch)
             else:  # delete: materialize the tombstoned positions
                 t = pq.read_table(partition.path).cast(target, safe=False)
                 t = t.take(pa.array(list(partition.positions), type=pa.int64()))
                 for batch in t.combine_chunks().to_batches():
-                    yield tag(batch, batch.num_rows)
+                    yield tag(batch)
 
         def commit(self, end):
             pass  # offsets live in the query's checkpoint, nothing to GC
@@ -954,6 +1195,68 @@ def pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.lit(pruned).alias("source_pruned_files"),
+    )
+
+
+@register(
+    "pyds_partitioned_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           TRUE AS file_precise_prune,
+           TRUE AS source_pruned_files
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("source", "datasource", "partitioning", "data-skipping"),
+    doc=(
+        "Partition-aware Python DataSource (VERDICT r10 #1): the pyds "
+        "path now plans one split per (segment, partition-branch) file "
+        "of a Hive-partitioned versioned table, decodes partition "
+        "values from directory names (NULL sentinel included, the "
+        "reference record reader's convention, ArgodbMapreduceRecord"
+        "Reader.java:172-198), appends them as typed constant columns "
+        "executor-side, and PRUNES with them: each file carries its "
+        "partition value as an exact [v, v] stat, so the equality "
+        "predicate plans exactly the 1-URGENT branch files of the "
+        "date-surviving segment (file_precise_prune pins planned "
+        "splits == that branch's file count; source_pruned_files pins "
+        "planned < full). Values hash-checked against DuckDB over the "
+        "same predicate."
+    ),
+)
+def pyds_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the walk + decode is plan-time metadata over the
+    surviving segments' directory tree; a selective partition predicate
+    on a 100 TB daily-partitioned table launches tasks only for the one
+    branch it touches — through the SAME source path a cluster without
+    the native reader would use."""
+    import datetime as _dt
+    import glob as _glob
+
+    from argodb_mapreduce_spark.sources.versioned import _build_partitioned_fixture
+
+    out = _build_partitioned_fixture(spark, sf_dir)
+    preds = [
+        ("o_orderdate", ">=", _dt.datetime.fromisoformat("1998-01-01")),
+        ("o_orderpriority", "=", "1-URGENT"),
+    ]
+    full = read_versioned(spark, out).rdd.getNumPartitions()
+    df = read_versioned(spark, out, predicates=preds)
+    planned = df.rdd.getNumPartitions()
+    expected = len(
+        _glob.glob(
+            os.path.join(out, "data-1", "o_orderpriority=1-URGENT", "*.parquet")
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.lit(planned == expected).alias("file_precise_prune"),
+        F.lit(planned < full).alias("source_pruned_files"),
     )
 
 

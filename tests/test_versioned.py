@@ -540,12 +540,88 @@ def test_partitioned_clone_keeps_layout(spark, part_table, tmp_path):
     assert sum(m["numFiles"] for m in scan_metrics(df)) == k3
 
 
-def test_pyds_refuses_partitioned_table(spark, part_table):
-    from argodb_mapreduce_spark.sources.python_datasource import register_datasource
+def test_pyds_reads_partitioned_table(spark, part_table):
+    """The Python DataSource reads Hive-partitioned segments (VERDICT
+    r10 #1): one split per (segment, partition-branch) file, partition
+    values decoded from directory names and appended as typed constant
+    columns — equal to the native snapshot read, rows AND schema."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    native = snapshot_read(spark, part_table)
+    pyds = read_versioned(spark, part_table)
+    assert pyds.columns == native.columns
+    assert dict(pyds.dtypes) == dict(native.dtypes)
+    assert pyds.exceptAll(native).count() == 0
+    assert native.exceptAll(pyds).count() == 0
+
+
+def test_pyds_partitioned_pruning_is_file_precise(spark, part_table):
+    """An equality predicate on the partition column prunes to exactly
+    that branch's file splits — partition values act as [v, v] stats."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    import glob
+
+    full = read_versioned(spark, part_table).rdd.getNumPartitions()
+    pruned_df = read_versioned(spark, part_table, predicates=[("k", "=", 3)])
+    k3_files = len(glob.glob(os.path.join(part_table, "data-*", "k=3", "*.parquet")))
+    assert pruned_df.rdd.getNumPartitions() == k3_files < full
+    assert pruned_df.count() == 50
+
+
+def test_pyds_partitioned_null_sentinel_and_dv(spark, tmp_path):
+    """NULL partition branches (__HIVE_DEFAULT_PARTITION__) come back as
+    NULL through the pyds read, and a deletion vector over partitioned
+    segments masks rows identically to the native path."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import delete_where
+
+    path = str(tmp_path / "pyds_null_part")
+    df = spark.range(20).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise((F.col("id") % 4).cast("int"))
+        .alias("k"),
+    )
+    versioned_write(df, path, partition_by=("k",))
+    got = read_versioned(spark, path)
+    assert got.filter("k IS NULL").count() == 5
+    assert dict(got.dtypes)["k"] == "int"
+    delete_where(spark, path, [("v", "<", 8)])
+    native = snapshot_read(spark, path)
+    pyds = read_versioned(spark, path)
+    assert pyds.count() == native.count() == 12
+    assert pyds.exceptAll(native).count() == 0
+
+
+def test_pyds_streams_partitioned_appends(spark, tmp_path):
+    """The stream reader tails partitioned appends: each micro-batch
+    plans one split per partition-branch file with values appended."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
 
     register_datasource(spark)
-    with pytest.raises(Exception, match="partitioned"):
-        spark.read.format("argodb_versioned").load(part_table).collect()
+    path = str(tmp_path / "pyds_part_stream")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k")
+    )
+    versioned_write(mk(0, 50), path, partition_by=("k",))
+    versioned_write(mk(50, 100), path, partition_by=("k",))
+    s = spark.readStream.format(FORMAT_NAME).load(path)
+    q = (
+        s.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("pyds_part_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted((r.k, r["count"]) for r in spark.table("pyds_part_tail").collect())
+    assert rows == [(0, 25), (1, 25), (2, 25), (3, 25)]
 
 
 # ---------------------------------------------------------------------------
