@@ -222,6 +222,16 @@ def make_versioned_datasource():
             dv_excluded = _dv_positions_local(path, entry["dv"])
         return files, file_stats, dv_excluded, file_parts, part_types
 
+    def _local_path(fp: str) -> str:
+        """``_metadata.file_path`` -> plain filesystem path: strip the
+        scheme AND percent-decode (a partition value with a space is
+        %20-encoded in the metadata column but not on disk)."""
+        from urllib.parse import unquote as _unq
+
+        if ":" in fp:
+            fp = "/" + fp.split(":", 1)[-1].lstrip("/")
+        return _unq(fp)
+
     def _dv_positions_local(path: str, dv_name: str) -> dict:
         """{local_file_path -> sorted tuple of deleted row positions}."""
         import glob as _glob
@@ -234,8 +244,7 @@ def make_versioned_datasource():
             for fp, ri in zip(
                 t.column("file_path").to_pylist(), t.column("row_index").to_pylist()
             ):
-                local = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
-                per_file.setdefault(local, set()).add(ri)
+                per_file.setdefault(_local_path(fp), set()).add(ri)
         return {fp: tuple(sorted(s)) for fp, s in per_file.items()}
 
     def _coerce_lit(lit, stat_sample):
@@ -767,9 +776,9 @@ def make_versioned_datasource():
                     t.column("file_path").to_pylist(),
                     t.column("row_index").to_pylist(),
                 ):
-                    # Spark's _metadata.file_path carries a scheme.
-                    local = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
-                    out.add((local, ri))
+                    # Spark's _metadata.file_path carries a scheme and
+                    # percent-encoding; normalize to the on-disk path.
+                    out.add((_local_path(fp), ri))
             return out
 
         def partitions(self, start, end):

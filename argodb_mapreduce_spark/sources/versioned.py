@@ -1229,17 +1229,107 @@ def _read_segment_dirs(
     if not parts:
         reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
         return _pos(reader.parquet(*[os.path.join(path, s) for s in segs]))
+    ledger = entry.get("schemas", {})
     frames = []
     for s in segs:
         seg_dir = os.path.join(path, s)
         reader = spark.read.option("basePath", seg_dir)
         if evolved:
             reader = reader.option("mergeSchema", "true")
-        frames.append(_pos(reader.parquet(seg_dir)))
+        df = _pos(reader.parquet(seg_dir))
+        if s in parts:
+            df = _cast_partition_cols(df, parts[s], ledger.get(s, {}))
+        frames.append(df)
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f, allowMissingColumns=evolved)
     return df
+
+
+def _cast_partition_cols(df: DataFrame, part_cols, ledger: dict) -> DataFrame:
+    """Pin directory-derived partition columns to the schema ledger's
+    recorded types. Spark's partition discovery TYPE-INFERS from the
+    directory name, so a digit-like or date-like STRING partition value
+    comes back int/date — diverging from the table's declared schema
+    and from flat reads of the same table. Only actual mismatches get a
+    cast, so the common case (true strings, real ints) keeps its plan
+    untouched and PartitionFilters pruning intact."""
+    for c in part_cols:
+        want = ledger.get(c)
+        if want is None:
+            continue
+        have = next((f.dataType.simpleString() for f in df.schema.fields if f.name == c), None)
+        if have is not None and have != want:
+            df = df.withColumn(c, F.col(c).cast(want))
+    return df
+
+
+def _read_new_segment(spark: SparkSession, path: str, entry: dict, seg: str) -> DataFrame:
+    """One segment of ``entry`` read with its recorded layout: a
+    Hive-partitioned segment reads with its own basePath so partition
+    columns are recovered from directory names, then pinned to the
+    ledger's types; flat segments read plain."""
+    seg_dir = os.path.join(path, seg)
+    cols = entry.get("partition_by", {}).get(seg)
+    if not cols:
+        return spark.read.parquet(seg_dir)
+    df = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+    return _cast_partition_cols(df, cols, entry.get("schemas", {}).get(seg, {}))
+
+
+def _read_files_with_layout(spark: SparkSession, path: str, entry: dict, files) -> DataFrame:
+    """Read specific parquet FILES of a version with row identity
+    (``__fp``/``__ri``) AND partition columns recovered — the
+    change-feed delete leg's scan. Files are grouped by owning segment
+    (directory ancestry, scheme-stripped); a Hive-partitioned segment's
+    group reads with ``basePath`` = the segment root so Spark re-derives
+    each file's partition values from its branch (NULL sentinel
+    included), then pins them to the ledger's types; flat files read as
+    one plain multi-file scan. Cost stays O(changed files).
+
+    ``files`` are ``_metadata.file_path`` strings: scheme-prefixed and
+    PERCENT-ENCODED (a partition value with a space encodes as %20).
+    They are decoded to plain filesystem paths for grouping and for the
+    reader input; the probe's regenerated ``__fp`` is Spark-encoded
+    again, so the position join against the DV stays exact."""
+    from urllib.parse import unquote as _unq
+
+    def local(fp: str) -> str:
+        fp = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
+        return _unq(fp)
+
+    parts = entry.get("partition_by", {})
+    ledger = entry.get("schemas", {})
+    groups: dict = {}
+    for fp in files:
+        owner = None
+        for seg in entry["segments"]:
+            if parts.get(seg) and local(fp).startswith(
+                os.path.join(path, seg) + os.sep
+            ):
+                owner = seg
+                break
+        groups.setdefault(owner, []).append(local(fp))
+
+    def _pos(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
+    frames = []
+    flat = groups.pop(None, [])
+    if flat:
+        frames.append(_pos(spark.read.parquet(*flat)))
+    for seg in sorted(groups):
+        seg_dir = os.path.join(path, seg)
+        df = _pos(spark.read.option("basePath", seg_dir).parquet(*groups[seg]))
+        frames.append(_cast_partition_cols(df, parts[seg], ledger.get(seg, {})))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _apply_predicates(df: DataFrame, predicates) -> DataFrame:
@@ -2469,20 +2559,16 @@ def change_feed(
         )
         if pure_append:
             seg = cur["segments"][-1]
-            ins = spark.read.parquet(os.path.join(path, seg)).withColumn(
+            # Layout-aware segment read: a Hive-partitioned new segment
+            # recovers its partition columns with basePath and pins
+            # them to the ledger's types (plain spark.read.parquet
+            # would type-infer digit-like string values to int/date,
+            # diverging from flat reads of the same table).
+            ins = _read_new_segment(spark, path, cur, seg).withColumn(
                 "_change_type", F.lit("insert")
             )
             frames.append(ins)
         elif is_delete:
-            if _segment_partition_cols(cur):
-                # Delete recovery reads individual parquet FILES; rows
-                # from a Hive-partitioned segment would silently lack
-                # the partition columns. Fail loud; snapshot_diff gives
-                # the full-fidelity (O(table)) delta.
-                raise ValueError(
-                    "change_feed cannot recover DV deletes over "
-                    "Hive-partitioned segments; use snapshot_diff"
-                )
             dv_cur = spark.read.parquet(os.path.join(path, cur["dv"])).select(
                 "file_path", "row_index"
             )
@@ -2502,11 +2588,10 @@ def change_feed(
             )
             if not files:
                 continue
-            probe = spark.read.parquet(*files).select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
+            # Layout-aware file scan (r11, closes the partitioned CDF
+            # gap): files group by owning segment; partitioned groups
+            # recover their partition columns via per-segment basePath.
+            probe = _read_files_with_layout(spark, path, cur, files)
             cond = (probe["__fp"] == delta["file_path"]) & (
                 probe["__ri"] == delta["row_index"]
             )
@@ -2523,8 +2608,8 @@ def change_feed(
                 "use snapshot_diff for a full-table diff"
             )
     if not frames:
-        base = spark.read.parquet(
-            os.path.join(path, by_version[to_version]["segments"][0])
+        base = _read_new_segment(
+            spark, path, by_version[to_version], by_version[to_version]["segments"][0]
         ).limit(0)
         return base.withColumn("_change_type", F.lit(""))
     out = frames[0]
@@ -2621,6 +2706,72 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_key",
             F.lit(bounded).alias("delete_scan_segment_bounded"),
         )
+    )
+
+
+def _build_partitioned_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two Hive-partitioned appends (orders split at 1998-01-01, laid
+    out by o_orderpriority) + a deletion-vector DELETE of the 'F'
+    status rows — the daily-ingest layout with a CDC consumer."""
+    out = _scratch(sf_dir) + "_hivepart_cdf"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 3
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    for part in (o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)):
+        versioned_write(part, out, mode="append", partition_by=("o_orderpriority",))
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return out
+
+
+@register(
+    "snapshot_change_feed_partitioned",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           MIN(o_orderpriority) AS min_priority
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), MIN(o_orderpriority)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("source", "snapshot", "cdc", "change-feed", "partitioning", "deletion-vector"),
+    doc=(
+        "CHANGE DATA FEED over Hive-partitioned segments (VERDICT r10 "
+        "#2, the last guarded branch): the insert leg reads the new "
+        "partitioned segment with basePath so partition columns come "
+        "back (type-pinned to the schema ledger, not directory-name "
+        "inference), and the delete leg groups the DV-touched files by "
+        "owning segment and reads each partitioned group with its own "
+        "basePath — recovered delete rows carry their partition values. "
+        "The oracle pins per-change-type counts AND partition-column "
+        "aggregates (distinct priorities, min priority), which only "
+        "match if partition values survived recovery. Cost stays "
+        "O(changes): delta segments + DV-referenced files only."
+    ),
+)
+def snapshot_change_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same O(changes) contract as the flat feed — the basePath
+    branch count is O(partitioned segments touched by the delta),
+    bounded by compaction, and partition-value recovery is directory
+    metadata, no extra data pass."""
+    out = _build_partitioned_cdf_fixture(spark, sf_dir)
+    feed = change_feed(spark, out, 0, 2)
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.min("o_orderpriority").alias("min_priority"),
     )
 
 

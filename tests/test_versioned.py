@@ -513,14 +513,19 @@ def test_partitioned_rollback_restores_layout(spark, part_table):
     assert snapshot_read(spark, part_table, predicates=[("k", "=", 0)]).count() == 50
 
 
-def test_partitioned_change_feed_delete_fails_loud(spark, part_table):
+def test_partitioned_change_feed_recovers_deletes(spark, part_table):
+    """CDF delete recovery on Hive-partitioned segments (VERDICT r10
+    #2): the delete leg reads only the DV-touched files per segment
+    with basePath so the recovered rows carry their partition columns."""
     from argodb_mapreduce_spark.sources.versioned import change_feed, delete_where
 
     delete_where(spark, part_table, [("v", "<", 5)])
-    feed = change_feed(spark, part_table, 0, 1)  # pure append span: fine
+    feed = change_feed(spark, part_table, 0, 1)  # pure append span
     assert feed.count() == 100
-    with pytest.raises(ValueError, match="snapshot_diff"):
-        change_feed(spark, part_table, 1, 2).count()
+    assert "k" in feed.columns  # insert rows carry the partition column
+    dels = change_feed(spark, part_table, 1, 2).filter("_change_type = 'delete'")
+    rows = sorted((r.v, r.k) for r in dels.collect())
+    assert rows == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 0)]  # k = v % 4
 
 
 def test_partitioned_clone_keeps_layout(spark, part_table, tmp_path):
@@ -920,3 +925,24 @@ def test_vacuum_deletes_outside_lock_and_reaps_staged_orphans(spark, tmp_path):
     assert os.path.isdir(fresh)  # fresh staging untouched
     assert not os.path.exists(os.path.join(path, _LOCK_NAME))
     assert snapshot_read(spark, path).count() == 10
+
+
+def test_pyds_dv_on_partition_values_with_spaces(spark, tmp_path):
+    """_metadata.file_path percent-encodes partition values ('NOT
+    SPECIFIED' -> NOT%20SPECIFIED); the DV resolvers must decode back
+    to on-disk paths or delete masking silently misses those branches."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import delete_where
+
+    path = str(tmp_path / "pyds_space_part")
+    df = spark.range(40).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 2 == 0, "NOT SPECIFIED").otherwise("HIGH").alias("pri"),
+    )
+    versioned_write(df, path, partition_by=("pri",))
+    delete_where(spark, path, [("v", "<", 10)])
+    native = snapshot_read(spark, path)
+    pyds = read_versioned(spark, path)
+    assert pyds.count() == native.count() == 30
+    assert pyds.filter("pri = 'NOT SPECIFIED'").count() == 15
+    assert pyds.exceptAll(native).count() == 0
