@@ -1091,3 +1091,89 @@ def test_dml_racing_append_keeps_both_or_fails_loud(spark, tmp_path):
     updated = final.filter("val = 9").count()
     assert updated == (10 if upd[0] == "ok" else 0)  # all-or-nothing DML
     _manifest_invariants(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Quarantine replay (VERDICT r10 #6): the repair-and-reingest half of
+# the DLT loop — exactly-once, crash-recoverable
+# ---------------------------------------------------------------------------
+
+
+def _replay_env(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        versioned_write_expect,
+    )
+
+    path = str(tmp_path / "replay_main")
+    qp = path + "_q"
+    os.makedirs(path)
+    add_constraint(spark, path, "small_k", "k < 100")
+    df = spark.range(150).withColumnRenamed("id", "k")
+    res = versioned_write_expect(df, path, quarantine_path=qp)
+    assert res["rows_committed"] == 100 and res["rows_violating"] == 50
+
+    def repair(d):
+        return d.withColumn(
+            "k",
+            F.when((F.col("k") >= 100) & (F.col("k") < 120), F.col("k") - 100)
+            .otherwise(F.col("k")),
+        )
+
+    return path, qp, repair
+
+
+def test_quarantine_replay_reingests_and_is_idempotent(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import quarantine_replay
+
+    path, qp, repair = _replay_env(spark, tmp_path)
+    rep1 = quarantine_replay(spark, path, qp, repair=repair)
+    assert rep1["committed"] and not rep1["recovered"]
+    assert rep1["rows_reingested"] == 20  # k in [100, 120) repaired
+    assert rep1["rows_still_quarantined"] == 30
+    assert snapshot_read(spark, path).count() == 120
+    q = snapshot_read(spark, qp)
+    assert q.count() == 30 and q.filter("k < 120").count() == 0
+    assert "_violated" in q.columns  # residual rows re-tagged
+    # Second replay: detected no-op — never a double ingest.
+    rep2 = quarantine_replay(spark, path, qp, repair=repair)
+    assert rep2["rows_reingested"] == 0 and not rep2["committed"]
+    assert snapshot_read(spark, path).count() == 120
+
+
+def test_quarantine_replay_recovers_from_crash_between_commits(spark, tmp_path):
+    """Main commit landed, cleanup republish crashed, AND a concurrent
+    expectation-write appended new bad rows: the next replay must not
+    double-ingest the already-committed subset, must purge it from the
+    quarantine, and must keep both old and new still-bad rows."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _REPLAY_APP,
+        _read_constraints,
+        _tag_violations,
+        quarantine_replay,
+        versioned_write_expect,
+        versioned_write_txn,
+    )
+
+    path, qp, repair = _replay_env(spark, tmp_path)
+    # Simulate the crash: perform ONLY the main-table half of cycle 0.
+    rows = snapshot_read(spark, qp).drop("_violated")
+    tagged = _tag_violations(repair(rows), _read_constraints(path))
+    ok = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    versioned_write_txn(ok, path, _REPLAY_APP, 0)
+    assert snapshot_read(spark, path).count() == 120
+    # A concurrent ingest quarantines 10 more (all unfixable) rows.
+    versioned_write_expect(
+        spark.range(200, 210).withColumnRenamed("id", "k"), path, quarantine_path=qp
+    )
+    out = quarantine_replay(spark, path, qp, repair=repair)
+    assert out["recovered"] is True
+    assert out["rows_reingested"] == 0  # old-ok excluded, new rows all bad
+    assert snapshot_read(spark, path).count() == 120  # NO double ingest
+    q = snapshot_read(spark, qp)
+    assert q.count() == 40  # 30 old-bad + 10 new-bad; replayed 20 purged
+    assert q.filter("k < 120").count() == 0
+    # After recovery the ledgers are consistent again: plain no-op.
+    again = quarantine_replay(spark, path, qp, repair=repair)
+    assert again["rows_reingested"] == 0 and not again["recovered"]
+    assert snapshot_read(spark, path).count() == 120
