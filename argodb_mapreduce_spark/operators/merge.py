@@ -153,7 +153,15 @@ def targeted_salted_join(
         r_hot,
         (l_salt[left_key] == r_hot[right_key]) & (l_salt["__salt"] == r_hot["__salt"]),
     ).drop("__salt")
-    return cold.unionByName(hot_joined)
+    # POSITIONAL union: both branches emit left columns then right
+    # columns in input order, so this matches a plain join's output
+    # even when the two sides SHARE a non-key column name — a case a
+    # plain equi-join handles (duplicate-named output) but unionByName
+    # would reject as ambiguous (r10 ADVICE).
+    cold_names = [f.name for f in cold.schema.fields]
+    hot_names = [f.name for f in hot_joined.schema.fields]
+    assert cold_names == hot_names, (cold_names, hot_names)
+    return cold.union(hot_joined)
 
 
 @register(

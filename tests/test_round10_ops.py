@@ -96,3 +96,23 @@ def test_binpack_on_partitioned_table(spark, tmp_path):
     assert res["bins_rewritten"] >= 1
     assert snapshot_read(spark, path).count() == 300
     assert snapshot_read(spark, path).select("v").distinct().count() == 300
+
+
+def test_targeted_salted_join_tolerates_shared_column_names(spark):
+    """r10 ADVICE: sides sharing a non-key column name must join like a
+    plain equi-join (duplicate-named output) instead of failing the
+    hot/cold union with an ambiguous-column error."""
+    from argodb_mapreduce_spark.operators.merge import targeted_salted_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.lit("l").alias("tag")
+    )
+    right = spark.range(5).select(
+        F.col("id").alias("rk"), F.lit("r").alias("tag")  # 'tag' collides
+    )
+    out = targeted_salted_join(left, right, "k", "rk", hot_factor=0.5)
+    plain = left.join(right, left["k"] == right["rk"])
+    assert out.count() == plain.count() == 100
+    assert [f.name for f in out.schema.fields] == [f.name for f in plain.schema.fields]
+    # both tag copies survive, in plain-join positions
+    assert out.toPandas().columns.tolist().count("tag") == 2
