@@ -6,8 +6,11 @@ Output layout (designed for a ~2000-char tail capture window):
      {"metric": ..., "value": N, "unit": "sec", "r1_comparable_wall": N,
       "sf": ..., "queries": {...}, "spread": {...}}
   2. per-query SPREADS chunked into small JSON lines, keys "d_<query>";
-  3. per-query TIMES chunked into small JSON lines, keys "t_<query>";
-  4. the VERY LAST line: a totals-only JSON line under 200 chars.
+  3. per-query MEDIANS (of 3 runs) chunked the same way, keys
+     "m_<query>" (VERDICT r10 #7: medians + per-query spread make
+     round-over-round deltas separable from VM noise);
+  4. per-query TIMES (min of 3) chunked, keys "t_<query>";
+  5. the VERY LAST line: a totals-only JSON line under 280 chars.
 
 Why: BENCH_r05 and BENCH_r06 both recorded "parsed": null — the full
 summary line is ~4.4 KB with 67 queries x 2 dicts, more than twice the
@@ -193,6 +196,12 @@ HEADLINE = [
     "join_salted_targeted",
     "snapshot_expect_quarantine",
     "dedup_index_cdf_maintenance",
+    # round-11 additions: partition-aware Python DataSource, partitioned
+    # change feed, and the quarantine repair-replay loop
+    "pyds_partitioned_scan",
+    "snapshot_change_feed_partitioned",
+    "snapshot_quarantine_replay",
+    "similarity_filtered_topk",
 ]
 
 
@@ -232,6 +241,7 @@ def main() -> None:
     # runs drops intermediates persisted by prior queries so accumulated
     # storage blocks don't pressure execution memory.
     times: dict[str, float] = {}
+    median: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
@@ -241,6 +251,11 @@ def main() -> None:
             materialize(qs[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         times[name] = round(min(runs), 3)
+        # Median-of-3 (VERDICT r10 #7): min is the steady-state engine
+        # cost (kept as the cross-round headline), median is the
+        # noise-robust central tendency — a round-over-round delta that
+        # holds in BOTH is real; one visible only in min is VM drift.
+        median[name] = round(sorted(runs)[1], 3)
         spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
@@ -257,14 +272,19 @@ def main() -> None:
         "multimodal_frame_sample", "stream_window_tumbling", "stream_session_window",
     }
     r1_wall = round(sum(v for k, v in times.items() if k in r1_set), 3)
+    median_total = round(sum(median.values()), 3)
+    r1_median = round(sum(v for k, v in median.items() if k in r1_set), 3)
     full_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
             "r1_comparable_wall": r1_wall,
+            "median_total": median_total,
+            "r1_comparable_median": r1_median,
             "sf": sf,
             "queries": times,
+            "median": median,
             "spread": spread,
         }
     )
@@ -293,6 +313,8 @@ def main() -> None:
     # lost exactly the r1-comparable chunk to scroll-out).
     for ln in chunk_lines("d_", spread):
         print(ln)
+    for ln in chunk_lines("m_", median):
+        print(ln)
     times_other = {k: v for k, v in times.items() if k not in r1_set}
     times_r1 = {k: v for k, v in times.items() if k in r1_set}
     for ln in chunk_lines("t_", times_other):
@@ -308,12 +330,14 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "r1_comparable_wall": r1_wall,
+            "median_total": median_total,
+            "r1_comparable_median": r1_median,
             "sf": sf,
             "n_queries": len(times),
             "max_spread": round(max(spread.values()), 3) if spread else 0.0,
         }
     )
-    assert len(totals_line) < 200, len(totals_line)
+    assert len(totals_line) < 280, len(totals_line)
     sys.stdout.flush()
     print(totals_line)
     sys.stdout.flush()

@@ -116,3 +116,19 @@ def test_targeted_salted_join_tolerates_shared_column_names(spark):
     assert [f.name for f in out.schema.fields] == [f.name for f in plain.schema.fields]
     # both tag copies survive, in plain-join positions
     assert out.toPandas().columns.tolist().count("tag") == 2
+
+
+def test_filtered_ann_strategy_choice_and_recall(spark, sf_dir):
+    """Filtered ANN (r11): selective predicate -> pre-filter, broad
+    predicate -> post-filter; both regimes return full top-k sets and a
+    non-vacuous recall self-check against the exact filtered baseline."""
+    from argodb_mapreduce_spark import registry
+
+    df = registry.all_queries()["similarity_filtered_topk"].fn(spark, sf_dir)
+    rows = {r.regime: r for r in df.collect()}
+    assert rows["low"].strategy == "pre-filter"
+    assert rows["high"].strategy == "post-filter"
+    assert rows["low"].selectivity_pct < 50 < rows["high"].selectivity_pct
+    for r in rows.values():
+        assert r.n_results > 0
+        assert 0 < r.recall_vs_exact_pct <= 100
