@@ -67,80 +67,76 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.materialized_view",
 )
 
-#: ROUND-10 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-11 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) at least 20
-#: slots of staleness rotation, oldest banked evidence first. After r9
-#: the staleness floor was r03: exactly 14 rows (measured from the
-#: CORRECTNESS union, not the 4 COVERAGE.md once claimed — both now
-#: corrected per the r9 verdict); ALL 14 rotate in below, then the 24
-#: alphabetically-first r04-tier rows fill the window (12 new/changed +
-#: 14 + 24 = 50), leaving a post-r10 floor of r04 (15 rows:
-#: sink_merge_upsert, sketch_count_min, and the 13 from
-#: sketch_rollup_hll onward, which lead the r11 rotation).
-#: tests/test_round8_ops.py asserts
+#: slots of staleness rotation, oldest banked evidence first. After r10
+#: the staleness floor was r04: exactly 15 rows (measured from the
+#: CORRECTNESS union; the r10 verdict corrected COVERAGE.md's
+#: miscounted 13). ALL 15 rotate in below, then the 17
+#: alphabetically-first r05-tier rows fill the window (4 new + 14
+#: changed + 15 + 17 = 50), leaving a post-r11 floor of r05 (24 rows:
+#: graph_triangle_count, join_asof_tolerance, join_bloom_pruned onward
+#: lead the r12 rotation). tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 10: first driver evidence ---
-    "snapshot_partitioned_scan",  # Hive layout: 3-level stacked pruning
-    "snapshot_scan_metrics",      # per-segment skip decisions, queryable
-    "join_salted_targeted",       # stats-driven hot-key-only salting
-    "snapshot_expect_quarantine", # DLT-style expectation-gated ingest
-    "dedup_index_cdf_maintenance", # CDF-maintained stored LSH index
-    # --- (a cont.) code changed in round 10: re-earn the rows ---
-    "snapshot_bloom_pruned_scan", # bloom build moved executor-side
-    "snapshot_history",           # written_rows operationMetrics column
-    "snapshot_merge_pruned",      # touched-dir mapping fails loud now
-    "snapshot_check_constraint",  # no_orphans self-check fixed (ADVICE)
-    "stream_versioned_sink",      # txn idempotency re-checked under lock
-    "snapshot_pruned_scan",       # prune_segments -> prune_report refactor
-    "snapshot_compaction",        # compact records write metrics
-    # --- (b) staleness rotation: ALL 14 rows whose newest evidence is
-    # r03 (VERDICT r9 #2, verified against the CORRECTNESS union) ---
-    "q18_large_orders",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_pergroup_topk",
-    "sample_stratified",
-    "scan_embeddings",
-    "shuffle_shard_deterministic",
-    "split_train_val_test",
-    "text_repetition_ratio",
-    "vocab_coverage",
-    # --- (b cont.) the 24 alphabetically-first r04-tier rows ---
-    "curation_pipeline",
-    "data_mixture_sample",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_pairs",
-    "dedup_minhash_signature",
-    "dedup_minhash_verified",
-    "dedup_simhash_pairs",
-    "events_anomaly_zscore",
-    "events_gapfill",
-    "events_retention",
-    "events_rolling_distinct",
-    "join_asof",
-    "join_broadcast_dim",
-    "join_range_bands",
-    "join_salted_skew",
-    "join_semi",
-    "profile_join_skew",
-    "profile_length_histogram",
-    "profile_orders",
-    "profile_token_spectrum",
-    "q1_pricing_summary",
-    "similarity_ivf_recall",
-    "similarity_ivf_topk",
-    # (sink_merge_upsert and sketch_count_min, displaced by the two
-    # late-r10 ops above, lead the r11 rotation with the 13 remaining
-    # r04-tier rows — 15 r04-tier rows total after r10.)
+    # --- (a) new in round 11: first driver evidence ---
+    "pyds_partitioned_scan",            # partition-aware Python DataSource
+    "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
+    "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
+    "similarity_filtered_topk",         # filtered ANN, strategy by stats
+    # --- (a cont.) code changed in round 11: re-earn the rows ---
+    "snapshot_change_feed",       # delete leg -> layout-aware file scan
+    "snapshot_vacuum",            # lock scope shrunk to metadata ops
+    "snapshot_rollback",          # fenced manifest publish
+    "snapshot_expect_quarantine", # violation tagging factored out
+    "join_salted_targeted",       # positional union (shared-name fix)
+    "pyds_versioned_scan",        # reader partition plumbing touched
+    "pyds_versioned_write",       # writer path under new resolve tuple
+    "pyds_pruned_scan",           # pruning now merges partition stats
+    "stream_versioned_ingest",    # stream reader partition-aware
+    "stream_change_feed_live",    # CDF legs reordered through _emit
+    "stream_versioned_sink",      # txn sink over fenced lock
+    "snapshot_partitioned_scan",  # native read casts ledger types
+    "snapshot_zorder_scan",       # staged-dir cleanup on failure
+    "snapshot_delete_where",      # DV scan through cast-aware branches
+    # --- (b) staleness rotation: ALL 15 rows whose newest evidence is
+    # r04 (VERDICT r10 #5, verified against the CORRECTNESS union) ---
+    "sink_merge_upsert",
+    "sketch_count_min",
+    "sketch_rollup_hll",
+    "sketch_rollup_quantile",
+    "stream_dedup_watermark",
+    "stream_join_live",
+    "stream_merge_upsert_live",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_tumbling_live",
+    "stream_window_sliding",
+    "stream_window_tumbling",
+    "text_bm25_topk",
+    "text_top_tokens",
+    "window_time_range_frame",
+    # --- (b cont.) the 17 alphabetically-first r05-tier rows ---
+    "agg_grouping_flags",
+    "agg_salted_skew",
+    "basket_pair_lift",
+    "corpus_tv_divergence",
+    "dedup_containment",
+    "dedup_fuzzy_levenshtein",
+    "dedup_ngram_jaccard",
+    "dedup_span_exact",
+    "dq_constraint_audit",
+    "embedding_normalize_stats",
+    "embedding_pca_top_component",
+    "events_attribution_last_touch",
+    "events_autocorrelation",
+    "events_ewma_smooth",
+    "events_markov_transition",
+    "events_sessionize",
+    "graph_pagerank",
 )
 
 
