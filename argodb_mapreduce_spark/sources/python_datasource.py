@@ -79,8 +79,9 @@ def make_versioned_datasource():
             # vector (merge-on-read): dropped during read().
             self.excluded = excluded
             # Hive partition values decoded from the file's directory
-            # branch at PLAN time: ((col, raw_string_or_None), ...) —
-            # None is the reference's NULL sentinel directory
+            # branch at PLAN time: ((col, raw_string_or_None,
+            # ledger_type_str), ...) triples — None is the reference's
+            # NULL sentinel directory
             # (ArgodbMapreduceRecordReader.java:172-198). read() appends
             # them as constant typed columns, the record-reader
             # partition-value append re-expressed.
@@ -113,6 +114,21 @@ def make_versioned_datasource():
 
     _HIVE_NULL_LOCAL = "__HIVE_DEFAULT_PARTITION__"
 
+    def _decode_branch(rel: str) -> dict:
+        """{col -> raw_or_None} from one Hive directory branch ('.' or
+        'a=1/b=x'): percent-decode, NULL sentinel -> None. The single
+        copy of the branch-decoding convention for this module."""
+        from urllib.parse import unquote as _unq
+
+        pairs = {}
+        if rel != ".":
+            for comp in rel.split(_os.sep):
+                if "=" in comp:
+                    c, v = comp.split("=", 1)
+                    v = _unq(v)
+                    pairs[c] = None if v == _HIVE_NULL_LOCAL else v
+        return pairs
+
     def _decode_part_value(raw, type_str):
         """Directory-name string -> typed Python value per the manifest
         schema ledger (the reference record reader's partition-value
@@ -138,18 +154,9 @@ def make_versioned_datasource():
         """[(file_path, ((col, raw_or_None), ...)), ...] for one
         Hive-partitioned segment: partition values decoded from the
         directory branch of each parquet file, NULL sentinel -> None."""
-        from urllib.parse import unquote as _unq
-
         out = []
         for root, _dirs, fs in sorted(_os.walk(seg_dir)):
-            pairs = {}
-            rel = _os.path.relpath(root, seg_dir)
-            if rel != ".":
-                for comp in rel.split(_os.sep):
-                    if "=" in comp:
-                        c, v = comp.split("=", 1)
-                        v = _unq(v)
-                        pairs[c] = None if v == _HIVE_NULL_LOCAL else v
+            pairs = _decode_branch(_os.path.relpath(root, seg_dir))
             parts = tuple((c, pairs.get(c)) for c in part_cols)
             for f in sorted(fs):
                 if f.endswith(".parquet"):
@@ -343,13 +350,16 @@ def make_versioned_datasource():
             "boolean": pa.bool_(),
         }.get((type_str or "string").lower(), pa.string())
 
-    def _emit_batch(batch, parts, col_order):
+    def _emit_batch(batch, parts, col_order, col_types=None):
         """Append the split's partition values as constant typed columns
         (NULL sentinel -> null column) and reorder to the plan schema —
         the record reader's partition-value append
         (ArgodbMapreduceRecordReader.java:172-198). ``col_order`` is
         None for all-flat tables: the batch passes through untouched
-        (zero overhead on the common path)."""
+        (zero overhead on the common path). A plan column the file
+        lacks entirely (ADD-column schema evolution) NULL-backfills
+        from ``col_types`` (plan-schema Arrow types), matching the
+        native reader's unionByName(allowMissingColumns=True)."""
         if not col_order:
             return batch
         if not parts and batch.schema.names == list(col_order):
@@ -362,6 +372,15 @@ def make_versioned_datasource():
             tv = _decode_part_value(raw, type_str)
             t = _arrow_type_of(type_str)
             arrays[c] = pa.nulls(n, t) if tv is None else pa.array([tv] * n, type=t)
+        for name in col_order:
+            if name not in arrays:
+                if not col_types or name not in col_types:
+                    raise ValueError(
+                        f"file {batch.schema.names} lacks plan column "
+                        f"{name!r} and no plan type is available to "
+                        "NULL-backfill it"
+                    )
+                arrays[name] = pa.nulls(n, col_types[name])
         return pa.RecordBatch.from_arrays(
             [arrays[name] for name in col_order], names=list(col_order)
         )
@@ -376,6 +395,7 @@ def make_versioned_datasource():
             file_parts=None,
             part_types=None,
             col_order=None,
+            col_types=None,
         ):
             self.files = files
             self.file_stats = file_stats
@@ -388,9 +408,11 @@ def make_versioned_datasource():
             self.excluded = excluded or {}
             self.file_parts = file_parts or {}
             self.part_types = part_types or {}
-            # Plan-schema column order; set ONLY when the version has
-            # partitioned segments (engages the append/reorder path).
+            # Plan-schema column order + Arrow types; set ONLY when the
+            # version has partitioned segments (engages the
+            # append/reorder/backfill path).
             self.col_order = col_order
+            self.col_types = col_types
 
         def _split_parts(self, f):
             """((col, raw, type), ...) for one file — self-contained on
@@ -447,7 +469,7 @@ def make_versioned_datasource():
                         )
                 offset += n
                 if batch is not None and batch.num_rows:
-                    yield _emit_batch(batch, parts, self.col_order)
+                    yield _emit_batch(batch, parts, self.col_order, self.col_types)
 
     class VersionedCommit(WriterCommitMessage):
         def __init__(self, filename):
@@ -604,7 +626,12 @@ def make_versioned_datasource():
     class VersionedDataSource(DataSource):
         def __init__(self, options):
             super().__init__(options)
-            self._path = options["path"]
+            # Absolute from the start: DV sidecars record absolute
+            # _metadata.file_path values, and every plan-time map keyed
+            # by file path (excluded positions, partition values, stats)
+            # must agree with them even when the user passed a relative
+            # table path.
+            self._path = _os.path.abspath(options["path"])
             self._version = int(options.get("version", -1))
             # Source-level data skipping: JSON [[col, op, literal], ...]
             # triples, AND semantics — immutable for this relation.
@@ -672,10 +699,16 @@ def make_versioned_datasource():
                     "readChangeFeed is a STREAMING option (spark.readStream); "
                     "for batch change queries use versioned.change_feed()"
                 )
-            # col_order engages the partition-append/reorder path only
-            # when this version actually has partitioned segments; flat
-            # tables keep the untouched passthrough batches.
-            col_order = [f.name for f in schema.fields] if self._file_parts else None
+            # col_order/col_types engage the partition-append/reorder/
+            # backfill path only when this version actually has
+            # partitioned segments; flat tables keep the untouched
+            # passthrough batches.
+            col_order, col_types = None, None
+            if self._file_parts:
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                col_order = [f.name for f in schema.fields]
+                col_types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
             return VersionedReader(
                 self._files,
                 self._file_stats,
@@ -684,6 +717,7 @@ def make_versioned_datasource():
                 self._file_parts,
                 self._part_types,
                 col_order,
+                col_types,
             )
 
         def writer(self, schema, overwrite):
@@ -702,12 +736,17 @@ def make_versioned_datasource():
                     "readChangeFeed and ignoreDeletes are contradictory: "
                     "the change feed EMITS deletes, ignoreDeletes skips them"
                 )
-            base_cols = [
-                f.name
-                for f in schema.fields
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            base = [
+                f for f in schema.fields
                 if f.name not in ("_change_type", "_commit_version")
             ]
-            return VersionedStreamReader(self._path, ignore_deletes, cdf, base_cols)
+            base_cols = [f.name for f in base]
+            base_types = {f.name: to_arrow_type(f.dataType) for f in base}
+            return VersionedStreamReader(
+                self._path, ignore_deletes, cdf, base_cols, base_types
+            )
 
     class VersionedStreamReader(DataSourceStreamReader):
         """STREAMING source over the versioned table — "subscribe to a
@@ -738,8 +777,10 @@ def make_versioned_datasource():
             ignore_deletes: bool = False,
             cdf: bool = False,
             base_cols=None,
+            base_types=None,
         ):
             self._path = path
+            self._base_types = base_types
             self._ignore_deletes = ignore_deletes
             self._cdf = cdf
             # Plan-schema order (without the CDF tag columns): batches
@@ -870,24 +911,18 @@ def make_versioned_datasource():
             its owning segment by directory ancestry, then decode the
             partition branch between segment root and file (NULL
             sentinel -> None). Flat segments return ()."""
-            from urllib.parse import unquote as _unq
 
             for seg in entry["segments"]:
-                seg_root = _os.path.join(self._path, seg)
+                # DV file paths are absolute; the table path may be
+                # relative — compare on the absolute form.
+                seg_root = _os.path.join(_os.path.abspath(self._path), seg)
                 if not fp.startswith(seg_root + _os.sep):
                     continue
                 part_cols = entry.get("partition_by", {}).get(seg) or ()
                 if not part_cols:
                     return ()
                 ledger = entry.get("schemas", {}).get(seg, {})
-                pairs = {}
-                rel = _os.path.relpath(_os.path.dirname(fp), seg_root)
-                if rel != ".":
-                    for comp in rel.split(_os.sep):
-                        if "=" in comp:
-                            c, v = comp.split("=", 1)
-                            v = _unq(v)
-                            pairs[c] = None if v == _HIVE_NULL_LOCAL else v
+                pairs = _decode_branch(_os.path.relpath(_os.path.dirname(fp), seg_root))
                 return tuple(
                     (c, pairs.get(c), ledger.get(c, "string")) for c in part_cols
                 )
@@ -900,7 +935,8 @@ def make_versioned_datasource():
                 # from partitioned segments (no-op for flat files
                 # already in plan order).
                 return VersionedReader(
-                    [], {}, [], {}, col_order=self._base_cols
+                    [], {}, [], {},
+                    col_order=self._base_cols, col_types=self._base_types,
                 ).read(partition)
             return self._read_cdf(partition)
 
@@ -911,7 +947,9 @@ def make_versioned_datasource():
             def tag(batch):
                 # Partition append + plan ordering BEFORE the CDF tag
                 # columns, so flat and partitioned change rows align.
-                batch = _emit_batch(batch, partition.parts, self._base_cols)
+                batch = _emit_batch(
+                    batch, partition.parts, self._base_cols, self._base_types
+                )
                 n = batch.num_rows
                 cols = list(batch.columns) + [
                     pa.array([partition.kind] * n, type=pa.string()),

@@ -951,7 +951,13 @@ def quarantine_replay(
         ),
         default=-1,
     )
-    if q_head <= last_replayed:
+    if q_head <= last_replayed and last_cleanup >= last_replayed:
+        # Fully-consumed head AND the cleanup landed: true no-op. A
+        # pending cleanup (last_cleanup < last_replayed — the crash-
+        # between-commits case with no later append) must fall through
+        # to the recovery path below even though q_head == the replayed
+        # head, or the already-ingested rows sit in the quarantine
+        # forever.
         return {
             "rows_reingested": 0,
             "rows_still_quarantined": snapshot_read(spark, qp, q_head).count(),
@@ -985,13 +991,16 @@ def quarantine_replay(
     if committed or (recovered and n_ok == 0):
         # Republish the quarantine as exactly the still-bad rows,
         # fenced on the head this replay consumed.
-        versioned_write(
-            bad,
-            qp,
-            mode="overwrite",
-            expected_version=q_head,
-            _txn={"app_id": _CLEANUP_APP, "batch_id": q_head},
-        )
+        try:
+            versioned_write(
+                bad,
+                qp,
+                mode="overwrite",
+                expected_version=q_head,
+                _txn={"app_id": _CLEANUP_APP, "batch_id": q_head},
+            )
+        except _TxnDuplicate:
+            pass  # a concurrent replay's cleanup landed this batch first
     n_bad = snapshot_read(spark, qp).count()
     return {
         "rows_reingested": n_ok if committed else 0,
@@ -1435,12 +1444,17 @@ def _read_files_with_layout(spark: SparkSession, path: str, entry: dict, files) 
 
     parts = entry.get("partition_by", {})
     ledger = entry.get("schemas", {})
+    # DV paths are absolute; the table path may be relative — compare
+    # on the absolute form or every partitioned file silently falls
+    # into the flat group (and unionByName would NULL-backfill its
+    # partition columns instead of recovering them).
+    abs_path = os.path.abspath(path)
     groups: dict = {}
     for fp in files:
         owner = None
         for seg in entry["segments"]:
             if parts.get(seg) and local(fp).startswith(
-                os.path.join(path, seg) + os.sep
+                os.path.join(abs_path, seg) + os.sep
             ):
                 owner = seg
                 break
@@ -1458,7 +1472,9 @@ def _read_files_with_layout(spark: SparkSession, path: str, entry: dict, files) 
     if flat:
         frames.append(_pos(spark.read.parquet(*flat)))
     for seg in sorted(groups):
-        seg_dir = os.path.join(path, seg)
+        # Absolute basePath: the grouped file paths are absolute, and
+        # Spark requires basePath to prefix them.
+        seg_dir = os.path.join(abs_path, seg)
         df = _pos(spark.read.option("basePath", seg_dir).parquet(*groups[seg]))
         frames.append(_cast_partition_cols(df, parts[seg], ledger.get(seg, {})))
     out = frames[0]
@@ -2063,9 +2079,11 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     concurrent writer's fresh manifest entry.
 
     Crashed-writer hygiene: ``_staged-*`` / ``_staging-*`` directories
-    older than the lock staleness horizon are orphans of crashed
-    writers (live writers publish or clean them within one commit
-    window) and are reaped here, so they cannot accumulate forever.
+    whose ENTIRE tree went cold for longer than the lock staleness
+    horizon are crashed-writer orphans and are reaped here, so they
+    cannot accumulate forever. A live writer's long heavy phase keeps
+    writing files, so its staged tree always carries a fresh mtime and
+    is never touched.
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
@@ -2099,14 +2117,24 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
             bytes_reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
         shutil.rmtree(seg_dir, ignore_errors=True)
     # Reap staged-dir orphans left by crashed writers (age-gated by the
-    # same horizon that declares a lock holder dead).
+    # same horizon that declares a lock holder dead). Age = the NEWEST
+    # mtime anywhere in the staged tree, not the top-level dir's: a
+    # LIVE writer's long heavy phase (a multi-minute parquet write)
+    # keeps creating files, so its tree always contains a fresh mtime,
+    # while a crashed writer's tree went cold everywhere at once —
+    # top-level mtime alone would reap a legitimate in-flight write.
     staged_reaped = []
+    now = time.time()
     for d in sorted(os.listdir(path)):
         if not (d.startswith("_staged-") or d.startswith("_staging-")):
             continue
         full = os.path.join(path, d)
         try:
-            if time.time() - os.path.getmtime(full) > _LOCK_STALE_S:
+            newest = os.path.getmtime(full)
+            for root, dirs, fs in os.walk(full):
+                for name in dirs + fs:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            if now - newest > _LOCK_STALE_S:
                 shutil.rmtree(full, ignore_errors=True)
                 staged_reaped.append(d)
         except OSError:

@@ -72,7 +72,7 @@ def bench_append(spark, n_writers: int, appends_each: int = 3) -> dict:
 
 
 def bench_dml(spark, n_writers: int, ops_each: int = 2, mix: str = "merge") -> dict:
-    """Writers loop rewriting-DML + blind appends with OCC-retry (3
+    """Writers loop rewriting-DML + blind appends with OCC-retry (6
     attempts) — the realistic multi-writer shape. COW MERGE and DV
     DELETE cannot interleave on one table by contract (merge/update
     refuse pending-DV tables until compact() materializes them), so

@@ -1177,3 +1177,105 @@ def test_quarantine_replay_recovers_from_crash_between_commits(spark, tmp_path):
     again = quarantine_replay(spark, path, qp, repair=repair)
     assert again["rows_reingested"] == 0 and not again["recovered"]
     assert snapshot_read(spark, path).count() == 120
+
+
+def test_quarantine_replay_recovers_plain_crash_no_append(spark, tmp_path):
+    """Review fix (r11): crash between the main commit and the cleanup
+    WITHOUT any later quarantine append (q_head == last_replayed) must
+    still be detected and recovered — the early no-op return only fires
+    when the cleanup actually landed."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _REPLAY_APP,
+        _read_constraints,
+        _tag_violations,
+        quarantine_replay,
+        versioned_write_txn,
+    )
+
+    path, qp, repair = _replay_env(spark, tmp_path)
+    rows = snapshot_read(spark, qp).drop("_violated")
+    tagged = _tag_violations(repair(rows), _read_constraints(path))
+    ok = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    versioned_write_txn(ok, path, _REPLAY_APP, 0)  # main half only
+    out = quarantine_replay(spark, path, qp, repair=repair)
+    assert out["recovered"] is True
+    assert out["rows_reingested"] == 0
+    assert snapshot_read(spark, path).count() == 120  # no double ingest
+    assert snapshot_read(spark, qp).count() == 30  # replayed rows purged
+    again = quarantine_replay(spark, path, qp, repair=repair)
+    assert again["rows_reingested"] == 0 and not again["recovered"]
+
+
+def test_vacuum_reaper_spares_live_staging_with_old_dir_mtime(spark, tmp_path):
+    """Review fix (r11): a live writer's staging dir whose TOP-LEVEL
+    mtime is past the horizon (long heavy phase) but whose tree holds a
+    fresh file must NOT be reaped; a tree cold everywhere is."""
+    import time
+
+    from argodb_mapreduce_spark.sources.versioned import _LOCK_STALE_S, vacuum
+
+    path = str(tmp_path / "vac_live")
+    versioned_write(spark.range(10).withColumnRenamed("id", "k"), path)
+    versioned_write(spark.range(10, 20).withColumnRenamed("id", "k"), path, mode="overwrite")
+    old = time.time() - _LOCK_STALE_S - 120
+    live = os.path.join(path, "_staged-live-longwrite")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0.parquet"), "w") as f:
+        f.write("fresh bytes")  # fresh inner mtime
+    os.utime(live, (old, old))  # ...but a cold top-level dir
+    dead = os.path.join(path, "_staged-dead")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "w") as f:
+        f.write("cold bytes")
+    for p in (dead, os.path.join(dead, "part-0.parquet")):
+        os.utime(p, (old, old))
+    summary = vacuum(path, keep_versions=1)
+    assert summary["staged_orphans_reaped"] == ["_staged-dead"]
+    assert os.path.isdir(live) and not os.path.exists(dead)
+
+
+def test_change_feed_partitioned_relative_path(spark, tmp_path):
+    """Review fix (r11): the delete leg's owner matching must work when
+    the table path is RELATIVE — partition values recovered, not
+    silently NULL-backfilled."""
+    from argodb_mapreduce_spark.sources.versioned import change_feed, delete_where
+
+    # Relative from the PROCESS cwd (Python and the JVM share it; an
+    # os.chdir would desync the two and break all relative paths).
+    rel = os.path.relpath(str(tmp_path / "rel_part_table"), os.getcwd())
+    assert not os.path.isabs(rel)
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k")
+    )
+    versioned_write(mk(0, 50), rel, partition_by=("k",))
+    versioned_write(mk(50, 100), rel, partition_by=("k",))
+    delete_where(spark, rel, [("v", "<", 4)])
+    dels = change_feed(spark, rel, 1, 2).filter("_change_type = 'delete'")
+    rows = sorted((r.v, r.k) for r in dels.collect())
+    assert rows == [(0, 0), (1, 1), (2, 2), (3, 3)]  # k recovered
+
+
+def test_pyds_backfills_pre_evolution_files(spark, tmp_path):
+    """Review fix (r11): a flat pre-evolution file lacking a plan
+    column NULL-backfills through the pyds reorder path (matching the
+    native reader) instead of raising KeyError executor-side."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    path = str(tmp_path / "pyds_evolve")
+    versioned_write(
+        spark.range(10).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b")),
+        path,
+    )
+    versioned_write(
+        spark.range(10, 20).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            (F.col("id") % 2).cast("int").alias("c"),
+        ),
+        path,
+        partition_by=("c",),
+    )
+    got = read_versioned(spark, path)
+    assert got.count() == 20
+    assert got.filter("c IS NULL").count() == 10  # v0 rows backfilled
+    assert got.filter("c = 1").count() == 5
