@@ -118,7 +118,111 @@ def _ops():
         # round-10: expectation-gated ingest and CDF-driven index upkeep
         "expect_quarantine_lifecycle": _expect_lifecycle,
         "cdf_index_maintenance_lifecycle": _cdf_index_lifecycle,
+        # round-11: partitioned CDF delete recovery, partition-aware
+        # pyds scan, quarantine repair-replay, filtered ANN
+        "partitioned_cdf_lifecycle": _partitioned_cdf_lifecycle,
+        "pyds_partitioned_scan_lifecycle": _pyds_partitioned_lifecycle,
+        "quarantine_replay_lifecycle": _quarantine_replay_lifecycle,
+        "similarity_filtered_topk": _filtered_ann_op,
     }
+
+
+def _partitioned_cdf_lifecycle(spark, sf_dir):
+    """2 Hive-partitioned appends + DV DELETE + change_feed(0, 2): the
+    r11 delete-recovery leg. The feed cost must track O(changes) — the
+    delta segment + the DV-touched files — not table size."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        delete_where,
+        versioned_write,
+    )
+
+    out = _fresh_dir("scale_hivecdf_")
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    for part in (o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)):
+        versioned_write(part, out, partition_by=("o_orderpriority",))
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return change_feed(spark, out, 0, 2).groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+def _pyds_partitioned_lifecycle(spark, sf_dir):
+    """2 partitioned appends + a partition-predicate scan THROUGH the
+    Python DataSource: plan-time walk/decode must stay metadata-cheap
+    and the scan must touch only the matching branch's files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    out = _fresh_dir("scale_pydspart_")
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    for part in (o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)):
+        versioned_write(part, out, partition_by=("o_orderpriority",))
+    preds = [
+        ("o_orderdate", ">=", dt.datetime(1998, 1, 1)),
+        ("o_orderpriority", "=", "1-URGENT"),
+    ]
+    return read_versioned(spark, out, predicates=preds).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+
+
+def _quarantine_replay_lifecycle(spark, sf_dir):
+    """Expect-gated ingest + repair + replay + idempotent re-run: every
+    replay scan is over the quarantine (O(bad rows)), so the lifecycle
+    should scale with the violating fraction, not the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        quarantine_replay,
+        snapshot_read,
+        versioned_write_expect,
+    )
+
+    out = _fresh_dir("scale_replay_")
+    os.makedirs(out, exist_ok=True)
+    add_constraint(spark, out, "price_cap", "o_totalprice < 150000.0")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write_expect(o, out, on_violation="quarantine")
+
+    def repair(d):
+        return d.withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_totalprice") >= 150000.0) & (F.col("o_totalprice") < 180000.0),
+                F.lit(149999.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+
+    rep = quarantine_replay(spark, out, repair=repair)
+    rep2 = quarantine_replay(spark, out, repair=repair)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_main"),
+        F.lit(rep["rows_reingested"]).alias("reingested"),
+        F.lit(rep2["rows_reingested"]).alias("second"),
+    )
+
+
+def _filtered_ann_op(spark, sf_dir):
+    from argodb_mapreduce_spark.operators.similarity import similarity_filtered_topk
+
+    return similarity_filtered_topk(spark, sf_dir)
 
 
 def _expect_lifecycle(spark, sf_dir):
