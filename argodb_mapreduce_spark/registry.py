@@ -87,6 +87,7 @@ _PRIORITY = (
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
     "similarity_filtered_topk",         # filtered ANN, strategy by stats
+    "snapshot_update_on_dv",            # DML composes with deletion vectors
     # --- (a cont.) code changed in round 11: re-earn the rows ---
     "snapshot_change_feed",       # delete leg -> layout-aware file scan
     "snapshot_vacuum",            # lock scope shrunk to metadata ops
@@ -102,6 +103,9 @@ _PRIORITY = (
     "snapshot_partitioned_scan",  # native read casts ledger types
     "snapshot_zorder_scan",       # staged-dir cleanup on failure
     "snapshot_delete_where",      # DV scan through cast-aware branches
+    "snapshot_update_where",      # UPDATE reads through a pending DV
+    "snapshot_merge_pruned",      # MERGE reads through a pending DV
+    "snapshot_compact_binpack",   # bin-pack materializes a pending DV
     # --- (b) staleness rotation: ALL 15 rows whose newest evidence is
     # r04 (VERDICT r10 #5, verified against the CORRECTNESS union) ---
     "sink_merge_upsert",
@@ -133,10 +137,6 @@ _PRIORITY = (
     "embedding_pca_top_component",
     "events_attribution_last_touch",
     "events_autocorrelation",
-    "events_ewma_smooth",
-    "events_markov_transition",
-    "events_sessionize",
-    "graph_pagerank",
 )
 
 

@@ -3042,8 +3042,9 @@ def merge_upsert(
        new segment. Old versions keep time-traveling.
 
     Upsert semantics: final = (target rows whose key ∉ source) ∪ source.
-    Tables with a pending deletion vector must compact first (the DV
-    references files a rewrite would orphan) — fail-loud, documented.
+    A pending deletion vector composes (r11): reads go through the DV,
+    rewritten segments materialize it, untouched segments carry it
+    forward — the Delta DV-aware COW MERGE; no pre-compaction needed.
     Returns ``{"version", "segments_rewritten", "segments_total",
     "rows_upserted"}``.
 
@@ -3055,13 +3056,18 @@ def merge_upsert(
     """
     entries = _read_manifest(path)
     latest = entries[-1]
-    if latest.get("dv"):
-        raise ValueError(
-            "merge_upsert on a table with a pending deletion vector: "
-            "compact() first to materialize it"
-        )
     segs = latest["segments"]
+    # Pending deletion vector (r11, closes the fail-loud DV guard):
+    # every target read goes THROUGH the DV, so tombstoned rows neither
+    # count as matches nor resurrect into the rewrite; rewritten
+    # segments physically exclude them (Delta's DV-materializing COW
+    # rewrite) and the DV carries forward for the untouched segments —
+    # its entries for rewritten files reference paths no scan plans, so
+    # they are inert.
+    dv_name = latest.get("dv")
     tgt = _read_segment_dirs(spark, path, segs, latest, evolved=False, with_pos=True)
+    if dv_name:
+        tgt = _anti_join_dv(spark, path, dv_name, tgt)
     keys = source.select(key_col).distinct()
     # metadata-collect: O(matched files) distinct paths — Delta's
     # touched-file discovery; rows are never collected.
@@ -3113,9 +3119,15 @@ def merge_upsert(
         known = {
             json.dumps(ledger[s], sort_keys=True) for s in touched if s in ledger
         }
-        kept = _read_segment_dirs(
-            spark, path, touched, latest, evolved=len(known) > 1
-        ).join(F.broadcast(keys), key_col, "left_anti")
+        kept_scan = _read_segment_dirs(
+            spark, path, touched, latest, evolved=len(known) > 1,
+            with_pos=bool(dv_name),
+        )
+        if dv_name:
+            kept_scan = _anti_join_dv(spark, path, dv_name, kept_scan).drop(
+                "__fp", "__ri"
+            )
+        kept = kept_scan.join(F.broadcast(keys), key_col, "left_anti")
         # Strict column match on uniform tables (a mis-shaped source
         # must fail loud); NULL-backfill only when the table itself is
         # schema-divergent and the merged read added columns.
@@ -3155,6 +3167,10 @@ def merge_upsert(
             new_seg: {f.name: f.dataType.simpleString() for f in rewrite.schema.fields},
         },
     }
+    # Untouched segments still need their tombstones; a fully-rewritten
+    # table materialized the DV and drops it.
+    if dv_name and untouched:
+        entry["dv"] = dv_name
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     if bloom_cols:
         entry["bloom"] = {
@@ -3471,9 +3487,9 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
        aborts instead of losing a concurrent writer's update. Old
        versions keep time-traveling to the pre-update rows.
 
-    Tables with a pending deletion vector must :func:`compact` first
-    (same fail-loud contract as MERGE: the DV pins row positions in
-    files a rewrite would orphan). Returns ``{"version",
+    A pending deletion vector composes (r11): the touched read goes
+    through the DV, the rewrite materializes it, untouched segments
+    carry it forward — same contract as MERGE. Returns ``{"version",
     "rows_updated", "segments_rewritten", "segments_total"}``.
 
     At 100 TB: an UPDATE touching one date window rewrites only the
@@ -3484,12 +3500,8 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     across mutations)."""
     entries = _read_manifest(path)
     latest = entries[-1]
-    if latest.get("dv"):
-        raise ValueError(
-            "update_where on a table with a pending deletion vector: "
-            "compact() first to materialize it"
-        )
     segs = latest["segments"]
+    dv_name = latest.get("dv")  # composes (r11): see merge_upsert
     seg_stats = latest.get("stats", {})
     touched = [s for s in segs if _segment_may_match(seg_stats.get(s), predicates)]
     untouched = [s for s in segs if s not in touched]
@@ -3511,7 +3523,15 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         for s in touched
         if s in schemas_ledger
     }
-    scan = _read_segment_dirs(spark, path, touched, latest, evolved=len(known) > 1)
+    scan = _read_segment_dirs(
+        spark, path, touched, latest, evolved=len(known) > 1,
+        with_pos=bool(dv_name),
+    )
+    if dv_name:
+        # Tombstoned rows must neither be counted as updated nor
+        # resurrect into the rewrite: read through the DV, then drop
+        # the row identity before the rewrite is written.
+        scan = _anti_join_dv(spark, path, dv_name, scan).drop("__fp", "__ri")
     match = None
     for col, op, lit in predicates:
         c = F.col(col)
@@ -3552,6 +3572,10 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
             new_seg: {f.name: f.dataType.simpleString() for f in rewrite.schema.fields},
         },
     }
+    # Untouched segments still need their tombstones; the rewritten
+    # segment materialized its share (inert entries are harmless).
+    if dv_name and untouched:
+        entry["dv"] = dv_name
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     if bloom_cols:
         entry["bloom"] = {s: v for s, v in latest.get("bloom", {}).items() if s in untouched}
@@ -3563,6 +3587,74 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         "segments_rewritten": len(touched),
         "segments_total": len(segs),
     }
+
+
+def _build_dml_on_dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """2 appends (orders %2 split) + DV DELETE of 'F' rows + UPDATE of
+    the over-cap price window ON the DV-bearing table — the r11
+    DML-composes-with-DV lifecycle."""
+    out = _scratch(sf_dir) + "_dmldv"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 4
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 2 == 1), out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    update_where(
+        spark,
+        out,
+        [("o_totalprice", ">=", _DELETE_PRICE_FLOOR)],
+        {"o_orderpriority": F.lit("X-DV")},
+    )
+    return out
+
+
+@register(
+    "snapshot_update_on_dv",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_totalprice >= {_DELETE_PRICE_FLOOR}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_marked,
+           0 AS n_deleted_visible
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    tags=("sink", "snapshot", "dml", "deletion-vector"),
+    doc=(
+        "DML COMPOSES WITH DELETION VECTORS (r11, closes the fail-loud "
+        "guard the r10 contention bench surfaced): UPDATE/MERGE/bin-"
+        "pack on a DV-bearing table read THROUGH the DV, materialize "
+        "the tombstones in rewritten segments, and carry the DV "
+        "forward for untouched ones — Delta's DV-aware copy-on-write, "
+        "no manual compact() between a DELETE and later row DML. The "
+        "oracle pins the post-lifecycle state: deleted rows neither "
+        "resurrect nor count as updated (n_deleted_visible = 0), and "
+        "exactly the live over-cap rows carry the update marker."
+    ),
+)
+def snapshot_update_on_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same costs as the composing parts — the UPDATE rewrite
+    reads only stat-surviving segments through the broadcast DV
+    anti-join; nothing new materializes beyond the COW rewrite."""
+    out = _build_dml_on_dv_fixture(spark, sf_dir)
+    df = snapshot_read(spark, out)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.sum(F.when(F.col("o_orderpriority") == "X-DV", 1).otherwise(0))
+        .cast("long")
+        .alias("n_marked"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted_visible"),
+    )
 
 
 _UPDATE_FACTOR = 1.5
@@ -4132,12 +4224,14 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
 
     Greedy first-fit-decreasing over on-disk segment sizes (an O(files)
     metadata walk, no data read); bins holding a single segment carry
-    forward unchanged (a one-segment rewrite is pure waste). Tables
-    with a pending deletion vector must :func:`compact` first (the DV
-    spans carried and rewritten segments; fail-loud, same contract as
-    MERGE/UPDATE). Commit is OCC-gated. Returns ``{"version",
-    "segments_before", "segments_after", "bins_rewritten",
-    "bytes_rewritten"}`` (version unchanged if nothing needed packing).
+    forward unchanged (a one-segment rewrite is pure waste). A pending
+    deletion vector composes (r11): packed bins read through the DV
+    and materialize their share of tombstones; carried segments keep
+    theirs via the carried-forward DV (entries for packed files are
+    inert — same contract as MERGE/UPDATE). Commit is OCC-gated.
+    Returns ``{"version", "segments_before", "segments_after",
+    "bins_rewritten", "bytes_rewritten"}`` (version unchanged if
+    nothing needed packing).
 
     At 100 TB: a table taking 10k small streaming appends a day packs
     them into ~target-sized files for pennies — the rewrite reads
@@ -4146,11 +4240,7 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
     throughout."""
     entries = _read_manifest(path)
     latest = entries[-1]
-    if latest.get("dv"):
-        raise ValueError(
-            "compact_binpack on a table with a pending deletion vector: "
-            "compact() first to materialize it"
-        )
+    dv_name = latest.get("dv")  # composes (r11): see the docstring
     segs = latest["segments"]
     sizes = {s: _segment_bytes(path, s) for s in segs}
     small = sorted(
@@ -4190,8 +4280,11 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
             # mergeSchema only if the bin's members actually diverge.
             known = {json.dumps(schemas[s], sort_keys=True) for s in b if s in schemas}
             df = _read_segment_dirs(
-                spark, path, b, latest, evolved=len(known) > 1
+                spark, path, b, latest, evolved=len(known) > 1,
+                with_pos=bool(dv_name),
             )
+            if dv_name:
+                df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
             # Stage each packed segment; final names publish under the
             # commit lock in _commit_entry.
             seg_staged = _stage_dir(path)
@@ -4220,6 +4313,10 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
             ),
             "packed_from": latest["version"],
         }
+        # Carried segments still need their tombstones (packed bins
+        # materialized theirs; inert entries are harmless).
+        if dv_name and carried:
+            entry["dv"] = dv_name
         if bloom_cols:
             entry["bloom"] = {
                 **{s: v for s, v in latest.get("bloom", {}).items() if s in carried},

@@ -202,6 +202,7 @@ HEADLINE = [
     "snapshot_change_feed_partitioned",
     "snapshot_quarantine_replay",
     "similarity_filtered_topk",
+    "snapshot_update_on_dv",
 ]
 
 

@@ -106,12 +106,24 @@ def test_update_noop_when_provably_unmatched(spark, sf_dir, tmp_path):
     assert versions(out)[-1] == head
 
 
-def test_update_rejects_pending_dv(spark, sf_dir, tmp_path):
+def test_update_composes_with_pending_dv(spark, sf_dir, tmp_path):
+    """r11: UPDATE on a DV-bearing table reads through the DV (deleted
+    rows neither count as updated nor resurrect), materializes the
+    tombstones in the rewrite, and the final state equals delete-then-
+    update run on a DV-free twin."""
     out = str(tmp_path / "upd_dv")
-    _two_segment_table(spark, sf_dir, out)
-    delete_where(spark, out, [("o_orderstatus", "=", "F")])
-    with pytest.raises(ValueError, match="deletion vector"):
-        update_where(spark, out, [("o_orderkey", ">", 0)], {"o_orderpriority": F.lit("0-X")})
+    o = _two_segment_table(spark, sf_dir, out)
+    _, n_deleted = delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    assert n_deleted > 0
+    summary = update_where(
+        spark, out, [("o_orderkey", ">", 0)], {"o_orderpriority": F.lit("0-X")}
+    )
+    live = o.filter(F.col("o_orderstatus") != "F")
+    assert summary["rows_updated"] == live.count()  # deleted rows not counted
+    final = snapshot_read(spark, out)
+    assert final.count() == live.count()  # tombstones not resurrected
+    assert final.filter(F.col("o_orderpriority") != "0-X").count() == 0
+    assert final.filter(F.col("o_orderstatus") == "F").count() == 0
 
 
 def test_update_occ_conflict_aborts(spark, sf_dir, tmp_path, monkeypatch):
@@ -433,14 +445,26 @@ def test_binpack_noop_when_nothing_to_pack(spark, sf_dir, tmp_path):
     assert versions(out)[-1] == head
 
 
-def test_binpack_rejects_pending_dv(spark, sf_dir, tmp_path):
-    from argodb_mapreduce_spark.sources.versioned import compact_binpack
+def test_binpack_composes_with_pending_dv(spark, sf_dir, tmp_path):
+    """r11: bin-packing a DV-bearing table materializes the tombstones
+    in the packed bins; a fully-packed table drops the DV."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact_binpack,
+    )
 
     out = str(tmp_path / "binpack_dv")
-    _two_segment_table(spark, sf_dir, out)
+    o = _two_segment_table(spark, sf_dir, out)
     delete_where(spark, out, [("o_orderstatus", "=", "F")])
-    with pytest.raises(ValueError, match="deletion vector"):
-        compact_binpack(spark, out, 10**12)
+    before = snapshot_read(spark, out)
+    n_live = before.count()
+    summary = compact_binpack(spark, out, 10**12)
+    assert summary["bins_rewritten"] == 1  # both segments packed
+    entry = _read_manifest(out)[-1]
+    assert "dv" not in entry  # fully materialized
+    after = snapshot_read(spark, out)
+    assert after.count() == n_live == o.filter(F.col("o_orderstatus") != "F").count()
+    assert after.exceptAll(before).count() == 0
 
 
 def test_binpack_preserves_data_skipping(spark, sf_dir, tmp_path):
@@ -742,3 +766,34 @@ def test_fully_pruned_read_keeps_evolved_schema(spark, sf_dir, tmp_path):
     df = snapshot_read(spark, out, predicates=[("o_orderkey", "<", -5)])
     assert df.count() == 0
     assert "region_tag" in df.columns
+
+
+def test_merge_composes_with_pending_dv(spark, sf_dir, tmp_path):
+    """r11: MERGE on a DV-bearing table — tombstoned rows neither match
+    nor resurrect; the DV carries forward for untouched segments and a
+    source key whose only target row was deleted becomes an INSERT."""
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    out = str(tmp_path / "merge_dv")
+    o = _two_segment_table(spark, sf_dir, out)
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    live = o.filter(F.col("o_orderstatus") != "F")
+    # source: update 50 live keys + re-upsert 10 DELETED keys
+    upd = live.limit(50).withColumn("o_totalprice", F.lit(1.0))
+    resurrect = (
+        o.filter(F.col("o_orderstatus") == "F").limit(10)
+        .withColumn("o_totalprice", F.lit(2.0))
+    )
+    src = upd.unionByName(resurrect)
+    n_src = src.count()
+    merge_upsert(spark, out, src, "o_orderkey")
+    final = snapshot_read(spark, out)
+    # live rows not in source carry; source rows land exactly once
+    assert final.count() == live.count() - 50 + n_src
+    assert final.filter(F.col("o_totalprice") == 1.0).count() == 50
+    assert final.filter(F.col("o_totalprice") == 2.0).count() == 10
+    # other deleted rows stay deleted
+    assert (
+        final.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") != 2.0)).count()
+        == 0
+    )
