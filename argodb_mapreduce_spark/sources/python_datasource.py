@@ -163,11 +163,15 @@ def make_versioned_datasource():
                     out.append((_os.path.join(root, f), parts))
         return sorted(out)
 
-    def _resolve_files(path: str, version: int | None) -> tuple[list, dict, dict, dict, dict]:
+    def _resolve_files(path: str, version: int | None):
         """(ordered file list, {file -> decoded per-column [min,max]},
         {file -> deleted row positions from the deletion vector},
         {file -> ((partition col, raw value), ...)},
-        {partition col -> simpleString type from the schema ledger}).
+        {partition col -> simpleString type from the schema ledger},
+        {"evolved": bool, "ledger": ordered {col -> simpleString} union
+         across the version's segments — drives ADD-column evolution:
+         an evolved version engages the reorder/backfill emit path and
+         schema() appends ledger columns the first file lacks}).
 
         Stats ride the manifest (harvested at write time from parquet
         footers); they are decoded here at PLAN time so pushed-filter
@@ -187,6 +191,15 @@ def make_versioned_datasource():
         if version not in by_version:
             raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
         entry = by_version[version]
+        seg_ledgers = entry.get("schemas", {})
+        ledger_union: dict = {}
+        for seg in entry["segments"]:
+            for c, t in seg_ledgers.get(seg, {}).items():
+                ledger_union.setdefault(c, t)
+        evolved = (
+            len({_json.dumps(seg_ledgers.get(s, {}), sort_keys=True) for s in entry["segments"]})
+            > 1
+        )
         files, file_stats, file_parts, part_types = [], {}, {}, {}
         for seg in entry["segments"]:
             seg_dir = _os.path.join(path, seg)
@@ -227,7 +240,8 @@ def make_versioned_datasource():
         dv_excluded: dict = {}
         if entry.get("dv"):
             dv_excluded = _dv_positions_local(path, entry["dv"])
-        return files, file_stats, dv_excluded, file_parts, part_types
+        meta = {"evolved": evolved, "ledger": ledger_union}
+        return files, file_stats, dv_excluded, file_parts, part_types, meta
 
     def _local_path(fp: str) -> str:
         """``_metadata.file_path`` -> plain filesystem path: strip the
@@ -331,6 +345,66 @@ def make_versioned_datasource():
                     .to_batches()[0]
                 )
             yield batch
+
+    def _split_top(s: str) -> list:
+        """Split on commas at angle-bracket depth 0 (struct/map args)."""
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def _arrow_type_full(type_str: str):
+        """Spark simpleString -> Arrow type, JVM-free (schema() runs in
+        the data-source planner worker, which has no SparkContext, so
+        pyspark's DDL parser is unavailable). Covers everything
+        versioned_write's ledger records: primitives, decimal, array,
+        map, struct. Timestamps map to µs (the store's normalization);
+        plain 'timestamp' is LTZ, hence tz=UTC."""
+        import pyarrow as pa
+
+        t = type_str.strip()
+        prim = {
+            "boolean": pa.bool_(),
+            "tinyint": pa.int8(),
+            "smallint": pa.int16(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "binary": pa.binary(),
+            "date": pa.date32(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
+            "void": pa.null(),
+        }
+        if t in prim:
+            return prim[t]
+        if t.startswith("decimal(") and t.endswith(")"):
+            p, s = (int(x) for x in t[8:-1].split(","))
+            return pa.decimal128(p, s)
+        if t.startswith("array<") and t.endswith(">"):
+            return pa.list_(_arrow_type_full(t[6:-1]))
+        if t.startswith("map<") and t.endswith(">"):
+            k, v = _split_top(t[4:-1])
+            return pa.map_(_arrow_type_full(k), _arrow_type_full(v))
+        if t.startswith("struct<") and t.endswith(">"):
+            fields = []
+            for part in _split_top(t[7:-1]):
+                name, ft = part.split(":", 1)
+                fields.append((name.strip(), _arrow_type_full(ft)))
+            return pa.struct(fields)
+        raise ValueError(f"unsupported ledger type {type_str!r}")
 
     def _arrow_type_of(type_str):
         """Spark simpleString -> Arrow type for a PARTITION column (the
@@ -653,6 +727,7 @@ def make_versioned_datasource():
                     self._dv_excluded,
                     self._file_parts,
                     self._part_types,
+                    self._meta,
                 ) = _resolve_files(self._path, self._version)
             except (FileNotFoundError, ValueError):
                 self._files = None
@@ -660,6 +735,7 @@ def make_versioned_datasource():
                 self._dv_excluded = {}
                 self._file_parts = {}
                 self._part_types = {}
+                self._meta = {"evolved": False, "ledger": {}}
 
         @classmethod
         def name(cls):
@@ -675,6 +751,15 @@ def make_versioned_datasource():
                     f"no versioned table (or no data files) at {self._path!r}"
                 )
             s = _us_schema(pq.ParquetFile(self._files[0]).schema_arrow)
+            # ADD-column evolution: columns the schema ledger records
+            # but the first file lacks (added by later appends) join
+            # the plan schema, typed from the ledger's simpleStrings —
+            # the native reader's mergeSchema analogue. DDL parse
+            # covers every Spark type; read() NULL-backfills them for
+            # pre-evolution files.
+            for c, t in self._meta["ledger"].items():
+                if c not in s.names and c not in self._part_types:
+                    s = s.append(pa.field(c, _arrow_type_full(t)))
             # Partition columns live in directory names, not file
             # footers: append any the first file doesn't carry inline,
             # typed from the manifest schema ledger (Spark's partition
@@ -700,11 +785,11 @@ def make_versioned_datasource():
                     "for batch change queries use versioned.change_feed()"
                 )
             # col_order/col_types engage the partition-append/reorder/
-            # backfill path only when this version actually has
-            # partitioned segments; flat tables keep the untouched
-            # passthrough batches.
+            # backfill path when this version has partitioned segments
+            # OR divergent per-segment schemas (ADD-column evolution);
+            # uniform flat tables keep the untouched passthrough.
             col_order, col_types = None, None
-            if self._file_parts:
+            if self._file_parts or self._meta["evolved"]:
                 from pyspark.sql.pandas.types import to_arrow_type
 
                 col_order = [f.name for f in schema.fields]

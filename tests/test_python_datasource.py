@@ -447,3 +447,32 @@ def test_prune_malformed_literal_keeps_files(spark, sf_dir, tmp_path):
     )
     assert df.rdd.getNumPartitions() >= 1  # planning did not crash
     assert df.count() == 50  # prune kept everything; no residual applied here
+
+
+def test_pyds_reads_schema_evolved_flat_table(spark, tmp_path):
+    """r11: an ADD-column append makes per-segment schemas diverge; the
+    pyds plan schema takes the ledger union (typed JVM-free) and
+    pre-evolution files NULL-backfill — equal to the native read.
+    Previously this crashed executor-side on the batch/plan mismatch."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read, versioned_write
+
+    path = str(tmp_path / "pyds_evolved")
+    versioned_write(spark.range(5).select(F.col("id").alias("a")), path)
+    versioned_write(
+        spark.range(5, 10).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("x").alias("c"),
+        ),
+        path,
+        mode="append",
+    )
+    native = snapshot_read(spark, path)
+    got = read_versioned(spark, path)
+    assert got.columns == ["a", "b", "c"]
+    assert got.count() == 10
+    assert got.filter("b IS NULL").count() == native.filter("b IS NULL").count() == 5
+    assert got.exceptAll(native.select(got.columns)).count() == 0
