@@ -88,6 +88,7 @@ _PRIORITY = (
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
     "similarity_filtered_topk",         # filtered ANN, strategy by stats
     "snapshot_update_on_dv",            # DML composes with deletion vectors
+    "pyds_partitioned_write",           # Hive-layout writes via the pyds sink
     # --- (a cont.) code changed in round 11: re-earn the rows ---
     "snapshot_change_feed",       # delete leg -> layout-aware file scan
     "snapshot_vacuum",            # lock scope shrunk to metadata ops
@@ -136,7 +137,6 @@ _PRIORITY = (
     "embedding_normalize_stats",
     "embedding_pca_top_component",
     "events_attribution_last_touch",
-    "events_autocorrelation",
 )
 
 

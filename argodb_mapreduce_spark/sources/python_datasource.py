@@ -63,6 +63,15 @@ def make_versioned_datasource():
     import json as _json
     import os as _os
 
+    # Captured on the DRIVER at registration time and shipped by value:
+    # the writer's commit worker prepends it to sys.path so the guarded
+    # repo imports (stats harvest, commit lock) work even when the
+    # worker's PYTHONPATH lacks the repo (same-machine local mode; a
+    # real cluster with a different layout still degrades gracefully).
+    _REPO_ROOT = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
@@ -546,8 +555,30 @@ def make_versioned_datasource():
                     yield _emit_batch(batch, parts, self.col_order, self.col_types)
 
     class VersionedCommit(WriterCommitMessage):
-        def __init__(self, filename):
+        def __init__(self, filename, relpaths=()):
             self.filename = filename
+            # Partitioned writes carry branch-relative paths
+            # (col=value/part-... under staging) instead of one name.
+            self.relpaths = relpaths
+
+    def _branch_component(col: str, value, type_str: str) -> str:
+        """One ``col=value`` directory component, Spark-compatible:
+        NULL -> the Hive sentinel; dates ISO; booleans lowercase;
+        special characters percent-escaped (space stays literal, the
+        form Spark's own partition writer produces and its discovery
+        decodes)."""
+        import datetime as _ldt
+        from urllib.parse import quote as _q
+
+        if value is None:
+            return f"{col}={_HIVE_NULL_LOCAL}"
+        if isinstance(value, _ldt.date):
+            s = value.isoformat()
+        elif isinstance(value, bool):
+            s = "true" if value else "false"
+        else:
+            s = str(value)
+        return f"{col}={_q(s, safe=' !$&()+,-.;@_~')}"
 
     class VersionedArrowWriter(DataSourceArrowWriter):
         """Transactional versioned write: tasks stream Arrow batches into
@@ -556,26 +587,30 @@ def make_versioned_datasource():
         segment name and publishes the manifest entry — readers never see
         a partial write, and failed jobs leave only an unreferenced
         staging dir (removed by ``abort``). The Arrow-batch path mirrors
-        the reader: no per-row Python on either side."""
+        the reader: no per-row Python on either side.
 
-        def __init__(self, path: str, overwrite: bool):
+        ``partitionBy`` (write option, comma-separated): each task
+        splits its batches by partition value and streams the data
+        columns into per-branch ``col=value/`` files (NULL sentinel
+        included) — the write twin of the reader's partition decode;
+        the manifest entry records the layout so native reads, the
+        pyds reader, DML, and OPTIMIZE all see an ordinary
+        Hive-partitioned segment."""
+
+        def __init__(self, path: str, overwrite: bool, partition_by=()):
             import uuid as _uuid
 
             self.path = path
             self.overwrite = overwrite
+            # ((col, simpleString type), ...) from the write schema.
+            self.partition_by = tuple(partition_by)
             # Chosen on the driver so every task shares one staging dir.
             self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
 
-        def write(self, iterator):
-            import uuid as _uuid
-
+        def _write_flat(self, iterator, out_dir, tag):
             import pyarrow.parquet as _pq
-            from pyspark import TaskContext
 
-            part = TaskContext.get().partitionId()
-            out_dir = _os.path.join(self.path, self.staging)
-            _os.makedirs(out_dir, exist_ok=True)
-            fname = f"part-{part:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+            fname = f"part-{tag}.parquet"
             fpath = _os.path.join(out_dir, fname)
             writer = None
             ok = False
@@ -599,7 +634,92 @@ def make_versioned_datasource():
             # Empty partitions write no file and carry no commit payload.
             return VersionedCommit(fname if writer is not None else None)
 
+        def _write_partitioned(self, iterator, out_dir, tag):
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            cols = [c for c, _t in self.partition_by]
+            writers: dict = {}  # branch relpath dir -> ParquetWriter
+            rels: list = []
+            ok = False
+            try:
+                for batch in iterator:
+                    names = batch.schema.names
+                    keep = [n for n in names if n not in cols]
+                    # Per-row branch keys from the partition columns.
+                    key_vals = [batch.column(names.index(c)).to_pylist() for c in cols]
+                    groups: dict = {}
+                    for i in range(batch.num_rows):
+                        groups.setdefault(
+                            tuple(kv[i] for kv in key_vals), []
+                        ).append(i)
+                    data = batch.select(keep)
+                    for key, idx in groups.items():
+                        branch = _os.path.join(
+                            *[
+                                _branch_component(c, v, t)
+                                for (c, t), v in zip(self.partition_by, key)
+                            ]
+                        )
+                        if branch not in writers:
+                            bdir = _os.path.join(out_dir, branch)
+                            _os.makedirs(bdir, exist_ok=True)
+                            rel = _os.path.join(branch, f"part-{tag}.parquet")
+                            writers[branch] = _pq.ParquetWriter(
+                                _os.path.join(out_dir, rel), data.schema
+                            )
+                            rels.append(rel)
+                        writers[branch].write_batch(
+                            data.take(pa.array(idx, type=pa.int64()))
+                        )
+                ok = True
+            finally:
+                for w in writers.values():
+                    w.close()
+                if not ok:
+                    for rel in rels:
+                        with __import__("contextlib").suppress(OSError):
+                            _os.remove(_os.path.join(out_dir, rel))
+            return VersionedCommit(None, relpaths=tuple(rels) if ok else ())
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            part = TaskContext.get().partitionId()
+            out_dir = _os.path.join(self.path, self.staging)
+            _os.makedirs(out_dir, exist_ok=True)
+            tag = f"{part:05d}-{_uuid.uuid4().hex[:8]}"
+            if self.partition_by:
+                return self._write_partitioned(iterator, out_dir, tag)
+            return self._write_flat(iterator, out_dir, tag)
+
         def commit(self, messages):
+            # Serialize with native writers when the repo package is
+            # importable (commit runs in the driver-side data-source
+            # worker; _REPO_ROOT was captured at registration so the
+            # import works there too): take the same per-table commit
+            # lock + fencing versioned_write uses, so a pyds write
+            # racing a native append can no longer double-allocate a
+            # version. Degrades to the unlocked legacy publish only if
+            # the import fails (foreign cluster layout).
+            import sys as _sys
+
+            if _REPO_ROOT not in _sys.path:
+                _sys.path.insert(0, _REPO_ROOT)
+            try:
+                from argodb_mapreduce_spark.sources.versioned import (
+                    _commit_lock as _vlock,
+                    _verify_lock as _vverify,
+                )
+            except Exception:  # noqa: BLE001 - lock is driver-env parity
+                self._publish(messages, lambda: None)
+                return
+            with _vlock(self.path) as tok:
+                self._publish(messages, lambda: _vverify(self.path, tok))
+
+        def _publish(self, messages, verify):
             import shutil as _shutil
 
             entries = []
@@ -616,6 +736,14 @@ def make_versioned_datasource():
             # whole dir keeps them out of the committed version.
             staging_dir = _os.path.join(self.path, self.staging)
             segment_dir = _os.path.join(self.path, segment)
+            relpaths = []
+            for msg in messages:
+                if msg is None:
+                    continue
+                if getattr(msg, "relpaths", ()):
+                    relpaths.extend(msg.relpaths)
+                elif msg.filename is not None:
+                    relpaths.append(msg.filename)
             # Orphan recovery (the versioned_write_txn contract): a
             # crash between a previous attempt's segment creation and
             # its manifest publish leaves an unreferenced dir with the
@@ -626,12 +754,10 @@ def make_versioned_datasource():
 
                 _sh.rmtree(segment_dir)
             _os.makedirs(segment_dir)
-            for msg in messages:
-                if msg is not None and msg.filename is not None:
-                    _os.rename(
-                        _os.path.join(staging_dir, msg.filename),
-                        _os.path.join(segment_dir, msg.filename),
-                    )
+            for rel in relpaths:
+                dst = _os.path.join(segment_dir, rel)
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                _os.rename(_os.path.join(staging_dir, rel), dst)
             _shutil.rmtree(staging_dir, ignore_errors=True)
             prev = entries[-1]["segments"] if (entries and not self.overwrite) else []
             # Manifest stats parity with versioned_write: harvest the new
@@ -644,10 +770,23 @@ def make_versioned_datasource():
             stats = {s: stats[s] for s in prev if s in stats}
             try:
                 from argodb_mapreduce_spark.sources.versioned import (
+                    _partition_stats as _ps,
+                )
+                from argodb_mapreduce_spark.sources.versioned import (
                     collect_segment_stats as _css,
                 )
 
                 stats[segment] = _css(segment_dir)
+                if self.partition_by:
+                    # Partition-column min/max from the dir names, same
+                    # harvest the native partitioned write records.
+                    stats[segment].update(
+                        _ps(
+                            segment_dir,
+                            [c for c, _t in self.partition_by],
+                            dict(self.partition_by),
+                        )
+                    )
             except Exception:  # noqa: BLE001 - stats are an optimization only
                 pass
             entry = {"version": version, "segments": [*prev, segment], "stats": stats}
@@ -673,20 +812,49 @@ def make_versioned_datasource():
                 import pyarrow.parquet as _pq2
                 from pyspark.sql.pandas.types import from_arrow_schema as _fas
 
-                seg_files = sorted(_glob.glob(_os.path.join(segment_dir, "*.parquet")))
+                seg_files = sorted(
+                    _glob.glob(
+                        _os.path.join(segment_dir, "**", "*.parquet"), recursive=True
+                    )
+                )
                 if seg_files:
                     st = _fas(_us_schema(_pq2.ParquetFile(seg_files[0]).schema_arrow))
-                    schemas[segment] = {
-                        f.name: f.dataType.simpleString() for f in st.fields
-                    }
+                    ledger = {f.name: f.dataType.simpleString() for f in st.fields}
+                    # Partition columns live in dir names, not footers:
+                    # the ledger records them too (versioned_write's
+                    # ledger is the full frame schema).
+                    for c, t in self.partition_by:
+                        ledger[c] = t
+                    schemas[segment] = ledger
             except Exception:  # noqa: BLE001 - ledger is enforcement metadata
                 pass
             if schemas:
                 entry["schemas"] = schemas
+            if self.partition_by:
+                # Layout ledger: reused segments keep theirs, the new
+                # segment records its own — native reads, the pyds
+                # reader, DML, and OPTIMIZE all dispatch on this.
+                parts_ledger = (
+                    dict(entries[-1].get("partition_by", {}))
+                    if (entries and not self.overwrite)
+                    else {}
+                )
+                parts_ledger = {s: parts_ledger[s] for s in prev if s in parts_ledger}
+                parts_ledger[segment] = [c for c, _t in self.partition_by]
+                entry["partition_by"] = parts_ledger
+            elif entries and not self.overwrite and entries[-1].get("partition_by"):
+                carried = {
+                    s: v
+                    for s, v in entries[-1]["partition_by"].items()
+                    if s in prev
+                }
+                if carried:
+                    entry["partition_by"] = carried
             import time as _time
 
             entry["ts"] = _time.time()
             entries.append(entry)
+            verify()  # fencing: abort if our lock was stale-broken
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 _json.dump(entries, f)
@@ -807,7 +975,34 @@ def make_versioned_datasource():
 
         def writer(self, schema, overwrite):
             _os.makedirs(self._path, exist_ok=True)
-            return VersionedArrowWriter(self._path, overwrite)
+            # `partitionBy` write OPTION (df.write.partitionBy() does
+            # not reach Python data sources): comma-separated columns,
+            # Hive layout + NULL sentinel, recorded in the manifest's
+            # partition ledger like versioned_write(partition_by=...).
+            raw = str(
+                self.options.get("partitionBy")
+                or self.options.get("partitionby")
+                or ""
+            ).strip()
+            partition_by = []
+            if raw:
+                by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+                for c in (c.strip() for c in raw.split(",")):
+                    if c not in by_name:
+                        raise ValueError(
+                            f"partitionBy column {c!r} not in the write "
+                            f"schema {sorted(by_name)}"
+                        )
+                    supported = ("tinyint", "smallint", "int", "bigint",
+                                 "string", "date", "boolean", "double", "float")
+                    if by_name[c] not in supported:
+                        raise ValueError(
+                            f"partitionBy column {c!r} has type "
+                            f"{by_name[c]!r}; directory-encodable types "
+                            f"are {supported}"
+                        )
+                    partition_by.append((c, by_name[c]))
+            return VersionedArrowWriter(self._path, overwrite, partition_by)
 
         def streamReader(self, schema):
             ignore_deletes = str(
@@ -1197,6 +1392,68 @@ def pyds_versioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionAll(fdf)
     return out
+
+
+@register(
+    "pyds_partitioned_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS source_pruned,
+           TRUE AS native_equal
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("sink", "datasource", "partitioning"),
+    doc=(
+        "PARTITIONED WRITE through the custom Python DataSource (r11): "
+        "the Arrow writer's partitionBy option splits each task's batches "
+        "by partition value into Hive col=value/ branch files (NULL "
+        "sentinel included) and the driver commit records the layout + "
+        "partition-column stats in the manifest — the write twin of "
+        "the reader's partition decode, under the same per-table "
+        "commit lock native writers take. The written table is read "
+        "back through BOTH paths: the pyds read plans only the "
+        "predicate's branch files (source_pruned pinned) and equals "
+        "the native snapshot read (native_equal pinned); values "
+        "hash-checked against DuckDB."
+    ),
+)
+def pyds_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-task branch fan-out is bounded by the partition
+    cardinality a task sees; the commit is O(files) renames + one
+    manifest append under the lock — the same costs as the native
+    partitioned write."""
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    register_datasource(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_part_written"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.write.format(FORMAT_NAME)
+        .option("partitionBy", "o_orderpriority")
+        .mode("append")
+        .save(path)
+    )
+    preds = [("o_orderpriority", "=", "1-URGENT")]
+    full = read_versioned(spark, path).rdd.getNumPartitions()
+    df = read_versioned(spark, path, predicates=preds)
+    planned = df.rdd.getNumPartitions()
+    native_n = snapshot_read(spark, path, predicates=preds).count()
+    pyds_n = df.count()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(planned < full).alias("source_pruned"),
+        F.lit(native_n == pyds_n).alias("native_equal"),
+    )
 
 
 def _stream_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -203,6 +203,7 @@ HEADLINE = [
     "snapshot_quarantine_replay",
     "similarity_filtered_topk",
     "snapshot_update_on_dv",
+    "pyds_partitioned_write",
 ]
 
 

@@ -476,3 +476,92 @@ def test_pyds_reads_schema_evolved_flat_table(spark, tmp_path):
     assert got.count() == 10
     assert got.filter("b IS NULL").count() == native.filter("b IS NULL").count() == 5
     assert got.exceptAll(native.select(got.columns)).count() == 0
+
+
+def test_pyds_writer_partition_by(spark, tmp_path):
+    """r11: the Arrow writer lays a segment out Hive-style via the
+    partitionBy write option — NULL sentinel, manifest partition
+    ledger + partition-column stats — and both readers see an ordinary
+    partitioned segment."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        read_versioned,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        snapshot_read,
+    )
+
+    register_datasource(spark)
+    path = str(tmp_path / "pyds_pw")
+    df = spark.range(40).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") % 4).cast("int"))
+        .alias("k"),
+    )
+    df.write.format(FORMAT_NAME).option("partitionBy", "k").mode("append").save(path)
+    assert glob.glob(os.path.join(path, "data-0", "k=*", "*.parquet"))
+    assert os.path.isdir(os.path.join(path, "data-0", "k=__HIVE_DEFAULT_PARTITION__"))
+    entry = _read_manifest(path)[0]
+    assert entry["partition_by"] == {"data-0": ["k"]}
+    assert entry["stats"]["data-0"]["k"] == [0, 3]  # non-null dir min/max
+    assert entry["schemas"]["data-0"]["k"] == "int"
+    native = snapshot_read(spark, path)
+    pyds = read_versioned(spark, path)
+    assert native.count() == pyds.count() == 40
+    assert native.filter("k IS NULL").count() == pyds.filter("k IS NULL").count() == 8
+    assert pyds.exceptAll(native.select(pyds.columns)).count() == 0
+
+
+def test_pyds_flat_append_keeps_partition_ledger(spark, tmp_path):
+    """r11 fix: a flat pyds append onto a partitioned table previously
+    DROPPED the partition ledger, making partitioned segments read as
+    flat; the ledger now carries for reused segments."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        read_versioned,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        snapshot_read,
+        versioned_write,
+    )
+
+    register_datasource(spark)
+    path = str(tmp_path / "pyds_ledger")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k")
+    )
+    versioned_write(mk(0, 40), path, partition_by=("k",))
+    mk(40, 50).write.format(FORMAT_NAME).mode("append").save(path)
+    entry = _read_manifest(path)[-1]
+    assert entry["partition_by"] == {"data-0": ["k"]}  # carried
+    assert snapshot_read(spark, path).count() == 50
+    assert read_versioned(spark, path).count() == 50
+
+
+def test_pyds_writer_rejects_bad_partition_column(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(Exception, match="not in the write schema"):
+        df.write.format(FORMAT_NAME).option("partitionBy", "nope").mode(
+            "append"
+        ).save(str(tmp_path / "pyds_badcol"))
