@@ -534,21 +534,26 @@ def make_versioned_datasource():
             # DuckDB). Merge-on-read: rows at the version's tombstoned
             # positions are masked out by running file offset — the same
             # (file, row-position) identity snapshot_read anti-joins on.
-            excluded = set(getattr(partition, "excluded", ()) or ())
+            import numpy as np
+
+            excluded = getattr(partition, "excluded", ()) or ()
+            # Vectorized tombstone masking: sorted global positions vs
+            # each batch's [offset, offset+n) window via searchsorted —
+            # O(n + |dv in window| log) per batch, no per-row Python.
+            excl = np.asarray(excluded, dtype=np.int64)
             parts = getattr(partition, "parts", ()) or ()
             pf = pq.ParquetFile(partition.path)
             offset = 0
             for batch in _cast_batches_to_us(pf):
                 n = batch.num_rows
-                if excluded:
-                    keep = [
-                        i for i in range(n) if (offset + i) not in excluded
-                    ]
-                    if len(keep) < n:
+                if excl.size:
+                    lo = np.searchsorted(excl, offset, side="left")
+                    hi = np.searchsorted(excl, offset + n, side="left")
+                    if hi > lo:
+                        mask = np.ones(n, dtype=bool)
+                        mask[excl[lo:hi] - offset] = False
                         batch = (
-                            batch.take(pa.array(keep, type=pa.int64()))
-                            if keep
-                            else None
+                            batch.filter(pa.array(mask)) if mask.any() else None
                         )
                 offset += n
                 if batch is not None and batch.num_rows:
@@ -636,29 +641,71 @@ def make_versioned_datasource():
 
         def _write_partitioned(self, iterator, out_dir, tag):
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as _pq
 
             cols = [c for c, _t in self.partition_by]
-            writers: dict = {}  # branch relpath dir -> ParquetWriter
+            writers: dict = {}  # branch dir -> ParquetWriter
             rels: list = []
             ok = False
             try:
                 for batch in iterator:
                     names = batch.schema.names
                     keep = [n for n in names if n not in cols]
-                    # Per-row branch keys from the partition columns.
-                    key_vals = [batch.column(names.index(c)).to_pylist() for c in cols]
-                    groups: dict = {}
-                    for i in range(batch.num_rows):
-                        groups.setdefault(
-                            tuple(kv[i] for kv in key_vals), []
-                        ).append(i)
                     data = batch.select(keep)
-                    for key, idx in groups.items():
+                    # VECTORIZED grouping (no per-row Python): the
+                    # partition columns string-join into one key array,
+                    # dictionary-encode gives each row its branch code;
+                    # per DISTINCT branch (few per task) one compute
+                    # filter slices the data columns out.
+                    key = None
+                    unsafe = False
+                    for c in cols:
+                        s = pc.cast(batch.column(names.index(c)), pa.string())
+                        # The joined key is collision-safe only if no
+                        # value contains the separator/NULL sentinel
+                        # bytes; a (pathological) hit falls back to
+                        # exact per-row tuple grouping.
+                        unsafe = unsafe or bool(
+                            pc.any(
+                                pc.match_substring(pc.fill_null(s, ""), "\x1f")
+                            ).as_py()
+                            or pc.any(
+                                pc.match_substring(pc.fill_null(s, ""), "\x00")
+                            ).as_py()
+                        )
+                        s = pc.fill_null(s, "\x00")
+                        key = (
+                            s
+                            if key is None
+                            else pc.binary_join_element_wise(key, s, "\x1f")
+                        )
+                    if unsafe:
+                        vals_lists = [
+                            batch.column(names.index(c)).to_pylist() for c in cols
+                        ]
+                        tuples = list(zip(*vals_lists))
+                        codes = {t: i for i, t in enumerate(dict.fromkeys(tuples))}
+                        indices = pa.array(
+                            [codes[t] for t in tuples], type=pa.int32()
+                        )
+                        n_groups = len(codes)
+                    else:
+                        enc = pc.dictionary_encode(key)
+                        indices = enc.indices
+                        n_groups = len(enc.dictionary)
+                    for code in range(n_groups):
+                        mask = pc.equal(indices, pa.scalar(code, indices.type))
+                        # Typed partition values from the FIRST row of
+                        # the group (O(distinct) driver work per batch).
+                        first = pc.index(indices, pa.scalar(code, indices.type)).as_py()
+                        vals = [
+                            batch.column(names.index(c))[first].as_py() for c in cols
+                        ]
                         branch = _os.path.join(
                             *[
                                 _branch_component(c, v, t)
-                                for (c, t), v in zip(self.partition_by, key)
+                                for (c, t), v in zip(self.partition_by, vals)
                             ]
                         )
                         if branch not in writers:
@@ -669,9 +716,9 @@ def make_versioned_datasource():
                                 _os.path.join(out_dir, rel), data.schema
                             )
                             rels.append(rel)
-                        writers[branch].write_batch(
-                            data.take(pa.array(idx, type=pa.int64()))
-                        )
+                        sub = data.filter(mask)
+                        if sub.num_rows:
+                            writers[branch].write_batch(sub)
                 ok = True
             finally:
                 for w in writers.values():
