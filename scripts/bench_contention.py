@@ -73,22 +73,24 @@ def bench_append(spark, n_writers: int, appends_each: int = 3) -> dict:
 
 def bench_dml(spark, n_writers: int, ops_each: int = 2, mix: str = "merge") -> dict:
     """Writers loop rewriting-DML + blind appends with OCC-retry (6
-    attempts) — the realistic multi-writer shape. COW MERGE and DV
-    DELETE cannot interleave on one table by contract (merge/update
-    refuse pending-DV tables until compact() materializes them), so
-    the two valid concurrent mixes bench separately:
+    attempts) — the realistic multi-writer shape. Mixes:
     - merge:  merge_upsert racing appends (overlapping-segment rewrites)
-    - delete: delete_where racing appends (DV unions under OCC)."""
+    - delete: delete_where racing appends (DV unions under OCC)
+    - mixed:  deletes, merges, and appends all racing ONE table — legal
+      since r11 (DML composes with pending DVs: merges read through the
+      DV and materialize it in rewritten segments)."""
     path = tempfile.mkdtemp(prefix="contend_dml_") + "/t"
     versioned_write(
         spark.range(2000).select(F.col("id").alias("k"), F.lit(0).alias("val")), path
     )
 
     def one_op(i: int, j: int) -> str:
-        kind = (i + j) % 2
+        kind = (i + j) % (3 if mix == "mixed" else 2)
         for attempt in range(6):
             try:
-                if kind == 0 and mix == "merge":
+                if mix == "mixed" and kind == 2:
+                    delete_where(spark, path, [("k", "=", 31 * i + 17 * j + attempt)])
+                elif kind == 0 and mix in ("merge", "mixed"):
                     src = spark.range(200 * i, 200 * i + 15).select(
                         F.col("id").alias("k"), F.lit(i + 1).alias("val")
                     )
@@ -132,7 +134,7 @@ def main() -> None:
         if mode == "append":
             print(bench_append(spark, w), flush=True)
         else:
-            for mix in ("merge", "delete"):
+            for mix in ("merge", "delete", "mixed"):
                 out = bench_dml(spark, w, mix=mix)
                 out["mix"] = mix
                 print(out, flush=True)

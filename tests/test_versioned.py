@@ -1279,3 +1279,51 @@ def test_pyds_backfills_pre_evolution_files(spark, tmp_path):
     assert got.count() == 20
     assert got.filter("c IS NULL").count() == 10  # v0 rows backfilled
     assert got.filter("c = 1").count() == 5
+
+
+def test_delete_racing_merge_composes_or_fails_loud(spark, tmp_path):
+    """r11: with DML-on-DV composition a DELETE and a MERGE may race
+    the same base — each commits or raises ConcurrentWriteError, the
+    manifest stays gapless, and the final state reflects exactly the
+    winners (a merge landing after the delete reads through its DV)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConcurrentWriteError,
+        delete_where,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "race_del_merge")
+    base = spark.range(40).select(F.col("id").alias("k"), F.lit(0).alias("val"))
+    versioned_write(base, path)
+    barrier = threading.Barrier(2)
+
+    def do_delete():
+        barrier.wait()
+        try:
+            return ("ok", delete_where(spark, path, [("k", "<", 10)]))
+        except ConcurrentWriteError:
+            return ("conflict", None)
+
+    def do_merge():
+        src = spark.range(30, 45).select(F.col("id").alias("k"), F.lit(7).alias("val"))
+        barrier.wait()
+        try:
+            return ("ok", merge_upsert(spark, path, src, "k"))
+        except ConcurrentWriteError:
+            return ("conflict", None)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        res = {f[0]: f[1] for f in [("del", ex.submit(do_delete)), ("mrg", ex.submit(do_merge))]}
+        res = {k: v.result() for k, v in res.items()}
+    final = snapshot_read(spark, path)
+    n_del = 10 if res["del"][0] == "ok" else 0
+    n_mrg_new = 5 if res["mrg"][0] == "ok" else 0  # keys 40..44 inserted
+    assert final.count() == 40 - n_del + n_mrg_new
+    if res["mrg"][0] == "ok":
+        assert final.filter("val = 7").count() == 15
+    if res["del"][0] == "ok":
+        assert final.filter("k < 10").count() == 0
+    _manifest_invariants(spark, path)
