@@ -74,11 +74,12 @@ _QUERY_MODULES = (
 #: slots of staleness rotation, oldest banked evidence first. After r10
 #: the staleness floor was r04: exactly 15 rows (measured from the
 #: CORRECTNESS union; the r10 verdict corrected COVERAGE.md's
-#: miscounted 13). ALL 15 rotate in below, then the 17
-#: alphabetically-first r05-tier rows fill the window (4 new + 14
-#: changed + 15 + 17 = 50), leaving a post-r11 floor of r05 (24 rows:
-#: graph_triangle_count, join_asof_tolerance, join_bloom_pruned onward
-#: lead the r12 rotation). tests/test_round8_ops.py asserts
+#: miscounted 13). ALL 15 rotate in below, then the 12
+#: alphabetically-first r05-tier rows fill the window (6 new + 17
+#: changed + 15 + 12 = 50, measured against the CORRECTNESS union),
+#: leaving a post-r11 floor of r05 (29 rows: events_autocorrelation,
+#: events_ewma_smooth, events_markov_transition onward lead the r12
+#: rotation). tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (

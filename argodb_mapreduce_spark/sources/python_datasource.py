@@ -356,12 +356,14 @@ def make_versioned_datasource():
             yield batch
 
     def _split_top(s: str) -> list:
-        """Split on commas at angle-bracket depth 0 (struct/map args)."""
+        """Split on commas at bracket depth 0. Tracks angle brackets
+        AND parentheses: a decimal(p,s) nested inside struct<>/map<>
+        carries a comma inside its own parens that must not split."""
         out, depth, cur = [], 0, []
         for ch in s:
-            if ch == "<":
+            if ch in "<(":
                 depth += 1
-            elif ch == ">":
+            elif ch in ">)":
                 depth -= 1
             if ch == "," and depth == 0:
                 out.append("".join(cur))
@@ -566,14 +568,23 @@ def make_versioned_datasource():
             # (col=value/part-... under staging) instead of one name.
             self.relpaths = relpaths
 
+    #: Hive/Spark's escapePathName character set: ASCII control chars
+    #: plus the path-hostile punctuation. Escaped one CHARACTER at a
+    #: time as %XX; everything else — space and non-ASCII included —
+    #: stays literal, exactly the directory names Spark's own partition
+    #: writer produces and its discovery (and our unquote) decode.
+    #: urllib.quote would multi-byte-escape non-ASCII (café ->
+    #: caf%C3%A9), which Spark's byte-at-a-time unescape reads back as
+    #: mojibake — the two readers would disagree on the value.
+    _ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+        chr(i) for i in range(32)
+    )
+
     def _branch_component(col: str, value, type_str: str) -> str:
         """One ``col=value`` directory component, Spark-compatible:
         NULL -> the Hive sentinel; dates ISO; booleans lowercase;
-        special characters percent-escaped (space stays literal, the
-        form Spark's own partition writer produces and its discovery
-        decodes)."""
+        Spark's escapePathName character set percent-escaped."""
         import datetime as _ldt
-        from urllib.parse import quote as _q
 
         if value is None:
             return f"{col}={_HIVE_NULL_LOCAL}"
@@ -583,7 +594,10 @@ def make_versioned_datasource():
             s = "true" if value else "false"
         else:
             s = str(value)
-        return f"{col}={_q(s, safe=' !$&()+,-.;@_~')}"
+        esc = "".join(
+            f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in s
+        )
+        return f"{col}={esc}"
 
     class VersionedArrowWriter(DataSourceArrowWriter):
         """Transactional versioned write: tasks stream Arrow batches into
@@ -791,6 +805,12 @@ def make_versioned_datasource():
                     relpaths.extend(msg.relpaths)
                 elif msg.filename is not None:
                     relpaths.append(msg.filename)
+            # Fence BEFORE the first mutation (same order as
+            # versioned._commit_entry): a holder whose lock was
+            # stale-broken during a pause must abort HERE — the orphan
+            # rmtree below would otherwise destroy the successor's
+            # freshly committed same-name segment.
+            verify()
             # Orphan recovery (the versioned_write_txn contract): a
             # crash between a previous attempt's segment creation and
             # its manifest publish leaves an unreferenced dir with the

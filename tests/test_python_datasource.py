@@ -565,3 +565,65 @@ def test_pyds_writer_rejects_bad_partition_column(spark, tmp_path):
         df.write.format(FORMAT_NAME).option("partitionBy", "nope").mode(
             "append"
         ).save(str(tmp_path / "pyds_badcol"))
+
+
+def test_pyds_writer_non_ascii_partition_value_matches_native(spark, tmp_path):
+    """r11 review fix: non-ASCII partition values stay LITERAL in the
+    directory name (Spark's escapePathName convention) so the native
+    reader and the pyds reader agree on the decoded value."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        read_versioned,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    register_datasource(spark)
+    path = str(tmp_path / "pyds_nonascii")
+    df = spark.range(10).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 2 == 0, "café").otherwise("a/b:c").alias("k"),
+    )
+    df.write.format(FORMAT_NAME).option("partitionBy", "k").mode("append").save(path)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(path, "data-0", "k=*"))
+    )
+    assert "k=café" in dirs  # literal non-ASCII
+    assert "k=a%2Fb%3Ac" in dirs  # path-hostile chars escaped
+    native = sorted(r.k for r in snapshot_read(spark, path).select("k").distinct().collect())
+    pyds = sorted(r.k for r in read_versioned(spark, path).select("k").distinct().collect())
+    assert native == pyds == ["a/b:c", "café"]
+
+
+def test_pyds_reads_evolution_added_nested_decimal(spark, tmp_path):
+    """r11 review fix: a ledger type with parens nested in struct<>
+    (decimal inside struct) parses through the JVM-free type mapper —
+    the evolved pyds read NULL-backfills it for pre-evolution files."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    path = str(tmp_path / "pyds_nested_dec")
+    versioned_write(spark.range(5).select(F.col("id").alias("a")), path)
+    versioned_write(
+        spark.range(5, 10).select(
+            F.col("id").alias("a"),
+            F.struct(
+                F.col("id").cast("decimal(12,2)").alias("amount"),
+                F.lit("USD").alias("ccy"),
+            ).alias("price"),
+        ),
+        path,
+        mode="append",
+    )
+    got = read_versioned(spark, path)
+    assert dict(got.dtypes)["price"] == "struct<amount:decimal(12,2),ccy:string>"
+    assert got.count() == 10
+    assert got.filter("price IS NULL").count() == 5
+    assert got.filter("price.amount IS NOT NULL").count() == 5

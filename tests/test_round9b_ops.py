@@ -481,22 +481,27 @@ def test_merge_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
     assert snapshot_read(spark, out).count() == o.count() + 20
 
 
-def test_merge_refuses_pending_dv(spark, sf_dir, tmp_path):
+def test_merge_composes_with_pending_dv_directly(spark, sf_dir, tmp_path):
+    """r11: MERGE no longer refuses a pending DV — it reads through it
+    (deleted rows stay gone unless the SOURCE legitimately re-upserts
+    them) with no compact() required; compaction afterwards still
+    composes."""
     from argodb_mapreduce_spark.sources.versioned import merge_upsert
 
     out = str(tmp_path / "merge_dv")
     o = load_table(spark, sf_dir, "orders")
     versioned_write(o, out, mode="append")
     delete_where(spark, out, [("o_orderstatus", "=", "F")])
-    with pytest.raises(ValueError, match="compact"):
-        merge_upsert(spark, out, o.limit(5), "o_orderkey")
-    # After compaction the merge goes through; deleted rows stay gone
-    # except where the SOURCE legitimately re-upserts them.
-    compact(spark, out)
+    n_live = snapshot_read(spark, out).count()
     src = o.filter(F.col("o_orderstatus") != "F").limit(5)
     summary = merge_upsert(spark, out, src, "o_orderkey")
     assert summary["version"] == len(versions(out)) - 1
-    assert snapshot_read(spark, out).filter(F.col("o_orderstatus") == "F").count() == 0
+    got = snapshot_read(spark, out)
+    assert got.count() == n_live  # updates only; tombstones intact
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 0
+    # compaction after the DV-composed merge still materializes cleanly
+    compact(spark, out)
+    assert snapshot_read(spark, out).count() == n_live
 
 
 # ---------------------------------------------------------------------------
