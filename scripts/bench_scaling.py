@@ -124,7 +124,40 @@ def _ops():
         "pyds_partitioned_scan_lifecycle": _pyds_partitioned_lifecycle,
         "quarantine_replay_lifecycle": _quarantine_replay_lifecycle,
         "similarity_filtered_topk": _filtered_ann_op,
+        "pyds_partitioned_write_lifecycle": _pyds_partitioned_write_lifecycle,
     }
+
+
+def _pyds_partitioned_write_lifecycle(spark, sf_dir):
+    """Hive-layout write THROUGH the Python DataSource + a partition-
+    predicate read back: the vectorized per-batch grouping must keep
+    the write near-linear in data, and the read must plan only the
+    matching branch's files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        read_versioned,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    out = _fresh_dir("scale_pydspw_")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.write.format(FORMAT_NAME)
+        .option("partitionBy", "o_orderpriority")
+        .mode("append")
+        .save(out)
+    )
+    preds = [("o_orderpriority", "=", "1-URGENT")]
+    return read_versioned(spark, out, predicates=preds).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
 
 
 def _partitioned_cdf_lifecycle(spark, sf_dir):
