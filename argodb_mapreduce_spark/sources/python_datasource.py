@@ -1319,6 +1319,14 @@ def make_versioned_datasource():
         def commit(self, end):
             pass  # offsets live in the query's checkpoint, nothing to GC
 
+    # Closure internals exposed for property tests (the classes pickle
+    # by value, so these can't live at module level).
+    VersionedDataSource._test_hooks = {
+        "branch_component": _branch_component,
+        "decode_branch": _decode_branch,
+        "arrow_type_full": _arrow_type_full,
+        "decode_part_value": _decode_part_value,
+    }
     return VersionedDataSource
 
 

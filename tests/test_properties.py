@@ -363,3 +363,64 @@ def test_pit_state_propagation_matches_interval_bruteforce(spark, rows):
             agg[state][1] += v
     want = {s: (n, round(tv, 4)) for s, (n, tv) in agg.items()}
     assert got == want, (got, want, data)
+
+
+_PYDS_HOOKS = None
+
+
+def _pyds_hooks():
+    global _PYDS_HOOKS
+    if _PYDS_HOOKS is None:
+        from argodb_mapreduce_spark.sources.python_datasource import (
+            make_versioned_datasource,
+        )
+
+        _PYDS_HOOKS = make_versioned_datasource()._test_hooks
+    return _PYDS_HOOKS
+
+
+@given(
+    value=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=40
+    ).filter(lambda s: s != "__HIVE_DEFAULT_PARTITION__")
+)
+@settings(max_examples=200, deadline=None)
+def test_partition_branch_encode_decode_roundtrip(value):
+    """The pyds writer's Spark-escapePathName encoding and the reader's
+    branch decode are exact inverses for arbitrary string partition
+    values (NULL sentinel excluded by strategy)."""
+    h = _pyds_hooks()
+    comp = h["branch_component"]("k", value, "string")
+    assert comp.startswith("k=")
+    # path-hostile characters never survive into the dir name
+    assert not any(c in comp[2:] for c in '/\\:*?"')
+    decoded = h["decode_branch"](comp)
+    assert decoded == {"k": value}
+
+
+@given(v=st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=100, deadline=None)
+def test_partition_branch_int_roundtrip(v):
+    h = _pyds_hooks()
+    comp = h["branch_component"]("k", v, "bigint")
+    raw = h["decode_branch"](comp)["k"]
+    assert h["decode_part_value"](raw, "bigint") == v
+
+
+def test_partition_branch_null_sentinel():
+    h = _pyds_hooks()
+    comp = h["branch_component"]("k", None, "string")
+    assert comp == "k=__HIVE_DEFAULT_PARTITION__"
+    assert h["decode_branch"](comp) == {"k": None}
+
+
+def test_arrow_type_full_covers_nested_shapes():
+    import pyarrow as pa
+
+    h = _pyds_hooks()
+    t = h["arrow_type_full"]
+    assert t("struct<amount:decimal(12,2),ccy:string>") == pa.struct(
+        [("amount", pa.decimal128(12, 2)), ("ccy", pa.string())]
+    )
+    assert t("map<decimal(4,1),int>") == pa.map_(pa.decimal128(4, 1), pa.int32())
+    assert t("array<array<bigint>>") == pa.list_(pa.list_(pa.int64()))
