@@ -1093,7 +1093,11 @@ def _ivfpq_subvectors(col, out: str) -> Column:
 
 
 def _ivfpq_adc_from(
-    queries: DataFrame, cent: DataFrame, cbq: DataFrame, codes: DataFrame
+    queries: DataFrame,
+    cent: DataFrame,
+    cbq: DataFrame,
+    codes: DataFrame,
+    probes: int = IVFPQ_PROBES,
 ) -> DataFrame:
     """The SEARCH half of IVF-PQ, decoupled from encoding: probe-prune
     against the centroid table, build per-(query, list) residual LUTs
@@ -1109,7 +1113,7 @@ def _ivfpq_adc_from(
             _ivfpq_l2(F.col("qq"), F.col("cemb")).alias("qcdist"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVFPQ_PROBES)
+        .filter(F.col("rn") <= probes)
     )
     qsubs = qprobe.select(
         "query_id", "cid",
@@ -1670,13 +1674,42 @@ POSTFILTER_INFLATE = 3  #: post-filter over-fetch factor (k -> 3k)
 _SQL_FILTERED_TOPK = f"""
     {_SQL_IVFPQ_CTES}
     , labels AS (SELECT vec_id, label FROM embeddings)
-    , top_low AS (
+    , qresid_all AS (
+      SELECT q.query_id, c.cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> q.qemb[CAST(i AS INT)] - c.cemb[CAST(i AS INT)]) AS r
+      FROM queries q CROSS JOIN cent c
+    ), qsubs_all AS (
+      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
+      FROM qresid_all, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), lut_all AS (
+      SELECT s.query_id, s.cid, s.sub_id, cb.code,
+             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
+      FROM qsubs_all s JOIN cbq cb ON cb.sub_id = s.sub_id
+    ), adc_all AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN lut_all l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    , short_low AS (
       SELECT query_id, vec_id FROM (
         SELECT a.query_id, a.vec_id,
                ROW_NUMBER() OVER (PARTITION BY a.query_id
                                   ORDER BY a.adc_dist, a.vec_id) AS rn
-        FROM adc a JOIN labels l
+        FROM adc_all a JOIN labels l
           ON l.vec_id = a.vec_id AND l.label = {FILTERED_LABEL}
+      ) WHERE rn <= {IVFPQ_REFINE_C})
+    , top_low AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_sql_l2("q.qemb", "v.qemb", _PQ_DIMS)}, s.vec_id) AS rn
+        FROM short_low s
+        JOIN qv v ON v.vec_id = s.vec_id
+        JOIN queries q ON q.query_id = s.query_id
       ) WHERE rn <= {PQ_TOPK})
     , exact_low AS (
       SELECT query_id, vec_id FROM (
@@ -1695,14 +1728,23 @@ _SQL_FILTERED_TOPK = f"""
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_dist, vec_id) AS rn
         FROM adc
-      ) WHERE rn <= {PQ_TOPK * POSTFILTER_INFLATE})
-    , top_high AS (
+      ) WHERE rn <= {IVFPQ_REFINE_C * POSTFILTER_INFLATE})
+    , short_high AS (
       SELECT query_id, vec_id FROM (
         SELECT r.query_id, r.vec_id,
                ROW_NUMBER() OVER (PARTITION BY r.query_id
                                   ORDER BY r.adc_dist, r.vec_id) AS rn
         FROM raw_high r JOIN labels l
           ON l.vec_id = r.vec_id AND l.label <> {FILTERED_LABEL}
+      ) WHERE rn <= {IVFPQ_REFINE_C})
+    , top_high AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_sql_l2("q.qemb", "v.qemb", _PQ_DIMS)}, s.vec_id) AS rn
+        FROM short_high s
+        JOIN qv v ON v.vec_id = s.vec_id
+        JOIN queries q ON q.query_id = s.query_id
       ) WHERE rn <= {PQ_TOPK})
     , exact_high AS (
       SELECT query_id, vec_id FROM (
@@ -1744,15 +1786,17 @@ _SQL_FILTERED_TOPK = f"""
         f"rides the top-k search, and the planner picks the strategy "
         f"from an ANALYZE-style frequency stat — selectivity <= "
         f"{PREFILTER_MAX_SEL} PRE-filters (only matching vectors' "
-        f"stored codes are ADC-ranked; the filter commutes with ADC "
-        f"because distances are per-(query, vector)), above it "
-        f"POST-filters (rank an inflated top-{PQ_TOPK}x"
-        f"{POSTFILTER_INFLATE}, filter, cut to {PQ_TOPK}). Both "
-        f"regimes run in one query (label = vs <> {FILTERED_LABEL}) "
-        f"and each carries a RECALL SELF-CHECK against the exact "
-        f"filtered brute-force baseline — strategy choice, result "
-        f"sizes, and recall all hash-checked against DuckDB running "
-        f"the identical pipeline."
+        f"stored codes are ADC-ranked ACROSS ALL LISTS — the filtered "
+        f"candidate set is small, so nothing is lost to nprobe), "
+        f"above it POST-filters (rank an inflated ADC shortlist, "
+        f"filter, keep {IVFPQ_REFINE_C}). BOTH regimes finish with an "
+        f"exact RE-RANK of the {IVFPQ_REFINE_C}-candidate shortlist "
+        f"(the refined-serving shape of similarity_ivfpq_refined) and "
+        f"cut to top-{PQ_TOPK}. Both run in one query (label = vs <> "
+        f"{FILTERED_LABEL}), each with a RECALL SELF-CHECK against "
+        f"the exact filtered brute-force baseline — strategy choice, "
+        f"result sizes, and recall all hash-checked against DuckDB "
+        f"running the identical pipeline."
     ),
 )
 def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,26 +1831,45 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_pass / total <= PREFILTER_MAX_SEL:
             strategy = "pre-filter"
             fcodes = codes.join(F.broadcast(fids), "vec_id")
-            adc = _ivfpq_adc_from(queries, cent, cbq, fcodes)
-            topk = (
+            # Selective filter -> scan EVERY list for the (few)
+            # surviving codes instead of IVF probe-pruning: the
+            # filtered candidate set is already small, so the ADC
+            # shortlist misses nothing to nprobe.
+            adc = _ivfpq_adc_from(queries, cent, cbq, fcodes, probes=N_CENTROIDS)
+            shortlist = (
                 adc.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= PQ_TOPK)
+                .filter(F.col("rn") <= IVFPQ_REFINE_C)
                 .select("query_id", "vec_id")
             )
         else:
             strategy = "post-filter"
             adc = _ivfpq_adc_from(queries, cent, cbq, codes)
-            raw = (
+            shortlist = (
                 adc.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= PQ_TOPK * POSTFILTER_INFLATE)
+                .filter(F.col("rn") <= IVFPQ_REFINE_C * POSTFILTER_INFLATE)
                 .drop("rn")
-            )
-            topk = (
-                raw.join(F.broadcast(fids), "vec_id")
+                .join(F.broadcast(fids), "vec_id")
                 .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= PQ_TOPK)
+                .filter(F.col("rn") <= IVFPQ_REFINE_C)
                 .select("query_id", "vec_id")
             )
+        # Exact RE-RANK of the shortlist (the refined-serving shape,
+        # same as similarity_ivfpq_refined): PQ quantization picks the
+        # candidates, true distances pick the winners.
+        w_ref = Window.partitionBy("query_id").orderBy(
+            F.asc("exact_dist"), F.asc("vec_id")
+        )
+        topk = (
+            shortlist.join(eq, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id", "vec_id",
+                _ivfpq_l2(F.col("qq"), F.col("qemb")).alias("exact_dist"),
+            )
+            .withColumn("rn", F.row_number().over(w_ref))
+            .filter(F.col("rn") <= PQ_TOPK)
+            .select("query_id", "vec_id")
+        )
         # Exact filtered brute-force baseline: the recall self-check.
         fcorpus = eq.join(F.broadcast(fids), "vec_id")
         w_ex = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
