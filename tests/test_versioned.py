@@ -1327,3 +1327,51 @@ def test_delete_racing_merge_composes_or_fails_loud(spark, tmp_path):
     if res["del"][0] == "ok":
         assert final.filter("k < 10").count() == 0
     _manifest_invariants(spark, path)
+
+
+def test_dml_on_dv_composes_with_partitioned_segments(spark, tmp_path):
+    """Cross-product of the two r11 features: UPDATE and MERGE on a
+    DV-bearing HIVE-PARTITIONED table — tombstones respected, partition
+    layout carried for untouched segments, rewrite lands flat (the DML
+    contract), and both readers agree afterwards."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        delete_where,
+        merge_upsert,
+        update_where,
+    )
+
+    path = str(tmp_path / "dml_dv_part")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"),
+        (F.col("id") % 4).cast("int").alias("k"),
+        F.lit(0).alias("val"),
+    )
+    versioned_write(mk(0, 60), path, partition_by=("k",))
+    versioned_write(mk(60, 120), path, partition_by=("k",))
+    delete_where(spark, path, [("v", "<", 12)])  # DV over partitioned segs
+    # UPDATE through the DV on the partitioned table
+    upd = update_where(spark, path, [("v", ">=", 100)], {"val": F.lit(5)})
+    assert upd["rows_updated"] == 20
+    final = snapshot_read(spark, path)
+    assert final.count() == 108  # 120 - 12 tombstoned
+    assert final.filter("val = 5").count() == 20
+    assert final.filter("v < 12").count() == 0  # tombstones intact
+    # MERGE re-upserting 4 deleted keys as inserts
+    src = spark.range(4).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k"),
+        F.lit(9).alias("val"),
+    )
+    merge_upsert(spark, path, src, "v")
+    final2 = snapshot_read(spark, path)
+    assert final2.count() == 112
+    assert final2.filter("val = 9").count() == 4
+    # both readers agree on the end state
+    pyds = read_versioned(spark, path)
+    assert pyds.count() == 112
+    assert pyds.exceptAll(final2.select(pyds.columns)).count() == 0
+    # untouched partitioned segments keep their recorded layout
+    entry = _read_manifest(path)[-1]
+    pb = entry.get("partition_by", {})
+    assert all(v == ["k"] for v in pb.values())
