@@ -1131,6 +1131,49 @@ def _ivfpq_adc_from(
     )
 
 
+def _sql_ivfpq_search(
+    sfx: str,
+    codes: str,
+    cbq: str,
+    cent: str,
+    queries: str,
+    probes: int = IVFPQ_PROBES,
+) -> str:
+    """The SEARCH half of the IVF-PQ oracle: probe-prune (``probes``
+    lists; pass N_CENTROIDS to scan all — the pre-filter regime), build
+    per-(query, list) LUTs against ``cbq``, rank ``codes`` by ADC. The
+    SQL twin of ``_ivfpq_adc_from(..., probes=)``, factored so a
+    filtered code table or a different probe budget never copies the
+    residual/LUT/ADC math."""
+    return f"""qprobe{sfx} AS (
+      SELECT query_id, cid, cemb FROM (
+        SELECT q.query_id, c.cid, c.cemb,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_l2("q.qemb", "c.cemb", _PQ_DIMS)}, c.cid) AS rn
+        FROM {queries} q CROSS JOIN {cent} c
+      ) WHERE rn <= {probes}
+    ), qresid{sfx} AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, {_PQ_DIMS} + 1),
+               i -> q.qemb[CAST(i AS INT)] - p.cemb[CAST(i AS INT)]) AS r
+      FROM qprobe{sfx} p JOIN {queries} q ON q.query_id = p.query_id
+    ), qsubs{sfx} AS (
+      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
+             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
+      FROM qresid{sfx}, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), lut{sfx} AS (
+      SELECT s.query_id, s.cid, s.sub_id, cb.code,
+             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
+      FROM qsubs{sfx} s JOIN {cbq} cb ON cb.sub_id = s.sub_id
+    ), adc{sfx} AS (
+      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+      FROM {codes} c
+      JOIN lut{sfx} l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )"""
+
+
 def _sql_ivfpq_block(sfx: str, corpus: str, cent: str, queries: str) -> str:
     """DuckDB CTE chain for one IVF-PQ index instance: encode ``corpus``
     (vec_id, qemb) against centroid table ``cent`` (cid, cemb), then
@@ -1171,33 +1214,7 @@ def _sql_ivfpq_block(sfx: str, corpus: str, cent: str, queries: str) -> str:
                                      ORDER BY dist_sq, code) AS rn
         FROM cand{sfx}
       ) WHERE rn = 1
-    ), qprobe{sfx} AS (
-      SELECT query_id, cid, cemb FROM (
-        SELECT q.query_id, c.cid, c.cemb,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_sql_l2("q.qemb", "c.cemb", _PQ_DIMS)}, c.cid) AS rn
-        FROM {queries} q CROSS JOIN {cent} c
-      ) WHERE rn <= {IVFPQ_PROBES}
-    ), qresid{sfx} AS (
-      SELECT p.query_id, p.cid,
-             list_transform(range(1, {_PQ_DIMS} + 1),
-               i -> q.qemb[CAST(i AS INT)] - p.cemb[CAST(i AS INT)]) AS r
-      FROM qprobe{sfx} p JOIN {queries} q ON q.query_id = p.query_id
-    ), qsubs{sfx} AS (
-      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
-             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
-      FROM qresid{sfx}, UNNEST(range(0, {PQ_M})) AS u(m)
-    ), lut{sfx} AS (
-      SELECT s.query_id, s.cid, s.sub_id, cb.code,
-             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
-      FROM qsubs{sfx} s JOIN cbq{sfx} cb ON cb.sub_id = s.sub_id
-    ), adc{sfx} AS (
-      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
-      FROM codes{sfx} c
-      JOIN lut{sfx} l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
-      WHERE c.vec_id <> l.query_id
-      GROUP BY l.query_id, c.vec_id
-    )"""
+    ), {_sql_ivfpq_search(sfx, f"codes{sfx}", f"cbq{sfx}", cent, queries)}"""
 
 
 #: Shared IVF-PQ oracle dataflow (through the probe-pruned ADC
@@ -1264,6 +1281,29 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVFPQ_REFINE_C = 30  #: ADC candidates re-ranked exactly per query
+
+
+def _exact_rerank(
+    shortlist: DataFrame, vectors: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """(query_id, vec_id, exact_dist, rank<=k): exact integer-L2
+    re-rank of an ADC ``shortlist`` — one candidate-bounded equi-join
+    against the quantized ``vectors`` (vec_id, qemb) plus the broadcast
+    ``queries`` (query_id, qq). The refined-serving shape shared by
+    similarity_ivfpq_refined and similarity_filtered_topk: PQ picks
+    candidates, true distances pick winners."""
+    exact = (
+        shortlist.join(vectors, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "vec_id",
+            _ivfpq_l2(F.col("qq"), F.col("qemb")).alias("exact_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_dist"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 @register(
@@ -1357,17 +1397,7 @@ def similarity_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     ranked_adc = adc.withColumn("rn", F.row_number().over(w_adc))
     cand = ranked_adc.filter(F.col("rn") <= IVFPQ_REFINE_C).select("query_id", "vec_id")
-
-    exact = (
-        cand.join(e, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "vec_id", l2(F.col("qq"), F.col("qemb")).alias("exact_dist"))
-    )
-    w_ref = Window.partitionBy("query_id").orderBy(F.asc("exact_dist"), F.asc("vec_id"))
-    refined = (
-        exact.withColumn("rank", F.row_number().over(w_ref).cast("long"))
-        .filter(F.col("rank") <= PQ_TOPK)
-    )
+    refined = _exact_rerank(cand, e, queries, PQ_TOPK)
 
     # Exact ground truth: the vector table against the CONSTANT-size
     # broadcast query set — bounded map-side fan-out, self-check only.
@@ -1669,38 +1699,23 @@ FILTERED_LABEL = 3  #: the metadata predicate's pivot label
 #: matching vectors' codes); above it, POST-filter (rank an inflated
 #: top-k, then filter) keeps the ANN pruning effective.
 PREFILTER_MAX_SEL = 0.5
-POSTFILTER_INFLATE = 3  #: post-filter over-fetch factor (k -> 3k)
+POSTFILTER_INFLATE = 3  #: post-filter ADC-shortlist over-fetch factor
+#: (the pre-filter shortlist of IVFPQ_REFINE_C candidates over-fetches
+#: to IVFPQ_REFINE_C * POSTFILTER_INFLATE before the predicate filter)
 
 _SQL_FILTERED_TOPK = f"""
     {_SQL_IVFPQ_CTES}
     , labels AS (SELECT vec_id, label FROM embeddings)
-    , qresid_all AS (
-      SELECT q.query_id, c.cid,
-             list_transform(range(1, {_PQ_DIMS} + 1),
-               i -> q.qemb[CAST(i AS INT)] - c.cemb[CAST(i AS INT)]) AS r
-      FROM queries q CROSS JOIN cent c
-    ), qsubs_all AS (
-      SELECT query_id, cid, CAST(m AS INT) AS sub_id,
-             list_slice(r, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qsv
-      FROM qresid_all, UNNEST(range(0, {PQ_M})) AS u(m)
-    ), lut_all AS (
-      SELECT s.query_id, s.cid, s.sub_id, cb.code,
-             {_sql_l2("s.qsv", "cb.cv", PQ_SUBDIM)} AS qdist
-      FROM qsubs_all s JOIN cbq cb ON cb.sub_id = s.sub_id
-    ), adc_all AS (
-      SELECT l.query_id, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
-      FROM codes c
-      JOIN lut_all l ON l.cid = c.cid AND l.sub_id = c.sub_id AND l.code = c.code
-      WHERE c.vec_id <> l.query_id
-      GROUP BY l.query_id, c.vec_id
-    )
+    , codes_low AS (
+      SELECT c.* FROM codes c
+      JOIN labels l ON l.vec_id = c.vec_id AND l.label = {FILTERED_LABEL}
+    ), {_sql_ivfpq_search("_low", "codes_low", "cbq", "cent", "queries", probes=N_CENTROIDS)}
     , short_low AS (
       SELECT query_id, vec_id FROM (
-        SELECT a.query_id, a.vec_id,
-               ROW_NUMBER() OVER (PARTITION BY a.query_id
-                                  ORDER BY a.adc_dist, a.vec_id) AS rn
-        FROM adc_all a JOIN labels l
-          ON l.vec_id = a.vec_id AND l.label = {FILTERED_LABEL}
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc_low
       ) WHERE rn <= {IVFPQ_REFINE_C})
     , top_low AS (
       SELECT query_id, vec_id FROM (
@@ -1853,22 +1868,10 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") <= IVFPQ_REFINE_C)
                 .select("query_id", "vec_id")
             )
-        # Exact RE-RANK of the shortlist (the refined-serving shape,
-        # same as similarity_ivfpq_refined): PQ quantization picks the
-        # candidates, true distances pick the winners.
-        w_ref = Window.partitionBy("query_id").orderBy(
-            F.asc("exact_dist"), F.asc("vec_id")
-        )
-        topk = (
-            shortlist.join(eq, "vec_id")
-            .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id", "vec_id",
-                _ivfpq_l2(F.col("qq"), F.col("qemb")).alias("exact_dist"),
-            )
-            .withColumn("rn", F.row_number().over(w_ref))
-            .filter(F.col("rn") <= PQ_TOPK)
-            .select("query_id", "vec_id")
+        # Exact RE-RANK of the shortlist (the shared refined-serving
+        # shape): PQ picks candidates, true distances pick winners.
+        topk = _exact_rerank(shortlist, eq, queries, PQ_TOPK).select(
+            "query_id", "vec_id"
         )
         # Exact filtered brute-force baseline: the recall self-check.
         fcorpus = eq.join(F.broadcast(fids), "vec_id")

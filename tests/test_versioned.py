@@ -1374,4 +1374,5 @@ def test_dml_on_dv_composes_with_partitioned_segments(spark, tmp_path):
     # untouched partitioned segments keep their recorded layout
     entry = _read_manifest(path)[-1]
     pb = entry.get("partition_by", {})
+    assert pb, "untouched partitioned segments must keep a layout ledger"
     assert all(v == ["k"] for v in pb.values())
