@@ -74,12 +74,12 @@ _QUERY_MODULES = (
 #: slots of staleness rotation, oldest banked evidence first. After r10
 #: the staleness floor was r04: exactly 15 rows (measured from the
 #: CORRECTNESS union; the r10 verdict corrected COVERAGE.md's
-#: miscounted 13). ALL 15 rotate in below, then the 12
-#: alphabetically-first r05-tier rows fill the window (6 new + 17
-#: changed + 15 + 12 = 50, measured against the CORRECTNESS union),
-#: leaving a post-r11 floor of r05 (29 rows: events_autocorrelation,
-#: events_ewma_smooth, events_markov_transition onward lead the r12
-#: rotation). tests/test_round8_ops.py asserts
+#: miscounted 13). ALL 15 rotate in below, then the 11
+#: alphabetically-first r05-tier rows fill the window (7 new + 17
+#: changed + 15 + 11 = 50, measured against the CORRECTNESS union),
+#: leaving a post-r11 floor of r05 (30 rows: events_attribution_last_
+#: touch, events_autocorrelation, events_ewma_smooth onward lead the
+#: r12 rotation). tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
@@ -90,6 +90,7 @@ _PRIORITY = (
     "similarity_filtered_topk",         # filtered ANN, strategy by stats
     "snapshot_update_on_dv",            # DML composes with deletion vectors
     "pyds_partitioned_write",           # Hive-layout writes via the pyds sink
+    "stream_expect_quarantine_live",    # streaming DLT loop incl. replay
     # --- (a cont.) code changed in round 11: re-earn the rows ---
     "snapshot_change_feed",       # delete leg -> layout-aware file scan
     "snapshot_vacuum",            # lock scope shrunk to metadata ops
@@ -125,7 +126,7 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_top_tokens",
     "window_time_range_frame",
-    # --- (b cont.) the 17 alphabetically-first r05-tier rows ---
+    # --- (b cont.) the 11 alphabetically-first r05-tier rows ---
     "agg_grouping_flags",
     "agg_salted_skew",
     "basket_pair_lift",
@@ -137,7 +138,6 @@ _PRIORITY = (
     "dq_constraint_audit",
     "embedding_normalize_stats",
     "embedding_pca_top_component",
-    "events_attribution_last_touch",
 )
 
 

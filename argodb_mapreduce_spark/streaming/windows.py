@@ -971,6 +971,117 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Streaming-expectation thresholds (distribution-stable on events.value,
+#: range ~[0, 490] at every SF): <100 passes, [100, 200) is repairable
+#: by the clamp, >=200 stays quarantined.
+_EXPECT_VALUE_CAP = 100.0
+_EXPECT_FIXABLE = 200.0
+
+
+@register(
+    "stream_expect_quarantine_live",
+    oracle=f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             WHERE value < {_EXPECT_FIXABLE}) AS n_main,
+           (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+             WHERE value < {_EXPECT_FIXABLE}) AS sum_key_main,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             WHERE value >= {_EXPECT_VALUE_CAP}
+               AND value < {_EXPECT_FIXABLE}) AS reingested,
+           CAST(COUNT(*) AS BIGINT) AS still_quarantined,
+           0 AS second_reingested
+    FROM events WHERE value >= {_EXPECT_FIXABLE}
+    """,
+    tags=("streaming", "sink", "constraint", "data-quality", "quarantine", "live"),
+    doc=(
+        "The FULL STREAMING DLT LOOP in one query: a real 3-batch "
+        "availableNow stream lands through foreachBatch + "
+        "versioned_write_expect —each micro-batch's CHECK-violating rows "
+        "route to the sidecar quarantine table instead of failing the "
+        "batch — then quarantine_replay re-validates them through a "
+        "deterministic repair (clamp values under 200 below the cap), "
+        "commits the now-passing subset exactly once, and republishes "
+        "the residue; a SECOND replay is oracle-pinned to reingest "
+        "nothing. ingest -> expect -> quarantine -> repair -> replay, "
+        "all on this repo's own primitives, all hash-checked."
+    ),
+)
+def stream_expect_quarantine_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the split is two codegen predicate passes per BATCH; the
+    replay scans the quarantine (O(bad rows)); every commit is one
+    manifest append. Production wraps each foreachBatch leg in the txn
+    sink for exactly-once (stream_versioned_sink shows the stamp)."""
+    import os
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        quarantine_replay,
+        snapshot_read,
+        versioned_write_expect,
+    )
+
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_sharded_stream_dir(sf_dir))
+    )
+    events = _bridge_ts(raw, unit).select("event_id", "user_id", "value")
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "events_expect_stream"
+    )
+    qp = out + "_quarantine"
+    # Rebuild per run: replay mutates both tables.
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(qp, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    add_constraint(spark, out, "value_cap", f"value < {_EXPECT_VALUE_CAP}")
+    ckpt = tempfile.mkdtemp(prefix="stream_expect_ckpt_")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versioned_write_expect(
+            batch_df, out, on_violation="quarantine", quarantine_path=qp
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def repair(d: DataFrame) -> DataFrame:
+        return d.withColumn(
+            "value",
+            F.when(
+                (F.col("value") >= _EXPECT_VALUE_CAP)
+                & (F.col("value") < _EXPECT_FIXABLE),
+                F.lit(_EXPECT_VALUE_CAP - 0.01),
+            ).otherwise(F.col("value")),
+        )
+
+    rep1 = quarantine_replay(spark, out, qp, repair=repair)
+    rep2 = quarantine_replay(spark, out, qp, repair=repair)
+    main = snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_main"),
+        F.sum("event_id").cast("long").alias("sum_key_main"),
+    )
+    return main.select(
+        "n_main",
+        "sum_key_main",
+        F.lit(rep1["rows_reingested"]).cast("long").alias("reingested"),
+        F.lit(rep1["rows_still_quarantined"]).cast("long").alias("still_quarantined"),
+        F.lit(rep2["rows_reingested"]).cast("long").alias("second_reingested"),
+    )
+
+
 @register(
     "stream_mv_maintenance",
     oracle="""

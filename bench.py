@@ -204,6 +204,7 @@ HEADLINE = [
     "similarity_filtered_topk",
     "snapshot_update_on_dv",
     "pyds_partitioned_write",
+    "stream_expect_quarantine_live",
 ]
 
 
