@@ -1091,8 +1091,14 @@ def make_versioned_datasource():
             ]
             base_cols = [f.name for f in base]
             base_types = {f.name: to_arrow_type(f.dataType) for f in base}
+            if self._prune and cdf:
+                raise ValueError(
+                    "prune cannot combine with readChangeFeed: skipping "
+                    "files would silently drop change rows from the feed"
+                )
             return VersionedStreamReader(
-                self._path, ignore_deletes, cdf, base_cols, base_types
+                self._path, ignore_deletes, cdf, base_cols, base_types,
+                self._prune,
             )
 
     class VersionedStreamReader(DataSourceStreamReader):
@@ -1125,9 +1131,17 @@ def make_versioned_datasource():
             cdf: bool = False,
             base_cols=None,
             base_types=None,
+            prune=(),
         ):
             self._path = path
             self._base_types = base_types
+            # Source-level data skipping for a SELECTIVE SUBSCRIBER
+            # (same immutable option as the batch reader): new files
+            # whose partition values or segment stats provably exclude
+            # every predicate are never planned. The skip is
+            # conservative-only; consumers re-apply the predicates
+            # row-level, exactly the batch read_versioned contract.
+            self._prune = list(prune or ())
             self._ignore_deletes = ignore_deletes
             self._cdf = cdf
             # Plan-schema order (without the CDF tag columns): batches
@@ -1223,6 +1237,17 @@ def make_versioned_datasource():
                     seg_dir = _os.path.join(self._path, seg)
                     part_cols = entries[v].get("partition_by", {}).get(seg) or ()
                     ledger = entries[v].get("schemas", {}).get(seg, {})
+                    seg_stats_raw = entries[v].get("stats", {}).get(seg)
+                    seg_stats = (
+                        {
+                            c: [_stat_decode_local(lo), _stat_decode_local(hi)]
+                            for c, (lo, hi) in seg_stats_raw.items()
+                        }
+                        if seg_stats_raw
+                        else None
+                    )
+                    if self._prune and not _stats_may_match(seg_stats, self._prune):
+                        continue  # whole new segment provably excluded
                     if part_cols:
                         # Partitioned append: walk the col=value branches
                         # and attach the decoded values + ledger types to
@@ -1244,6 +1269,16 @@ def make_versioned_datasource():
                             if f.endswith(".parquet")
                         ]
                     for fp, pp in listed:
+                        if self._prune and pp:
+                            # File-precise partition-value skip: exact
+                            # [v, v] stats per partition column.
+                            fstats = dict(seg_stats or {})
+                            for c, raw, t in pp:
+                                tv = _decode_part_value(raw, t)
+                                if tv is not None:
+                                    fstats[c] = [tv, tv]
+                            if not _stats_may_match(fstats, self._prune):
+                                continue
                         parts.append(
                             CDFPartition("insert", fp, v, parts=pp)
                             if self._cdf

@@ -627,3 +627,59 @@ def test_pyds_reads_evolution_added_nested_decimal(spark, tmp_path):
     assert got.count() == 10
     assert got.filter("price IS NULL").count() == 5
     assert got.filter("price.amount IS NOT NULL").count() == 5
+
+
+def test_stream_prune_option_skips_partition_branches(spark, tmp_path):
+    """r11: the prune load option reaches the STREAM reader — a
+    selective subscriber on a partitioned table consumes only the
+    matching branch's files (file-precise, conservative); combining
+    with readChangeFeed is refused."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    register_datasource(spark)
+    path = str(tmp_path / "pyds_stream_prune")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("k")
+    )
+    versioned_write(mk(0, 40), path, partition_by=("k",))
+    versioned_write(mk(40, 80), path, partition_by=("k",))
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("prune", json.dumps([["k", "=", 2]]))
+        .load(path)
+    )
+    q = (
+        s.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("pruned_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.k: r["count"] for r in spark.table("pruned_tail").collect()}
+    assert rows == {2: 20}  # only the k=2 branch was ever planned
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    q2 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("prune", json.dumps([["k", "=", 2]]))
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("never")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="readChangeFeed"):
+        q2.awaitTermination()
