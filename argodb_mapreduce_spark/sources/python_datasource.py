@@ -172,6 +172,30 @@ def make_versioned_datasource():
                     out.append((_os.path.join(root, f), parts))
         return sorted(out)
 
+    def _decoded_stats(raw):
+        """Manifest per-column [min,max] -> decoded Python values, or
+        None when the segment recorded no stats. ONE copy for the batch
+        resolver and the stream planner, so their prune semantics
+        cannot drift."""
+        if not raw:
+            return None
+        return {
+            c: [_stat_decode_local(mn), _stat_decode_local(mx)]
+            for c, (mn, mx) in raw.items()
+        }
+
+    def _tighten_with_parts(stats, parts):
+        """File-precise stats: each partition value becomes an exact
+        [v, v] bound (NULL branches contribute none — conservative
+        keep, the residual row filter drops them). Shared by the batch
+        resolver and the stream planner."""
+        out = dict(stats or {})
+        for c, raw, t in parts:
+            tv = _decode_part_value(raw, t)
+            if tv is not None:
+                out[c] = [tv, tv]
+        return out
+
     def _resolve_files(path: str, version: int | None):
         """(ordered file list, {file -> decoded per-column [min,max]},
         {file -> deleted row positions from the deletion vector},
@@ -212,12 +236,7 @@ def make_versioned_datasource():
         files, file_stats, file_parts, part_types = [], {}, {}, {}
         for seg in entry["segments"]:
             seg_dir = _os.path.join(path, seg)
-            raw = entry.get("stats", {}).get(seg)
-            decoded = (
-                {c: [_stat_decode_local(lo), _stat_decode_local(hi)] for c, (lo, hi) in raw.items()}
-                if raw
-                else None
-            )
+            decoded = _decoded_stats(entry.get("stats", {}).get(seg))
             part_cols = entry.get("partition_by", {}).get(seg) or ()
             ledger = entry.get("schemas", {}).get(seg, {})
             for c in part_cols:
@@ -232,16 +251,10 @@ def make_versioned_datasource():
             for fp, parts in _walk_partition_files(seg_dir, part_cols):
                 files.append(fp)
                 file_parts[fp] = parts
-                # File-precise partition stats: [v, v] tightens the
-                # segment-level min/max for pruning; NULL branches get
-                # no stat (a range/equality predicate never matches
-                # NULL, but the conservative contract is KEEP + let the
-                # residual row filter drop them).
-                pstats = dict(decoded or {})
-                for c, v in parts:
-                    tv = _decode_part_value(v, part_types.get(c))
-                    if tv is not None:
-                        pstats[c] = [tv, tv]
+                pstats = _tighten_with_parts(
+                    decoded,
+                    [(c, v, part_types.get(c)) for c, v in parts],
+                )
                 file_stats[fp] = pstats or None
         # Merge-on-read parity with snapshot_read: the version's
         # deletion vector resolves to per-file tombstoned positions at
@@ -1237,13 +1250,9 @@ def make_versioned_datasource():
                     seg_dir = _os.path.join(self._path, seg)
                     part_cols = entries[v].get("partition_by", {}).get(seg) or ()
                     ledger = entries[v].get("schemas", {}).get(seg, {})
-                    seg_stats_raw = entries[v].get("stats", {}).get(seg)
                     seg_stats = (
-                        {
-                            c: [_stat_decode_local(lo), _stat_decode_local(hi)]
-                            for c, (lo, hi) in seg_stats_raw.items()
-                        }
-                        if seg_stats_raw
+                        _decoded_stats(entries[v].get("stats", {}).get(seg))
+                        if self._prune
                         else None
                     )
                     if self._prune and not _stats_may_match(seg_stats, self._prune):
@@ -1270,14 +1279,10 @@ def make_versioned_datasource():
                         ]
                     for fp, pp in listed:
                         if self._prune and pp:
-                            # File-precise partition-value skip: exact
-                            # [v, v] stats per partition column.
-                            fstats = dict(seg_stats or {})
-                            for c, raw, t in pp:
-                                tv = _decode_part_value(raw, t)
-                                if tv is not None:
-                                    fstats[c] = [tv, tv]
-                            if not _stats_may_match(fstats, self._prune):
+                            # File-precise partition-value skip.
+                            if not _stats_may_match(
+                                _tighten_with_parts(seg_stats, pp), self._prune
+                            ):
                                 continue
                         parts.append(
                             CDFPartition("insert", fp, v, parts=pp)

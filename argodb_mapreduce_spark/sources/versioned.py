@@ -794,6 +794,7 @@ def versioned_write_expect(
     mode: str = "append",
     on_violation: str = "quarantine",
     quarantine_path: str | None = None,
+    _txn: dict | None = None,
 ) -> dict:
     """Expectation-gated ingest (Delta Live Tables ``EXPECT ... ON
     VIOLATION DROP/QUARANTINE``): rows violating ANY of the table's
@@ -815,7 +816,15 @@ def versioned_write_expect(
     scanned once per output — the same two-pass price DLT pays; persist
     the input upstream if it is expensive to recompute. Returns
     ``{"version", "rows_committed", "rows_violating",
-    "quarantine_version"}``."""
+    "quarantine_version"}``.
+
+    ``_txn`` (``{"app_id", "batch_id"}``) makes EACH leg individually
+    idempotent for streaming foreachBatch sinks: the ok-rows commit and
+    the quarantine append each carry the stamp in their own manifest,
+    so a replayed micro-batch (or a crash between the two legs) re-runs
+    only the leg that never landed — never a double ingest on either
+    table (the two legs are separate commits; cross-table atomicity is
+    not claimed)."""
     if on_violation not in ("fail", "drop", "quarantine"):
         raise ValueError(f"on_violation must be fail|drop|quarantine, got {on_violation!r}")
     def _rows_of(tbl: str, v: int) -> int:
@@ -828,8 +837,11 @@ def versioned_write_expect(
 
     cons = _read_constraints(path)
     if on_violation == "fail" or not cons:
-        version = versioned_write(df, path, mode=mode)
-        committed = _rows_of(path, version)
+        try:
+            version = versioned_write(df, path, mode=mode, _txn=_txn)
+            committed = _rows_of(path, version)
+        except _TxnDuplicate as dup:
+            version, committed = dup.args[0], 0  # replay: already landed
         return {
             "version": version,
             "rows_committed": committed,
@@ -839,14 +851,20 @@ def versioned_write_expect(
     tagged = _tag_violations(df, cons)
     ok = tagged.filter(F.size("_violated") == 0).drop("_violated")
     bad = tagged.filter(F.size("_violated") > 0)
-    version = versioned_write(ok, path, mode=mode)
-    committed = _rows_of(path, version)
+    try:
+        version = versioned_write(ok, path, mode=mode, _txn=_txn)
+        committed = _rows_of(path, version)
+    except _TxnDuplicate as dup:
+        version, committed = dup.args[0], 0  # replay: ok leg already landed
     q_version = None
     n_bad = 0
     if on_violation == "quarantine":
         qp = quarantine_path or (path.rstrip("/") + "_quarantine")
-        q_version = versioned_write(bad, qp, mode="append")
-        n_bad = _rows_of(qp, q_version)
+        try:
+            q_version = versioned_write(bad, qp, mode="append", _txn=_txn)
+            n_bad = _rows_of(qp, q_version)
+        except _TxnDuplicate as dup:
+            q_version, n_bad = dup.args[0], 0  # replay: bad leg already landed
     else:
         n_bad = bad.count()
     return {

@@ -1002,15 +1002,17 @@ _EXPECT_FIXABLE = 200.0
         "deterministic repair (clamp values under 200 below the cap), "
         "commits the now-passing subset exactly once, and republishes "
         "the residue; a SECOND replay is oracle-pinned to reingest "
-        "nothing. ingest -> expect -> quarantine -> repair -> replay, "
-        "all on this repo's own primitives, all hash-checked."
+        "nothing, and both foreachBatch legs are txn-stamped so a "
+        "replayed micro-batch re-runs only a leg that never landed. "
+        "ingest -> expect -> quarantine -> repair -> replay, all on "
+        "this repo's own primitives, all hash-checked."
     ),
 )
 def stream_expect_quarantine_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the split is two codegen predicate passes per BATCH; the
     replay scans the quarantine (O(bad rows)); every commit is one
-    manifest append. Production wraps each foreachBatch leg in the txn
-    sink for exactly-once (stream_versioned_sink shows the stamp)."""
+    manifest append; both foreachBatch legs carry the txn stamp, so
+    micro-batch replays are per-leg no-ops (exactly-once)."""
     import os
     import shutil
     import tempfile
@@ -1044,9 +1046,18 @@ def stream_expect_quarantine_live(spark: SparkSession, sf_dir: str) -> DataFrame
     add_constraint(spark, out, "value_cap", f"value < {_EXPECT_VALUE_CAP}")
     ckpt = tempfile.mkdtemp(prefix="stream_expect_ckpt_")
 
+    app_id = "stream_expect_quarantine"
+
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Each leg carries the txn stamp, so a replayed micro-batch (or
+        # a crash between the two legs) re-runs only the leg that never
+        # landed — exactly-once on BOTH tables.
         versioned_write_expect(
-            batch_df, out, on_violation="quarantine", quarantine_path=qp
+            batch_df,
+            out,
+            on_violation="quarantine",
+            quarantine_path=qp,
+            _txn={"app_id": app_id, "batch_id": batch_id},
         )
 
     q = (

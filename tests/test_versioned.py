@@ -1376,3 +1376,39 @@ def test_dml_on_dv_composes_with_partitioned_segments(spark, tmp_path):
     pb = entry.get("partition_by", {})
     assert pb, "untouched partitioned segments must keep a layout ledger"
     assert all(v == ["k"] for v in pb.values())
+
+
+def test_expect_write_txn_stamp_makes_each_leg_idempotent(spark, tmp_path):
+    """r11 review fix: a foreachBatch replay of versioned_write_expect
+    with the same (app_id, batch_id) is a no-op on BOTH tables, and a
+    crash between the legs re-runs only the missing leg."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        versioned_write,
+        versioned_write_expect,
+    )
+
+    path = str(tmp_path / "expect_txn")
+    qp = path + "_q"
+    os.makedirs(path)
+    add_constraint(spark, path, "small_k", "k < 10")
+    df = spark.range(15).withColumnRenamed("id", "k")
+    txn = {"app_id": "expect-stream", "batch_id": 0}
+    r1 = versioned_write_expect(df, path, quarantine_path=qp, _txn=txn)
+    assert r1["rows_committed"] == 10 and r1["rows_violating"] == 5
+    # Full replay: both legs already landed -> nothing moves.
+    r2 = versioned_write_expect(df, path, quarantine_path=qp, _txn=txn)
+    assert r2["rows_committed"] == 0 and r2["rows_violating"] == 0
+    assert snapshot_read(spark, path).count() == 10
+    assert snapshot_read(spark, qp).count() == 5
+    # Crash-between-legs: simulate batch 1 whose MAIN leg landed but
+    # whose quarantine leg did not, then replay the whole batch.
+    df2 = spark.range(20, 40).withColumnRenamed("id", "k")
+    ok2 = df2.filter("k < 10")  # empty, but stamps the main ledger
+    versioned_write(ok2, path, _txn={"app_id": "expect-stream", "batch_id": 1})
+    r3 = versioned_write_expect(
+        df2, path, quarantine_path=qp, _txn={"app_id": "expect-stream", "batch_id": 1}
+    )
+    assert r3["rows_committed"] == 0  # main leg replay refused
+    assert r3["rows_violating"] == 20  # quarantine leg ran exactly once
+    assert snapshot_read(spark, qp).count() == 25
