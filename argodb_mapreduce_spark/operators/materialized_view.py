@@ -18,13 +18,21 @@ This module implements the pattern over ``sources.versioned``:
   recorded one is a pure append (same segments + one new, unchanged
   deletion vector), it aggregates ONLY the new segments and full-outer
   merges the partials into the stored state — O(delta), never O(base);
-  anything else (overwrite, delete, compaction) falls back to a full
-  recompute, exactly when incremental maintenance would be unsound.
+* r11: if the span mixes appends with DV DELETES, the refresh consumes
+  the CHANGE DATA FEED instead — inserts aggregate with sign +1 and
+  recovered delete rows with sign -1 (COUNT/SUM are SUBTRACTABLE), the
+  signed partials merge into the stored state, and groups whose count
+  reaches zero are eliminated (matching a from-scratch recompute) —
+  still O(changes), the Materialize/dynamic-table contract THROUGH
+  deletes; anything else (overwrite, compaction, rollback) falls back
+  to a full recompute, exactly when incremental maintenance would be
+  unsound.
 
 Only MERGEABLE measures are maintained (SUM, COUNT — AVG derives as
-SUM/COUNT): the classic self-maintainable aggregate class. MIN/MAX are
-append-safe too but not delete-safe; they would force full refresh on
-any delete, which the append-only gate already handles.
+SUM/COUNT): the classic self-maintainable (and subtractable) aggregate
+class. MIN/MAX are append-safe but not delete-safe; a delete would
+force full refresh for them, which the transition gate already
+handles.
 
 At 100 TB this is the difference between a nightly full-table aggregate
 and an O(today's ingest) merge: the refresh cost tracks the delta, and
@@ -106,12 +114,51 @@ def _appended_segments_since(base_path: str, since_version: int) -> list[str] | 
     return new
 
 
+def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
+    """True when every transition since ``since_version`` is a pure
+    append or a DV delete — the change-feed-expressible class a
+    SUBTRACTABLE aggregate can maintain through."""
+    entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
+    for prev, cur in zip(entries, entries[1:]):
+        pure_append = (
+            cur["segments"][: len(prev["segments"])] == prev["segments"]
+            and len(cur["segments"]) == len(prev["segments"]) + 1
+            and cur.get("dv") == prev.get("dv")
+        )
+        dv_delete = "deleted_where" in cur and cur["segments"] == prev["segments"]
+        if not (pure_append or dv_delete):
+            return False
+    return True
+
+
+def _merge_partials(stored: DataFrame, partial: DataFrame, group_cols, measures):
+    """Full-outer merge of signed/unsigned partials into the stored
+    state — the one shuffle of an incremental refresh, |MV| + |delta
+    groups| rows."""
+    merged = stored.alias("s").join(partial.alias("d"), on=group_cols, how="full_outer")
+    return merged.select(
+        *group_cols,
+        *[
+            (
+                F.coalesce(F.col(f"s.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+            ).alias(m)
+            for m in measures
+        ],
+    )
+
+
 def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     """Bring the MV up to the base table's latest version.
 
-    Returns ``{"mode": "incremental"|"full"|"noop", "delta_segments": N,
-    "base_version": V}``. Incremental reads ONLY the appended segments
-    (asserted via the delta plan's file list in tests)."""
+    Returns ``{"mode": "incremental"|"incremental-cdf"|"full"|"noop",
+    "delta_segments": N, "base_version": V}``. Incremental reads ONLY
+    the appended segments (asserted via the delta plan's file list in
+    tests); incremental-cdf consumes the change feed — O(changes) even
+    through DV deletes — and eliminates groups whose live count reaches
+    zero, matching a from-scratch recompute."""
+    from argodb_mapreduce_spark.sources.versioned import change_feed
+
     with open(os.path.join(mv_path, _MV_META)) as f:
         meta = json.load(f)
     base_path = meta["base_path"]
@@ -120,34 +167,41 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         return {"mode": "noop", "delta_segments": 0, "base_version": latest}
     new_segments = _appended_segments_since(base_path, meta["base_version"])
     group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
-    if new_segments is None:
+    measures = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+    if new_segments is not None:
+        delta = spark.read.parquet(
+            *[os.path.join(base_path, s) for s in new_segments]
+        )
+        partial = delta.groupBy(*group_cols).agg(*_agg_columns(sum_cols))
+        agg = _merge_partials(
+            snapshot_read(spark, mv_path), partial, group_cols, measures
+        )
+        mode, n_delta = "incremental", len(new_segments)
+    elif _cdf_maintainable_since(base_path, meta["base_version"]):
+        # Appends mixed with DV deletes: consume the CHANGE FEED with
+        # signed partials (+1 insert, -1 delete) — COUNT/SUM subtract.
+        feed = change_feed(spark, base_path, meta["base_version"], latest)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        partial = feed.groupBy(*group_cols).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[
+                F.sum(sign * F.col(c)).cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        agg = _merge_partials(
+            snapshot_read(spark, mv_path), partial, group_cols, measures
+        ).filter(F.col("n_rows") != 0)
+        mode, n_delta = "incremental-cdf", latest - meta["base_version"]
+    else:
         agg = (
             snapshot_read(spark, base_path, latest)
             .groupBy(*group_cols)
             .agg(*_agg_columns(sum_cols))
         )
         mode, n_delta = "full", 0
-    else:
-        delta = spark.read.parquet(
-            *[os.path.join(base_path, s) for s in new_segments]
-        )
-        partial = delta.groupBy(*group_cols).agg(*_agg_columns(sum_cols))
-        stored = snapshot_read(spark, mv_path)
-        measures = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
-        merged = stored.alias("s").join(
-            partial.alias("d"), on=group_cols, how="full_outer"
-        )
-        agg = merged.select(
-            *group_cols,
-            *[
-                (
-                    F.coalesce(F.col(f"s.{m}"), F.lit(0))
-                    + F.coalesce(F.col(f"d.{m}"), F.lit(0))
-                ).alias(m)
-                for m in measures
-            ],
-        )
-        mode, n_delta = "incremental", len(new_segments)
     versioned_write(agg, mv_path, mode="overwrite")
     meta["base_version"] = latest
     with open(os.path.join(mv_path, _MV_META), "w") as f:
@@ -334,4 +388,67 @@ def mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_o_orderkey").cast("long"),
         F.lit(from_mv).alias("answered_from_mv"),
         F.lit(rollup_ok).alias("rollup_consistent"),
+    )
+
+
+def _build_mv_cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
+    """Fresh each run (refresh mutates the MV): v0/v1 appends (%3 of
+    orders), MV materialized, then a DV DELETE of the 'F' rows AND a
+    third append — the mixed span only the CDF path can maintain."""
+    import shutil
+
+    base = _scratch(sf_dir, "mvcdf_base")
+    mv = _scratch(sf_dir, "mvcdf_mv")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    from argodb_mapreduce_spark.sources.versioned import delete_where
+
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    delete_where(spark, base, [("o_orderstatus", "=", "F")])
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    return base, mv, summary
+
+
+@register(
+    "mv_refresh_through_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+           'incremental-cdf' AS refresh_mode
+    FROM orders
+    WHERE (o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
+       OR o_orderkey % 3 = 2
+    GROUP BY o_orderpriority
+    """,
+    tags=("mv", "incremental", "cdc", "deletion-vector"),
+    doc=(
+        "MV MAINTENANCE THROUGH DELETES (r11): a refresh span mixing a "
+        "DV DELETE with appends previously forced the sound-but-O(base) "
+        "full recompute; the refresh now consumes the CHANGE DATA FEED "
+        "with SIGNED partials (+1 insert rows, -1 recovered delete "
+        "rows — COUNT/SUM are subtractable), merges them into the "
+        "stored state, and eliminates zero-count groups. The oracle "
+        "pins the refreshed MV equal to a from-scratch aggregate over "
+        "exactly the live rows, with the refresh mode itself in the "
+        "hash. Still O(changes): the feed reads the delta segment plus "
+        "only the DV-touched files — the Materialize/dynamic-table "
+        "contract extended through row deletes."
+    ),
+)
+def mv_refresh_through_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the signed-partial merge shuffles |MV| + |changed groups|
+    rows; the feed cost is the day's changes, never the base — the
+    refresh a 100 TB nightly pipeline runs after GDPR deletes land."""
+    _base, mv, summary = _build_mv_cdf_fixture(spark, sf_dir)
+    meta_cols = ["o_orderpriority"]
+    return snapshot_read(spark, mv).select(
+        *meta_cols,
+        F.col("n_rows"),
+        F.col("sum_o_orderkey"),
+        F.lit(summary["mode"]).alias("refresh_mode"),
     )

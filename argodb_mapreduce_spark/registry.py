@@ -74,12 +74,12 @@ _QUERY_MODULES = (
 #: slots of staleness rotation, oldest banked evidence first. After r10
 #: the staleness floor was r04: exactly 15 rows (measured from the
 #: CORRECTNESS union; the r10 verdict corrected COVERAGE.md's
-#: miscounted 13). ALL 15 rotate in below, then the 11
-#: alphabetically-first r05-tier rows fill the window (7 new + 17
-#: changed + 15 + 11 = 50, measured against the CORRECTNESS union),
-#: leaving a post-r11 floor of r05 (30 rows: events_attribution_last_
-#: touch, events_autocorrelation, events_ewma_smooth onward lead the
-#: r12 rotation). tests/test_round8_ops.py asserts
+#: miscounted 13). ALL 15 rotate in below, then the 10
+#: alphabetically-first r05-tier rows fill the window (8 new + 17
+#: changed + 15 + 10 = 50, measured against the CORRECTNESS union),
+#: leaving a post-r11 floor of r05 (31 rows: embedding_pca_top_
+#: component, events_attribution_last_touch, events_autocorrelation
+#: onward lead the r12 rotation). tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
@@ -91,6 +91,7 @@ _PRIORITY = (
     "snapshot_update_on_dv",            # DML composes with deletion vectors
     "pyds_partitioned_write",           # Hive-layout writes via the pyds sink
     "stream_expect_quarantine_live",    # streaming DLT loop incl. replay
+    "mv_refresh_through_delete",        # MV maintenance through DV deletes
     # --- (a cont.) code changed in round 11: re-earn the rows ---
     "snapshot_change_feed",       # delete leg -> layout-aware file scan
     "snapshot_vacuum",            # lock scope shrunk to metadata ops
@@ -126,7 +127,7 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_top_tokens",
     "window_time_range_frame",
-    # --- (b cont.) the 11 alphabetically-first r05-tier rows ---
+    # --- (b cont.) the 10 alphabetically-first r05-tier rows ---
     "agg_grouping_flags",
     "agg_salted_skew",
     "basket_pair_lift",
@@ -137,7 +138,6 @@ _PRIORITY = (
     "dedup_span_exact",
     "dq_constraint_audit",
     "embedding_normalize_stats",
-    "embedding_pca_top_component",
 )
 
 

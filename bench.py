@@ -205,6 +205,7 @@ HEADLINE = [
     "snapshot_update_on_dv",
     "pyds_partitioned_write",
     "stream_expect_quarantine_live",
+    "mv_refresh_through_delete",
 ]
 
 

@@ -301,13 +301,15 @@ def test_mv_overwrite_forces_full_refresh(spark, sf_dir, mv_pair):
     assert _mv_state(spark, mv) == want
 
 
-def test_mv_delete_forces_full_refresh(spark, sf_dir, mv_pair):
+def test_mv_delete_refreshes_incrementally_via_cdf(spark, sf_dir, mv_pair):
+    """r11: a DV delete no longer forces the O(base) full recompute —
+    the refresh consumes the change feed with signed partials."""
     from argodb_mapreduce_spark.operators.materialized_view import mv_refresh
 
     base, mv = mv_pair
     delete_where(spark, base, [("o_orderstatus", "=", "F")])
     summary = mv_refresh(spark, mv)
-    assert summary["mode"] == "full"
+    assert summary["mode"] == "incremental-cdf"
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderkey") % 5 <= 2) & (F.col("o_orderstatus") != "F")
     )
@@ -715,3 +717,32 @@ def test_bloom_build_is_executor_side_and_bit_exact(spark, sf_dir, tmp_path):
     # Never-false-negative stands on the rebuilt path.
     for r in vals.distinct().limit(50).collect():
         assert _bloom_might_contain(b, int(r.o_custkey))
+
+
+def test_mv_cdf_refresh_eliminates_zero_count_groups(spark, tmp_path):
+    """A group whose rows are ALL deleted must vanish from the MV after
+    a CDF refresh, exactly like a from-scratch recompute."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read as sread
+
+    base = str(tmp_path / "mv_zero_base")
+    mv = str(tmp_path / "mv_zero_mv")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+    )
+    versioned_write(df, base)
+    mv_create(spark, base, mv, ["g"], ["k"])
+    delete_where(spark, base, [("g", "=", 1)])  # wipe group 1 entirely
+    versioned_write(
+        spark.range(100, 105).select(F.col("id").alias("k"), F.lit(0).cast("int").alias("g")),
+        base,
+        mode="append",
+    )
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "incremental-cdf"
+    rows = {r.g: (r.n_rows, r.sum_k) for r in sread(spark, mv).collect()}
+    assert set(rows) == {0}  # group 1 eliminated
+    assert rows[0] == (15, sum(range(0, 20, 2)) + sum(range(100, 105)))
