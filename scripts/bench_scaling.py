@@ -125,7 +125,39 @@ def _ops():
         "quarantine_replay_lifecycle": _quarantine_replay_lifecycle,
         "similarity_filtered_topk": _filtered_ann_op,
         "pyds_partitioned_write_lifecycle": _pyds_partitioned_write_lifecycle,
+        "mv_cdf_refresh_lifecycle": _mv_cdf_refresh_lifecycle,
     }
+
+
+def _mv_cdf_refresh_lifecycle(spark, sf_dir):
+    """Base (2 appends) + MV create + DV DELETE + append + CDF refresh:
+    the r11 through-deletes maintenance. The refresh leg must track
+    O(changes) — the delta segment + the DV-touched files — not base
+    size."""
+    from pyspark.sql import functions as F
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        snapshot_read,
+        versioned_write,
+    )
+
+    base = _fresh_dir("scale_mvcdf_base_")
+    mv = _fresh_dir("scale_mvcdf_mv_")
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    delete_where(spark, base, [("o_orderstatus", "=", "F")])
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "incremental-cdf", summary
+    return snapshot_read(spark, mv).select("o_orderpriority", "n_rows", "sum_o_orderkey")
 
 
 def _pyds_partitioned_write_lifecycle(spark, sf_dir):
