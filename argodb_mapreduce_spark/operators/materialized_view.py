@@ -116,8 +116,9 @@ def _appended_segments_since(base_path: str, since_version: int) -> list[str] | 
 
 def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
     """True when every transition since ``since_version`` is a pure
-    append or a DV delete — the change-feed-expressible class a
-    SUBTRACTABLE aggregate can maintain through."""
+    append, a DV delete, or a CDC-sidecar-recording UPDATE/MERGE — the
+    change-feed-expressible class a SUBTRACTABLE aggregate can maintain
+    through."""
     entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
     for prev, cur in zip(entries, entries[1:]):
         pure_append = (
@@ -126,7 +127,7 @@ def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
             and cur.get("dv") == prev.get("dv")
         )
         dv_delete = "deleted_where" in cur and cur["segments"] == prev["segments"]
-        if not (pure_append or dv_delete):
+        if not (pure_append or dv_delete or cur.get("cdc")):
             return False
     return True
 
@@ -178,12 +179,17 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         )
         mode, n_delta = "incremental", len(new_segments)
     elif _cdf_maintainable_since(base_path, meta["base_version"]):
-        # Appends mixed with DV deletes: consume the CHANGE FEED with
-        # signed partials (+1 insert, -1 delete) — COUNT/SUM subtract.
+        # Appends mixed with DV deletes and CDF UPDATE/MERGE commits:
+        # consume the CHANGE FEED with signed partials — +1 for rows
+        # entering the table (insert, update_postimage), -1 for rows
+        # leaving it (delete, update_preimage) — COUNT/SUM subtract, so
+        # an update contributes (new - old) to every affected group,
+        # including moving a row BETWEEN groups when the update rewrote
+        # a grouping column.
         feed = change_feed(spark, base_path, meta["base_version"], latest)
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
         partial = feed.groupBy(*group_cols).agg(
             F.sum(sign).cast("long").alias("n_rows"),
             *[
@@ -448,6 +454,78 @@ def mv_refresh_through_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta_cols = ["o_orderpriority"]
     return snapshot_read(spark, mv).select(
         *meta_cols,
+        F.col("n_rows"),
+        F.col("sum_o_orderkey"),
+        F.lit(summary["mode"]).alias("refresh_mode"),
+    )
+
+
+def _build_mv_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
+    """Fresh each run (refresh mutates the MV): v0/v1 appends (%3 of
+    orders), MV materialized, then a CDF-recorded UPDATE that MOVES the
+    'F' rows into a new group ('0-MOVED' priority) AND a third append —
+    a span only signed update pre/postimages can maintain."""
+    import shutil
+
+    base = _scratch(sf_dir, "mvupd_base")
+    mv = _scratch(sf_dir, "mvupd_mv")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    from argodb_mapreduce_spark.sources.versioned import (
+        enable_change_data_feed,
+        update_where,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    enable_change_data_feed(base)
+    update_where(
+        spark,
+        base,
+        [("o_orderstatus", "=", "F")],
+        {"o_orderpriority": F.lit("0-MOVED")},
+    )
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    return base, mv, summary
+
+
+@register(
+    "mv_refresh_through_update",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+                THEN '0-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+           'incremental-cdf' AS refresh_mode
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("mv", "incremental", "cdc", "update"),
+    doc=(
+        "MV MAINTENANCE THROUGH UPDATES: a refresh span mixing a "
+        "CDF-recorded UPDATE with an append is maintained from the "
+        "change feed's signed legs — update_preimage rows subtract from "
+        "the group the row LEFT, update_postimage rows add to the group "
+        "it ENTERED (the UPDATE rewrites the GROUPING column itself, "
+        "moving every 'F' row into a new '0-MOVED' group), and the "
+        "append's inserts add normally. The oracle pins the refreshed "
+        "MV equal to a from-scratch aggregate over the post-update "
+        "table, refresh mode in the hash. O(changes): the feed reads "
+        "the cdc sidecar + the delta segment, never the base — the "
+        "dynamic-table contract extended through row updates."
+    ),
+)
+def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical to the delete path — |MV| + |changed groups|
+    shuffle, feed cost = the day's updated rows. Group movement needs
+    no special case: an update is exactly (-old, +new) in the signed
+    partial, whichever groups the two images land in."""
+    _base, mv, summary = _build_mv_update_fixture(spark, sf_dir)
+    return snapshot_read(spark, mv).select(
+        "o_orderpriority",
         F.col("n_rows"),
         F.col("sum_o_orderkey"),
         F.lit(summary["mode"]).alias("refresh_mode"),

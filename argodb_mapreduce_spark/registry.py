@@ -84,6 +84,8 @@ _QUERY_MODULES = (
 #: the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 11: first driver evidence ---
+    "snapshot_change_feed_updates",     # CDF through UPDATE/MERGE (sidecars)
+    "mv_refresh_through_update",        # MV maintenance through update legs
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -127,7 +129,9 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_top_tokens",
     "window_time_range_frame",
-    # --- (b cont.) the 10 alphabetically-first r05-tier rows ---
+    # --- (b cont.) the 8 alphabetically-first r05-tier rows (two slots
+    # ceded to the CDF-through-DML pair; 23 rotation slots remain, above
+    # the >=20 policy floor) ---
     "agg_grouping_flags",
     "agg_salted_skew",
     "basket_pair_lift",
@@ -136,8 +140,6 @@ _PRIORITY = (
     "dedup_fuzzy_levenshtein",
     "dedup_ngram_jaccard",
     "dedup_span_exact",
-    "dq_constraint_audit",
-    "embedding_normalize_stats",
 )
 
 

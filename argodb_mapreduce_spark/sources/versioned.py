@@ -715,6 +715,75 @@ def version_at_timestamp(path: str, ts: float) -> int:
 # ---------------------------------------------------------------------------
 
 CONSTRAINTS = "_constraints.json"
+PROPERTIES = "_properties.json"
+
+
+def _read_properties(path: str) -> dict:
+    p = os.path.join(path, PROPERTIES)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_table_property(path: str, key: str, value) -> dict:
+    """``ALTER TABLE SET TBLPROPERTIES`` for the versioned store: a
+    table-level key/value sidecar (Delta's ``delta.*`` properties).
+    Written atomically (tmp + replace) like the constraints sidecar;
+    returns the full property map after the write. O(1) metadata —
+    table size never enters."""
+    props = _read_properties(path)
+    props[key] = value
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(props, f, indent=1)
+    os.replace(tmp, os.path.join(path, PROPERTIES))
+    return props
+
+
+def enable_change_data_feed(path: str) -> None:
+    """Delta's ``delta.enableChangeDataFeed=true``: from the NEXT commit
+    on, UPDATE / MERGE record their row-level changes in a per-version
+    CDC sidecar (``cdc-{version}``), making :func:`change_feed`
+    expressible through rewrite commits — ``update_preimage`` /
+    ``update_postimage`` / ``insert`` legs, exactly Delta's CDF row
+    types. Appends and DV deletes never need a sidecar (their deltas
+    are manifest-derivable for free), matching Delta, which also skips
+    change files for insert-only and delete-only commits.
+
+    Cost model (why it is opt-in, as in Delta): a CDF-enabled UPDATE
+    pays one extra write of O(changed rows) — never O(table), and tiny
+    next to the copy-on-write rewrite it rides along with."""
+    set_table_property(path, "enableChangeDataFeed", True)
+
+
+def _cdf_enabled(path: str) -> bool:
+    return bool(_read_properties(path).get("enableChangeDataFeed"))
+
+
+def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
+    """Write the union of CDC leg DataFrames to a staged sidecar dir.
+    Returns ``(staged_dir, n_rows)`` — ``(None, 0)`` when every leg is
+    empty (no sidecar is recorded for a no-op change, so readers never
+    see an empty parquet dir). Row count comes from the written
+    footers: O(files) metadata, no second scan."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    staged = _stage_dir(path)
+    out.write.mode("errorifexists").parquet(staged)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(staged, "*.parquet"))
+    )
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        return None, 0
+    return staged, n
 
 
 class ConstraintViolation(ValueError):
@@ -1890,6 +1959,7 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Date boundaries for the 4 time-ordered ingest segments (orders span
 #: 1995-01-01 .. 2001-08-01 in the fixture data at every SF).
 _PRUNE_BOUNDS = ("1997-01-01", "1999-01-01", "2001-01-01")
+_UPDATE_FACTOR = 1.5
 #: The query window: overlaps ONLY segment [1999-01-01, 2001-01-01).
 _PRUNE_LO, _PRUNE_HI = "1999-03-01", "2000-09-01"
 
@@ -2116,8 +2186,13 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
         # referenced by no retained version is reclaimed with its bytes.
         referenced = {s for e in kept_entries for s in e["segments"]}
         referenced |= {e["dv"] for e in kept_entries if e.get("dv")}
+        # CDC sidecars are lifecycle-managed like segments (Delta vacuums
+        # _change_data with its data files): an expired version's sidecar
+        # is reclaimed, a retained version's survives for its feed span.
+        referenced |= {e["cdc"] for e in kept_entries if e.get("cdc")}
         all_segments = {s for e in entries for s in e["segments"]}
         all_segments |= {e["dv"] for e in entries if e.get("dv")}
+        all_segments |= {e["cdc"] for e in entries if e.get("cdc")}
         # Borrowed segments (absolute paths written by clone_table's shallow
         # clone) are NEVER deleted: the bytes belong to the source table, and
         # a clone's vacuum must not reach outside its own directory — the
@@ -2708,13 +2783,16 @@ def change_feed(
 
     Unlike :func:`snapshot_diff` (a general O(table) anti-join), this
     reads O(changes): an append's inserts are the NEW SEGMENT's rows
-    (scanned directly, no join against the base), and a deletion-vector
+    (scanned directly, no join against the base), a deletion-vector
     commit's deletes are recovered by reading ONLY the files the DV
-    delta references, position-joined against the (broadcast) delta.
-    Overwrite / compaction / rollback transitions raise — their deltas
-    are not expressible from the manifest without a full diff, the same
-    restriction Delta CDF places on non-CDC-enabled rewrites; use
-    :func:`snapshot_diff` for those.
+    delta references, position-joined against the (broadcast) delta,
+    and an UPDATE / MERGE on a :func:`enable_change_data_feed` table
+    reads the ``cdc-{version}`` sidecar the commit wrote (with Delta's
+    ``update_preimage`` / ``update_postimage`` / ``insert`` row types).
+    Overwrite / compaction / rollback transitions — and UPDATE/MERGE
+    without CDF enabled — raise: their deltas are not expressible from
+    the manifest without a full diff, the same restriction Delta CDF
+    places on non-CDC-enabled rewrites; use :func:`snapshot_diff`.
 
     At 100 TB: a day that appends 100 GB and tombstones 0.1% yields a
     change feed costing ~100 GB of reads, independent of table size —
@@ -2782,10 +2860,20 @@ def change_feed(
                 .withColumn("_change_type", F.lit("delete"))
             )
             frames.append(dels)
+        elif cur.get("cdc"):
+            # UPDATE / MERGE with CHANGE DATA FEED enabled: the commit
+            # recorded its row-level changes in a ``cdc-{version}``
+            # sidecar at write time (update_preimage / update_postimage
+            # / insert legs, Delta's CDF row types), so the feed reads
+            # O(changed rows) — never a diff of the rewritten segments.
+            frames.append(
+                spark.read.parquet(os.path.join(path, cur["cdc"]))
+            )
         else:
             raise ValueError(
                 f"change feed undefined for v{prev['version']}->"
-                f"v{cur['version']} (overwrite/compaction/rollback); "
+                f"v{cur['version']} (overwrite/compaction/rollback, or "
+                "an UPDATE/MERGE without enable_change_data_feed); "
                 "use snapshot_diff for a full-table diff"
             )
     if not frames:
@@ -2953,6 +3041,135 @@ def snapshot_change_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed through UPDATE / MERGE (Delta CDF row types)
+# ---------------------------------------------------------------------------
+
+_CDFU_KEY_SHIFT = 100_000_000
+
+
+def _build_cdf_update_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The 4 date-ordered appends of the update fixture, CDF-enabled,
+    then an UPDATE of the [_PRUNE_LO, _PRUNE_HI) window and a MERGE
+    whose source updates every %100==0 key (price -> -1) and inserts
+    shifted copies of the %100==37 keys — exercising all three CDF row
+    types across two sidecar-recording commits."""
+    out = _scratch(sf_dir) + "_cdfu"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 6
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    b0, b1, b2 = (F.lit(b).cast("timestamp") for b in _PRUNE_BOUNDS)
+    versioned_write(o.filter(d < b0), out, mode="append")
+    versioned_write(o.filter((d >= b0) & (d < b1)), out, mode="append")
+    versioned_write(o.filter((d >= b1) & (d < b2)), out, mode="append")
+    versioned_write(o.filter(d >= b2), out, mode="append")
+    enable_change_data_feed(out)
+    update_where(
+        spark,
+        out,
+        [
+            ("o_orderdate", ">=", _dt.datetime.fromisoformat(_PRUNE_LO)),
+            ("o_orderdate", "<", _dt.datetime.fromisoformat(_PRUNE_HI)),
+        ],
+        {
+            "o_totalprice": F.col("o_totalprice") * _UPDATE_FACTOR,
+            "o_orderpriority": F.lit("0-REPRICED"),
+        },
+    )
+    key_t = o.schema["o_orderkey"].dataType
+    price_t = o.schema["o_totalprice"].dataType
+    upd = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.lit(-1).cast(price_t)
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 37).withColumn(
+        "o_orderkey", (F.col("o_orderkey") + _CDFU_KEY_SHIFT).cast(key_t)
+    )
+    merge_upsert(spark, out, upd.unionByName(ins), "o_orderkey")
+    return out
+
+
+@register(
+    "snapshot_change_feed_updates",
+    oracle=f"""
+    WITH win AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+        AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+    ), mk AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_PRUNE_HI}'
+                  THEN o_totalprice * {_UPDATE_FACTOR}
+                  ELSE o_totalprice END AS price_v4
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT * FROM (
+      SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_key, {sql_dsum('p', 3)} AS sum_price
+      FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_PRUNE_BOUNDS[0]}'
+            UNION ALL
+            SELECT o_orderkey + {_CDFU_KEY_SHIFT}, o_totalprice FROM orders
+            WHERE o_orderkey % 100 = 37)
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT), {sql_dsum('p', 3)}
+      FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM win
+            UNION ALL SELECT o_orderkey, price_v4 FROM mk)
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT), {sql_dsum('p', 3)}
+      FROM (SELECT o_orderkey AS k, o_totalprice * {_UPDATE_FACTOR} AS p FROM win
+            UNION ALL SELECT o_orderkey, -1 FROM mk)
+    ) ORDER BY change_type
+    """,
+    tags=("source", "snapshot", "cdc", "update", "merge"),
+    doc=(
+        "CHANGE DATA FEED THROUGH UPDATE/MERGE: with "
+        "enable_change_data_feed set, a copy-on-write UPDATE and a MERGE "
+        "record their row-level changes in per-version cdc-{N} sidecars "
+        "at commit time (Delta's update_preimage / update_postimage / "
+        "insert row types), so change_feed spans rewrite commits at "
+        "O(changed rows) — never a diff of rewritten segments. The "
+        "oracle pins all three legs' counts, key sums, and price sums "
+        "across a feed spanning three appends, one windowed UPDATE, and "
+        "one MERGE that both updates (%100==0 -> price -1, including "
+        "keys the UPDATE had already repriced — the preimage must carry "
+        "the v4 value, not the original) and inserts (%100==37 shifted "
+        "keys). Sidecars are vacuum-lifecycle-managed and the commit "
+        "publishes data + sidecar atomically under the table lock."
+    ),
+)
+def snapshot_change_feed_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sidecar write is O(matched + source rows) riding the
+    UPDATE/MERGE's own pruned scan; the feed read is O(changed rows).
+    A day of updates on a 100 TB table feeds downstream consumers at
+    the day's change volume — table size never enters (reference
+    parity: the snapshot contract of
+    ArgodbMapreduceInputFormat.java:257-279 extended to row-level CDC)."""
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    out = _build_cdf_update_fixture(spark, sf_dir)
+    feed = change_feed(spark, out, 0, 5)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("o_totalprice", 3).alias("sum_price"),
+        )
+        .orderBy("change_type")
     )
 
 
@@ -3129,6 +3346,8 @@ def merge_upsert(
     untouched = [s for s in segs if s not in touched]
     version = latest["version"] + 1
     new_seg = f"data-{version}"
+    renames: dict[str, str] = {}
+    cdc_name = None
     if touched:
         # Schema-evolution-aware touched read (same ledger gate as
         # snapshot_read / update_where): divergent segment schemas
@@ -3150,6 +3369,27 @@ def merge_upsert(
         # must fail loud); NULL-backfill only when the table itself is
         # schema-divergent and the merged read added columns.
         rewrite = kept.unionByName(source, allowMissingColumns=len(known) > 1)
+        # CHANGE DATA FEED sidecar (Delta CDF): matched target rows are
+        # update_preimage, the source rows replacing them are
+        # update_postimage, and source rows with no target match are
+        # insert legs — all derived from the same pruned touched-segment
+        # scan the rewrite reads, O(matched + source) extra write. A
+        # no-touched MERGE needs no sidecar: its commit is pure-append-
+        # shaped and change_feed derives the inserts from the manifest.
+        if _cdf_enabled(path):
+            matched = kept_scan.join(F.broadcast(keys), key_col, "left_semi")
+            tgt_keys = matched.select(key_col).distinct()
+            pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+            post = source.join(tgt_keys, key_col, "left_semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = source.join(tgt_keys, key_col, "left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            staged_cdc, _n = _stage_cdc(path, [pre, post, ins])
+            if staged_cdc:
+                cdc_name = f"cdc-{version}"
+                renames[staged_cdc] = cdc_name
     else:
         rewrite = source
     # Stage the rewrite; _commit_entry publishes the final name under
@@ -3163,6 +3403,8 @@ def merge_upsert(
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
+        for d in renames:
+            shutil.rmtree(d, ignore_errors=True)
         raise
     stats = {s: v for s, v in latest.get("stats", {}).items() if s in untouched}
     stats[new_seg] = collect_segment_stats(staged)
@@ -3201,8 +3443,10 @@ def merge_upsert(
         pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(os.path.join(staged, "*.parquet"))
     )
+    if cdc_name:
+        entry["cdc"] = cdc_name
     # The rewrite derives from the version read above — OCC-gate it.
-    _commit_entry(path, latest["version"], entry, renames={staged: new_seg})
+    _commit_entry(path, latest["version"], entry, renames={**renames, staged: new_seg})
     return {
         "version": version,
         "segments_rewritten": len(touched),
@@ -3562,6 +3806,26 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     rewrite = scan.withColumns(
         {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
     )
+    # CHANGE DATA FEED sidecar (Delta CDF): when the table property is
+    # set, record the matched rows' before/after images in a staged
+    # ``cdc-{version}`` dir that publishes atomically WITH the rewrite
+    # under the commit lock — O(matched rows) extra write, riding the
+    # same pruned scan the rewrite reads; non-matching rows never enter.
+    renames: dict[str, str] = {}
+    cdc_name = None
+    if _cdf_enabled(path) and n_updated:
+        pre = scan.filter(match).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = (
+            scan.filter(match)
+            .withColumns(dict(set_exprs))
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        staged_cdc, _n = _stage_cdc(path, [pre, post])
+        if staged_cdc:
+            cdc_name = f"cdc-{version}"
+            renames[staged_cdc] = cdc_name
     # Stage the rewrite; the final name publishes under the commit lock.
     staged = _stage_dir(path)
     rewrite.write.mode("errorifexists").parquet(staged)
@@ -3571,6 +3835,8 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
+        for d in renames:
+            shutil.rmtree(d, ignore_errors=True)
         raise
     stats = {s: v for s, v in seg_stats.items() if s in untouched}
     stats[new_seg] = collect_segment_stats(staged)
@@ -3594,11 +3860,13 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     # segment materialized its share (inert entries are harmless).
     if dv_name and untouched:
         entry["dv"] = dv_name
+    if cdc_name:
+        entry["cdc"] = cdc_name
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
     if bloom_cols:
         entry["bloom"] = {s: v for s, v in latest.get("bloom", {}).items() if s in untouched}
         entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
-    _commit_entry(path, latest["version"], entry, renames={staged: new_seg})
+    _commit_entry(path, latest["version"], entry, renames={**renames, staged: new_seg})
     return {
         "version": version,
         "rows_updated": n_updated,
@@ -3673,9 +3941,6 @@ def snapshot_update_on_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_deleted_visible"),
     )
-
-
-_UPDATE_FACTOR = 1.5
 
 
 def _build_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
@@ -3857,6 +4122,13 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
     if cons:
         with open(os.path.join(dst_path, CONSTRAINTS), "w") as f:
             json.dump(cons, f, indent=1)
+    # Table properties are metadata too: a CDF-enabled source's clone
+    # keeps recording change sidecars for its own DML. (The clone's v0
+    # carries no ``cdc`` — its feed history starts at the fork.)
+    props = _read_properties(src_path)
+    if props:
+        with open(os.path.join(dst_path, PROPERTIES), "w") as f:
+            json.dump(props, f, indent=1)
     return 0
 
 
