@@ -86,6 +86,7 @@ _PRIORITY = (
     # --- (a) new in round 11: first driver evidence ---
     "snapshot_change_feed_updates",     # CDF through UPDATE/MERGE (sidecars)
     "mv_refresh_through_update",        # MV maintenance through update legs
+    "stream_backlog_drain",             # bounded-run streaming admission
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -129,9 +130,9 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_top_tokens",
     "window_time_range_frame",
-    # --- (b cont.) the 8 alphabetically-first r05-tier rows (two slots
-    # ceded to the CDF-through-DML pair; 23 rotation slots remain, above
-    # the >=20 policy floor) ---
+    # --- (b cont.) the 7 alphabetically-first r05-tier rows (three
+    # slots ceded to the CDF-through-DML pair + the backlog drain; 22
+    # rotation slots remain, above the >=20 policy floor) ---
     "agg_grouping_flags",
     "agg_salted_skew",
     "basket_pair_lift",
@@ -139,7 +140,6 @@ _PRIORITY = (
     "dedup_containment",
     "dedup_fuzzy_levenshtein",
     "dedup_ngram_jaccard",
-    "dedup_span_exact",
 )
 
 

@@ -1109,9 +1109,23 @@ def make_versioned_datasource():
                     "prune cannot combine with readChangeFeed: skipping "
                     "files would silently drop change rows from the feed"
                 )
+            max_versions = self.options.get("maxVersionsPerBatch") or self.options.get(
+                "maxversionsperbatch"
+            )
+            if max_versions is not None:
+                max_versions = int(max_versions)
+                if max_versions < 1:
+                    raise ValueError(
+                        f"maxVersionsPerBatch must be >= 1, got {max_versions}"
+                    )
+            end_version = self.options.get("endVersion") or self.options.get(
+                "endversion"
+            )
+            if end_version is not None:
+                end_version = int(end_version)
             return VersionedStreamReader(
                 self._path, ignore_deletes, cdf, base_cols, base_types,
-                self._prune,
+                self._prune, max_versions, end_version,
             )
 
     class VersionedStreamReader(DataSourceStreamReader):
@@ -1145,9 +1159,35 @@ def make_versioned_datasource():
             base_cols=None,
             base_types=None,
             prune=(),
+            max_versions=None,
+            end_version=None,
         ):
             self._path = path
             self._base_types = base_types
+            # ABSOLUTE subscription bound (``option("endVersion", N)``,
+            # the streaming twin of the batch reader's version pin): the
+            # stream never advances past manifest version N, whatever
+            # the head does. Monotonic and restart-safe by construction
+            # (a fixed target can never regress below a checkpoint that
+            # was written while honoring it) — the primitive
+            # drain_backlog() composes into a bounded backlog drain.
+            self._end_version = end_version
+            # ADMISSION CONTROL (``option("maxVersionsPerBatch", N)``,
+            # Delta's maxFilesPerTrigger re-expressed in this source's
+            # offset unit): a restarted subscriber facing a large
+            # backlog drains it in bounded micro-batches of <= N
+            # manifest versions instead of one batch sized O(backlog) —
+            # the difference between a recovery that respects executor
+            # memory and one that spills or OOMs at 100 TB. The clamp
+            # lives in latestOffset (the only place the engine lets a
+            # Python source bound a batch); progress is tracked from
+            # initialOffset/partitions/commit, so the one case with no
+            # known floor — a RESTART whose last batch committed, before
+            # any partitions() call — admits a single unclamped batch
+            # (documented best-effort, matching the guarantees Delta
+            # itself gives for maxFilesPerTrigger on some restart paths).
+            self._max_versions = max_versions
+            self._last_end = None
             # Source-level data skipping for a SELECTIVE SUBSCRIBER
             # (same immutable option as the batch reader): new files
             # whose partition values or segment stats provably exclude
@@ -1168,10 +1208,27 @@ def make_versioned_datasource():
                 return _json.load(f)
 
         def initialOffset(self):
+            self._last_end = -1
             return {"version": -1}  # consume history from the first version
 
         def latestOffset(self):
-            return {"version": self._entries()[-1]["version"]}
+            head = self._entries()[-1]["version"]
+            if self._end_version is not None:
+                head = min(head, self._end_version)
+            if self._max_versions is None or self._last_end is None:
+                return {"version": head}
+            # Never regress below the floor (offsets must be monotonic
+            # even if the manifest head looks behind — non-append
+            # histories fail loud in partitions(), not here).
+            end = max(min(head, self._last_end + self._max_versions), self._last_end)
+            self._last_end = end
+            return {"version": end}
+
+        def commit(self, end):
+            # Progress floor for the rate clamp (the engine's post-batch
+            # acknowledgement); partitions() below tracks it too, which
+            # also recovers the floor on a replayed uncommitted batch.
+            self._last_end = end["version"]
 
         def _dv_positions(self, dv_name):
             """(file_path, row_index) set of one DV sidecar, read with
@@ -1199,6 +1256,20 @@ def make_versioned_datasource():
         def partitions(self, start, end):
             entries = {e["version"]: e for e in self._entries()}
             lo, hi = start["version"], end["version"]
+            if hi < lo:
+                # Only reachable when endVersion was set BELOW the
+                # checkpoint's committed progress: fail-stop beats the
+                # alternative (an empty batch would log a REGRESSED
+                # offset, and the next batch would re-plan already-
+                # consumed versions — duplicate ingest).
+                raise ValueError(
+                    f"endVersion clamps this stream to v{hi}, but the "
+                    f"checkpoint has already consumed through v{lo}; "
+                    "raise endVersion to at least the committed version "
+                    "or reset the checkpoint"
+                )
+            if self._last_end is None or hi > self._last_end:
+                self._last_end = hi  # authoritative floor for the rate clamp
             if lo >= 0 and lo not in entries:
                 raise ValueError(
                     f"checkpointed offset version {lo} is no longer in the "
@@ -1411,6 +1482,99 @@ def read_versioned(
             {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit, "=": c == lit}[op]
         )
     return df
+
+
+def _checkpoint_committed_version(checkpoint: str) -> int | None:
+    """Last COMMITTED source offset version in a structured-streaming
+    checkpoint for this source, or None for a fresh checkpoint.
+
+    Reads the engine's own WAL layout: ``offsets/<batchId>`` holds one
+    serialized offset line per source for the batch that was *planned*;
+    ``commits/<batchId>`` exists only once the batch fully committed.
+    The committed version is the offset of the newest batch id present
+    in BOTH — exactly the resume point the engine itself would use.
+    O(1) metadata reads (two dir listings + one small file)."""
+    import json as _json
+
+    odir = os.path.join(checkpoint, "offsets")
+    cdir = os.path.join(checkpoint, "commits")
+    if not (os.path.isdir(odir) and os.path.isdir(cdir)):
+        return None
+    committed = [f for f in os.listdir(cdir) if f.isdigit()]
+    if not committed:
+        return None
+    latest = max(int(f) for f in committed)
+    with open(os.path.join(odir, str(latest))) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    # v1 WAL: line 0 = "v1", line 1 = batch metadata JSON, then one
+    # offset line per source (this source is the only one in a
+    # drain_backlog query).
+    return _json.loads(lines[-1])["version"]
+
+
+def drain_backlog(
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    configure,
+    max_versions_per_run: int = 10,
+    reader_options: dict | None = None,
+):
+    """Drain a versioned table's streaming backlog in BOUNDED runs —
+    admission control at the orchestration layer.
+
+    The Python DataSource streaming API has no admission-control hook
+    (the engine snapshots ``latestOffset()`` before the source learns
+    the checkpointed start, so a source-side clamp cannot bound the
+    first micro-batch — see VersionedStreamReader.maxVersionsPerBatch).
+    This helper gets the same guarantee safely from the OUTSIDE: each
+    iteration reads the checkpoint's committed version, starts an
+    ``availableNow`` run with ``endVersion = committed +
+    max_versions_per_run`` (an absolute, restart-safe bound), waits for
+    it, and repeats until the head version at call time is consumed.
+    Exactly-once holds run to run because progress lives in the one
+    checkpoint, and the endVersion floor is re-derived from it — never
+    guessed.
+
+    ``configure(stream_df) -> DataStreamWriter`` attaches the caller's
+    sink (format/path/foreachBatch/outputMode); the helper owns the
+    checkpoint and trigger. Returns ``{"runs", "from_version",
+    "to_version"}``.
+
+    At 100 TB: a new subscriber to a table with years of history drains
+    it in ``ceil(versions / max_versions_per_run)`` bounded batches,
+    each sized to executor memory, instead of one batch sized
+    O(backlog) — the difference between a recovery and an OOM."""
+    register_datasource(spark)
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest
+
+    head = _read_manifest(path)[-1]["version"]
+    start = _checkpoint_committed_version(checkpoint)
+    start = -1 if start is None else start
+    runs = 0
+    committed = start
+    while committed < head:
+        end = min(head, committed + max_versions_per_run)
+        r = spark.readStream.format(FORMAT_NAME).option("endVersion", str(end))
+        for k, v in (reader_options or {}).items():
+            r = r.option(k, str(v))
+        q = (
+            configure(r.load(path))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        runs += 1
+        new_committed = _checkpoint_committed_version(checkpoint)
+        if new_committed is None or new_committed <= committed:
+            raise RuntimeError(
+                f"drain_backlog made no progress (committed "
+                f"{committed} -> {new_committed}); aborting instead of "
+                "looping forever"
+            )
+        committed = new_committed
+    return {"runs": runs, "from_version": start, "to_version": committed}
 
 
 @register(
@@ -1642,6 +1806,64 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "stream_backlog_drain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           2 AS runs,
+           TRUE AS exactly_once
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    """,
+    tags=("streaming", "source", "admission-control", "live"),
+    doc=(
+        "BOUNDED BACKLOG DRAIN (streaming admission control): a new "
+        "subscriber to a 3-version history drains it in availableNow "
+        "runs of at most 2 manifest versions each (drain_backlog: reads "
+        "the checkpoint's committed offset, bounds the next run with "
+        "the restart-safe absolute endVersion option, repeats) — 2 runs "
+        "for 3 versions, run count pinned by the oracle. exactly_once "
+        "is re-counted from the sink: drained rows = distinct drained "
+        "rows = the union of the appends. The Python DataSource "
+        "streaming API has no engine-side admission hook, so the bound "
+        "lives at the orchestration layer; a stale endVersion below "
+        "committed progress fails stop (tests/test_stream_ratelimit.py) "
+        "instead of regressing the offset log."
+    ),
+)
+def stream_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each run's micro-batch is <= max_versions_per_run
+    segments — a years-deep backlog on a 100 TB table drains in
+    executor-memory-sized bites instead of one O(backlog) batch; the
+    checkpoint introspection is two dir listings + one small file."""
+    import shutil
+    import tempfile
+
+    out = _stream_fixture(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    scratch = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "backlog_drain"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    sink = os.path.join(scratch, "sink")
+    ck = os.path.join(scratch, "ck")
+
+    def conf(s):
+        return (
+            s.writeStream.format("parquet").option("path", sink).outputMode("append")
+        )
+
+    res = drain_backlog(spark, out, ck, conf, max_versions_per_run=2)
+    drained = spark.read.parquet(sink)
+    n, d = drained.count(), drained.distinct().count()
+    return drained.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(res["runs"]).alias("runs"),
+        F.lit(n == d).alias("exactly_once"),
+    )
 
 
 @register(
