@@ -51,6 +51,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum as _sql_dsum
 from argodb_mapreduce_spark.registry import register
 
 FORMAT_NAME = "argodb_versioned"
@@ -1283,11 +1284,37 @@ def make_versioned_datasource():
             for v in sorted(v for v in entries if lo < v <= hi):
                 segs = set(entries[v]["segments"])
                 removed = prev - segs
+                if removed and entries[v].get("cdc") and self._cdf:
+                    # UPDATE/MERGE with a CDC sidecar (CDF-enabled
+                    # table): the change rows live ENTIRELY in the
+                    # cdc-{v} dir the commit wrote — update_preimage /
+                    # update_postimage / insert legs with the row's own
+                    # _change_type column. The rewritten segment must
+                    # NOT be re-emitted (its rows are mostly unchanged
+                    # carry-over), and the commit never ADDS deletion-
+                    # vector entries (it materializes or carries them),
+                    # so the sidecar is the whole delta: O(changed
+                    # rows), the same contract as the batch change_feed.
+                    cdc_dir = _os.path.join(self._path, entries[v]["cdc"])
+                    for f in sorted(_os.listdir(cdc_dir)):
+                        if f.endswith(".parquet"):
+                            parts.append(
+                                CDFPartition("cdc", _os.path.join(cdc_dir, f), v)
+                            )
+                    prev = segs
+                    prev_dv = entries[v].get("dv")
+                    continue
                 if removed:
+                    hint = (
+                        " — an UPDATE/MERGE on a CDF-enabled table is "
+                        "streamable via option('readChangeFeed', 'true')"
+                        if entries[v].get("cdc")
+                        else ""
+                    )
                     raise ValueError(
                         f"non-append change at version {v} (segments removed: "
                         f"{sorted(removed)}); the versioned stream supports "
-                        f"append-only history"
+                        f"append-only history{hint}"
                     )
                 if entries[v].get("dv") != prev_dv:
                     if self._cdf:
@@ -1418,6 +1445,31 @@ def make_versioned_datasource():
 
             pf = pq.ParquetFile(partition.path)
             target = _us_schema(pf.schema_arrow)
+            if partition.kind == "cdc":
+                # Sidecar rows carry their OWN _change_type (a cdc file
+                # mixes preimage/postimage/insert legs); split it off,
+                # align the base columns to plan order, re-attach.
+                for batch in _cast_batches_to_us(pf):
+                    idx = batch.schema.get_field_index("_change_type")
+                    ct = batch.column(idx)
+                    base = batch.select(
+                        [n for n in batch.schema.names if n != "_change_type"]
+                    )
+                    emitted = _emit_batch(
+                        base, partition.parts, self._base_cols, self._base_types
+                    )
+                    cols = list(emitted.columns) + [
+                        ct,
+                        pa.array(
+                            [partition.version] * emitted.num_rows, type=pa.int64()
+                        ),
+                    ]
+                    names = list(emitted.schema.names) + [
+                        "_change_type",
+                        "_commit_version",
+                    ]
+                    yield pa.RecordBatch.from_arrays(cols, names=names)
+                return
             if partition.kind == "insert":
                 for batch in _cast_batches_to_us(pf):
                     yield tag(batch)
@@ -1427,8 +1479,9 @@ def make_versioned_datasource():
                 for batch in t.combine_chunks().to_batches():
                     yield tag(batch)
 
-        def commit(self, end):
-            pass  # offsets live in the query's checkpoint, nothing to GC
+        # NOTE: commit(end) is defined next to latestOffset above — it
+        # feeds the rate-clamp floor; offsets themselves live in the
+        # query's checkpoint, nothing to GC here.
 
     # Closure internals exposed for property tests (the classes pickle
     # by value, so these can't live at module level).
@@ -1984,6 +2037,110 @@ def pyds_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(planned == expected).alias("file_precise_prune"),
         F.lit(planned < full).alias("source_pruned_files"),
     )
+
+
+def _cdf_update_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """CDF-enabled history with a rewrite commit: v0 = orders %3 in
+    (0,1), then an UPDATE repricing the 'F' rows (x1.5) recorded in a
+    cdc-1 sidecar."""
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        _read_manifest,
+        enable_change_data_feed,
+        update_where,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "orders_vcdcu"
+    )
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 2
+        and _read_manifest(out)[-1].get("cdc")
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 <= 1), out, mode="append")
+    enable_change_data_feed(out)
+    update_where(
+        spark,
+        out,
+        [("o_orderstatus", "=", "F")],
+        {"o_totalprice": F.col("o_totalprice") * 1.5},
+    )
+    return out
+
+
+@register(
+    "stream_change_feed_updates_live",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {_sql_dsum('o_totalprice', 3)} AS sum_price
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             {_sql_dsum('o_totalprice', 3)}
+      FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             {_sql_dsum('o_totalprice * 1.5', 3)}
+      FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+    ) ORDER BY change_type
+    """,
+    tags=("streaming", "source", "cdc", "update", "live"),
+    doc=(
+        "STREAMING CHANGE DATA FEED THROUGH AN UPDATE: with "
+        "readChangeFeed, a rewrite commit on a CDF-enabled table is "
+        "streamed from its cdc-{v} sidecar — one partition per sidecar "
+        "file, each row carrying its OWN _change_type (preimage / "
+        "postimage legs mixed in one file) plus the _commit_version — "
+        "while the rewritten segment itself is NOT re-emitted (its rows "
+        "are mostly unchanged carry-over). Without readChangeFeed the "
+        "same history stays fail-loud. The drained feed is oracle-"
+        "pinned: inserts = v0, pre/post legs = the 'F' rows at original "
+        "and x1.5 prices. Closes streaming/batch CDF parity: both paths "
+        "now span appends, DV deletes, and sidecar-recorded rewrites."
+    ),
+)
+def stream_change_feed_updates_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sidecar partitions are O(changed rows) — a streamed day
+    of updates costs the day's change volume; plan-time work is one
+    directory listing of the sidecar."""
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    register_datasource(spark)
+    out = _cdf_update_stream_fixture(spark, sf_dir)
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(out)
+    )
+    agg = s.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", 3).alias("sum_price"),
+    )
+    sink = "stream_change_feed_updates_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("change_type")
 
 
 def _cdf_stream_fixture(spark: SparkSession, sf_dir: str) -> str:

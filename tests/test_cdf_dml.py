@@ -234,6 +234,67 @@ def test_mv_maintains_through_update_moving_groups(spark, tmp_path):
     assert want.select(*got.columns).exceptAll(got).count() == 0
 
 
+def test_stream_cdf_spans_update_and_merge_commits(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = _base(spark, tmp_path, n=40)
+    enable_change_data_feed(p)
+    update_where(spark, p, [("k", "<", 5)], {"v": F.col("v") + 1})  # v1 cdc
+    delete_where(spark, p, [("k", ">=", 38)])  # v2 dv
+    src = spark.range(39, 42).select(
+        F.col("id").alias("k"),
+        F.lit(9).cast("long").alias("g"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    merge_upsert(spark, p, src, "k")  # v3 cdc (39 tombstoned -> all inserts)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    legs = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert legs == {
+        (0, "insert"): 40,
+        (1, "update_preimage"): 5,
+        (1, "update_postimage"): 5,
+        (2, "delete"): 2,
+        (3, "insert"): 3,
+    }
+
+
+def test_plain_stream_fails_loud_on_update_with_cdf_hint(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        make_versioned_datasource,
+    )
+
+    p = _base(spark, tmp_path, n=20)
+    enable_change_data_feed(p)
+    update_where(spark, p, [("k", "<", 5)], {"v": F.col("v") + 1})
+    ds_cls = make_versioned_datasource()
+    ds = ds_cls({"path": p})
+    r = ds.streamReader(ds.schema())
+    with pytest.raises(ValueError, match="readChangeFeed"):
+        r.partitions({"version": 0}, {"version": 1})
+
+
 def test_partitioned_table_update_cdc_keeps_partition_types(spark, tmp_path):
     p = str(tmp_path / "pt")
     df = spark.range(0, 40).select(
