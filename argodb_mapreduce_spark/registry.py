@@ -88,6 +88,7 @@ _PRIORITY = (
     "mv_refresh_through_update",        # MV maintenance through update legs
     "stream_backlog_drain",             # bounded-run streaming admission
     "stream_change_feed_updates_live",  # streaming CDF over cdc sidecars
+    "pyds_rowgroup_pruned_scan",        # within-file row-group skipping
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -131,16 +132,15 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_top_tokens",
     "window_time_range_frame",
-    # --- (b cont.) the 6 alphabetically-first r05-tier rows (four
+    # --- (b cont.) the 5 alphabetically-first r05-tier rows (five
     # slots ceded to the r11b additions: the CDF-through-DML pair, the
-    # backlog drain, and the live CDF-updates stream; 21 rotation slots
-    # remain, above the >=20 policy floor) ---
+    # backlog drain, the live CDF-updates stream, and the row-group
+    # skip scan; 20 rotation slots remain, at the >=20 policy floor) ---
     "agg_grouping_flags",
     "agg_salted_skew",
     "basket_pair_lift",
     "corpus_tv_divergence",
     "dedup_containment",
-    "dedup_fuzzy_levenshtein",
 )
 
 

@@ -683,3 +683,92 @@ def test_stream_prune_option_skips_partition_branches(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="readChangeFeed"):
         q2.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Row-group skipping (within-file data skipping below the manifest level)
+# ---------------------------------------------------------------------------
+
+
+def _multi_rowgroup_table(spark, tmp_path, n=40000):
+    """One segment, one file, many row groups (64 KiB blocks), sorted
+    by k so group key ranges are tight."""
+    path = str(tmp_path / "rg_vt")
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+        .orderBy("k")
+        .coalesce(1)
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", str(32 * 1024))
+    try:
+        versioned_write(df, path)
+    finally:
+        hc.unset("parquet.block.size") if old is None else hc.set(
+            "parquet.block.size", old
+        )
+    return path
+
+
+def test_rowgroup_skip_equals_unpruned_filter(spark, tmp_path):
+    import glob
+    import os as _o
+
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        make_versioned_datasource,
+        read_versioned,
+    )
+
+    path = _multi_rowgroup_table(spark, tmp_path)
+    fp = glob.glob(_o.path.join(path, "data-0", "*.parquet"))[0]
+    pf = pq.ParquetFile(fp)
+    assert pf.metadata.num_row_groups > 3  # fixture really multi-group
+    preds = [("k", ">=", 100), ("k", "<", 400)]
+    hooks = make_versioned_datasource()._test_hooks
+    kept, offs = hooks["select_row_groups"](pf, preds)
+    assert 0 < len(kept) < pf.metadata.num_row_groups  # groups skipped
+    got = sorted(r.k for r in read_versioned(spark, path, predicates=preds).collect())
+    assert got == list(range(100, 400))
+
+
+def test_rowgroup_skip_dv_masking_offsets_stay_global(spark, tmp_path):
+    """Deletion-vector positions are file-global; skipping row groups
+    must not shift them (regression guard for the offset bookkeeping)."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import delete_where
+
+    path = _multi_rowgroup_table(spark, tmp_path)
+    # tombstone a slice that lives INSIDE the predicate's kept groups
+    delete_where(spark, path, [("k", ">=", 200), ("k", "<", 210)])
+    preds = [("k", ">=", 100), ("k", "<", 400)]
+    got = sorted(r.k for r in read_versioned(spark, path, predicates=preds).collect())
+    want = [k for k in range(100, 400) if not (200 <= k < 210)]
+    assert got == want
+    # and the unpredicated read agrees with the native path
+    n_pyds = read_versioned(spark, path).count()
+    n_native = snapshot_read(spark, path).count()
+    assert n_pyds == n_native == 40000 - 10
+
+
+def test_rowgroup_selection_conservative_without_stats(spark, tmp_path):
+    """A predicate on a column with no stats entry keeps every group."""
+    import glob
+    import os as _o
+
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        make_versioned_datasource,
+    )
+
+    path = _multi_rowgroup_table(spark, tmp_path, n=1000)
+    fp = glob.glob(_o.path.join(path, "data-0", "*.parquet"))[0]
+    pf = pq.ParquetFile(fp)
+    hooks = make_versioned_datasource()._test_hooks
+    kept, offs = hooks["select_row_groups"](pf, [("nonexistent", "=", 1)])
+    assert kept == list(range(pf.metadata.num_row_groups))
+    assert offs[0] == 0 and len(offs) == len(kept)
