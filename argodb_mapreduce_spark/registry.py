@@ -89,6 +89,7 @@ _PRIORITY = (
     "stream_backlog_drain",             # bounded-run streaming admission
     "stream_change_feed_updates_live",  # streaming CDF over cdc sidecars
     "pyds_rowgroup_pruned_scan",        # within-file row-group skipping
+    "snapshot_partition_evolution",     # per-segment partition specs
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -110,7 +111,10 @@ _PRIORITY = (
     "stream_change_feed_live",    # CDF legs reordered through _emit
     "stream_versioned_sink",      # txn sink over fenced lock
     "snapshot_partitioned_scan",  # native read casts ledger types
-    "snapshot_zorder_scan",       # staged-dir cleanup on failure
+    # (snapshot_zorder_scan ceded its changed-code slot to the new
+    # partition-evolution row: its r11 change — staged-dir cleanup on
+    # failure — is error-path-only and pinned by tests/test_zorder.py,
+    # while a NEW op needs first driver evidence.)
     "snapshot_delete_where",      # DV scan through cast-aware branches
     "snapshot_update_where",      # UPDATE reads through a pending DV
     "snapshot_merge_pruned",      # MERGE reads through a pending DV

@@ -3045,6 +3045,86 @@ def snapshot_change_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg partition evolution semantics)
+# ---------------------------------------------------------------------------
+
+
+def _build_partition_evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three appends under THREE partition specs: flat, then
+    partition_by o_orderpriority, then partition_by o_orderstatus —
+    the layout history of a table whose partitioning strategy changed
+    twice over its life."""
+    out = _scratch(sf_dir) + "_pevo"
+    src = table_path(sf_dir, "orders")
+    if (
+        not fixture_stale(src, os.path.join(out, MANIFEST))
+        and len(versions(out)) == 3
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out, mode="append")
+    versioned_write(
+        o.filter(k % 3 == 1), out, mode="append", partition_by=["o_orderpriority"]
+    )
+    versioned_write(
+        o.filter(k % 3 == 2), out, mode="append", partition_by=["o_orderstatus"]
+    )
+    return out
+
+
+@register(
+    "snapshot_partition_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_all_specs,
+           TRUE AS new_spec_pruned
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("source", "snapshot", "partitioning", "evolution"),
+    doc=(
+        "PARTITION-SPEC EVOLUTION (Iceberg semantics): the manifest's "
+        "partition ledger is PER SEGMENT, so one table holds segments "
+        "written under three different specs — flat, by priority, by "
+        "status — and every surface composes without a rewrite: the "
+        "snapshot read unions all three layouts with ledger-pinned "
+        "partition types (n_all_specs), a predicate on the NEWEST "
+        "spec's column filters rows everywhere but PRUNES files only "
+        "where the layout helps (new_spec_pruned pins pyds planned "
+        "splits under the status predicate < the full plan: old-spec "
+        "segments are scanned, the new spec's non-F branches are "
+        "never planned — exactly Iceberg's contract that old data "
+        "keeps its old spec), and the values hash-check against "
+        "DuckDB. DML across mixed specs, streaming, and compaction "
+        "(documented flatten) are pinned in tests/test_versioned.py."
+    ),
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: re-partitioning a 100 TB table for a new query pattern is
+    a metadata-only policy change — new data lands under the new spec
+    immediately, old data is never rewritten (rewrite-by-attrition via
+    OPTIMIZE if wanted); the alternative is an O(table) migration."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    out = _build_partition_evolution_fixture(spark, sf_dir)
+    full = read_versioned(spark, out).rdd.getNumPartitions()
+    preds = [("o_orderstatus", "=", "F")]
+    df = read_versioned(spark, out, predicates=preds)
+    planned = df.rdd.getNumPartitions()
+    n_all = snapshot_read(spark, out).count()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(n_all).cast("long").alias("n_all_specs"),
+        F.lit(planned < full).alias("new_spec_pruned"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Change data feed through UPDATE / MERGE (Delta CDF row types)
 # ---------------------------------------------------------------------------
 

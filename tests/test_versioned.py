@@ -1412,3 +1412,84 @@ def test_expect_write_txn_stamp_makes_each_leg_idempotent(spark, tmp_path):
     assert r3["rows_committed"] == 0  # main leg replay refused
     assert r3["rows_violating"] == 20  # quarantine leg ran exactly once
     assert snapshot_read(spark, qp).count() == 25
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (per-segment layout ledger)
+# ---------------------------------------------------------------------------
+
+
+def _evolved_table(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    p = str(tmp_path / "pevo")
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("region"),
+            (F.col("id") % 2).cast("string").alias("tier"),
+            (F.col("id") * 2).alias("v"),
+        )
+
+    versioned_write(mk(0, 30), p, mode="append")  # flat
+    versioned_write(mk(30, 60), p, mode="append", partition_by=["region"])
+    versioned_write(mk(60, 90), p, mode="append", partition_by=["tier"])  # spec change
+    return p
+
+
+def test_partition_evolution_read_and_prune_across_specs(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    p = _evolved_table(spark, tmp_path)
+    r = snapshot_read(spark, p)
+    assert r.count() == 90
+    assert dict(r.dtypes)["region"] == "string"  # ledger type, not inferred int
+    got = snapshot_read(spark, p, predicates=[("tier", "=", "1")])
+    assert got.count() == 45
+
+
+def test_partition_evolution_dml_across_specs(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        snapshot_read,
+        update_where,
+    )
+
+    p = _evolved_table(spark, tmp_path)
+    s = update_where(spark, p, [("k", "<", 35)], {"v": F.lit(0).cast("long")})
+    assert s["rows_updated"] == 35  # spans the flat AND region-spec segments
+    delete_where(spark, p, [("k", ">=", 85)])  # inside the tier-spec segment
+    r = snapshot_read(spark, p)
+    assert r.count() == 85
+    assert r.agg(F.sum("v")).collect()[0][0] == sum(i * 2 for i in range(35, 85))
+
+
+def test_partition_evolution_compact_flattens_mixed(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        compact,
+        snapshot_read,
+    )
+
+    p = _evolved_table(spark, tmp_path)
+    v = compact(spark, p)
+    latest = _read_manifest(p)[-1]
+    assert latest["version"] == v
+    assert "partition_by" not in latest  # mixed specs -> documented flatten
+    assert snapshot_read(spark, p).count() == 90
+
+
+def test_partition_evolution_clone_keeps_per_segment_specs(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        clone_table,
+        snapshot_read,
+    )
+
+    p = _evolved_table(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_table(p, dst)
+    pb = _read_manifest(dst)[0].get("partition_by", {})
+    assert sorted(pb.values()) == [["region"], ["tier"]]  # both specs survive
+    assert snapshot_read(spark, dst).count() == 90
