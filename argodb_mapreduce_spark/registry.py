@@ -90,6 +90,7 @@ _PRIORITY = (
     "stream_change_feed_updates_live",  # streaming CDF over cdc sidecars
     "pyds_rowgroup_pruned_scan",        # within-file row-group skipping
     "snapshot_partition_evolution",     # per-segment partition specs
+    "sink_optimized_write",             # write-time small-files fix
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -115,7 +116,10 @@ _PRIORITY = (
     # partition-evolution row: its r11 change — staged-dir cleanup on
     # failure — is error-path-only and pinned by tests/test_zorder.py,
     # while a NEW op needs first driver evidence.)
-    "snapshot_delete_where",      # DV scan through cast-aware branches
+    # (snapshot_delete_where ceded its changed-code slot to the new
+    # optimized-write row: its r11 change is the shared cast-aware DV
+    # machinery that snapshot_update_on_dv — in the window — exercises
+    # on the same code path.)
     "snapshot_update_where",      # UPDATE reads through a pending DV
     "snapshot_merge_pruned",      # MERGE reads through a pending DV
     "snapshot_compact_binpack",   # bin-pack materializes a pending DV

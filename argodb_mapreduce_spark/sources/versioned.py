@@ -1105,6 +1105,7 @@ def versioned_write(
     bloom_columns=(),
     expected_version: int | None = None,
     partition_by=(),
+    target_file_mb: float | None = None,
     _txn: dict | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the new version number.
@@ -1127,6 +1128,13 @@ def versioned_write(
     ``bloom_columns`` additionally builds per-segment bloom filters for
     those columns (one extra scan of the new segment only), enabling
     equality-predicate skipping where min/max cannot prune.
+
+    ``target_file_mb`` enables OPTIMIZED WRITE: if the incoming
+    DataFrame's partitioning staged more files than the segment's
+    encoded bytes warrant (footer metadata, free), the staged bytes are
+    rewritten into ceil(bytes / target) files before commit — the
+    write-time small-files fix (Delta optimizeWrite/autoCompact), paid
+    only when the layout is actually bad and only over the new segment.
 
     Concurrency (optimistic, Delta-style): ALL Spark work — the data
     write, constraint validation, stats harvest, bloom build — runs
@@ -1157,12 +1165,48 @@ def versioned_write(
     # default to INT96: stats-less timestamps would silently disable
     # data skipping on every date column of this segment.
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    if target_file_mb is not None and target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
+    if target_file_mb and partition_by:
+        raise ValueError(
+            "target_file_mb composes with flat segments only; partitioned "
+            "segments right-size via compact_binpack (layout-preserving "
+            "OPTIMIZE) after ingest"
+        )
     os.makedirs(path, exist_ok=True)
     staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged)
+    # OPTIMIZED WRITE (``target_file_mb``, Delta's optimizeWrite /
+    # autoCompact answer at ingest time): the staged footers reveal the
+    # segment's true encoded size for free (O(files) metadata); when
+    # the incoming DataFrame's partitioning produced more files than
+    # ceil(bytes / target), rewrite the STAGED bytes into that many —
+    # one extra pass over the NEW segment only, and only when its
+    # layout is actually bad. A 1000-task upstream job appending 100 MB
+    # lands as one right-sized file instead of 1000 shards that poison
+    # every later scan's task count.
+    if target_file_mb:
+        import math
+        import shutil
+
+        fs = _glob.glob(os.path.join(staged, "*.parquet"))
+        total = sum(os.path.getsize(f) for f in fs)
+        want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        if want < len(fs):
+            restaged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+            try:
+                df.sparkSession.read.parquet(staged).coalesce(want).write.mode(
+                    "errorifexists"
+                ).parquet(restaged)
+            except BaseException:
+                shutil.rmtree(restaged, ignore_errors=True)
+                shutil.rmtree(staged, ignore_errors=True)
+                raise
+            shutil.rmtree(staged)
+            staged = restaged
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     renamed = False
     try:
@@ -3041,6 +3085,62 @@ def snapshot_change_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimized write (write-time small-files compaction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_optimized_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS files_reduced,
+           TRUE AS rows_identical
+    FROM orders
+    """,
+    tags=("sink", "optimized-write", "small-files"),
+    doc=(
+        "OPTIMIZED WRITE: the same 32-way-repartitioned orders frame is "
+        "committed twice — v0 plain (32 shard files, the layout a wide "
+        "upstream job naturally produces) and v1 with "
+        "target_file_mb=64, which right-sizes the STAGED bytes from the "
+        "footers (ceil(bytes/target) files) before the commit "
+        "publishes. files_reduced pins v1's manifest num_files strictly "
+        "below v0's; rows_identical re-reads both versions. The extra "
+        "pass touches only the new segment and only fires when its "
+        "layout is worse than the target — Delta's "
+        "optimizeWrite/autoCompact contract on this store."
+    ),
+)
+def sink_optimized_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: small files are the classic lake killer — a year of
+    1000-task hourly appends is 8.7M shards whose per-task overhead
+    dominates every scan. Right-sizing at write time costs one pass
+    over each day's NEW bytes; the footer check that gates it is free.
+    At 100 TB the target is the scan-side sweet spot (~128 MB-1 GB)."""
+    out = _scratch(sf_dir) + "_optwrite"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").repartition(32)
+    versioned_write(o, out, mode="append")
+    versioned_write(o, out, mode="overwrite", target_file_mb=64)
+    m0, m1 = (e["metrics"] for e in _read_manifest(out))
+    same = (
+        snapshot_read(spark, out, 0)
+        .exceptAll(snapshot_read(spark, out, 1))
+        .count()
+        == 0
+    )
+    return snapshot_read(spark, out, 1).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(m1["num_files"] < m0["num_files"]).alias("files_reduced"),
+        F.lit(same and m0["num_rows"] == m1["num_rows"]).alias("rows_identical"),
     )
 
 

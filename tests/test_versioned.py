@@ -1493,3 +1493,80 @@ def test_partition_evolution_clone_keeps_per_segment_specs(spark, tmp_path):
     pb = _read_manifest(dst)[0].get("partition_by", {})
     assert sorted(pb.values()) == [["region"], ["tier"]]  # both specs survive
     assert snapshot_read(spark, dst).count() == 90
+
+
+# ---------------------------------------------------------------------------
+# Optimized write (target_file_mb)
+# ---------------------------------------------------------------------------
+
+
+def test_optimized_write_right_sizes_staged_files(spark, tmp_path):
+    import glob
+    import os as _o
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "ow")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(16)
+    versioned_write(df, p, mode="append", target_file_mb=64)
+    files = glob.glob(_o.path.join(p, "data-0", "*.parquet"))
+    assert len(files) == 1  # 16 shards -> one right-sized file
+    r = snapshot_read(spark, p)
+    assert r.count() == 20000
+    assert r.agg(F.sum("v")).collect()[0][0] == sum(i * 3 for i in range(20000))
+
+
+def test_optimized_write_noop_when_layout_already_good(spark, tmp_path):
+    import glob
+    import os as _o
+
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    p = str(tmp_path / "ow2")
+    df = spark.range(1000).withColumnRenamed("id", "k").coalesce(1)
+    versioned_write(df, p, mode="append", target_file_mb=64)
+    # already 1 file <= target: no rewrite, still 1 file
+    assert len(glob.glob(_o.path.join(p, "data-0", "*.parquet"))) == 1
+
+
+def test_optimized_write_rejects_partitioned_and_bad_target(spark, tmp_path):
+    import pytest as _pt
+
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    with _pt.raises(ValueError, match="flat segments only"):
+        versioned_write(
+            df, str(tmp_path / "ow3"), partition_by=["p"], target_file_mb=8
+        )
+    with _pt.raises(ValueError, match="target_file_mb"):
+        versioned_write(df, str(tmp_path / "ow4"), target_file_mb=0)
+
+
+def test_optimized_write_keeps_stats_and_constraints_on_rewritten_bytes(
+    spark, tmp_path
+):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        snapshot_read,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "ow5")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(8)
+    versioned_write(df, p, mode="append", target_file_mb=64)
+    e = _read_manifest(p)[-1]
+    st = e["stats"]["data-0"]
+    assert st["k"][0] == 0 and st["k"][1] == 4999  # stats from the FINAL bytes
+    # pruning still fires on the rewritten segment
+    got = snapshot_read(spark, p, predicates=[("k", ">=", 4990)])
+    assert got.count() == 10
