@@ -1198,9 +1198,14 @@ def versioned_write(
         if want < len(fs):
             restaged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
             try:
-                df.sparkSession.read.parquet(staged).coalesce(want).write.mode(
-                    "errorifexists"
-                ).parquet(restaged)
+                # Read the explicit part-file list, not the staged ROOT:
+                # underscore-prefixed roots trip Spark's hidden-path
+                # heuristics (an "All paths were ignored" warn today, a
+                # behavior change risk tomorrow); part files are plain
+                # names and schema-infer cleanly.
+                df.sparkSession.read.parquet(*sorted(fs)).coalesce(
+                    want
+                ).write.mode("errorifexists").parquet(restaged)
             except BaseException:
                 shutil.rmtree(restaged, ignore_errors=True)
                 shutil.rmtree(staged, ignore_errors=True)

@@ -1,0 +1,150 @@
+"""1x/10x ladders for the round-11b surfaces.
+
+Self-contained (builds its own stores under /tmp), best-of-2 per cell:
+
+- cdf_update_lifecycle: 10-segment store, CDF-enabled UPDATE touching
+  ONE segment, then change_feed over the update — x10 grows the TABLE
+  10x while the touched window stays fixed, so the whole lifecycle
+  should stay near-flat (rewrite O(touched segment), feed O(changes)).
+- rowgroup_skip: one key-sorted multi-row-group file; a fixed 1k-key
+  window read through the pyds pruned path vs the unpruned full scan —
+  the pruned wall should stay near-flat at 10x while the full scan
+  grows.
+- optimized_write: 32-shard append with and without target_file_mb —
+  measures the write-time right-sizing overhead (expected ~2x the
+  plain write at any scale: one extra pass over the new bytes).
+
+Usage: python scripts/bench_r11b.py [--ops a,b,c]
+Prints one JSON line per cell; record results in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from argodb_mapreduce_spark.session import get_spark  # noqa: E402
+
+BASE_ROWS = 200_000
+
+
+def _rows(spark, n, shift=0):
+    return spark.range(shift, shift + n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def cdf_update_lifecycle(spark, scale):
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        enable_change_data_feed,
+        update_where,
+        versioned_write,
+    )
+
+    n = BASE_ROWS * scale
+    p = f"/tmp/r11b_cdfu_x{scale}"
+    shutil.rmtree(p, ignore_errors=True)
+    seg = n // 10
+    for i in range(10):  # 10 key-ranged segments
+        versioned_write(_rows(spark, seg, shift=i * seg), p, mode="append")
+    enable_change_data_feed(p)
+    t0 = time.monotonic()
+    update_where(spark, p, [("k", "<", 2000)], {"v": F.lit(0).cast("long")})
+    n_feed = change_feed(spark, p, 9, 10).count()
+    dt = time.monotonic() - t0
+    assert n_feed == 4000, n_feed
+    return dt
+
+
+def rowgroup_skip(spark, scale):
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    n = 1_000_000 * scale  # big enough that batch decode dominates
+    p = f"/tmp/r11b_rg_x{scale}"
+    shutil.rmtree(p, ignore_errors=True)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", str(256 * 1024))
+    try:
+        versioned_write(_rows(spark, n).orderBy("k").coalesce(1), p)
+    finally:
+        hc.unset("parquet.block.size") if old is None else hc.set(
+            "parquet.block.size", old
+        )
+    preds = [("k", ">=", 1000), ("k", "<", 2000)]
+    t0 = time.monotonic()
+    s_pruned = (
+        read_versioned(spark, p, predicates=preds).agg(F.sum("v")).collect()[0][0]
+    )
+    t_pruned = time.monotonic() - t0
+    assert s_pruned == sum(i * 3 for i in range(1000, 2000))
+    t0 = time.monotonic()
+    s_full = read_versioned(spark, p).agg(F.sum("v")).collect()[0][0]
+    t_full = time.monotonic() - t0
+    assert s_full == 3 * n * (n - 1) // 2
+    return {"pruned": t_pruned, "full": t_full}
+
+
+def optimized_write(spark, scale):
+    from argodb_mapreduce_spark.sources.versioned import versioned_write
+
+    n = BASE_ROWS * scale
+    df = _rows(spark, n).repartition(32)
+    df.count()  # materialize the shuffle outside the timed region
+    p1, p2 = f"/tmp/r11b_ow_plain_x{scale}", f"/tmp/r11b_ow_opt_x{scale}"
+    shutil.rmtree(p1, ignore_errors=True)
+    shutil.rmtree(p2, ignore_errors=True)
+    t0 = time.monotonic()
+    versioned_write(df, p1, mode="append")
+    t_plain = time.monotonic() - t0
+    t0 = time.monotonic()
+    versioned_write(df, p2, mode="append", target_file_mb=64)
+    t_opt = time.monotonic() - t0
+    return {"plain": t_plain, "optimized": t_opt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default="cdf_update_lifecycle,rowgroup_skip,optimized_write")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    spark = get_spark("bench-r11b", cpus=8)
+    for name in args.ops.split(","):
+        fn = globals()[name]
+        out = {"op": name}
+        for scale, tag in ((1, "x1"), (10, "x10")):
+            best = None
+            for _ in range(args.reps):
+                r = fn(spark, scale)
+                if isinstance(r, dict):
+                    best = (
+                        r
+                        if best is None
+                        else {k: min(best[k], r[k]) for k in r}
+                    )
+                else:
+                    best = r if best is None else min(best, r)
+            out[tag] = best
+        if isinstance(out["x1"], dict):
+            out["ratio"] = {
+                k: round(out["x10"][k] / out["x1"][k], 2) for k in out["x1"]
+            }
+        else:
+            out["ratio"] = round(out["x10"] / out["x1"], 2)
+        print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
