@@ -1892,6 +1892,14 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollback_to_timestamp(path: str, ts: float) -> int:
+    """``RESTORE TABLE ... TO TIMESTAMP AS OF`` — resolve ``ts`` with
+    the same newest-at-or-before rule AS OF reads use
+    (:func:`version_at_timestamp`), then :func:`rollback` to that
+    version. Returns the new (restoring) version number."""
+    return rollback(path, version_at_timestamp(path, ts))
+
+
 def rollback(path: str, to_version: int) -> int:
     """RESTORE-style rollback: publish a NEW version whose segment list
     is that of ``to_version`` — no data is rewritten or deleted, so
@@ -2189,9 +2197,14 @@ def snapshot_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def vacuum(path: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    path: str, keep_versions: int = 2, retain_hours: float | None = None
+) -> dict:
     """Delta-style VACUUM: retain only the newest ``keep_versions``
-    manifest entries and DELETE every segment directory no retained
+    manifest entries — or, when ``retain_hours`` is given, every
+    version committed within that many hours plus the head (Delta's
+    ``VACUUM RETAIN n HOURS``, the form production retention policies
+    actually use) — and DELETE every segment directory no retained
     version references. Storage is reclaimed; the time-travel horizon
     shrinks to the retained versions (reads of expired versions raise,
     exactly like Delta after ``VACUUM RETAIN``). Returns a summary dict.
@@ -2224,13 +2237,26 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    if retain_hours is not None and retain_hours < 0:
+        raise ValueError(f"retain_hours must be >= 0, got {retain_hours}")
     import shutil
     import time
 
     with _commit_lock(path) as lock_token:
         entries = _read_manifest(path)
-        kept_entries = entries[-keep_versions:]
-        expired = entries[: -keep_versions] if len(entries) > keep_versions else []
+        if retain_hours is not None:
+            # Delta's ``VACUUM ... RETAIN n HOURS``: keep every version
+            # committed inside the retention window (manifests are
+            # time-ordered, so the kept set is a suffix), and always the
+            # head. Legacy ts-less entries count as old.
+            cutoff = _now() - retain_hours * 3600.0
+            idx = len(entries) - 1
+            while idx > 0 and entries[idx - 1].get("ts", float("-inf")) >= cutoff:
+                idx -= 1
+            kept_entries = entries[idx:]
+        else:
+            kept_entries = entries[-keep_versions:]
+        expired = entries[: len(entries) - len(kept_entries)]
         # Deletion-vector sidecars are lifecycle-managed like segments: a DV
         # referenced by no retained version is reclaimed with its bytes.
         referenced = {s for e in kept_entries for s in e["segments"]}

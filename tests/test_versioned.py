@@ -1570,3 +1570,72 @@ def test_optimized_write_keeps_stats_and_constraints_on_rewritten_bytes(
     # pruning still fires on the rewritten segment
     got = snapshot_read(spark, p, predicates=[("k", ">=", 4990)])
     assert got.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Time-based retention + RESTORE TO TIMESTAMP
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_retain_hours_keeps_window_plus_head(spark, tmp_path, monkeypatch):
+    import argodb_mapreduce_spark.sources.versioned as V
+
+    p = str(tmp_path / "vrh")
+    clock = [1_000_000.0]
+    monkeypatch.setattr(V, "_now", lambda: clock[0])
+    for i in range(4):  # commits at t=1e6, +1h, +2h, +3h
+        V.versioned_write(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"),
+            p,
+            mode="append",
+        )
+        clock[0] += 3600.0
+    # now = 1e6 + 4h; retain 2.5h keeps versions committed >= now-2.5h
+    # (v2 at +2h, v3 at +3h) and expires v0/v1
+    res = V.vacuum(p, retain_hours=2.5)
+    assert res["versions_kept"] == 2 and res["versions_removed"] == 2
+    assert V.versions(p) == [2, 3]
+    assert V.snapshot_read(spark, p).count() == 40  # head content intact
+
+
+def test_vacuum_retain_zero_hours_keeps_only_head(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        vacuum,
+        versioned_write,
+        versions,
+    )
+
+    p = str(tmp_path / "vrh0")
+    for i in range(3):
+        versioned_write(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"),
+            p,
+            mode="append",
+        )
+    res = vacuum(p, retain_hours=0)
+    assert res["versions_kept"] == 1
+    assert versions(p) == [2]
+    assert snapshot_read(spark, p).count() == 30
+
+
+def test_rollback_to_timestamp_resolves_as_of_rule(spark, tmp_path, monkeypatch):
+    import argodb_mapreduce_spark.sources.versioned as V
+
+    p = str(tmp_path / "rbts")
+    clock = [2_000_000.0]
+    monkeypatch.setattr(V, "_now", lambda: clock[0])
+    V.versioned_write(spark.range(0, 10).withColumnRenamed("id", "k"), p)  # v0 @ 2e6
+    clock[0] += 100
+    V.versioned_write(spark.range(10, 30).withColumnRenamed("id", "k"), p)  # v1 @ +100
+    clock[0] += 100
+    V.versioned_write(
+        spark.range(99, 100).withColumnRenamed("id", "k"), p, mode="overwrite"
+    )  # v2 @ +200
+    clock[0] += 100
+    # a ts between v1 and v2 resolves to v1 (newest at-or-before)
+    v = V.rollback_to_timestamp(p, 2_000_000.0 + 150)
+    assert v == 3
+    assert sorted(r.k for r in V.snapshot_read(spark, p).collect()) == list(range(30))
+    with pytest.raises(ValueError, match="no version committed"):
+        V.rollback_to_timestamp(p, 1_999_999.0)
