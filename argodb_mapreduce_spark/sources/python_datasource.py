@@ -2044,10 +2044,12 @@ def pyds_rowgroup_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as _pq
 
-    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+    from argodb_mapreduce_spark.sources.versioned import _read_manifest, _stat_decode
 
     out = _rowgroup_fixture(spark, sf_dir)
-    k = snapshot_read(spark, out).agg(F.max("o_orderkey")).collect()[0][0] // 10
+    # The predicate bound comes from the MANIFEST's own max-key stat —
+    # pure metadata, no Spark job (the oracle mirrors it as MAX(...)).
+    k = _stat_decode(_read_manifest(out)[-1]["stats"]["data-0"]["o_orderkey"][1]) // 10
     preds = [("o_orderkey", "<=", int(k))]
     df = read_versioned(spark, out, predicates=preds)
     # Observability: the same selection helper the executor runs.

@@ -206,6 +206,16 @@ HEADLINE = [
     "pyds_partitioned_write",
     "stream_expect_quarantine_live",
     "mv_refresh_through_delete",
+    # round-11b additions: CDC-through-DML sidecars, MV maintenance
+    # through updates, bounded backlog drain, streaming CDF over
+    # rewrites, row-group skipping, partition evolution, optimized write
+    "snapshot_change_feed_updates",
+    "mv_refresh_through_update",
+    "stream_backlog_drain",
+    "stream_change_feed_updates_live",
+    "pyds_rowgroup_pruned_scan",
+    "snapshot_partition_evolution",
+    "sink_optimized_write",
 ]
 
 
