@@ -1511,3 +1511,114 @@ def dedup_index_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("band_hash").alias("n_buckets"),
         F.lit(equal).alias("incremental_equals_full"),
     )
+
+
+_REVISION_SUFFIX = " freshly revised edition"
+
+
+def _build_update_index_fixture(spark: SparkSession, sf_dir: str):
+    """documents stored CDF-enabled, band index built at v0, then the
+    doc_id < 40 documents are REVISED (text UPDATE) and the index is
+    maintained from the update's change-feed postimages — a keyed
+    MERGE, so each revised doc's stale band rows are replaced in one
+    commit."""
+    import os
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        change_feed,
+        enable_change_data_feed,
+        merge_upsert,
+        snapshot_read,
+        update_where,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
+    docs_tbl = os.path.join(root, "docs_upd_store")
+    idx_tbl = os.path.join(root, "docs_upd_band_index")
+    src = table_path(sf_dir, "documents")
+    if (
+        not fixture_stale(src, os.path.join(idx_tbl, MANIFEST))
+        and os.path.exists(os.path.join(docs_tbl, MANIFEST))
+        and len(versions(idx_tbl)) == 2
+    ):
+        return docs_tbl, idx_tbl
+    import shutil
+
+    shutil.rmtree(docs_tbl, ignore_errors=True)
+    shutil.rmtree(idx_tbl, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versioned_write(docs, docs_tbl)
+    enable_change_data_feed(docs_tbl)
+    versioned_write(_band_index_for(snapshot_read(spark, docs_tbl, 0)), idx_tbl)
+    update_where(
+        spark,
+        docs_tbl,
+        [("doc_id", "<", 40)],
+        {"text": F.concat(F.col("text"), F.lit(_REVISION_SUFFIX))},
+    )
+    # Maintenance consumes ONLY the feed: postimage docs re-sign, and a
+    # doc_id-keyed MERGE replaces each revised doc's old band rows with
+    # its new ones in one commit — stale entries cannot linger and new
+    # ones cannot double-insert. O(changed docs), never a corpus re-sign.
+    post = (
+        change_feed(spark, docs_tbl, 0, 1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .select("doc_id", "text")
+    )
+    merge_upsert(spark, idx_tbl, _band_index_for(post), "doc_id")
+    return docs_tbl, idx_tbl
+
+
+@register(
+    "dedup_index_through_updates",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 40 THEN text || '{_REVISION_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+    ), sig AS ({_SQL_SIGNATURE.replace("FROM documents", "FROM docs")})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS n_buckets,
+           TRUE AS incremental_equals_full
+    FROM ({_sql_band_table()}) GROUP BY band
+    """,
+    tags=("dedup", "minhash", "snapshot", "cdc", "incremental", "update"),
+    doc=(
+        "INDEX MAINTENANCE THROUGH UPDATES (r11b): revising documents "
+        "is an UPDATE on the CDF-enabled store; the index job consumes "
+        "the change feed's update_postimage legs, re-signs ONLY the "
+        "revised docs, and MERGEs the new band rows keyed by doc_id — "
+        "upsert semantics replace each revised doc's stale entries "
+        "atomically (preimage bands out, postimage bands in, one "
+        "commit). The maintained index is proven EQUAL to a "
+        "from-scratch rebuild over the post-update corpus (exceptAll "
+        "both ways, flag in the hash) and per-band counts are checked "
+        "against the oracle's full recompute over the revised text."
+    ),
+)
+def dedup_index_through_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: cost per revision batch = shingling O(revised docs) + a
+    MERGE that rewrites only index segments containing those doc_ids
+    (touched-file pruning) — the refresh loop a 100 TB dedup pipeline
+    runs when upstream documents get edited, not just appended."""
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    docs_tbl, idx_tbl = _build_update_index_fixture(spark, sf_dir)
+    idx = snapshot_read(spark, idx_tbl)  # v1: base + MERGEd postimage bands
+    full = _band_index_for(snapshot_read(spark, docs_tbl))
+    equal = (
+        idx.exceptAll(full).limit(1).count() == 0
+        and full.exceptAll(idx).limit(1).count() == 0
+    )
+    return idx.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("band_hash").alias("n_buckets"),
+        F.lit(equal).alias("incremental_equals_full"),
+    )

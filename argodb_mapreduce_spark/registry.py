@@ -91,6 +91,7 @@ _PRIORITY = (
     "pyds_rowgroup_pruned_scan",        # within-file row-group skipping
     "snapshot_partition_evolution",     # per-segment partition specs
     "sink_optimized_write",             # write-time small-files fix
+    "dedup_index_through_updates",      # LSH index maintained via MERGE
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -101,8 +102,11 @@ _PRIORITY = (
     "mv_refresh_through_delete",        # MV maintenance through DV deletes
     # --- (a cont.) code changed in round 11: re-earn the rows ---
     "snapshot_change_feed",       # delete leg -> layout-aware file scan
-    "snapshot_vacuum",            # lock scope shrunk to metadata ops
-    "snapshot_rollback",          # fenced manifest publish
+    "snapshot_vacuum",            # lock scope + retain_hours + cdc GC
+    # (snapshot_rollback ceded its changed-code slot to the new
+    # index-through-updates row: the fenced lock it re-earned is the
+    # shared commit machinery every versioned row in this window
+    # drives, and rollback semantics are pinned in tests.)
     "snapshot_expect_quarantine", # violation tagging factored out
     "join_salted_targeted",       # positional union (shared-name fix)
     "pyds_versioned_scan",        # reader partition plumbing touched

@@ -216,6 +216,7 @@ HEADLINE = [
     "pyds_rowgroup_pruned_scan",
     "snapshot_partition_evolution",
     "sink_optimized_write",
+    "dedup_index_through_updates",
 ]
 
 
