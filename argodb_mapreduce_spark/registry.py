@@ -92,6 +92,7 @@ _PRIORITY = (
     "snapshot_partition_evolution",     # per-segment partition specs
     "sink_optimized_write",             # write-time small-files fix
     "dedup_index_through_updates",      # LSH index maintained via MERGE
+    "stream_cdc_replicate",             # full CDC replication loop
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -109,7 +110,10 @@ _PRIORITY = (
     # drives, and rollback semantics are pinned in tests.)
     "snapshot_expect_quarantine", # violation tagging factored out
     "join_salted_targeted",       # positional union (shared-name fix)
-    "pyds_versioned_scan",        # reader partition plumbing touched
+    # (pyds_versioned_scan ceded its changed-code slot to the new CDC
+    # replication row: the reader paths it re-earned are driven by
+    # pyds_partitioned_scan and pyds_rowgroup_pruned_scan, both in this
+    # window.)
     "pyds_versioned_write",       # writer path under new resolve tuple
     "pyds_pruned_scan",           # pruning now merges partition stats
     "stream_versioned_ingest",    # stream reader partition-aware

@@ -2293,6 +2293,135 @@ def stream_change_feed_updates_live(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(sink).orderBy("change_type")
 
 
+_REPL_PRICE_FLOOR = 150000.0
+
+
+@register(
+    "stream_cdc_replicate",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN '0-MOVED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice < {_REPL_PRICE_FLOOR}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM final WHERE o_orderpriority = '0-MOVED')
+                AS BIGINT) AS n_moved,
+           TRUE AS replica_equals_source
+    FROM final
+    """,
+    tags=("streaming", "cdc", "replication", "live"),
+    doc=(
+        "STREAMING CDC REPLICATION — the full loop: a CDF-enabled "
+        "source evolves through two appends, a keyed UPDATE ('F' rows "
+        "repriorified), and a DELETE; one readChangeFeed stream drains "
+        "it and a foreachBatch applier REPLAYS each version's legs "
+        "IN COMMIT ORDER onto an initially-empty replica table — "
+        "insert legs append/merge, update_postimage legs MERGE by key "
+        "(the preimage is implicit in upsert-replace), delete legs "
+        "erase by key set (delete_keys, itself a DV commit on the "
+        "replica). The replica is exceptAll-proven EQUAL to the "
+        "source's head snapshot (flag in the hash) and its content is "
+        "oracle-pinned — Delta's 'replicate a table with CDF + MERGE' "
+        "recipe, end to end on this engine."
+    ),
+)
+def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the stream moves O(changes) per version (sidecars and DV
+    deltas, never table scans); each MERGE rewrites only replica
+    segments containing touched keys and each delete is an O(K)
+    sidecar. Replicating a day of changes on a 100 TB table costs the
+    day's change volume — the cross-region/downstream-replica pattern."""
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        delete_where,
+        enable_change_data_feed,
+        merge_upsert,
+        snapshot_read,
+        update_where,
+        versioned_write,
+    )
+
+    register_datasource(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "cdc_replicate"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    replica = os.path.join(root, "replica")
+    ck = os.path.join(root, "ck")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), src)  # v0
+    enable_change_data_feed(src)
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), src, mode="append")  # v1
+    update_where(  # v2: cdc sidecar
+        spark, src, [("o_orderstatus", "=", "F")], {"o_orderpriority": F.lit("0-MOVED")}
+    )
+    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v3: DV
+
+    def apply_batch(batch_df, _batch_id):
+        batch_df = batch_df.persist()
+        try:
+            # Versions must replay in commit order (an update's merge
+            # must not run before the insert that created its target
+            # row); the fixture's history is versions 0..3.
+            for v in range(4):
+                legs = batch_df.filter(F.col("_commit_version") == v)
+                tags_ = ("_change_type", "_commit_version")
+                ins = legs.filter(F.col("_change_type") == "insert").drop(*tags_)
+                post = legs.filter(
+                    F.col("_change_type") == "update_postimage"
+                ).drop(*tags_)
+                dels = legs.filter(F.col("_change_type") == "delete").drop(*tags_)
+                if ins.limit(1).count():
+                    if os.path.exists(os.path.join(replica, "_snapshots.json")):
+                        merge_upsert(spark, replica, ins, "o_orderkey")
+                    else:
+                        versioned_write(ins, replica)
+                if post.limit(1).count():
+                    merge_upsert(spark, replica, post, "o_orderkey")
+                if dels.limit(1).count():
+                    delete_keys(
+                        spark, replica, dels.select("o_orderkey"), "o_orderkey"
+                    )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rep = snapshot_read(spark, replica)
+    head = snapshot_read(spark, src)
+    equal = (
+        rep.exceptAll(head.select(*rep.columns)).limit(1).count() == 0
+        and head.select(*rep.columns).exceptAll(rep).limit(1).count() == 0
+    )
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.sum((F.col("o_orderpriority") == "0-MOVED").cast("long")).alias("n_moved"),
+        F.lit(equal).alias("replica_equals_source"),
+    )
+
+
 def _cdf_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Append-only history with a trailing DV delete: v0/v1 = orders
     %3==0 / +%3==1, v2 = DELETE WHERE o_orderstatus='F'."""

@@ -2587,6 +2587,86 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     return version, n_total - n_prev
 
 
+def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -> tuple[int, int]:
+    """Set-based row DELETE — ``MERGE ... WHEN MATCHED THEN DELETE`` /
+    the GDPR "erase these ids" shape — as a deletion-vector commit.
+
+    ``keys`` is a DataFrame holding the keys to erase in ``key_col``.
+    Matching row positions are found by a BROADCAST left-semi join
+    against the key set (the same touched-row discovery a COW MERGE
+    uses), unioned into the previous deletion vector, and published as
+    a new ``deletes-N`` sidecar over the UNCHANGED segment list — no
+    data file is rewritten. Already-tombstoned rows are read through
+    the DV first, so they are never re-counted. Returns
+    ``(new_version, rows_newly_deleted)``.
+
+    Scale: the scan is column-pruned to the key + row identity and the
+    key set ships broadcast — a deletion of K ids from a 100 TB table
+    costs one key-projected scan plus an O(K) sidecar, not a rewrite.
+    (Predicate-shaped deletes should prefer :func:`delete_where`, whose
+    manifest min/max pruning can skip whole segments; an arbitrary key
+    SET has no such closed form.)"""
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    version = latest["version"] + 1
+    dv_name = f"deletes-{version}"
+    segs = latest["segments"]
+    ledger = latest.get("schemas", {})
+    known = {json.dumps(ledger[s], sort_keys=True) for s in segs if s in ledger}
+    scan = _read_segment_dirs(
+        spark, path, segs, latest, evolved=len(known) > 1, with_pos=True
+    )
+    if latest.get("dv"):
+        scan = _anti_join_dv(spark, path, latest["dv"], scan)
+    matched = scan.join(
+        F.broadcast(keys.select(key_col).distinct()), key_col, "left_semi"
+    ).select(F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index"))
+    dv = matched
+    if latest.get("dv"):
+        dv = dv.unionAll(
+            spark.read.parquet(os.path.join(path, latest["dv"])).select(
+                "file_path", "row_index"
+            )
+        )
+    dv_staged = _stage_dir(path)
+    dv.coalesce(1).write.mode("errorifexists").parquet(dv_staged)
+    import pyarrow.parquet as pq
+
+    n_total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(dv_staged, "*.parquet"))
+    )
+    n_prev = 0
+    if latest.get("dv"):
+        n_prev = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(path, latest["dv"], "*.parquet"))
+        )
+    if n_total == n_prev:  # no key present: no-op, no commit
+        import shutil
+
+        shutil.rmtree(dv_staged, ignore_errors=True)
+        return latest["version"], 0
+    entry = {
+        "version": version,
+        "segments": list(segs),
+        "stats": dict(latest.get("stats", {})),
+        "dv": dv_name,
+        # Feed-readable like deleted_where: segments unchanged + dv moved
+        # is the transition class change_feed recovers deletes from.
+        "deleted_where": [[key_col, "in", "<key-set>"]],
+        "deleted_keys": key_col,
+    }
+    if latest.get("schemas"):
+        entry["schemas"] = dict(latest["schemas"])
+    if latest.get("bloom"):
+        entry["bloom"] = dict(latest["bloom"])
+    if latest.get("partition_by"):
+        entry["partition_by"] = dict(latest["partition_by"])
+    _commit_entry(path, latest["version"], entry, renames={dv_staged: dv_name})
+    return version, n_total - n_prev
+
+
 #: The second delete's price floor: SF-independent literal (TPC-H
 #: totalprice is distribution-stable across scale factors).
 _DELETE_PRICE_FLOOR = 150000.0

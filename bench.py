@@ -217,6 +217,7 @@ HEADLINE = [
     "snapshot_partition_evolution",
     "sink_optimized_write",
     "dedup_index_through_updates",
+    "stream_cdc_replicate",
 ]
 
 

@@ -1639,3 +1639,51 @@ def test_rollback_to_timestamp_resolves_as_of_rule(spark, tmp_path, monkeypatch)
     assert sorted(r.k for r in V.snapshot_read(spark, p).collect()) == list(range(30))
     with pytest.raises(ValueError, match="no version committed"):
         V.rollback_to_timestamp(p, 1_999_999.0)
+
+
+# ---------------------------------------------------------------------------
+# Set-based DELETE (delete_keys)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_keys_tombstones_exact_set(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        snapshot_read,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "dk")
+    versioned_write(spark.range(0, 50).withColumnRenamed("id", "k"), p)
+    versioned_write(spark.range(50, 100).withColumnRenamed("id", "k"), p, "append")
+    keys = spark.createDataFrame([(7,), (49,), (50,), (99,), (12345,)], ["k"])
+    v, n = delete_keys(spark, p, keys, "k")
+    assert (v, n) == (2, 4)  # 12345 absent; spans both segments
+    live = sorted(r.k for r in snapshot_read(spark, p).collect())
+    assert live == [k for k in range(100) if k not in (7, 49, 50, 99)]
+    # cumulative with a prior DV + no-op when nothing matches
+    v2, n2 = delete_keys(spark, p, spark.createDataFrame([(7,), (8,)], ["k"]), "k")
+    assert (v2, n2) == (3, 1)  # 7 already tombstoned, only 8 new
+    v3, n3 = delete_keys(spark, p, spark.createDataFrame([(7,)], ["k"]), "k")
+    assert (v3, n3) == (3, 0)  # full no-op: no commit published
+    assert snapshot_read(spark, p).count() == 95
+
+
+def test_delete_keys_feeds_change_feed_and_mv(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        delete_keys,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "dkf")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    versioned_write(df, p)
+    delete_keys(spark, p, spark.createDataFrame([(0,), (1,), (2,)], ["k"]), "k")
+    feed = change_feed(spark, p, 0, 1)
+    dels = sorted(
+        r.k for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [0, 1, 2]
