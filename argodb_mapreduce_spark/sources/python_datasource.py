@@ -1173,9 +1173,18 @@ def make_versioned_datasource():
             )
             if end_version is not None:
                 end_version = int(end_version)
+            start_version = self.options.get("startingVersion") or self.options.get(
+                "startingversion"
+            )
+            if start_version is not None:
+                start_version = int(start_version)
+                if end_version is not None and start_version > end_version:
+                    raise ValueError(
+                        f"startingVersion {start_version} > endVersion {end_version}"
+                    )
             return VersionedStreamReader(
                 self._path, ignore_deletes, cdf, base_cols, base_types,
-                self._prune, max_versions, end_version,
+                self._prune, max_versions, end_version, start_version,
             )
 
     class VersionedStreamReader(DataSourceStreamReader):
@@ -1211,7 +1220,13 @@ def make_versioned_datasource():
             prune=(),
             max_versions=None,
             end_version=None,
+            start_version=None,
         ):
+            # ``option("startingVersion", N)`` — Delta's CDF option:
+            # begin the subscription AT version N (its changes
+            # INCLUDED) instead of the full history. Only consulted by
+            # initialOffset, so an existing checkpoint always wins.
+            self._start_version = start_version
             self._path = path
             self._base_types = base_types
             # ABSOLUTE subscription bound (``option("endVersion", N)``,
@@ -1258,8 +1273,11 @@ def make_versioned_datasource():
                 return _json.load(f)
 
         def initialOffset(self):
-            self._last_end = -1
-            return {"version": -1}  # consume history from the first version
+            # Version N's changes are INCLUDED (offsets are exclusive
+            # lower bounds, so "start at N" means offset N-1).
+            first = -1 if self._start_version is None else self._start_version - 1
+            self._last_end = first
+            return {"version": first}
 
         def latestOffset(self):
             head = self._entries()[-1]["version"]
@@ -2376,6 +2394,12 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Versions must replay in commit order (an update's merge
             # must not run before the insert that created its target
             # row); the fixture's history is versions 0..3.
+            # Retry-idempotent by construction: a replayed micro-batch
+            # re-merges the same keys to the same values (state
+            # idempotent), delete_keys of tombstoned keys no-ops, and
+            # the bootstrap append only fires while the replica has no
+            # manifest — after a mid-batch crash the retry takes the
+            # merge path instead.
             for v in range(4):
                 legs = batch_df.filter(F.col("_commit_version") == v)
                 tags_ = ("_change_type", "_commit_version")

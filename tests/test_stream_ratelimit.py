@@ -162,3 +162,39 @@ def test_end_version_pins_stream_below_head(spark, tmp_path):
     run()
     sunk = spark.read.parquet(out)
     assert sunk.count() == 50 and sunk.distinct().count() == 50
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    register_datasource(spark)
+    p = str(tmp_path / "sv")
+    out = str(tmp_path / "sv_out")
+    ck = str(tmp_path / "sv_ck")
+    _appends(spark, p, 5)  # versions 0..4, keys 0..49
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("startingVersion", "3")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(30, 50))  # versions 3 and 4 only, 3 INCLUDED
+
+
+def test_starting_version_unit_semantics(spark, tmp_path):
+    p = str(tmp_path / "svu")
+    _appends(spark, p, 4)
+    r = _reader(p, startingVersion=2)
+    assert r.initialOffset() == {"version": 1}
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    import os
+
+    segs = {os.path.basename(os.path.dirname(pt.path)) for pt in parts}
+    assert segs == {"data-2", "data-3"}
+    with pytest.raises(ValueError, match="startingVersion"):
+        _reader(p, startingVersion=5, endVersion=2)
