@@ -93,6 +93,7 @@ _PRIORITY = (
     "sink_optimized_write",             # write-time small-files fix
     "dedup_index_through_updates",      # LSH index maintained via MERGE
     "stream_cdc_replicate",             # full CDC replication loop
+    "snapshot_generated_column",        # GENERATED ALWAYS AS columns
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -114,7 +115,9 @@ _PRIORITY = (
     # replication row: the reader paths it re-earned are driven by
     # pyds_partitioned_scan and pyds_rowgroup_pruned_scan, both in this
     # window.)
-    "pyds_versioned_write",       # writer path under new resolve tuple
+    # (pyds_versioned_write ceded its changed-code slot to the new
+    # generated-columns row: the writer path it re-earned is driven by
+    # pyds_partitioned_write, in this window.)
     "pyds_pruned_scan",           # pruning now merges partition stats
     "stream_versioned_ingest",    # stream reader partition-aware
     "stream_change_feed_live",    # CDF legs reordered through _emit

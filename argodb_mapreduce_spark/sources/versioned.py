@@ -761,6 +761,40 @@ def _cdf_enabled(path: str) -> bool:
     return bool(_read_properties(path).get("enableChangeDataFeed"))
 
 
+def add_generated_column(spark: SparkSession, path: str, col: str, expr: str) -> None:
+    """``col GENERATED ALWAYS AS (expr)`` — Delta generated columns on
+    this store, composed from two existing mechanisms:
+
+    * the column definition lives in the table-properties sidecar
+      (``generated``), and every :func:`versioned_write` /
+      :func:`merge_upsert` FILLS the column (``F.expr(expr)``) when the
+      incoming frame omits it — the writer-convenience half;
+    * enforcement is an implicit CHECK constraint ``col <=> (expr)``
+      (null-safe equality), so a frame that SUPPLIES the column with a
+      wrong value — on ANY write path, UPDATE and MERGE included — is
+      refused before its commit point, exactly like a hand-written
+      invariant. Registration validates the current head once, the
+      same price Delta charges.
+
+    At 100 TB: fill-in is one codegen'd projection on the new bytes;
+    enforcement is the constraint scan every write already pays."""
+    props = _read_properties(path)
+    gen = dict(props.get("generated", {}))
+    if col in gen:
+        raise ValueError(f"generated column {col!r} already defined: {gen[col]!r}")
+    add_constraint(spark, path, f"_generated_{col}", f"{col} <=> ({expr})")
+    gen[col] = expr
+    set_table_property(path, "generated", gen)
+
+
+def _fill_generated(df: DataFrame, path: str) -> DataFrame:
+    """Compute any missing generated columns on an incoming frame."""
+    for col, expr in _read_properties(path).get("generated", {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
 def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
     """Write the union of CDC leg DataFrames to a staged sidecar dir.
     Returns ``(staged_dir, n_rows)`` — ``(None, 0)`` when every leg is
@@ -1161,6 +1195,9 @@ def versioned_write(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # Generated columns fill in when the incoming frame omits them (the
+    # CHECK half of add_generated_column enforces supplied values).
+    df = _fill_generated(df, path)
     # Guard against externally created sessions (the driver's) that still
     # default to INT96: stats-less timestamps would silently disable
     # data skipping on every date column of this segment.
@@ -3200,6 +3237,77 @@ def snapshot_change_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Generated columns (Delta GENERATED ALWAYS AS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_generated_column",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS wrong_value_rejected
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY 1
+    """,
+    tags=("sink", "snapshot", "generated-columns", "constraints"),
+    doc=(
+        "GENERATED COLUMNS: o_year GENERATED ALWAYS AS "
+        "(year(o_orderdate)) is defined before the first write; an "
+        "append that OMITS the column gets it computed (one codegen'd "
+        "projection), an append that SUPPLIES it correctly passes the "
+        "implicit CHECK (o_year <=> expr), and an append supplying a "
+        "WRONG value is REFUSED before its commit point "
+        "(wrong_value_rejected pins the ConstraintViolation and that "
+        "the table still holds only the two good appends). Per-year "
+        "counts over the filled column are hash-checked against the "
+        "oracle recomputing the expression."
+    ),
+)
+def snapshot_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fill-in is a projection fused into the write scan;
+    enforcement is the same one-pass constraint scan of new bytes every
+    write already pays. The 100 TB use is partition-expression columns
+    (date -> year/month) kept consistent without trusting writers."""
+    out = _scratch(sf_dir) + "_gencol"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    add_generated_column(spark, out, "o_year", "year(o_orderdate)")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)  # omitted -> filled
+    versioned_write(  # supplied correctly -> passes the CHECK
+        o.filter(k % 3 == 1).withColumn("o_year", F.year("o_orderdate")),
+        out,
+        mode="append",
+    )
+    try:
+        versioned_write(
+            o.filter(k % 3 == 2).withColumn("o_year", F.lit(1900)),
+            out,
+            mode="append",
+        )
+        rejected = False
+    except ConstraintViolation:
+        rejected = True
+    rejected = rejected and len(versions(out)) == 2
+    return (
+        snapshot_read(spark, out)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.lit(rejected).alias("wrong_value_rejected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Optimized write (write-time small-files compaction)
 # ---------------------------------------------------------------------------
 
@@ -3580,6 +3688,7 @@ def merge_upsert(
     conservative contract as the read path: provably-untouched or
     rewritten.
     """
+    source = _fill_generated(source, path)  # generated columns fill in
     entries = _read_manifest(path)
     latest = entries[-1]
     segs = latest["segments"]

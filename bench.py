@@ -218,6 +218,7 @@ HEADLINE = [
     "sink_optimized_write",
     "dedup_index_through_updates",
     "stream_cdc_replicate",
+    "snapshot_generated_column",
 ]
 
 

@@ -311,3 +311,55 @@ def test_partitioned_table_update_cdc_keeps_partition_types(spark, tmp_path):
     assert dict(feed.dtypes)["part"] == "string"
     pre = feed.filter(F.col("_change_type") == "update_preimage")
     assert sorted(r.part for r in pre.collect()) == ["0", "0", "0", "1", "1", "1"]
+
+
+# ---------------------------------------------------------------------------
+# Generated columns
+# ---------------------------------------------------------------------------
+
+
+def test_generated_column_fill_enforce_and_merge(spark, tmp_path):
+    import os
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConstraintViolation,
+        add_generated_column,
+        merge_upsert,
+        snapshot_read,
+    )
+
+    p = str(tmp_path / "gc")
+    os.makedirs(p)
+    add_generated_column(spark, p, "v2", "v * 2")
+    df = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    versioned_write(df, p)  # fill-in
+    got = snapshot_read(spark, p)
+    assert got.filter(F.col("v2") != F.col("v") * 2).count() == 0
+    # MERGE source omitting the column fills in too
+    src = spark.range(18, 25).select(F.col("id").alias("k"), F.lit(5).cast("long").alias("v"))
+    merge_upsert(spark, p, src, "k")
+    r = snapshot_read(spark, p)
+    assert r.count() == 25
+    assert r.filter(F.col("v2") != F.col("v") * 2).count() == 0
+    # a wrong supplied value is refused on append AND on merge
+    bad = spark.range(100, 101).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v"),
+        F.lit(999).cast("long").alias("v2"),
+    )
+    with pytest.raises(ConstraintViolation):
+        versioned_write(bad, p, mode="append")
+    with pytest.raises(ConstraintViolation):
+        merge_upsert(spark, p, bad, "k")
+    assert snapshot_read(spark, p).count() == 25  # nothing leaked
+
+
+def test_generated_column_cannot_redefine(spark, tmp_path):
+    import os
+
+    from argodb_mapreduce_spark.sources.versioned import add_generated_column
+
+    p = str(tmp_path / "gc2")
+    os.makedirs(p)
+    add_generated_column(spark, p, "y", "k + 1")
+    with pytest.raises(ValueError, match="already defined"):
+        add_generated_column(spark, p, "y", "k + 2")
