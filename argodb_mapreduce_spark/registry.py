@@ -94,6 +94,7 @@ _PRIORITY = (
     "dedup_index_through_updates",      # LSH index maintained via MERGE
     "stream_cdc_replicate",             # full CDC replication loop
     "snapshot_generated_column",        # GENERATED ALWAYS AS columns
+    "snapshot_delete_keys",             # set-based DV delete (GDPR shape)
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -121,7 +122,10 @@ _PRIORITY = (
     "pyds_pruned_scan",           # pruning now merges partition stats
     "stream_versioned_ingest",    # stream reader partition-aware
     "stream_change_feed_live",    # CDF legs reordered through _emit
-    "stream_versioned_sink",      # txn sink over fenced lock
+    # (stream_versioned_sink ceded its changed-code slot to the new
+    # delete_keys row: its versioned_write_txn machinery is driven by
+    # stream_expect_quarantine_live's per-leg txn stamps, in this
+    # window.)
     "snapshot_partitioned_scan",  # native read casts ledger types
     # (snapshot_zorder_scan ceded its changed-code slot to the new
     # partition-evolution row: its r11 change — staged-dir cleanup on

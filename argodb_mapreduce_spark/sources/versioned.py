@@ -2704,6 +2704,56 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -
     return version, n_total - n_prev
 
 
+@register(
+    "snapshot_delete_keys",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 1000 = 0) AS BIGINT) AS rows_erased,
+           TRUE AS segments_unchanged,
+           TRUE AS cumulative_noop
+    FROM orders WHERE o_orderkey % 1000 <> 0
+    """,
+    tags=("source", "snapshot", "delete", "deletion-vector", "keyed"),
+    doc=(
+        "SET-BASED DELETE (delete_keys — MERGE WHEN MATCHED THEN "
+        "DELETE / the GDPR erase-these-ids shape): the %1000==0 keys "
+        "are erased as one deletion-vector commit — touched rows found "
+        "by a BROADCAST semi-join against the key set, O(K) sidecar, "
+        "segment list unchanged (flag pinned), no data file rewritten. "
+        "A second call with the same keys is a NO-OP that publishes no "
+        "commit (cumulative_noop pins rows_newly_deleted == 0 and the "
+        "version staying put). Remaining rows hash-checked; the erase "
+        "count is pinned from the key set's true cardinality."
+    ),
+)
+def snapshot_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one key-projected scan + broadcast semi-join + O(K)
+    sidecar per erase batch — the right-to-be-forgotten primitive at
+    100 TB, vs delete_where for predicate-shaped deletes (which also
+    min/max-prunes segments)."""
+    out = _scratch(sf_dir) + "_dk"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out)
+    keys = o.filter(F.col("o_orderkey") % 1000 == 0).select("o_orderkey")
+    v1, n1 = delete_keys(spark, out, keys, "o_orderkey")
+    v2, n2 = delete_keys(spark, out, keys, "o_orderkey")  # replay: no-op
+    entry = _read_manifest(out)[-1]
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(n1).cast("long").alias("rows_erased"),
+        F.lit(entry["segments"] == _read_manifest(out)[0]["segments"]).alias(
+            "segments_unchanged"
+        ),
+        F.lit(n2 == 0 and v2 == v1).alias("cumulative_noop"),
+    )
+
+
 #: The second delete's price floor: SF-independent literal (TPC-H
 #: totalprice is distribution-stable across scale factors).
 _DELETE_PRICE_FLOOR = 150000.0

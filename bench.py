@@ -219,6 +219,7 @@ HEADLINE = [
     "dedup_index_through_updates",
     "stream_cdc_replicate",
     "snapshot_generated_column",
+    "snapshot_delete_keys",
 ]
 
 
