@@ -3846,8 +3846,8 @@ def merge_upsert(
     # the lock (a pre-commit data-{version} dir would look like a crash
     # orphan to a concurrent versioned_write).
     staged = _stage_dir(path)
-    rewrite.write.mode("errorifexists").parquet(staged)
     try:
+        rewrite.write.mode("errorifexists").parquet(staged)
         _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
@@ -4278,8 +4278,8 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
             renames[staged_cdc] = cdc_name
     # Stage the rewrite; the final name publishes under the commit lock.
     staged = _stage_dir(path)
-    rewrite.write.mode("errorifexists").parquet(staged)
     try:
+        rewrite.write.mode("errorifexists").parquet(staged)
         _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
