@@ -1513,6 +1513,105 @@ def dedup_index_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_delete_index_fixture(spark: SparkSession, sf_dir: str):
+    """documents stored CDF-enabled, band index built at v0, then the
+    doc_id % 9 == 0 documents are ERASED (set-based delete_keys) and
+    the index drops their entries from the feed's delete legs — the
+    GDPR path: an erasure request must purge the derived index too."""
+    import os
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        change_feed,
+        delete_keys,
+        enable_change_data_feed,
+        snapshot_read,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
+    docs_tbl = os.path.join(root, "docs_del_store")
+    idx_tbl = os.path.join(root, "docs_del_band_index")
+    src = table_path(sf_dir, "documents")
+    if (
+        not fixture_stale(src, os.path.join(idx_tbl, MANIFEST))
+        and os.path.exists(os.path.join(docs_tbl, MANIFEST))
+        and len(versions(idx_tbl)) == 2
+    ):
+        return docs_tbl, idx_tbl
+    import shutil
+
+    shutil.rmtree(docs_tbl, ignore_errors=True)
+    shutil.rmtree(idx_tbl, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versioned_write(docs, docs_tbl)
+    enable_change_data_feed(docs_tbl)
+    versioned_write(_band_index_for(snapshot_read(spark, docs_tbl, 0)), idx_tbl)
+    delete_keys(
+        spark, docs_tbl, docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"), "doc_id"
+    )
+    # Maintenance consumes ONLY the feed: the delete legs' doc_ids are
+    # erased from the index with the same set-based DV delete — the
+    # erasure cascades source -> derived table at O(erased keys).
+    erased = (
+        change_feed(spark, docs_tbl, 0, 1)
+        .filter(F.col("_change_type") == "delete")
+        .select("doc_id")
+    )
+    delete_keys(spark, idx_tbl, erased, "doc_id")
+    return docs_tbl, idx_tbl
+
+
+@register(
+    "dedup_index_through_deletes",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0),
+    sig AS ({_SQL_SIGNATURE.replace("FROM documents", "FROM docs")})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS n_buckets,
+           TRUE AS incremental_equals_full
+    FROM ({_sql_band_table()}) GROUP BY band
+    """,
+    tags=("dedup", "minhash", "snapshot", "cdc", "incremental", "delete"),
+    doc=(
+        "INDEX MAINTENANCE THROUGH DELETES (the GDPR cascade): erasing "
+        "documents is a set-based delete_keys on the CDF-enabled store; "
+        "the index job consumes the change feed's delete legs and "
+        "erases the same doc_ids from the stored band index with "
+        "another delete_keys — an O(erased keys) DV commit on the "
+        "index, no rebuild, no rewrite. With r10's append maintenance "
+        "and r11b's update maintenance this completes the symmetry: "
+        "the derived index tracks its base through ALL THREE change "
+        "kinds at O(changes). Maintained index exceptAll-proven equal "
+        "to a rebuild over the post-delete corpus; per-band counts "
+        "oracle-checked."
+    ),
+)
+def dedup_index_through_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the erasure cascade costs one broadcast semi-join scan of
+    the index + an O(K) sidecar — the right-to-be-forgotten path for
+    every derived table a 100 TB corpus keeps (indexes, MVs, replicas),
+    all driven from one change feed."""
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    docs_tbl, idx_tbl = _build_delete_index_fixture(spark, sf_dir)
+    idx = snapshot_read(spark, idx_tbl)
+    full = _band_index_for(snapshot_read(spark, docs_tbl))
+    equal = (
+        idx.exceptAll(full).limit(1).count() == 0
+        and full.exceptAll(idx).limit(1).count() == 0
+    )
+    return idx.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("band_hash").alias("n_buckets"),
+        F.lit(equal).alias("incremental_equals_full"),
+    )
+
+
 _REVISION_SUFFIX = " freshly revised edition"
 
 

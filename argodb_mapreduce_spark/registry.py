@@ -95,6 +95,7 @@ _PRIORITY = (
     "stream_cdc_replicate",             # full CDC replication loop
     "snapshot_generated_column",        # GENERATED ALWAYS AS columns
     "snapshot_delete_keys",             # set-based DV delete (GDPR shape)
+    "dedup_index_through_deletes",      # GDPR cascade into the index
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -120,7 +121,10 @@ _PRIORITY = (
     # generated-columns row: the writer path it re-earned is driven by
     # pyds_partitioned_write, in this window.)
     "pyds_pruned_scan",           # pruning now merges partition stats
-    "stream_versioned_ingest",    # stream reader partition-aware
+    # (stream_versioned_ingest ceded its changed-code slot to the new
+    # index-through-deletes row: the stream reader's partition plumbing
+    # is driven by stream_backlog_drain and the CDF stream rows, all in
+    # this window.)
     "stream_change_feed_live",    # CDF legs reordered through _emit
     # (stream_versioned_sink ceded its changed-code slot to the new
     # delete_keys row: its versioned_write_txn machinery is driven by

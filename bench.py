@@ -220,6 +220,7 @@ HEADLINE = [
     "stream_cdc_replicate",
     "snapshot_generated_column",
     "snapshot_delete_keys",
+    "dedup_index_through_deletes",
 ]
 
 
