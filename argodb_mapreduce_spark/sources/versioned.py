@@ -729,15 +729,18 @@ def _read_properties(path: str) -> dict:
 def set_table_property(path: str, key: str, value) -> dict:
     """``ALTER TABLE SET TBLPROPERTIES`` for the versioned store: a
     table-level key/value sidecar (Delta's ``delta.*`` properties).
-    Written atomically (tmp + replace) like the constraints sidecar;
-    returns the full property map after the write. O(1) metadata —
-    table size never enters."""
-    props = _read_properties(path)
-    props[key] = value
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(props, f, indent=1)
-    os.replace(tmp, os.path.join(path, PROPERTIES))
+    The read-modify-write runs under the table's commit lock (two
+    concurrent property writers must not lose each other's keys) and
+    the file lands atomically (tmp + replace); returns the full map
+    after the write. O(1) metadata — table size never enters."""
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        props[key] = value
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, PROPERTIES))
     return props
 
 
@@ -851,6 +854,9 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
     cons = _read_constraints(path)
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+    # The O(table) validation scan runs OUTSIDE the lock (millisecond-
+    # hold contract); the read-modify-write of the sidecar serializes
+    # under it so concurrent registrars can't lose each other's rows.
     if os.path.exists(os.path.join(path, MANIFEST)):
         bad = (
             snapshot_read(spark, path)
@@ -861,11 +867,16 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
             raise ConstraintViolation(
                 f"cannot add constraint {name!r}: {bad} existing rows violate ({expr})"
             )
-    cons[name] = expr
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="_constraints", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(cons, f, indent=1)
-    os.replace(tmp, os.path.join(path, CONSTRAINTS))
+    with _commit_lock(path) as lock_token:
+        cons = _read_constraints(path)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+        cons[name] = expr
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_constraints", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(cons, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, CONSTRAINTS))
     return len(cons)
 
 

@@ -363,3 +363,31 @@ def test_generated_column_cannot_redefine(spark, tmp_path):
     add_generated_column(spark, p, "y", "k + 1")
     with pytest.raises(ValueError, match="already defined"):
         add_generated_column(spark, p, "y", "k + 2")
+
+
+def test_concurrent_property_writers_lose_nothing(spark, tmp_path):
+    """set_table_property serializes its read-modify-write under the
+    commit lock: N concurrent writers of distinct keys all survive."""
+    import threading
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_properties,
+        set_table_property,
+    )
+
+    p = str(tmp_path / "props")
+    os.makedirs(p)
+    errs = []
+
+    def put(i):
+        try:
+            set_table_property(p, f"key{i}", i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=put, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    props = _read_properties(p)
+    assert {f"key{i}" for i in range(8)} <= set(props)
