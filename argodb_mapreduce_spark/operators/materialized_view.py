@@ -518,6 +518,117 @@ def _build_mv_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str
         "dynamic-table contract extended through row updates."
     ),
 )
+def _build_medallion_fixture(spark: SparkSession, sf_dir: str):
+    """Two ingest days through the full medallion: BRONZE lands raw
+    batches expectation-gated (injected negative-price rows quarantine),
+    SILVER is maintained from bronze's change feed (O(changes), a
+    cleansing projection), GOLD is an incrementally refreshed MV on
+    silver. Fresh each run (refresh mutates the MV)."""
+    import shutil
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        change_feed,
+        enable_change_data_feed,
+        versioned_write_expect,
+    )
+
+    bronze = _scratch(sf_dir, "medallion_bronze")
+    silver = _scratch(sf_dir, "medallion_silver")
+    gold = _scratch(sf_dir, "medallion_gold")
+    for p in (bronze, bronze + "_quarantine", silver, gold):
+        shutil.rmtree(p, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def raw_day(mod):
+        good = o.filter(k % 3 == mod)
+        # corrupt COPIES of the %50==0 keys (negated price): the gate
+        # must quarantine them while the originals pass
+        bad = good.filter(k % 50 == 0).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        return good.unionByName(bad), bad
+
+    os.makedirs(bronze, exist_ok=True)
+    add_constraint(spark, bronze, "price_positive", "o_totalprice > 0")
+    day1, _ = raw_day(0)
+    r1 = versioned_write_expect(day1, bronze)  # bronze v0 + quarantine
+    enable_change_data_feed(bronze)
+
+    def cleanse(df):  # the silver projection
+        return df.select(
+            "o_orderkey",
+            "o_orderpriority",
+            # prices are 2-decimal values in a double: x*100 sits ~1e-10
+            # from an integer, so ROUND-then-cast is engine-identical
+            # (a bare cast truncates in Spark but rounds in DuckDB)
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read as _sr
+
+    versioned_write(cleanse(_sr(spark, bronze, 0)), silver)  # silver v0
+    mv_create(spark, silver, gold, ["o_orderpriority"], ["price_cents"])
+    # day 2: gate the batch, maintain silver from bronze's FEED, refresh
+    day2, _ = raw_day(1)
+    r2 = versioned_write_expect(day2, bronze)
+    delta = change_feed(spark, bronze, 0, r2["version"]).filter(
+        F.col("_change_type") == "insert"
+    )
+    versioned_write(cleanse(delta), silver, mode="append")
+    summary = mv_refresh(spark, gold)
+    quarantined = r1["rows_violating"] + r2["rows_violating"]
+    return gold, summary, quarantined
+
+
+@register(
+    "pipeline_medallion",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 50 = 0)
+                AS BIGINT) AS rows_quarantined,
+           'incremental' AS gold_refresh_mode
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderpriority
+    """,
+    tags=("pipeline", "mv", "cdc", "quarantine", "medallion"),
+    doc=(
+        "MEDALLION PIPELINE, end to end: two ingest days flow BRONZE "
+        "(expectation-gated versioned writes — injected negative-price "
+        "copies land in the quarantine table, originals commit) -> "
+        "SILVER (maintained from bronze's CHANGE FEED at O(changes): a "
+        "cleansing projection of only the day's insert legs, never a "
+        "bronze rescan) -> GOLD (an incrementally refreshed MV on "
+        "silver; the day-2 refresh mode 'incremental' is pinned in the "
+        "hash). The oracle pins gold's content to a from-scratch "
+        "aggregate over exactly the clean rows and the quarantine count "
+        "to the injected corruption — the bronze/silver/gold "
+        "architecture every lakehouse pipeline doc draws, composed "
+        "entirely from this store's primitives."
+    ),
+)
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each day moves O(day) rows end to end — the gate scans
+    the batch, silver consumes the feed's delta segments, gold merges
+    signed partials; nothing reprocesses history. The quarantine loop
+    (repair + replay) composes on top (snapshot_quarantine_replay)."""
+    gold, summary, quarantined = _build_medallion_fixture(spark, sf_dir)
+    return snapshot_read(spark, gold).select(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("sum_price_cents").alias("sum_cents"),
+        F.lit(quarantined).cast("long").alias("rows_quarantined"),
+        F.lit(summary["mode"]).alias("gold_refresh_mode"),
+    )
+
+
 def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: identical to the delete path — |MV| + |changed groups|
     shuffle, feed cost = the day's updated rows. Group movement needs

@@ -96,6 +96,7 @@ _PRIORITY = (
     "snapshot_generated_column",        # GENERATED ALWAYS AS columns
     "snapshot_delete_keys",             # set-based DV delete (GDPR shape)
     "dedup_index_through_deletes",      # GDPR cascade into the index
+    "pipeline_medallion",               # bronze->silver->gold composition
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -125,7 +126,9 @@ _PRIORITY = (
     # index-through-deletes row: the stream reader's partition plumbing
     # is driven by stream_backlog_drain and the CDF stream rows, all in
     # this window.)
-    "stream_change_feed_live",    # CDF legs reordered through _emit
+    # (stream_change_feed_live ceded its changed-code slot to the new
+    # medallion row: its _emit reorder is driven by
+    # stream_change_feed_updates_live, in this window.)
     # (stream_versioned_sink ceded its changed-code slot to the new
     # delete_keys row: its versioned_write_txn machinery is driven by
     # stream_expect_quarantine_live's per-leg txn stamps, in this

@@ -221,6 +221,7 @@ HEADLINE = [
     "snapshot_generated_column",
     "snapshot_delete_keys",
     "dedup_index_through_deletes",
+    "pipeline_medallion",
 ]
 
 
