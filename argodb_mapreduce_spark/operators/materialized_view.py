@@ -518,6 +518,20 @@ def _build_mv_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str
         "dynamic-table contract extended through row updates."
     ),
 )
+def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical to the delete path — |MV| + |changed groups|
+    shuffle, feed cost = the day's updated rows. Group movement needs
+    no special case: an update is exactly (-old, +new) in the signed
+    partial, whichever groups the two images land in."""
+    _base, mv, summary = _build_mv_update_fixture(spark, sf_dir)
+    return snapshot_read(spark, mv).select(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("sum_o_orderkey"),
+        F.lit(summary["mode"]).alias("refresh_mode"),
+    )
+
+
 def _build_medallion_fixture(spark: SparkSession, sf_dir: str):
     """Two ingest days through the full medallion: BRONZE lands raw
     batches expectation-gated (injected negative-price rows quarantine),
@@ -628,16 +642,3 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(summary["mode"]).alias("gold_refresh_mode"),
     )
 
-
-def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: identical to the delete path — |MV| + |changed groups|
-    shuffle, feed cost = the day's updated rows. Group movement needs
-    no special case: an update is exactly (-old, +new) in the signed
-    partial, whichever groups the two images land in."""
-    _base, mv, summary = _build_mv_update_fixture(spark, sf_dir)
-    return snapshot_read(spark, mv).select(
-        "o_orderpriority",
-        F.col("n_rows"),
-        F.col("sum_o_orderkey"),
-        F.lit(summary["mode"]).alias("refresh_mode"),
-    )

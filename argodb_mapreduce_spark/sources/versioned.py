@@ -487,6 +487,18 @@ class _TxnDuplicate(Exception):
         super().__init__(f"txn batch already committed at head v{head}")
 
 
+def _dir_num_rows(d: str) -> int:
+    """Row count of a flat parquet dir from its FOOTERS — O(files)
+    metadata, no scan. The shared accounting primitive for DV sidecars,
+    CDC sidecars, and staged rewrites."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
 def _stage_dir(path: str) -> str:
     """A unique staging directory path under the table root (not
     created). Staged names collide with no committer; final segment
@@ -781,13 +793,48 @@ def add_generated_column(spark: SparkSession, path: str, col: str, expr: str) ->
 
     At 100 TB: fill-in is one codegen'd projection on the new bytes;
     enforcement is the constraint scan every write already pays."""
-    props = _read_properties(path)
-    gen = dict(props.get("generated", {}))
-    if col in gen:
-        raise ValueError(f"generated column {col!r} already defined: {gen[col]!r}")
-    add_constraint(spark, path, f"_generated_{col}", f"{col} <=> ({expr})")
-    gen[col] = expr
-    set_table_property(path, "generated", gen)
+    cname = f"_generated_{col}"
+    cexpr = f"{col} <=> ({expr})"
+    # Head validation (O(table), so OUTSIDE the lock) — only meaningful
+    # when the table already has data AND the column; the documented
+    # flow defines generated columns before the first write.
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        bad = (
+            snapshot_read(spark, path)
+            .filter(~F.coalesce(F.expr(cexpr), F.lit(False)))
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add generated column {col!r}: {bad} existing rows "
+                f"violate ({cexpr})"
+            )
+    # ONE lock for the whole two-sidecar read-modify-write (the lock is
+    # not reentrant, so the public add_constraint/set_table_property
+    # cannot be called from here): concurrent registrars of different
+    # columns must not lose each other's entries, and the property must
+    # land BEFORE the constraint — a crash between the two leaves
+    # fill-in without enforcement (benign) rather than enforcement
+    # without fill-in (wedges every omitting writer).
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        gen = dict(props.get("generated", {}))
+        if col in gen:
+            raise ValueError(
+                f"generated column {col!r} already defined: {gen[col]!r}"
+            )
+        cons = _read_constraints(path)
+        if cname in cons:
+            raise ValueError(f"constraint {cname!r} already exists")
+        gen[col] = expr
+        props["generated"] = gen
+        cons[cname] = cexpr
+        _verify_lock(path, lock_token)
+        for fname, obj in ((PROPERTIES, props), (CONSTRAINTS, cons)):
+            fd, tmp = tempfile.mkstemp(dir=path, prefix=fname, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(obj, f, indent=1)
+            os.replace(tmp, os.path.join(path, fname))
 
 
 def _fill_generated(df: DataFrame, path: str) -> DataFrame:
@@ -809,12 +856,7 @@ def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
         out = out.unionByName(f, allowMissingColumns=True)
     staged = _stage_dir(path)
     out.write.mode("errorifexists").parquet(staged)
-    import pyarrow.parquet as pq
-
-    n = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(staged, "*.parquet"))
-    )
+    n = _dir_num_rows(staged)
     if n == 0:
         import shutil
 
@@ -2598,18 +2640,10 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     # concurrent delete racing the same version and fail arbitrarily).
     dv_staged = _stage_dir(path)
     dv.coalesce(1).write.mode("errorifexists").parquet(dv_staged)
-    import pyarrow.parquet as pq
-
-    n_total = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(dv_staged, "*.parquet"))
-    )
+    n_total = _dir_num_rows(dv_staged)
     n_prev = 0
     if latest.get("dv"):
-        n_prev = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(path, latest["dv"], "*.parquet"))
-        )
+        n_prev = _dir_num_rows(os.path.join(path, latest["dv"]))
     entry = {
         "version": version,
         "segments": list(latest["segments"]),
@@ -2678,18 +2712,10 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -
         )
     dv_staged = _stage_dir(path)
     dv.coalesce(1).write.mode("errorifexists").parquet(dv_staged)
-    import pyarrow.parquet as pq
-
-    n_total = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(dv_staged, "*.parquet"))
-    )
+    n_total = _dir_num_rows(dv_staged)
     n_prev = 0
     if latest.get("dv"):
-        n_prev = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(path, latest["dv"], "*.parquet"))
-        )
+        n_prev = _dir_num_rows(os.path.join(path, latest["dv"]))
     if n_total == n_prev:  # no key present: no-op, no commit
         import shutil
 
@@ -3898,12 +3924,7 @@ def merge_upsert(
             s: v for s, v in latest.get("bloom", {}).items() if s in untouched
         }
         entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
-    import pyarrow.parquet as pq
-
-    n_upserted = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(os.path.join(staged, "*.parquet"))
-    )
+    n_upserted = _dir_num_rows(staged)
     if cdc_name:
         entry["cdc"] = cdc_name
     # The rewrite derives from the version read above — OCC-gate it.
@@ -4264,22 +4285,37 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     # the commit reports); the rewrite below re-reads the same pruned
     # file set — two passes over touched segments, zero over the rest.
     n_updated = scan.filter(match).count()
-    rewrite = scan.withColumns(
-        {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
-    )
+    if not n_updated:
+        # Stats admitted a segment but no row actually matches: commit
+        # NOTHING. A rewrite here would be a pure waste — and on a
+        # CDF-enabled table it would publish a segments-replaced
+        # version with no sidecar, permanently poisoning every feed
+        # that spans it (Delta likewise records no commit actions for
+        # an empty UPDATE).
+        return {
+            "version": latest["version"],
+            "rows_updated": 0,
+            "segments_rewritten": 0,
+            "segments_total": len(segs),
+        }
     # CHANGE DATA FEED sidecar (Delta CDF): when the table property is
     # set, record the matched rows' before/after images in a staged
     # ``cdc-{version}`` dir that publishes atomically WITH the rewrite
-    # under the commit lock — O(matched rows) extra write, riding the
-    # same pruned scan the rewrite reads; non-matching rows never enter.
+    # under the commit lock — O(matched rows) extra write; non-matching
+    # rows never enter. The rewrite is then built from KEPT rows plus
+    # the sidecar's OWN postimage rows read back from disk, so the SET
+    # expressions are evaluated exactly ONCE: a non-deterministic SET
+    # (current_timestamp(), rand()) cannot make the recorded feed
+    # diverge from the table state a CDC consumer replicates.
     renames: dict[str, str] = {}
     cdc_name = None
-    if _cdf_enabled(path) and n_updated:
-        pre = scan.filter(match).withColumn(
+    matched_rows = F.coalesce(match, F.lit(False))
+    if _cdf_enabled(path):
+        pre = scan.filter(matched_rows).withColumn(
             "_change_type", F.lit("update_preimage")
         )
         post = (
-            scan.filter(match)
+            scan.filter(matched_rows)
             .withColumns(dict(set_exprs))
             .withColumn("_change_type", F.lit("update_postimage"))
         )
@@ -4287,6 +4323,22 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         if staged_cdc:
             cdc_name = f"cdc-{version}"
             renames[staged_cdc] = cdc_name
+            # Explicit part-file list: an underscore-prefixed staged
+            # root trips Spark's hidden-path heuristics.
+            post_back = (
+                spark.read.parquet(
+                    *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
+                )
+                .filter(F.col("_change_type") == "update_postimage")
+                .drop("_change_type")
+            )
+            rewrite = scan.filter(~matched_rows).unionByName(post_back)
+        else:  # all legs empty (cannot happen with n_updated > 0)
+            rewrite = scan
+    else:
+        rewrite = scan.withColumns(
+            {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
+        )
     # Stage the rewrite; the final name publishes under the commit lock.
     staged = _stage_dir(path)
     try:

@@ -391,3 +391,73 @@ def test_concurrent_property_writers_lose_nothing(spark, tmp_path):
     assert not errs
     props = _read_properties(p)
     assert {f"key{i}" for i in range(8)} <= set(props)
+
+
+def test_zero_match_update_is_a_noop_commit_nothing(spark, tmp_path):
+    """Stats may admit a segment no row of which matches: the UPDATE
+    must publish NOTHING (a sidecar-less rewrite would poison the feed
+    forever — review finding r11b)."""
+    from argodb_mapreduce_spark.sources.versioned import versions
+
+    p = _base(spark, tmp_path, n=20)  # keys 0..19
+    enable_change_data_feed(p)
+    # stats range [0,19] admits k=7, but filter v<0 matches no row
+    s = update_where(spark, p, [("k", "=", 7), ("v", "<", 0)], {"v": F.lit(1).cast("long")})
+    assert s == {
+        "version": 0,
+        "rows_updated": 0,
+        "segments_rewritten": 0,
+        "segments_total": 1,
+    }
+    assert versions(p) == [0]  # nothing published
+    # the feed over later real changes still works
+    update_where(spark, p, [("k", "<", 2)], {"v": F.lit(0).cast("long")})
+    assert change_feed(spark, p, 0, 1).count() == 4
+
+
+def test_nondeterministic_set_expr_feed_matches_table(spark, tmp_path):
+    """The postimage sidecar IS the rewrite's source of truth: even a
+    random SET value appears identically in the feed and the table."""
+    p = _base(spark, tmp_path, n=30)
+    enable_change_data_feed(p)
+    update_where(
+        spark, p, [("k", "<", 10)],
+        {"v": (F.rand(seed=None) * 1e9).cast("long")},
+    )
+    post = (
+        change_feed(spark, p, 0, 1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .select("k", "v")
+    )
+    table = snapshot_read(spark, p).filter(F.col("k") < 10).select("k", "v")
+    assert post.exceptAll(table).count() == 0
+    assert table.exceptAll(post).count() == 0
+
+
+def test_concurrent_generated_column_registrars_lose_nothing(spark, tmp_path):
+    import threading
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_constraints,
+        _read_properties,
+        add_generated_column,
+    )
+
+    p = str(tmp_path / "gcr")
+    os.makedirs(p)
+    errs = []
+
+    def put(i):
+        try:
+            add_generated_column(spark, p, f"g{i}", f"k + {i}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=put, args=(i,)) for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    gen = _read_properties(p)["generated"]
+    cons = _read_constraints(p)
+    assert {f"g{i}" for i in range(6)} == set(gen)
+    assert {f"_generated_g{i}" for i in range(6)} <= set(cons)
