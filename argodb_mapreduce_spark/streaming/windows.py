@@ -482,7 +482,11 @@ def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithStateInPandas (Spark 4's successor to
 # applyInPandasWithState) was attempted here but its state protocol
 # requires `google.protobuf`, which this container does not ship
-# (ImportError inside pyspark's transform_with_state_driver_worker).
+# (ImportError inside pyspark's transform_with_state_driver_worker;
+# re-probed 2026-08-16 with the RocksDB state store provider — a
+# ValueState RunningCount processor reaches the driver worker and dies
+# on the same missing protobuf import, so the block is env-level, not
+# API-level).
 # The capability it demonstrates — arbitrary keyed state over a real
 # multi-batch stream — is covered by stream_stateful_counts
 # (applyInPandasWithState) and stream_merge_upsert_live (foreachBatch);
