@@ -114,6 +114,68 @@ def optimized_write(spark, scale):
     return {"plain": t_plain, "optimized": t_opt}
 
 
+def delete_keys_erase(spark, scale):
+    """Fixed K=500 erase batch against a growing table: the sidecar is
+    O(K) but discovery is a key-projected scan — expect sub-linear
+    growth (column pruning + broadcast semi-join), not flatness."""
+    from argodb_mapreduce_spark.sources.versioned import delete_keys, versioned_write
+
+    n = BASE_ROWS * scale
+    p = f"/tmp/r11b_dk_x{scale}"
+    shutil.rmtree(p, ignore_errors=True)
+    versioned_write(_rows(spark, n), p)
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    t0 = time.monotonic()
+    v, erased = delete_keys(spark, p, keys, "k")
+    dt = time.monotonic() - t0
+    assert erased == 500
+    return dt
+
+
+def medallion_day(spark, scale):
+    """One FIXED-SIZE ingest day through bronze->silver->gold on a base
+    that is 1x vs 10x: the day's cost must not grow with history."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        change_feed,
+        enable_change_data_feed,
+        snapshot_read,
+        versioned_write,
+        versioned_write_expect,
+    )
+    import os as _o
+
+    n = BASE_ROWS * scale
+    bronze = f"/tmp/r11b_med_b_x{scale}"
+    silver = f"/tmp/r11b_med_s_x{scale}"
+    gold = f"/tmp/r11b_med_g_x{scale}"
+    for p in (bronze, bronze + "_quarantine", silver, gold):
+        shutil.rmtree(p, ignore_errors=True)
+    _o.makedirs(bronze)
+    add_constraint(spark, bronze, "v_nonneg", "v >= 0")
+    versioned_write_expect(_rows(spark, n), bronze)  # history: 1x vs 10x
+    enable_change_data_feed(bronze)
+    versioned_write(
+        snapshot_read(spark, bronze, 0).select("k", "g", "v"), silver
+    )
+    mv_create(spark, silver, gold, ["g"], ["v"])
+    day = _rows(spark, 20_000, shift=n)  # FIXED day size at both scales
+    t0 = time.monotonic()
+    r = versioned_write_expect(day, bronze)
+    delta = change_feed(spark, bronze, 0, r["version"]).filter(
+        F.col("_change_type") == "insert"
+    )
+    versioned_write(delta.select("k", "g", "v"), silver, mode="append")
+    res = mv_refresh(spark, gold)
+    dt = time.monotonic() - t0
+    assert res["mode"] == "incremental"
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ops", default="cdf_update_lifecycle,rowgroup_skip,optimized_write")
