@@ -461,3 +461,109 @@ def test_concurrent_generated_column_registrars_lose_nothing(spark, tmp_path):
     cons = _read_constraints(p)
     assert {f"g{i}" for i in range(6)} == set(gen)
     assert {f"_generated_g{i}" for i in range(6)} <= set(cons)
+
+
+# ---------------------------------------------------------------------------
+# Property: the signed feed reconstructs the head over ANY legal history
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("update"), st.integers(0, 49)),
+        st.tuples(st.just("delete"), st.integers(0, 49)),
+        st.tuples(st.just("delete_keys"), st.integers(0, 49)),
+        st.tuples(st.just("merge"), st.integers(0, 49)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_OPS)
+def test_signed_feed_replay_reconstructs_head_for_any_history(ops):
+    """For ANY sequence of appends / windowed UPDATEs / predicate and
+    set-based DELETEs / MERGEs on a CDF-enabled table, replaying the
+    signed change feed over v0 must reproduce the head snapshot exactly
+    — the invariant every CDC consumer (MV, replica, index) relies on."""
+    import uuid
+
+    from argodb_mapreduce_spark.sources.versioned import delete_keys
+
+    spark = spark_ref["spark"]
+    p = os.path.join(tmp_ref["dir"], f"h{uuid.uuid4().hex[:8]}")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("v")
+    )
+    versioned_write(df, p)
+    enable_change_data_feed(p)
+    nxt = [50]
+    for kind, arg in ops:
+        if kind == "append":
+            a = nxt[0]
+            versioned_write(
+                spark.range(a, a + 5 + arg).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("v")
+                ),
+                p,
+                mode="append",
+            )
+            nxt[0] = a + 5 + arg
+        elif kind == "update":
+            update_where(
+                spark, p, [("k", ">=", arg), ("k", "<", arg + 7)],
+                {"v": F.col("v") + 1},
+            )
+        elif kind == "delete":
+            delete_where(spark, p, [("k", ">=", arg), ("k", "<", arg + 3)])
+        elif kind == "delete_keys":
+            delete_keys(
+                spark, p,
+                spark.createDataFrame([(arg,), (arg + 1,), (9999,)], ["k"]), "k",
+            )
+        else:  # merge: update existing window + insert fresh keys
+            a = nxt[0]
+            src = spark.range(arg, arg + 4).select(
+                F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")
+            ).unionByName(
+                spark.range(a, a + 3).select(
+                    F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+                )
+            )
+            merge_upsert(spark, p, src, "k")
+            nxt[0] = a + 3
+    head_v = _read_manifest(p)[-1]["version"]
+    if head_v == 0:
+        return  # every op no-opped (possible when deletes hit erased keys)
+    feed = change_feed(spark, p, 0, head_v)
+    v0 = snapshot_read(spark, p, 0)
+    adds = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "v")
+    removes = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k", "v")
+    replayed = v0.select("k", "v").unionByName(adds).exceptAll(removes)
+    head = snapshot_read(spark, p, head_v).select("k", "v")
+    assert replayed.exceptAll(head).count() == 0
+    assert head.exceptAll(replayed).count() == 0
+
+
+# session-scoped bridges: hypothesis can't take pytest fixtures directly
+# in @given functions, so stash them via autouse fixtures.
+import pytest as _pt  # noqa: E402
+
+spark_ref: dict = {}
+tmp_ref: dict = {}
+
+
+@_pt.fixture(autouse=True)
+def _bridge(spark, tmp_path_factory):
+    spark_ref["spark"] = spark
+    tmp_ref["dir"] = str(tmp_path_factory.mktemp("cdfprop"))
+    yield
