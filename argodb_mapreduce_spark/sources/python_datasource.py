@@ -1325,11 +1325,16 @@ def make_versioned_datasource():
             entries = {e["version"]: e for e in self._entries()}
             lo, hi = start["version"], end["version"]
             if hi < lo:
-                # Only reachable when endVersion was set BELOW the
-                # checkpoint's committed progress: fail-stop beats the
-                # alternative (an empty batch would log a REGRESSED
-                # offset, and the next batch would re-plan already-
-                # consumed versions — duplicate ingest).
+                # Reachable two ways, both option misuse: fail-stop
+                # beats the alternative (an empty batch would log a
+                # REGRESSED offset, and the next batch would re-plan
+                # already-consumed versions — duplicate ingest).
+                if self._start_version is not None and lo == self._start_version - 1:
+                    raise ValueError(
+                        f"startingVersion {self._start_version} is beyond "
+                        f"the table head (latest streamable end is v{hi}); "
+                        "lower startingVersion or wait for new commits"
+                    )
                 raise ValueError(
                     f"endVersion clamps this stream to v{hi}, but the "
                     f"checkpoint has already consumed through v{lo}; "
@@ -1339,6 +1344,21 @@ def make_versioned_datasource():
             if self._last_end is None or hi > self._last_end:
                 self._last_end = hi  # authoritative floor for the rate clamp
             if lo >= 0 and lo not in entries:
+                oldest = min(entries)
+                if self._start_version is not None and lo == self._start_version - 1:
+                    # Not a checkpoint problem: the option points below
+                    # the retained horizon. Version N's delta is
+                    # segments(N) - segments(N-1), so the oldest
+                    # STREAMABLE start is one past the oldest retained
+                    # entry (the same reason Delta's startingVersion
+                    # must be within retention).
+                    raise ValueError(
+                        f"startingVersion {self._start_version} needs "
+                        f"manifest entry v{lo}, which has been vacuumed; "
+                        f"the oldest streamable startingVersion is "
+                        f"{oldest + 1} (or batch-read v{oldest} and stream "
+                        f"with startingVersion {oldest + 1})"
+                    )
                 raise ValueError(
                     f"checkpointed offset version {lo} is no longer in the "
                     "manifest (vacuumed/expired); resuming would re-ingest "
@@ -1674,11 +1694,24 @@ def drain_backlog(
     start = -1 if start is None else start
     runs = 0
     committed = start
+    # endVersion / startingVersion are the loop's own control channel —
+    # a caller-supplied value would silently override the computed
+    # per-run bound and wedge the drain in the no-progress check.
+    bad_opts = {"endVersion", "endversion", "startingVersion", "startingversion"} & {
+        str(k) for k in (reader_options or {})
+    }
+    if bad_opts:
+        raise ValueError(
+            f"reader_options {sorted(bad_opts)} conflict with drain_backlog's "
+            "own offset management; bound the drain with "
+            "max_versions_per_run instead"
+        )
     while committed < head:
         end = min(head, committed + max_versions_per_run)
-        r = spark.readStream.format(FORMAT_NAME).option("endVersion", str(end))
+        r = spark.readStream.format(FORMAT_NAME)
         for k, v in (reader_options or {}).items():
             r = r.option(k, str(v))
+        r = r.option("endVersion", str(end))
         q = (
             configure(r.load(path))
             .option("checkpointLocation", checkpoint)

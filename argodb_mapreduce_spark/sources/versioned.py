@@ -796,19 +796,20 @@ def add_generated_column(spark: SparkSession, path: str, col: str, expr: str) ->
     cname = f"_generated_{col}"
     cexpr = f"{col} <=> ({expr})"
     # Head validation (O(table), so OUTSIDE the lock) — only meaningful
-    # when the table already has data AND the column; the documented
-    # flow defines generated columns before the first write.
+    # when the table already has data AND the column. A table whose
+    # existing data LACKS the column skips the scan (the column simply
+    # fills in on future writes; the CHECK only ever evaluates on
+    # frames that carry it post-fill); the documented primary flow
+    # defines generated columns before the first write.
     if os.path.exists(os.path.join(path, MANIFEST)):
-        bad = (
-            snapshot_read(spark, path)
-            .filter(~F.coalesce(F.expr(cexpr), F.lit(False)))
-            .count()
-        )
-        if bad:
-            raise ConstraintViolation(
-                f"cannot add generated column {col!r}: {bad} existing rows "
-                f"violate ({cexpr})"
-            )
+        head = snapshot_read(spark, path)
+        if col in head.columns:
+            bad = head.filter(~F.coalesce(F.expr(cexpr), F.lit(False))).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add generated column {col!r}: {bad} existing rows "
+                    f"violate ({cexpr})"
+                )
     # ONE lock for the whole two-sidecar read-modify-write (the lock is
     # not reentrant, so the public add_constraint/set_table_property
     # cannot be called from here): concurrent registrars of different
@@ -991,6 +992,12 @@ def versioned_write_expect(
             e for e in _read_manifest(tbl) if e["version"] == v
         )["metrics"]["num_rows"]
 
+    # Generated columns fill in BEFORE the gate evaluates: the implicit
+    # _generated_* CHECKs reference the column, so an omitting frame
+    # must be completed here too (versioned_write's own fill would run
+    # after _tag_violations and the gate would crash on an unresolved
+    # column).
+    df = _fill_generated(df, path)
     cons = _read_constraints(path)
     if on_violation == "fail" or not cons:
         try:
@@ -3877,6 +3884,22 @@ def merge_upsert(
             if staged_cdc:
                 cdc_name = f"cdc-{version}"
                 renames[staged_cdc] = cdc_name
+                # The committed rewrite is built from the sidecar's OWN
+                # post/insert rows read back (they are exactly the
+                # source's rows), so a non-deterministic source frame
+                # (rand, current_timestamp) evaluates ONCE and the feed
+                # cannot diverge from the table — the same read-back
+                # contract as update_where.
+                src_back = (
+                    spark.read.parquet(
+                        *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
+                    )
+                    .filter(F.col("_change_type") != "update_preimage")
+                    .drop("_change_type")
+                )
+                rewrite = kept.unionByName(
+                    src_back, allowMissingColumns=len(known) > 1
+                )
     else:
         rewrite = source
     # Stage the rewrite; _commit_entry publishes the final name under

@@ -567,3 +567,100 @@ def _bridge(spark, tmp_path_factory):
     spark_ref["spark"] = spark
     tmp_ref["dir"] = str(tmp_path_factory.mktemp("cdfprop"))
     yield
+
+
+def test_merge_nondeterministic_source_feed_matches_table(spark, tmp_path):
+    """MERGE's committed rows come from the sidecar read-back: a
+    non-deterministic source evaluates once, feed == table."""
+    p = _base(spark, tmp_path, n=30)
+    enable_change_data_feed(p)
+    src = spark.range(25, 35).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("g"),
+        (F.rand() * 1e9).cast("long").alias("v"),
+    )
+    merge_upsert(spark, p, src, "k")
+    feed = change_feed(spark, p, 0, 1).filter(
+        F.col("_change_type").isin("update_postimage", "insert")
+    ).select("k", "v")
+    table = snapshot_read(spark, p).filter(F.col("k") >= 25).select("k", "v")
+    assert feed.exceptAll(table).count() == 0
+    assert table.exceptAll(feed).count() == 0
+
+
+def test_expect_gated_write_fills_generated_columns(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_generated_column,
+        versioned_write_expect,
+    )
+
+    p = str(tmp_path / "egc")
+    os.makedirs(p)
+    add_generated_column(spark, p, "v2", "v * 2")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    r = versioned_write_expect(df, p)  # omits v2: must fill, not crash
+    assert r["rows_committed"] == 10 and r["rows_violating"] == 0
+    got = snapshot_read(spark, p)
+    assert got.filter(F.col("v2") != F.col("v") * 2).count() == 0
+
+
+def test_add_generated_column_on_existing_table_without_column(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import add_generated_column
+
+    p = _base(spark, tmp_path, n=10)  # existing data lacks the column
+    add_generated_column(spark, p, "v3", "v * 3")  # must not crash
+    versioned_write(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="append",
+    )
+    got = snapshot_read(spark, p).filter(F.col("k") >= 10)
+    assert got.filter(F.col("v3") != F.col("v") * 3).count() == 0
+
+
+def test_drain_backlog_rejects_conflicting_reader_options(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import drain_backlog
+
+    p = _base(spark, tmp_path, n=10)
+    with pytest.raises(ValueError, match="conflict with drain_backlog"):
+        drain_backlog(
+            spark, p, str(tmp_path / "ck"), lambda s: None,
+            reader_options={"endVersion": 3},
+        )
+
+
+def test_starting_version_beyond_head_and_vacuumed_errors(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        make_versioned_datasource,
+    )
+
+    p = str(tmp_path / "svh")
+    for i in range(4):
+        versioned_write(
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"), p, "append"
+        )
+    ds_cls = make_versioned_datasource()
+
+    def reader(**kw):
+        ds = ds_cls({"path": p, **{k: str(v) for k, v in kw.items()}})
+        return ds.streamReader(ds.schema())
+
+    # beyond head: the error names startingVersion, not endVersion
+    r = reader(startingVersion=10)
+    with pytest.raises(ValueError, match="beyond the table head"):
+        r.partitions(r.initialOffset(), {"version": 3})
+    # below the retained horizon after vacuum: names the oldest start
+    vacuum(p, keep_versions=2)  # retains v2, v3
+    r2 = reader(startingVersion=2)  # needs v1: vacuumed
+    with pytest.raises(ValueError, match="oldest streamable startingVersion is 3"):
+        r2.partitions(r2.initialOffset(), {"version": 3})
+    # at the horizon: works
+    r3 = reader(startingVersion=3)
+    parts = r3.partitions(r3.initialOffset(), {"version": 3})
+    import os as _o
+
+    segs = {_o.path.basename(_o.path.dirname(pt.path)) for pt in parts}
+    assert segs == {"data-3"}
