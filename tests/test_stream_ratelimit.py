@@ -198,3 +198,31 @@ def test_starting_version_unit_semantics(spark, tmp_path):
     assert segs == {"data-2", "data-3"}
     with pytest.raises(ValueError, match="startingVersion"):
         _reader(p, startingVersion=5, endVersion=2)
+
+
+def test_rate_limit_composes_with_cdf_over_rewrites(spark, tmp_path):
+    """maxVersionsPerBatch + readChangeFeed + a cdc-sidecar UPDATE in
+    the history: the clamp bounds version advance while the CDF branch
+    plans sidecar partitions — unit-level over the reader."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        enable_change_data_feed,
+        update_where,
+    )
+
+    p = str(tmp_path / "rlc")
+    _appends(spark, p, 3)  # v0..v2
+    enable_change_data_feed(p)
+    update_where(spark, p, [("k", "<", 5)], {"k": F.col("k") + 100})  # v3 cdc
+    versioned_write(
+        spark.range(100, 110).withColumnRenamed("id", "k"), p, "append"
+    )  # v4
+    r = _reader(p, maxVersionsPerBatch=2, readChangeFeed="true")
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}
+    p1 = r.partitions({"version": -1}, {"version": 1})
+    assert all(pt.kind == "insert" for pt in p1)
+    assert r.latestOffset() == {"version": 3}
+    p2 = r.partitions({"version": 1}, {"version": 3})
+    kinds = sorted({pt.kind for pt in p2})
+    assert kinds == ["cdc", "insert"]  # v2 append + v3 sidecar
+    assert r.latestOffset() == {"version": 4}
