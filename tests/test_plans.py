@@ -779,3 +779,51 @@ def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
 
     plan = dedup_semantic_clusters(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_delete_keys_discovery_is_broadcast_semi_join(spark, tmp_path):
+    """The erase path's touched-row discovery must ship the key set
+    broadcast (no shuffle of the table side) — the O(K) contract."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _anti_join_dv,
+        _read_segment_dirs,
+        _read_manifest,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "dkplan")
+    versioned_write(spark.range(5000).withColumnRenamed("id", "k"), p)
+    latest = _read_manifest(p)[-1]
+    scan = _read_segment_dirs(spark, p, latest["segments"], latest, evolved=False, with_pos=True)
+    keys = spark.range(0, 50).withColumnRenamed("id", "k")
+    matched = scan.join(F.broadcast(keys.select("k").distinct()), "k", "left_semi")
+    plan = explain_str(matched)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdf_update_sidecar_scan_is_pruned_to_touched(spark, tmp_path):
+    """The UPDATE's CDC legs read only min/max-surviving segments: a
+    4-segment key-ranged table with a one-segment window plans one
+    segment's files in the pre/post scan."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        _segment_may_match,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "cdcplan")
+    for i in range(4):
+        versioned_write(
+            spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k"),
+            p,
+            mode="append",
+        )
+    latest = _read_manifest(p)[-1]
+    preds = [("k", ">=", 120), ("k", "<", 180)]
+    touched = [
+        s
+        for s in latest["segments"]
+        if _segment_may_match(latest.get("stats", {}).get(s), preds)
+    ]
+    assert touched == ["data-1"]  # the pruning update_where runs on
