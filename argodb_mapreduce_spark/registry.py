@@ -97,6 +97,8 @@ _PRIORITY = (
     "snapshot_delete_keys",             # set-based DV delete (GDPR shape)
     "dedup_index_through_deletes",      # GDPR cascade into the index
     "pipeline_medallion",               # bronze->silver->gold composition
+    "snapshot_gdpr_purge",              # physical erasure, raw-bytes audit
+    "snapshot_describe_detail",         # one-row metadata summary
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -121,7 +123,9 @@ _PRIORITY = (
     # (pyds_versioned_write ceded its changed-code slot to the new
     # generated-columns row: the writer path it re-earned is driven by
     # pyds_partitioned_write, in this window.)
-    "pyds_pruned_scan",           # pruning now merges partition stats
+    # (pyds_pruned_scan ceded its changed-code slot to the new purge
+    # row: source pruning is driven by pyds_rowgroup_pruned_scan and
+    # pyds_partitioned_scan, both in this window.)
     # (stream_versioned_ingest ceded its changed-code slot to the new
     # index-through-deletes row: the stream reader's partition plumbing
     # is driven by stream_backlog_drain and the CDF stream rows, all in
@@ -144,7 +148,9 @@ _PRIORITY = (
     # on the same code path.)
     "snapshot_update_where",      # UPDATE reads through a pending DV
     "snapshot_merge_pruned",      # MERGE reads through a pending DV
-    "snapshot_compact_binpack",   # bin-pack materializes a pending DV
+    # (snapshot_compact_binpack ceded its changed-code slot to the new
+    # describe-detail row: DV materialization in rewrites is driven by
+    # snapshot_update_on_dv and snapshot_gdpr_purge, in this window.)
     # --- (b) staleness rotation: ALL 15 rows whose newest evidence is
     # r04 (VERDICT r10 #5, verified against the CORRECTNESS union) ---
     "sink_merge_upsert",

@@ -2748,6 +2748,218 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -
     return version, n_total - n_prev
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` — the one-row table summary every lake
+    format exposes (Delta's numFiles/sizeInBytes/partitionColumns,
+    Iceberg's snapshot summary), assembled from pure metadata: the
+    manifest (versions, segments, DV), parquet footers of the HEAD's
+    segments (files, bytes, raw rows — O(files), no data scan), and
+    the table sidecars (properties, constraints, generated columns).
+    ``num_live_rows`` subtracts the pending deletion vector's footer
+    count from the raw rows — the number a snapshot read returns,
+    without running one."""
+    entries = _read_manifest(path)
+    latest = entries[-1]
+    n_files = n_bytes = n_rows = 0
+    part_cols: set[str] = set()
+    for seg in latest["segments"]:
+        seg_dir = seg if os.path.isabs(seg) else os.path.join(path, seg)
+        m = _segment_file_metrics(seg_dir)
+        n_files += m["num_files"]
+        n_bytes += m["bytes"]
+        n_rows += m["num_rows"]
+        part_cols.update(latest.get("partition_by", {}).get(seg) or ())
+    dv_rows = _dir_num_rows(os.path.join(path, latest["dv"])) if latest.get("dv") else 0
+    props = _read_properties(path)
+    cons = _read_constraints(path)
+    row = (
+        latest["version"],
+        len(entries),
+        len(latest["segments"]),
+        n_files,
+        n_bytes,
+        n_rows,
+        n_rows - dv_rows,
+        sorted(part_cols),
+        len(props),
+        len(cons),
+        len(props.get("generated", {})),
+        bool(props.get("enableChangeDataFeed")),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "current_version int, num_versions int, num_segments int, "
+            "num_files bigint, size_bytes bigint, num_raw_rows bigint, "
+            "num_live_rows bigint, partition_columns array<string>, "
+            "num_properties bigint, num_constraints bigint, "
+            "num_generated_columns bigint, change_data_feed boolean"
+        ),
+    )
+
+
+@register(
+    "snapshot_describe_detail",
+    oracle="""
+    SELECT TRUE AS change_data_feed,
+           2 AS current_version,
+           CAST(0 AS BIGINT) AS num_constraints,
+           CAST(0 AS BIGINT) AS num_generated_columns,
+           CAST(3 AS BIGINT) AS num_files,
+           CAST(COUNT(*) AS BIGINT) - CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 3 = 0 AND o_orderkey % 100 = 0) AS BIGINT)
+             AS num_live_rows,
+           CAST(2 AS BIGINT) AS num_properties,
+           CAST(COUNT(*) AS BIGINT) AS num_raw_rows,
+           2 AS num_segments,
+           3 AS num_versions,
+           TRUE AS size_matches_disk
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "audit", "describe"),
+    doc=(
+        "DESCRIBE DETAIL: the one-row metadata summary (versions, "
+        "segments, files, bytes, raw vs LIVE rows through the pending "
+        "deletion vector, partition columns, properties/constraints/"
+        "generated-column counts, CDF flag) assembled WITHOUT a data "
+        "scan — parquet footers + sidecars only. Fixture: two "
+        "single-file appends with CDF enabled and an owner property, "
+        "then a delete_keys of the %100==0 keys in the first slice; "
+        "live = raw - DV pinned against the oracle's recount, file/"
+        "segment/version counts exact, and size_bytes self-checked "
+        "against an os.walk of the segment dirs."
+    ),
+)
+def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: O(files) footer metadata + O(1) sidecar reads — the
+    audit row a catalog UI shows for a 100 TB table without touching
+    its data."""
+    out = _scratch(sf_dir) + "_detail"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0).coalesce(1), out)
+    set_table_property(out, "owner", "pipeline-a")
+    enable_change_data_feed(out)
+    versioned_write(o.filter(k % 3 == 1).repartition(2), out, mode="append")
+    delete_keys(
+        spark, out,
+        o.filter((k % 3 == 0) & (k % 100 == 0)).select("o_orderkey"),
+        "o_orderkey",
+    )
+    detail = describe_detail(spark, out).collect()[0].asDict()
+    disk = sum(
+        os.path.getsize(os.path.join(r, f))
+        for s in _read_manifest(out)[-1]["segments"]
+        for r, _d, fs in os.walk(os.path.join(out, s))
+        for f in fs
+        if f.endswith(".parquet")  # the metric counts data bytes only
+    )
+    rows = [
+        {
+            **{
+                c: detail[c]
+                for c in (
+                    "change_data_feed", "current_version", "num_constraints",
+                    "num_generated_columns", "num_files", "num_live_rows",
+                    "num_properties", "num_raw_rows", "num_segments",
+                    "num_versions",
+                )
+            },
+            "size_matches_disk": detail["size_bytes"] == disk,
+        }
+    ]
+    return spark.createDataFrame(rows)
+
+
+def purge(spark: SparkSession, path: str, keep_versions: int = 1) -> dict:
+    """PHYSICAL erasure of tombstoned rows — the second half of the
+    right-to-be-forgotten: :func:`delete_keys`/:func:`delete_where`
+    remove rows LOGICALLY (deletion-vector sidecars; the bytes still
+    sit in the original parquet until rewritten), while compliance
+    requires the bytes gone. ``purge`` = :func:`compact` (the rewrite
+    reads through the DV, so erased rows are excluded from the new
+    segment and the DV is dropped) + :func:`vacuum` (the pre-purge
+    segments — and the DV naming the erased rows' positions — are
+    deleted from disk once no retained version references them).
+
+    Returns the vacuum summary plus ``purged_version``. Time-travel to
+    pre-purge versions is gone BY DESIGN — that is what erasure means;
+    keep_versions defaults to 1 accordingly.
+
+    At 100 TB: cost is one compaction pass over the LIVE rows plus the
+    byte deletes — the price every lake format charges for physical
+    erasure (Delta: VACUUM after the rewrite; Iceberg: rewrite_data_
+    files + expire_snapshots). Run it on the retention cadence your
+    compliance window dictates, not per delete."""
+    v = compact(spark, path)
+    out = vacuum(path, keep_versions=keep_versions)
+    out["purged_version"] = v
+    return out
+
+
+@register(
+    "snapshot_gdpr_purge",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS raw_bytes_clean,
+           TRUE AS history_expired,
+           TRUE AS bytes_reclaimed
+    FROM orders WHERE o_orderkey % 500 <> 0
+    """,
+    tags=("source", "snapshot", "delete", "compliance", "vacuum"),
+    doc=(
+        "GDPR PURGE — physical erasure end to end: the %500==0 keys are "
+        "logically erased (delete_keys, a DV commit), then purge() "
+        "compacts (the rewrite reads through the DV, so erased rows "
+        "never enter the new segment) and vacuums (the original "
+        "segments AND the DV sidecar naming the erased positions are "
+        "deleted from disk). raw_bytes_clean re-reads every parquet "
+        "file left under the table root DIRECTLY (no manifest, no DV "
+        "masking) and proves the erased keys appear in NO surviving "
+        "byte; history_expired pins that pre-purge versions are gone; "
+        "bytes_reclaimed pins the vacuum actually deleted data. The "
+        "surviving rows hash-check against the oracle."
+    ),
+)
+def snapshot_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one compaction pass over live rows + O(dead bytes)
+    deletes; the raw-bytes audit here is the fixture's self-check, not
+    part of the operator."""
+    out = _scratch(sf_dir) + "_purge"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o, out)
+    keys = o.filter(F.col("o_orderkey") % 500 == 0).select("o_orderkey")
+    delete_keys(spark, out, keys, "o_orderkey")
+    res = purge(spark, out)
+    # Raw audit: every parquet byte left under the table root, read
+    # with NO manifest and NO DV — erased keys must be physically gone.
+    raw_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    raw = spark.read.parquet(*raw_files)
+    dirty = (
+        raw.join(F.broadcast(keys), "o_orderkey", "left_semi").limit(1).count()
+    )
+    expired = len(versions(out)) == 1
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(dirty == 0).alias("raw_bytes_clean"),
+        F.lit(expired).alias("history_expired"),
+        F.lit(res["bytes_reclaimed"] > 0).alias("bytes_reclaimed"),
+    )
+
+
 @register(
     "snapshot_delete_keys",
     oracle="""

@@ -222,6 +222,8 @@ HEADLINE = [
     "snapshot_delete_keys",
     "dedup_index_through_deletes",
     "pipeline_medallion",
+    "snapshot_gdpr_purge",
+    "snapshot_describe_detail",
 ]
 
 
