@@ -664,3 +664,54 @@ def test_starting_version_beyond_head_and_vacuumed_errors(spark, tmp_path):
 
     segs = {_o.path.basename(_o.path.dirname(pt.path)) for pt in parts}
     assert segs == {"data-3"}
+
+
+def test_stream_cdf_over_partitioned_update_sidecar(spark, tmp_path):
+    """A cdc sidecar written by an UPDATE on a Hive-partitioned table
+    carries the partition column as a real typed column; the streaming
+    CDF path must emit it aligned with the insert legs' decoded
+    partition values."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / "pcs")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("part"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    versioned_write(df, p, mode="append", partition_by=["part"])
+    enable_change_data_feed(p)
+    update_where(spark, p, [("k", "<", 6)], {"v": F.lit(0).cast("long")})
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.read.parquet(out)
+    assert dict(r.dtypes)["part"] == "string"
+    legs = {
+        (x["_change_type"], x["part"]): x["n"]
+        for x in r.filter(F.col("_commit_version") == 1)
+        .groupBy("_change_type", "part")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert legs == {
+        ("update_preimage", "0"): 3,
+        ("update_preimage", "1"): 3,
+        ("update_postimage", "0"): 3,
+        ("update_postimage", "1"): 3,
+    }
+    assert r.filter(F.col("_commit_version") == 0).count() == 40
