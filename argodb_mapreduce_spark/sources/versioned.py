@@ -2758,6 +2758,21 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     ``num_live_rows`` subtracts the pending deletion vector's footer
     count from the raw rows — the number a snapshot read returns,
     without running one."""
+    row = _describe_detail_row(path)
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        schema=(
+            "current_version int, num_versions int, num_segments int, "
+            "num_files bigint, size_bytes bigint, num_raw_rows bigint, "
+            "num_live_rows bigint, partition_columns array<string>, "
+            "num_properties bigint, num_constraints bigint, "
+            "num_generated_columns bigint, change_data_feed boolean"
+        ),
+    )
+
+
+def _describe_detail_row(path: str) -> dict:
+    """The summary as a plain dict — pure metadata, no Spark."""
     entries = _read_manifest(path)
     latest = entries[-1]
     n_files = n_bytes = n_rows = 0
@@ -2772,30 +2787,20 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     dv_rows = _dir_num_rows(os.path.join(path, latest["dv"])) if latest.get("dv") else 0
     props = _read_properties(path)
     cons = _read_constraints(path)
-    row = (
-        latest["version"],
-        len(entries),
-        len(latest["segments"]),
-        n_files,
-        n_bytes,
-        n_rows,
-        n_rows - dv_rows,
-        sorted(part_cols),
-        len(props),
-        len(cons),
-        len(props.get("generated", {})),
-        bool(props.get("enableChangeDataFeed")),
-    )
-    return spark.createDataFrame(
-        [row],
-        schema=(
-            "current_version int, num_versions int, num_segments int, "
-            "num_files bigint, size_bytes bigint, num_raw_rows bigint, "
-            "num_live_rows bigint, partition_columns array<string>, "
-            "num_properties bigint, num_constraints bigint, "
-            "num_generated_columns bigint, change_data_feed boolean"
-        ),
-    )
+    return {
+        "current_version": latest["version"],
+        "num_versions": len(entries),
+        "num_segments": len(latest["segments"]),
+        "num_files": n_files,
+        "size_bytes": n_bytes,
+        "num_raw_rows": n_rows,
+        "num_live_rows": n_rows - dv_rows,
+        "partition_columns": sorted(part_cols),
+        "num_properties": len(props),
+        "num_constraints": len(cons),
+        "num_generated_columns": len(props.get("generated", {})),
+        "change_data_feed": bool(props.get("enableChangeDataFeed")),
+    }
 
 
 @register(
@@ -2849,7 +2854,7 @@ def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter((k % 3 == 0) & (k % 100 == 0)).select("o_orderkey"),
         "o_orderkey",
     )
-    detail = describe_detail(spark, out).collect()[0].asDict()
+    detail = _describe_detail_row(out)  # pure metadata, no job
     disk = sum(
         os.path.getsize(os.path.join(r, f))
         for s in _read_manifest(out)[-1]["segments"]
