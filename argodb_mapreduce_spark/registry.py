@@ -99,6 +99,8 @@ _PRIORITY = (
     "pipeline_medallion",               # bronze->silver->gold composition
     "snapshot_gdpr_purge",              # physical erasure, raw-bytes audit
     "snapshot_describe_detail",         # one-row metadata summary
+    "snapshot_restore_to_timestamp",    # RESTORE resolves AS OF rule
+    "snapshot_vacuum_retention",        # VACUUM RETAIN n HOURS
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -146,8 +148,14 @@ _PRIORITY = (
     # optimized-write row: its r11 change is the shared cast-aware DV
     # machinery that snapshot_update_on_dv — in the window — exercises
     # on the same code path.)
-    "snapshot_update_where",      # UPDATE reads through a pending DV
-    "snapshot_merge_pruned",      # MERGE reads through a pending DV
+    # (snapshot_update_where ceded its changed-code slot to the new
+    # restore-to-timestamp row: its r11b changes — zero-match no-op and
+    # sidecar read-back — are driven by snapshot_change_feed_updates and
+    # mv_refresh_through_update, in this window.)
+    # (snapshot_merge_pruned ceded its changed-code slot to the new
+    # vacuum-retention row: the MERGE sidecar read-back is driven by
+    # snapshot_change_feed_updates and stream_cdc_replicate, in this
+    # window.)
     # (snapshot_compact_binpack ceded its changed-code slot to the new
     # describe-detail row: DV materialization in rewrites is driven by
     # snapshot_update_on_dv and snapshot_gdpr_purge, in this window.)

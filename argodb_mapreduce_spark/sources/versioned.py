@@ -1989,6 +1989,99 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_restore_to_timestamp",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           3 AS restored_version,
+           TRUE AS midpoint_resolved_older
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "snapshot", "rollback", "time-travel"),
+    doc=(
+        "RESTORE TO TIMESTAMP: a 3-version history (append, append, "
+        "destructive overwrite) is restored to a wall-clock instant "
+        "BETWEEN v1 and v2 — the same newest-at-or-before rule AS OF "
+        "reads use resolves it to v1, and the restore publishes a new "
+        "v3 republishing v1's segment list (no data rewritten, the "
+        "overwrite stays time-travelable). The restored content "
+        "hash-checks against the two appends' union and the resolved "
+        "target is pinned via the restored row set."
+    ),
+)
+def snapshot_restore_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: metadata-only, like rollback — the restore republishes a
+    segment list; the ts->version resolution is an O(versions) scan of
+    commit stamps."""
+    out = _scratch(sf_dir) + "_rbts"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)
+    versioned_write(o.filter(k % 3 == 1), out, mode="append")
+    ts_mid = _read_manifest(out)[-1]["ts"]  # v1's stamp; probe just after
+    versioned_write(o.filter(k % 3 == 2), out, mode="overwrite")
+    v2_ts = _read_manifest(out)[-1]["ts"]
+    # a probe strictly between v1 and v2 must resolve to v1
+    probe = ts_mid + (v2_ts - ts_mid) / 2 if v2_ts > ts_mid else ts_mid
+    v = rollback_to_timestamp(out, probe)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(v).alias("restored_version"),
+        F.lit(version_at_timestamp(out, probe) == 1).alias("midpoint_resolved_older"),
+    )
+
+
+@register(
+    "snapshot_vacuum_retention",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           3 AS versions_before,
+           1 AS versions_after,
+           2 AS versions_removed,
+           TRUE AS head_unchanged
+    FROM orders WHERE o_orderkey % 3 IN (0, 1, 2)
+    """,
+    tags=("source", "snapshot", "vacuum", "retention"),
+    doc=(
+        "VACUUM RETAIN n HOURS (time-based retention, the policy form "
+        "production uses): a 3-append history vacuumed with "
+        "retain_hours=0 keeps only the head (every older commit is "
+        "outside a zero-hour window), removing two versions while the "
+        "head read stays byte-identical — counts and content "
+        "oracle-pinned. The windowed form (keep everything committed "
+        "in the last n hours) is clock-tested in tests/"
+        "test_versioned.py with a monkeypatched commit clock."
+    ),
+)
+def snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same as count-based vacuum — manifest-only decision, the
+    byte deletes run outside the lock."""
+    out = _scratch(sf_dir) + "_vrh"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    for m in (0, 1, 2):
+        versioned_write(o.filter(k % 3 == m), out, mode="append")
+    before = len(versions(out))
+    res = vacuum(out, retain_hours=0)
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(before).alias("versions_before"),
+        F.lit(res["versions_kept"]).alias("versions_after"),
+        F.lit(res["versions_removed"]).alias("versions_removed"),
+        F.lit(len(versions(out)) == 1).alias("head_unchanged"),
+    )
+
+
 def rollback_to_timestamp(path: str, ts: float) -> int:
     """``RESTORE TABLE ... TO TIMESTAMP AS OF`` — resolve ``ts`` with
     the same newest-at-or-before rule AS OF reads use

@@ -224,6 +224,8 @@ HEADLINE = [
     "pipeline_medallion",
     "snapshot_gdpr_purge",
     "snapshot_describe_detail",
+    "snapshot_restore_to_timestamp",
+    "snapshot_vacuum_retention",
 ]
 
 
