@@ -3486,6 +3486,25 @@ def change_feed(
     return out
 
 
+def change_feed_between_timestamps(
+    spark: SparkSession, path: str, ts0: float, ts1: float
+) -> DataFrame:
+    """Delta's ``startingTimestamp``/``endingTimestamp`` CDF form:
+    resolve both instants with the AS OF newest-at-or-before rule and
+    read :func:`change_feed` between the resolved versions — the
+    changes a consumer anchored on wall-clock (a cron'd downstream job)
+    asks for. Raises like change_feed if the span crosses a
+    non-feed-expressible transition."""
+    v0 = version_at_timestamp(path, ts0)
+    v1 = version_at_timestamp(path, ts1)
+    if v0 >= v1:
+        raise ValueError(
+            f"no commits between ts={ts0} (resolves v{v0}) and ts={ts1} "
+            f"(resolves v{v1})"
+        )
+    return change_feed(spark, path, v0, v1)
+
+
 def _build_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
     """The 4 time-ordered appends of the pruned fixture, plus a
     deletion-vector DELETE of a date range contained in ONE segment —

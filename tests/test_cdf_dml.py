@@ -715,3 +715,55 @@ def test_stream_cdf_over_partitioned_update_sidecar(spark, tmp_path):
         ("update_postimage", "1"): 3,
     }
     assert r.filter(F.col("_commit_version") == 0).count() == 40
+
+
+def test_change_feed_between_timestamps(spark, tmp_path, monkeypatch):
+    import argodb_mapreduce_spark.sources.versioned as V
+
+    p = str(tmp_path / "cfts")
+    clock = [3_000_000.0]
+    monkeypatch.setattr(V, "_now", lambda: clock[0])
+    V.versioned_write(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v")), p
+    )  # v0 @ 3e6
+    clock[0] += 100
+    V.versioned_write(
+        spark.range(10, 15).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v")),
+        p, mode="append",
+    )  # v1 @ +100
+    clock[0] += 100
+    V.delete_where(spark, p, [("k", "<", 2)])  # v2 @ +200
+    # a window straddling v1..v2 (anchors resolve v0 and v2)
+    feed = V.change_feed_between_timestamps(spark, p, 3_000_000.0 + 50, 3_000_000.0 + 250)
+    legs = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert legs == {"insert": 5, "delete": 2}
+    with pytest.raises(ValueError, match="no commits between"):
+        V.change_feed_between_timestamps(spark, p, 3_000_000.0 + 250, 3_000_000.0 + 260)
+
+
+def test_partition_by_generated_column(spark, tmp_path):
+    """The headline generated-column use: partition by an expression
+    column writers never supply — fill-in runs before partitionBy."""
+    import os as _o
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        add_generated_column,
+    )
+
+    p = str(tmp_path / "gp")
+    _o.makedirs(p)
+    add_generated_column(spark, p, "bucket", "CAST(k % 3 AS STRING)")
+    df = spark.range(0, 30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    versioned_write(df, p, partition_by=["bucket"])  # column not in df!
+    entry = _read_manifest(p)[-1]
+    assert entry["partition_by"] == {"data-0": ["bucket"]}
+    branches = sorted(
+        d for d in _o.listdir(_o.path.join(p, "data-0")) if d.startswith("bucket=")
+    )
+    assert branches == ["bucket=0", "bucket=1", "bucket=2"]
+    got = snapshot_read(spark, p, predicates=[("bucket", "=", "1")])
+    assert sorted(r.k for r in got.collect()) == [k for k in range(30) if k % 3 == 1]
