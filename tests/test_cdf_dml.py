@@ -740,8 +740,19 @@ def test_change_feed_between_timestamps(spark, tmp_path, monkeypatch):
         for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
     }
     assert legs == {"insert": 5, "delete": 2}
-    with pytest.raises(ValueError, match="no commits between"):
+    with pytest.raises(ValueError, match="no commits inside"):
         V.change_feed_between_timestamps(spark, p, 3_000_000.0 + 250, 3_000_000.0 + 260)
+    # Delta's startingTimestamp semantics: a window reaching back to (or
+    # before) the FIRST commit includes it — v0's rows are insert legs
+    full = V.change_feed_between_timestamps(spark, p, 2_999_999.0, 3_000_000.0 + 250)
+    legs_full = {
+        r["_change_type"]: r["n"]
+        for r in full.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert legs_full == {"insert": 15, "delete": 2}  # v0's 10 + v1's 5
+    # anchor EXACTLY at the first commit's stamp: still included
+    first_only = V.change_feed_between_timestamps(spark, p, 3_000_000.0, 3_000_000.0)
+    assert first_only.count() == 10
 
 
 def test_partition_by_generated_column(spark, tmp_path):

@@ -783,9 +783,10 @@ def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
 
 def test_delete_keys_discovery_is_broadcast_semi_join(spark, tmp_path):
     """The erase path's touched-row discovery must ship the key set
-    broadcast (no shuffle of the table side) — the O(K) contract."""
+    broadcast (no shuffle of the table side) — the O(K) contract,
+    asserted on the PRODUCTION helper delete_keys itself calls."""
     from argodb_mapreduce_spark.sources.versioned import (
-        _anti_join_dv,
+        _matched_positions,
         _read_segment_dirs,
         _read_manifest,
         versioned_write,
@@ -796,7 +797,7 @@ def test_delete_keys_discovery_is_broadcast_semi_join(spark, tmp_path):
     latest = _read_manifest(p)[-1]
     scan = _read_segment_dirs(spark, p, latest["segments"], latest, evolved=False, with_pos=True)
     keys = spark.range(0, 50).withColumnRenamed("id", "k")
-    matched = scan.join(F.broadcast(keys.select("k").distinct()), "k", "left_semi")
+    matched = _matched_positions(scan, keys, "k")
     plan = explain_str(matched)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
@@ -808,7 +809,7 @@ def test_cdf_update_sidecar_scan_is_pruned_to_touched(spark, tmp_path):
     segment's files in the pre/post scan."""
     from argodb_mapreduce_spark.sources.versioned import (
         _read_manifest,
-        _segment_may_match,
+        _touched_segments,
         versioned_write,
     )
 
@@ -821,9 +822,5 @@ def test_cdf_update_sidecar_scan_is_pruned_to_touched(spark, tmp_path):
         )
     latest = _read_manifest(p)[-1]
     preds = [("k", ">=", 120), ("k", "<", 180)]
-    touched = [
-        s
-        for s in latest["segments"]
-        if _segment_may_match(latest.get("stats", {}).get(s), preds)
-    ]
-    assert touched == ["data-1"]  # the pruning update_where runs on
+    touched = _touched_segments(latest, preds)  # the PRODUCTION pruning
+    assert touched == ["data-1"]  # exactly what update_where rewrites
