@@ -101,6 +101,7 @@ _PRIORITY = (
     "snapshot_describe_detail",         # one-row metadata summary
     "snapshot_restore_to_timestamp",    # RESTORE resolves AS OF rule
     "snapshot_vacuum_retention",        # VACUUM RETAIN n HOURS
+    "sink_identity_column",             # GENERATED ALWAYS AS IDENTITY
     "pyds_partitioned_scan",            # partition-aware Python DataSource
     "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
     "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
@@ -117,7 +118,10 @@ _PRIORITY = (
     # shared commit machinery every versioned row in this window
     # drives, and rollback semantics are pinned in tests.)
     "snapshot_expect_quarantine", # violation tagging factored out
-    "join_salted_targeted",       # positional union (shared-name fix)
+    # (join_salted_targeted ceded its changed-code slot to the new
+    # identity-column row: the positional-union fix is pinned by
+    # tests/test_round10_ops.py and its driver row was green in the
+    # r10 window.)
     # (pyds_versioned_scan ceded its changed-code slot to the new CDC
     # replication row: the reader paths it re-earned are driven by
     # pyds_partitioned_scan and pyds_rowgroup_pruned_scan, both in this

@@ -846,6 +846,73 @@ def _fill_generated(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+def add_identity_column(path: str, col: str, start: int = 1) -> None:
+    """``col BIGINT GENERATED ALWAYS AS IDENTITY`` — Delta identity
+    columns: every :func:`versioned_write` assigns the column fresh
+    UNIQUE, INCREASING values; frames that supply it are refused
+    (ALWAYS semantics — an explicit value would corrupt the high-water
+    contract).
+
+    Design (no mutable counter): the next allocation base derives from
+    the MANIFEST's own per-segment max stats for the column — the
+    ledger is the high-water mark, so a crash can never leak or replay
+    a counter state. Within one write, values are ``base +
+    monotonically_increasing_id()`` (unique per row; GAPS ARE NORMAL,
+    exactly Delta's documented identity contract — uniqueness and
+    monotonicity across commits, not contiguity). Two writers racing
+    the same base are caught UNDER the commit lock: the loser sees the
+    head max at-or-past its base and gets a retryable
+    ConcurrentWriteError instead of committing duplicate ids.
+
+    At 100 TB: assignment is one codegen'd projection, the base is an
+    O(segments) ledger read, and the guard is O(segments) under the
+    lock — no global ordering, no driver-side sequence."""
+    props = _read_properties(path)
+    if col in props.get("generated", {}):
+        raise ValueError(f"{col!r} is already a generated column")
+    ident = dict(props.get("identity", {}))
+    if col in ident:
+        raise ValueError(f"identity column {col!r} already defined")
+    ident[col] = {"start": int(start)}
+    set_table_property(path, "identity", ident)
+
+
+def _identity_base(path: str, col: str, spec: dict) -> int:
+    """Next allocation base: head ledger max + 1, else the start."""
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        head_stats = _read_manifest(path)[-1].get("stats", {})
+        mx = max(
+            (
+                _stat_decode(st[col][1])
+                for st in head_stats.values()
+                if col in st and st[col][1] is not None
+            ),
+            default=None,
+        )
+        if mx is not None:
+            return int(mx) + 1
+    return int(spec.get("start", 1))
+
+
+def _fill_identity(df: DataFrame, path: str) -> tuple[DataFrame, dict]:
+    """Assign identity columns; returns (df, {col: base}) so the commit
+    section can verify no concurrent writer claimed the same range."""
+    guards: dict[str, int] = {}
+    for col, spec in _read_properties(path).get("identity", {}).items():
+        if col in df.columns:
+            raise ValueError(
+                f"identity column {col!r} is GENERATED ALWAYS: remove it "
+                "from the incoming frame (explicit values would corrupt "
+                "the high-water contract)"
+            )
+        base = _identity_base(path, col, spec)
+        df = df.withColumn(
+            col, (F.lit(base) + F.monotonically_increasing_id()).cast("long")
+        )
+        guards[col] = base
+    return df, guards
+
+
 def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
     """Write the union of CDC leg DataFrames to a staged sidecar dir.
     Returns ``(staged_dir, n_rows)`` — ``(None, 0)`` when every leg is
@@ -1256,8 +1323,11 @@ def versioned_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     # Generated columns fill in when the incoming frame omits them (the
-    # CHECK half of add_generated_column enforces supplied values).
+    # CHECK half of add_generated_column enforces supplied values);
+    # identity columns assign fresh unique values and carry a range
+    # guard verified under the commit lock.
     df = _fill_generated(df, path)
+    df, _id_guards = _fill_identity(df, path)
     # Guard against externally created sessions (the driver's) that still
     # default to INT96: stats-less timestamps would silently disable
     # data skipping on every date column of this segment.
@@ -1357,6 +1427,27 @@ def versioned_write(
                 raise ConcurrentWriteError(
                     f"table advanced past v{expected_version} (head is v{head})"
                 )
+            # Identity range guard (authoritative, under the lock): a
+            # concurrent writer that committed while we staged may have
+            # claimed ids at-or-past our allocation base — duplicate
+            # ids must abort retryably, never commit.
+            if _id_guards and entries:
+                head_stats = entries[-1].get("stats", {})
+                for col, base in _id_guards.items():
+                    mx = max(
+                        (
+                            _stat_decode(st[col][1])
+                            for st in head_stats.values()
+                            if col in st and st[col][1] is not None
+                        ),
+                        default=None,
+                    )
+                    if mx is not None and int(mx) >= base:
+                        raise ConcurrentWriteError(
+                            f"identity range conflict on {col!r}: allocated "
+                            f"from {base} but the head already holds "
+                            f"{int(mx)}; re-run the write"
+                        )
             # Schema enforcement against the head actually committed on
             # (Delta-style): an append may ADD columns (readers
             # NULL-backfill old segments) but a type conflict on a
@@ -3794,6 +3885,70 @@ def snapshot_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
             F.lit(rejected).alias("wrong_value_rejected"),
         )
+    )
+
+
+@register(
+    "sink_identity_column",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+           CAST(1 AS BIGINT) AS min_id,
+           TRUE AS monotonic_across_commits,
+           TRUE AS explicit_value_refused
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("sink", "identity", "surrogate-keys"),
+    doc=(
+        "IDENTITY COLUMNS (GENERATED ALWAYS AS IDENTITY): two appends "
+        "that never supply row_id get unique increasing BIGINTs — "
+        "n_distinct_ids == n_rows across both commits, min_id == the "
+        "declared start, and every id of the second commit is above "
+        "the first's max (monotonic_across_commits; GAPS are normal, "
+        "Delta's documented identity contract). A frame that SUPPLIES "
+        "the column is refused (ALWAYS semantics). The allocation base "
+        "derives from the manifest's own max stats (no mutable "
+        "counter to leak on crash) and a same-base race aborts with a "
+        "retryable ConcurrentWriteError under the commit lock "
+        "(tests/test_cdf_dml.py)."
+    ),
+)
+def sink_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: assignment is a codegen'd projection over the new rows;
+    base and guard are O(segments) ledger reads. The surrogate-key
+    primitive a dimensional model needs, without a driver sequence."""
+    out = _scratch(sf_dir) + "_ident"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    add_identity_column(out, "row_id", start=1)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)
+    v0_max = _identity_base(out, "row_id", {}) - 1  # ledger max after v0
+    versioned_write(o.filter(k % 3 == 1), out, mode="append")
+    try:
+        versioned_write(
+            o.filter(k % 3 == 2).withColumn("row_id", F.lit(7).cast("long")),
+            out,
+            mode="append",
+        )
+        refused = False
+    except ValueError:
+        refused = True
+    cur = snapshot_read(spark, out)
+    # The second commit's min id, from the LEDGER (its segment's own
+    # min/max stats) — pure metadata, no job.
+    second_min = _stat_decode(
+        _read_manifest(out)[-1]["stats"]["data-1"]["row_id"][0]
+    )
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.min("row_id").alias("min_id"),
+        F.lit(second_min > v0_max).alias("monotonic_across_commits"),
+        F.lit(refused).alias("explicit_value_refused"),
     )
 
 

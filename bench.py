@@ -226,6 +226,7 @@ HEADLINE = [
     "snapshot_describe_detail",
     "snapshot_restore_to_timestamp",
     "snapshot_vacuum_retention",
+    "sink_identity_column",
 ]
 
 

@@ -778,3 +778,91 @@ def test_partition_by_generated_column(spark, tmp_path):
     assert branches == ["bucket=0", "bucket=1", "bucket=2"]
     got = snapshot_read(spark, p, predicates=[("bucket", "=", "1")])
     assert sorted(r.k for r in got.collect()) == [k for k in range(30) if k % 3 == 1]
+
+
+# ---------------------------------------------------------------------------
+# Identity columns
+# ---------------------------------------------------------------------------
+
+
+def test_identity_unique_increasing_across_commits(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import add_identity_column
+
+    p = str(tmp_path / "ident")
+    os.makedirs(p)
+    add_identity_column(p, "rid", start=100)
+    for a in (0, 30, 60):
+        versioned_write(
+            spark.range(a, a + 30).withColumnRenamed("id", "k").repartition(4),
+            p,
+            mode="append",
+        )
+    r = snapshot_read(spark, p)
+    assert r.count() == 90
+    assert r.select("rid").distinct().count() == 90  # unique across commits
+    assert r.agg(F.min("rid")).collect()[0][0] == 100  # declared start
+    # per-commit ranges are disjoint and increasing (ledger stats)
+    stats = _read_manifest(p)[-1]["stats"]
+    ranges = sorted(
+        (stats[s]["rid"][0], stats[s]["rid"][1]) for s in stats if "rid" in stats[s]
+    )
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 < b0
+
+
+def test_identity_refuses_explicit_values_and_double_define(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_generated_column,
+        add_identity_column,
+    )
+
+    p = str(tmp_path / "ident2")
+    os.makedirs(p)
+    add_identity_column(p, "rid")
+    with pytest.raises(ValueError, match="already defined"):
+        add_identity_column(p, "rid")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        versioned_write(
+            spark.range(5).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("rid")),
+            p,
+        )
+    add_generated_column(spark, p, "g", "k + 1")
+    with pytest.raises(ValueError, match="generated column"):
+        add_identity_column(p, "g")
+
+
+def test_identity_range_race_one_writer_retries(spark, tmp_path):
+    """Two threads append with the same allocation base: exactly one
+    commits first; the other hits the in-lock range guard and succeeds
+    on retry with a fresh base — ids stay globally unique."""
+    import threading
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        ConcurrentWriteError,
+        add_identity_column,
+    )
+
+    p = str(tmp_path / "ident3")
+    os.makedirs(p)
+    add_identity_column(p, "rid")
+    versioned_write(spark.range(10).withColumnRenamed("id", "k"), p)
+    barrier = threading.Barrier(2)
+    retries = []
+
+    def writer(a):
+        df = spark.range(a, a + 10).withColumnRenamed("id", "k")
+        barrier.wait()
+        for attempt in range(4):
+            try:
+                versioned_write(df, p, mode="append")
+                return
+            except ConcurrentWriteError:
+                retries.append(a)
+        raise AssertionError("writer starved")
+
+    ts = [threading.Thread(target=writer, args=(a,)) for a in (100, 200)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    r = snapshot_read(spark, p)
+    assert r.count() == 30
+    assert r.select("rid").distinct().count() == 30  # no duplicate ids ever
