@@ -2426,14 +2426,21 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             # Versions must replay in commit order (an update's merge
             # must not run before the insert that created its target
-            # row); the fixture's history is versions 0..3.
+            # row) — iterate the DISTINCT commit versions actually
+            # present in the micro-batch, sorted, never a hardcoded
+            # range (a fixed bound silently drops later commits when
+            # the history grows or the batch splits).
             # Retry-idempotent by construction: a replayed micro-batch
             # re-merges the same keys to the same values (state
             # idempotent), delete_keys of tombstoned keys no-ops, and
             # the bootstrap append only fires while the replica has no
             # manifest — after a mid-batch crash the retry takes the
             # merge path instead.
-            for v in range(4):
+            batch_versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version").distinct().collect()
+            )
+            for v in batch_versions:
                 legs = batch_df.filter(F.col("_commit_version") == v)
                 tags_ = ("_change_type", "_commit_version")
                 ins = legs.filter(F.col("_change_type") == "insert").drop(*tags_)

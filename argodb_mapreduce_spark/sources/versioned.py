@@ -867,30 +867,58 @@ def add_identity_column(path: str, col: str, start: int = 1) -> None:
     At 100 TB: assignment is one codegen'd projection, the base is an
     O(segments) ledger read, and the guard is O(segments) under the
     lock — no global ordering, no driver-side sequence."""
-    props = _read_properties(path)
-    if col in props.get("generated", {}):
-        raise ValueError(f"{col!r} is already a generated column")
-    ident = dict(props.get("identity", {}))
-    if col in ident:
-        raise ValueError(f"identity column {col!r} already defined")
-    ident[col] = {"start": int(start)}
-    set_table_property(path, "identity", ident)
+    # The whole read-check-merge runs under ONE commit-lock section
+    # (mirroring add_generated_column; the lock is not reentrant, so
+    # set_table_property cannot be called from here): a properties read
+    # taken outside the lock followed by a whole-map overwrite would
+    # let two concurrent registrars of DIFFERENT identity columns lose
+    # one of the entries.
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        if col in props.get("generated", {}):
+            raise ValueError(f"{col!r} is already a generated column")
+        ident = dict(props.get("identity", {}))
+        if col in ident:
+            raise ValueError(f"identity column {col!r} already defined")
+        ident[col] = {"start": int(start)}
+        props["identity"] = ident
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, PROPERTIES))
 
 
 def _identity_base(path: str, col: str, spec: dict) -> int:
-    """Next allocation base: head ledger max + 1, else the start."""
+    """Next allocation base: head ledger max + 1, else the start.
+
+    FAIL-LOUD invariant: when the head schema ledger shows the column
+    EXISTS in committed data but no segment carries a max stat for it
+    (a stats-less row group poisons the column out of
+    ``_segment_stats_and_metrics``), silently restarting from
+    ``start`` would hand out duplicate ids — and the under-lock range
+    guard, reading the same absent stats, would wave them through.
+    Uniqueness is the whole contract, so this raises instead."""
     if os.path.exists(os.path.join(path, MANIFEST)):
-        head_stats = _read_manifest(path)[-1].get("stats", {})
+        head = _read_manifest(path)[-1]
         mx = max(
             (
                 _stat_decode(st[col][1])
-                for st in head_stats.values()
+                for st in head.get("stats", {}).values()
                 if col in st and st[col][1] is not None
             ),
             default=None,
         )
         if mx is not None:
             return int(mx) + 1
+        if any(col in sch for sch in head.get("schemas", {}).values()):
+            raise ValueError(
+                f"identity column {col!r} exists in the head schema but no "
+                "segment records a max stat for it — cannot derive the "
+                "high-water mark; refusing to restart from 'start' "
+                "(duplicate ids). Rewrite the stats-less segments "
+                "(compact) to restore identity allocation."
+            )
     return int(spec.get("start", 1))
 
 
@@ -1447,6 +1475,19 @@ def versioned_write(
                             f"identity range conflict on {col!r}: allocated "
                             f"from {base} but the head already holds "
                             f"{int(mx)}; re-run the write"
+                        )
+                    if mx is None and any(
+                        col in sch
+                        for sch in entries[-1].get("schemas", {}).values()
+                    ):
+                        # Same fail-loud rule as _identity_base: a head
+                        # that HOLDS the column but records no max stat
+                        # leaves the guard blind — refuse to commit
+                        # rather than risk silent duplicate ids.
+                        raise ValueError(
+                            f"identity column {col!r} exists in the head "
+                            "schema but no segment records a max stat — "
+                            "range guard cannot verify uniqueness"
                         )
             # Schema enforcement against the head actually committed on
             # (Delta-style): an append may ADD columns (readers
@@ -3004,11 +3045,15 @@ def _describe_detail_row(path: str) -> dict:
         "num_raw_rows": n_rows,
         "num_live_rows": n_rows - dv_rows,
         "partition_columns": sorted(part_cols),
-        # 'generated' is internal bookkeeping (its count is already
-        # num_generated_columns), not a user table property
-        "num_properties": len([k for k in props if k != "generated"]),
+        # 'generated' and 'identity' are internal bookkeeping (their
+        # counts surface as num_generated_columns /
+        # num_identity_columns), not user table properties
+        "num_properties": len(
+            [k for k in props if k not in ("generated", "identity")]
+        ),
         "num_constraints": len(cons),
         "num_generated_columns": len(props.get("generated", {})),
+        "num_identity_columns": len(props.get("identity", {})),
         "change_data_feed": bool(props.get("enableChangeDataFeed")),
     }
 
@@ -3020,6 +3065,7 @@ def _describe_detail_row(path: str) -> dict:
            2 AS current_version,
            CAST(0 AS BIGINT) AS num_constraints,
            CAST(0 AS BIGINT) AS num_generated_columns,
+           CAST(0 AS BIGINT) AS num_identity_columns,
            CAST(3 AS BIGINT) AS num_files,
            CAST(COUNT(*) AS BIGINT) - CAST((SELECT COUNT(*) FROM orders
                  WHERE o_orderkey % 3 = 0 AND o_orderkey % 100 = 0) AS BIGINT)
@@ -3036,7 +3082,7 @@ def _describe_detail_row(path: str) -> dict:
         "DESCRIBE DETAIL: the one-row metadata summary (versions, "
         "segments, files, bytes, raw vs LIVE rows through the pending "
         "deletion vector, partition columns, properties/constraints/"
-        "generated-column counts, CDF flag) assembled WITHOUT a data "
+        "generated/identity-column counts, CDF flag) assembled WITHOUT a data "
         "scan — parquet footers + sidecars only. Fixture: two "
         "single-file appends with CDF enabled and an owner property, "
         "then a delete_keys of the %100==0 keys in the first slice; "
@@ -3079,7 +3125,8 @@ def snapshot_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c: detail[c]
                 for c in (
                     "change_data_feed", "current_version", "num_constraints",
-                    "num_generated_columns", "num_files", "num_live_rows",
+                    "num_generated_columns", "num_identity_columns",
+                    "num_files", "num_live_rows",
                     "num_properties", "num_raw_rows", "num_segments",
                     "num_versions",
                 )
@@ -3648,14 +3695,22 @@ def change_feed_between_timestamps(
     if v_start > entries[0]["version"]:
         return change_feed(spark, path, v_start - 1, v_end)
     # Window includes the first commit: its rows are the initial
-    # insert set; later versions feed normally.
+    # insert set; later versions feed normally. The base entry may be
+    # a post-vacuum oldest-retained version that CARRIES a deletion
+    # vector — the initial snapshot must be the DV-masked live rows
+    # (snapshot_read's contract), never the raw segment bytes, or a
+    # replayed feed resurrects tombstoned rows as inserts.
     base = entries[0]
-    ins = None
-    for seg in base["segments"]:
-        part = _read_new_segment(spark, path, base, seg).withColumn(
-            "_change_type", F.lit("insert")
-        )
-        ins = part if ins is None else ins.unionByName(part)
+    if not base["segments"]:
+        if v_end == v_start:
+            raise ValueError(
+                f"v{base['version']} is an empty-table commit with no "
+                "segments; its initial snapshot has no derivable schema"
+            )
+        return change_feed(spark, path, v_start, v_end)
+    ins = snapshot_read(spark, path, version=base["version"]).withColumn(
+        "_change_type", F.lit("insert")
+    )
     if v_end == v_start:
         return ins
     return ins.unionByName(
@@ -4884,6 +4939,19 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     renames: dict[str, str] = {}
     cdc_name = None
     matched_rows = F.coalesce(match, F.lit(False))
+    # Generated columns recompute on UPDATE (Delta's contract): a SET
+    # touching a generated column's source (SET o_orderdate on a table
+    # with o_year GENERATED AS year(o_orderdate)) must refresh the
+    # derived value, or the stale postimage trips the implicit
+    # _generated_* CHECK and rejects the whole UPDATE. Every generated
+    # column present in the scan and NOT explicitly SET is re-derived
+    # AFTER the SET projection (generated expressions are deterministic
+    # by contract, so re-deriving an untouched one is the identity).
+    _gen_recompute = {
+        g: e
+        for g, e in _read_properties(path).get("generated", {}).items()
+        if g not in set_exprs and g in scan.columns
+    }
     if _cdf_enabled(path):
         pre = scan.filter(matched_rows).withColumn(
             "_change_type", F.lit("update_preimage")
@@ -4891,6 +4959,7 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         post = (
             scan.filter(matched_rows)
             .withColumns(dict(set_exprs))
+            .withColumns({g: F.expr(e) for g, e in _gen_recompute.items()})
             .withColumn("_change_type", F.lit("update_postimage"))
         )
         staged_cdc, _n = _stage_cdc(path, [pre, post])
@@ -4912,6 +4981,16 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     else:
         rewrite = scan.withColumns(
             {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
+        )
+        # Second projection pass: generated expressions must see the
+        # POST-SET values (withColumns evaluates all exprs against the
+        # input frame simultaneously, so folding these into the SET
+        # pass would read pre-update sources).
+        rewrite = rewrite.withColumns(
+            {
+                g: F.when(match, F.expr(e)).otherwise(F.col(g))
+                for g, e in _gen_recompute.items()
+            }
         )
     # Stage the rewrite; the final name publishes under the commit lock.
     staged = _stage_dir(path)
