@@ -1370,6 +1370,16 @@ def make_versioned_datasource():
             parts = []
             for v in sorted(v for v in entries if lo < v <= hi):
                 segs = set(entries[v]["segments"])
+                if entries[v].get("data_change") is False:
+                    # Maintenance rewrite (compact / bin-pack / z-order):
+                    # bytes moved, live rows identical — contribute ZERO
+                    # partitions and advance the diff base, Delta's
+                    # OPTIMIZE-under-CDF skip. Applies to the plain
+                    # append-tail stream too: re-emitting a compacted
+                    # segment would duplicate every row it absorbed.
+                    prev = segs
+                    prev_dv = entries[v].get("dv")
+                    continue
                 removed = prev - segs
                 if removed and entries[v].get("cdc") and self._cdf:
                     # UPDATE/MERGE with a CDC sidecar (CDF-enabled
@@ -2369,7 +2379,10 @@ _REPL_PRICE_FLOOR = 150000.0
     doc=(
         "STREAMING CDC REPLICATION — the full loop: a CDF-enabled "
         "source evolves through two appends, a keyed UPDATE ('F' rows "
-        "repriorified), and a DELETE; one readChangeFeed stream drains "
+        "repriorified), a MID-HISTORY COMPACTION (data_change:false — "
+        "skipped by the feed, zero legs, so table maintenance never "
+        "breaks the replica), and a DELETE; one readChangeFeed stream "
+        "drains "
         "it and a foreachBatch applier REPLAYS each version's legs "
         "IN COMMIT ORDER onto an initially-empty replica table — "
         "insert legs append/merge, update_postimage legs MERGE by key "
@@ -2392,6 +2405,7 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from argodb_mapreduce_spark.catalog import load_table
     from argodb_mapreduce_spark.sources.versioned import (
+        compact,
         delete_keys,
         delete_where,
         enable_change_data_feed,
@@ -2419,7 +2433,8 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     update_where(  # v2: cdc sidecar
         spark, src, [("o_orderstatus", "=", "F")], {"o_orderpriority": F.lit("0-MOVED")}
     )
-    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v3: DV
+    compact(spark, src)  # v3: MID-HISTORY OPTIMIZE (data_change:false)
+    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v4: DV
 
     def apply_batch(batch_df, _batch_id):
         batch_df = batch_df.persist()
@@ -2561,6 +2576,101 @@ def stream_change_feed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_key"),
     )
     sink = "stream_change_feed_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _cdf_optimize_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Maintenance-interleaved CDF history: append (v0: %3==0), append
+    (v1: %3==1), COMPACT (v2 — ``data_change: false``), append (v3:
+    %3==2), then a DV DELETE of the status-'F' rows (v4) whose delta
+    spans the compacted segment and the post-compaction append."""
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        compact,
+        delete_where,
+        versioned_write,
+        versions,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "orders_vcdc_opt"
+    )
+    src = table_path(sf_dir, "orders")
+    if not fixture_stale(src, os.path.join(out, MANIFEST)) and len(versions(out)) == 5:
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), out, mode="append")
+    compact(spark, out)  # v2: dataChange=false maintenance commit
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), out, mode="append")
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])  # v4: DV
+    return out
+
+
+@register(
+    "stream_change_feed_through_optimize",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    UNION ALL
+    SELECT 'delete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("streaming", "source", "cdc", "compaction", "maintenance", "live"),
+    doc=(
+        "STREAMING CDF THROUGH OPTIMIZE — maintenance and incremental "
+        "consumers compose: the history is append, append, COMPACT "
+        "(tagged data_change:false, Delta's OPTIMIZE contract), append, "
+        "DV DELETE; one readChangeFeed stream drains it GREEN. The "
+        "compaction commit contributes ZERO legs (it rearranges bytes, "
+        "the live rows are identical) while the appends around it emit "
+        "insert legs and the post-compaction DELETE emits delete legs "
+        "whose positions resolve inside the COMPACTED file — proven by "
+        "the oracle pin: inserts equal the full table exactly once "
+        "(a re-emitted compacted segment would double-count), deletes "
+        "equal the status-'F' rows. Before r12 this history KILLED the "
+        "stream (non-append raise); now OPTIMIZE never breaks a CDC "
+        "subscriber."
+    ),
+)
+def stream_change_feed_through_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: the skip is O(1) per maintenance commit (a manifest-entry
+    tag check at plan time); the feed still moves only O(changes) — a
+    nightly OPTIMIZE on a 100 TB table costs its CDC subscribers
+    nothing."""
+    register_datasource(spark)
+    out = _cdf_optimize_fixture(spark, sf_dir)
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(out)
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    sink = "stream_change_feed_through_optimize_sink"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)

@@ -32,6 +32,7 @@ import contextlib
 import datetime as _dt
 import glob as _glob
 import json
+import math
 import os
 import tempfile
 
@@ -1949,12 +1950,31 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    flatten: bool = False,
+    target_file_mb: float = 128.0,
+) -> int:
     """OPTIMIZE-style segment compaction: rewrite the latest version's
     segments into one, publish it as a new version. Data is unchanged;
     older versions keep referencing the original segments, so time
     travel still works — exactly how Delta OPTIMIZE / Iceberg rewrite
     interact with snapshots. Returns the new version number.
+
+    The commit is tagged ``data_change: false`` (Delta tags OPTIMIZE
+    commits ``dataChange=false`` for the same reason): the rewrite
+    holds no new rows, so :func:`change_feed` and the streaming CDF
+    reader SKIP it (zero legs) instead of raising — maintenance and
+    incremental consumers compose.
+
+    The rewrite is DISTRIBUTED: the staged write uses a byte-derived
+    task count (source segment bytes / ``target_file_mb``), never a
+    single-task ``coalesce(1)`` — compacting a 10 TB version runs as
+    ~80k parallel tasks writing ~128 MB files, not one executor
+    funneling the table. Partitioned layouts hash-distribute on the
+    partition columns so every partition value still lands in exactly
+    one file per directory.
 
     Partition layout is PRESERVED when the version's segments share one
     (Delta OPTIMIZE compacts within partitions, it never un-partitions
@@ -1967,6 +1987,8 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
     rewrites compact thousands of append segments without blocking
     readers (their plans hold the old file set) or writers (the new
     manifest entry is an atomic append)."""
+    if target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
     entries = _read_manifest(path)
     latest = entries[-1]
     version = latest["version"] + 1
@@ -1980,11 +2002,27 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
     # absorbs DVs into rewritten files.
     compacted = snapshot_read(spark, path, latest["version"])
+    # Byte-derived parallelism (the optimized-write sizing rule): the
+    # source version's on-disk bytes bound the rewrite, so the task
+    # count is O(table bytes / target file size) — compression ratios
+    # carry over between the old and new parquet closely enough for a
+    # file-sizing heuristic.
+    total_bytes = sum(_segment_bytes(path, s) for s in latest["segments"])
+    want = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if keep_layout:
+        # Hash on the partition columns: a value maps to exactly one of
+        # the `want` tasks, so each partition dir gets ONE file while
+        # distinct values spread across tasks.
+        compacted = compacted.repartition(want, *keep_layout)
+    else:
+        # coalesce, not repartition: narrowing to `want` write tasks
+        # needs no shuffle of the scanned bytes.
+        compacted = compacted.coalesce(want)
     # Stage, never materialize data-{version} pre-commit: an unlocked
     # final-name dir is a crash orphan to a concurrent versioned_write
     # (which would rmtree it); _commit_entry publishes under the lock.
     staged = _stage_dir(path)
-    writer = compacted.coalesce(1).write.mode("errorifexists")
+    writer = compacted.write.mode("errorifexists")
     if keep_layout:
         writer = writer.partitionBy(*keep_layout)
     writer.parquet(staged)
@@ -1996,6 +2034,9 @@ def compact(spark: SparkSession, path: str, flatten: bool = False) -> int:
         "version": version,
         "segments": [segment],
         "compacted_from": latest["version"],
+        # Delta's OPTIMIZE contract: the commit rearranges bytes, the
+        # LIVE rows are identical — CDF consumers skip it.
+        "data_change": False,
         # The rewritten segment gets fresh footer stats — compaction
         # must not silently turn off data skipping for the table.
         "stats": {segment: stats},
@@ -3568,10 +3609,14 @@ def change_feed(
     and an UPDATE / MERGE on a :func:`enable_change_data_feed` table
     reads the ``cdc-{version}`` sidecar the commit wrote (with Delta's
     ``update_preimage`` / ``update_postimage`` / ``insert`` row types).
-    Overwrite / compaction / rollback transitions — and UPDATE/MERGE
-    without CDF enabled — raise: their deltas are not expressible from
-    the manifest without a full diff, the same restriction Delta CDF
-    places on non-CDC-enabled rewrites; use :func:`snapshot_diff`.
+    Maintenance commits tagged ``data_change: false`` (compact /
+    bin-pack / z-order / purge's rewrite) are SKIPPED — zero legs,
+    Delta's OPTIMIZE-under-CDF contract — so table maintenance never
+    breaks an incremental consumer. Overwrite / rollback transitions —
+    and UPDATE/MERGE without CDF enabled — raise: their deltas are not
+    expressible from the manifest without a full diff, the same
+    restriction Delta CDF places on non-CDC-enabled rewrites; use
+    :func:`snapshot_diff`.
 
     At 100 TB: a day that appends 100 GB and tombstones 0.1% yields a
     change feed costing ~100 GB of reads, independent of table size —
@@ -3587,6 +3632,13 @@ def change_feed(
     span = [e for e in entries if from_version <= e["version"] <= to_version]
     frames = []
     for prev, cur in zip(span, span[1:]):
+        if cur.get("data_change") is False:
+            # Maintenance rewrite (compact / bin-pack / z-order /
+            # purge's compaction): bytes moved, live rows identical —
+            # zero legs, exactly how Delta CDF skips dataChange=false
+            # OPTIMIZE commits. The next pair diffs against THIS
+            # entry's segments, so the skip is seamless.
+            continue
         pure_append = (
             cur["segments"][: len(prev["segments"])] == prev["segments"]
             and len(cur["segments"]) == len(prev["segments"]) + 1
@@ -3651,8 +3703,8 @@ def change_feed(
         else:
             raise ValueError(
                 f"change feed undefined for v{prev['version']}->"
-                f"v{cur['version']} (overwrite/compaction/rollback, or "
-                "an UPDATE/MERGE without enable_change_data_feed); "
+                f"v{cur['version']} (overwrite/rollback, or an "
+                "UPDATE/MERGE without enable_change_data_feed); "
                 "use snapshot_diff for a full-table diff"
             )
     if not frames:
@@ -4732,6 +4784,10 @@ def zorder_rewrite(
             "stats": stats,
             "schemas": schemas,
             "zordered_from": latest["version"],
+            # Z-order is a clustering rewrite — row set unchanged, CDF
+            # consumers skip it (Delta: OPTIMIZE ZORDER BY is
+            # dataChange=false).
+            "data_change": False,
         }
         bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
         if bloom_cols:
@@ -4979,18 +5035,29 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         else:  # all legs empty (cannot happen with n_updated > 0)
             rewrite = scan
     else:
-        rewrite = scan.withColumns(
-            {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
-        )
-        # Second projection pass: generated expressions must see the
-        # POST-SET values (withColumns evaluates all exprs against the
-        # input frame simultaneously, so folding these into the SET
-        # pass would read pre-update sources).
-        rewrite = rewrite.withColumns(
-            {
-                g: F.when(match, F.expr(e)).otherwise(F.col(g))
-                for g, e in _gen_recompute.items()
-            }
+        # The match flag is MATERIALIZED before the SET (a predicate on
+        # an updated column — SET k=k+100 WHERE k<5 — would evaluate
+        # false against post-SET values, silently skipping the
+        # generated-column recompute below).
+        rewrite = (
+            scan.withColumn("__upd", matched_rows)
+            .withColumns(
+                {
+                    c: F.when(F.col("__upd"), e).otherwise(F.col(c))
+                    for c, e in set_exprs.items()
+                }
+            )
+            # Second projection pass: generated expressions must see
+            # the POST-SET values (withColumns evaluates all exprs
+            # against the input frame simultaneously, so folding these
+            # into the SET pass would read pre-update sources).
+            .withColumns(
+                {
+                    g: F.when(F.col("__upd"), F.expr(e)).otherwise(F.col(g))
+                    for g, e in _gen_recompute.items()
+                }
+            )
+            .drop("__upd")
         )
     # Stage the rewrite; the final name publishes under the commit lock.
     staged = _stage_dir(path)
@@ -5768,6 +5835,10 @@ def compact_binpack(spark: SparkSession, path: str, target_bytes: int) -> dict:
                 else {}
             ),
             "packed_from": latest["version"],
+            # Bin-pack rearranges bytes; live rows identical (the bins
+            # read through the DV and carried segments keep theirs) —
+            # CDF consumers skip it, like compact().
+            "data_change": False,
         }
         # Carried segments still need their tombstones (packed bins
         # materialized theirs; inert entries are harmless).
