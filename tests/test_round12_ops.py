@@ -395,3 +395,94 @@ def test_identity_base_fails_loud_without_stats(spark, tmp_path):
         versioned_write(
             spark.range(10, 20).select(F.col("id").alias("k")), p, mode="append"
         )
+
+
+# -------------------------------------------- DV sidecars + pruned deletes
+
+
+def test_dv_sidecar_multifile_and_reads_back(spark, tmp_path):
+    """The DV write is no longer a single-task coalesce(1): a broad
+    delete's sidecar may span multiple files and the reader (a
+    directory read) masks correctly either way."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    versioned_write(df.repartition(8), p, mode="append")
+    delete_where(spark, p, [("g", "=", 3)])
+    dv_name = _read_manifest(p)[-1]["dv"]
+    files = glob.glob(os.path.join(p, dv_name, "*.parquet"))
+    assert len(files) >= 1  # size-aware: small DV may still be 1 file
+    live = snapshot_read(spark, p)
+    assert live.filter(F.col("g") == 3).count() == 0
+    assert live.count() == 50_000 - df.filter(F.col("g") == 3).count()
+
+
+def test_delete_keys_prunes_segments_by_minmax(spark, tmp_path):
+    p = str(tmp_path / "t")
+
+    def mk(a, b):
+        return spark.range(a, b).select(F.col("id").alias("k"))
+
+    versioned_write(mk(0, 100), p, mode="append")
+    versioned_write(mk(100, 200), p, mode="append")
+    versioned_write(mk(200, 300), p, mode="append")
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys,
+        delete_keys,
+    )
+
+    latest = _read_manifest(p)[-1]
+    kept = _segments_possibly_holding_keys(latest, [150, 160], "k")
+    assert kept == ["data-1"]
+    v, n = delete_keys(spark, p, mk(150, 160), "k")
+    assert n == 10
+    assert snapshot_read(spark, p).count() == 290
+    # keys provably in NO segment: no-op without a commit
+    v2, n2 = delete_keys(spark, p, mk(5000, 5010), "k")
+    assert (v2, n2) == (v, 0)
+
+
+def test_delete_keys_prunes_segments_by_bloom(spark, tmp_path):
+    """Overlapping ranges (min/max can't prune) but disjoint key SETS:
+    the tracked bloom must exclude the untouched segment."""
+    p = str(tmp_path / "t")
+    evens = spark.range(0, 500).select((F.col("id") * 2).alias("k"))
+    odds = spark.range(0, 500).select((F.col("id") * 2 + 1).alias("k"))
+    versioned_write(evens, p, mode="append", bloom_columns=["k"])
+    versioned_write(odds, p, mode="append", bloom_columns=["k"])
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys,
+        delete_keys,
+    )
+
+    latest = _read_manifest(p)[-1]
+    kept = _segments_possibly_holding_keys(latest, [11, 33, 55], "k")
+    assert kept == ["data-1"]  # evens segment bloom-rejected
+    v, n = delete_keys(
+        spark, p, spark.createDataFrame([(11,), (33,), (55,)], ["k"]), "k"
+    )
+    assert n == 3
+    assert snapshot_read(spark, p).count() == 997
+
+
+def test_delete_keys_over_cap_falls_back_to_full_scan(spark, tmp_path):
+    import argodb_mapreduce_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    versioned_write(
+        spark.range(0, 1000).select(F.col("id").alias("k")), p, mode="append"
+    )
+    old = V._DELETE_KEYS_PRUNE_CAP
+    V._DELETE_KEYS_PRUNE_CAP = 5  # force the over-cap path
+    try:
+        v, n = V.delete_keys(
+            spark,
+            p,
+            spark.range(0, 50).select(F.col("id").alias("k")),
+            "k",
+        )
+    finally:
+        V._DELETE_KEYS_PRUNE_CAP = old
+    assert n == 50
+    assert snapshot_read(spark, p).count() == 950
