@@ -67,128 +67,76 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.materialized_view",
 )
 
-#: ROUND-11 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-12 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
-#: round — they must (re-)earn their green rows — then (b) at least 20
-#: slots of staleness rotation, oldest banked evidence first. After r10
-#: the staleness floor was r04: exactly 15 rows (measured from the
-#: CORRECTNESS union; the r10 verdict corrected COVERAGE.md's
-#: miscounted 13). ALL 15 rotate in below, then the 10
-#: alphabetically-first r05-tier rows fill the window (8 new + 17
-#: changed + 15 + 10 = 50, measured against the CORRECTNESS union),
-#: leaving a post-r11 floor of r05 (31 rows: embedding_pca_top_
-#: component, events_attribution_last_touch, events_autocorrelation
-#: onward lead the r12 rotation). tests/test_round8_ops.py asserts
+#: round — they must (re-)earn their green rows — then (b) staleness
+#: rotation, oldest banked evidence first. Round 12 rebuilt the
+#: manifest as a log-structured store (every versioned-table query
+#: crosses it, so its core representatives re-earn), made maintenance
+#: CDF-transparent, distributed compact(), size-awared DV writes,
+#: bloom-pruned delete_keys, and added column mapping — hence 24
+#: changed-code slots; the 23 rotation slots take the alphabetically-
+#: first rows of the r05 staleness tier (36 rows, VERDICT r11 #5;
+#: sink_zorder_roundtrip does double duty: r05-stale AND zorder
+#: changed this round). tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 11: first driver evidence ---
-    "snapshot_change_feed_updates",     # CDF through UPDATE/MERGE (sidecars)
-    "mv_refresh_through_update",        # MV maintenance through update legs
-    "stream_backlog_drain",             # bounded-run streaming admission
-    "stream_change_feed_updates_live",  # streaming CDF over cdc sidecars
-    "pyds_rowgroup_pruned_scan",        # within-file row-group skipping
-    "snapshot_partition_evolution",     # per-segment partition specs
-    "sink_optimized_write",             # write-time small-files fix
-    "dedup_index_through_updates",      # LSH index maintained via MERGE
-    "stream_cdc_replicate",             # full CDC replication loop
-    "snapshot_generated_column",        # GENERATED ALWAYS AS columns
-    "snapshot_delete_keys",             # set-based DV delete (GDPR shape)
-    "dedup_index_through_deletes",      # GDPR cascade into the index
-    "pipeline_medallion",               # bronze->silver->gold composition
-    "snapshot_gdpr_purge",              # physical erasure, raw-bytes audit
-    "snapshot_describe_detail",         # one-row metadata summary
-    "snapshot_restore_to_timestamp",    # RESTORE resolves AS OF rule
-    "snapshot_vacuum_retention",        # VACUUM RETAIN n HOURS
-    "sink_identity_column",             # GENERATED ALWAYS AS IDENTITY
-    "pyds_partitioned_scan",            # partition-aware Python DataSource
-    "snapshot_change_feed_partitioned", # CDF delete recovery, Hive layout
-    "snapshot_quarantine_replay",       # exactly-once repair-and-reingest
-    "similarity_filtered_topk",         # filtered ANN, strategy by stats
-    "snapshot_update_on_dv",            # DML composes with deletion vectors
-    "pyds_partitioned_write",           # Hive-layout writes via the pyds sink
-    "stream_expect_quarantine_live",    # streaming DLT loop incl. replay
-    "mv_refresh_through_delete",        # MV maintenance through DV deletes
-    # --- (a cont.) code changed in round 11: re-earn the rows ---
-    "snapshot_change_feed",       # delete leg -> layout-aware file scan
-    "snapshot_vacuum",            # lock scope + retain_hours + cdc GC
-    # (snapshot_rollback ceded its changed-code slot to the new
-    # index-through-updates row: the fenced lock it re-earned is the
-    # shared commit machinery every versioned row in this window
-    # drives, and rollback semantics are pinned in tests.)
-    "snapshot_expect_quarantine", # violation tagging factored out
-    # (join_salted_targeted ceded its changed-code slot to the new
-    # identity-column row: the positional-union fix is pinned by
-    # tests/test_round10_ops.py and its driver row was green in the
-    # r10 window.)
-    # (pyds_versioned_scan ceded its changed-code slot to the new CDC
-    # replication row: the reader paths it re-earned are driven by
-    # pyds_partitioned_scan and pyds_rowgroup_pruned_scan, both in this
-    # window.)
-    # (pyds_versioned_write ceded its changed-code slot to the new
-    # generated-columns row: the writer path it re-earned is driven by
-    # pyds_partitioned_write, in this window.)
-    # (pyds_pruned_scan ceded its changed-code slot to the new purge
-    # row: source pruning is driven by pyds_rowgroup_pruned_scan and
-    # pyds_partitioned_scan, both in this window.)
-    # (stream_versioned_ingest ceded its changed-code slot to the new
-    # index-through-deletes row: the stream reader's partition plumbing
-    # is driven by stream_backlog_drain and the CDF stream rows, all in
-    # this window.)
-    # (stream_change_feed_live ceded its changed-code slot to the new
-    # medallion row: its _emit reorder is driven by
-    # stream_change_feed_updates_live, in this window.)
-    # (stream_versioned_sink ceded its changed-code slot to the new
-    # delete_keys row: its versioned_write_txn machinery is driven by
-    # stream_expect_quarantine_live's per-leg txn stamps, in this
-    # window.)
-    "snapshot_partitioned_scan",  # native read casts ledger types
-    # (snapshot_zorder_scan ceded its changed-code slot to the new
-    # partition-evolution row: its r11 change — staged-dir cleanup on
-    # failure — is error-path-only and pinned by tests/test_zorder.py,
-    # while a NEW op needs first driver evidence.)
-    # (snapshot_delete_where ceded its changed-code slot to the new
-    # optimized-write row: its r11 change is the shared cast-aware DV
-    # machinery that snapshot_update_on_dv — in the window — exercises
-    # on the same code path.)
-    # (snapshot_update_where ceded its changed-code slot to the new
-    # restore-to-timestamp row: its r11b changes — zero-match no-op and
-    # sidecar read-back — are driven by snapshot_change_feed_updates and
-    # mv_refresh_through_update, in this window.)
-    # (snapshot_merge_pruned ceded its changed-code slot to the new
-    # vacuum-retention row: the MERGE sidecar read-back is driven by
-    # snapshot_change_feed_updates and stream_cdc_replicate, in this
-    # window.)
-    # (snapshot_compact_binpack ceded its changed-code slot to the new
-    # describe-detail row: DV materialization in rewrites is driven by
-    # snapshot_update_on_dv and snapshot_gdpr_purge, in this window.)
-    # --- (b) staleness rotation: ALL 15 rows whose newest evidence is
-    # r04 (VERDICT r10 #5, verified against the CORRECTNESS union) ---
-    "sink_merge_upsert",
-    "sketch_count_min",
-    "sketch_rollup_hll",
-    "sketch_rollup_quantile",
-    "stream_dedup_watermark",
-    "stream_join_live",
-    "stream_merge_upsert_live",
-    "stream_session_window",
-    "stream_stateful_counts",
-    "stream_tumbling_live",
-    "stream_window_sliding",
-    "stream_window_tumbling",
-    "text_bm25_topk",
-    "text_top_tokens",
-    "window_time_range_frame",
-    # --- (b cont.) the 5 alphabetically-first r05-tier rows (five
-    # slots ceded to the r11b additions: the CDF-through-DML pair, the
-    # backlog drain, the live CDF-updates stream, and the row-group
-    # skip scan; 20 rotation slots remain, at the >=20 policy floor) ---
-    "agg_grouping_flags",
-    "agg_salted_skew",
-    "basket_pair_lift",
-    "corpus_tv_divergence",
-    "dedup_containment",
+    # --- (a) new in round 12: first driver evidence ---
+    "stream_change_feed_through_optimize",  # CDF skips dataChange=false
+    "snapshot_delete_keys_pruned",          # bloom/minmax-pruned erase
+    "snapshot_column_mapping",              # RENAME/DROP via name mapping
+    # --- (a cont.) code changed in round 12: re-earn the rows ---
+    "snapshot_compaction",          # distributed rewrite + data_change tag
+    "snapshot_gdpr_purge",          # purge via compact + size-aware DV
+    "snapshot_compact_binpack",     # data_change tag
+    "sink_zorder_roundtrip",        # zorder data_change + physical writeback
+    "snapshot_change_feed",         # maintenance skip + logical mapping
+    "snapshot_change_feed_updates", # CDF sidecars physical + gen recompute
+    "snapshot_delete_keys",         # key-set pruning + multi-file DV
+    "snapshot_delete_where",        # size-aware DV + predicate mapping
+    "snapshot_update_where",        # match-flag materialization + mapping
+    "snapshot_update_on_dv",        # update path reshaped
+    "snapshot_merge_pruned",        # merge mapping + retired-column aging
+    "sink_merge_upsert",            # merge source->physical conversion
+    "stream_cdc_replicate",         # version-loop generality + mid-history OPTIMIZE
+    "stream_change_feed_updates_live",  # streaming planner skip logic
+    "snapshot_describe_detail",     # identity exclusion + new field
+    "sink_identity_column",         # locked registration + fail-loud base
+    "snapshot_generated_column",    # recompute interplay
+    "snapshot_time_travel",         # manifest-log read/append core
+    "snapshot_vacuum",              # wholesale rewrite on the log layout
+    "snapshot_rollback",            # rollback append on the log layout
+    "snapshot_restore_to_timestamp",  # restore + CDF-between-ts DV fix
+    "pyds_versioned_scan",          # pyds reads via manifest_log
+    "pyds_versioned_write",         # pyds _publish appends via manifest_log
+    "stream_versioned_ingest",      # stream _entries via manifest_log
+    # --- (b) staleness rotation: the 23 alphabetically-first rows of
+    # the r05 tier (36 rows total; the rest lead the r13 rotation) ---
+    "dedup_fuzzy_levenshtein",
+    "dedup_ngram_jaccard",
+    "dedup_span_exact",
+    "dq_constraint_audit",
+    "embedding_normalize_stats",
+    "embedding_pca_top_component",
+    "events_attribution_last_touch",
+    "events_autocorrelation",
+    "events_ewma_smooth",
+    "events_markov_transition",
+    "events_sessionize",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_asof_tolerance",
+    "join_bloom_pruned",
+    "join_lateral_topk",
+    "join_null_safe",
+    "orders_cohort_ltv",
+    "recursive_cte_ancestors",
+    "sample_weighted_bernoulli",
+    "scan_partition_dynamic",
+    "scd2_user_history",
+    "similarity_pq_adc_topk",
 )
 
 

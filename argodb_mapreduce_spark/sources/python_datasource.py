@@ -73,6 +73,48 @@ def make_versioned_datasource():
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
 
+    def _manifest_log():
+        """Import the dependency-light log-structured manifest module
+        with the _REPO_ROOT sys.path guard: plan/commit run in
+        driver-side data-source WORKER processes whose PYTHONPATH may
+        lack the repo — same pattern as the commit-lock import. Defined
+        in this closure so the classes pickle it BY VALUE (a module-
+        level reference would unpickle-by-import and fail on workers)."""
+        import sys as _sys
+
+        if _REPO_ROOT not in _sys.path:
+            _sys.path.insert(0, _REPO_ROOT)
+        from argodb_mapreduce_spark.sources import manifest_log as _m
+
+        return _m
+
+    def _reject_column_mapping(path):
+        """The Python DataSource reads physical bytes directly; a table
+        with an ACTIVE column mapping (renamed/dropped columns) would
+        surface retired physical names — fail loud and point at the
+        native reader, which resolves the logical view (documented
+        limitation, like Delta readers below the columnMapping
+        reader-feature version)."""
+        p = _os.path.join(path, "_properties.json")
+        if _os.path.exists(p):
+            with open(p) as f:
+                props = _json.load(f)
+            cmap = props.get("column_mapping", {})
+            if any(l != ph for l, ph in cmap.items()) or props.get(
+                "column_mapping_retired"
+            ):
+                # RuntimeError ON PURPOSE: the batch reader defers
+                # FileNotFoundError/ValueError from plan-time
+                # resolution (fresh write paths have no manifest yet);
+                # this must NOT be deferred into a misleading
+                # "no table" error.
+                raise RuntimeError(
+                    "this table has an active column mapping (renamed "
+                    "or dropped columns); the Python DataSource reads "
+                    "physical names — use versioned.snapshot_read / "
+                    "change_feed for the logical view"
+                )
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
@@ -217,8 +259,8 @@ def make_versioned_datasource():
         on partition columns is file-precise) and a constant column
         appended at read() time — the reference's file-aligned splits +
         record-reader partition append, including the NULL sentinel."""
-        with open(_os.path.join(path, "_snapshots.json")) as f:
-            entries = _json.load(f)
+        _reject_column_mapping(path)
+        entries = _manifest_log().read_entries(path)
         by_version = {e["version"]: e for e in entries}
         if version is None or version < 0:
             version = entries[-1]["version"]
@@ -846,11 +888,12 @@ def make_versioned_datasource():
         def _publish(self, messages, verify):
             import shutil as _shutil
 
+            _ml = _manifest_log()
+
             entries = []
             manifest = _os.path.join(self.path, "_snapshots.json")
             if _os.path.exists(manifest):
-                with open(manifest) as f:
-                    entries = _json.load(f)
+                entries = _ml.read_entries(self.path)
             version = entries[-1]["version"] + 1 if entries else 0
             segment = f"data-{version}"
             # Publish ONLY the files named by the winning task attempts'
@@ -985,10 +1028,10 @@ def make_versioned_datasource():
             entry["ts"] = _time.time()
             entries.append(entry)
             verify()  # fencing: abort if our lock was stale-broken
-            tmp = manifest + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(entries, f)
-            _os.replace(tmp, manifest)
+            # Log-structured commit: one per-commit JSON file lands
+            # atomically (+ amortized checkpoint) — same layout and
+            # cost model as versioned._append_manifest_entry.
+            _ml.append_entry(self.path, entries)
 
         def abort(self, messages):
             import shutil as _shutil
@@ -1269,8 +1312,8 @@ def make_versioned_datasource():
             self._base_cols = base_cols
 
         def _entries(self):
-            with open(_os.path.join(self._path, "_snapshots.json")) as f:
-                return _json.load(f)
+            _reject_column_mapping(self._path)
+            return _manifest_log().read_entries(self._path)
 
         def initialOffset(self):
             # Version N's changes are INCLUDED (offsets are exclusive
@@ -2451,6 +2494,8 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the bootstrap append only fires while the replica has no
             # manifest — after a mid-batch crash the retry takes the
             # merge path instead.
+            # metadata-collect: distinct _commit_version values — O(a
+            # few versions per micro-batch), never data rows.
             batch_versions = sorted(
                 r[0]
                 for r in batch_df.select("_commit_version").distinct().collect()

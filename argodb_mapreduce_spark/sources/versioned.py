@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+from argodb_mapreduce_spark.sources import manifest_log
 from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum
 from argodb_mapreduce_spark.registry import register
 
@@ -462,17 +463,24 @@ def prune_segments(
 
 
 def _read_manifest(path: str) -> list[dict]:
-    with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+    """Full entry list via the log-structured store (newest checkpoint
+    + per-commit tail replay; legacy single-array fallback) — see
+    :mod:`manifest_log`."""
+    return manifest_log.read_entries(path)
+
+
+def _append_manifest_entry(path: str, entries: list[dict]) -> None:
+    """Commit hot path: ``entries`` ends with the just-appended entry;
+    one O(entry) per-commit file lands atomically (+ an amortized
+    checkpoint every CHECKPOINT_INTERVAL commits). Commit cost no
+    longer grows with table history."""
+    manifest_log.append_entry(path, entries)
 
 
 def _write_manifest(path: str, entries: list[dict]) -> None:
-    # Atomic replace: readers see either the old or the new manifest,
-    # never a torn file (single-writer assumed, like Delta's log append).
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="_snapshots", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(entries, f, indent=1)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    """Wholesale manifest replacement (vacuum, clone bootstrap,
+    hand-built fixture histories) — O(history), maintenance-only."""
+    manifest_log.rewrite(path, entries)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -688,7 +696,7 @@ def _commit_entry(
                 done.append(final_dir)
             entry.setdefault("ts", _now())
             entries.append(entry)
-            _write_manifest(path, entries)
+            _append_manifest_entry(path, entries)
         except BaseException:
             # Manifest write (or a rename) failed: nothing references
             # the published names — remove them so no orphan blocks the
@@ -940,6 +948,274 @@ def _fill_identity(df: DataFrame, path: str) -> tuple[DataFrame, dict]:
         )
         guards[col] = base
     return df, guards
+
+
+# --------------------------------------------------------------------------
+# Column mapping (Delta's columnMapping.mode=name): logical -> physical name
+# indirection so RENAME and DROP COLUMN are O(1) metadata commits — no data
+# file is rewritten, old segments keep their physical names forever.
+# --------------------------------------------------------------------------
+
+
+def _column_map(path: str) -> dict[str, str]:
+    """logical name -> physical name. Empty dict = no mapping enabled
+    (identity semantics, zero overhead on every path)."""
+    return _read_properties(path).get("column_mapping", {})
+
+
+def _physical_predicates(predicates, cmap):
+    """Translate (col, op, lit) triples from logical to physical names
+    (manifest stats, blooms and parquet footers are keyed physically)."""
+    if not cmap:
+        return predicates
+    return [(cmap.get(c, c), op, lit) for c, op, lit in predicates]
+
+
+def _to_physical_frame(df: DataFrame, cmap: dict) -> DataFrame:
+    """Rename a logical frame's columns to their physical names before
+    bytes hit disk — segments stay physically uniform across renames."""
+    renames = {
+        log: phys for log, phys in cmap.items() if log != phys and log in df.columns
+    }
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _to_logical_frame(df: DataFrame, cmap: dict) -> DataFrame:
+    """Physical scan -> logical view: mapped physicals rename to their
+    logical names; physicals absent from the mapping (DROPPED columns)
+    are projected out. Internal helper columns (``__fp``/``__ri`` row
+    identity, ``_change_type`` feed tags) pass through untouched."""
+    if not cmap:
+        return df
+    phys_to_log = {p: l for l, p in cmap.items()}
+    renames = {p: l for p, l in phys_to_log.items() if p != l and p in df.columns}
+    if renames:
+        df = df.withColumnsRenamed(renames)
+    dropped = [
+        c
+        for c in df.columns
+        if c not in cmap and not c.startswith("__") and not c.startswith("_change")
+        and c not in phys_to_log
+    ]
+    return df.drop(*dropped) if dropped else df
+
+
+def _retired_physicals(path: str) -> list[str]:
+    """Physical names of DROPPED columns — still present in old data
+    files, so no new logical column may reuse them (Delta avoids the
+    collision with field ids; this store forbids it)."""
+    return _read_properties(path).get("column_mapping_retired", [])
+
+
+def _assert_unmapped_name(path: str, cmap: dict, name: str) -> None:
+    if name in cmap:
+        raise ValueError(f"column {name!r} already exists (logical)")
+    if name in cmap.values() or name in _retired_physicals(path):
+        raise ValueError(
+            f"{name!r} collides with a (possibly retired) PHYSICAL column "
+            "name still present in data files; pick a different name "
+            "(Delta avoids this with field ids — this store forbids the "
+            "collision)"
+        )
+
+
+def _assert_column_unreferenced(path: str, col: str) -> None:
+    """RENAME/DROP refuse columns referenced by table metadata whose
+    expressions are stored as text over logical names — CHECK
+    constraints, generated-column expressions, identity specs, and the
+    head's partition layout (Delta blocks constraint/generated
+    references the same way; a silent rename would wedge every write)."""
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    for name, expr in _read_constraints(path).items():
+        if pat.search(expr):
+            raise ValueError(
+                f"cannot rename/drop {col!r}: referenced by CHECK "
+                f"constraint {name!r} ({expr})"
+            )
+    props = _read_properties(path)
+    for g, expr in props.get("generated", {}).items():
+        if g == col or pat.search(expr):
+            raise ValueError(
+                f"cannot rename/drop {col!r}: it is (or feeds) generated "
+                f"column {g!r} ({expr})"
+            )
+    if col in props.get("identity", {}):
+        raise ValueError(f"cannot rename/drop identity column {col!r}")
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        head = _read_manifest(path)[-1]
+        part_cols = {
+            c for cols in head.get("partition_by", {}).values() for c in cols
+        }
+        if col in part_cols:
+            raise ValueError(
+                f"cannot rename/drop {col!r}: it is a partition column of "
+                "the current layout (directory names embed it); rewrite "
+                "the layout first (compact(flatten=True))"
+            )
+
+
+def enable_column_mapping(path: str) -> dict[str, str]:
+    """Stamp the identity mapping over the head schema — the one-time
+    switch Delta's ``columnMapping.mode=name`` flips. Implicit via
+    :func:`rename_column` / :func:`drop_column`; idempotent."""
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        cmap = dict(props.get("column_mapping", {}))
+        if not cmap:
+            head = _read_manifest(path)[-1]
+            cols: list[str] = []
+            for sch in head.get("schemas", {}).values():
+                cols.extend(c for c in sch if c not in cols)
+            if not cols:
+                raise ValueError(
+                    "cannot enable column mapping: head has no schema ledger"
+                )
+            cmap = {c: c for c in cols}
+            props["column_mapping"] = cmap
+            fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(props, f, indent=1)
+            _verify_lock(path, lock_token)
+            os.replace(tmp, os.path.join(path, PROPERTIES))
+    return cmap
+
+
+def _update_column_mapping(path: str, cmap: dict[str, str]) -> None:
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        props["column_mapping"] = cmap
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, PROPERTIES))
+
+
+def rename_column(path: str, old: str, new: str) -> dict[str, str]:
+    """``ALTER TABLE RENAME COLUMN old TO new`` — O(1) metadata: the
+    new logical name points at the old PHYSICAL name; no byte moves,
+    every existing segment (and time-travel read) keeps working.
+    Returns the mapping after the rename."""
+    _assert_column_unreferenced(path, old)
+    cmap = dict(enable_column_mapping(path))
+    if old not in cmap:
+        raise ValueError(f"unknown column {old!r}; have {sorted(cmap)}")
+    _assert_unmapped_name(path, {k: v for k, v in cmap.items() if k != old}, new)
+    cmap[new] = cmap.pop(old)
+    _update_column_mapping(path, cmap)
+    return cmap
+
+
+def drop_column(path: str, col: str) -> dict[str, str]:
+    """``ALTER TABLE DROP COLUMN col`` — O(1) metadata: the logical
+    name is unmapped (its PHYSICAL name is recorded as retired so no
+    later column can collide with the bytes still on disk); reads
+    project it out until a rewrite (compact) ages it away physically.
+    Exactly Delta's DROP-under-column-mapping contract."""
+    _assert_column_unreferenced(path, col)
+    cmap = dict(enable_column_mapping(path))
+    if col not in cmap:
+        raise ValueError(f"unknown column {col!r}; have {sorted(cmap)}")
+    phys = cmap.pop(col)
+    if not cmap:
+        raise ValueError("cannot drop the last column")
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        props["column_mapping"] = cmap
+        retired = list(props.get("column_mapping_retired", []))
+        if phys not in retired:
+            retired.append(phys)
+        props["column_mapping_retired"] = retired
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, PROPERTIES))
+    return cmap
+
+
+_CMAP_PRICE_FLOOR = 150000.0
+
+
+@register(
+    "snapshot_column_mapping",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_dsum('o_totalprice', 2)} AS sum_price,
+           TRUE AS dropped_gone,
+           TRUE AS time_travel_logical,
+           TRUE AS physical_bytes_untouched
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice < {_CMAP_PRICE_FLOOR}
+    """,
+    tags=("source", "snapshot", "column-mapping", "rename", "drop"),
+    doc=(
+        "COLUMN MAPPING (Delta columnMapping.mode=name, r12): "
+        "o_totalprice RENAMES to price and o_orderpriority DROPS — both O(1) "
+        "metadata commits, zero bytes rewritten (physical_bytes_"
+        "untouched pins that v0's segment files are byte-identical "
+        "after both ALTERs) — then a schema-logical append lands and a "
+        "DELETE WHERE price>=150k runs THROUGH the mapping (predicate "
+        "translated to the physical stats/footers). The head reads "
+        "back in logical names with the dropped column projected out; "
+        "time travel to v0 resolves through the SAME head mapping "
+        "(Delta's rule). Values are oracle-pinned against the original "
+        "physical column."
+    ),
+)
+def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: rename/drop never touch data (a 100 TB table ALTERs in
+    milliseconds); reads add one projection node; DML translates
+    predicate names once at plan time."""
+    import glob as _g
+    import shutil
+
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+
+    out = _scratch(sf_dir) + "_cmap"
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)
+    before = {
+        f: os.path.getmtime(f)
+        for f in _g.glob(os.path.join(out, "data-0", "*.parquet"))
+    }
+    rename_column(out, "o_totalprice", "price")
+    drop_column(out, "o_orderpriority")
+    after = {
+        f: os.path.getmtime(f)
+        for f in _g.glob(os.path.join(out, "data-0", "*.parquet"))
+    }
+    untouched = before == after and len(before) > 0
+    versioned_write(
+        o.filter(k % 3 == 1)
+        .withColumnRenamed("o_totalprice", "price")
+        .drop("o_orderpriority"),
+        out,
+        mode="append",
+    )
+    delete_where(spark, out, [("price", ">=", _CMAP_PRICE_FLOOR)])
+    head = snapshot_read(spark, out)
+    v0 = snapshot_read(spark, out, version=0)
+    return head.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        dsum("price", 2).alias("sum_price"),
+        F.lit(
+            "o_orderpriority" not in head.columns
+            and "o_orderpriority" not in v0.columns
+        ).alias("dropped_gone"),
+        F.lit(
+            "price" in v0.columns and "o_totalprice" not in v0.columns
+        ).alias("time_travel_logical"),
+        F.lit(untouched).alias("physical_bytes_untouched"),
+    )
 
 
 def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
@@ -1357,6 +1633,23 @@ def versioned_write(
     # guard verified under the commit lock.
     df = _fill_generated(df, path)
     df, _id_guards = _fill_identity(df, path)
+    # Column mapping: the incoming frame speaks LOGICAL names; bytes on
+    # disk are PHYSICAL. A schema-evolving append's NEW columns extend
+    # the mapping identity-wise first (refusing collisions with retired
+    # physical names), then the whole frame renames to physical — so
+    # segments stay physically uniform across renames and the ledger,
+    # stats, and blooms below are all keyed physically for free.
+    cmap = _column_map(path)
+    if cmap:
+        unknown = [c for c in df.columns if c not in cmap]
+        for c in unknown:
+            _assert_unmapped_name(path, cmap, c)
+        if unknown:
+            cmap = {**cmap, **{c: c for c in unknown}}
+            _update_column_mapping(path, cmap)
+        df = _to_physical_frame(df, cmap)
+        partition_by = [cmap.get(c, c) for c in partition_by]
+        bloom_columns = [cmap.get(c, c) for c in bloom_columns]
     # Guard against externally created sessions (the driver's) that still
     # default to INT96: stats-less timestamps would silently disable
     # data skipping on every date column of this segment.
@@ -1581,7 +1874,7 @@ def versioned_write(
                     entry["txn"] = dict(_txn)
                 entry["ts"] = _now()
                 entries.append(entry)
-                _write_manifest(path, entries)
+                _append_manifest_entry(path, entries)
             except BaseException:
                 # Never leave an unreferenced data-N behind to block the
                 # next writer: the manifest write failed, so nothing
@@ -1677,6 +1970,13 @@ def snapshot_read(
         version = entries[-1]["version"]
     if version not in by_version:
         raise ValueError(f"unknown version {version}; have {sorted(by_version)}")
+    # Column mapping: user predicates arrive in LOGICAL names; stats,
+    # blooms and footers are keyed PHYSICALLY — translate before
+    # pruning, and project the final frame back to logical below.
+    # Reads of ANY version resolve through the HEAD mapping (Delta's
+    # rule: the mapping is table metadata, not per-version).
+    cmap = _column_map(path)
+    predicates = _physical_predicates(predicates, cmap)
     entry = by_version[version]
     all_names = entry["segments"]
     names = prune_segments(path, version, predicates)[0] if predicates else all_names
@@ -1701,7 +2001,7 @@ def snapshot_read(
         )
         if dv_name:
             df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
-    return _apply_predicates(df, predicates)
+    return _to_logical_frame(_apply_predicates(df, predicates), cmap)
 
 
 def _read_segment_dirs(
@@ -2002,6 +2302,11 @@ def compact(
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
     # absorbs DVs into rewritten files.
     compacted = snapshot_read(spark, path, latest["version"])
+    # Column mapping: snapshot_read returned the LOGICAL view; bytes on
+    # disk stay physical, so map back before writing. Retired (dropped)
+    # columns were already projected out — compaction ages them away
+    # physically, Delta's rewrite contract.
+    compacted = _to_physical_frame(compacted, _column_map(path))
     # Byte-derived parallelism (the optimized-write sizing rule): the
     # source version's on-disk bytes bound the rewrite, so the task
     # count is O(table bytes / target file size) — compression ratios
@@ -2311,7 +2616,7 @@ def rollback(path: str, to_version: int) -> int:
         entry["ts"] = _now()
         entries.append(entry)
         _verify_lock(path, lock_token)
-        _write_manifest(path, entries)
+        _append_manifest_entry(path, entries)
     return version
 
 
@@ -2881,6 +3186,9 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     latest = entries[-1]
     version = latest["version"] + 1
     dv_name = f"deletes-{version}"
+    # Column mapping: user predicates are logical; stats and footers
+    # are physical — translate once, everything downstream is physical.
+    predicates = _physical_predicates(predicates, _column_map(path))
     # Prune with the delete predicates, then read survivors DV-aware so
     # already-deleted rows are not re-counted.
     kept = _touched_segments(latest, predicates)
@@ -3046,12 +3354,21 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame, key_col: str) -
     latest = entries[-1]
     version = latest["version"] + 1
     dv_name = f"deletes-{version}"
+    # Column mapping: the key column (and the keys frame's header) are
+    # logical; the scan, stats and blooms are physical.
+    _cmap = _column_map(path)
+    if _cmap:
+        phys_key = _cmap.get(key_col, key_col)
+        if phys_key != key_col:
+            keys = keys.withColumnRenamed(key_col, phys_key)
+            key_col = phys_key
     # Touched-segment discovery via the manifest's skipping structures.
     # `segs` is the SCAN list only — the commit's segment list stays the
     # full `latest["segments"]` (a DV commit never drops segments).
-    # Bounded driver-side key materialization for manifest pruning:
-    # limit(cap+1) caps the collect at O(cap) regardless of key-set
-    # size; over-cap sets fall back to the full segment list.
+    # metadata-collect: bounded driver-side key materialization for
+    # manifest pruning — limit(cap+1) caps the collect at O(cap)
+    # regardless of key-set size (the Delta touched-file-set pattern);
+    # over-cap sets fall back to the full segment list.
     segs = latest["segments"]
     key_sample = (
         keys.select(key_col).distinct().limit(_DELETE_KEYS_PRUNE_CAP + 1).collect()
@@ -3161,7 +3478,17 @@ def _describe_detail_row(path: str) -> dict:
         # counts surface as num_generated_columns /
         # num_identity_columns), not user table properties
         "num_properties": len(
-            [k for k in props if k not in ("generated", "identity")]
+            [
+                k
+                for k in props
+                if k
+                not in (
+                    "generated",
+                    "identity",
+                    "column_mapping",
+                    "column_mapping_retired",
+                )
+            ]
         ),
         "num_constraints": len(cons),
         "num_generated_columns": len(props.get("generated", {})),
@@ -3457,7 +3784,8 @@ def snapshot_delete_keys_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter((F.col("__nt") == 1) & (F.col("o_orderkey") % 997 == 0))
         .select("o_orderkey")
     )
-    # The same discovery delete_keys runs internally, surfaced so the
+    # metadata-collect: the erase key set is O(K) by definition (the
+    # same discovery delete_keys runs internally), surfaced so the
     # oracle hash PINS the scan bound (prune_report-style observability).
     vals = [r[0] for r in keys.collect()]
     kept = _segments_possibly_holding_keys(latest, vals, "o_orderkey")
@@ -3846,18 +4174,23 @@ def change_feed(
                 "UPDATE/MERGE without enable_change_data_feed); "
                 "use snapshot_diff for a full-table diff"
             )
+    # Column mapping: every leg above reads physical bytes (segments,
+    # DV-probed files, CDC sidecars all store physical names); one
+    # logical projection at the boundary keeps feed consumers in the
+    # table's current logical schema, dropped columns excluded.
+    cmap = _column_map(path)
     if not frames:
         base = _read_new_segment(
             spark, path, by_version[to_version], by_version[to_version]["segments"][0]
         ).limit(0)
-        return base.withColumn("_change_type", F.lit(""))
+        return _to_logical_frame(base.withColumn("_change_type", F.lit("")), cmap)
     out = frames[0]
     for f in frames[1:]:
         # allowMissingColumns: a feed spanning a schema-evolving append
         # (a transition class this function supports) NULL-backfills the
         # added columns instead of failing the union.
         out = out.unionByName(f, allowMissingColumns=True)
-    return out
+    return _to_logical_frame(out, cmap)
 
 
 def change_feed_between_timestamps(
@@ -4580,6 +4913,20 @@ def merge_upsert(
     rewritten.
     """
     source = _fill_generated(source, path)  # generated columns fill in
+    # Column mapping: the source frame and key speak LOGICAL names;
+    # converting BOTH to physical here keeps the whole COW machinery
+    # below (touched-file discovery, kept/union rewrite, CDC sidecar,
+    # ledger/stats/bloom harvest) in one uniform physical space.
+    cmap = _column_map(path)
+    if cmap:
+        unknown = [c for c in source.columns if c not in cmap]
+        for c in unknown:
+            _assert_unmapped_name(path, cmap, c)
+        if unknown:
+            cmap = {**cmap, **{c: c for c in unknown}}
+            _update_column_mapping(path, cmap)
+        source = _to_physical_frame(source, cmap)
+        key_col = cmap.get(key_col, key_col)
     entries = _read_manifest(path)
     latest = entries[-1]
     segs = latest["segments"]
@@ -4656,6 +5003,13 @@ def merge_upsert(
                 "__fp", "__ri"
             )
         kept = kept_scan.join(F.broadcast(keys), key_col, "left_anti")
+        if cmap:
+            # Physically age out DROPPED columns on rewrite (Delta's
+            # contract): the source has no retired physicals, so the
+            # kept side must not reintroduce them into the union.
+            retired = [c for c in kept.columns if c not in cmap.values()]
+            if retired:
+                kept = kept.drop(*retired)
         # Strict column match on uniform tables (a mis-shaped source
         # must fail loud); NULL-backfill only when the table itself is
         # schema-divergent and the merged read added columns.
@@ -4893,18 +5247,22 @@ def zorder_rewrite(
         ),
     ).drop("xmn", "xmx", "ymn", "ymx")
     staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
-    (
+    # Column mapping: the morton computation ran on the logical view;
+    # the rewritten bytes go back to physical names.
+    dfz_phys = _to_physical_frame(
         dfz.repartitionByRange(n_segments, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("errorifexists")
-        .parquet(staged)
+        .drop("__z"),
+        _column_map(path),
     )
+    dfz_phys.write.mode("errorifexists").parquet(staged)
     version = latest["version"] + 1
     segments, stats, schemas, renames = [], {}, {}, {}
     try:
         files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
-        seg_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        seg_schema = {
+            f.name: f.dataType.simpleString() for f in dfz_phys.schema.fields
+        }
         for i, f in enumerate(files):
             seg = f"data-{version}-z{i}"
             # Stage each z-segment; final names publish under the lock
@@ -5071,7 +5429,12 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     segs = latest["segments"]
     dv_name = latest.get("dv")  # composes (r11): see merge_upsert
     seg_stats = latest.get("stats", {})
-    touched = _touched_segments(latest, predicates)
+    # Column mapping: predicates and set_exprs speak LOGICAL names.
+    # Pruning consults physical stats (translated triples); the scan
+    # lifts to a logical view right after the read, ALL row logic runs
+    # logically, and the rewrite maps back to physical at staging time.
+    cmap = _column_map(path)
+    touched = _touched_segments(latest, _physical_predicates(predicates, cmap))
     untouched = [s for s in segs if s not in touched]
     if not touched:  # provably no matching row anywhere: no-op, no commit
         return {
@@ -5100,6 +5463,7 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         # resurrect into the rewrite: read through the DV, then drop
         # the row identity before the rewrite is written.
         scan = _anti_join_dv(spark, path, dv_name, scan).drop("__fp", "__ri")
+    scan = _to_logical_frame(scan, cmap)
     match = None
     for col, op, lit in predicates:
         c = F.col(col)
@@ -5157,18 +5521,24 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
             .withColumns({g: F.expr(e) for g, e in _gen_recompute.items()})
             .withColumn("_change_type", F.lit("update_postimage"))
         )
-        staged_cdc, _n = _stage_cdc(path, [pre, post])
+        # Sidecars store PHYSICAL names (Delta's CDC files do too): a
+        # later rename must not leave feeds spanning mixed headers —
+        # change_feed maps every leg to the head's logical view on read.
+        staged_cdc, _n = _stage_cdc(
+            path, [_to_physical_frame(pre, cmap), _to_physical_frame(post, cmap)]
+        )
         if staged_cdc:
             cdc_name = f"cdc-{version}"
             renames[staged_cdc] = cdc_name
             # Explicit part-file list: an underscore-prefixed staged
             # root trips Spark's hidden-path heuristics.
-            post_back = (
+            post_back = _to_logical_frame(
                 spark.read.parquet(
                     *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
                 )
                 .filter(F.col("_change_type") == "update_postimage")
-                .drop("_change_type")
+                .drop("_change_type"),
+                cmap,
             )
             rewrite = scan.filter(~matched_rows).unionByName(post_back)
         else:  # all legs empty (cannot happen with n_updated > 0)
@@ -5198,7 +5568,9 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
             )
             .drop("__upd")
         )
-    # Stage the rewrite; the final name publishes under the commit lock.
+    # Stage the rewrite (back in PHYSICAL names); the final name
+    # publishes under the commit lock.
+    rewrite = _to_physical_frame(rewrite, cmap)
     staged = _stage_dir(path)
     try:
         rewrite.write.mode("errorifexists").parquet(staged)
@@ -5217,7 +5589,10 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         "segments": [*untouched, new_seg],
         "stats": stats,
         "updated_from": latest["version"],
-        "updated_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
+        "updated_where": [
+            [c, o, _stat_encode(v)]
+            for c, o, v in _physical_predicates(predicates, cmap)
+        ],
         **(
             {"partition_by": pb}
             if (pb := _carry_partition_by(latest, untouched))

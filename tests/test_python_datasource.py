@@ -65,10 +65,9 @@ def test_aggregation_pushes_through(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 def _manifest(path):
-    import json
+    from argodb_mapreduce_spark.sources.manifest_log import read_entries
 
-    with open(os.path.join(path, "_snapshots.json")) as f:
-        return json.load(f)
+    return read_entries(path)
 
 
 def test_writer_roundtrip_and_modes(spark, tmp_path):
@@ -227,13 +226,12 @@ def test_prune_option_conservative_on_statless_column(spark, sf_dir, tmp_path):
     versioned_write(o, out)
     # Strip one column's stats from the manifest to simulate a legacy
     # or unstatable column.
-    import json
+    from argodb_mapreduce_spark.sources.manifest_log import read_entries, rewrite
 
-    mpath = os.path.join(out, "_snapshots.json")
-    entries = json.load(open(mpath))
+    entries = read_entries(out)
     for seg_stats in entries[-1].get("stats", {}).values():
         seg_stats.pop("o_totalprice", None)
-    json.dump(entries, open(mpath, "w"))
+    rewrite(out, entries)
     preds = [("o_totalprice", ">", 1e18)]  # provably empty, but no stats
     pruned = read_versioned(spark, out, predicates=preds)
     assert pruned.rdd.getNumPartitions() == read_versioned(spark, out).rdd.getNumPartitions()

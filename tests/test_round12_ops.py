@@ -382,15 +382,12 @@ def test_identity_base_fails_loud_without_stats(spark, tmp_path):
     versioned_write(
         spark.range(0, 10).select(F.col("id").alias("k")), p, mode="append"
     )
-    import json
+    from argodb_mapreduce_spark.sources.manifest_log import read_entries, rewrite
 
-    mpath = os.path.join(p, "_snapshots.json")
-    with open(mpath) as f:
-        entries = json.load(f)
+    entries = read_entries(p)
     for st in entries[-1]["stats"].values():
         st.pop("rid", None)  # simulate a stats-less row group poisoning rid
-    with open(mpath, "w") as f:
-        json.dump(entries, f)
+    rewrite(p, entries)
     with pytest.raises(ValueError, match="no segment records a max stat"):
         versioned_write(
             spark.range(10, 20).select(F.col("id").alias("k")), p, mode="append"
@@ -486,3 +483,276 @@ def test_delete_keys_over_cap_falls_back_to_full_scan(spark, tmp_path):
         V._DELETE_KEYS_PRUNE_CAP = old
     assert n == 50
     assert snapshot_read(spark, p).count() == 950
+
+
+# ------------------------------------------- log-structured manifest
+
+
+def _log_names(p):
+    d = os.path.join(p, "_log")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_manifest_log_one_file_per_commit(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for i in range(4):
+        versioned_write(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            p,
+            mode="append",
+        )
+    names = _log_names(p)
+    assert [n for n in names if not n.endswith(".checkpoint.json")] == [
+        f"{v:020d}.json" for v in range(4)
+    ]
+    entries = _read_manifest(p)
+    assert [e["version"] for e in entries] == [0, 1, 2, 3]
+    # the marker is an O(1) pointer, not the history
+    import json
+
+    with open(os.path.join(p, "_snapshots.json")) as f:
+        marker = json.load(f)
+    assert marker == {"format": "log", "head": 3}
+
+
+def test_manifest_log_checkpoint_cadence_and_prune(spark, tmp_path):
+    from argodb_mapreduce_spark.sources import manifest_log
+
+    p = str(tmp_path / "t")
+    n_commits = manifest_log.CHECKPOINT_INTERVAL * 2 + 3  # two checkpoints
+    for i in range(n_commits):
+        versioned_write(
+            spark.range(i, i + 1).select(F.col("id").alias("k")), p, mode="append"
+        )
+    names = _log_names(p)
+    cks = [n for n in names if n.endswith(".checkpoint.json")]
+    assert len(cks) == 2  # keep newest 2; the replayed tail is pruned
+    ents = [n for n in names if not n.endswith(".checkpoint.json")]
+    oldest_kept_ck = int(cks[0].split(".")[0])
+    assert all(int(n.split(".")[0]) > oldest_kept_ck for n in ents)
+    entries = _read_manifest(p)  # checkpoint + tail replay = full history
+    assert [e["version"] for e in entries] == list(range(n_commits))
+    assert snapshot_read(spark, p).count() == n_commits
+
+
+def test_manifest_log_legacy_read_and_migration(spark, tmp_path):
+    """A pre-log table (full array in _snapshots.json, no _log/) reads
+    as-is; its first new commit migrates the history into a checkpoint
+    and every entry stays reachable."""
+    import json
+
+    from argodb_mapreduce_spark.sources import manifest_log
+
+    p = str(tmp_path / "t")
+    versioned_write(spark.range(0, 5).select(F.col("id").alias("k")), p)
+    # Rewrite as the LEGACY layout by hand.
+    entries = _read_manifest(p)
+    import shutil
+
+    shutil.rmtree(os.path.join(p, "_log"))
+    with open(os.path.join(p, "_snapshots.json"), "w") as f:
+        json.dump(entries, f)
+    assert _read_manifest(p) == entries  # legacy fallback read
+    assert snapshot_read(spark, p).count() == 5
+    versioned_write(
+        spark.range(5, 9).select(F.col("id").alias("k")), p, mode="append"
+    )  # migrating commit
+    names = _log_names(p)
+    assert f"{0:020d}.checkpoint.json" in names  # migrated history
+    assert f"{1:020d}.json" in names  # the new commit's own file
+    assert [e["version"] for e in _read_manifest(p)] == [0, 1]
+    assert snapshot_read(spark, p).count() == 9
+
+
+def test_manifest_log_vacuum_and_rollback(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import rollback, vacuum
+
+    p = str(tmp_path / "t")
+    for i in range(5):
+        versioned_write(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            p,
+            mode="append",
+        )
+    rollback(p, 2)  # v5 = manifest-only commit restoring v2's segment list
+    assert snapshot_read(spark, p).count() == 30
+    out = vacuum(p, keep_versions=2)
+    entries = _read_manifest(p)
+    assert [e["version"] for e in entries] == [4, 5]
+    assert out["versions_kept"] == 2 if "versions_kept" in out else True
+    assert snapshot_read(spark, p).count() == 30  # head = rollback state
+    # wholesale rewrite collapsed the log to one checkpoint
+    cks = [n for n in _log_names(p) if n.endswith(".checkpoint.json")]
+    assert len(cks) == 1
+
+
+def test_manifest_log_flat_commit_latency(spark, tmp_path):
+    """Per-commit manifest cost must not grow with history: time the
+    MANIFEST APPEND alone (not the parquet write) across 300 synthetic
+    commits and require the last-50 mean within 5x of the first-50 —
+    O(versions) wholesale rewrites fail this by ~6x+ at 300."""
+    import time
+
+    from argodb_mapreduce_spark.sources import manifest_log
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    entries = []
+    timings = []
+    for v in range(300):
+        entries.append(
+            {"version": v, "segments": [f"data-{v}"], "stats": {}, "ts": float(v)}
+        )
+        t0 = time.perf_counter()
+        manifest_log.append_entry(p, entries)
+        timings.append(time.perf_counter() - t0)
+    first = sum(timings[:50]) / 50
+    last = sum(timings[-50:]) / 50
+    assert last < first * 5, (first, last)
+    assert [e["version"] for e in manifest_log.read_entries(p)] == list(range(300))
+
+
+# ------------------------------------------------------- column mapping
+
+
+def _cm_base(spark, tmp_path, n=40):
+    p = str(tmp_path / "t")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    versioned_write(df, p, mode="append")
+    return p
+
+
+def test_rename_is_metadata_only_and_reads_logical(spark, tmp_path):
+    import glob as g
+
+    from argodb_mapreduce_spark.sources.versioned import rename_column
+
+    p = _cm_base(spark, tmp_path)
+    before = {f: os.path.getmtime(f) for f in g.glob(os.path.join(p, "data-0", "*"))}
+    rename_column(p, "v", "value")
+    after = {f: os.path.getmtime(f) for f in g.glob(os.path.join(p, "data-0", "*"))}
+    assert before == after  # zero bytes rewritten
+    head = snapshot_read(spark, p)
+    assert "value" in head.columns and "v" not in head.columns
+    assert head.agg(F.sum("value")).collect()[0][0] == sum(i * 10 for i in range(40))
+    # predicates in the NEW name prune against the old physical stats
+    assert snapshot_read(spark, p, predicates=[("value", ">=", 350)]).count() == 5
+
+
+def test_rename_roundtrip_write_and_dml(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        merge_upsert,
+        rename_column,
+    )
+
+    p = _cm_base(spark, tmp_path)
+    rename_column(p, "v", "value")
+    # post-rename append speaks the logical schema
+    versioned_write(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") * 10).cast("long").alias("value"),
+        ),
+        p,
+        mode="append",
+    )
+    assert snapshot_read(spark, p).count() == 50
+    # UPDATE through the mapping: SET and WHERE both use logical names
+    s = update_where(spark, p, [("value", "<", 50)], {"value": F.col("value") + 1})
+    assert s["rows_updated"] == 5
+    got = dict(
+        snapshot_read(spark, p).filter(F.col("k") < 5).select("k", "value").collect()
+    )
+    assert got == {i: i * 10 + 1 for i in range(5)}
+    # MERGE through the mapping
+    src = spark.range(48, 52).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        F.lit(-1).cast("long").alias("value"),
+    )
+    merge_upsert(spark, p, src, "k")
+    head = snapshot_read(spark, p)
+    assert head.count() == 52
+    assert head.filter(F.col("value") == -1).count() == 4
+    # DELETE through the mapping
+    delete_where(spark, p, [("value", "=", -1)])
+    assert snapshot_read(spark, p).count() == 48
+
+
+def test_drop_column_projects_out_and_blocks_reuse(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import drop_column
+
+    p = _cm_base(spark, tmp_path)
+    drop_column(p, "g")
+    head = snapshot_read(spark, p)
+    assert sorted(head.columns) == ["k", "v"]
+    with pytest.raises(ValueError, match="retired"):
+        versioned_write(
+            spark.range(0, 3).select(
+                F.col("id").alias("k"),
+                F.lit(9).alias("g"),  # collides with the retired physical
+                F.lit(0).cast("long").alias("v"),
+            ),
+            p,
+            mode="append",
+        )
+    # compaction ages the dropped bytes away physically
+    compact(spark, p)
+    seg = _read_manifest(p)[-1]["segments"][0]
+    cols = spark.read.parquet(os.path.join(p, seg)).columns
+    assert "g" not in cols
+
+
+def test_change_feed_through_rename(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import rename_column
+
+    p = _cm_base(spark, tmp_path, n=20)  # v0
+    enable_change_data_feed(p)
+    rename_column(p, "v", "value")
+    update_where(spark, p, [("k", "<", 3)], {"value": F.lit(0).cast("long")})  # v1
+    feed = change_feed(spark, p, 0, 1)
+    assert "value" in feed.columns and "v" not in feed.columns
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    assert post.agg(F.sum("value")).collect()[0][0] == 0
+
+
+def test_rename_refusals(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        add_constraint,
+        add_identity_column,
+        rename_column,
+    )
+
+    p = _cm_base(spark, tmp_path)
+    add_constraint(spark, p, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        rename_column(p, "v", "value")
+    add_identity_column(p, "rid")
+    with pytest.raises(ValueError, match="identity"):
+        rename_column(p, "rid", "rid2")
+    # partitioned layout: partition column renames are refused
+    p2 = str(tmp_path / "t2")
+    versioned_write(
+        spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") % 2).alias("g")),
+        p2,
+        mode="append",
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(p2, "g", "bucket")
+
+
+def test_pyds_rejects_active_mapping(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import rename_column
+
+    p = _cm_base(spark, tmp_path)
+    rename_column(p, "v", "value")
+    with pytest.raises(Exception, match="column mapping"):
+        read_versioned(spark, p)

@@ -58,7 +58,9 @@ def test_commit_publishes_only_message_files(tmp_path):
     seg = tmp_path / "data-0"
     assert sorted(os.listdir(seg)) == ["part-00000-winner.parquet"]
     assert not staging.exists()
-    entries = json.loads((tmp_path / "_snapshots.json").read_text())
+    from argodb_mapreduce_spark.sources.manifest_log import read_entries
+
+    entries = read_entries(str(tmp_path))
     assert len(entries) == 1
     assert entries[0]["version"] == 0 and entries[0]["segments"] == ["data-0"]
     # r9: commits also publish footer-harvested min/max stats per segment

@@ -185,19 +185,18 @@ def test_stats_missing_column_disables_pruning_not_correctness(spark, vt):
 def test_old_manifest_without_stats_still_reads_and_never_prunes(spark, tmp_path):
     """Manifests written before stats existed must stay readable; pruning
     degrades to scan-everything, never to wrong answers."""
-    import json
-    import os
-
-    from argodb_mapreduce_spark.sources.versioned import MANIFEST, prune_segments
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        _write_manifest,
+        prune_segments,
+    )
 
     path = str(tmp_path / "legacy")
     versioned_write(spark.range(5).withColumnRenamed("id", "k"), path, mode="append")
-    with open(os.path.join(path, MANIFEST)) as f:
-        entries = json.load(f)
+    entries = _read_manifest(path)
     for e in entries:
         e.pop("stats", None)
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(entries, f)
+    _write_manifest(path, entries)
     kept, everything = prune_segments(path, predicates=[("k", ">=", 10_000)])
     assert kept == everything  # no stats -> conservative keep
     assert snapshot_read(spark, path, predicates=[("k", ">=", 3)]).count() == 2
