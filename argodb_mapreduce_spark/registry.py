@@ -108,7 +108,10 @@ _PRIORITY = (
     "snapshot_time_travel",         # manifest-log read/append core
     "snapshot_vacuum",              # wholesale rewrite on the log layout
     "snapshot_rollback",            # rollback append on the log layout
-    "snapshot_restore_to_timestamp",  # restore + CDF-between-ts DV fix
+    "snapshot_change_feed_between_ts",  # NEW r12: ts-window CDF through a
+                                        # vacuumed DV-carrying base (no
+                                        # resurrection); also witnesses the
+                                        # restore/version_at_timestamp path
     "pyds_versioned_scan",          # pyds reads via manifest_log
     "pyds_versioned_write",         # pyds _publish appends via manifest_log
     "stream_versioned_ingest",      # stream _entries via manifest_log

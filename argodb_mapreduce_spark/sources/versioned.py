@@ -2468,6 +2468,56 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_change_feed_between_ts",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE (o_orderkey % 3 = 0 AND o_orderkey % 300 <> 0)
+       OR o_orderkey % 3 = 1
+    """,
+    tags=("source", "snapshot", "cdc", "change-feed", "timestamp", "vacuum"),
+    doc=(
+        "CDF BY TIMESTAMP WINDOW reaching a VACUUMED, DV-CARRYING base "
+        "(r12, the advisor's resurrection seam): history = append, "
+        "delete_keys of the %300==0 keys (DV), VACUUM keep 1 (the "
+        "DV-carrying delete version becomes the oldest retained entry), "
+        "append. A window opening before the base emits the base as the "
+        "initial snapshot — read THROUGH its deletion vector, so the "
+        "tombstoned keys never resurrect as insert legs (pinned by the "
+        "oracle hash: the %300==0 keys are absent) — plus the later "
+        "append's rows. Delta's startingTimestamp resolution rule "
+        "(first commit AT OR AFTER ts0 included)."
+    ),
+)
+def snapshot_change_feed_between_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the initial snapshot is one manifest-pinned DV-masked
+    read; later versions feed at O(changes) — a consumer bootstrapping
+    from a retention-trimmed table pays one snapshot, never a diff."""
+    import shutil
+
+    out = _scratch(sf_dir) + "_cfts"
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)  # v0
+    delete_keys(
+        spark, out, o.filter(k % 300 == 0).select("o_orderkey"), "o_orderkey"
+    )  # v1: DV
+    vacuum(out, keep_versions=1)  # v1 (DV-carrying) is now entries[0]
+    versioned_write(o.filter(k % 3 == 1), out, mode="append")  # v2
+    entries = _read_manifest(out)
+    feed = change_feed_between_timestamps(
+        spark, out, entries[0]["ts"] - 1.0, entries[-1]["ts"] + 1.0
+    )
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+
+
+@register(
     "snapshot_restore_to_timestamp",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

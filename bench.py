@@ -227,6 +227,12 @@ HEADLINE = [
     "snapshot_restore_to_timestamp",
     "snapshot_vacuum_retention",
     "sink_identity_column",
+    # round-12 additions: CDF through OPTIMIZE (maintenance-transparent
+    # feed), bloom/min-max-pruned keyed erase, column mapping
+    "stream_change_feed_through_optimize",
+    "snapshot_delete_keys_pruned",
+    "snapshot_column_mapping",
+    "snapshot_compaction",
 ]
 
 
