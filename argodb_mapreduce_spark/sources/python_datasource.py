@@ -88,32 +88,35 @@ def make_versioned_datasource():
 
         return _m
 
-    def _reject_column_mapping(path):
-        """The Python DataSource reads physical bytes directly; a table
-        with an ACTIVE column mapping (renamed/dropped columns) would
-        surface retired physical names — fail loud and point at the
-        native reader, which resolves the logical view (documented
-        limitation, like Delta readers below the columnMapping
-        reader-feature version)."""
+    def _column_mapping_of(path):
+        """(logical->physical map, retired physical names) from the
+        table-properties sidecar — standalone os/json read, no package
+        import (runs in the data-source worker). Empty = no mapping."""
         p = _os.path.join(path, "_properties.json")
-        if _os.path.exists(p):
-            with open(p) as f:
-                props = _json.load(f)
-            cmap = props.get("column_mapping", {})
-            if any(l != ph for l, ph in cmap.items()) or props.get(
-                "column_mapping_retired"
-            ):
-                # RuntimeError ON PURPOSE: the batch reader defers
-                # FileNotFoundError/ValueError from plan-time
-                # resolution (fresh write paths have no manifest yet);
-                # this must NOT be deferred into a misleading
-                # "no table" error.
-                raise RuntimeError(
-                    "this table has an active column mapping (renamed "
-                    "or dropped columns); the Python DataSource reads "
-                    "physical names — use versioned.snapshot_read / "
-                    "change_feed for the logical view"
-                )
+        if not _os.path.exists(p):
+            return {}, []
+        with open(p) as f:
+            props = _json.load(f)
+        return (
+            props.get("column_mapping", {}) or {},
+            props.get("column_mapping_retired", []) or [],
+        )
+
+    def _reject_mapping_for_write(path):
+        """The pyds WRITER lands physical bytes + ledger entries
+        directly; on a mapping-active table it would record logical
+        names as physical and corrupt the indirection — gate it like a
+        Delta writer that lacks the columnMapping writer feature.
+        (READS fully support the mapping: plan schema, batch emit, and
+        pushed predicates all resolve through it.)"""
+        cmap, retired = _column_mapping_of(path)
+        if any(l != ph for l, ph in cmap.items()) or retired:
+            raise RuntimeError(
+                "this table has an active column mapping (renamed or "
+                "dropped columns); the Python DataSource writer does "
+                "not carry the columnMapping writer feature — write "
+                "with versioned.versioned_write / merge_upsert instead"
+            )
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -259,7 +262,9 @@ def make_versioned_datasource():
         on partition columns is file-precise) and a constant column
         appended at read() time — the reference's file-aligned splits +
         record-reader partition append, including the NULL sentinel."""
-        _reject_column_mapping(path)
+        cmap, retired = _column_mapping_of(path)
+        renames = {ph: l for l, ph in cmap.items() if ph != l}
+        mapping_active = bool(renames or retired)
         entries = _manifest_log().read_entries(path)
         by_version = {e["version"]: e for e in entries}
         if version is None or version < 0:
@@ -305,7 +310,15 @@ def make_versioned_datasource():
         dv_excluded: dict = {}
         if entry.get("dv"):
             dv_excluded = _dv_positions_local(path, entry["dv"])
-        meta = {"evolved": evolved, "ledger": ledger_union}
+        meta = {
+            "evolved": evolved,
+            "ledger": ledger_union,
+            # Column mapping (r12): readers resolve logical<->physical
+            # through these; empty/false = identity, zero overhead.
+            "cmap": cmap,
+            "renames": renames,
+            "mapping_active": mapping_active,
+        }
         return files, file_stats, dv_excluded, file_parts, part_types, meta
 
     def _local_path(fp: str) -> str:
@@ -522,7 +535,7 @@ def make_versioned_datasource():
             "boolean": pa.bool_(),
         }.get((type_str or "string").lower(), pa.string())
 
-    def _emit_batch(batch, parts, col_order, col_types=None):
+    def _emit_batch(batch, parts, col_order, col_types=None, renames=None):
         """Append the split's partition values as constant typed columns
         (NULL sentinel -> null column) and reorder to the plan schema —
         the record reader's partition-value append
@@ -532,6 +545,18 @@ def make_versioned_datasource():
         lacks entirely (ADD-column schema evolution) NULL-backfills
         from ``col_types`` (plan-schema Arrow types), matching the
         native reader's unionByName(allowMissingColumns=True)."""
+        if renames:
+            # Column mapping: physical file columns rename to their
+            # logical plan names first; retired (dropped) physicals
+            # keep their names and fall out in the plan-order reorder
+            # below (mapping-active plans always set col_order).
+            import pyarrow as _pa
+
+            names = [renames.get(n, n) for n in batch.schema.names]
+            if names != list(batch.schema.names):
+                batch = _pa.RecordBatch.from_arrays(
+                    list(batch.columns), names=names
+                )
         if not col_order:
             return batch
         if not parts and batch.schema.names == list(col_order):
@@ -568,6 +593,7 @@ def make_versioned_datasource():
             part_types=None,
             col_order=None,
             col_types=None,
+            renames=None,
         ):
             self.files = files
             self.file_stats = file_stats
@@ -585,6 +611,9 @@ def make_versioned_datasource():
             # append/reorder/backfill path).
             self.col_order = col_order
             self.col_types = col_types
+            # physical -> logical column renames (column mapping);
+            # applied per batch BEFORE the plan-order reorder.
+            self.renames = renames
 
         def _split_parts(self, f):
             """((col, raw, type), ...) for one file — self-contained on
@@ -664,7 +693,9 @@ def make_versioned_datasource():
                             batch.filter(pa.array(mask)) if mask.any() else None
                         )
                 if batch is not None and batch.num_rows:
-                    yield _emit_batch(batch, parts, self.col_order, self.col_types)
+                    yield _emit_batch(
+                        batch, parts, self.col_order, self.col_types, self.renames
+                    )
 
     class VersionedCommit(WriterCommitMessage):
         def __init__(self, filename, relpaths=()):
@@ -1076,7 +1107,15 @@ def make_versioned_datasource():
                 self._dv_excluded = {}
                 self._file_parts = {}
                 self._part_types = {}
-                self._meta = {"evolved": False, "ledger": {}}
+                self._meta = {
+                    "evolved": False, "ledger": {},
+                    "cmap": {}, "renames": {}, "mapping_active": False,
+                }
+            # Pushed predicates arrive in LOGICAL names; stats, footers
+            # and row-group metadata are physical — translate once here.
+            if self._prune and self._meta.get("cmap"):
+                _cm = self._meta["cmap"]
+                self._prune = [(_cm.get(c, c), o, v) for c, o, v in self._prune]
 
         @classmethod
         def name(cls):
@@ -1109,6 +1148,19 @@ def make_versioned_datasource():
             for c, t in self._part_types.items():
                 if c not in s.names:
                     s = s.append(pa.field(c, _arrow_type_of(t)))
+            # Column mapping: the plan schema speaks LOGICAL names —
+            # mapped physicals rename, retired physicals (DROPPED
+            # columns) leave the plan entirely.
+            if self._meta.get("mapping_active"):
+                cmap = self._meta["cmap"]
+                phys_to_log = {ph: l for l, ph in cmap.items()}
+                s = pa.schema(
+                    [
+                        pa.field(phys_to_log.get(f.name, f.name), f.type)
+                        for f in s
+                        if f.name in phys_to_log or f.name in cmap
+                    ]
+                )
             if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
                 s = s.append(pa.field("_change_type", pa.string())).append(
                     pa.field("_commit_version", pa.int64())
@@ -1130,7 +1182,11 @@ def make_versioned_datasource():
             # OR divergent per-segment schemas (ADD-column evolution);
             # uniform flat tables keep the untouched passthrough.
             col_order, col_types = None, None
-            if self._file_parts or self._meta["evolved"]:
+            if (
+                self._file_parts
+                or self._meta["evolved"]
+                or self._meta.get("mapping_active")
+            ):
                 from pyspark.sql.pandas.types import to_arrow_type
 
                 col_order = [f.name for f in schema.fields]
@@ -1144,9 +1200,11 @@ def make_versioned_datasource():
                 self._part_types,
                 col_order,
                 col_types,
+                renames=self._meta.get("renames") or None,
             )
 
         def writer(self, schema, overwrite):
+            _reject_mapping_for_write(self._path)
             _os.makedirs(self._path, exist_ok=True)
             # `partitionBy` write OPTION (df.write.partitionBy() does
             # not reach Python data sources): comma-separated columns,
@@ -1228,6 +1286,8 @@ def make_versioned_datasource():
             return VersionedStreamReader(
                 self._path, ignore_deletes, cdf, base_cols, base_types,
                 self._prune, max_versions, end_version, start_version,
+                renames=self._meta.get("renames") or None,
+                mapping_active=bool(self._meta.get("mapping_active")),
             )
 
     class VersionedStreamReader(DataSourceStreamReader):
@@ -1264,6 +1324,8 @@ def make_versioned_datasource():
             max_versions=None,
             end_version=None,
             start_version=None,
+            renames=None,
+            mapping_active=False,
         ):
             # ``option("startingVersion", N)`` — Delta's CDF option:
             # begin the subscription AT version N (its changes
@@ -1272,6 +1334,11 @@ def make_versioned_datasource():
             self._start_version = start_version
             self._path = path
             self._base_types = base_types
+            # Column mapping (r12): physical->logical renames applied
+            # per emitted batch; base_cols are already logical (they
+            # derive from the mapped plan schema).
+            self._renames = renames
+            self._mapping_active = mapping_active
             # ABSOLUTE subscription bound (``option("endVersion", N)``,
             # the streaming twin of the batch reader's version pin): the
             # stream never advances past manifest version N, whatever
@@ -1312,7 +1379,6 @@ def make_versioned_datasource():
             self._base_cols = base_cols
 
         def _entries(self):
-            _reject_column_mapping(self._path)
             return _manifest_log().read_entries(self._path)
 
         def initialOffset(self):
@@ -1561,7 +1627,13 @@ def make_versioned_datasource():
                 # already in plan order).
                 return VersionedReader(
                     [], {}, self._prune, {},
-                    col_order=self._base_cols, col_types=self._base_types,
+                    col_order=(
+                        self._base_cols
+                        if (self._base_cols or not self._mapping_active)
+                        else None
+                    ),
+                    col_types=self._base_types,
+                    renames=self._renames,
                 ).read(partition)
             return self._read_cdf(partition)
 
@@ -1573,7 +1645,8 @@ def make_versioned_datasource():
                 # Partition append + plan ordering BEFORE the CDF tag
                 # columns, so flat and partitioned change rows align.
                 batch = _emit_batch(
-                    batch, partition.parts, self._base_cols, self._base_types
+                    batch, partition.parts, self._base_cols, self._base_types,
+                    self._renames,
                 )
                 n = batch.num_rows
                 cols = list(batch.columns) + [
@@ -1596,7 +1669,8 @@ def make_versioned_datasource():
                         [n for n in batch.schema.names if n != "_change_type"]
                     )
                     emitted = _emit_batch(
-                        base, partition.parts, self._base_cols, self._base_types
+                        base, partition.parts, self._base_cols, self._base_types,
+                        self._renames,
                     )
                     cols = list(emitted.columns) + [
                         ct,

@@ -748,11 +748,71 @@ def test_rename_refusals(spark, tmp_path):
         rename_column(p2, "g", "bucket")
 
 
-def test_pyds_rejects_active_mapping(spark, tmp_path):
-    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
-    from argodb_mapreduce_spark.sources.versioned import rename_column
+def test_pyds_reads_through_mapping_writer_gated(spark, tmp_path):
+    """The Python DataSource READS resolve the column mapping (plan
+    schema logical, batches renamed, pushed predicates translated,
+    dropped columns projected out); the WRITER is gated like a Delta
+    writer lacking the columnMapping writer feature."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        read_versioned,
+        write_versioned,
+    )
+    from argodb_mapreduce_spark.sources.versioned import drop_column, rename_column
 
     p = _cm_base(spark, tmp_path)
     rename_column(p, "v", "value")
-    with pytest.raises(Exception, match="column mapping"):
-        read_versioned(spark, p)
+    drop_column(p, "g")
+    df = read_versioned(spark, p)
+    assert sorted(df.columns) == ["k", "value"]
+    assert df.agg(F.sum("value")).collect()[0][0] == sum(i * 10 for i in range(40))
+    # pushed predicate in the LOGICAL name prunes against physical stats
+    pruned = read_versioned(spark, p, predicates=[("value", ">=", 350)])
+    assert pruned.count() == 5
+    with pytest.raises(Exception, match="writer feature"):
+        write_versioned(
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("value")
+            ),
+            p,
+        )
+
+
+def test_pyds_streaming_cdf_through_mapping(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import rename_column
+
+    register_datasource(spark)
+    p = _cm_base(spark, tmp_path, n=30)  # v0: k 0..29
+    rename_column(p, "v", "value")
+    versioned_write(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") * 10).cast("long").alias("value"),
+        ),
+        p,
+        mode="append",
+    )  # v1 (logical schema)
+    delete_where(spark, p, [("value", "<", 30)])  # v2: DV via the mapping
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(p)
+    )
+    assert "value" in s.columns and "v" not in s.columns
+    sink = "r12_pyds_cdf_mapping"
+    q = (
+        s.groupBy("_change_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    legs = {r["_change_type"]: (r["n"], r["sv"]) for r in spark.table(sink).collect()}
+    assert legs == {"insert": (40, sum(i * 10 for i in range(40))), "delete": (3, 30)}
