@@ -68,9 +68,19 @@ def _ck_name(version: int) -> str:
 
 def _write_json_atomic(dirpath: str, name: str, obj) -> None:
     fd, tmp = tempfile.mkstemp(dir=dirpath, prefix=name, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(obj, f, indent=1)
-    os.replace(tmp, os.path.join(dirpath, name))
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, os.path.join(dirpath, name))
+    except BaseException:
+        # Never leak the temp file: crash debris in a directory whose
+        # whole point is bounded size (the reaper in _prune sweeps any
+        # survivors from hard kills).
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _touch_marker(path: str, head: int) -> None:
@@ -124,6 +134,14 @@ def read_entries(path: str) -> list[dict]:
                     with open(os.path.join(log_dir, _entry_name(v))) as f:
                         entries.append(json.load(f))
             if not entries:
+                # Crash window: a legacy migration created _log/ but
+                # died before its first atomic rename landed. The
+                # marker still holds the intact legacy array — serve
+                # it instead of bricking the table.
+                with open(os.path.join(path, MARKER)) as f:
+                    legacy = json.load(f)
+                if isinstance(legacy, list) and legacy:
+                    return legacy
                 raise FileNotFoundError(f"{log_dir}: empty manifest log")
             return entries
         except FileNotFoundError as e:
@@ -186,6 +204,10 @@ def _prune(log_dir: str) -> None:
     floor = kept_cks[0] if kept_cks else -1
     doomed = [_ck_name(v) for v in cks[: -_KEEP_CHECKPOINTS]]
     doomed += [_entry_name(v) for v in ents if v <= floor]
+    # Hard-kill debris: .tmp files from a writer killed mid-dump. Safe
+    # to sweep here — writers serialize on the table commit lock, so no
+    # live writer's temp exists while this holder prunes.
+    doomed += [n for n in os.listdir(log_dir) if n.endswith(".tmp")]
     for n in doomed:
         try:
             os.remove(os.path.join(log_dir, n))

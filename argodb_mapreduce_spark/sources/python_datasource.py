@@ -110,12 +110,16 @@ def make_versioned_datasource():
         (READS fully support the mapping: plan schema, batch emit, and
         pushed predicates all resolve through it.)"""
         cmap, retired = _column_mapping_of(path)
-        if any(l != ph for l, ph in cmap.items()) or retired:
+        if cmap or retired:
+            # ANY mapping (identity included) gates the writer: it
+            # never EXTENDS the mapping for new columns, so an
+            # identity-mapped append of a fresh column would commit
+            # bytes every logical read silently projects out.
             raise RuntimeError(
-                "this table has an active column mapping (renamed or "
-                "dropped columns); the Python DataSource writer does "
-                "not carry the columnMapping writer feature — write "
-                "with versioned.versioned_write / merge_upsert instead"
+                "this table has column mapping enabled; the Python "
+                "DataSource writer does not carry the columnMapping "
+                "writer feature — write with versioned.versioned_write "
+                "/ merge_upsert instead"
             )
 
     from pyspark.sql.datasource import (
@@ -568,7 +572,14 @@ def make_versioned_datasource():
         for c, raw, type_str in parts or ():
             tv = _decode_part_value(raw, type_str)
             t = _arrow_type_of(type_str)
-            arrays[c] = pa.nulls(n, t) if tv is None else pa.array([tv] * n, type=t)
+            # Directory names carry PHYSICAL column names; a partition
+            # column of an OLD layout may have been renamed since (the
+            # head-layout refusal doesn't cover time-travel reads), so
+            # the constant column lands under its LOGICAL plan name.
+            name = renames.get(c, c) if renames else c
+            arrays[name] = (
+                pa.nulls(n, t) if tv is None else pa.array([tv] * n, type=t)
+            )
         for name in col_order:
             if name not in arrays:
                 if not col_types or name not in col_types:

@@ -1007,16 +1007,37 @@ def _retired_physicals(path: str) -> list[str]:
     return _read_properties(path).get("column_mapping_retired", [])
 
 
-def _assert_unmapped_name(path: str, cmap: dict, name: str) -> None:
-    if name in cmap:
-        raise ValueError(f"column {name!r} already exists (logical)")
-    if name in cmap.values() or name in _retired_physicals(path):
-        raise ValueError(
-            f"{name!r} collides with a (possibly retired) PHYSICAL column "
-            "name still present in data files; pick a different name "
-            "(Delta avoids this with field ids — this store forbids the "
-            "collision)"
-        )
+def _extend_column_mapping(path: str, new_cols) -> dict[str, str]:
+    """Identity-extend the mapping for schema-evolving appends — the
+    whole read-check-merge-write under ONE commit-lock section, so two
+    concurrent writers adding DIFFERENT new columns cannot lose each
+    other's entries (the lost entry would make the committed physical
+    column invisible to every logical read). Collision checks against
+    live physical names AND retired ones run on the same locked read."""
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        cmap = dict(props.get("column_mapping", {}))
+        retired = props.get("column_mapping_retired", [])
+        changed = False
+        for c in new_cols:
+            if c in cmap:
+                continue
+            if c in cmap.values() or c in retired:
+                raise ValueError(
+                    f"{c!r} collides with a (possibly retired) PHYSICAL "
+                    "column name still present in data files; pick a "
+                    "different name"
+                )
+            cmap[c] = c
+            changed = True
+        if changed:
+            props["column_mapping"] = cmap
+            fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(props, f, indent=1)
+            _verify_lock(path, lock_token)
+            os.replace(tmp, os.path.join(path, PROPERTIES))
+    return cmap
 
 
 def _assert_column_unreferenced(path: str, col: str) -> None:
@@ -1064,15 +1085,7 @@ def enable_column_mapping(path: str) -> dict[str, str]:
         props = _read_properties(path)
         cmap = dict(props.get("column_mapping", {}))
         if not cmap:
-            head = _read_manifest(path)[-1]
-            cols: list[str] = []
-            for sch in head.get("schemas", {}).values():
-                cols.extend(c for c in sch if c not in cols)
-            if not cols:
-                raise ValueError(
-                    "cannot enable column mapping: head has no schema ledger"
-                )
-            cmap = {c: c for c in cols}
+            cmap = _head_identity_mapping(path)
             props["column_mapping"] = cmap
             fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
             with os.fdopen(fd, "w") as f:
@@ -1082,29 +1095,48 @@ def enable_column_mapping(path: str) -> dict[str, str]:
     return cmap
 
 
-def _update_column_mapping(path: str, cmap: dict[str, str]) -> None:
-    with _commit_lock(path) as lock_token:
-        props = _read_properties(path)
-        props["column_mapping"] = cmap
-        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(props, f, indent=1)
-        _verify_lock(path, lock_token)
-        os.replace(tmp, os.path.join(path, PROPERTIES))
+def _head_identity_mapping(path: str) -> dict[str, str]:
+    """Identity mapping over the head schema ledger's column union."""
+    head = _read_manifest(path)[-1]
+    cols: list[str] = []
+    for sch in head.get("schemas", {}).values():
+        cols.extend(c for c in sch if c not in cols)
+    if not cols:
+        raise ValueError("cannot enable column mapping: head has no schema ledger")
+    return {c: c for c in cols}
 
 
 def rename_column(path: str, old: str, new: str) -> dict[str, str]:
     """``ALTER TABLE RENAME COLUMN old TO new`` — O(1) metadata: the
     new logical name points at the old PHYSICAL name; no byte moves,
     every existing segment (and time-travel read) keeps working.
-    Returns the mapping after the rename."""
+    The whole enable-check-mutate runs under ONE commit-lock section
+    (two concurrent renames of different columns must not lose each
+    other's entries). Returns the mapping after the rename."""
     _assert_column_unreferenced(path, old)
-    cmap = dict(enable_column_mapping(path))
-    if old not in cmap:
-        raise ValueError(f"unknown column {old!r}; have {sorted(cmap)}")
-    _assert_unmapped_name(path, {k: v for k, v in cmap.items() if k != old}, new)
-    cmap[new] = cmap.pop(old)
-    _update_column_mapping(path, cmap)
+    with _commit_lock(path) as lock_token:
+        props = _read_properties(path)
+        cmap = dict(props.get("column_mapping", {})) or _head_identity_mapping(path)
+        if old not in cmap:
+            raise ValueError(f"unknown column {old!r}; have {sorted(cmap)}")
+        if new in cmap and new != old:
+            raise ValueError(f"column {new!r} already exists (logical)")
+        others = {k: v for k, v in cmap.items() if k != old}
+        if new in others.values() or new in props.get(
+            "column_mapping_retired", []
+        ):
+            raise ValueError(
+                f"{new!r} collides with a (possibly retired) PHYSICAL "
+                "column name still present in data files; pick a "
+                "different name"
+            )
+        cmap[new] = cmap.pop(old)
+        props["column_mapping"] = cmap
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_properties", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f, indent=1)
+        _verify_lock(path, lock_token)
+        os.replace(tmp, os.path.join(path, PROPERTIES))
     return cmap
 
 
@@ -1113,16 +1145,18 @@ def drop_column(path: str, col: str) -> dict[str, str]:
     name is unmapped (its PHYSICAL name is recorded as retired so no
     later column can collide with the bytes still on disk); reads
     project it out until a rewrite (compact) ages it away physically.
-    Exactly Delta's DROP-under-column-mapping contract."""
+    One commit-lock section for the whole enable-check-mutate, like
+    :func:`rename_column`. Exactly Delta's DROP-under-column-mapping
+    contract."""
     _assert_column_unreferenced(path, col)
-    cmap = dict(enable_column_mapping(path))
-    if col not in cmap:
-        raise ValueError(f"unknown column {col!r}; have {sorted(cmap)}")
-    phys = cmap.pop(col)
-    if not cmap:
-        raise ValueError("cannot drop the last column")
     with _commit_lock(path) as lock_token:
         props = _read_properties(path)
+        cmap = dict(props.get("column_mapping", {})) or _head_identity_mapping(path)
+        if col not in cmap:
+            raise ValueError(f"unknown column {col!r}; have {sorted(cmap)}")
+        phys = cmap.pop(col)
+        if not cmap:
+            raise ValueError("cannot drop the last column")
         props["column_mapping"] = cmap
         retired = list(props.get("column_mapping_retired", []))
         if phys not in retired:
@@ -1304,7 +1338,11 @@ def _check_constraints(spark: SparkSession, path: str, seg_path: str) -> None:
     cons = _read_constraints(path)
     if not cons:
         return
-    seg = spark.read.parquet(seg_path)
+    # Constraint expressions are written over LOGICAL names; staged
+    # bytes carry PHYSICAL ones — lift the segment to the logical view
+    # first, or a constraint added after a RENAME would fail every
+    # subsequent write with an unresolved-column error.
+    seg = _to_logical_frame(spark.read.parquet(seg_path), _column_map(path))
     failed = {}
     for name, expr in cons.items():
         n = seg.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
@@ -1642,11 +1680,11 @@ def versioned_write(
     cmap = _column_map(path)
     if cmap:
         unknown = [c for c in df.columns if c not in cmap]
-        for c in unknown:
-            _assert_unmapped_name(path, cmap, c)
         if unknown:
-            cmap = {**cmap, **{c: c for c in unknown}}
-            _update_column_mapping(path, cmap)
+            # Locked read-merge-write: a stale-read overwrite here
+            # could lose a concurrent writer's mapping entry and make
+            # its committed column invisible to logical reads.
+            cmap = _extend_column_mapping(path, unknown)
         df = _to_physical_frame(df, cmap)
         partition_by = [cmap.get(c, c) for c in partition_by]
         bloom_columns = [cmap.get(c, c) for c in bloom_columns]
@@ -3494,7 +3532,8 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
             "num_files bigint, size_bytes bigint, num_raw_rows bigint, "
             "num_live_rows bigint, partition_columns array<string>, "
             "num_properties bigint, num_constraints bigint, "
-            "num_generated_columns bigint, change_data_feed boolean"
+            "num_generated_columns bigint, num_identity_columns bigint, "
+            "change_data_feed boolean"
         ),
     )
 
@@ -4970,11 +5009,8 @@ def merge_upsert(
     cmap = _column_map(path)
     if cmap:
         unknown = [c for c in source.columns if c not in cmap]
-        for c in unknown:
-            _assert_unmapped_name(path, cmap, c)
         if unknown:
-            cmap = {**cmap, **{c: c for c in unknown}}
-            _update_column_mapping(path, cmap)
+            cmap = _extend_column_mapping(path, unknown)  # locked RMW
         source = _to_physical_frame(source, cmap)
         key_col = cmap.get(key_col, key_col)
     entries = _read_manifest(path)
