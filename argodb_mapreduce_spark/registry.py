@@ -87,6 +87,7 @@ _PRIORITY = (
     "stream_change_feed_through_optimize",  # CDF skips dataChange=false
     "snapshot_delete_keys_pruned",          # bloom/minmax-pruned erase
     "snapshot_column_mapping",              # RENAME/DROP via name mapping
+    "snapshot_retention_delete",            # metadata-only segment drops
     # --- (a cont.) code changed in round 12: re-earn the rows ---
     "snapshot_compaction",          # distributed rewrite + data_change tag
     "snapshot_gdpr_purge",          # purge via compact + size-aware DV
@@ -139,7 +140,11 @@ _PRIORITY = (
     "sample_weighted_bernoulli",
     "scan_partition_dynamic",
     "scd2_user_history",
-    "similarity_pq_adc_topk",
+    # (similarity_pq_adc_topk ceded its rotation slot to the new
+    # retention-delete row: the r11 judge re-verified it manually in the
+    # 14-row adversarial spot-check, the freshest possible evidence
+    # short of a driver row; 22 rotation slots remain, above the >=20
+    # policy floor.)
 )
 
 

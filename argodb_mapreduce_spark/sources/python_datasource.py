@@ -1487,6 +1487,7 @@ def make_versioned_datasource():
                 )
             prev = set(entries[lo]["segments"]) if lo in entries else set()
             prev_dv = entries[lo].get("dv") if lo in entries else None
+            prev_entry = entries.get(lo)
             parts = []
             for v in sorted(v for v in entries if lo < v <= hi):
                 segs = set(entries[v]["segments"])
@@ -1499,6 +1500,7 @@ def make_versioned_datasource():
                     # segment would duplicate every row it absorbed.
                     prev = segs
                     prev_dv = entries[v].get("dv")
+                    prev_entry = entries[v]
                     continue
                 removed = prev - segs
                 if removed and entries[v].get("cdc") and self._cdf:
@@ -1520,7 +1522,55 @@ def make_versioned_datasource():
                             )
                     prev = segs
                     prev_dv = entries[v].get("dv")
+                    prev_entry = entries[v]
                     continue
+                if removed and entries[v].get("deleted_where"):
+                    # RETENTION DROP (r12): DELETE removed whole
+                    # segments from the manifest. CDF emits each
+                    # dropped file's LIVE rows (previous DV masked out)
+                    # as delete legs; ignoreDeletes skips the commit;
+                    # a plain tail still fails loud.
+                    if self._cdf:
+                        import glob as _glob2
+
+                        excl = {}
+                        for fp, ri in self._dv_positions(prev_dv):
+                            excl.setdefault(fp, []).append(ri)
+                        for seg in sorted(removed):
+                            seg_dir = _os.path.join(self._path, seg)
+                            for fp in sorted(
+                                _glob2.glob(
+                                    _os.path.join(seg_dir, "**", "*.parquet"),
+                                    recursive=True,
+                                )
+                            ):
+                                parts.append(
+                                    CDFPartition(
+                                        "drop",
+                                        fp,
+                                        v,
+                                        tuple(sorted(excl.get(fp, ()))),
+                                        parts=(
+                                            self._parts_of_file(prev_entry, fp)
+                                            if prev_entry
+                                            else ()
+                                        ),
+                                    )
+                                )
+                    elif not self._ignore_deletes:
+                        raise ValueError(
+                            f"retention DROP at version {v} (segments "
+                            f"removed: {sorted(removed)}); pass "
+                            "option('ignoreDeletes', 'true') to skip "
+                            "delete commits deliberately, or "
+                            "option('readChangeFeed', 'true') to consume "
+                            "the dropped rows as change rows"
+                        )
+                    # fall through: a drop commit may ALSO carry a new
+                    # DV (partial segments) — the dv-delta block below
+                    # handles it; carried-by-reference DVs are equal and
+                    # contribute nothing. No new segments can appear.
+                    removed = set()
                 if removed:
                     hint = (
                         " — an UPDATE/MERGE on a CDF-enabled table is "
@@ -1606,6 +1656,7 @@ def make_versioned_datasource():
                         )
                 prev = segs
                 prev_dv = entries[v].get("dv")
+                prev_entry = entries[v]
             return parts
 
         def _parts_of_file(self, entry, fp):
@@ -1655,13 +1706,16 @@ def make_versioned_datasource():
             def tag(batch):
                 # Partition append + plan ordering BEFORE the CDF tag
                 # columns, so flat and partitioned change rows align.
+                # kind 'drop' (a retention-dropped file's live rows)
+                # surfaces as Delta's 'delete' row type.
+                ct = "delete" if partition.kind == "drop" else partition.kind
                 batch = _emit_batch(
                     batch, partition.parts, self._base_cols, self._base_types,
                     self._renames,
                 )
                 n = batch.num_rows
                 cols = list(batch.columns) + [
-                    pa.array([partition.kind] * n, type=pa.string()),
+                    pa.array([ct] * n, type=pa.string()),
                     pa.array([partition.version] * n, type=pa.int64()),
                 ]
                 names = list(batch.schema.names) + ["_change_type", "_commit_version"]
@@ -1694,6 +1748,29 @@ def make_versioned_datasource():
                         "_commit_version",
                     ]
                     yield pa.RecordBatch.from_arrays(cols, names=names)
+                return
+            if partition.kind == "drop":
+                # Whole-file delete legs: every LIVE row of a
+                # retention-dropped file — the PREVIOUS version's DV
+                # positions mask OUT (they were already emitted as
+                # delete legs by their own commit).
+                import numpy as np
+
+                excl = np.asarray(partition.positions or (), dtype=np.int64)
+                off = 0
+                for batch in _cast_batches_to_us(pf):
+                    n = batch.num_rows
+                    b = batch
+                    if excl.size:
+                        lo_i = np.searchsorted(excl, off, side="left")
+                        hi_i = np.searchsorted(excl, off + n, side="left")
+                        if hi_i > lo_i:
+                            mask = np.ones(n, dtype=bool)
+                            mask[excl[lo_i:hi_i] - off] = False
+                            b = batch.filter(pa.array(mask)) if mask.any() else None
+                    off += n
+                    if b is not None and b.num_rows:
+                        yield tag(b)
                 return
             if partition.kind == "insert":
                 for batch in _cast_batches_to_us(pf):

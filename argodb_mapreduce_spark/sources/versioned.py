@@ -1170,6 +1170,76 @@ def drop_column(path: str, col: str) -> dict[str, str]:
     return cmap
 
 
+_RETENTION_CUTOFF = "1999-03-01"
+
+
+@register(
+    "snapshot_retention_delete",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF}')
+                AS BIGINT) AS rows_deleted,
+           CAST(2 AS BIGINT) AS segments_dropped,
+           CAST(2 AS BIGINT) AS segments_after,
+           TRUE AS dv_only_on_partial
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{_RETENTION_CUTOFF}'
+    """,
+    tags=("source", "snapshot", "delete", "retention", "metadata-only"),
+    doc=(
+        "RETENTION DELETE as METADATA (r12): over 4 time-ordered "
+        "segments, DELETE WHERE o_orderdate < cutoff DROPS the two "
+        "fully-covered segments from the manifest outright — manifest "
+        "min/max prove full coverage, footers prove the date column "
+        "holds no NULLs (a NULL never matches a comparison and must be "
+        "kept), and NO deletion-vector row is written for them — while "
+        "the straddling segment takes the normal DV path "
+        "(dv_only_on_partial pins that every sidecar row references "
+        "the surviving straddler). The daily 'drop last month' job on "
+        "a 100 TB table costs one manifest commit + O(files) footer "
+        "reads, never an O(dropped rows) sidecar. Survivors, the "
+        "erased count, and both segment counts are oracle-pinned."
+    ),
+)
+def snapshot_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the drop is pure metadata; the DV is O(straddler matches)
+    only. Time travel keeps pre-delete versions; change_feed and the
+    streaming CDF reader emit the dropped segments' live rows as
+    delete legs (tests/test_round12_ops.py)."""
+    import shutil
+
+    out = _scratch(sf_dir) + "_retention"
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    b0, b1, b2 = (F.lit(b).cast("timestamp") for b in _PRUNE_BOUNDS)
+    versioned_write(o.filter(d < b0), out, mode="append")
+    versioned_write(o.filter((d >= b0) & (d < b1)), out, mode="append")
+    versioned_write(o.filter((d >= b1) & (d < b2)), out, mode="append")
+    versioned_write(o.filter(d >= b2), out, mode="append")
+    cutoff = _dt.datetime.fromisoformat(_RETENTION_CUTOFF)
+    _v, n_deleted = delete_where(spark, out, [("o_orderdate", "<", cutoff)])
+    latest = _read_manifest(out)[-1]
+    dropped = latest.get("dropped_segments", [])
+    # Every DV row must reference the surviving straddler (data-2) —
+    # the dropped segments contributed NO positional tombstones.
+    dv_ok = True
+    if latest.get("dv"):
+        dv_paths = spark.read.parquet(os.path.join(out, latest["dv"]))
+        dv_ok = (
+            dv_paths.filter(~F.col("file_path").contains("/data-2/")).count() == 0
+        )
+    return snapshot_read(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(n_deleted).cast("long").alias("rows_deleted"),
+        F.lit(len(dropped)).cast("long").alias("segments_dropped"),
+        F.lit(len(latest["segments"])).cast("long").alias("segments_after"),
+        F.lit(dv_ok).alias("dv_only_on_partial"),
+    )
+
+
 _CMAP_PRICE_FLOOR = 150000.0
 
 
@@ -3252,6 +3322,67 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production lake format (Delta, Iceberg v2) converged on the design.
 
 
+def _segment_fully_matches(stats: dict | None, predicates) -> bool:
+    """True only when the manifest min/max PROVE every non-NULL row of
+    the segment satisfies every predicate — the retention-delete drop
+    test. Missing stats for any predicate column => False (conservative:
+    the segment takes the DV path instead)."""
+    if not stats:
+        return False
+    for col, op, lit in predicates:
+        if col not in stats:
+            return False
+        mn, mx = _stat_decode(stats[col][0]), _stat_decode(stats[col][1])
+        if mn is None or mx is None:
+            return False
+        try:
+            lit = _coerce_literal(lit, mn)
+            ok = {
+                "<": mx < lit,
+                "<=": mx <= lit,
+                ">": mn > lit,
+                ">=": mn >= lit,
+                "=": mn == lit and mx == lit,
+            }[op]
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
+def _segment_no_nulls(seg_path: str, columns) -> bool:
+    """Footer-metadata proof that ``columns`` hold NO NULLs anywhere in
+    the segment. Required before a full drop: parquet min/max ignore
+    NULLs, and a NULL never satisfies a comparison predicate — so a
+    range-covered segment with NULLs still holds rows the DELETE must
+    KEEP. O(files) footer reads, no data scanned; any missing statistic
+    answers False (conservative)."""
+    import pyarrow.parquet as pq
+
+    want = set(columns)
+    for f in sorted(
+        _glob.glob(os.path.join(seg_path, "**", "*.parquet"), recursive=True)
+    ):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            seen = {}
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                if col.path_in_schema in want:
+                    st = col.statistics
+                    if st is None or st.null_count is None:
+                        return False
+                    seen[col.path_in_schema] = st.null_count
+            for c in want:
+                # absent column (e.g. partition column living in dir
+                # names, or pre-evolution file): unprovable -> False
+                if seen.get(c, 1) != 0:
+                    return False
+    return True
+
+
 def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     """DELETE FROM <path> WHERE <predicates> as a deletion-vector commit.
 
@@ -3280,6 +3411,28 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
     # Prune with the delete predicates, then read survivors DV-aware so
     # already-deleted rows are not re-counted.
     kept = _touched_segments(latest, predicates)
+    # METADATA-ONLY RETENTION DROP (r12): a segment whose manifest
+    # min/max prove EVERY row matches (and whose footers prove the
+    # predicate columns hold no NULLs — a NULL never satisfies a
+    # comparison, so it must be KEPT) leaves the segment list instead
+    # of entering the deletion vector. `DELETE WHERE ts < cutoff` on a
+    # date-appended 100 TB table drops whole months as one manifest
+    # commit + O(files) footer reads — never an O(dropped rows) DV.
+    # Time travel keeps the old versions; change_feed and the streaming
+    # CDF reader emit the dropped segments' live rows as delete legs.
+    full = [
+        seg
+        for seg in kept
+        if _segment_fully_matches(latest.get("stats", {}).get(seg), predicates)
+        and _segment_no_nulls(
+            os.path.join(path, seg), [c for c, _o, _v in predicates]
+        )
+    ]
+    if full and len(full) == len(latest["segments"]):
+        # Keep at least one segment: an empty-segment manifest entry has
+        # no derivable schema (the last candidate takes the DV path).
+        full = full[:-1]
+    kept = [seg for seg in kept if seg not in full]
     frames = []
     if kept:
         # Schema-evolution-aware scan (same ledger gate as snapshot_read);
@@ -3303,43 +3456,93 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
                 "file_path", "row_index"
             )
         )
-    if not frames:  # nothing can match and no prior DV: no-op delete
+    if not frames and not full:  # nothing can match, no prior DV: no-op
         return latest["version"], 0
-    dv = frames[0]
-    for f in frames[1:]:
-        dv = dv.unionAll(f)
-    # Stage the DV sidecar; _commit_entry publishes deletes-{version}
-    # under the lock (a pre-commit final name could collide with a
-    # concurrent delete racing the same version and fail arbitrarily).
-    dv_staged = _stage_dir(path)
-    _write_dv_sidecar(dv, dv_staged)
-    n_total = _dir_num_rows(dv_staged)
-    n_prev = 0
-    if latest.get("dv"):
-        n_prev = _dir_num_rows(os.path.join(path, latest["dv"]))
+    # Rows erased by the drop: footer row counts of the dropped
+    # segments minus their already-tombstoned rows (footer + sidecar
+    # metadata only — the drop never scans data).
+    n_dropped_rows = 0
+    if full:
+        for seg in full:
+            n_dropped_rows += _segment_file_metrics(os.path.join(path, seg))[
+                "num_rows"
+            ]
+        if latest.get("dv"):
+            in_dropped = None
+            for seg in full:
+                c = F.col("file_path").contains(f"/{seg}/")
+                in_dropped = c if in_dropped is None else (in_dropped | c)
+            n_dropped_rows -= (
+                spark.read.parquet(os.path.join(path, latest["dv"]))
+                .filter(in_dropped)
+                .count()
+            )
+    surviving = [seg for seg in latest["segments"] if seg not in full]
     entry = {
         "version": version,
-        "segments": list(latest["segments"]),
-        "stats": dict(latest.get("stats", {})),
-        "dv": dv_name,
+        "segments": surviving,
+        "stats": {
+            seg: v
+            for seg, v in latest.get("stats", {}).items()
+            if seg in surviving
+        },
         "deleted_where": [[c, o, _stat_encode(v)] for c, o, v in predicates],
     }
-    # The segment list is unchanged: carry the schema ledger so evolved
-    # tables keep their mergeSchema gate and type enforcement after a
-    # DELETE.
+    if full:
+        # Feed-readable marker: change_feed / the streaming CDF reader
+        # recover the dropped segments' live rows as delete legs.
+        entry["dropped_segments"] = full
+    n_new_dv = 0
+    renames = {}
+    if full and not kept and len(frames) == 1 and latest.get("dv"):
+        # Pure drop over a table with an existing DV: no new positional
+        # tombstones — the sidecar is immutable and its surviving
+        # entries still apply, so reference it instead of rewriting
+        # (frames held only the prior-DV carry).
+        frames = []
+    if frames:
+        dv = frames[0]
+        for f in frames[1:]:
+            dv = dv.unionAll(f)
+        # Stage the DV sidecar; _commit_entry publishes deletes-{version}
+        # under the lock (a pre-commit final name could collide with a
+        # concurrent delete racing the same version and fail arbitrarily).
+        dv_staged = _stage_dir(path)
+        _write_dv_sidecar(dv, dv_staged)
+        n_total = _dir_num_rows(dv_staged)
+        n_prev = 0
+        if latest.get("dv"):
+            n_prev = _dir_num_rows(os.path.join(path, latest["dv"]))
+        n_new_dv = n_total - n_prev
+        entry["dv"] = dv_name
+        renames = {dv_staged: dv_name}
+    elif latest.get("dv"):
+        # Pure drop with an existing DV: the sidecar is immutable and
+        # its surviving entries still apply — reference it, no rewrite.
+        entry["dv"] = latest["dv"]
+    # Surviving segments keep their schema ledger (mergeSchema gate and
+    # type enforcement), blooms (conservative overstatement is safe)
+    # and partition layout.
     if latest.get("schemas"):
-        entry["schemas"] = dict(latest["schemas"])
-    # Blooms overstate membership after a delete — conservative-safe,
-    # same contract as the carried-forward min/max stats.
+        entry["schemas"] = {
+            seg: v for seg, v in latest["schemas"].items() if seg in surviving
+        }
     if latest.get("bloom"):
-        entry["bloom"] = dict(latest["bloom"])
-    # Same segment list: the partition-layout ledger carries verbatim.
+        entry["bloom"] = {
+            seg: v for seg, v in latest["bloom"].items() if seg in surviving
+        }
     if latest.get("partition_by"):
-        entry["partition_by"] = dict(latest["partition_by"])
+        pb = {
+            seg: v
+            for seg, v in latest["partition_by"].items()
+            if seg in surviving
+        }
+        if pb:
+            entry["partition_by"] = pb
     # The DV was computed against the version read above: OCC-gate the
     # commit so a concurrent append/delete cannot be half-tombstoned.
-    _commit_entry(path, latest["version"], entry, renames={dv_staged: dv_name})
-    return version, n_total - n_prev
+    _commit_entry(path, latest["version"], entry, renames=renames)
+    return version, n_dropped_rows + n_new_dv
 
 
 def _write_dv_sidecar(dv: DataFrame, dv_staged: str) -> None:
@@ -4200,8 +4403,8 @@ def change_feed(
             and len(cur["segments"]) == len(prev["segments"]) + 1
             and cur.get("dv") == prev.get("dv")
         )
-        is_delete = (
-            "deleted_where" in cur and cur["segments"] == prev["segments"]
+        is_delete = "deleted_where" in cur and set(cur["segments"]) <= set(
+            prev["segments"]
         )
         if pure_append:
             seg = cur["segments"][-1]
@@ -4215,10 +4418,37 @@ def change_feed(
             )
             frames.append(ins)
         elif is_delete:
+            # Retention DROP legs first (r12): segments the DELETE
+            # removed wholesale emit their LIVE rows (read through the
+            # PREVIOUS version's DV) as deletes — O(dropped data),
+            # scanned once, never position-joined.
+            dropped = cur.get("dropped_segments") or [
+                s for s in prev["segments"] if s not in cur["segments"]
+            ]
+            if dropped:
+                ledger = prev.get("schemas", {})
+                known = {
+                    json.dumps(ledger[s], sort_keys=True)
+                    for s in dropped
+                    if s in ledger
+                }
+                gone = _read_segment_dirs(
+                    spark, path, dropped, prev, evolved=len(known) > 1,
+                    with_pos=bool(prev.get("dv")),
+                )
+                if prev.get("dv"):
+                    gone = _anti_join_dv(spark, path, prev["dv"], gone).drop(
+                        "__fp", "__ri"
+                    )
+                frames.append(gone.withColumn("_change_type", F.lit("delete")))
+            if not cur.get("dv"):
+                continue  # pure drop: no positional delta to recover
             dv_cur = spark.read.parquet(os.path.join(path, cur["dv"])).select(
                 "file_path", "row_index"
             )
             if prev.get("dv"):
+                if cur["dv"] == prev["dv"]:
+                    continue  # carried-by-reference DV: no delta
                 dv_prev = spark.read.parquet(
                     os.path.join(path, prev["dv"])
                 ).select("file_path", "row_index")

@@ -233,6 +233,7 @@ HEADLINE = [
     "snapshot_delete_keys_pruned",
     "snapshot_column_mapping",
     "snapshot_compaction",
+    "snapshot_retention_delete",
 ]
 
 

@@ -928,3 +928,176 @@ def test_extend_column_mapping_keeps_both_writers_columns(spark, tmp_path):
 
         drop_column(p, "x")
         _extend_column_mapping(p, ["x"])  # retired physical reuse refused
+
+
+# ------------------------------------------- metadata retention delete
+
+
+def _ranged(spark, tmp_path, bands=3, n=300):
+    """`bands` range-disjoint appends on k."""
+    p = str(tmp_path / "t")
+    step = n // bands
+    for i in range(bands):
+        versioned_write(
+            spark.range(i * step, (i + 1) * step).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            p,
+            mode="append",
+        )
+    return p, step
+
+
+def test_retention_delete_drops_covered_segments(spark, tmp_path):
+    p, step = _ranged(spark, tmp_path)  # 0..99 | 100..199 | 200..299
+    v, n = delete_where(spark, p, [("k", "<", 150)])
+    latest = _read_manifest(p)[-1]
+    assert latest["dropped_segments"] == ["data-0"]
+    assert latest["segments"] == ["data-1", "data-2"]
+    assert n == 150  # 100 dropped + 50 DV'd
+    # DV rows reference ONLY the straddling segment
+    import glob as g
+
+    from pyspark.sql import functions as SF
+
+    dv = spark.read.parquet(os.path.join(p, latest["dv"]))
+    assert dv.filter(~SF.col("file_path").contains("/data-1/")).count() == 0
+    live = snapshot_read(spark, p)
+    assert live.count() == 150 and live.agg(SF.min("k")).collect()[0][0] == 150
+    # time travel still sees everything
+    assert snapshot_read(spark, p, version=2).count() == 300
+
+
+def test_retention_delete_pure_drop_carries_dv_by_reference(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import delete_keys
+
+    p, step = _ranged(spark, tmp_path)
+    delete_keys(spark, p, spark.range(0, 5).select(F.col("id").alias("k")), "k")
+    prior_dv = _read_manifest(p)[-1]["dv"]
+    v, n = delete_where(spark, p, [("k", "<", 100)])  # drops data-0 exactly
+    latest = _read_manifest(p)[-1]
+    assert latest["dropped_segments"] == ["data-0"]
+    assert latest.get("dv") == prior_dv  # immutable sidecar referenced, not rewritten
+    assert n == 95  # 100 rows minus the 5 already tombstoned
+    assert snapshot_read(spark, p).count() == 200
+
+
+def test_retention_delete_nulls_block_the_drop(spark, tmp_path):
+    """A fully-range-covered segment whose predicate column holds NULLs
+    must take the DV path — NULL rows do not match and must survive."""
+    p = str(tmp_path / "t")
+    withnull = spark.range(0, 50).select(
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    versioned_write(withnull, p, mode="append")
+    versioned_write(
+        spark.range(100, 150).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        p,
+        mode="append",
+    )
+    v, n = delete_where(spark, p, [("k", "<", 60)])
+    latest = _read_manifest(p)[-1]
+    assert "dropped_segments" not in latest  # NULL presence blocked the drop
+    assert latest["segments"] == ["data-0", "data-1"]
+    assert n == 49  # the NULL row survives
+    live = snapshot_read(spark, p)
+    assert live.count() == 51
+    assert live.filter(F.col("k").isNull()).count() == 1
+
+
+def test_retention_delete_never_empties_the_table(spark, tmp_path):
+    p, step = _ranged(spark, tmp_path)
+    v, n = delete_where(spark, p, [("k", "<", 10_000)])  # covers everything
+    latest = _read_manifest(p)[-1]
+    assert n == 300
+    assert len(latest["segments"]) == 1  # last candidate took the DV path
+    assert snapshot_read(spark, p).count() == 0
+
+
+def test_change_feed_emits_drop_legs(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import delete_keys
+
+    p, step = _ranged(spark, tmp_path)  # v0,v1,v2
+    delete_keys(spark, p, spark.range(0, 5).select(F.col("id").alias("k")), "k")  # v3
+    delete_where(spark, p, [("k", "<", 150)])  # v4: drop data-0 + DV on data-1
+    feed = change_feed(spark, p, 3, 4)
+    legs = feed.groupBy("_change_type").agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk")
+    ).collect()
+    got = {r["_change_type"]: (r["n"], r["sk"]) for r in legs}
+    # dropped data-0 live rows: k 5..99 (95 rows); DV delta on data-1: k 100..149
+    want_drop = (95, sum(range(5, 100)))
+    want_dv = (50, sum(range(100, 150)))
+    assert got == {"delete": (want_drop[0] + want_dv[0], want_drop[1] + want_dv[1])}
+
+
+def test_streaming_cdf_emits_drop_legs(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p, step = _ranged(spark, tmp_path)  # v0..v2: k 0..299
+    delete_where(spark, p, [("k", "<", 150)])  # v3: drop + partial DV
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(p)
+    )
+    sink = "r12_stream_drop_legs"
+    q = (
+        s.groupBy("_change_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sk"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["_change_type"]: (r["n"], r["sk"]) for r in spark.table(sink).collect()}
+    assert got == {
+        "insert": (300, sum(range(300))),
+        "delete": (150, sum(range(150))),
+    }
+
+
+def test_streaming_plain_tail_on_drop(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p, step = _ranged(spark, tmp_path)
+    delete_where(spark, p, [("k", "<", 100)])  # pure drop of data-0
+    # plain tail fails loud
+    s = spark.readStream.format(FORMAT_NAME).load(p)
+    q = (
+        s.writeStream.format("memory")
+        .queryName("r12_drop_plain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="retention DROP"):
+        q.awaitTermination()
+    # ignoreDeletes skips the drop commit deliberately
+    s2 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("ignoreDeletes", "true")
+        .load(p)
+    )
+    q2 = (
+        s2.groupBy()
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("r12_drop_ignore")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table("r12_drop_ignore").collect()[0]["n"] == 300
