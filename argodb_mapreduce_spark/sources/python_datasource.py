@@ -1288,6 +1288,42 @@ def make_versioned_datasource():
             start_version = self.options.get("startingVersion") or self.options.get(
                 "startingversion"
             )
+            start_ts = self.options.get("startingTimestamp") or self.options.get(
+                "startingtimestamp"
+            )
+            if start_version is not None and start_ts is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both "
+                    "(Delta raises on the same conflict)"
+                )
+            if start_ts is not None:
+                # Delta CDF's startingTimestamp rule: resolve to the
+                # FIRST commit AT OR AFTER the timestamp, its changes
+                # INCLUDED (the AS-OF read rule would exclude it and
+                # silently drop the anchor commit). ISO-8601 or epoch
+                # seconds accepted; a timestamp past the head fails
+                # loud, exactly Delta's 'timestamp after latest commit'
+                # error.
+                try:
+                    ts = float(start_ts)
+                except ValueError:
+                    import datetime as _sdt
+
+                    ts = _sdt.datetime.fromisoformat(str(start_ts)).timestamp()
+                entries = _manifest_log().read_entries(self._path)
+                eligible = [
+                    e["version"]
+                    for e in entries
+                    if e.get("ts", float("-inf")) >= ts
+                ]
+                if not eligible:
+                    raise ValueError(
+                        f"startingTimestamp {start_ts!r} is after the last "
+                        f"commit (head ts "
+                        f"{entries[-1].get('ts')}); use a timestamp at or "
+                        "before it"
+                    )
+                start_version = min(eligible)
             if start_version is not None:
                 start_version = int(start_version)
                 if end_version is not None and start_version > end_version:

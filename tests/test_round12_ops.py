@@ -1101,3 +1101,68 @@ def test_streaming_plain_tail_on_drop(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.table("r12_drop_ignore").collect()[0]["n"] == 300
+
+
+# --------------------------------------------- streaming startingTimestamp
+
+
+def test_streaming_starting_timestamp(spark, tmp_path):
+    """Delta CDF's startingTimestamp: resolve to the FIRST commit at or
+    after the timestamp, included; conflict with startingVersion and
+    past-head timestamps fail loud."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / "t")
+    for i in range(3):
+        versioned_write(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            p,
+            mode="append",
+        )
+    entries = _read_manifest(p)
+    ts_v1 = entries[1]["ts"]
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("startingTimestamp", str(ts_v1 - 0.001))
+        .load(p)
+    )
+    sink = "r12_start_ts"
+    q = (
+        s.groupBy()
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sk"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table(sink).collect()[0]
+    # v1 + v2 only: k 10..29
+    assert (row["n"], row["sk"]) == (20, sum(range(10, 30)))
+    def _drain(reader):
+        q = (
+            reader.load(p)
+            .writeStream.format("memory")
+            .queryName("r12_start_ts_err")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="not both"):
+        _drain(
+            spark.readStream.format(FORMAT_NAME)
+            .option("startingTimestamp", "2020-01-01")
+            .option("startingVersion", "1")
+        )
+    with pytest.raises(Exception, match="after the last commit"):
+        _drain(
+            spark.readStream.format(FORMAT_NAME)
+            .option("startingTimestamp", str(entries[-1]["ts"] + 3600))
+        )
