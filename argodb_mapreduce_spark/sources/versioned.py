@@ -3351,6 +3351,27 @@ def _segment_fully_matches(stats: dict | None, predicates) -> bool:
     return True
 
 
+def _segment_predicate_cols_null_free(
+    path: str, seg: str, latest: dict, columns
+) -> bool:
+    """NULL-freedom proof routed by column kind: data columns prove via
+    parquet footer null counts; partition columns live in directory
+    names, where a NULL is exactly the ``__HIVE_DEFAULT_PARTITION__``
+    sentinel branch — no sentinel directory, no NULLs. Both proofs are
+    pure metadata."""
+    seg_dir = os.path.join(path, seg)
+    pcols = set(latest.get("partition_by", {}).get(seg) or ())
+    data_cols = [c for c in columns if c not in pcols]
+    if data_cols and not _segment_no_nulls(seg_dir, data_cols):
+        return False
+    for c in (c for c in columns if c in pcols):
+        if _glob.glob(
+            os.path.join(seg_dir, "**", f"{c}={_HIVE_NULL}"), recursive=True
+        ):
+            return False
+    return True
+
+
 def _segment_no_nulls(seg_path: str, columns) -> bool:
     """Footer-metadata proof that ``columns`` hold NO NULLs anywhere in
     the segment. Required before a full drop: parquet min/max ignore
@@ -3424,8 +3445,8 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
         seg
         for seg in kept
         if _segment_fully_matches(latest.get("stats", {}).get(seg), predicates)
-        and _segment_no_nulls(
-            os.path.join(path, seg), [c for c, _o, _v in predicates]
+        and _segment_predicate_cols_null_free(
+            path, seg, latest, [c for c, _o, _v in predicates]
         )
     ]
     if full and len(full) == len(latest["segments"]):

@@ -1166,3 +1166,51 @@ def test_streaming_starting_timestamp(spark, tmp_path):
             spark.readStream.format(FORMAT_NAME)
             .option("startingTimestamp", str(entries[-1]["ts"] + 3600))
         )
+
+
+def test_retention_delete_drops_partitioned_segment(spark, tmp_path):
+    """A Hive-partitioned segment fully covered by a PARTITION-column
+    predicate drops as metadata: min/max come from the directory-name
+    stats, NULL-freedom from the absence of the sentinel branch."""
+    p = str(tmp_path / "t")
+    for day in (1, 2):
+        versioned_write(
+            spark.range(0, 40).select(
+                F.col("id").alias("k"), F.lit(day).alias("day")
+            ),
+            p,
+            mode="append",
+            partition_by=["day"],
+        )
+    v, n = delete_where(spark, p, [("day", "=", 1)])
+    latest = _read_manifest(p)[-1]
+    assert latest["dropped_segments"] == ["data-0"]
+    assert "dv" not in latest  # pure metadata drop, zero DV rows
+    assert n == 40
+    assert snapshot_read(spark, p).count() == 40
+    # a NULL partition branch blocks the drop (sentinel rows must survive)
+    p2 = str(tmp_path / "t2")
+    versioned_write(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 3, None).otherwise(F.lit(5)).alias("day"),
+        ),
+        p2,
+        mode="append",
+        partition_by=["day"],
+    )
+    versioned_write(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(9).alias("day")
+        ),
+        p2,
+        mode="append",
+        partition_by=["day"],
+    )
+    v2, n2 = delete_where(spark, p2, [("day", "<=", 5)])
+    latest2 = _read_manifest(p2)[-1]
+    assert "dropped_segments" not in latest2  # sentinel branch blocked it
+    assert n2 == 19  # the NULL-day row survives
+    live = snapshot_read(spark, p2)
+    assert live.count() == 21
+    assert live.filter(F.col("day").isNull()).count() == 1
