@@ -133,21 +133,25 @@ def read_entries(path: str) -> list[dict]:
                 if v > ck_v:
                     with open(os.path.join(log_dir, _entry_name(v))) as f:
                         entries.append(json.load(f))
-            if not entries:
-                # Crash window: a legacy migration created _log/ but
-                # died before its first atomic rename landed. The
-                # marker still holds the intact legacy array — serve
-                # it instead of bricking the table.
-                with open(os.path.join(path, MARKER)) as f:
-                    legacy = json.load(f)
-                if isinstance(legacy, list) and legacy:
-                    return legacy
-                raise FileNotFoundError(f"{log_dir}: empty manifest log")
-            return entries
         except FileNotFoundError as e:
             # Raced a checkpoint's tail-prune (or a wholesale rewrite):
             # re-list and retry — the new state is always complete.
             err = e
+            continue
+        if entries:
+            return entries
+        # An EMPTY listing is a terminal state, not a prune race — it
+        # never heals by re-listing, so it must not burn the retry
+        # budget (nor surface as a raced-prune FileNotFoundError).
+        # Crash window: a legacy migration created _log/ but died
+        # before its first atomic rename landed. The marker still
+        # holds the intact legacy array — serve it instead of
+        # bricking the table.
+        with open(os.path.join(path, MARKER)) as f:
+            legacy = json.load(f)
+        if isinstance(legacy, list) and legacy:
+            return legacy
+        raise ValueError(f"{log_dir}: empty manifest log")
     raise err
 
 

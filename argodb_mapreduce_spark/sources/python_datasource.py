@@ -1309,7 +1309,14 @@ def make_versioned_datasource():
                 except ValueError:
                     import datetime as _sdt
 
-                    ts = _sdt.datetime.fromisoformat(str(start_ts)).timestamp()
+                    _dtv = _sdt.datetime.fromisoformat(str(start_ts))
+                    if _dtv.tzinfo is None:
+                        # Manifest ts values are UTC epochs; an
+                        # offset-less ISO string must anchor in UTC too,
+                        # or a non-UTC driver shifts the resolved commit
+                        # by the host timezone.
+                        _dtv = _dtv.replace(tzinfo=_sdt.timezone.utc)
+                    ts = _dtv.timestamp()
                 entries = _manifest_log().read_entries(self._path)
                 eligible = [
                     e["version"]
