@@ -147,9 +147,13 @@ def make_versioned_datasource():
             self.parts = parts
 
     class CDFPartition(InputPartition):
-        """One change-feed unit: an appended file (kind='insert') or
-        the deleted positions of one file from a DV delta
-        (kind='delete', positions = sorted row indices)."""
+        """One change-feed unit: an appended file (kind='insert'), the
+        deleted positions of one file from a DV delta (kind='delete',
+        positions = sorted row indices), a dropped/removed file's live
+        rows (kind='drop', positions = masked-out prior tombstones), a
+        restore-readded file's live rows (kind='add', positions =
+        masked-out current tombstones), or un-tombstoned positions a
+        restore resurrected (kind='revive')."""
 
         def __init__(self, kind: str, path: str, version: int, positions=None, parts=()):
             self.kind = kind
@@ -1353,10 +1357,14 @@ def make_versioned_datasource():
 
         Append-only discipline: a version that REMOVES segments
         (overwrite, rollback, vacuum-rewritten history) is a non-append
-        change and fails loud — the same default Delta's streaming
-        source applies — because silently re-reading or skipping
-        rewritten data corrupts downstream aggregates. A DELETION-VECTOR
-        commit likewise fails by default (a subscriber that only tails
+        change and fails loud on a plain tail — the same default
+        Delta's streaming source applies — because silently re-reading
+        or skipping rewritten data corrupts downstream aggregates;
+        under ``readChangeFeed`` the same transition SYNTHESIZES
+        file-level delete/insert legs instead (r13, Delta RESTORE's
+        CDF granularity), so a subscriber that consumes changes
+        survives an overwrite or RESTORE. A DELETION-VECTOR commit
+        likewise fails by default (a subscriber that only tails
         inserts would silently diverge from the table); passing
         ``option("ignoreDeletes", "true")`` opts into skipping DV-only
         commits and keeps tailing appends — exactly Delta's
@@ -1614,6 +1622,98 @@ def make_versioned_datasource():
                     # handles it; carried-by-reference DVs are equal and
                     # contribute nothing. No new segments can appear.
                     removed = set()
+                if (
+                    removed
+                    and self._cdf
+                    # Key-presence, not truthiness: merged_from can be
+                    # version 0.
+                    and "merged_from" not in entries[v]
+                    and "updated_where" not in entries[v]
+                ):
+                    # OVERWRITE / RESTORE under readChangeFeed (r13):
+                    # synthesize file-level legs from the segment diff —
+                    # Delta RESTORE's CDF granularity — so the one
+                    # remaining maintenance action that killed a live
+                    # CDC subscriber no longer does. Removed segments'
+                    # files emit their live rows (prev DV masked) as
+                    # delete legs; added segments' files their live rows
+                    # (the restored version's DV masked) as insert legs;
+                    # segments on BOTH sides contribute only their DV
+                    # delta — new tombstones as positional deletes,
+                    # un-tombstoned positions (resurrection) as
+                    # positional inserts. UPDATE/MERGE without a CDC
+                    # sidecar still fails loud below: their row deltas
+                    # were never recorded.
+                    import glob as _glob3
+
+                    prev_pos = self._dv_positions(prev_dv)
+                    cur_pos = self._dv_positions(entries[v].get("dv"))
+
+                    def _by_file(positions):
+                        d: dict = {}
+                        for fp, ri in positions:
+                            d.setdefault(fp, []).append(ri)
+                        return d
+
+                    prev_by, cur_by = _by_file(prev_pos), _by_file(cur_pos)
+                    for kind, seg_set, entry_of, excl in (
+                        ("drop", removed, prev_entry, prev_by),
+                        ("add", segs - prev, entries[v], cur_by),
+                    ):
+                        for seg in sorted(seg_set):
+                            seg_dir = _os.path.join(self._path, seg)
+                            for fp in sorted(
+                                _glob3.glob(
+                                    _os.path.join(seg_dir, "**", "*.parquet"),
+                                    recursive=True,
+                                )
+                            ):
+                                parts.append(
+                                    CDFPartition(
+                                        kind,
+                                        fp,
+                                        v,
+                                        tuple(sorted(excl.get(fp, ()))),
+                                        parts=(
+                                            self._parts_of_file(entry_of, fp)
+                                            if entry_of
+                                            else ()
+                                        ),
+                                    )
+                                )
+                    shared_roots = tuple(
+                        _os.path.join(_os.path.abspath(self._path), s) + _os.sep
+                        for s in (segs & prev)
+                    )
+                    for kind, delta, entry_of in (
+                        ("delete", cur_pos - prev_pos, entries[v]),
+                        ("revive", prev_pos - cur_pos, prev_entry),
+                    ):
+                        per: dict = {}
+                        for fp, ri in delta:
+                            # Removed/added files were fully accounted
+                            # above — only SHARED-segment positions are
+                            # a genuine delta.
+                            if fp.startswith(shared_roots):
+                                per.setdefault(fp, []).append(ri)
+                        for fp in sorted(per):
+                            parts.append(
+                                CDFPartition(
+                                    kind,
+                                    fp,
+                                    v,
+                                    tuple(sorted(per[fp])),
+                                    parts=(
+                                        self._parts_of_file(entry_of, fp)
+                                        if entry_of
+                                        else ()
+                                    ),
+                                )
+                            )
+                    prev = segs
+                    prev_dv = entries[v].get("dv")
+                    prev_entry = entries[v]
+                    continue
                 if removed:
                     hint = (
                         " — an UPDATE/MERGE on a CDF-enabled table is "
@@ -1642,6 +1742,31 @@ def make_versioned_datasource():
                                     fp,
                                     v,
                                     tuple(sorted(per_file[fp])),
+                                    parts=self._parts_of_file(entries[v], fp),
+                                )
+                            )
+                        # RESURRECTION (r13): a same-segment-list RESTORE
+                        # past a DELETE retracts tombstones — positions in
+                        # the OLD DV but not the new one re-emit as insert
+                        # legs, bounded to files the new version still
+                        # references (a retention drop's vanished files
+                        # were already emitted as drop legs).
+                        live_roots = tuple(
+                            _os.path.join(_os.path.abspath(self._path), s)
+                            + _os.sep
+                            for s in segs
+                        )
+                        revived: dict = {}
+                        for fp, ri in old - new:
+                            if fp.startswith(live_roots):
+                                revived.setdefault(fp, []).append(ri)
+                        for fp in sorted(revived):
+                            parts.append(
+                                CDFPartition(
+                                    "revive",
+                                    fp,
+                                    v,
+                                    tuple(sorted(revived[fp])),
                                     parts=self._parts_of_file(entries[v], fp),
                                 )
                             )
@@ -1749,9 +1874,13 @@ def make_versioned_datasource():
             def tag(batch):
                 # Partition append + plan ordering BEFORE the CDF tag
                 # columns, so flat and partitioned change rows align.
-                # kind 'drop' (a retention-dropped file's live rows)
-                # surfaces as Delta's 'delete' row type.
-                ct = "delete" if partition.kind == "drop" else partition.kind
+                # kind 'drop' (a retention-dropped/restore-removed
+                # file's live rows) surfaces as Delta's 'delete' row
+                # type; 'add' (a restore-readded file's live rows) and
+                # 'revive' (un-tombstoned positions) as 'insert'.
+                ct = {"drop": "delete", "add": "insert", "revive": "insert"}.get(
+                    partition.kind, partition.kind
+                )
                 batch = _emit_batch(
                     batch, partition.parts, self._base_cols, self._base_types,
                     self._renames,
@@ -1792,11 +1921,13 @@ def make_versioned_datasource():
                     ]
                     yield pa.RecordBatch.from_arrays(cols, names=names)
                 return
-            if partition.kind == "drop":
-                # Whole-file delete legs: every LIVE row of a
-                # retention-dropped file — the PREVIOUS version's DV
-                # positions mask OUT (they were already emitted as
-                # delete legs by their own commit).
+            if partition.kind in ("drop", "add"):
+                # Whole-file legs: every LIVE row of a retention-dropped
+                # / restore-removed file ('drop' → delete legs, the
+                # PREVIOUS version's DV positions mask out — they were
+                # already emitted as delete legs by their own commit) or
+                # of a restore-READDED file ('add' → insert legs, the
+                # restored version's own DV masks out).
                 import numpy as np
 
                 excl = np.asarray(partition.positions or (), dtype=np.int64)
@@ -1818,7 +1949,7 @@ def make_versioned_datasource():
             if partition.kind == "insert":
                 for batch in _cast_batches_to_us(pf):
                     yield tag(batch)
-            else:  # delete: materialize the tombstoned positions
+            else:  # delete/revive: materialize the listed positions
                 t = pq.read_table(partition.path).cast(target, safe=False)
                 t = t.take(pa.array(list(partition.positions), type=pa.int64()))
                 for batch in t.combine_chunks().to_batches():
@@ -2921,6 +3052,97 @@ def stream_change_feed_through_optimize(
         F.sum("o_orderkey").cast("long").alias("sum_key"),
     )
     sink = "stream_change_feed_through_optimize_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "stream_change_feed_through_restore_live",
+    oracle="""
+    SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'insert', 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 'delete', 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 30 = 0
+    UNION ALL
+    SELECT 'delete', 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 'insert', 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 30 = 0
+    UNION ALL
+    SELECT 'insert', 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    tags=("streaming", "source", "cdc", "rollback", "restore", "live"),
+    doc=(
+        "STREAMING CDF THROUGH RESTORE (r13, VERDICT r12 #1's streaming "
+        "half): the history is append, append, keyed DELETE (DV), "
+        "RESTORE to v0 — which both REMOVES the second segment and "
+        "RETRACTS the delete's tombstones — then a post-restore append. "
+        "One readChangeFeed stream drains it green: the restore commit "
+        "synthesizes the removed segment's live rows as delete legs AND "
+        "the un-tombstoned positions as RESURRECTION insert legs (both "
+        "tagged _commit_version 3), and the stream keeps consuming the "
+        "append after it. Every (change_type, version) cell is "
+        "oracle-pinned separately — before r13 this history KILLED the "
+        "subscriber at the restore (non-append raise)."
+    ),
+)
+def stream_change_feed_through_restore_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: the synthesized legs are O(changed files + DV delta) per
+    restore — removed/readded files plus position-joined touched files;
+    shared segments are never rescanned. A RESTORE on a 100 TB table
+    costs its CDC subscribers the segment diff, not a re-bootstrap."""
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        rollback,
+        versioned_write,
+    )
+
+    register_datasource(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "orders_vcdc_restore"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    versioned_write(o.filter(k % 3 == 0), out)  # v0
+    versioned_write(o.filter(k % 3 == 1), out, mode="append")  # v1
+    delete_keys(
+        spark, out, o.filter(k % 30 == 0).select("o_orderkey"), "o_orderkey"
+    )  # v2: DV
+    rollback(out, 0)  # v3: RESTORE — drops a segment AND retracts the DV
+    versioned_write(o.filter(k % 3 == 2), out, mode="append")  # v4
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("readChangeFeed", "true")
+        .load(out)
+    )
+    agg = s.groupBy("_change_type", "_commit_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    sink = "stream_change_feed_through_restore_live_sink"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)

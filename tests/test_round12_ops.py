@@ -153,8 +153,11 @@ def test_change_feed_window_of_only_maintenance_is_empty(spark, tmp_path):
     assert "_change_type" in feed.columns
 
 
-def test_overwrite_still_raises_in_feed(spark, tmp_path):
-    p = _base(spark, tmp_path)
+def test_overwrite_synthesizes_file_level_legs(spark, tmp_path):
+    """r13: an overwrite transition no longer raises — the feed emits
+    the removed segment's live rows as delete legs and the fresh
+    segment's rows as insert legs (Delta RESTORE's file-level CDF)."""
+    p = _base(spark, tmp_path)  # v0: k 0..59
     versioned_write(
         spark.range(0, 5).select(
             F.col("id").alias("k"),
@@ -164,8 +167,14 @@ def test_overwrite_still_raises_in_feed(spark, tmp_path):
         p,
         mode="overwrite",
     )
-    with pytest.raises(ValueError, match="change feed undefined"):
-        change_feed(spark, p, 0, 1).collect()
+    legs = {
+        (r["_change_type"]): (r["n"], r["sk"])
+        for r in change_feed(spark, p, 0, 1)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sk"))
+        .collect()
+    }
+    assert legs == {"delete": (60, sum(range(60))), "insert": (5, 10)}
 
 
 def test_streaming_cdf_skips_compaction(spark, tmp_path):

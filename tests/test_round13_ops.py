@@ -1,0 +1,257 @@
+"""Round 13: CDF across RESTORE/overwrite (batch + streaming),
+distributed over-cap delete_keys pruning, pyds writer column mapping.
+
+Contract under test (Delta RESTORE's CDF granularity): an overwrite or
+rollback commit synthesizes FILE-LEVEL legs from the manifest's segment
+diff — removed segments' live rows as delete legs, re-added segments'
+live rows as insert legs, shared-segment DV deltas as positional
+delete/resurrection legs — instead of killing the feed. A plain
+(non-CDF) stream tail keeps failing loud on non-append history.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.sources.versioned import (
+    _read_manifest,
+    change_feed,
+    delete_keys,
+    delete_where,
+    merge_upsert,
+    rollback,
+    snapshot_read,
+    update_where,
+    versioned_write,
+)
+
+
+def _base(spark, tmp_path, n=60):
+    p = str(tmp_path / "t")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    versioned_write(df, p, mode="append")
+    return p
+
+
+def _legs(feed, key="k"):
+    return {
+        r["_change_type"]: (r["n"], r["sk"])
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"), F.sum(key).alias("sk"))
+        .collect()
+    }
+
+
+# ----------------------------------------------------- batch feed synthesis
+
+
+def test_restore_past_delete_resurrects_as_insert_legs(spark, tmp_path):
+    """Same segment list, DV retracted: positions the restore
+    un-tombstones come back as insert legs, position-joined against
+    only the touched files."""
+    p = _base(spark, tmp_path)
+    delete_keys(
+        spark, p, spark.range(0, 60, 10).select(F.col("id").alias("k")), "k"
+    )  # v1: keys 0,10,..,50
+    rollback(p, 0)  # v2
+    legs = _legs(change_feed(spark, p, 1, 2))
+    assert legs == {"insert": (6, 150)}
+
+
+def test_restore_to_deleted_state_reapplies_tombstones(spark, tmp_path):
+    """Rolling FORWARD onto a DV-carrying target (v0 -> delete -> restore
+    v0 -> restore the delete again): the second restore's shared-segment
+    DV delta emits the tombstoned rows as delete legs."""
+    p = _base(spark, tmp_path)
+    delete_keys(
+        spark, p, spark.range(0, 60, 10).select(F.col("id").alias("k")), "k"
+    )  # v1
+    rollback(p, 0)  # v2: resurrect
+    rollback(p, 1)  # v3: re-delete (restores v1's DV)
+    legs = _legs(change_feed(spark, p, 2, 3))
+    assert legs == {"delete": (6, 150)}
+    # And the whole span nets out to the same live set as the head.
+    head = snapshot_read(spark, p)
+    assert head.count() == 54
+
+
+def test_restore_past_overwrite_round_trips(spark, tmp_path):
+    """Overwrite then restore: the two synthesized transitions are exact
+    inverses, and replaying the feed converges to the head snapshot."""
+    p = _base(spark, tmp_path)  # v0: k 0..59
+    versioned_write(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="overwrite",
+    )  # v1
+    rollback(p, 0)  # v2
+    over = _legs(change_feed(spark, p, 0, 1))
+    back = _legs(change_feed(spark, p, 1, 2))
+    assert over == {"delete": (60, sum(range(60))), "insert": (10, 1045)}
+    assert back == {"delete": (10, 1045), "insert": (60, sum(range(60)))}
+
+
+def test_update_merge_without_cdf_still_raise(spark, tmp_path):
+    p = _base(spark, tmp_path)
+    update_where(spark, p, [("k", "<", 10)], {"v": F.col("v") + 1})
+    with pytest.raises(ValueError, match="change feed undefined"):
+        change_feed(spark, p, 0, 1).collect()
+    p2 = _base(spark, tmp_path / "m")
+    src = spark.range(55, 65).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    merge_upsert(spark, p2, src, "k")
+    with pytest.raises(ValueError, match="change feed undefined"):
+        change_feed(spark, p2, 0, 1).collect()
+
+
+def test_restore_feed_on_partitioned_segments(spark, tmp_path):
+    """Removed partitioned segments read back with their partition
+    columns recovered (basePath per segment), so delete legs carry g."""
+    p = str(tmp_path / "pt")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    versioned_write(df, p, partition_by=("g",))  # v0
+    versioned_write(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="overwrite",
+    )  # v1
+    feed = change_feed(spark, p, 0, 1)
+    by_g = {
+        (r["_change_type"], r["g"]): r["n"]
+        for r in feed.groupBy("_change_type", "g").count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert by_g[("delete", "0")] == 20
+    assert by_g[("delete", "1")] == 20
+    assert by_g[("delete", "2")] == 20
+    assert by_g[("insert", "9")] == 5
+
+
+# ----------------------------------------------------- streaming discipline
+
+
+def _stream_feed(spark, path, **opts):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    r = spark.readStream.format(FORMAT_NAME)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def _drain(spark, df, sink):
+    q = (
+        df.groupBy("_change_type", "_commit_version")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sk"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["_change_type"], r["_commit_version"]): (r["n"], r["sk"])
+        for r in spark.table(sink).collect()
+    }
+
+
+def test_plain_tail_still_fails_loud_on_restore(spark, tmp_path):
+    """The append-only discipline is unchanged without readChangeFeed:
+    a restore kills a plain tail (and ignoreDeletes does NOT skip it)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    p = _base(spark, tmp_path)
+    versioned_write(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="append",
+    )
+    rollback(p, 0)
+    for opts in ({}, {"ignoreDeletes": "true"}):
+        s = _stream_feed(spark, p, **opts)
+        q = (
+            s.writeStream.format("memory")
+            .queryName(f"t13_plain_{len(opts)}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="non-append change"):
+            q.awaitTermination()
+
+
+def test_streaming_cdf_synthesizes_restore_legs(spark, tmp_path):
+    p = _base(spark, tmp_path)  # v0
+    delete_keys(
+        spark, p, spark.range(0, 60, 10).select(F.col("id").alias("k")), "k"
+    )  # v1
+    rollback(p, 0)  # v2: resurrection only (same segments, DV retracted)
+    versioned_write(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="overwrite",
+    )  # v3: removes the segment
+    cells = _drain(
+        spark,
+        _stream_feed(spark, p, readChangeFeed="true"),
+        "t13_cdf_restore",
+    )
+    assert cells[("insert", 0)] == (60, sum(range(60)))
+    assert cells[("delete", 1)] == (6, 150)
+    assert cells[("insert", 2)] == (6, 150)  # revive legs
+    assert cells[("delete", 3)] == (60, sum(range(60)))  # dropped segment
+    assert cells[("insert", 3)] == (3, 303)  # re-added fresh segment
+
+
+def test_streaming_cdf_still_rejects_noncdc_update(spark, tmp_path):
+    """UPDATE/MERGE without a CDC sidecar must NOT silently fall into
+    file-level synthesis (it would over-report every carried-over row);
+    it keeps failing loud with the CDF hint."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    p = _base(spark, tmp_path)
+    update_where(spark, p, [("k", "<", 10)], {"v": F.col("v") + 1})
+    s = _stream_feed(spark, p, readChangeFeed="true")
+    q = (
+        s.writeStream.format("memory")
+        .queryName("t13_noncdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="non-append change"):
+        q.awaitTermination()
