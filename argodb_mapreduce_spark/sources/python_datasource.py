@@ -2754,31 +2754,34 @@ _REPL_PRICE_FLOOR = 150000.0
            TRUE AS replica_equals_source
     FROM final
     """,
-    tags=("streaming", "cdc", "replication", "live"),
+    tags=("streaming", "cdc", "replication", "restore", "live"),
     doc=(
         "STREAMING CDC REPLICATION — the full loop: a CDF-enabled "
         "source evolves through two appends, a keyed UPDATE ('F' rows "
         "repriorified), a MID-HISTORY COMPACTION (data_change:false — "
-        "skipped by the feed, zero legs, so table maintenance never "
-        "breaks the replica), and a DELETE; one readChangeFeed stream "
-        "drains "
-        "it and a foreachBatch applier REPLAYS each version's legs "
-        "IN COMMIT ORDER onto an initially-empty replica table — "
-        "insert legs append/merge, update_postimage legs MERGE by key "
-        "(the preimage is implicit in upsert-replace), delete legs "
-        "erase by key set (delete_keys, itself a DV commit on the "
-        "replica). The replica is exceptAll-proven EQUAL to the "
-        "source's head snapshot (flag in the hash) and its content is "
-        "oracle-pinned — Delta's 'replicate a table with CDF + MERGE' "
-        "recipe, end to end on this engine."
+        "skipped by the feed, zero legs), a DELETE, a MID-HISTORY "
+        "RESTORE back to the pre-compaction update state (r13 — the "
+        "feed synthesizes file-level delete+insert legs instead of "
+        "dying, so neither maintenance action breaks the replica), and "
+        "a re-applied DELETE; one readChangeFeed stream drains it and "
+        "a foreachBatch applier REPLAYS each version's legs IN COMMIT "
+        "ORDER onto an initially-empty replica table — delete legs "
+        "erase by key set FIRST (a restore can retract and re-add the "
+        "same key in one commit; deletes-then-inserts converges), "
+        "insert legs append/merge, update_postimage legs MERGE by key. "
+        "The replica is exceptAll-proven EQUAL to the source's head "
+        "snapshot (flag in the hash) and its content is oracle-pinned "
+        "— Delta's 'replicate a table with CDF + MERGE' recipe, end to "
+        "end on this engine, now surviving OPTIMIZE and RESTORE."
     ),
 )
 def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the stream moves O(changes) per version (sidecars and DV
-    deltas, never table scans); each MERGE rewrites only replica
-    segments containing touched keys and each delete is an O(K)
-    sidecar. Replicating a day of changes on a 100 TB table costs the
-    day's change volume — the cross-region/downstream-replica pattern."""
+    """Scale: the stream moves O(changes) per version (sidecars, DV
+    deltas, and for a restore the segment diff — never unchanged-table
+    scans); each MERGE rewrites only replica segments containing
+    touched keys and each delete is an O(K) sidecar. Replicating a day
+    of changes on a 100 TB table costs the day's change volume — the
+    cross-region/downstream-replica pattern."""
     import shutil
     import tempfile
 
@@ -2789,6 +2792,7 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where,
         enable_change_data_feed,
         merge_upsert,
+        rollback,
         snapshot_read,
         update_where,
         versioned_write,
@@ -2814,6 +2818,8 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact(spark, src)  # v3: MID-HISTORY OPTIMIZE (data_change:false)
     delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v4: DV
+    rollback(src, 2)  # v5: MID-HISTORY RESTORE (synthesized legs, r13)
+    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v6
 
     def apply_batch(batch_df, _batch_id):
         batch_df = batch_df.persist()
@@ -2830,31 +2836,41 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the bootstrap append only fires while the replica has no
             # manifest — after a mid-batch crash the retry takes the
             # merge path instead.
-            # metadata-collect: distinct _commit_version values — O(a
-            # few versions per micro-batch), never data rows.
-            batch_versions = sorted(
-                r[0]
-                for r in batch_df.select("_commit_version").distinct().collect()
-            )
-            for v in batch_versions:
+            # metadata-collect: ONE aggregated pass — (version, leg
+            # type) presence counts, O(versions × 3) rows — replaces
+            # the per-leg limit(1).count() probes (up to 3 extra Spark
+            # jobs per version per micro-batch, VERDICT r12 #5).
+            present = {
+                (r["_commit_version"], r["_change_type"])
+                for r in batch_df.groupBy("_commit_version", "_change_type")
+                .count()
+                .collect()
+            }
+            for v in sorted({ver for ver, _ct in present}):
                 legs = batch_df.filter(F.col("_commit_version") == v)
                 tags_ = ("_change_type", "_commit_version")
-                ins = legs.filter(F.col("_change_type") == "insert").drop(*tags_)
-                post = legs.filter(
-                    F.col("_change_type") == "update_postimage"
-                ).drop(*tags_)
-                dels = legs.filter(F.col("_change_type") == "delete").drop(*tags_)
-                if ins.limit(1).count():
+                # Deletes FIRST within a version: a restore commit can
+                # retract a row's bytes from one file and re-add them
+                # in another — delete-then-insert converges on the
+                # inserted state; the reverse order would erase it.
+                if (v, "delete") in present:
+                    dels = legs.filter(F.col("_change_type") == "delete")
+                    delete_keys(
+                        spark, replica, dels.select("o_orderkey"), "o_orderkey"
+                    )
+                if (v, "insert") in present:
+                    ins = legs.filter(F.col("_change_type") == "insert").drop(
+                        *tags_
+                    )
                     if os.path.exists(os.path.join(replica, "_snapshots.json")):
                         merge_upsert(spark, replica, ins, "o_orderkey")
                     else:
                         versioned_write(ins, replica)
-                if post.limit(1).count():
+                if (v, "update_postimage") in present:
+                    post = legs.filter(
+                        F.col("_change_type") == "update_postimage"
+                    ).drop(*tags_)
                     merge_upsert(spark, replica, post, "o_orderkey")
-                if dels.limit(1).count():
-                    delete_keys(
-                        spark, replica, dels.select("o_orderkey"), "o_orderkey"
-                    )
         finally:
             batch_df.unpersist()
 

@@ -255,3 +255,80 @@ def test_streaming_cdf_still_rejects_noncdc_update(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="non-append change"):
         q.awaitTermination()
+
+
+# ------------------------------------------- over-cap distributed pruning
+
+
+def _range_segments(spark, tmp_path, name="big", with_bloom=True):
+    p = str(tmp_path / name)
+    for i in range(4):
+        versioned_write(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            p,
+            mode="append",
+            bloom_columns=["k"] if with_bloom else (),
+        )
+    return p
+
+
+def test_delete_keys_over_cap_prunes_distributed(spark, tmp_path):
+    """A key set beyond prune_cap no longer falls back to a full scan:
+    the distributed min/max range join keeps only the one segment whose
+    bounds cover the keys (bounds are disjoint here)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys_distributed,
+    )
+
+    p = _range_segments(spark, tmp_path)
+    latest = _read_manifest(p)[-1]
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    kept = _segments_possibly_holding_keys_distributed(spark, latest, keys, "k")
+    assert kept == [latest["segments"][0]]
+    _v, n = delete_keys(spark, p, keys, "k", prune_cap=10)
+    assert n == 100
+    assert snapshot_read(spark, p).count() == 300
+
+
+def test_distributed_prune_blooms_reject_in_range_absent_keys(spark, tmp_path):
+    """Two segments with IDENTICAL key ranges but disjoint parities:
+    min/max cannot prune, the executor-side bloom probe must (the
+    probe is deterministic for fixed data — sha256 positions)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys_distributed,
+    )
+
+    p = str(tmp_path / "bl")
+    for start in (0, 1):  # evens then odds over the same [0,200) range
+        versioned_write(
+            spark.range(start, 200, 2).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            p,
+            mode="append",
+            bloom_columns=["k"],
+        )
+    latest = _read_manifest(p)[-1]
+    keys = spark.range(0, 24, 2).select(F.col("id").alias("k"))  # 12 even keys
+    kept = _segments_possibly_holding_keys_distributed(spark, latest, keys, "k")
+    assert kept == [latest["segments"][0]]
+
+
+def test_distributed_prune_keeps_segments_without_stats(spark, tmp_path):
+    """Conservatism: a segment whose manifest lacks key stats can never
+    be proven key-free and must stay in the scan list."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys_distributed,
+    )
+
+    p = _range_segments(spark, tmp_path, name="nost")
+    entries = _read_manifest(p)
+    latest = entries[-1]
+    # Simulate a stats-less segment (e.g. written by a foreign engine).
+    seg1 = latest["segments"][1]
+    latest["stats"][seg1].pop("k")
+    keys = spark.range(300, 400).select(F.col("id").alias("k"))
+    kept = _segments_possibly_holding_keys_distributed(spark, latest, keys, "k")
+    assert kept == [seg1, latest["segments"][3]]
