@@ -67,84 +67,75 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.materialized_view",
 )
 
-#: ROUND-12 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-13 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) staleness
-#: rotation, oldest banked evidence first. Round 12 rebuilt the
-#: manifest as a log-structured store (every versioned-table query
-#: crosses it, so its core representatives re-earn), made maintenance
-#: CDF-transparent, distributed compact(), size-awared DV writes,
-#: bloom-pruned delete_keys, and added column mapping — hence 24
-#: changed-code slots; the 23 rotation slots take the alphabetically-
-#: first rows of the r05 staleness tier (36 rows, VERDICT r11 #5;
-#: sink_zorder_roundtrip does double duty: r05-stale AND zorder
-#: changed this round). tests/test_round8_ops.py asserts
-#: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
-#: the window again (ADVICE r7).
+#: rotation, oldest banked evidence first. Round 13 taught the change
+#: feed (batch + streaming) to synthesize legs across RESTORE/overwrite,
+#: distributed delete_keys' over-cap pruning, gave the pyds writer the
+#: columnMapping feature, reworked stream_cdc_replicate (presence pass,
+#: dels-first replay, mid-history RESTORE), and touched delete_where/
+#: compact per ADVICE — hence 19 changed-code slots; the rotation takes
+#: ALL 13 remaining r05-tier rows (VERDICT r12 #2: every row's freshest
+#: driver evidence becomes >= r06) plus the 14 alphabetically-first r06
+#: rows. tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
+#: silent 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 12: first driver evidence ---
-    "stream_change_feed_through_optimize",  # CDF skips dataChange=false
-    "snapshot_delete_keys_pruned",          # bloom/minmax-pruned erase
-    "snapshot_column_mapping",              # RENAME/DROP via name mapping
-    "snapshot_retention_delete",            # metadata-only segment drops
-    # --- (a cont.) code changed in round 12: re-earn the rows ---
-    "snapshot_compaction",          # distributed rewrite + data_change tag
-    "snapshot_gdpr_purge",          # purge via compact + size-aware DV
-    "snapshot_compact_binpack",     # data_change tag
-    "sink_zorder_roundtrip",        # zorder data_change + physical writeback
-    "snapshot_change_feed",         # maintenance skip + logical mapping
-    "snapshot_change_feed_updates", # CDF sidecars physical + gen recompute
-    "snapshot_delete_keys",         # key-set pruning + multi-file DV
-    "snapshot_delete_where",        # size-aware DV + predicate mapping
-    "snapshot_update_where",        # match-flag materialization + mapping
-    "snapshot_update_on_dv",        # update path reshaped
-    "snapshot_merge_pruned",        # merge mapping + retired-column aging
-    "sink_merge_upsert",            # merge source->physical conversion
-    "stream_cdc_replicate",         # version-loop generality + mid-history OPTIMIZE
-    "stream_change_feed_updates_live",  # streaming planner skip logic
-    "snapshot_describe_detail",     # identity exclusion + new field
-    "sink_identity_column",         # locked registration + fail-loud base
-    "snapshot_generated_column",    # recompute interplay
-    "snapshot_time_travel",         # manifest-log read/append core
-    "snapshot_vacuum",              # wholesale rewrite on the log layout
-    "snapshot_rollback",            # rollback append on the log layout
-    "snapshot_change_feed_between_ts",  # NEW r12: ts-window CDF through a
-                                        # vacuumed DV-carrying base (no
-                                        # resurrection); also witnesses the
-                                        # restore/version_at_timestamp path
-    "pyds_versioned_scan",          # pyds reads via manifest_log
-    "pyds_versioned_write",         # pyds _publish appends via manifest_log
-    "stream_versioned_ingest",      # stream _entries via manifest_log
-    # --- (b) staleness rotation: the 23 alphabetically-first rows of
-    # the r05 tier (36 rows total; the rest lead the r13 rotation) ---
-    "dedup_fuzzy_levenshtein",
-    "dedup_ngram_jaccard",
-    "dedup_span_exact",
-    "dq_constraint_audit",
-    "embedding_normalize_stats",
-    "embedding_pca_top_component",
-    "events_attribution_last_touch",
-    "events_autocorrelation",
-    "events_ewma_smooth",
-    "events_markov_transition",
-    "events_sessionize",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "join_asof_tolerance",
-    "join_bloom_pruned",
-    "join_lateral_topk",
-    "join_null_safe",
-    "orders_cohort_ltv",
-    "recursive_cte_ancestors",
-    "sample_weighted_bernoulli",
-    "scan_partition_dynamic",
-    "scd2_user_history",
-    # (similarity_pq_adc_topk ceded its rotation slot to the new
-    # retention-delete row: the r11 judge re-verified it manually in the
-    # 14-row adversarial spot-check, the freshest possible evidence
-    # short of a driver row; 22 rotation slots remain, above the >=20
-    # policy floor.)
+    # --- (a) new in round 13: first driver evidence ---
+    "snapshot_change_feed_through_restore",      # batch CDF across RESTORE
+    "stream_change_feed_through_restore_live",   # streaming twin
+    "snapshot_delete_keys_bigset",               # over-cap distributed prune
+    "pyds_write_after_rename",                   # writer columnMapping
+    # --- (a cont.) code changed in round 13: re-earn the rows ---
+    "stream_cdc_replicate",           # presence pass + dels-first + RESTORE
+    "snapshot_change_feed",           # synthesis branch in change_feed
+    "snapshot_change_feed_partitioned",
+    "snapshot_change_feed_between_ts",
+    "snapshot_change_feed_updates",
+    "stream_change_feed_live",        # streaming partitions() restructure
+    "stream_change_feed_updates_live",
+    "stream_change_feed_through_optimize",
+    "stream_versioned_ingest",
+    "stream_backlog_drain",
+    "snapshot_delete_keys",           # prune_cap parameter
+    "snapshot_delete_keys_pruned",    # range-quarter fixture (was ntile)
+    "snapshot_delete_where",          # absolute-root DV drop counting
+    "snapshot_retention_delete",
+    "snapshot_compaction",            # repartition fallback under want
+    "snapshot_gdpr_purge",
+    "pyds_versioned_write",           # writer mapping plumbing
+    "pyds_partitioned_write",
+    "snapshot_column_mapping",
+    # --- (b) staleness rotation: ALL 13 remaining r05-tier rows ---
+    "similarity_pq_adc_topk",
+    "similarity_pq_encode",
+    "sink_partition_scan_null",
+    "sink_partitioned_multilevel",
+    "sink_partitioned_roundtrip",
+    "sink_range_pruned_lookup",
+    "sink_range_roundtrip",
+    "stream_sliding_live",
+    "table_migration_fingerprint",
+    "text_bigram_lm_score",
+    "text_cooccurrence_lift",
+    "text_fingerprint_winnow",
+    "text_keyword_rake",
+    # --- (b cont.) the 14 alphabetically-first r06-tier rows ---
+    "agg_boolean",
+    "agg_median_manual",
+    "agg_mode",
+    "clean_winsorize",
+    "dedup_exact_rows",
+    "dedup_minhash_clusters",
+    "dedup_minhash_survivors",
+    "dedup_simhash",
+    "events_ab_welch_t",
+    "events_anomaly_mad",
+    "events_cusum_changepoint",
+    "events_dau_wau_stickiness",
+    "events_funnel",
+    "events_funnel_windowed",
 )
 
 

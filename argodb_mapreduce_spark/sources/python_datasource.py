@@ -102,25 +102,40 @@ def make_versioned_datasource():
             props.get("column_mapping_retired", []) or [],
         )
 
-    def _reject_mapping_for_write(path):
-        """The pyds WRITER lands physical bytes + ledger entries
-        directly; on a mapping-active table it would record logical
-        names as physical and corrupt the indirection — gate it like a
-        Delta writer that lacks the columnMapping writer feature.
-        (READS fully support the mapping: plan schema, batch emit, and
-        pushed predicates all resolve through it.)"""
+    def _resolve_mapping_for_write(path, field_names):
+        """Plan-time logical->physical resolution for the pyds WRITER —
+        the columnMapping WRITER feature (r13; the r12 gate refused all
+        pyds/streaming writes the day a table got its first RENAME).
+        Mapped logical names write their recorded PHYSICAL name; NEW
+        logical columns identity-extend the mapping AT COMMIT (under
+        the table lock) unless they collide with a live or retired
+        physical name still present in data files — the same collision
+        rule versioned._extend_column_mapping enforces. Returns
+        ``(renames, new_logicals, mapping_snapshot)``; all empty when
+        no mapping is active (zero overhead on the common path). The
+        snapshot is re-checked at commit so a concurrent RENAME/DROP
+        between plan and publish aborts instead of landing bytes under
+        a stale physical name."""
         cmap, retired = _column_mapping_of(path)
-        if cmap or retired:
-            # ANY mapping (identity included) gates the writer: it
-            # never EXTENDS the mapping for new columns, so an
-            # identity-mapped append of a fresh column would commit
-            # bytes every logical read silently projects out.
-            raise RuntimeError(
-                "this table has column mapping enabled; the Python "
-                "DataSource writer does not carry the columnMapping "
-                "writer feature — write with versioned.versioned_write "
-                "/ merge_upsert instead"
-            )
+        if not cmap and not retired:
+            return {}, (), {}
+        renames, new_logicals, snapshot = {}, [], {}
+        live_phys = set(cmap.values())
+        for name in field_names:
+            if name in cmap:
+                snapshot[name] = cmap[name]
+                if cmap[name] != name:
+                    renames[name] = cmap[name]
+            elif name in live_phys or name in retired:
+                raise ValueError(
+                    f"{name!r} collides with a (possibly retired) "
+                    "PHYSICAL column name still present in data files; "
+                    "pick a different name"
+                )
+            else:
+                new_logicals.append(name)
+                snapshot[name] = name
+        return renames, tuple(new_logicals), snapshot
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -767,13 +782,29 @@ def make_versioned_datasource():
         pyds reader, DML, and OPTIMIZE all see an ordinary
         Hive-partitioned segment."""
 
-        def __init__(self, path: str, overwrite: bool, partition_by=()):
+        def __init__(
+            self,
+            path: str,
+            overwrite: bool,
+            partition_by=(),
+            renames=None,
+            new_mappings=(),
+            mapping_snapshot=None,
+        ):
             import uuid as _uuid
 
             self.path = path
             self.overwrite = overwrite
-            # ((col, simpleString type), ...) from the write schema.
+            # ((col, simpleString type), ...) from the write schema —
+            # PHYSICAL names when a column mapping is active.
             self.partition_by = tuple(partition_by)
+            # Column mapping (r13): logical->physical renames applied
+            # per Arrow batch before bytes land; new logical columns to
+            # identity-extend at commit; the full plan-time snapshot
+            # for the commit-side OCC re-check.
+            self.renames = dict(renames or {})
+            self.new_mappings = tuple(new_mappings)
+            self.mapping_snapshot = dict(mapping_snapshot or {})
             # Chosen on the driver so every task shares one staging dir.
             self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
 
@@ -894,6 +925,16 @@ def make_versioned_datasource():
                             _os.remove(_os.path.join(out_dir, rel))
             return VersionedCommit(None, relpaths=tuple(rels) if ok else ())
 
+        def _physical_batches(self, iterator):
+            """Logical plan columns -> recorded physical names, per
+            Arrow batch (zero-copy renames) — segments stay physically
+            uniform across RENAMEs, the same contract as
+            versioned._to_physical_frame."""
+            for batch in iterator:
+                yield batch.rename_columns(
+                    [self.renames.get(n, n) for n in batch.schema.names]
+                )
+
         def write(self, iterator):
             import uuid as _uuid
 
@@ -903,6 +944,8 @@ def make_versioned_datasource():
             out_dir = _os.path.join(self.path, self.staging)
             _os.makedirs(out_dir, exist_ok=True)
             tag = f"{part:05d}-{_uuid.uuid4().hex[:8]}"
+            if self.renames:
+                iterator = self._physical_batches(iterator)
             if self.partition_by:
                 return self._write_partitioned(iterator, out_dir, tag)
             return self._write_flat(iterator, out_dir, tag)
@@ -963,6 +1006,48 @@ def make_versioned_datasource():
             # rmtree below would otherwise destroy the successor's
             # freshly committed same-name segment.
             verify()
+            # Column mapping OCC (r13): re-check the plan-time snapshot
+            # under the lock and identity-extend for new columns — a
+            # concurrent RENAME/DROP between plan and publish must
+            # abort, or the staged bytes would land under a stale
+            # physical name that every logical read resolves wrongly.
+            if self.mapping_snapshot:
+                props_path = _os.path.join(self.path, "_properties.json")
+                props = {}
+                if _os.path.exists(props_path):
+                    with open(props_path) as f:
+                        props = _json.load(f)
+                cmap = dict(props.get("column_mapping", {}) or {})
+                retired = props.get("column_mapping_retired", []) or []
+                live_phys = set(cmap.values())
+                changed = False
+                for log, phys in self.mapping_snapshot.items():
+                    have = cmap.get(log)
+                    if have is None and log in self.new_mappings:
+                        if log in live_phys or log in retired:
+                            raise RuntimeError(
+                                f"concurrent DDL claimed the physical "
+                                f"name {log!r} between plan and commit; "
+                                "retry the write"
+                            )
+                        cmap[log] = log
+                        changed = True
+                    elif have != phys:
+                        raise RuntimeError(
+                            f"column mapping changed concurrently for "
+                            f"{log!r} (planned physical {phys!r}, now "
+                            f"{have!r}); retry the write"
+                        )
+                if changed:
+                    import tempfile as _tf
+
+                    props["column_mapping"] = cmap
+                    fd, tmp = _tf.mkstemp(
+                        dir=self.path, prefix="_properties", suffix=".tmp"
+                    )
+                    with _os.fdopen(fd, "w") as f:
+                        _json.dump(props, f, indent=1)
+                    _os.replace(tmp, props_path)
             # Orphan recovery (the versioned_write_txn contract): a
             # crash between a previous attempt's segment creation and
             # its manifest publish leaves an unreferenced dir with the
@@ -1219,7 +1304,9 @@ def make_versioned_datasource():
             )
 
         def writer(self, schema, overwrite):
-            _reject_mapping_for_write(self._path)
+            renames, new_logicals, snapshot = _resolve_mapping_for_write(
+                self._path, [f.name for f in schema.fields]
+            )
             _os.makedirs(self._path, exist_ok=True)
             # `partitionBy` write OPTION (df.write.partitionBy() does
             # not reach Python data sources): comma-separated columns,
@@ -1248,7 +1335,18 @@ def make_versioned_datasource():
                             f"are {supported}"
                         )
                     partition_by.append((c, by_name[c]))
-            return VersionedArrowWriter(self._path, overwrite, partition_by)
+            if renames:
+                # Directory names and the layout ledger are PHYSICAL,
+                # like every other byte the writer lands.
+                partition_by = [(renames.get(c, c), t) for c, t in partition_by]
+            return VersionedArrowWriter(
+                self._path,
+                overwrite,
+                partition_by,
+                renames=renames,
+                new_mappings=new_logicals,
+                mapping_snapshot=snapshot,
+            )
 
         def streamReader(self, schema):
             ignore_deletes = str(
@@ -2214,6 +2312,97 @@ def pyds_versioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionAll(fdf)
     return out
+
+
+@register(
+    "pyds_write_after_rename",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pyds,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           TRUE AS physical_name_stable,
+           TRUE AS mapping_extended,
+           TRUE AS pyds_read_matches
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("sink", "datasource", "column-mapping"),
+    doc=(
+        "PYDS WRITE AFTER RENAME (r13, VERDICT r12 #4 — the r12 writer "
+        "was fail-loud gated on ANY column mapping, so streaming/pyds "
+        "writes stopped the day a table got its first RENAME): the "
+        "table renames o_orderpriority->prio (O(1) metadata), then the "
+        "Python DataSource APPENDS rows under the logical schema plus "
+        "a brand-new src column. The writer maps logical->physical per "
+        "Arrow batch (the new segment's parquet footers carry "
+        "o_orderpriority, pinned by physical_name_stable), identity-"
+        "extends the mapping for src UNDER THE COMMIT LOCK with a "
+        "plan-vs-commit OCC re-check (mapping_extended pinned), and "
+        "the result reads back identically through the native snapshot "
+        "read and the pyds reader (pyds_read_matches, exceptAll both "
+        "ways). Values hash-checked against DuckDB."
+    ),
+)
+def pyds_write_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the mapping resolve is O(columns) at plan time and one
+    O(columns) properties rewrite under the already-held commit lock;
+    batch renames are zero-copy Arrow metadata — the write itself moves
+    the same bytes as an unmapped append."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_properties,
+        rename_column,
+        snapshot_read,
+        versioned_write,
+    )
+
+    register_datasource(spark)
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_rename_write"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), out)  # v0
+    rename_column(out, "o_orderpriority", "prio")
+    incoming = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.lit("pyds").alias("src"),
+    )
+    write_versioned(incoming, out)  # v1: append through the Arrow writer
+    import glob as _g
+
+    names: set = set()
+    for f in sorted(_g.glob(os.path.join(out, "data-1", "*.parquet"))):
+        names |= set(pq.ParquetFile(f).schema_arrow.names)
+    physical_ok = "o_orderpriority" in names and "prio" not in names
+    mapping = _read_properties(out).get("column_mapping", {})
+    mapping_ok = (
+        mapping.get("src") == "src" and mapping.get("prio") == "o_orderpriority"
+    )
+    native = snapshot_read(spark, out)
+    pyds = read_versioned(spark, out)
+    match = (
+        sorted(native.columns) == sorted(pyds.columns)
+        and native.exceptAll(pyds.select(*native.columns)).limit(1).count() == 0
+        and pyds.select(*native.columns).exceptAll(native).limit(1).count() == 0
+    )
+    return native.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.sum((F.col("src") == "pyds").cast("long")).alias("n_pyds"),
+        F.countDistinct("prio").alias("n_prios"),
+        F.lit(physical_ok).alias("physical_name_stable"),
+        F.lit(mapping_ok).alias("mapping_extended"),
+        F.lit(match).alias("pyds_read_matches"),
+    )
 
 
 @register(

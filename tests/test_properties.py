@@ -424,3 +424,150 @@ def test_arrow_type_full_covers_nested_shapes():
     )
     assert t("map<decimal(4,1),int>") == pa.map_(pa.decimal128(4, 1), pa.int32())
     assert t("array<array<bigint>>") == pa.list_(pa.list_(pa.int64()))
+
+
+# ------------------------------------------------- manifest log concurrency
+
+
+def _ml_entries(n):
+    return [{"version": v, "segments": [f"data-{v}"]} for v in range(n)]
+
+
+def _ml_table(tmp_path, n):
+    """Append n commits through the real append_entry (crossing the
+    checkpoint interval so prune has run at least once)."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    p = str(tmp_path)
+    entries = []
+    for e in _ml_entries(n):
+        entries.append(e)
+        ml.append_entry(p, entries)
+    return p, entries
+
+
+def test_manifest_log_reader_retries_through_raced_prune(tmp_path, monkeypatch):
+    """The documented retry contract (manifest_log.py docstring): a
+    reader whose directory LISTING predates a checkpoint's tail-prune
+    opens a since-deleted per-commit file, gets FileNotFoundError, and
+    must re-list into the new (always complete) state — never surface
+    the race. Simulated deterministically: the first listing returns a
+    stale snapshot taken before files were pruned."""
+    import os as _os
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    # 3 checkpoints (16/32/48): the prune at 48 deleted checkpoint 16,
+    # so a reader whose listing predates checkpoint 32 — newest visible
+    # checkpoint = 16 — now opens a vanished file.
+    n = 3 * ml.CHECKPOINT_INTERVAL + 1
+    p, entries = _ml_table(tmp_path, n)
+    log_dir = _os.path.join(p, ml.LOG_DIR)
+    ck1 = ml.CHECKPOINT_INTERVAL
+    assert ml._ck_name(ck1) not in _os.listdir(log_dir)  # really pruned
+    stale = [ml._ck_name(ck1)] + [
+        ml._entry_name(v) for v in range(ck1 + 1, 2 * ck1)
+    ]
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+
+    def racy_listdir(d):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale  # pre-prune snapshot; its files are gone
+        return real_listdir(d)
+
+    monkeypatch.setattr(ml.os, "listdir", racy_listdir)
+    got = ml.read_entries(p)
+    assert [e["version"] for e in got] == [e["version"] for e in entries]
+    assert calls["n"] >= 2  # the retry actually re-listed
+
+
+def test_manifest_log_reader_race_budget_exhausts_loud(tmp_path, monkeypatch):
+    """If EVERY re-list keeps racing (pathological), the reader fails
+    with the last FileNotFoundError after _READ_RETRIES attempts
+    instead of spinning forever."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    n = 3 * ml.CHECKPOINT_INTERVAL + 1
+    p, _entries = _ml_table(tmp_path, n)
+    ck1 = ml.CHECKPOINT_INTERVAL
+    stale = [ml._ck_name(ck1)] + [
+        ml._entry_name(v) for v in range(ck1 + 1, 2 * ck1)
+    ]
+    calls = {"n": 0}
+
+    def always_stale(d):
+        calls["n"] += 1
+        return list(stale)
+
+    monkeypatch.setattr(ml.os, "listdir", always_stale)
+    with _pytest.raises(FileNotFoundError):
+        ml.read_entries(p)
+    assert calls["n"] == ml._READ_RETRIES
+
+
+def test_manifest_log_empty_logdir_is_terminal_not_retried(tmp_path, monkeypatch):
+    """ADVICE r12: a genuinely EMPTY _log/ (no marker array either) is
+    a terminal state — surfaced once as ValueError, without burning the
+    retry budget re-listing a directory that cannot heal."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    p = str(tmp_path)
+    _os.makedirs(_os.path.join(p, ml.LOG_DIR))
+    with open(_os.path.join(p, ml.MARKER), "w") as f:
+        _json.dump({"format": "log", "head": 0}, f)
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+
+    def counting_listdir(d):
+        calls["n"] += 1
+        return real_listdir(d)
+
+    monkeypatch.setattr(ml.os, "listdir", counting_listdir)
+    with _pytest.raises(ValueError, match="empty manifest log"):
+        ml.read_entries(p)
+    assert calls["n"] == 1  # no pointless retries
+
+
+def test_manifest_log_crashed_write_leaves_no_partial_state(tmp_path, monkeypatch):
+    """Crash injection at the dump: the atomic-write contract says a
+    writer killed mid-serialization leaves no visible per-commit file
+    (only a .tmp, swept by the next prune) and readers keep serving the
+    pre-crash history; the retried append then succeeds."""
+    import json as _json
+    import os as _os
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    p, entries = _ml_table(tmp_path, 3)
+    boom = {"armed": True}
+    real_dump = _json.dump
+
+    def exploding_dump(obj, f, **kw):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("disk full (injected)")
+        return real_dump(obj, f, **kw)
+
+    monkeypatch.setattr(ml.json, "dump", exploding_dump)
+    new = {"version": 3, "segments": ["data-3"]}
+    try:
+        ml.append_entry(p, [*entries, new])
+    except OSError:
+        pass
+    log_dir = _os.path.join(p, ml.LOG_DIR)
+    assert ml._entry_name(3) not in os.listdir(log_dir)
+    assert not [n for n in os.listdir(log_dir) if n.endswith(".tmp")]
+    assert [e["version"] for e in ml.read_entries(p)] == [0, 1, 2]
+    ml.append_entry(p, [*entries, new])  # retry lands cleanly
+    assert [e["version"] for e in ml.read_entries(p)] == [0, 1, 2, 3]

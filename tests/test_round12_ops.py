@@ -758,16 +758,22 @@ def test_rename_refusals(spark, tmp_path):
         rename_column(p2, "g", "bucket")
 
 
-def test_pyds_reads_through_mapping_writer_gated(spark, tmp_path):
+def test_pyds_reads_and_writes_through_mapping(spark, tmp_path):
     """The Python DataSource READS resolve the column mapping (plan
     schema logical, batches renamed, pushed predicates translated,
-    dropped columns projected out); the WRITER is gated like a Delta
-    writer lacking the columnMapping writer feature."""
+    dropped columns projected out); since r13 the WRITER carries the
+    columnMapping writer feature too — logical plan columns land under
+    their recorded PHYSICAL names, and a write that would collide with
+    a retired physical name fails loud."""
     from argodb_mapreduce_spark.sources.python_datasource import (
         read_versioned,
         write_versioned,
     )
-    from argodb_mapreduce_spark.sources.versioned import drop_column, rename_column
+    from argodb_mapreduce_spark.sources.versioned import (
+        drop_column,
+        rename_column,
+        snapshot_read,
+    )
 
     p = _cm_base(spark, tmp_path)
     rename_column(p, "v", "value")
@@ -778,10 +784,34 @@ def test_pyds_reads_through_mapping_writer_gated(spark, tmp_path):
     # pushed predicate in the LOGICAL name prunes against physical stats
     pruned = read_versioned(spark, p, predicates=[("value", ">=", 350)])
     assert pruned.count() == 5
-    with pytest.raises(Exception, match="writer feature"):
+    # r13: the writer maps 'value' back to physical 'v' — both the pyds
+    # reader and the native snapshot read see the appended rows.
+    write_versioned(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("value")
+        ),
+        p,
+    )
+    got = read_versioned(spark, p)
+    assert got.count() == 43
+    assert got.filter(F.col("k") >= 100).agg(F.sum("value")).collect()[0][0] == 3030
+    native = snapshot_read(spark, p)
+    assert sorted(native.columns) == ["k", "value"]
+    assert native.count() == 43
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    seg = sorted(_g.glob(os.path.join(p, "data-*", "*.parquet")))[-1]
+    names = pq.ParquetFile(seg).schema_arrow.names
+    assert "v" in names and "value" not in names  # bytes are PHYSICAL
+    # a new column colliding with the retired physical 'g' still fails
+    with pytest.raises(Exception, match="retired"):
         write_versioned(
             spark.range(3).select(
-                F.col("id").alias("k"), F.lit(0).cast("long").alias("value")
+                F.col("id").alias("k"),
+                F.lit(0).cast("long").alias("value"),
+                F.lit("x").alias("g"),
             ),
             p,
         )
@@ -865,22 +895,37 @@ def test_constraint_added_after_rename_enforces(spark, tmp_path):
         )
 
 
-def test_pyds_writer_gated_even_on_identity_mapping(spark, tmp_path):
-    from argodb_mapreduce_spark.sources.python_datasource import write_versioned
-    from argodb_mapreduce_spark.sources.versioned import enable_column_mapping
+def test_pyds_writer_extends_identity_mapping_for_new_columns(spark, tmp_path):
+    """r13 (was the r12 gate test): a pyds write of a FRESH column onto
+    an identity-mapped table identity-EXTENDS the mapping under the
+    commit lock, so the committed bytes stay visible to logical reads
+    (the r12 writer refused exactly because it could not do this)."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        read_versioned,
+        write_versioned,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_properties,
+        enable_column_mapping,
+        snapshot_read,
+    )
 
     p = _cm_base(spark, tmp_path)
     enable_column_mapping(p)  # identity mapping, no renames
-    with pytest.raises(Exception, match="writer feature"):
-        write_versioned(
-            spark.range(3).select(
-                F.col("id").alias("k"),
-                F.lit(0).alias("g"),
-                F.lit(0).cast("long").alias("v"),
-                F.lit(1).alias("brand_new"),  # would be invisible to reads
-            ),
-            p,
-        )
+    write_versioned(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("g"),
+            F.lit(0).cast("long").alias("v"),
+            F.lit(1).cast("long").alias("brand_new"),
+        ),
+        p,
+    )
+    assert _read_properties(p)["column_mapping"]["brand_new"] == "brand_new"
+    got = read_versioned(spark, p)
+    assert "brand_new" in got.columns  # visible, not projected out
+    assert got.filter(F.col("brand_new") == 1).count() == 3
+    assert snapshot_read(spark, p).count() == 43
 
 
 def test_describe_detail_public_api_has_identity_count(spark, tmp_path):
