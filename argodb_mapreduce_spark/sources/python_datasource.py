@@ -137,6 +137,113 @@ def make_versioned_datasource():
                 snapshot[name] = name
         return renames, tuple(new_logicals), snapshot
 
+    def _crypto(master_b64):
+        """(CryptoFactory, KmsConnectionConfig) for parquet MODULAR
+        ENCRYPTION keyed by ONE caller-supplied master key — the
+        reference threads decryption keys through read options the same
+        way (ArgodbMapreduceInputFormat.java:295). parquet-cpp does the
+        real cryptography (AES-GCM data/metadata modules, fresh data
+        key per file); this local KMS only WRAPS those data keys:
+        mask = HMAC-SHA256(master, nonce), ct = DEK xor mask, plus an
+        HMAC tag so a WRONG key fails loud at unwrap instead of feeding
+        garbage to AES-GCM. Defined in-closure so executor pickles
+        carry it by value (vanilla sessions cannot import this repo on
+        Python workers)."""
+        import base64 as _b64
+
+        import pyarrow.parquet.encryption as _pe
+
+        master = _b64.b64decode(master_b64)
+        if len(master) < 16:
+            raise ValueError(
+                "encryptionKey must be base64 of at least 16 bytes"
+            )
+
+        class _HmacWrapKms(_pe.KmsClient):
+            def __init__(self, config):
+                super().__init__()
+
+            def wrap_key(self, key_bytes, master_key_identifier):
+                import hashlib as _hl
+                import hmac as _hm
+                import os as _osr
+
+                nonce = _osr.urandom(16)
+                mask = _hm.new(
+                    master,
+                    b"wrap|" + master_key_identifier.encode() + b"|" + nonce,
+                    _hl.sha256,
+                ).digest()
+                ct = bytes(a ^ b for a, b in zip(key_bytes, mask))
+                tag = _hm.new(
+                    master, b"tag|" + nonce + ct, _hl.sha256
+                ).digest()[:16]
+                return _b64.b64encode(nonce + ct + tag).decode()
+
+            def unwrap_key(self, wrapped_key, master_key_identifier):
+                import hashlib as _hl
+                import hmac as _hm
+
+                raw = _b64.b64decode(wrapped_key)
+                nonce, ct, tag = raw[:16], raw[16:-16], raw[-16:]
+                want = _hm.new(
+                    master, b"tag|" + nonce + ct, _hl.sha256
+                ).digest()[:16]
+                if not _hm.compare_digest(tag, want):
+                    raise ValueError(
+                        "encryption key mismatch: the supplied "
+                        "encryptionKey cannot unwrap this file's data key"
+                    )
+                mask = _hm.new(
+                    master,
+                    b"wrap|" + master_key_identifier.encode() + b"|" + nonce,
+                    _hl.sha256,
+                ).digest()
+                return bytes(a ^ b for a, b in zip(ct, mask))
+
+        return (
+            _pe.CryptoFactory(lambda config: _HmacWrapKms(config)),
+            _pe.KmsConnectionConfig(),
+        )
+
+    def _encryption_properties(master_b64, schema):
+        """Per-FILE encryption properties (never reused — each call
+        generates fresh data keys): every leaf column encrypted under
+        the footer key, PLAINTEXT footer so schema and row counts stay
+        keyless-readable (ledger harvest, describe_detail, time-travel
+        planning) while column chunk metadata — min/max stats included
+        — stays encrypted; the manifest records NO stats for encrypted
+        segments, so nothing about the data leaks (pruning is the
+        documented trade for confidentiality)."""
+        import io as _io
+
+        import pyarrow.parquet as _pq
+        import pyarrow.parquet.encryption as _pe
+
+        # Leaf paths (a nested column encrypts per leaf, e.g.
+        # emb.list.element) derived from an empty in-memory footer.
+        buf = _io.BytesIO()
+        with _pq.ParquetWriter(buf, schema):
+            pass
+        pqs = _pq.ParquetFile(_io.BytesIO(buf.getvalue())).schema
+        leaves = [pqs.column(i).path for i in range(len(pqs))]
+        cf, cfg = _crypto(master_b64)
+        return cf.file_encryption_properties(
+            cfg,
+            _pe.EncryptionConfiguration(
+                footer_key="k0",
+                plaintext_footer=True,
+                column_keys={"k0": leaves},
+            ),
+        )
+
+    def _decryption_properties(master_b64):
+        """(decryption properties, factory). The factory must stay
+        referenced while reads run — unwrap happens lazily through its
+        callback."""
+        cf, cfg = _crypto(master_b64)
+        return cf.file_decryption_properties(cfg), cf
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
@@ -341,6 +448,9 @@ def make_versioned_datasource():
             "cmap": cmap,
             "renames": renames,
             "mapping_active": mapping_active,
+            # Parquet modular encryption (r13): reads of this version
+            # REQUIRE option('encryptionKey', ...).
+            "encrypted": bool(entry.get("encrypted")),
         }
         return files, file_stats, dv_excluded, file_parts, part_types, meta
 
@@ -624,7 +734,11 @@ def make_versioned_datasource():
             col_order=None,
             col_types=None,
             renames=None,
+            encryption_key=None,
         ):
+            # Parquet modular encryption (r13): base64 master key for
+            # per-file data-key unwrap; None = plaintext table.
+            self.encryption_key = encryption_key
             self.files = files
             self.file_stats = file_stats
             # Immutable per relation (parsed from the load option): every
@@ -690,7 +804,14 @@ def make_versioned_datasource():
             # O(n + |dv in window| log) per batch, no per-row Python.
             excl = np.asarray(excluded, dtype=np.int64)
             parts = getattr(partition, "parts", ()) or ()
-            pf = pq.ParquetFile(partition.path)
+            if self.encryption_key:
+                # _factory must outlive the read: data keys unwrap
+                # lazily through its KMS callback (generator frame
+                # keeps the local alive).
+                dec, _factory = _decryption_properties(self.encryption_key)
+                pf = pq.ParquetFile(partition.path, decryption_properties=dec)
+            else:
+                pf = pq.ParquetFile(partition.path)
 
             def _windows():
                 # (start_offset, batch) pairs; with pushed predicates,
@@ -790,6 +911,7 @@ def make_versioned_datasource():
             renames=None,
             new_mappings=(),
             mapping_snapshot=None,
+            encryption_key=None,
         ):
             import uuid as _uuid
 
@@ -805,6 +927,10 @@ def make_versioned_datasource():
             self.renames = dict(renames or {})
             self.new_mappings = tuple(new_mappings)
             self.mapping_snapshot = dict(mapping_snapshot or {})
+            # Parquet modular encryption (r13): base64 master key; each
+            # task builds PER-FILE encryption properties from it (fresh
+            # data keys per file — properties are never reused).
+            self.encryption_key = encryption_key
             # Chosen on the driver so every task shares one staging dir.
             self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
 
@@ -818,7 +944,17 @@ def make_versioned_datasource():
             try:
                 for batch in iterator:
                     if writer is None:
-                        writer = _pq.ParquetWriter(fpath, batch.schema)
+                        writer = _pq.ParquetWriter(
+                            fpath,
+                            batch.schema,
+                            encryption_properties=(
+                                _encryption_properties(
+                                    self.encryption_key, batch.schema
+                                )
+                                if self.encryption_key
+                                else None
+                            ),
+                        )
                     writer.write_batch(batch)
                 ok = True
             finally:
@@ -909,7 +1045,15 @@ def make_versioned_datasource():
                             _os.makedirs(bdir, exist_ok=True)
                             rel = _os.path.join(branch, f"part-{tag}.parquet")
                             writers[branch] = _pq.ParquetWriter(
-                                _os.path.join(out_dir, rel), data.schema
+                                _os.path.join(out_dir, rel),
+                                data.schema,
+                                encryption_properties=(
+                                    _encryption_properties(
+                                        self.encryption_key, data.schema
+                                    )
+                                    if self.encryption_key
+                                    else None
+                                ),
                             )
                             rels.append(rel)
                         sub = data.filter(mask)
@@ -1072,28 +1216,41 @@ def make_versioned_datasource():
             # degrades to scan-everything, never to wrong answers.
             stats = dict(entries[-1].get("stats", {})) if (entries and not self.overwrite) else {}
             stats = {s: stats[s] for s in prev if s in stats}
-            try:
-                from argodb_mapreduce_spark.sources.versioned import (
-                    _partition_stats as _ps,
-                )
-                from argodb_mapreduce_spark.sources.versioned import (
-                    collect_segment_stats as _css,
-                )
-
-                stats[segment] = _css(segment_dir)
-                if self.partition_by:
-                    # Partition-column min/max from the dir names, same
-                    # harvest the native partitioned write records.
-                    stats[segment].update(
-                        _ps(
-                            segment_dir,
-                            [c for c, _t in self.partition_by],
-                            dict(self.partition_by),
-                        )
+            # Encrypted segments record NO stats — by design, not just
+            # because the keyless harvest can't read them: plaintext
+            # min/max in the manifest would leak value ranges of
+            # encrypted columns. (Touching an encrypted column's chunk
+            # metadata without keys hard-ABORTS the process in
+            # parquet-cpp, so this gate is also a safety wall, never a
+            # swallowed exception.)
+            if not self.encryption_key:
+                try:
+                    from argodb_mapreduce_spark.sources.versioned import (
+                        _partition_stats as _ps,
                     )
-            except Exception:  # noqa: BLE001 - stats are an optimization only
-                pass
+                    from argodb_mapreduce_spark.sources.versioned import (
+                        collect_segment_stats as _css,
+                    )
+
+                    stats[segment] = _css(segment_dir)
+                    if self.partition_by:
+                        # Partition-column min/max from the dir names, same
+                        # harvest the native partitioned write records.
+                        stats[segment].update(
+                            _ps(
+                                segment_dir,
+                                [c for c, _t in self.partition_by],
+                                dict(self.partition_by),
+                            )
+                        )
+                except Exception:  # noqa: BLE001 - stats are an optimization only
+                    pass
             entry = {"version": version, "segments": [*prev, segment], "stats": stats}
+            if self.encryption_key:
+                # Marker every native read path gates on (fail loud,
+                # never a keyless scan attempt) and pyds reads use to
+                # demand the key.
+                entry["encrypted"] = True
             # Manifest parity with versioned_write: an append carries the
             # previous deletion vector forward (its positions reference
             # only reused segments; dropping it would resurrect deleted
@@ -1210,7 +1367,14 @@ def make_versioned_datasource():
                 self._meta = {
                     "evolved": False, "ledger": {},
                     "cmap": {}, "renames": {}, "mapping_active": False,
+                    "encrypted": False,
                 }
+            # Parquet modular encryption (r13): one base64 master key
+            # threaded through the load/write option — the reference's
+            # key-in-read-options contract.
+            self._enc_key = self.options.get(
+                "encryptionKey"
+            ) or self.options.get("encryptionkey")
             # Pushed predicates arrive in LOGICAL names; stats, footers
             # and row-group metadata are physical — translate once here.
             if self._prune and self._meta.get("cmap"):
@@ -1277,6 +1441,14 @@ def make_versioned_datasource():
                     "readChangeFeed is a STREAMING option (spark.readStream); "
                     "for batch change queries use versioned.change_feed()"
                 )
+            if self._meta.get("encrypted") and not self._enc_key:
+                raise ValueError(
+                    "this version's segments are parquet-modular-"
+                    "encrypted; pass option('encryptionKey', <base64 "
+                    "master key>) to read them"
+                )
+            if self._enc_key:
+                _crypto(self._enc_key)  # fail loud on malformed keys at plan time
             # col_order/col_types engage the partition-append/reorder/
             # backfill path when this version has partitioned segments
             # OR divergent per-segment schemas (ADD-column evolution);
@@ -1301,12 +1473,39 @@ def make_versioned_datasource():
                 col_order,
                 col_types,
                 renames=self._meta.get("renames") or None,
+                encryption_key=self._enc_key if self._meta.get("encrypted") else None,
             )
 
         def writer(self, schema, overwrite):
             renames, new_logicals, snapshot = _resolve_mapping_for_write(
-                self._path, [f.name for f in schema.fields]
+                self._path,
+                [f.name for f in schema.fields] if schema is not None else [],
             )
+            enc_key = self._enc_key
+            if enc_key:
+                _crypto(enc_key)  # malformed keys fail at plan time
+            # Appends onto an encrypted head REQUIRE the key (and a
+            # plaintext head refuses a surprise encrypted append): a
+            # mixed version would need per-file read options.
+            try:
+                head_enc = bool(
+                    _manifest_log().read_entries(self._path)[-1].get("encrypted")
+                )
+            except Exception:  # noqa: BLE001 - fresh table
+                head_enc = False
+            if not overwrite and head_enc and not enc_key:
+                raise ValueError(
+                    "the head version is parquet-modular-encrypted; "
+                    "appends must pass option('encryptionKey', ...)"
+                )
+            if not overwrite and enc_key and not head_enc and _os.path.exists(
+                _os.path.join(self._path, "_snapshots.json")
+            ):
+                raise ValueError(
+                    "cannot append ENCRYPTED segments onto a plaintext "
+                    "head: the mixed version would need per-file read "
+                    "options; overwrite, or write to a new table"
+                )
             _os.makedirs(self._path, exist_ok=True)
             # `partitionBy` write OPTION (df.write.partitionBy() does
             # not reach Python data sources): comma-separated columns,
@@ -1346,9 +1545,16 @@ def make_versioned_datasource():
                 renames=renames,
                 new_mappings=new_logicals,
                 mapping_snapshot=snapshot,
+                encryption_key=enc_key,
             )
 
         def streamReader(self, schema):
+            if self._meta.get("encrypted"):
+                raise ValueError(
+                    "streaming over a parquet-modular-encrypted table "
+                    "is not supported; batch-read with read_versioned("
+                    "spark, path, encryption_key=...)"
+                )
             ignore_deletes = str(
                 self.options.get("ignoreDeletes", "false")
             ).lower() in ("true", "1")
@@ -2082,6 +2288,7 @@ def read_versioned(
     path: str,
     version: int | None = None,
     predicates=(),
+    encryption_key: str | None = None,
 ) -> DataFrame:
     """Read a versioned table through the custom format. ``predicates``
     — (column, op, literal) triples, op in ``< <= > >= =`` — ride the
@@ -2089,7 +2296,9 @@ def read_versioned(
     at plan time, and are re-applied row-level on the returned frame
     (the same conservative prune+refilter split as snapshot_read);
     datetime literals are passed as ISO strings and re-typed against
-    the stat values."""
+    the stat values. ``encryption_key`` (base64 master key) decrypts
+    parquet-modular-encrypted versions — the reference's
+    keys-through-read-options contract."""
     import datetime as _dt
     import json as _json
 
@@ -2097,6 +2306,8 @@ def read_versioned(
     r = spark.read.format(FORMAT_NAME)
     if version is not None:
         r = r.option("version", str(version))
+    if encryption_key is not None:
+        r = r.option("encryptionKey", encryption_key)
     if predicates:
         enc = [
             [c, o, v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v]
@@ -2402,6 +2613,95 @@ def pyds_write_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(physical_ok).alias("physical_name_stable"),
         F.lit(mapping_ok).alias("mapping_extended"),
         F.lit(match).alias("pyds_read_matches"),
+    )
+
+
+@register(
+    "pyds_encrypted_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           TRUE AS data_unreadable_without_key,
+           TRUE AS wrong_key_rejected,
+           TRUE AS native_read_refused
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    tags=("sink", "datasource", "encryption", "security"),
+    doc=(
+        "PARQUET MODULAR ENCRYPTION through the pyds path (r13 — the "
+        "reference threads decryption keys through read options, "
+        "ArgodbMapreduceInputFormat.java:295; previously declared out "
+        "of scope, now closed): a write with option('encryptionKey', "
+        "<base64 master key>) lands AES-GCM-encrypted column data "
+        "(parquet-cpp modular encryption, fresh data key per file, "
+        "HMAC-wrapped by the master key) in PLAINTEXT-FOOTER mode — "
+        "schema and row counts stay keyless-readable for planning, "
+        "column data AND column stats do not (the manifest records no "
+        "stats: no value-range leak). Pinned in the oracle hash: a "
+        "keyless pyarrow data read raises; a WRONG key fails the HMAC "
+        "unwrap loud; the native JVM snapshot read refuses with a "
+        "pointer to read_versioned(..., encryption_key=...); and the "
+        "keyed read round-trips values hash-equal to DuckDB over the "
+        "plaintext source."
+    ),
+)
+def pyds_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: encryption is per-file stream work inside the same Arrow
+    write/read tasks (AES-GCM at memory bandwidth, no extra pass); key
+    unwrap is O(1) per file at plan/read time. The trade is manifest
+    stats (no skipping on encrypted columns) — documented, and exactly
+    the trade Parquet modular encryption makes everywhere."""
+    import base64
+    import glob as _g
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    register_datasource(spark)
+    key = base64.b64encode(bytes(range(32))).decode()  # deterministic demo key
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_encrypted"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", key)
+        .mode("append")
+        .save(out)
+    )
+    f0 = sorted(_g.glob(os.path.join(out, "data-0", "*.parquet")))[0]
+    unreadable = False
+    try:
+        pq.ParquetFile(f0).read()
+    except OSError:
+        unreadable = True
+    wrong = base64.b64encode(bytes(range(1, 33))).decode()
+    wrong_rejected = False
+    try:
+        read_versioned(spark, out, encryption_key=wrong).count()
+    except Exception:  # noqa: BLE001 - executor unwrap error surfaces wrapped
+        wrong_rejected = True
+    native_refused = False
+    try:
+        snapshot_read(spark, out)
+    except ValueError:
+        native_refused = True
+    df = read_versioned(spark, out, encryption_key=key)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.lit(unreadable).alias("data_unreadable_without_key"),
+        F.lit(wrong_rejected).alias("wrong_key_rejected"),
+        F.lit(native_refused).alias("native_read_refused"),
     )
 
 

@@ -1891,6 +1891,17 @@ def versioned_write(
                             "schema but no segment records a max stat — "
                             "range guard cannot verify uniqueness"
                         )
+            # Encrypted head: a native append would carry encrypted
+            # segments forward into a version holding plaintext bytes —
+            # a mixed version no single read option can serve. Append
+            # through the pyds writer with the key (overwrite replaces
+            # the list, so it stays allowed).
+            if entries and mode == "append" and entries[-1].get("encrypted"):
+                raise ValueError(
+                    "the head version is parquet-modular-encrypted; "
+                    "append through df.write.format('argodb_versioned')"
+                    ".option('encryptionKey', ...) instead"
+                )
             # Schema enforcement against the head actually committed on
             # (Delta-style): an append may ADD columns (readers
             # NULL-backfill old segments) but a type conflict on a
@@ -2133,6 +2144,7 @@ def _read_segment_dirs(
     BRANCH before any union (``_metadata`` only resolves on a direct
     file scan), so deletion vectors and touched-file discovery work
     identically on flat and partitioned layouts."""
+    _assert_not_encrypted(entry)
 
     def _pos(df: DataFrame) -> DataFrame:
         if not with_pos:
@@ -2182,11 +2194,29 @@ def _cast_partition_cols(df: DataFrame, part_cols, ledger: dict) -> DataFrame:
     return df
 
 
+def _assert_not_encrypted(entry: dict) -> None:
+    """Native (JVM parquet) reads of a parquet-modular-encrypted
+    version fail LOUD and EARLY: Spark's reader holds no keys (the
+    reference threads them through read options,
+    ArgodbMapreduceInputFormat.java:295 — the pyds path does the same)
+    and pyarrow hard-aborts the process on keyless column-metadata
+    access, so the gate must fire before any scan is planned."""
+    if entry.get("encrypted"):
+        raise ValueError(
+            f"version {entry.get('version')} holds parquet-modular-"
+            "encrypted segments; the JVM parquet reader cannot decrypt "
+            "them — read through python_datasource.read_versioned("
+            "spark, path, encryption_key=...) instead. DML/OPTIMIZE/"
+            "CDF over encrypted versions is not supported."
+        )
+
+
 def _read_new_segment(spark: SparkSession, path: str, entry: dict, seg: str) -> DataFrame:
     """One segment of ``entry`` read with its recorded layout: a
     Hive-partitioned segment reads with its own basePath so partition
     columns are recovered from directory names, then pinned to the
     ledger's types; flat segments read plain."""
+    _assert_not_encrypted(entry)
     seg_dir = os.path.join(path, seg)
     cols = entry.get("partition_by", {}).get(seg)
     if not cols:

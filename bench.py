@@ -234,6 +234,13 @@ HEADLINE = [
     "snapshot_column_mapping",
     "snapshot_compaction",
     "snapshot_retention_delete",
+    # round-13 additions: CDF across RESTORE (batch + streaming),
+    # distributed over-cap keyed-erase pruning, pyds writer mapping
+    "snapshot_change_feed_through_restore",
+    "stream_change_feed_through_restore_live",
+    "snapshot_delete_keys_bigset",
+    "pyds_write_after_rename",
+    "pyds_encrypted_roundtrip",
 ]
 
 

@@ -112,12 +112,15 @@ def test_no_collect_in_operators():
     # and exactly how Delta computes its touched-file sets; data rows
     # must still never be collected.
     assert not offenders, f"driver-side materialization found: {offenders}"
-    # r12 audit (7): bloom words O(m/64); delete_keys prune key sample
-    # O(cap, limit-bounded); pruned-delete query's own O(K) key set;
-    # two changed-file lists O(files); MERGE touched-file discovery
-    # O(files); CDC replicator's distinct _commit_version O(versions
-    # per micro-batch). All bounded metadata, never data rows.
-    assert len(tagged) <= 7, f"metadata-collect tag creep — audit: {tagged}"
+    # r13 audit (9): bloom words O(m/64); delete_keys prune key sample
+    # O(cap, limit-bounded); the r13 DISTRIBUTED over-cap prune's
+    # surviving segment names O(segments); pruned-delete query's own
+    # O(K) key set; the restore-synthesis DV-delta file list O(changed
+    # files); two more changed-file lists O(files); MERGE touched-file
+    # discovery O(files); CDC replicator's (version, leg-type) presence
+    # counts O(versions × 3 per micro-batch). All bounded metadata,
+    # never data rows.
+    assert len(tagged) <= 9, f"metadata-collect tag creep — audit: {tagged}"
 
 
 def test_decode_stub_raises():

@@ -332,3 +332,118 @@ def test_distributed_prune_keeps_segments_without_stats(spark, tmp_path):
     keys = spark.range(300, 400).select(F.col("id").alias("k"))
     kept = _segments_possibly_holding_keys_distributed(spark, latest, keys, "k")
     assert kept == [seg1, latest["segments"][3]]
+
+
+# --------------------------------------------- parquet modular encryption
+
+
+def _enc_key(seed=0):
+    import base64
+
+    return base64.b64encode(bytes((seed + i) % 256 for i in range(32))).decode()
+
+
+def _write_enc(spark, path, lo, hi, key, mode="append", partition_by=None):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    w = df.write.format(FORMAT_NAME).option("encryptionKey", key).mode(mode)
+    if partition_by:
+        w = w.option("partitionBy", partition_by)
+    w.save(path)
+
+
+def test_encrypted_roundtrip_flat_and_partitioned(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    key = _enc_key()
+    p1 = str(tmp_path / "flat")
+    _write_enc(spark, p1, 0, 50, key)
+    got = read_versioned(spark, p1, encryption_key=key)
+    assert got.count() == 50
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(i * 10 for i in range(50))
+    # Hive-partitioned encrypted segment: branch decode + decryption
+    p2 = str(tmp_path / "part")
+    _write_enc(spark, p2, 0, 30, key, partition_by="g")
+    got2 = read_versioned(spark, p2, encryption_key=key)
+    assert got2.filter(F.col("g") == "1").count() == 10
+
+
+def test_encrypted_append_requires_key_and_appends(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    key = _enc_key()
+    p = str(tmp_path / "t")
+    _write_enc(spark, p, 0, 20, key)
+    _write_enc(spark, p, 20, 30, key)  # keyed append works
+    assert read_versioned(spark, p, encryption_key=key).count() == 30
+    # keyless pyds append refused
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+    )
+
+    df = spark.range(30, 35).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    with pytest.raises(Exception, match="encryptionKey"):
+        df.write.format(FORMAT_NAME).mode("append").save(p)
+    # native append refused too
+    with pytest.raises(ValueError, match="encrypted"):
+        versioned_write(df, p, mode="append")
+
+
+def test_encrypted_table_gates_native_and_streaming_reads(spark, tmp_path):
+    key = _enc_key()
+    p = str(tmp_path / "t")
+    _write_enc(spark, p, 0, 20, key)
+    with pytest.raises(ValueError, match="encrypted"):
+        snapshot_read(spark, p).collect()
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        read_versioned,
+    )
+
+    # keyless pyds read demands the key at plan time
+    with pytest.raises(Exception, match="encryptionKey"):
+        read_versioned(spark, p).count()
+    # streaming over encrypted tables fails loud when the query starts
+    from pyspark.sql.streaming import StreamingQueryException
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .load(p)
+        .writeStream.format("memory")
+        .queryName("t13_enc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="streaming over a parquet"):
+        q.awaitTermination()
+
+
+def test_encrypted_append_onto_plaintext_head_refused(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    p = _base(spark, tmp_path)  # plaintext v0
+    df = spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    with pytest.raises(Exception, match="plaintext head"):
+        (
+            df.write.format(FORMAT_NAME)
+            .option("encryptionKey", _enc_key())
+            .mode("append")
+            .save(p)
+        )

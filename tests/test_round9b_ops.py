@@ -395,13 +395,26 @@ def test_change_feed_delete_delta_only(spark, dv_store):
     assert feed.filter(F.col("_change_type") != "delete").count() == 0
 
 
-def test_change_feed_refuses_overwrite(spark, sf_dir, dv_store):
-    from argodb_mapreduce_spark.sources.versioned import change_feed
+def test_change_feed_synthesizes_overwrite(spark, sf_dir, dv_store):
+    """r13 (was test_change_feed_refuses_overwrite): an overwrite
+    transition synthesizes file-level legs — the previous version's
+    LIVE rows (through its DV) as deletes, the fresh segment as
+    inserts — instead of raising."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        snapshot_read,
+    )
 
     o = load_table(spark, sf_dir, "orders")
+    head_before = len(versions(dv_store)) - 1
+    live_before = snapshot_read(spark, dv_store, head_before).count()
     versioned_write(o.limit(10), dv_store, mode="overwrite")
-    with pytest.raises(ValueError, match="snapshot_diff"):
-        change_feed(spark, dv_store, 0, len(versions(dv_store)) - 1)
+    feed = change_feed(spark, dv_store, head_before, head_before + 1)
+    legs = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert legs == {"delete": live_before, "insert": 10}
 
 
 # ---------------------------------------------------------------------------
