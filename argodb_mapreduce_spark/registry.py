@@ -122,7 +122,7 @@ _PRIORITY = (
     "text_cooccurrence_lift",
     "text_fingerprint_winnow",
     "text_keyword_rake",
-    # --- (b cont.) the 14 alphabetically-first r06-tier rows ---
+    # --- (b cont.) the 13 alphabetically-first r06-tier rows ---
     "agg_boolean",
     "agg_median_manual",
     "agg_mode",

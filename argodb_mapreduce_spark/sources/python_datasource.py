@@ -244,6 +244,41 @@ def make_versioned_datasource():
         cf, cfg = _crypto(master_b64)
         return cf.file_decryption_properties(cfg), cf
 
+    def _head_entry(path):
+        """O(1) head manifest entry: the marker pointer names the head
+        version, whose per-commit file is one small JSON read — no
+        checkpoint replay on the write-plan hot path. Legacy tables
+        read the marker array's tail; a post-rewrite state whose head
+        per-commit file was folded into a checkpoint falls back to the
+        full log read. Raises FileNotFoundError for a fresh table."""
+        with open(_os.path.join(path, "_snapshots.json")) as f:
+            marker = _json.load(f)
+        if isinstance(marker, list):
+            return marker[-1] if marker else None
+        entry_path = _os.path.join(
+            path, "_log", f"{int(marker['head']):020d}.json"
+        )
+        if _os.path.exists(entry_path):
+            with open(entry_path) as f:
+                return _json.load(f)
+        return _manifest_log().read_entries(path)[-1]
+
+    def _check_encryption_transition(head, enc_key, overwrite, path):
+        """The mixed-version gates, shared by the plan-time fast-fail
+        and the authoritative under-lock commit check."""
+        head_enc = bool(head and head.get("encrypted"))
+        if not overwrite and head_enc and not enc_key:
+            raise ValueError(
+                "the head version is parquet-modular-encrypted; "
+                "appends must pass option('encryptionKey', ...)"
+            )
+        if not overwrite and enc_key and head is not None and not head_enc:
+            raise ValueError(
+                "cannot append ENCRYPTED segments onto a plaintext "
+                "head: the mixed version would need per-file read "
+                "options; overwrite, or write to a new table"
+            )
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
@@ -1127,6 +1162,16 @@ def make_versioned_datasource():
             manifest = _os.path.join(self.path, "_snapshots.json")
             if _os.path.exists(manifest):
                 entries = _ml.read_entries(self.path)
+            # Authoritative encryption-transition gate, under the lock:
+            # the plan-time copy can be raced (or skipped by the
+            # degraded no-lock path) — a mixed encrypted/plaintext
+            # version must be impossible to COMMIT, not just to plan.
+            _check_encryption_transition(
+                entries[-1] if entries else None,
+                self.encryption_key,
+                self.overwrite,
+                self.path,
+            )
             version = entries[-1]["version"] + 1 if entries else 0
             segment = f"data-{version}"
             # Publish ONLY the files named by the winning task attempts'
@@ -1486,26 +1531,18 @@ def make_versioned_datasource():
                 _crypto(enc_key)  # malformed keys fail at plan time
             # Appends onto an encrypted head REQUIRE the key (and a
             # plaintext head refuses a surprise encrypted append): a
-            # mixed version would need per-file read options.
+            # mixed version would need per-file read options. This is
+            # the FAST-FAIL copy; the authoritative re-check runs in
+            # _publish under the commit lock (a raced manifest read
+            # here must not become a gate bypass). FileNotFoundError =
+            # genuinely fresh table; anything else propagates loud.
             try:
-                head_enc = bool(
-                    _manifest_log().read_entries(self._path)[-1].get("encrypted")
-                )
-            except Exception:  # noqa: BLE001 - fresh table
-                head_enc = False
-            if not overwrite and head_enc and not enc_key:
-                raise ValueError(
-                    "the head version is parquet-modular-encrypted; "
-                    "appends must pass option('encryptionKey', ...)"
-                )
-            if not overwrite and enc_key and not head_enc and _os.path.exists(
-                _os.path.join(self._path, "_snapshots.json")
-            ):
-                raise ValueError(
-                    "cannot append ENCRYPTED segments onto a plaintext "
-                    "head: the mixed version would need per-file read "
-                    "options; overwrite, or write to a new table"
-                )
+                head = _head_entry(self._path)
+            except FileNotFoundError:
+                head = None
+            _check_encryption_transition(
+                head, enc_key, overwrite, self._path
+            )
             _os.makedirs(self._path, exist_ok=True)
             # `partitionBy` write OPTION (df.write.partitionBy() does
             # not reach Python data sources): comma-separated columns,

@@ -2807,6 +2807,11 @@ def rollback(path: str, to_version: int) -> int:
         # rolled-back partitioned segments must keep basePath reads.
         if by_version[to_version].get("partition_by"):
             entry["partition_by"] = dict(by_version[to_version]["partition_by"])
+        # Restore the encryption marker too: a restored encrypted
+        # version must keep every keyless-read gate armed (and keyed
+        # pyds reads thread the key only when the head says encrypted).
+        if by_version[to_version].get("encrypted"):
+            entry["encrypted"] = True
         entry["ts"] = _now()
         entries.append(entry)
         _verify_lock(path, lock_token)
@@ -3525,17 +3530,23 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
                 "num_rows"
             ]
         if latest.get("dv"):
-            # Anchor on the ABSOLUTE segment root (the same form
-            # _metadata.file_path records), not a bare "/{seg}/"
+            # Anchor on the ABSOLUTE segment root, not a bare "/{seg}/"
             # substring: a parent directory that happens to be named
             # like a segment (e.g. a table living under .../data-0/...)
             # would otherwise match EVERY DV row and skew rows_deleted.
+            # DV file_path values are Spark's _metadata.file_path —
+            # scheme-prefixed AND percent-encoded (a space is %20) —
+            # so decode JVM-side before the prefix match or any table
+            # path with URI-encodable characters silently never matches.
             abs_root = os.path.abspath(path)
+            decoded = F.url_decode(F.col("file_path"))
             in_dropped = None
             for seg in full:
-                c = F.col("file_path").contains(
-                    os.path.join(abs_root, seg) + "/"
-                )
+                root = os.path.join(abs_root, seg) + "/"
+                # Raw OR decoded: url_decode handles %XX paths; the raw
+                # form covers a literal '+' (URLDecoder would turn it
+                # into a space, Python's unquote would not).
+                c = F.col("file_path").contains(root) | decoded.contains(root)
                 in_dropped = c if in_dropped is None else (in_dropped | c)
             n_dropped_rows -= (
                 spark.read.parquet(os.path.join(path, latest["dv"]))
@@ -3836,32 +3847,43 @@ def delete_keys(
     # over-cap sets run the SAME discovery distributed instead of
     # falling back to a full scan.
     key_sample = keys.select(key_col).distinct().limit(prune_cap + 1).collect()
-    if len(key_sample) <= prune_cap:
-        vals = [r[0] for r in key_sample if r[0] is not None]
-        segs = _segments_possibly_holding_keys(latest, vals, key_col)
-    else:
-        segs = _segments_possibly_holding_keys_distributed(
-            spark, latest, keys, key_col
-        )
-    if not segs:  # every segment provably key-free: no-op, no commit
-        return latest["version"], 0
-    ledger = latest.get("schemas", {})
-    known = {json.dumps(ledger[s], sort_keys=True) for s in segs if s in ledger}
-    scan = _read_segment_dirs(
-        spark, path, segs, latest, evolved=len(known) > 1, with_pos=True
-    )
-    if latest.get("dv"):
-        scan = _anti_join_dv(spark, path, latest["dv"], scan)
-    matched = _matched_positions(scan, keys, key_col)
-    dv = matched
-    if latest.get("dv"):
-        dv = dv.unionAll(
-            spark.read.parquet(os.path.join(path, latest["dv"])).select(
-                "file_path", "row_index"
+    persisted = False
+    try:
+        if len(key_sample) <= prune_cap:
+            vals = [r[0] for r in key_sample if r[0] is not None]
+            segs = _segments_possibly_holding_keys(latest, vals, key_col)
+        else:
+            # The over-cap key frame is evaluated by BOTH the
+            # distributed discovery and the matched-position semi-join
+            # below — persist it so an expensive key derivation (a
+            # join/agg producing millions of keys) runs once.
+            keys = keys.persist()
+            persisted = True
+            segs = _segments_possibly_holding_keys_distributed(
+                spark, latest, keys, key_col
             )
+        if not segs:  # every segment provably key-free: no-op, no commit
+            return latest["version"], 0
+        ledger = latest.get("schemas", {})
+        known = {json.dumps(ledger[s], sort_keys=True) for s in segs if s in ledger}
+        scan = _read_segment_dirs(
+            spark, path, segs, latest, evolved=len(known) > 1, with_pos=True
         )
-    dv_staged = _stage_dir(path)
-    _write_dv_sidecar(dv, dv_staged)
+        if latest.get("dv"):
+            scan = _anti_join_dv(spark, path, latest["dv"], scan)
+        matched = _matched_positions(scan, keys, key_col)
+        dv = matched
+        if latest.get("dv"):
+            dv = dv.unionAll(
+                spark.read.parquet(os.path.join(path, latest["dv"])).select(
+                    "file_path", "row_index"
+                )
+            )
+        dv_staged = _stage_dir(path)
+        _write_dv_sidecar(dv, dv_staged)
+    finally:
+        if persisted:
+            keys.unpersist()
     n_total = _dir_num_rows(dv_staged)
     n_prev = 0
     if latest.get("dv"):

@@ -447,3 +447,22 @@ def test_encrypted_append_onto_plaintext_head_refused(spark, tmp_path):
             .mode("append")
             .save(p)
         )
+
+
+def test_restore_preserves_encryption_marker(spark, tmp_path):
+    """A RESTORE of an encrypted version republished WITHOUT the
+    'encrypted' flag would disarm every keyless-read gate (code-review
+    r13 finding): the rollback entry must carry it, keyed pyds reads
+    must keep working, and native reads must keep refusing."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+
+    key = _enc_key()
+    p = str(tmp_path / "t")
+    _write_enc(spark, p, 0, 20, key)  # v0 (encrypted)
+    _write_enc(spark, p, 20, 30, key)  # v1
+    rollback(p, 0)  # v2: restore the encrypted v0
+    assert _read_manifest(p)[-1].get("encrypted") is True
+    with pytest.raises(ValueError, match="encrypted"):
+        snapshot_read(spark, p).collect()
+    got = read_versioned(spark, p, encryption_key=key)
+    assert got.count() == 20
