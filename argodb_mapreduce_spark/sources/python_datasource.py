@@ -3264,14 +3264,14 @@ _REPL_PRICE_FLOOR = 150000.0
 
 @register(
     "stream_cdc_replicate",
-    oracle=f"""
+    oracle="""
     WITH final AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderstatus = 'F' THEN '0-MOVED'
                   ELSE o_orderpriority END AS o_orderpriority,
              o_totalprice
       FROM orders
-      WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice < {_REPL_PRICE_FLOOR}
+      WHERE o_orderkey % 3 IN (0, 1)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
@@ -3286,10 +3286,10 @@ _REPL_PRICE_FLOOR = 150000.0
         "source evolves through two appends, a keyed UPDATE ('F' rows "
         "repriorified), a MID-HISTORY COMPACTION (data_change:false — "
         "skipped by the feed, zero legs), a DELETE, a MID-HISTORY "
-        "RESTORE back to the pre-compaction update state (r13 — the "
-        "feed synthesizes file-level delete+insert legs instead of "
-        "dying, so neither maintenance action breaks the replica), and "
-        "a re-applied DELETE; one readChangeFeed stream drains it and "
+        "RESTORE that UNDOES the delete (r13 — the feed synthesizes "
+        "the retracted tombstones as resurrection insert legs instead "
+        "of dying, so neither maintenance action breaks the replica); "
+        "one readChangeFeed stream drains it and "
         "a foreachBatch applier REPLAYS each version's legs IN COMMIT "
         "ORDER onto an initially-empty replica table — delete legs "
         "erase by key set FIRST (a restore can retract and re-add the "
@@ -3344,8 +3344,14 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact(spark, src)  # v3: MID-HISTORY OPTIMIZE (data_change:false)
     delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v4: DV
-    rollback(src, 2)  # v5: MID-HISTORY RESTORE (synthesized legs, r13)
-    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v6
+    # v5 (the history's head): MID-HISTORY RESTORE — undo the delete
+    # (rollback to the pre-delete compacted state). The feed
+    # synthesizes the retracted tombstones as RESURRECTION insert legs,
+    # O(deleted rows) — the restore costs the replica the change
+    # volume, never a re-bootstrap (the heavyweight remove+readd
+    # restore shape is pinned separately in
+    # stream_change_feed_through_restore_live).
+    rollback(src, 3)
 
     def apply_batch(batch_df, _batch_id):
         batch_df = batch_df.persist()
