@@ -1586,11 +1586,11 @@ def make_versioned_datasource():
             )
 
         def streamReader(self, schema):
-            if self._meta.get("encrypted"):
+            if self._meta.get("encrypted") and not self._enc_key:
                 raise ValueError(
                     "streaming over a parquet-modular-encrypted table "
-                    "is not supported; batch-read with read_versioned("
-                    "spark, path, encryption_key=...)"
+                    "requires option('encryptionKey', <base64 master "
+                    "key>) — the same key batch reads pass"
                 )
             ignore_deletes = str(
                 self.options.get("ignoreDeletes", "false")
@@ -1687,6 +1687,9 @@ def make_versioned_datasource():
                 self._prune, max_versions, end_version, start_version,
                 renames=self._meta.get("renames") or None,
                 mapping_active=bool(self._meta.get("mapping_active")),
+                encryption_key=(
+                    self._enc_key if self._meta.get("encrypted") else None
+                ),
             )
 
     class VersionedStreamReader(DataSourceStreamReader):
@@ -1729,7 +1732,11 @@ def make_versioned_datasource():
             start_version=None,
             renames=None,
             mapping_active=False,
+            encryption_key=None,
         ):
+            # Parquet modular encryption (r13): a keyed stream tails an
+            # encrypted table — per-file decryption in read()/_read_cdf.
+            self._enc_key = encryption_key
             # ``option("startingVersion", N)`` — Delta's CDF option:
             # begin the subscription AT version N (its changes
             # INCLUDED) instead of the full history. Only consulted by
@@ -2205,6 +2212,7 @@ def make_versioned_datasource():
                     ),
                     col_types=self._base_types,
                     renames=self._renames,
+                    encryption_key=self._enc_key,
                 ).read(partition)
             return self._read_cdf(partition)
 
@@ -2234,7 +2242,12 @@ def make_versioned_datasource():
                 names = list(batch.schema.names) + ["_change_type", "_commit_version"]
                 return pa.RecordBatch.from_arrays(cols, names=names)
 
-            pf = pq.ParquetFile(partition.path)
+            if self._enc_key:
+                dec, _factory = _decryption_properties(self._enc_key)
+                pf = pq.ParquetFile(partition.path, decryption_properties=dec)
+            else:
+                dec = None
+                pf = pq.ParquetFile(partition.path)
             target = _us_schema(pf.schema_arrow)
             if partition.kind == "cdc":
                 # Sidecar rows carry their OWN _change_type (a cdc file
@@ -2291,7 +2304,9 @@ def make_versioned_datasource():
                 for batch in _cast_batches_to_us(pf):
                     yield tag(batch)
             else:  # delete/revive: materialize the listed positions
-                t = pq.read_table(partition.path).cast(target, safe=False)
+                t = pq.read_table(
+                    partition.path, decryption_properties=dec
+                ).cast(target, safe=False)
                 t = t.take(pa.array(list(partition.positions), type=pa.int64()))
                 for batch in t.combine_chunks().to_batches():
                     yield tag(batch)
@@ -2740,6 +2755,77 @@ def pyds_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(wrong_rejected).alias("wrong_key_rejected"),
         F.lit(native_refused).alias("native_read_refused"),
     )
+
+
+@register(
+    "stream_encrypted_tail_live",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("streaming", "datasource", "encryption", "live"),
+    doc=(
+        "STREAMING TAIL OF AN ENCRYPTED TABLE (r13): two encrypted pyds "
+        "appends, then one readStream with option('encryptionKey', ...) "
+        "drains them — per-file AES-GCM decryption inside the same "
+        "Arrow stream tasks, offsets and planning untouched (the "
+        "manifest and plaintext footers carry everything planning "
+        "needs; no data key is used until read()). A keyless stream "
+        "fails loud at start (tested). The drained row count, key sum "
+        "and a value-bearing status aggregate are oracle-pinned against "
+        "the plaintext source — encrypted ingestion pipelines keep "
+        "their incremental consumers."
+    ),
+)
+def stream_encrypted_tail_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical partition planning to the plaintext stream
+    (O(new files) per micro-batch); decryption adds stream-cipher work
+    inside each read task and one O(1) key unwrap per file."""
+    import base64
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+
+    register_datasource(spark)
+    key = base64.b64encode(bytes(range(7, 39))).decode()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "enc_stream"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for m in (0, 1):
+        (
+            o.filter(F.col("o_orderkey") % 3 == m)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", key)
+            .mode("append")
+            .save(out)
+        )
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("encryptionKey", key)
+        .load(out)
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
+    )
+    sink = "stream_encrypted_tail_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 @register(

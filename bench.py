@@ -241,6 +241,7 @@ HEADLINE = [
     "snapshot_delete_keys_bigset",
     "pyds_write_after_rename",
     "pyds_encrypted_roundtrip",
+    "stream_encrypted_tail_live",
 ]
 
 
