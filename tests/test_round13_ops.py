@@ -466,3 +466,33 @@ def test_restore_preserves_encryption_marker(spark, tmp_path):
         snapshot_read(spark, p).collect()
     got = read_versioned(spark, p, encryption_key=key)
     assert got.count() == 20
+
+
+def test_restore_synthesis_plan_broadcasts_dv_delta(spark, tmp_path):
+    """Plan gate: the resurrection leg position-joins the touched files
+    against a BROADCAST DV delta (left-semi) — never a shuffle of the
+    fact side; and the feed plan scans only the touched files, not the
+    unchanged segments."""
+    from argodb_mapreduce_spark.plans.checks import explain_str, has_broadcast_join
+
+    p = _base(spark, tmp_path)  # v0: one segment
+    versioned_write(
+        spark.range(60, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="append",
+    )  # v1: second segment
+    delete_keys(
+        spark, p, spark.range(0, 10).select(F.col("id").alias("k")), "k"
+    )  # v2: DV touching segment 0 only
+    rollback(p, 1)  # v3: resurrection (shared segments, DV retracted)
+    feed = change_feed(spark, p, 2, 3)
+    assert has_broadcast_join(feed)
+    plan = explain_str(feed)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # Touched-file boundedness: the DV referenced only data-0 files, so
+    # data-1 must not appear in the synthesized plan's scans.
+    assert "data-1" not in plan
