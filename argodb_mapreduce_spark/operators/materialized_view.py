@@ -115,21 +115,19 @@ def _appended_segments_since(base_path: str, since_version: int) -> list[str] | 
 
 
 def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
-    """True when every transition since ``since_version`` is a pure
-    append, a DV delete, or a CDC-sidecar-recording UPDATE/MERGE — the
-    change-feed-expressible class a SUBTRACTABLE aggregate can maintain
-    through."""
+    """True when every transition since ``since_version`` is
+    change-feed-expressible — since r13 that is EVERYTHING except an
+    UPDATE/MERGE that recorded no CDC sidecar: appends, DV deletes,
+    retention drops, ``data_change: false`` maintenance (zero legs),
+    and overwrite/RESTORE (file-level synthesized legs) all feed, and
+    a SUBTRACTABLE aggregate (COUNT/SUM) absorbs each as signed
+    partials. Mirrors the raise condition in
+    ``versioned.change_feed``."""
     entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
-    for prev, cur in zip(entries, entries[1:]):
-        pure_append = (
-            cur["segments"][: len(prev["segments"])] == prev["segments"]
-            and len(cur["segments"]) == len(prev["segments"]) + 1
-            and cur.get("dv") == prev.get("dv")
-        )
-        dv_delete = "deleted_where" in cur and cur["segments"] == prev["segments"]
-        if not (pure_append or dv_delete or cur.get("cdc")):
-            return False
-    return True
+    return not any(
+        ("merged_from" in cur or "updated_where" in cur) and not cur.get("cdc")
+        for cur in entries[1:]
+    )
 
 
 def _merge_partials(stored: DataFrame, partial: DataFrame, group_cols, measures):
@@ -524,6 +522,67 @@ def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     no special case: an update is exactly (-old, +new) in the signed
     partial, whichever groups the two images land in."""
     _base, mv, summary = _build_mv_update_fixture(spark, sf_dir)
+    return snapshot_read(spark, mv).select(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("sum_o_orderkey"),
+        F.lit(summary["mode"]).alias("refresh_mode"),
+    )
+
+
+def _build_mv_restore_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
+    """Fresh each run: v0/v1 appends, MV materialized, then a DV DELETE
+    of the 'F' rows, a RESTORE that UNDOES it (rollback to v1 —
+    resurrection legs), and a third append — a span only the r13
+    synthesized feed can maintain (it KILLED the refresh before)."""
+    import shutil
+
+    base = _scratch(sf_dir, "mvrst_base")
+    mv = _scratch(sf_dir, "mvrst_mv")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    from argodb_mapreduce_spark.sources.versioned import delete_where, rollback
+
+    o = load_table(spark, sf_dir, "orders")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
+    delete_where(spark, base, [("o_orderstatus", "=", "F")])  # v2: DV
+    rollback(base, 1)  # v3: RESTORE undoes the delete (resurrection)
+    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+    summary = mv_refresh(spark, mv)
+    return base, mv, summary
+
+
+@register(
+    "mv_refresh_through_restore",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey,
+           'incremental-cdf' AS refresh_mode
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("mv", "incremental", "cdc", "rollback", "restore"),
+    doc=(
+        "MV MAINTENANCE THROUGH RESTORE (r13 composition): the refresh "
+        "span mixes a DV DELETE, a RESTORE that undoes it, and an "
+        "append. The signed-partial merge needs NO new code — the "
+        "synthesized restore legs are ordinary insert/delete legs, so "
+        "the delete subtracts the 'F' groups, the resurrection adds "
+        "them back, and the append adds the third segment; the net MV "
+        "equals a from-scratch aggregate over the WHOLE table "
+        "(oracle-pinned, refresh mode in the hash). Before r13 a "
+        "RESTORE on the base forced every downstream MV into the "
+        "O(base) full recompute; now it costs O(restored changes)."
+    ),
+)
+def mv_refresh_through_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the restore contributes O(changed files + DV delta) feed
+    legs; the merge shuffles |MV| + |changed groups| rows — a RESTORE
+    on a 100 TB base costs its MVs the restored change volume."""
+    _base, mv, summary = _build_mv_restore_fixture(spark, sf_dir)
     return snapshot_read(spark, mv).select(
         "o_orderpriority",
         F.col("n_rows"),

@@ -242,6 +242,7 @@ HEADLINE = [
     "pyds_write_after_rename",
     "pyds_encrypted_roundtrip",
     "stream_encrypted_tail_live",
+    "mv_refresh_through_restore",
 ]
 
 

@@ -282,14 +282,18 @@ def test_mv_refresh_reads_only_delta(spark, sf_dir, mv_pair):
     assert all("data-1" in f for f in delta.inputFiles())
 
 
-def test_mv_overwrite_forces_full_refresh(spark, sf_dir, mv_pair):
+def test_mv_overwrite_refreshes_via_synthesized_feed(spark, sf_dir, mv_pair):
+    """r13 (was ..._forces_full_refresh): an overwrite on the base no
+    longer forces the O(base) full recompute — the feed's synthesized
+    delete+insert legs net to the overwritten state via signed
+    partials, and the result still equals a from-scratch aggregate."""
     from argodb_mapreduce_spark.operators.materialized_view import mv_refresh
 
     base, mv = mv_pair
     o = load_table(spark, sf_dir, "orders")
     versioned_write(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
     summary = mv_refresh(spark, mv)
-    assert summary["mode"] == "full"
+    assert summary["mode"] == "incremental-cdf"
     want = [
         (r.o_orderpriority, r.n, r.s)
         for r in o.filter(F.col("o_orderkey") % 2 == 0)
