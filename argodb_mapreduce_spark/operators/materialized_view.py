@@ -101,6 +101,12 @@ def _appended_segments_since(base_path: str, since_version: int) -> list[str] | 
     compaction rewrote or tombstoned rows the stored state already
     aggregated)."""
     entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
+    if not entries or entries[0]["version"] != since_version:
+        # VACUUM trimmed the manifest past the MV's recorded base: the
+        # gap's transitions are unknowable, so an "incremental" scope
+        # would silently skip them (r13 code-review finding — this
+        # corrupted the MV permanently). Unsound -> None.
+        return None
     new: list[str] = []
     for prev, cur in zip(entries, entries[1:]):
         pure_append = (
@@ -124,6 +130,11 @@ def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
     partials. Mirrors the raise condition in
     ``versioned.change_feed``."""
     entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
+    if not entries or entries[0]["version"] != since_version:
+        # Mirrors change_feed's OTHER raise too ('unknown versions'): a
+        # vacuumed base has no feed span from the MV's version — the
+        # sound path is the full recompute, never a crash.
+        return False
     return not any(
         ("merged_from" in cur or "updated_where" in cur) and not cur.get("cdc")
         for cur in entries[1:]
@@ -133,10 +144,20 @@ def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
 def _merge_partials(stored: DataFrame, partial: DataFrame, group_cols, measures):
     """Full-outer merge of signed/unsigned partials into the stored
     state — the one shuffle of an incremental refresh, |MV| + |delta
-    groups| rows."""
-    merged = stored.alias("s").join(partial.alias("d"), on=group_cols, how="full_outer")
+    groups| rows. NULL-SAFE on the group keys (r13 code-review
+    finding): a NULL group exists in any aggregate over a nullable
+    grouping column, and plain EqualTo would keep the stored and signed
+    NULL rows as two separate (wrong) rows instead of merging them."""
+    cond = None
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = e if cond is None else (cond & e)
+    merged = stored.alias("s").join(partial.alias("d"), on=cond, how="full_outer")
     return merged.select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
         *[
             (
                 F.coalesce(F.col(f"s.{m}"), F.lit(0))

@@ -1592,6 +1592,8 @@ def make_versioned_datasource():
                     "requires option('encryptionKey', <base64 master "
                     "key>) — the same key batch reads pass"
                 )
+            if self._enc_key:
+                _crypto(self._enc_key)  # malformed keys fail at plan time
             ignore_deletes = str(
                 self.options.get("ignoreDeletes", "false")
             ).lower() in ("true", "1")

@@ -496,3 +496,114 @@ def test_restore_synthesis_plan_broadcasts_dv_delta(spark, tmp_path):
     # Touched-file boundedness: the DV referenced only data-0 files, so
     # data-1 must not appear in the synthesized plan's scans.
     assert "data-1" not in plan
+
+
+# ------------------------------------------------------- MV refresh seams
+
+
+def test_mv_refresh_vacuumed_base_falls_back_to_full(spark, tmp_path):
+    """Code-review r13: a VACUUM past the MV's recorded base version
+    leaves no feed span — the refresh must take the sound full
+    recompute (it crashed 'unknown versions' / silently mis-scoped an
+    incremental merge before the guard)."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import vacuum
+
+    base = str(tmp_path / "b")
+    mv = str(tmp_path / "mv")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    versioned_write(df.filter(F.col("k") < 20), base)  # v0
+    mv_create(spark, base, mv, ["g"], ["k"])
+    versioned_write(df.filter(F.col("k") >= 20), base, mode="append")  # v1
+    delete_where(spark, base, [("k", "<", 5)])  # v2
+    vacuum(base, keep_versions=1)  # only v2 remains: the span is gone
+    versioned_write(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("g")
+        ),
+        base,
+        mode="append",
+    )  # v3
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "full"
+    got = {
+        r["g"]: (r["n_rows"], r["sum_k"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in snapshot_read(spark, base)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_mv_refresh_merges_null_group_keys(spark, tmp_path):
+    """Code-review r13: the signed-partial merge must join group keys
+    NULL-SAFELY — a delete touching the NULL group has to subtract from
+    the stored NULL row, not sit beside it as a negative twin."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+
+    base = str(tmp_path / "b")
+    mv = str(tmp_path / "mv")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .cast("long")
+        .alias("g"),
+    )
+    versioned_write(df, base)  # v0: 10 NULL-group rows
+    mv_create(spark, base, mv, ["g"], ["k"])
+    delete_where(spark, base, [("k", "<", 15)])  # v1: hits NULL group too
+    summary = mv_refresh(spark, mv)
+    assert summary["mode"] == "incremental-cdf"
+    got = sorted(
+        ((r["g"], r["n_rows"], r["sum_k"]) for r in snapshot_read(spark, mv).collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r["g"], r["n"], r["s"])
+            for r in snapshot_read(spark, base)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("s"))
+            .collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    assert len(got) == 3  # NULL, 1, 2 — no duplicate NULL rows
+
+
+def test_encrypted_stream_rejects_malformed_key_at_plan(spark, tmp_path):
+    key = _enc_key()
+    p = str(tmp_path / "t")
+    _write_enc(spark, p, 0, 10, key)
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("encryptionKey", "not-base64!!")
+        .load(p)
+        .writeStream.format("memory")
+        .queryName("t13_badkey")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # The clear plan-time validation fires when the stream reader is
+    # built (query start) — never an opaque executor-side unwrap error.
+    with pytest.raises(StreamingQueryException, match="base64|encryptionKey"):
+        q.awaitTermination()
