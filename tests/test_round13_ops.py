@@ -607,3 +607,23 @@ def test_encrypted_stream_rejects_malformed_key_at_plan(spark, tmp_path):
     # built (query start) — never an opaque executor-side unwrap error.
     with pytest.raises(StreamingQueryException, match="base64|encryptionKey"):
         q.awaitTermination()
+
+
+def test_change_feed_between_ts_across_restore(spark, tmp_path):
+    """Timestamp-window CDF spans a restore for free now: the window
+    resolves to versions, whose pairwise transitions synthesize."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed_between_timestamps,
+    )
+
+    p = _base(spark, tmp_path)  # v0
+    delete_keys(
+        spark, p, spark.range(0, 60, 10).select(F.col("id").alias("k")), "k"
+    )  # v1
+    rollback(p, 0)  # v2: resurrection
+    entries = _read_manifest(p)
+    feed = change_feed_between_timestamps(
+        spark, p, entries[1]["ts"] - 0.5, entries[-1]["ts"] + 0.5
+    )
+    legs = _legs(feed)
+    assert legs == {"delete": (6, 150), "insert": (6, 150)}
