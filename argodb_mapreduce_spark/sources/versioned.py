@@ -2206,8 +2206,9 @@ def _assert_not_encrypted(entry: dict) -> None:
             f"version {entry.get('version')} holds parquet-modular-"
             "encrypted segments; the JVM parquet reader cannot decrypt "
             "them — read through python_datasource.read_versioned("
-            "spark, path, encryption_key=...) instead. DML/OPTIMIZE/"
-            "CDF over encrypted versions is not supported."
+            "spark, path, encryption_key=...), or stream with "
+            "option('encryptionKey', ...). DML/OPTIMIZE and the batch "
+            "change feed over encrypted versions are not supported."
         )
 
 
