@@ -170,6 +170,25 @@ def _segment_file_metrics(seg_path: str) -> dict:
     return _segment_stats_and_metrics(seg_path)[1]
 
 
+def _segment_file_metrics_keyless(seg_path: str) -> dict:
+    """The metrics subset that is safe on parquet-modular-ENCRYPTED
+    segments: file-level ``num_rows`` and the filesystem size only.
+    ``_segment_stats_and_metrics`` walks row-group COLUMN metadata,
+    which parquet-cpp refuses keyless with a hard process ABORT (not a
+    catchable exception) — this helper never descends below the file
+    footer's plaintext header fields."""
+    import pyarrow.parquet as pq
+
+    n_files = n_rows = n_bytes = 0
+    for f in sorted(
+        _glob.glob(os.path.join(seg_path, "**", "*.parquet"), recursive=True)
+    ):
+        n_files += 1
+        n_rows += pq.ParquetFile(f).metadata.num_rows
+        n_bytes += os.path.getsize(f)
+    return {"num_files": n_files, "num_rows": n_rows, "bytes": n_bytes}
+
+
 #: Spark/Hive's directory name for a NULL partition value — the same
 #: sentinel contract the reference's record reader appends partition
 #: values with (ArgodbMapreduceRecordReader.java:172-198).
@@ -3946,9 +3965,17 @@ def _describe_detail_row(path: str) -> dict:
     latest = entries[-1]
     n_files = n_bytes = n_rows = 0
     part_cols: set[str] = set()
+    # Encrypted segments: only the keyless-SAFE footer fields (file
+    # num_rows + fs size) — the full metrics pass reads column-chunk
+    # metadata, which parquet-cpp hard-aborts on without keys.
+    metrics_of = (
+        _segment_file_metrics_keyless
+        if latest.get("encrypted")
+        else _segment_file_metrics
+    )
     for seg in latest["segments"]:
         seg_dir = seg if os.path.isabs(seg) else os.path.join(path, seg)
-        m = _segment_file_metrics(seg_dir)
+        m = metrics_of(seg_dir)
         n_files += m["num_files"]
         n_bytes += m["bytes"]
         n_rows += m["num_rows"]
@@ -6656,6 +6683,12 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
         }
     if e.get("dv"):
         entry["dv"] = _abs(e["dv"])
+    # The encryption marker forks with the segment references (same
+    # class as the rollback finding): a clone of an encrypted version
+    # must keep every keyless-read gate armed and keyed pyds reads
+    # threading the key.
+    if e.get("encrypted"):
+        entry["encrypted"] = True
     os.makedirs(dst_path, exist_ok=True)
     if os.path.exists(os.path.join(dst_path, MANIFEST)):
         raise ValueError(f"clone target {dst_path} already has a manifest")

@@ -627,3 +627,37 @@ def test_change_feed_between_ts_across_restore(spark, tmp_path):
     )
     legs = _legs(feed)
     assert legs == {"delete": (6, 150), "insert": (6, 150)}
+
+
+def test_clone_preserves_encryption_marker(spark, tmp_path):
+    """Same class as the rollback finding: a shallow clone of an
+    encrypted version must fork the 'encrypted' marker, or the clone's
+    head disarms every keyless-read gate."""
+    from argodb_mapreduce_spark.sources.python_datasource import read_versioned
+    from argodb_mapreduce_spark.sources.versioned import clone_table
+
+    key = _enc_key()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _write_enc(spark, src, 0, 20, key)
+    clone_table(src, dst)
+    assert _read_manifest(dst)[-1].get("encrypted") is True
+    with pytest.raises(ValueError, match="encrypted"):
+        snapshot_read(spark, dst).collect()
+    assert read_versioned(spark, dst, encryption_key=key).count() == 20
+
+
+def test_describe_detail_on_encrypted_table_is_keyless_safe(spark, tmp_path):
+    """DESCRIBE DETAIL is pure metadata and must work WITHOUT the key —
+    via the keyless-safe footer fields only (the full metrics pass
+    touches encrypted column-chunk metadata, which parquet-cpp
+    hard-aborts on)."""
+    from argodb_mapreduce_spark.sources.versioned import describe_detail
+
+    key = _enc_key()
+    p = str(tmp_path / "t")
+    _write_enc(spark, p, 0, 25, key)
+    row = describe_detail(spark, p).collect()[0]
+    assert row["num_raw_rows"] == 25
+    assert row["num_live_rows"] == 25
+    assert row["num_files"] >= 1 and row["size_bytes"] > 0
