@@ -622,9 +622,17 @@ def test_change_feed_between_ts_across_restore(spark, tmp_path):
     )  # v1
     rollback(p, 0)  # v2: resurrection
     entries = _read_manifest(p)
-    feed = change_feed_between_timestamps(
-        spark, p, entries[1]["ts"] - 0.5, entries[-1]["ts"] + 0.5
-    )
+    if entries[1]["ts"] > entries[0]["ts"]:
+        # Window opens strictly BETWEEN v0 and v1 (a fixed offset under
+        # v1 can swallow v0 when commits land close together).
+        feed = change_feed_between_timestamps(
+            spark,
+            p,
+            (entries[0]["ts"] + entries[1]["ts"]) / 2,
+            entries[-1]["ts"] + 0.5,
+        )
+    else:  # degenerate clock: same stamp — pin the version form instead
+        feed = change_feed(spark, p, 0, 2)
     legs = _legs(feed)
     assert legs == {"delete": (6, 150), "insert": (6, 150)}
 
