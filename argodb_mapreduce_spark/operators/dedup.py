@@ -1612,6 +1612,107 @@ def dedup_index_through_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_restore_index_fixture(spark: SparkSession, sf_dir: str):
+    """documents stored CDF-enabled, band index built at v0, the
+    doc_id % 9 == 0 documents ERASED and the erasure cascaded into the
+    index (the GDPR path), then the store is RESTORED to v0 — the
+    feed's synthesized RESURRECTION insert legs re-sign and MERGE the
+    revived docs' band rows back, so the derived index tracks its base
+    through the restore at O(restored changes)."""
+    import os
+    import tempfile
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        delete_keys,
+        enable_change_data_feed,
+        merge_upsert,
+        rollback,
+        snapshot_read,
+        versioned_write,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
+    docs_tbl = os.path.join(root, "docs_rst_store")
+    idx_tbl = os.path.join(root, "docs_rst_band_index")
+    import shutil
+
+    # Always rebuilt: the cascade mutates both tables.
+    shutil.rmtree(docs_tbl, ignore_errors=True)
+    shutil.rmtree(idx_tbl, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versioned_write(docs, docs_tbl)
+    enable_change_data_feed(docs_tbl)
+    versioned_write(_band_index_for(snapshot_read(spark, docs_tbl, 0)), idx_tbl)
+    delete_keys(
+        spark, docs_tbl, docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"), "doc_id"
+    )  # v1: the erasure
+    erased = (
+        change_feed(spark, docs_tbl, 0, 1)
+        .filter(F.col("_change_type") == "delete")
+        .select("doc_id")
+    )
+    delete_keys(spark, idx_tbl, erased, "doc_id")  # cascade
+    rollback(docs_tbl, 0)  # v2: RESTORE undoes the erasure
+    # Maintenance consumes ONLY the feed: the restore's synthesized
+    # resurrection insert legs re-sign, and a doc_id-keyed MERGE puts
+    # each revived doc's band rows back — O(revived docs).
+    revived = (
+        change_feed(spark, docs_tbl, 1, 2)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    merge_upsert(spark, idx_tbl, _band_index_for(revived), "doc_id")
+    return docs_tbl, idx_tbl
+
+
+@register(
+    "dedup_index_through_restore",
+    oracle=f"""
+    WITH sig AS ({_SQL_SIGNATURE})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS n_buckets,
+           TRUE AS incremental_equals_full
+    FROM ({_sql_band_table()}) GROUP BY band
+    """,
+    tags=("dedup", "minhash", "snapshot", "cdc", "incremental", "restore"),
+    doc=(
+        "INDEX MAINTENANCE THROUGH RESTORE (r13 composition, completing "
+        "the GDPR cascade's inverse): after an erasure cascaded into "
+        "the band index, the source table is RESTORED to its pre-delete "
+        "version — the feed's synthesized RESURRECTION insert legs "
+        "re-sign the revived documents and a doc_id-keyed MERGE puts "
+        "their band rows back, O(revived docs), no corpus re-sign, no "
+        "index rebuild. With append (r10), update (r11b) and delete "
+        "(r11b) maintenance this closes the loop: the derived index "
+        "tracks its base through EVERY transition the feed expresses, "
+        "restores included. Maintained index exceptAll-proven equal to "
+        "a rebuild over the restored corpus; per-band counts "
+        "oracle-checked."
+    ),
+)
+def dedup_index_through_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the resurrection cascade costs the restore's change
+    volume (re-sign + keyed merge of the revived docs), never the
+    corpus — an accidental-deletion recovery on a 100 TB store heals
+    its derived indexes from the same feed that healed the table."""
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    docs_tbl, idx_tbl = _build_restore_index_fixture(spark, sf_dir)
+    idx = snapshot_read(spark, idx_tbl)
+    full = _band_index_for(snapshot_read(spark, docs_tbl))
+    equal = (
+        idx.exceptAll(full).limit(1).count() == 0
+        and full.exceptAll(idx).limit(1).count() == 0
+    )
+    return idx.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("band_hash").alias("n_buckets"),
+        F.lit(equal).alias("incremental_equals_full"),
+    )
+
+
 _REVISION_SUFFIX = " freshly revised edition"
 
 

@@ -78,7 +78,7 @@ _QUERY_MODULES = (
 #: dels-first replay, mid-history RESTORE), and touched delete_where/
 #: compact per ADVICE — hence 19 changed-code slots; the rotation takes
 #: ALL 13 remaining r05-tier rows (VERDICT r12 #2: every row's freshest
-#: driver evidence becomes >= r06) plus the 11 alphabetically-first r06
+#: driver evidence becomes >= r06) plus the 10 alphabetically-first r06
 #: rows. tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
 #: silent 51st entry can never fall out of the window again (ADVICE r7).
 _PRIORITY = (
@@ -90,6 +90,7 @@ _PRIORITY = (
     "pyds_encrypted_roundtrip",                  # parquet modular encryption
     "stream_encrypted_tail_live",                # keyed stream over encrypted
     "mv_refresh_through_restore",                # MV maintained through RESTORE
+    "dedup_index_through_restore",               # index healed through RESTORE
     # --- (a cont.) code changed in round 13: re-earn the rows ---
     "stream_cdc_replicate",           # presence pass + dels-first + RESTORE
     "snapshot_change_feed",           # synthesis branch in change_feed
@@ -124,7 +125,7 @@ _PRIORITY = (
     "text_cooccurrence_lift",
     "text_fingerprint_winnow",
     "text_keyword_rake",
-    # --- (b cont.) the 11 alphabetically-first r06-tier rows ---
+    # --- (b cont.) the 10 alphabetically-first r06-tier rows ---
     "agg_boolean",
     "agg_median_manual",
     "agg_mode",
@@ -135,7 +136,6 @@ _PRIORITY = (
     "dedup_simhash",
     "events_ab_welch_t",
     "events_anomaly_mad",
-    "events_cusum_changepoint",
 )
 
 

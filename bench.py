@@ -243,6 +243,7 @@ HEADLINE = [
     "pyds_encrypted_roundtrip",
     "stream_encrypted_tail_live",
     "mv_refresh_through_restore",
+    "dedup_index_through_restore",
 ]
 
 
