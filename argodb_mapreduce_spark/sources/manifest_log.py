@@ -155,6 +155,26 @@ def read_entries(path: str) -> list[dict]:
     raise err
 
 
+def head_entry(path: str) -> dict | None:
+    """O(1) head manifest entry — the writer's plan-time hot path: the
+    marker pointer names the head version, whose per-commit file is one
+    small JSON read, no checkpoint replay. Legacy tables read the
+    marker array's tail; a head whose per-commit file was already
+    folded into a checkpoint falls back to the full replay. Raises
+    FileNotFoundError for a fresh table (no marker). Lives HERE so the
+    layout constants (MARKER/LOG_DIR/entry naming) have exactly one
+    owner — a future layout change cannot desynchronize callers."""
+    with open(os.path.join(path, MARKER)) as f:
+        marker = json.load(f)
+    if isinstance(marker, list):
+        return marker[-1] if marker else None
+    entry_path = os.path.join(path, LOG_DIR, _entry_name(int(marker["head"])))
+    if os.path.exists(entry_path):
+        with open(entry_path) as f:
+            return json.load(f)
+    return read_entries(path)[-1]
+
+
 def append_entry(path: str, entries: list[dict]) -> None:
     """O(1)-amortized commit append: ``entries`` is the full list
     ENDING with the new entry (the caller just appended under the

@@ -245,23 +245,12 @@ def make_versioned_datasource():
         return cf.file_decryption_properties(cfg), cf
 
     def _head_entry(path):
-        """O(1) head manifest entry: the marker pointer names the head
-        version, whose per-commit file is one small JSON read — no
-        checkpoint replay on the write-plan hot path. Legacy tables
-        read the marker array's tail; a post-rewrite state whose head
-        per-commit file was folded into a checkpoint falls back to the
-        full log read. Raises FileNotFoundError for a fresh table."""
-        with open(_os.path.join(path, "_snapshots.json")) as f:
-            marker = _json.load(f)
-        if isinstance(marker, list):
-            return marker[-1] if marker else None
-        entry_path = _os.path.join(
-            path, "_log", f"{int(marker['head']):020d}.json"
-        )
-        if _os.path.exists(entry_path):
-            with open(entry_path) as f:
-                return _json.load(f)
-        return _manifest_log().read_entries(path)[-1]
+        """O(1) head manifest entry on the write-plan hot path —
+        delegates to manifest_log.head_entry so the log layout
+        (marker/dir/entry naming) has exactly one owner and a future
+        layout change cannot silently desynchronize this probe.
+        Raises FileNotFoundError for a fresh table."""
+        return _manifest_log().head_entry(path)
 
     def _check_encryption_transition(head, enc_key, overwrite, path):
         """The mixed-version gates, shared by the plan-time fast-fail

@@ -3559,7 +3559,13 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
             # so decode JVM-side before the prefix match or any table
             # path with URI-encodable characters silently never matches.
             abs_root = os.path.abspath(path)
-            decoded = F.url_decode(F.col("file_path"))
+            # try_url_decode, not url_decode: a literal '%' not followed
+            # by valid hex is LEGAL in a filename; url_decode would throw
+            # at runtime and fail the whole DELETE — and the raw-path OR
+            # branch below never helps because both sides of an OR are
+            # evaluated. try_ returns NULL on malformed input, so the
+            # raw branch remains a real fallback.
+            decoded = F.try_url_decode(F.col("file_path"))
             in_dropped = None
             for seg in full:
                 root = os.path.join(abs_root, seg) + "/"
@@ -3744,8 +3750,18 @@ def _segments_possibly_holding_keys_distributed(
         (F.col(key_col) >= F.col("__mn")) & (F.col(key_col) <= F.col("__mx")),
         "inner",
     ).select("__seg", F.col(key_col).alias("__key"))
+    # metadata-collect: distinct segment names surviving the RANGE join,
+    # O(segments). Collected FIRST so the probe closure captures only
+    # the survivors' bloom bitsets (VERDICT r13 #3): at 10⁵–10⁶ segments
+    # (100 TB / 128 MB) shipping every tracked bloom by closure is
+    # O(total-bloom-bytes) serialized per task, while a selective key
+    # set survives the bounds join at only a handful of segments. The
+    # range join re-evaluates once more inside the bloom probe — cheap:
+    # the key frame is persisted by the caller and the join is a
+    # broadcast of the O(segments) bounds table, no shuffle.
+    range_hits = {r[0] for r in cand.select("__seg").distinct().collect()}
     probes = {}
-    for s, _mn, _mx in rows:
+    for s in range_hits:
         b = blooms.get(s, {}).get(key_col)
         if b:
             import base64
@@ -3781,11 +3797,17 @@ def _segments_possibly_holding_keys_distributed(
                     )
                 yield pdf.loc[keep, ["__seg"]]
 
-        hits = cand.mapInPandas(_bloom_pass, "__seg string")
+        # Only rows whose segment HAS a bloom need probing; bloom-less
+        # range survivors pass unconditionally (set-union below), so
+        # the probe scans the minimal candidate slice.
+        hits = cand.filter(F.col("__seg").isin(list(probes))).mapInPandas(
+            _bloom_pass, "__seg string"
+        )
+        # metadata-collect: distinct bloom-surviving names, O(segments).
+        bloom_hits = {r[0] for r in hits.distinct().collect()}
+        names = (range_hits - set(probes)) | bloom_hits
     else:
-        hits = cand.select("__seg")
-    # metadata-collect: distinct surviving segment names, O(segments).
-    names = {r[0] for r in hits.distinct().collect()}
+        names = range_hits
     return [
         s
         for s in latest["segments"]
