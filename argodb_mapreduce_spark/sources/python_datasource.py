@@ -1810,11 +1810,19 @@ def make_versioned_datasource():
 
         def _dv_positions(self, dv_name):
             """(file_path, row_index) set of one DV sidecar, read with
-            pyarrow at PLAN time (DVs are O(deleted rows), tiny)."""
+            pyarrow at PLAN time (DVs are O(deleted rows), tiny).
+            MEMOIZED by name — sidecars are immutable, and one planning
+            pass may consult the same DV from the dv-delta branch, the
+            restore synthesizer, and the append-leg mask."""
             import glob as _glob
 
             import pyarrow.parquet as pq
 
+            cache = getattr(self, "_dv_pos_cache", None)
+            if cache is None:
+                cache = self._dv_pos_cache = {}
+            if dv_name in cache:
+                return cache[dv_name]
             out = set()
             if not dv_name:
                 return out
@@ -1829,6 +1837,7 @@ def make_versioned_datasource():
                     # Spark's _metadata.file_path carries a scheme and
                     # percent-encoding; normalize to the on-disk path.
                     out.add((_local_path(fp), ri))
+            cache[dv_name] = out
             return out
 
         def partitions(self, start, end):
@@ -1962,7 +1971,21 @@ def make_versioned_datasource():
                     # contribute nothing. No new segments can appear.
                     removed = set()
                 if (
-                    removed
+                    # Removed segments, OR a SUPERSET restore (r14): a
+                    # rollback past a retention delete onto a DV-carrying
+                    # version re-ADDS segments with removed == ∅ but a
+                    # changed DV. Without synthesis those re-added files
+                    # would fall through to the plain append block as
+                    # whole-file insert legs UNMASKED by the restored
+                    # version's DV, while the dv-delta block emits the
+                    # same positions as delete legs — with the
+                    # deletes-first replay order the replica re-inserts
+                    # tombstoned rows. The synthesizer's 'add' leg masks
+                    # by the current DV, matching the batch path.
+                    (
+                        removed
+                        or ((segs - prev) and entries[v].get("dv") != prev_dv)
+                    )
                     and self._cdf
                     # Key-presence, not truthiness: merged_from can be
                     # version 0.
@@ -2118,6 +2141,15 @@ def make_versioned_datasource():
                             "option('readChangeFeed', 'true') to consume "
                             "them as change rows"
                         )
+                # Lazily-grouped current-DV positions for the CDF insert
+                # mask below: a SUPERSET restore whose DV is carried BY
+                # NAME (pure retention drop, then rollback past it)
+                # re-adds segments whose files still hold tombstones in
+                # the unchanged DV — their insert legs must be masked or
+                # the replica re-inserts dead rows. A plain append's
+                # fresh files can never appear in a pre-existing DV, so
+                # its mask is always empty (and the DV read memoizes).
+                cur_dv_by = None
                 for seg in sorted(segs - prev):
                     seg_dir = _os.path.join(self._path, seg)
                     part_cols = entries[v].get("partition_by", {}).get(seg) or ()
@@ -2156,10 +2188,24 @@ def make_versioned_datasource():
                                 _tighten_with_parts(seg_stats, pp), self._prune
                             ):
                                 continue
+                        if not self._cdf:
+                            parts.append(SegmentFilePartition(fp, parts=pp))
+                            continue
+                        excl = ()
+                        if entries[v].get("dv"):
+                            if cur_dv_by is None:
+                                cur_dv_by = {}
+                                for dfp, ri in self._dv_positions(
+                                    entries[v]["dv"]
+                                ):
+                                    cur_dv_by.setdefault(dfp, []).append(ri)
+                            excl = tuple(sorted(cur_dv_by.get(fp, ())))
                         parts.append(
-                            CDFPartition("insert", fp, v, parts=pp)
-                            if self._cdf
-                            else SegmentFilePartition(fp, parts=pp)
+                            # 'add' = live rows only (tombstones masked);
+                            # surfaces as _change_type 'insert' either way.
+                            CDFPartition("add", fp, v, excl, parts=pp)
+                            if excl
+                            else CDFPartition("insert", fp, v, parts=pp)
                         )
                 prev = segs
                 prev_dv = entries[v].get("dv")

@@ -4848,14 +4848,48 @@ def change_feed(
         )
         if pure_append:
             seg = cur["segments"][-1]
-            # Layout-aware segment read: a Hive-partitioned new segment
-            # recovers its partition columns with basePath and pins
-            # them to the ledger's types (plain spark.read.parquet
-            # would type-infer digit-like string values to int/date,
-            # diverging from flat reads of the same table).
-            ins = _read_new_segment(spark, path, cur, seg).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            # A "pure append" whose segment is actually RE-ADDED by a
+            # superset restore (rollback past a pure retention drop —
+            # the DV is carried BY NAME, so the dv-equality test above
+            # cannot tell) can hold tombstones in the current DV; its
+            # insert leg must emit LIVE rows only or a replica
+            # re-inserts dead rows (ADVICE r13). The DV is prefiltered
+            # to the new segment's root, so a genuinely fresh append
+            # (whose files can never appear in a pre-existing DV)
+            # anti-joins against an empty broadcast — ~free.
+            dv_hits = 0
+            if cur.get("dv"):
+                seg_root = os.path.join(os.path.abspath(path), seg) + "/"
+                dv_hits = (
+                    spark.read.parquet(os.path.join(path, cur["dv"]))
+                    .filter(
+                        F.col("file_path").contains(seg_root)
+                        | F.try_url_decode(F.col("file_path")).contains(
+                            seg_root
+                        )
+                    )
+                    .limit(1)
+                    .count()
+                )
+            if dv_hits:
+                ins = _read_segment_dirs(
+                    spark, path, [seg], cur, evolved=False, with_pos=True
+                )
+                ins = (
+                    _anti_join_dv(spark, path, cur["dv"], ins)
+                    .drop("__fp", "__ri")
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            else:
+                # Layout-aware segment read: a Hive-partitioned new
+                # segment recovers its partition columns with basePath
+                # and pins them to the ledger's types (plain
+                # spark.read.parquet would type-infer digit-like string
+                # values to int/date, diverging from flat reads of the
+                # same table).
+                ins = _read_new_segment(spark, path, cur, seg).withColumn(
+                    "_change_type", F.lit("insert")
+                )
             frames.append(ins)
         elif is_delete:
             # Retention DROP legs first (r12): segments the DELETE
