@@ -174,10 +174,28 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_top.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+#: Planted near-duplicate ids (VERDICT r13 #7): the synthetic embeddings
+#: fixture has NO true near-dups (max pairwise cos ≈ 0.51), so the
+#: threshold query used to pass vacuously at 0 == 0 rows. The query (and
+#: its oracle) union in two DETERMINISTIC vectors derived from vec_id 0
+#: at the quantized-integer level — an exact copy and a one-component
+#: +1000 perturbation — pinning a non-empty positive path: (0, A) at
+#: cos exactly 1.0 and two genuine near-dup pairs just below it.
+_PLANT_A, _PLANT_B = 1_000_000, 1_000_001
+
+
 @register(
     "similarity_embedding_neardup",
     oracle=f"""
-    WITH qv AS ({_SQL_NORMS}),
+    WITH qv0 AS ({_SQL_NORMS}),
+    planted AS (
+      SELECT CAST({_PLANT_A} AS BIGINT) AS vec_id, qemb FROM qv0 WHERE vec_id = 0
+      UNION ALL
+      SELECT CAST({_PLANT_B} AS BIGINT) AS vec_id,
+             list_concat([qemb[1] + 1000], qemb[2:]) AS qemb
+      FROM qv0 WHERE vec_id = 0
+    ),
+    qv AS (SELECT * FROM qv0 UNION ALL SELECT * FROM planted),
     v AS ({_SQL_WITH_SS})
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            CAST({_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} AS DOUBLE) AS cos_sim
@@ -185,12 +203,29 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} >= 0.95
     """,
     tags=("similarity", "dedup", "vector"),
-    doc="Embedding-cosine near-duplicate pairs (cos >= 0.95) — the embedding leg of the dedup suite (SURVEY.md §2.C2).",
+    doc=(
+        "Embedding-cosine near-duplicate pairs (cos >= 0.95) — the "
+        "embedding leg of the dedup suite (SURVEY.md §2.C2), with a "
+        "deterministic planted near-dup pair so the oracle pins a "
+        "non-empty answer."
+    ),
 )
 def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    q = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
+    seed = q.filter(F.col("vec_id") == 0)
+    plant_a = seed.select(
+        F.lit(_PLANT_A).cast("long").alias("vec_id"), F.col("qemb")
+    )
+    plant_b = seed.select(
+        F.lit(_PLANT_B).cast("long").alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("qemb", 1) + F.lit(1000).cast("long")),
+            F.slice("qemb", 2, F.size("qemb") - 1),
+        ).alias("qemb"),
+    )
+    e = q.unionAll(plant_a).unionAll(plant_b)
     e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
     a = e.alias("a")
     b = e.alias("b")

@@ -2577,6 +2577,129 @@ def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def diff_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    from_version: int,
+    to_version: int,
+) -> tuple[DataFrame, dict]:
+    """Key-level snapshot diff with MANIFEST-LEVEL SEGMENT PRUNING
+    (VERDICT r13 #6): segments present in BOTH versions with identical
+    DV coverage are provably change-free — their keys exist on both
+    sides, so they can appear in neither the added nor the removed set
+    — and are never scanned on the FACT side. What remains:
+
+    * segments only in one version (appended / dropped / rewritten);
+    * shared segments whose files appear in the DV symmetric
+      difference (tombstone or resurrection positions moved).
+
+    ``added`` = rows of ``to``'s changed segments whose key is absent
+    from ``from``; ``removed`` symmetrically. The PROBE side of each
+    anti-join is the other version's full key set, but projected to
+    the key column only — a column-pruned scan, a small fraction of
+    table bytes — while the fact side reads O(changed data) full-width.
+    On a 100 TB table where a day rewrites 0.1%, the diff reads ~0.1%
+    of data bytes plus one key column, instead of 2 × full width.
+
+    Returns ``(DataFrame[change_type, <key_col>], meta)`` where meta
+    carries the pinned scan bound: ``segments_compared`` (fact-side
+    segments scanned across both sides) and ``segments_pruned``
+    (provably change-free segments skipped)."""
+    entries = _read_manifest(path)
+    by_version = {e["version"]: e for e in entries}
+    ea, eb = by_version[from_version], by_version[to_version]
+    sa, sb = list(ea["segments"]), list(eb["segments"])
+    shared = set(sa) & set(sb)
+    touched: set = set()
+    if shared and ea.get("dv") != eb.get("dv"):
+        # DV symmetric difference → owning shared segments. Positions
+        # in one DV but not the other mean the segment's live set
+        # changed (delete or resurrection) — it must be compared.
+        def _dv_df(entry):
+            if not entry.get("dv"):
+                return None
+            return spark.read.parquet(
+                os.path.join(path, entry["dv"])
+            ).select("file_path")
+
+        da, db = _dv_df(ea), _dv_df(eb)
+        if da is None:
+            delta = db
+        elif db is None:
+            delta = da
+        else:
+            delta = da.join(db, "file_path", "left_anti").unionAll(
+                db.join(da, "file_path", "left_anti")
+            )
+        # metadata-collect: O(changed files) distinct DV'd paths — the
+        # prune's own bound (annotated; never O(rows)).
+        from urllib.parse import unquote as _unq
+
+        abs_root = os.path.abspath(path)
+        for r in delta.select("file_path").distinct().collect():
+            fp = r[0]
+            fp = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
+            fp = _unq(fp)
+            for seg in shared:
+                if fp.startswith(os.path.join(abs_root, seg) + os.sep):
+                    touched.add(seg)
+                    break
+    changed_a = [s for s in sa if s not in shared or s in touched]
+    changed_b = [s for s in sb if s not in shared or s in touched]
+
+    def _rows(entry, segs):
+        ledger = entry.get("schemas", {})
+        known = {
+            json.dumps(ledger[s], sort_keys=True) for s in segs if s in ledger
+        }
+        df = _read_segment_dirs(
+            spark, path, segs, entry, evolved=len(known) > 1,
+            with_pos=bool(entry.get("dv")),
+        )
+        if entry.get("dv"):
+            df = _anti_join_dv(spark, path, entry["dv"], df).drop(
+                "__fp", "__ri"
+            )
+        return df
+
+    def _keys(entry):
+        return _rows(entry, entry["segments"]).select(key_col)
+
+    empty = None
+    frames = []
+    if changed_b:
+        frames.append(
+            _rows(eb, changed_b)
+            .select(key_col)
+            .join(_keys(ea), key_col, "left_anti")
+            .select(F.lit("added").alias("change_type"), key_col)
+        )
+    if changed_a:
+        frames.append(
+            _rows(ea, changed_a)
+            .select(key_col)
+            .join(_keys(eb), key_col, "left_anti")
+            .select(F.lit("removed").alias("change_type"), key_col)
+        )
+    if not frames:
+        empty = (
+            _rows(eb, [sb[0]])
+            .select(key_col)
+            .limit(0)
+            .select(F.lit("").alias("change_type"), key_col)
+        )
+    out = empty if empty is not None else frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    meta = {
+        "segments_compared": len(changed_a) + len(changed_b),
+        "segments_pruned": (len(sa) - len(changed_a))
+        + (len(sb) - len(changed_b)),
+    }
+    return out, meta
+
+
 @register(
     "snapshot_diff",
     oracle="""
@@ -2604,30 +2727,77 @@ def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-to-version change summary over the versioned source.
 
-    Scale design: both sides are snapshot reads (plan-time manifest
-    pin, no copy); the anti-joins shuffle on the key — the same cost
-    class as the MERGE upsert. A production table would diff manifests
-    first (segment-level pruning: unchanged segments cannot contribute
-    adds/removes) and only key-join the rewritten segments; with the
-    fixture's 3-segment manifest the join is the whole story.
+    Scale design (r14): :func:`diff_keys` diffs MANIFESTS first —
+    segments shared between the versions with identical DV coverage
+    are provably change-free and never scanned on the fact side; only
+    rewritten/appended/dropped (or DV-touched) segments key-join, the
+    probe side reads the key column only. With this fixture's total
+    overwrite every segment is changed (compared=3, pruned=0) — the
+    pruning path itself is pinned by ``snapshot_diff_pruned``.
     """
     out = _build_fixture_versions(spark, sf_dir)
-    v1 = snapshot_read(spark, out, 1).select("o_orderkey")
-    v2 = snapshot_read(spark, out, 2).select("o_orderkey")
-    added = v2.join(v1, "o_orderkey", "left_anti").select(
-        F.lit("added").alias("change_type"), "o_orderkey"
+    diff, _meta = diff_keys(spark, out, "o_orderkey", 1, 2)
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
     )
-    removed = v1.join(v2, "o_orderkey", "left_anti").select(
-        F.lit("removed").alias("change_type"), "o_orderkey"
-    )
-    return (
-        added.unionAll(removed)
-        .groupBy("change_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("o_orderkey").cast("long").alias("min_key"),
-            F.max("o_orderkey").cast("long").alias("max_key"),
-        )
+
+
+@register(
+    "snapshot_diff_pruned",
+    oracle="""
+    SELECT 'added' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(3 AS INT) AS segments_compared,
+           CAST(2 AS INT) AS segments_pruned
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 'removed', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT),
+           CAST(3 AS INT), CAST(2 AS INT)
+    FROM orders WHERE o_orderkey % 300 = 0
+    """,
+    tags=("source", "snapshot", "cdc", "pruning"),
+    doc=(
+        "MANIFEST-PRUNED snapshot diff (VERDICT r13 #6): history = "
+        "append %3==0 (A), append %3==1 (B), append %3==2 (C), "
+        "delete_keys %300==0 (DV touching only A). Diff v1->v3: B is "
+        "shared and DV-untouched on both sides and C did not exist at "
+        "v1, so the fact side scans only A (DV delta) + C (appended) — "
+        "segments_compared=3 (A twice + C), segments_pruned=2 (B on each side) — while "
+        "the result still pins added = the %3==2 keys and removed = "
+        "the erased %300==0 keys."
+    ),
+)
+def snapshot_diff_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned-path pin for :func:`diff_keys`: most of the table is
+    provably change-free from the manifest alone and never scanned; the
+    contract columns expose the scan bound the oracle hash locks."""
+    import shutil
+
+    out = _scratch(sf_dir) + "_diffp"
+    src = table_path(sf_dir, "orders")
+    if fixture_stale(src, os.path.join(out, MANIFEST)) or len(versions(out)) != 4:
+        shutil.rmtree(out, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        versioned_write(o.filter(k % 3 == 0), out, mode="append")  # v0: A
+        versioned_write(o.filter(k % 3 == 1), out, mode="append")  # v1: B
+        versioned_write(o.filter(k % 3 == 2), out, mode="append")  # v2: C
+        delete_keys(
+            spark, out, o.filter(k % 300 == 0).select("o_orderkey"),
+            "o_orderkey",
+        )  # v3: DV touching only A
+    diff, meta = diff_keys(spark, out, "o_orderkey", 1, 3)
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.lit(meta["segments_compared"]).cast("int").alias("segments_compared"),
+        F.lit(meta["segments_pruned"]).cast("int").alias("segments_pruned"),
     )
 
 
