@@ -2081,6 +2081,7 @@ def snapshot_read(
     version: int | None = None,
     predicates=(),
     as_of_ts: float | None = None,
+    encryption_key: str | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read of ``path`` at ``version`` (default latest).
 
@@ -2131,11 +2132,15 @@ def snapshot_read(
         # (mergeSchema over all segments when evolved — an empty frame
         # built from one pre-evolution segment would lack added columns
         # and break residual predicates on them).
-        df = _read_segment_dirs(spark, path, all_names, entry, evolved).limit(0)
+        df = _read_segment_dirs(
+            spark, path, all_names, entry, evolved,
+            encryption_key=encryption_key,
+        ).limit(0)
     else:
         dv_name = entry.get("dv")
         df = _read_segment_dirs(
-            spark, path, names, entry, evolved, with_pos=bool(dv_name)
+            spark, path, names, entry, evolved, with_pos=bool(dv_name),
+            encryption_key=encryption_key,
         )
         if dv_name:
             df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
@@ -2144,7 +2149,7 @@ def snapshot_read(
 
 def _read_segment_dirs(
     spark: SparkSession, path: str, segs, entry: dict, evolved: bool,
-    with_pos: bool = False,
+    with_pos: bool = False, encryption_key: str | None = None,
 ) -> DataFrame:
     """One DataFrame over a version's segment directories.
 
@@ -2162,7 +2167,21 @@ def _read_segment_dirs(
     (_metadata.file_path) and ``__ri`` (_metadata.row_index) — PER
     BRANCH before any union (``_metadata`` only resolves on a direct
     file scan), so deletion vectors and touched-file discovery work
-    identically on flat and partitioned layouts."""
+    identically on flat and partitioned layouts.
+
+    ``encryption_key`` (r14) routes a parquet-modular-ENCRYPTED
+    version through the keyed pyarrow scan (:func:`_read_files_keyed`)
+    instead of the JVM reader — the unlock for DML/OPTIMIZE/CDF on
+    encrypted tables; keyless access still fails loud and early."""
+    if entry.get("encrypted") and encryption_key:
+        return _read_files_keyed(
+            spark,
+            entry,
+            _keyed_seg_files(path, entry, segs),
+            encryption_key,
+            with_pos=with_pos,
+            segs=segs,
+        )
     _assert_not_encrypted(entry)
 
     def _pos(df: DataFrame) -> DataFrame:
@@ -2231,11 +2250,388 @@ def _assert_not_encrypted(entry: dict) -> None:
         )
 
 
-def _read_new_segment(spark: SparkSession, path: str, entry: dict, seg: str) -> DataFrame:
+def _make_crypto(master_b64: str):
+    """Parquet-modular-encryption kit for the KEYED read/write closures
+    (r14, VERDICT r13 #1): returns ``(decryption_properties_fn,
+    encryption_properties_fn)``. Wire-compatible with the pyds writer's
+    KMS (python_datasource.py `_crypto` — same HMAC-SHA256 wrap:
+    ``mask = HMAC(master, 'wrap|'+key_id+'|'+nonce)``, ``ct = DEK ^
+    mask``, 16-byte tag ``HMAC(master, 'tag|'+nonce+ct)``), so segments
+    written by either path read under the same master key. Both
+    returned callables are NESTED functions: task closures capturing
+    them ship BY VALUE (cloudpickle), because executors in vanilla
+    sessions cannot import this repo. parquet-cpp does the real
+    cryptography (AES-GCM modules, fresh data key per file); this KMS
+    only wraps data keys, and a WRONG master fails loud at unwrap."""
+    import base64 as _b64
+
+    master = _b64.b64decode(master_b64)
+    if len(master) < 16:
+        raise ValueError("encryption key must be base64 of at least 16 bytes")
+
+    def _factory_cfg():
+        import pyarrow.parquet.encryption as _pe
+
+        class _HmacWrapKms(_pe.KmsClient):
+            def __init__(self, config):
+                super().__init__()
+
+            def wrap_key(self, key_bytes, master_key_identifier):
+                import hashlib as _hl
+                import hmac as _hm
+                import os as _osr
+
+                nonce = _osr.urandom(16)
+                mask = _hm.new(
+                    master,
+                    b"wrap|" + master_key_identifier.encode() + b"|" + nonce,
+                    _hl.sha256,
+                ).digest()
+                ct = bytes(a ^ b for a, b in zip(key_bytes, mask))
+                tag = _hm.new(
+                    master, b"tag|" + nonce + ct, _hl.sha256
+                ).digest()[:16]
+                return _b64.b64encode(nonce + ct + tag).decode()
+
+            def unwrap_key(self, wrapped_key, master_key_identifier):
+                import hashlib as _hl
+                import hmac as _hm
+
+                raw = _b64.b64decode(wrapped_key)
+                nonce, ct, tag = raw[:16], raw[16:-16], raw[-16:]
+                want = _hm.new(
+                    master, b"tag|" + nonce + ct, _hl.sha256
+                ).digest()[:16]
+                if not _hm.compare_digest(tag, want):
+                    raise ValueError(
+                        "encryption key mismatch: the supplied key cannot "
+                        "unwrap this file's data key"
+                    )
+                mask = _hm.new(
+                    master,
+                    b"wrap|" + master_key_identifier.encode() + b"|" + nonce,
+                    _hl.sha256,
+                ).digest()
+                return bytes(a ^ b for a, b in zip(ct, mask))
+
+        return (
+            _pe.CryptoFactory(lambda config: _HmacWrapKms(config)),
+            _pe.KmsConnectionConfig(),
+        )
+
+    def decryption_properties():
+        """(props, factory) — keep the factory referenced while reads
+        run; unwrap happens lazily through its callback."""
+        cf, cfg = _factory_cfg()
+        return cf.file_decryption_properties(cfg), cf
+
+    def encryption_properties(pa_schema):
+        """Per-FILE properties (fresh data keys every call): all leaf
+        columns under the footer key, PLAINTEXT footer so schema and
+        row counts stay keyless-readable while column chunk metadata
+        (stats included) stays encrypted."""
+        import io as _io
+
+        import pyarrow.parquet as _pq
+        import pyarrow.parquet.encryption as _pe
+
+        buf = _io.BytesIO()
+        with _pq.ParquetWriter(buf, pa_schema):
+            pass
+        pqs = _pq.ParquetFile(_io.BytesIO(buf.getvalue())).schema
+        leaves = [pqs.column(i).path for i in range(len(pqs))]
+        cf, cfg = _factory_cfg()
+        return cf.file_encryption_properties(
+            cfg,
+            _pe.EncryptionConfiguration(
+                footer_key="k0",
+                plaintext_footer=True,
+                column_keys={"k0": leaves},
+            ),
+        )
+
+    return decryption_properties, encryption_properties
+
+
+def key_fingerprint(master_b64: str) -> str:
+    """Stable fingerprint of a master key for the manifest's
+    ``encrypted`` marker (ADVICE r13): HMAC-SHA256(master, constant)
+    prefix — reveals nothing about the key, but lets the writer reject
+    an append wrapped under a DIFFERENT master (which would commit a
+    version no single key can read)."""
+    import base64 as _b64
+    import hashlib as _hl
+    import hmac as _hm
+
+    master = _b64.b64decode(master_b64)
+    return _hm.new(master, b"argodb-key-fingerprint", _hl.sha256).hexdigest()[:16]
+
+
+def _carry_encryption(entry: dict, src: dict) -> None:
+    """Copy the encryption markers (``encrypted`` + ``key_fp``) from a
+    source manifest entry onto a derived one. Every commit that forks a
+    version's segment references — DV deletes, compaction, rollback,
+    clone — must keep the keyless-read gates armed AND the key
+    fingerprint that lets writers/readers reject a wrong master at
+    plan time instead of at executor unwrap."""
+    if src.get("encrypted"):
+        entry["encrypted"] = True
+        if src.get("key_fp"):
+            entry["key_fp"] = src["key_fp"]
+
+
+def _check_key_fingerprint(entry: dict, encryption_key: str) -> None:
+    """Plan-time wrong-key rejection (ADVICE r13): when the manifest
+    recorded the master's fingerprint, a mismatching key fails HERE
+    with a clear error rather than N tasks later at HMAC unwrap.
+    Entries written before fingerprints existed (no ``key_fp``) skip
+    the check — unwrap still fails loud for them."""
+    fp = entry.get("key_fp")
+    if fp and key_fingerprint(encryption_key) != fp:
+        raise ValueError(
+            "encryptionKey does not match the master key this table's "
+            "head version is encrypted under (manifest key-fingerprint "
+            "mismatch)"
+        )
+
+
+def _keyed_seg_files(path: str, entry: dict, segs) -> list:
+    """Driver-side file listing for a keyed read — [(abs_file_path,
+    ((col, raw_or_None, type_str), ...)), ...]: flat segments list
+    plainly; Hive-partitioned segments decode each file's ``col=value``
+    branch (NULL sentinel → None) with types pinned to the schema
+    ledger. O(files) filesystem metadata."""
+    from urllib.parse import unquote as _unq
+
+    parts_of = _segment_partition_cols(entry, segs)
+    ledger = entry.get("schemas", {})
+    out = []
+    for seg in segs:
+        seg_dir = os.path.abspath(os.path.join(path, seg))
+        cols = parts_of.get(seg)
+        types = ledger.get(seg, {})
+        if not cols:
+            for f in sorted(os.listdir(seg_dir)):
+                if f.endswith(".parquet"):
+                    out.append((os.path.join(seg_dir, f), ()))
+            continue
+        for root, _dirs, fs in sorted(os.walk(seg_dir)):
+            rel = os.path.relpath(root, seg_dir)
+            pairs = {}
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    if "=" in comp:
+                        c, v = comp.split("=", 1)
+                        v = _unq(v)
+                        pairs[c] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+            branch = tuple(
+                (c, pairs.get(c), types.get(c, "string")) for c in cols
+            )
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    out.append((os.path.join(root, f), branch))
+    return out
+
+
+def _keyed_target_schema(entry: dict, segs):
+    """(StructType, ordered [(col, type_str)]) for a keyed read: the
+    schema ledger union over the requested segments — encrypted
+    segments' footers stay untouched at plan time (plaintext footers
+    could serve, but the ledger is authoritative and free)."""
+    from pyspark.sql.types import StructType
+
+    ledger = entry.get("schemas", {})
+    cols: dict = {}
+    for seg in segs:
+        for c, t in ledger.get(seg, {}).items():
+            cols.setdefault(c, t)
+    if not cols:
+        raise ValueError(
+            f"version {entry.get('version')} records no schema ledger; "
+            "a keyed read cannot be planned"
+        )
+    struct = StructType.fromDDL(
+        ", ".join(f"`{c}` {t}" for c, t in cols.items())
+    )
+    return struct, list(cols.items())
+
+
+def _read_files_keyed(
+    spark: SparkSession,
+    entry: dict,
+    files: list,
+    encryption_key: str,
+    with_pos: bool = False,
+    segs=None,
+) -> DataFrame:
+    """DISTRIBUTED keyed read of specific encrypted parquet files — the
+    DML-unlocking primitive (VERDICT r13 #1): one task per file opens it
+    with pyarrow decryption properties (AES-GCM at memory bandwidth
+    inside the Arrow stream; the reference threads keys through read
+    options the same way, ArgodbMapreduceInputFormat.java:295), appends
+    typed partition constants from the directory branch, NULL-backfills
+    ledger columns the file lacks (ADD-column evolution), and — under
+    ``with_pos`` — synthesizes Spark-format row identity: ``__fp`` =
+    ``"file:" + percent-encoded abs path`` (byte-identical to
+    ``_metadata.file_path``, so DV sidecars written by keyed DML join
+    exactly like native ones) and ``__ri`` = row index within the file.
+
+    Scale: the only driver work is the O(files) listing; file paths
+    ship as a DataFrame (never a closure); each ~128 MB file is one
+    task — the same granularity Spark's own file-source planning uses
+    on splittable-but-encrypted files."""
+    _check_key_fingerprint(entry, encryption_key)
+    struct, ledger_cols = _keyed_target_schema(entry, segs or entry["segments"])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    out_struct = StructType.fromDDL(
+        ", ".join(f"`{c}` {t}" for c, t in ledger_cols)
+        + (", `__fp` string, `__ri` bigint" if with_pos else "")
+    )
+    target = to_arrow_schema(out_struct)
+    dec_props_fn, _enc = _make_crypto(encryption_key)
+    rows = [(fp, json.dumps([list(p) for p in parts])) for fp, parts in files]
+    meta = spark.createDataFrame(rows, "p string, parts string").repartition(
+        max(1, len(rows))
+    )
+    _with_pos = bool(with_pos)
+
+    def run(batches):
+        # SELF-CONTAINED closure (vanilla-session executors cannot
+        # import this repo): decode-read-align per file.
+        import datetime as _dt
+        import json as _j
+        from urllib.parse import quote as _q
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        dec, _factory = dec_props_fn()
+
+        def _typed(raw, t):
+            if raw is None:
+                return None
+            t = (t or "string").lower()
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "date":
+                return _dt.date.fromisoformat(raw)
+            if t == "boolean":
+                return raw.lower() == "true"
+            return raw
+
+        n_data = len(target) - (2 if _with_pos else 0)
+        data_fields = [target.field(i) for i in range(n_data)]
+        for mb in batches:
+            for p, parts_s in zip(
+                mb.column("p").to_pylist(), mb.column("parts").to_pylist()
+            ):
+                parts = {c: (v, t) for c, v, t in _j.loads(parts_s)}
+                pf = _pq.ParquetFile(p, decryption_properties=dec)
+                fp_uri = "file:" + _q(p)
+                off = 0
+                for b in pf.iter_batches():
+                    n = b.num_rows
+                    if n == 0:
+                        continue
+                    names = list(b.schema.names)
+                    arrays = []
+                    for f in data_fields:
+                        if f.name in names:
+                            a = b.column(names.index(f.name))
+                            if a.type != f.type:
+                                a = a.cast(f.type, safe=False)
+                        elif f.name in parts:
+                            raw, t = parts[f.name]
+                            a = _pa.array(
+                                [_typed(raw, t)] * n, type=f.type
+                            )
+                        else:
+                            a = _pa.nulls(n, f.type)
+                        arrays.append(a)
+                    if _with_pos:
+                        arrays.append(_pa.array([fp_uri] * n, _pa.string()))
+                        arrays.append(
+                            _pa.array(_np.arange(off, off + n, dtype="int64"))
+                        )
+                    yield _pa.RecordBatch.from_arrays(arrays, schema=target)
+                    off += n
+
+    return meta.mapInArrow(run, out_struct)
+
+
+def _write_segment_keyed(df: DataFrame, staged: str, encryption_key: str) -> dict:
+    """DISTRIBUTED re-encrypting segment write for keyed DML rewrites
+    (compact/purge/UPDATE/MERGE on an encrypted table): each task
+    streams its Arrow batches into ONE parquet file written with fresh
+    AES-GCM data keys (plaintext footer — the same confidentiality
+    shape the pyds writer lands), yielding a one-row summary. Returns
+    ``{"num_files", "num_rows", "num_bytes"}`` harvested from the
+    summaries + driver-side file sizes — never from column metadata
+    (keyless column-chunk access on encrypted files hard-aborts the
+    process in parquet-cpp). Parallelism is the caller's partitioning:
+    size with repartition/coalesce exactly like the plaintext path."""
+    os.makedirs(staged, exist_ok=True)
+    _dec, enc_props_fn = _make_crypto(encryption_key)
+    dest = os.path.abspath(staged)
+
+    def run(batches):
+        import os as _o
+        import uuid as _u
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        writer, n, fp = None, 0, None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                fp = _o.path.join(dest, f"part-{_u.uuid4().hex}.parquet")
+                writer = _pq.ParquetWriter(
+                    fp, b.schema, encryption_properties=enc_props_fn(b.schema)
+                )
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array([fp], _pa.string()), _pa.array([n], _pa.int64())],
+                names=["path", "rows"],
+            )
+
+    # metadata-collect: one summary row per written file, O(files).
+    out = df.mapInArrow(run, "path string, rows long").collect()
+    return {
+        "num_files": len(out),
+        "num_rows": int(sum(r["rows"] for r in out)),
+        "bytes": int(sum(os.path.getsize(r["path"]) for r in out)),
+    }
+
+
+def _read_new_segment(
+    spark: SparkSession, path: str, entry: dict, seg: str,
+    encryption_key: str | None = None,
+) -> DataFrame:
     """One segment of ``entry`` read with its recorded layout: a
     Hive-partitioned segment reads with its own basePath so partition
     columns are recovered from directory names, then pinned to the
-    ledger's types; flat segments read plain."""
+    ledger's types; flat segments read plain. Encrypted versions read
+    keyed (r14) or fail loud."""
+    if entry.get("encrypted") and encryption_key:
+        return _read_files_keyed(
+            spark,
+            entry,
+            _keyed_seg_files(path, entry, [seg]),
+            encryption_key,
+            segs=[seg],
+        )
     _assert_not_encrypted(entry)
     seg_dir = os.path.join(path, seg)
     cols = entry.get("partition_by", {}).get(seg)
@@ -2245,7 +2641,10 @@ def _read_new_segment(spark: SparkSession, path: str, entry: dict, seg: str) -> 
     return _cast_partition_cols(df, cols, entry.get("schemas", {}).get(seg, {}))
 
 
-def _read_files_with_layout(spark: SparkSession, path: str, entry: dict, files) -> DataFrame:
+def _read_files_with_layout(
+    spark: SparkSession, path: str, entry: dict, files,
+    encryption_key: str | None = None,
+) -> DataFrame:
     """Read specific parquet FILES of a version with row identity
     (``__fp``/``__ri``) AND partition columns recovered — the
     change-feed delete leg's scan. Files are grouped by owning segment
@@ -2266,6 +2665,47 @@ def _read_files_with_layout(spark: SparkSession, path: str, entry: dict, files) 
         fp = "/" + fp.split(":", 1)[-1].lstrip("/") if ":" in fp else fp
         return _unq(fp)
 
+    if entry.get("encrypted") and encryption_key:
+        # Keyed file-precise scan (r14): decode the URIs, recover each
+        # file's partition branch from its owning segment's ledger, and
+        # read through the keyed pyarrow path — same position synthesis
+        # (__fp/__ri), so the DV join downstream is byte-exact.
+        abs_root = os.path.abspath(path)
+        parts_of = entry.get("partition_by", {})
+        ledger = entry.get("schemas", {})
+        listed = []
+        for fp in files:
+            lp = local(fp)
+            branch = ()
+            for seg in entry["segments"]:
+                seg_root = os.path.join(abs_root, seg)
+                if not lp.startswith(seg_root + os.sep):
+                    continue
+                cols = parts_of.get(seg)
+                if cols:
+                    pairs = {}
+                    rel = os.path.relpath(os.path.dirname(lp), seg_root)
+                    if rel != ".":
+                        for comp in rel.split(os.sep):
+                            if "=" in comp:
+                                c, v = comp.split("=", 1)
+                                v = _unq(v)
+                                pairs[c] = (
+                                    None
+                                    if v == "__HIVE_DEFAULT_PARTITION__"
+                                    else v
+                                )
+                    types = ledger.get(seg, {})
+                    branch = tuple(
+                        (c, pairs.get(c), types.get(c, "string"))
+                        for c in cols
+                    )
+                break
+            listed.append((lp, branch))
+        return _read_files_keyed(
+            spark, entry, listed, encryption_key, with_pos=True
+        )
+    _assert_not_encrypted(entry)
     parts = entry.get("partition_by", {})
     ledger = entry.get("schemas", {})
     # DV paths are absolute; the table path may be relative — compare
@@ -2413,6 +2853,7 @@ def compact(
     path: str,
     flatten: bool = False,
     target_file_mb: float = 128.0,
+    encryption_key: str | None = None,
 ) -> int:
     """OPTIMIZE-style segment compaction: rewrite the latest version's
     segments into one, publish it as a new version. Data is unchanged;
@@ -2455,11 +2896,22 @@ def compact(
         tuple(latest.get("partition_by", {}).get(s, ())) for s in latest["segments"]
     }
     keep_layout = () if flatten or len(layouts) != 1 else next(iter(layouts))
+    encrypted = bool(latest.get("encrypted"))
+    if encrypted and keep_layout:
+        raise ValueError(
+            "OPTIMIZE of a PARTITIONED encrypted version is not "
+            "supported (the re-encrypting writer lands flat segments); "
+            "pass flatten=True to deliberately rewrite flat"
+        )
     # Read THROUGH the snapshot reader so a pending deletion vector is
     # materialized: the compacted segment physically excludes deleted
     # rows and the new entry needs no DV — exactly how Delta OPTIMIZE
-    # absorbs DVs into rewritten files.
-    compacted = snapshot_read(spark, path, latest["version"])
+    # absorbs DVs into rewritten files. Encrypted versions read keyed
+    # (r14) and rewrite through the re-encrypting writer below; keyless
+    # access fails loud inside the scan planner.
+    compacted = snapshot_read(
+        spark, path, latest["version"], encryption_key=encryption_key
+    )
     # Column mapping: snapshot_read returned the LOGICAL view; bytes on
     # disk stay physical, so map back before writing. Retired (dropped)
     # columns were already projected out — compaction ages them away
@@ -2491,14 +2943,22 @@ def compact(
     # final-name dir is a crash orphan to a concurrent versioned_write
     # (which would rmtree it); _commit_entry publishes under the lock.
     staged = _stage_dir(path)
-    writer = compacted.write.mode("errorifexists")
-    if keep_layout:
-        writer = writer.partitionBy(*keep_layout)
-    writer.parquet(staged)
     schema = {f.name: f.dataType.simpleString() for f in compacted.schema.fields}
-    stats, seg_metrics = _segment_stats_and_metrics(staged)
-    if keep_layout:
-        stats.update(_partition_stats(staged, keep_layout, schema))
+    if encrypted:
+        # Re-ENCRYPTING rewrite (r14): fresh AES-GCM data keys per file,
+        # plaintext footer; stats and blooms are intentionally absent
+        # (plaintext min/max in the manifest would leak value ranges —
+        # the same trade every write path makes for encrypted segments).
+        seg_metrics = _write_segment_keyed(compacted, staged, encryption_key)
+        stats = {}
+    else:
+        writer = compacted.write.mode("errorifexists")
+        if keep_layout:
+            writer = writer.partitionBy(*keep_layout)
+        writer.parquet(staged)
+        stats, seg_metrics = _segment_stats_and_metrics(staged)
+        if keep_layout:
+            stats.update(_partition_stats(staged, keep_layout, schema))
     entry = {
         "version": version,
         "segments": [segment],
@@ -2508,18 +2968,21 @@ def compact(
         "data_change": False,
         # The rewritten segment gets fresh footer stats — compaction
         # must not silently turn off data skipping for the table.
-        "stats": {segment: stats},
+        "stats": {segment: stats} if stats else {},
         "metrics": seg_metrics,
         # One uniform rewritten segment: record its schema so later
         # appends keep type enforcement (an absent ledger would skip it).
         "schemas": {segment: schema},
     }
+    if encrypted:
+        _carry_encryption(entry, latest)
     if keep_layout:
         entry["partition_by"] = {segment: list(keep_layout)}
     # Rebuild blooms for whichever columns the table was tracking, so
-    # compaction keeps point-lookup skipping alive too.
+    # compaction keeps point-lookup skipping alive too (encrypted
+    # segments track none — the bloom would leak membership).
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
-    if bloom_cols:
+    if bloom_cols and not encrypted:
         entry["bloom"] = {segment: build_segment_bloom(spark, staged, bloom_cols)}
     # Compaction rewrote exactly the rows of the version it read: a
     # moved head (e.g. a concurrent DELETE) would be silently undone if
@@ -3000,8 +3463,7 @@ def rollback(path: str, to_version: int) -> int:
         # Restore the encryption marker too: a restored encrypted
         # version must keep every keyless-read gate armed (and keyed
         # pyds reads thread the key only when the head says encrypted).
-        if by_version[to_version].get("encrypted"):
-            entry["encrypted"] = True
+        _carry_encryption(entry, by_version[to_version])
         entry["ts"] = _now()
         entries.append(entry)
         _verify_lock(path, lock_token)
@@ -3635,7 +4097,12 @@ def _segment_no_nulls(seg_path: str, columns) -> bool:
     return True
 
 
-def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    encryption_key: str | None = None,
+) -> tuple[int, int]:
     """DELETE FROM <path> WHERE <predicates> as a deletion-vector commit.
 
     ``predicates`` use the same ``(column, op, literal)`` triples as
@@ -3693,7 +4160,8 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
         ledger = latest.get("schemas", {})
         known = {json.dumps(ledger[s], sort_keys=True) for s in kept if s in ledger}
         scan = _read_segment_dirs(
-            spark, path, kept, latest, evolved=len(known) > 1, with_pos=True
+            spark, path, kept, latest, evolved=len(known) > 1, with_pos=True,
+            encryption_key=encryption_key,
         )
         if latest.get("dv"):
             scan = _anti_join_dv(spark, path, latest["dv"], scan)
@@ -3811,6 +4279,9 @@ def delete_where(spark: SparkSession, path: str, predicates) -> tuple[int, int]:
         }
         if pb:
             entry["partition_by"] = pb
+    # The marker forks with the segment list: a keyed DELETE on an
+    # encrypted table must leave every keyless-read gate armed.
+    _carry_encryption(entry, latest)
     # The DV was computed against the version read above: OCC-gate the
     # commit so a concurrent append/delete cannot be half-tombstoned.
     _commit_entry(path, latest["version"], entry, renames=renames)
@@ -4011,6 +4482,7 @@ def delete_keys(
     keys: DataFrame,
     key_col: str,
     prune_cap: int = _DELETE_KEYS_PRUNE_CAP,
+    encryption_key: str | None = None,
 ) -> tuple[int, int]:
     """Set-based row DELETE — ``MERGE ... WHEN MATCHED THEN DELETE`` /
     the GDPR "erase these ids" shape — as a deletion-vector commit.
@@ -4079,7 +4551,8 @@ def delete_keys(
         ledger = latest.get("schemas", {})
         known = {json.dumps(ledger[s], sort_keys=True) for s in segs if s in ledger}
         scan = _read_segment_dirs(
-            spark, path, segs, latest, evolved=len(known) > 1, with_pos=True
+            spark, path, segs, latest, evolved=len(known) > 1, with_pos=True,
+            encryption_key=encryption_key,
         )
         if latest.get("dv"):
             scan = _anti_join_dv(spark, path, latest["dv"], scan)
@@ -4121,6 +4594,9 @@ def delete_keys(
         entry["bloom"] = dict(latest["bloom"])
     if latest.get("partition_by"):
         entry["partition_by"] = dict(latest["partition_by"])
+    # Keyed GDPR erase on an encrypted table: the DV commit keeps
+    # every keyless-read gate armed.
+    _carry_encryption(entry, latest)
     _commit_entry(path, latest["version"], entry, renames={dv_staged: dv_name})
     return version, n_total - n_prev
 
@@ -4852,7 +5328,8 @@ def snapshot_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synthesize_restore_legs(
-    spark: SparkSession, path: str, prev: dict, cur: dict
+    spark: SparkSession, path: str, prev: dict, cur: dict,
+    encryption_key: str | None = None,
 ) -> list[DataFrame]:
     """File-level change legs for an OVERWRITE / RESTORE (rollback)
     transition — the one transition class the feed raised on through
@@ -4885,6 +5362,7 @@ def _synthesize_restore_legs(
         df = _read_segment_dirs(
             spark, path, segs, entry, evolved=len(known) > 1,
             with_pos=bool(entry.get("dv")),
+            encryption_key=encryption_key,
         )
         if entry.get("dv"):
             df = _anti_join_dv(spark, path, entry["dv"], df).drop("__fp", "__ri")
@@ -4947,7 +5425,10 @@ def _synthesize_restore_legs(
             ]
             if not files:
                 continue
-            probe = _read_files_with_layout(spark, path, layout_entry, files)
+            probe = _read_files_with_layout(
+                spark, path, layout_entry, files,
+                encryption_key=encryption_key,
+            )
             cond = (probe["__fp"] == delta["file_path"]) & (
                 probe["__ri"] == delta["row_index"]
             )
@@ -4960,7 +5441,11 @@ def _synthesize_restore_legs(
 
 
 def change_feed(
-    spark: SparkSession, path: str, from_version: int, to_version: int
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    encryption_key: str | None = None,
 ) -> DataFrame:
     """Rows inserted/deleted between two versions, each tagged with a
     ``_change_type`` column — Delta's CHANGE DATA FEED re-expressed over
@@ -5043,7 +5528,8 @@ def change_feed(
                 )
             if dv_hits:
                 ins = _read_segment_dirs(
-                    spark, path, [seg], cur, evolved=False, with_pos=True
+                    spark, path, [seg], cur, evolved=False, with_pos=True,
+                    encryption_key=encryption_key,
                 )
                 ins = (
                     _anti_join_dv(spark, path, cur["dv"], ins)
@@ -5057,9 +5543,9 @@ def change_feed(
                 # spark.read.parquet would type-infer digit-like string
                 # values to int/date, diverging from flat reads of the
                 # same table).
-                ins = _read_new_segment(spark, path, cur, seg).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                ins = _read_new_segment(
+                    spark, path, cur, seg, encryption_key=encryption_key
+                ).withColumn("_change_type", F.lit("insert"))
             frames.append(ins)
         elif is_delete:
             # Retention DROP legs first (r12): segments the DELETE
@@ -5079,6 +5565,7 @@ def change_feed(
                 gone = _read_segment_dirs(
                     spark, path, dropped, prev, evolved=len(known) > 1,
                     with_pos=bool(prev.get("dv")),
+                    encryption_key=encryption_key,
                 )
                 if prev.get("dv"):
                     gone = _anti_join_dv(spark, path, prev["dv"], gone).drop(
@@ -5111,7 +5598,9 @@ def change_feed(
             # Layout-aware file scan (r11, closes the partitioned CDF
             # gap): files group by owning segment; partitioned groups
             # recover their partition columns via per-segment basePath.
-            probe = _read_files_with_layout(spark, path, cur, files)
+            probe = _read_files_with_layout(
+                spark, path, cur, files, encryption_key=encryption_key
+            )
             cond = (probe["__fp"] == delta["file_path"]) & (
                 probe["__ri"] == delta["row_index"]
             )
@@ -5145,7 +5634,11 @@ def change_feed(
             # shared-segment DV deltas positional delete/insert legs
             # (resurrection included), so a live CDC replica survives
             # the last maintenance action that used to kill it.
-            frames.extend(_synthesize_restore_legs(spark, path, prev, cur))
+            frames.extend(
+                _synthesize_restore_legs(
+                    spark, path, prev, cur, encryption_key=encryption_key
+                )
+            )
     # Column mapping: every leg above reads physical bytes (segments,
     # DV-probed files, CDC sidecars all store physical names); one
     # logical projection at the boundary keeps feed consumers in the
@@ -5153,7 +5646,9 @@ def change_feed(
     cmap = _column_map(path)
     if not frames:
         base = _read_new_segment(
-            spark, path, by_version[to_version], by_version[to_version]["segments"][0]
+            spark, path, by_version[to_version],
+            by_version[to_version]["segments"][0],
+            encryption_key=encryption_key,
         ).limit(0)
         return _to_logical_frame(base.withColumn("_change_type", F.lit("")), cmap)
     out = frames[0]
@@ -5166,7 +5661,8 @@ def change_feed(
 
 
 def change_feed_between_timestamps(
-    spark: SparkSession, path: str, ts0: float, ts1: float
+    spark: SparkSession, path: str, ts0: float, ts1: float,
+    encryption_key: str | None = None,
 ) -> DataFrame:
     """Delta's ``startingTimestamp``/``endingTimestamp`` CDF form: the
     changes of every version committed INSIDE ``[ts0, ts1]`` — like
@@ -5189,7 +5685,9 @@ def change_feed_between_timestamps(
         )
     v_start, v_end = min(eligible), max(eligible)
     if v_start > entries[0]["version"]:
-        return change_feed(spark, path, v_start - 1, v_end)
+        return change_feed(
+            spark, path, v_start - 1, v_end, encryption_key=encryption_key
+        )
     # Window includes the first commit: its rows are the initial
     # insert set; later versions feed normally. The base entry may be
     # a post-vacuum oldest-retained version that CARRIES a deletion
@@ -5203,14 +5701,17 @@ def change_feed_between_timestamps(
                 f"v{base['version']} is an empty-table commit with no "
                 "segments; its initial snapshot has no derivable schema"
             )
-        return change_feed(spark, path, v_start, v_end)
-    ins = snapshot_read(spark, path, version=base["version"]).withColumn(
-        "_change_type", F.lit("insert")
-    )
+        return change_feed(
+            spark, path, v_start, v_end, encryption_key=encryption_key
+        )
+    ins = snapshot_read(
+        spark, path, version=base["version"], encryption_key=encryption_key
+    ).withColumn("_change_type", F.lit("insert"))
     if v_end == v_start:
         return ins
     return ins.unionByName(
-        change_feed(spark, path, v_start, v_end), allowMissingColumns=True
+        change_feed(spark, path, v_start, v_end, encryption_key=encryption_key),
+        allowMissingColumns=True,
     )
 
 
@@ -6913,8 +7414,7 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
     # class as the rollback finding): a clone of an encrypted version
     # must keep every keyless-read gate armed and keyed pyds reads
     # threading the key.
-    if e.get("encrypted"):
-        entry["encrypted"] = True
+    _carry_encryption(entry, e)
     os.makedirs(dst_path, exist_ok=True)
     if os.path.exists(os.path.join(dst_path, MANIFEST)):
         raise ValueError(f"clone target {dst_path} already has a manifest")
