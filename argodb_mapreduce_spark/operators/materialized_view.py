@@ -122,23 +122,17 @@ def _appended_segments_since(base_path: str, since_version: int) -> list[str] | 
 
 def _cdf_maintainable_since(base_path: str, since_version: int) -> bool:
     """True when every transition since ``since_version`` is
-    change-feed-expressible — since r13 that is EVERYTHING except an
-    UPDATE/MERGE that recorded no CDC sidecar: appends, DV deletes,
-    retention drops, ``data_change: false`` maintenance (zero legs),
-    and overwrite/RESTORE (file-level synthesized legs) all feed, and
-    a SUBTRACTABLE aggregate (COUNT/SUM) absorbs each as signed
-    partials. Mirrors the raise condition in
-    ``versioned.change_feed``."""
+    change-feed-expressible — since r14 that is EVERY manifest
+    transition: appends, DV deletes, retention drops, ``data_change:
+    false`` maintenance (zero legs), overwrite/RESTORE AND un-CDC
+    UPDATE/MERGE (file-level synthesized legs — unchanged rows in
+    rewritten segments arrive as net-zero signed pairs, so a
+    SUBTRACTABLE aggregate absorbs them exactly). The one remaining
+    recompute trigger mirrors change_feed's 'unknown versions' raise: a
+    vacuumed base has no feed span from the MV's version — the sound
+    path is the full recompute, never a crash."""
     entries = [e for e in _read_manifest(base_path) if e["version"] >= since_version]
-    if not entries or entries[0]["version"] != since_version:
-        # Mirrors change_feed's OTHER raise too ('unknown versions'): a
-        # vacuumed base has no feed span from the MV's version — the
-        # sound path is the full recompute, never a crash.
-        return False
-    return not any(
-        ("merged_from" in cur or "updated_where" in cur) and not cur.get("cdc")
-        for cur in entries[1:]
-    )
+    return bool(entries) and entries[0]["version"] == since_version
 
 
 def _merge_partials(stored: DataFrame, partial: DataFrame, group_cols, measures):

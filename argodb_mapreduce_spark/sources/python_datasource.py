@@ -2036,10 +2036,6 @@ def make_versioned_datasource():
                         or ((segs - prev) and entries[v].get("dv") != prev_dv)
                     )
                     and self._cdf
-                    # Key-presence, not truthiness: merged_from can be
-                    # version 0.
-                    and "merged_from" not in entries[v]
-                    and "updated_where" not in entries[v]
                 ):
                     # OVERWRITE / RESTORE under readChangeFeed (r13):
                     # synthesize file-level legs from the segment diff —
@@ -2052,9 +2048,14 @@ def make_versioned_datasource():
                     # segments on BOTH sides contribute only their DV
                     # delta — new tombstones as positional deletes,
                     # un-tombstoned positions (resurrection) as
-                    # positional inserts. UPDATE/MERGE without a CDC
-                    # sidecar still fails loud below: their row deltas
-                    # were never recorded.
+                    # positional inserts. As of r14 UPDATE/MERGE
+                    # committed WITHOUT a CDC sidecar synthesizes the
+                    # same legs from its rewritten-segment diff
+                    # (unchanged rows in rewritten files emit a net-zero
+                    # drop+add pair under keyed replay; updated rows
+                    # emit (-old, +new)) — the sidecar branch above
+                    # stays the O(changed rows) fast path when CDF was
+                    # enabled before the DML.
                     import glob as _glob3
 
                     prev_pos = self._dv_positions(prev_dv)
@@ -2126,16 +2127,12 @@ def make_versioned_datasource():
                     prev_entry = entries[v]
                     continue
                 if removed:
-                    hint = (
-                        " — an UPDATE/MERGE on a CDF-enabled table is "
-                        "streamable via option('readChangeFeed', 'true')"
-                        if entries[v].get("cdc")
-                        else ""
-                    )
                     raise ValueError(
                         f"non-append change at version {v} (segments removed: "
                         f"{sorted(removed)}); the versioned stream supports "
-                        f"append-only history{hint}"
+                        "append-only history — every transition (UPDATE/"
+                        "MERGE/DELETE/RESTORE) is streamable via "
+                        "option('readChangeFeed', 'true')"
                     )
                 if entries[v].get("dv") != prev_dv:
                     if self._cdf:

@@ -5466,11 +5466,13 @@ def change_feed(
     transitions synthesize FILE-LEVEL legs from the manifest's own
     segment diff (:func:`_synthesize_restore_legs`, r13) — Delta
     RESTORE's CDF granularity — so a live CDC replica survives a
-    ``RESTORE`` too. Only UPDATE/MERGE without CDF enabled still
-    raises: their row-level deltas were not recorded at write time and
-    are not expressible without a full diff (Delta places the same
-    restriction on non-CDC-enabled rewrites); use
-    :func:`snapshot_diff`.
+    ``RESTORE`` too. UPDATE/MERGE without CDF enabled synthesizes the
+    SAME file-level legs from its rewritten-segment diff (r14): a
+    coarser feed than the sidecar's row-level pre/postimages —
+    unchanged rows in rewritten segments emit a net-zero delete+insert
+    pair — but sound under keyed replay and signed aggregation, where
+    Delta still refuses the span outright. Every manifest transition
+    now feeds.
 
     At 100 TB: a day that appends 100 GB and tombstones 0.1% yields a
     change feed costing ~100 GB of reads, independent of table size —
@@ -5619,21 +5621,23 @@ def change_feed(
             frames.append(
                 spark.read.parquet(os.path.join(path, cur["cdc"]))
             )
-        elif "merged_from" in cur or "updated_where" in cur:
-            raise ValueError(
-                f"change feed undefined for v{prev['version']}->"
-                f"v{cur['version']} (UPDATE/MERGE without "
-                "enable_change_data_feed — row-level deltas were not "
-                "recorded at write time); enable CDF before the DML, "
-                "or use snapshot_diff for a full-table diff"
-            )
         else:
-            # OVERWRITE / RESTORE (r13): synthesize file-level legs
-            # instead of raising — removed segments' live rows become
-            # delete legs, added segments' live rows insert legs, and
-            # shared-segment DV deltas positional delete/insert legs
-            # (resurrection included), so a live CDC replica survives
-            # the last maintenance action that used to kill it.
+            # OVERWRITE / RESTORE (r13) and — r14, the last feed-killing
+            # transition class — UPDATE/MERGE committed WITHOUT a CDC
+            # sidecar: synthesize file-level legs instead of raising.
+            # Removed segments' live rows become delete legs, added
+            # segments' live rows insert legs, and shared-segment DV
+            # deltas positional delete/insert legs (resurrection
+            # included). For an un-CDC UPDATE this is the same
+            # file-granularity over-report as Delta RESTORE's CDF: an
+            # unchanged row in a rewritten segment emits a delete AND an
+            # identical insert (net zero under deletes-before-inserts
+            # replay by key; net zero in signed-partial aggregation),
+            # an updated row emits (-old, +new) — exactly the update's
+            # delta, recovered from the manifest alone, O(rewritten
+            # segments) instead of undefined. Delta itself still
+            # refuses this span; enabling CDF beforehand remains the
+            # O(changed rows) fast path via the sidecar branch above.
             frames.extend(
                 _synthesize_restore_legs(
                     spark, path, prev, cur, encryption_key=encryption_key
@@ -6348,6 +6352,79 @@ def snapshot_change_feed_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 3).alias("sum_price"),
         )
         .orderBy("change_type")
+    )
+
+
+@register(
+    "snapshot_change_feed_update_synth",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MAX(o_orderkey) // 4 AS BIGINT) + 1 AS w FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey FROM orders, b WHERE o_orderkey < b.w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delete,
+           CAST(COUNT(*) AS BIGINT) AS n_insert,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_delete_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_insert_key,
+           CAST(COUNT(*) AS BIGINT) AS n_marked_after,
+           CAST(1 AS BIGINT) AS segments_rewritten,
+           CAST(4 AS BIGINT) AS segments_total
+    FROM q
+    """,
+    tags=("source", "snapshot", "cdf", "update", "pruning"),
+    doc=(
+        "CHANGE FEED THROUGH AN UN-CDC UPDATE (r14, VERDICT r13 ask — "
+        "the last feed-killing transition class): an UPDATE committed "
+        "WITHOUT enable_change_data_feed now synthesizes file-level "
+        "legs from its rewritten-segment diff, Delta RESTORE's CDF "
+        "granularity, where Delta refuses the span outright. The "
+        "oracle pins BOTH the over-report contract (every live row of "
+        "the one rewritten segment appears as a delete leg AND an "
+        "insert leg — identical counts and key sums, net zero under "
+        "keyed replay) and the pruning bound (stats confined the "
+        "rewrite to 1 of 4 range-disjoint segments, so the feed reads "
+        "O(rewritten data), never the table); n_marked_after counts "
+        "postimage rows carrying the SET marker — exactly the "
+        "rewritten segment's row count."
+    ),
+)
+def snapshot_change_feed_update_synth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: leg cost is O(rewritten segments) — the same bound as the
+    UPDATE itself — recovered from the manifest alone; unchanged
+    segments are never read. Enabling CDF beforehand remains the
+    O(changed rows) sidecar fast path."""
+    out, w = _build_range_split_table(spark, sf_dir, "_cfus")
+    base_v = _read_manifest(out)[-1]["version"]
+    res = update_where(
+        spark,
+        out,
+        [("o_orderkey", "<", w)],
+        {"o_orderpriority": F.lit("X-SYN")},
+    )
+    feed = change_feed(spark, out, base_v, res["version"])
+    ct = F.col("_change_type")
+    return feed.agg(
+        F.sum((ct == "delete").cast("long")).alias("n_delete"),
+        F.sum((ct == "insert").cast("long")).alias("n_insert"),
+        F.sum(F.when(ct == "delete", F.col("o_orderkey")))
+        .cast("long")
+        .alias("sum_delete_key"),
+        F.sum(F.when(ct == "insert", F.col("o_orderkey")))
+        .cast("long")
+        .alias("sum_insert_key"),
+        F.sum(
+            (
+                (ct == "insert") & (F.col("o_orderpriority") == "X-SYN")
+            ).cast("long")
+        ).alias("n_marked_after"),
+        F.lit(res["segments_rewritten"]).cast("long").alias(
+            "segments_rewritten"
+        ),
+        F.lit(res["segments_total"]).cast("long").alias("segments_total"),
     )
 
 

@@ -70,12 +70,28 @@ def test_update_records_cdc_sidecar_and_feed_reads_it(spark, tmp_path):
     assert legs == {"update_preimage": (10, 450), "update_postimage": (10, 460)}
 
 
-def test_update_without_cdf_still_raises_in_feed(spark, tmp_path):
+def test_update_without_cdf_synthesizes_file_level_legs(spark, tmp_path):
+    """r14 (VERDICT r13 ask): an UPDATE with no CDC sidecar no longer
+    kills the feed — the rewritten-segment diff synthesizes file-level
+    delete+insert legs (Delta RESTORE's granularity). One segment of 60
+    rows rewritten: 60 deletes (pre-update rows) + 60 inserts
+    (post-update rows); signed aggregation nets to exactly the update's
+    delta."""
     p = _base(spark, tmp_path)
     update_where(spark, p, [("k", "<", 10)], {"v": F.col("v") + 1})
     assert "cdc" not in _read_manifest(p)[-1]
-    with pytest.raises(ValueError, match="change feed undefined"):
-        change_feed(spark, p, 0, 1).collect()
+    feed = change_feed(spark, p, 0, 1)
+    legs = {
+        r["_change_type"]: (r["n"], r["sv"])
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    pre_sum = sum(k * 10 for k in range(60))
+    assert legs["delete"] == (60, pre_sum)
+    assert legs["insert"] == (60, pre_sum + 10)  # 10 rows got v+1
+    # signed net == row-level delta
+    assert legs["insert"][1] - legs["delete"][1] == 10
 
 
 def test_merge_records_all_three_leg_types(spark, tmp_path):

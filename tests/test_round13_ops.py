@@ -102,11 +102,16 @@ def test_restore_past_overwrite_round_trips(spark, tmp_path):
     assert back == {"delete": (10, 1045), "insert": (60, sum(range(60)))}
 
 
-def test_update_merge_without_cdf_still_raise(spark, tmp_path):
+def test_update_merge_without_cdf_synthesize(spark, tmp_path):
+    """r14: un-CDC UPDATE/MERGE transitions synthesize file-level legs
+    (rewritten-segment diff) instead of raising — the last
+    feed-killing transition class is gone. The over-report nets to the
+    row-level delta under signed aggregation."""
     p = _base(spark, tmp_path)
     update_where(spark, p, [("k", "<", 10)], {"v": F.col("v") + 1})
-    with pytest.raises(ValueError, match="change feed undefined"):
-        change_feed(spark, p, 0, 1).collect()
+    legs = _legs(change_feed(spark, p, 0, 1))
+    assert legs["delete"] == (60, sum(range(60)))
+    assert legs["insert"] == (60, sum(range(60)))  # same keys, v changed
     p2 = _base(spark, tmp_path / "m")
     src = spark.range(55, 65).select(
         F.col("id").alias("k"),
@@ -114,8 +119,14 @@ def test_update_merge_without_cdf_still_raise(spark, tmp_path):
         F.lit(-1).cast("long").alias("v"),
     )
     merge_upsert(spark, p2, src, "k")
-    with pytest.raises(ValueError, match="change feed undefined"):
-        change_feed(spark, p2, 0, 1).collect()
+    legs2 = _legs(change_feed(spark, p2, 0, 1))
+    # 60 pre rows deleted at file level; 65 post rows inserted (5
+    # matched updates + 5 new keys + 55 carried)
+    assert legs2["delete"] == (60, sum(range(60)))
+    assert legs2["insert"] == (65, sum(range(65)))
+    # signed net == the MERGE's true delta: +5 rows, keys 60..64
+    assert legs2["insert"][0] - legs2["delete"][0] == 5
+    assert legs2["insert"][1] - legs2["delete"][1] == sum(range(60, 65))
 
 
 def test_restore_feed_on_partitioned_segments(spark, tmp_path):
@@ -238,15 +249,16 @@ def test_streaming_cdf_synthesizes_restore_legs(spark, tmp_path):
     assert cells[("insert", 3)] == (3, 303)  # re-added fresh segment
 
 
-def test_streaming_cdf_still_rejects_noncdc_update(spark, tmp_path):
-    """UPDATE/MERGE without a CDC sidecar must NOT silently fall into
-    file-level synthesis (it would over-report every carried-over row);
-    it keeps failing loud with the CDF hint."""
+def test_plain_tail_still_rejects_noncdc_update(spark, tmp_path):
+    """r14 made un-CDC UPDATE/MERGE streamable under readChangeFeed
+    (file-level synthesized legs — see test_round14_ops); a PLAIN
+    append tail still fails loud on the rewrite, since delete legs are
+    inexpressible without _change_type."""
     from pyspark.sql.streaming import StreamingQueryException
 
     p = _base(spark, tmp_path)
     update_where(spark, p, [("k", "<", 10)], {"v": F.col("v") + 1})
-    s = _stream_feed(spark, p, readChangeFeed="true")
+    s = _stream_feed(spark, p)
     q = (
         s.writeStream.format("memory")
         .queryName("t13_noncdc")

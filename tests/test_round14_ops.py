@@ -303,3 +303,74 @@ def test_clone_carries_key_fingerprint(spark, tmp_path):
     head = ml.head_entry(dst)
     assert head["encrypted"] and head["key_fp"] == key_fingerprint(KEY)
     assert snapshot_read(spark, dst, encryption_key=KEY).count() == 150
+
+
+# ---------------------------------------------------------------------------
+# Un-CDC UPDATE/MERGE feed synthesis (VERDICT r13 ask #4)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cdf_through_uncdc_update(spark, tmp_path):
+    """readChangeFeed over an UPDATE that recorded no CDC sidecar:
+    the rewritten-segment diff synthesizes drop legs (pre-update rows)
+    and add legs (post-update rows) — kinds map to delete/insert
+    _change_type — instead of killing the stream."""
+    from argodb_mapreduce_spark.sources.versioned import update_where
+
+    p = str(tmp_path / "t")
+    versioned_write(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="append",
+    )
+    update_where(spark, p, [("k", "<", 5)], {"v": F.col("v") + 1})
+    cells = _drain(
+        spark,
+        _stream_feed(spark, p, readChangeFeed="true"),
+        "t14_uncdc_update",
+    )
+    # v0: initial snapshot inserts; v1: 40 deletes + 40 inserts
+    assert cells[("insert", 0)] == (40, sum(range(40)))
+    assert cells[("delete", 1)] == (40, sum(range(40)))
+    assert cells[("insert", 1)] == (40, sum(range(40)))
+
+
+def test_mv_incremental_through_uncdc_update(spark, tmp_path):
+    """MV maintenance consumes the synthesized update legs as signed
+    partials — net-zero pairs for unchanged rows, (-old,+new) for
+    updated ones — instead of falling back to a full recompute."""
+    from argodb_mapreduce_spark.operators.materialized_view import (
+        mv_create,
+        mv_refresh,
+    )
+    from argodb_mapreduce_spark.sources.versioned import update_where
+
+    p = str(tmp_path / "t")
+    versioned_write(
+        spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ),
+        p,
+        mode="append",
+    )
+    mv = str(tmp_path / "mv")
+    mv_create(spark, p, mv, group_cols=["g"], sum_cols=["v"])
+    update_where(spark, p, [("k", "<", 6)], {"v": F.col("v") + 100})
+    info = mv_refresh(spark, mv)
+    assert info["mode"] == "incremental-cdf", info
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    want = {}
+    for k in range(60):
+        v = k * 10 + (100 if k < 6 else 0)
+        n, s = want.get(k % 3, (0, 0))
+        want[k % 3] = (n + 1, s + v)
+    assert got == want
