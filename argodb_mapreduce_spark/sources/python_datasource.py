@@ -3116,6 +3116,102 @@ def snapshot_encrypted_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "snapshot_encrypted_upsert",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {_sql_dsum('price', 3)} AS sum_price,
+           TRUE AS rewrite_keyless_unreadable,
+           TRUE AS key_fp_carried
+    FROM final
+    """,
+    tags=("source", "snapshot", "encryption", "merge", "dml"),
+    doc=(
+        "MERGE (UPSERT) ON AN ENCRYPTED TABLE (r14, completes the "
+        "encrypted DML trio next to the keyed GDPR erase and DELETE "
+        "WHERE): merge_upsert(..., encryption_key=) discovers touched "
+        "files through the keyed pyarrow scan (same O(matches) "
+        "metadata bound), rewrites them through the re-encrypting "
+        "Arrow writer (fresh AES-GCM data keys; no manifest "
+        "stats/blooms — no value-range leak), and the CHECK-constraint "
+        "gate validates the rewrite FRAME since staged encrypted bytes "
+        "cannot be re-read natively. Pinned: the rewritten segment is "
+        "keyless-unreadable, the key fingerprint survives the commit, "
+        "and the upserted state hash-matches DuckDB's CASE-rewrite of "
+        "the plaintext source."
+    ),
+)
+def snapshot_encrypted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical bounds to plaintext MERGE — touched-file
+    discovery is O(matches) driver metadata, the rewrite O(touched
+    segments) with cipher work at memory bandwidth; enableChangeDataFeed
+    is structurally refused (plaintext sidecar) and the feed
+    synthesizes keyed file-level legs instead."""
+    import glob as _g
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+    from argodb_mapreduce_spark.sources import manifest_log as _ml
+    from argodb_mapreduce_spark.sources.versioned import (
+        key_fingerprint,
+        merge_upsert,
+        snapshot_read,
+    )
+
+    register_datasource(spark)
+    key = _encrypted_demo_key()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_mrg"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    for m in (0, 1):
+        (
+            o.filter(F.col("o_orderkey") % 2 == m)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", key)
+            .mode("append")
+            .save(out)
+        )
+    src = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merge_upsert(spark, out, src, "o_orderkey", encryption_key=key)
+    head = _ml.head_entry(out)
+    f = sorted(
+        _g.glob(os.path.join(out, head["segments"][-1], "*.parquet"))
+    )[0]
+    keyless_unreadable = False
+    try:
+        _pq.ParquetFile(f).read()
+    except OSError:
+        keyless_unreadable = True
+    df = snapshot_read(spark, out, encryption_key=key)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        dsum("o_totalprice", 3).alias("sum_price"),
+        F.lit(keyless_unreadable).alias("rewrite_keyless_unreadable"),
+        F.lit(head.get("key_fp") == key_fingerprint(key)).alias(
+            "key_fp_carried"
+        ),
+    )
+
+
+@register(
     "pyds_partitioned_write",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -796,7 +796,23 @@ def enable_change_data_feed(path: str) -> None:
 
     Cost model (why it is opt-in, as in Delta): a CDF-enabled UPDATE
     pays one extra write of O(changed rows) — never O(table), and tiny
-    next to the copy-on-write rewrite it rides along with."""
+    next to the copy-on-write rewrite it rides along with.
+
+    Refused on ENCRYPTED tables (r14): the sidecar stores plaintext
+    pre/postimages of exactly the protected rows; their change feed is
+    served by keyed file-level leg synthesis instead."""
+    try:
+        head = _read_manifest(path)[-1]
+    except FileNotFoundError:
+        head = {}
+    if head.get("encrypted"):
+        raise ValueError(
+            "enableChangeDataFeed is refused on a parquet-modular-"
+            "encrypted table: cdc sidecars would store PLAINTEXT "
+            "pre/postimages of the protected rows; change_feed(..., "
+            "encryption_key=) already synthesizes keyed file-level "
+            "legs for every UPDATE/MERGE/DELETE/RESTORE transition"
+        )
     set_table_property(path, "enableChangeDataFeed", True)
 
 
@@ -1424,6 +1440,17 @@ def _check_constraints(spark: SparkSession, path: str, seg_path: str) -> None:
     with per-constraint violation counts. NULL expr results count as
     violations (CHECK must evaluate TRUE), matching the SQL standard's
     treatment in Delta invariants."""
+    _check_constraints_frame(spark, path, lambda: spark.read.parquet(seg_path))
+
+
+def _check_constraints_frame(spark: SparkSession, path: str, frame_fn) -> None:
+    """Constraint validation over a callable returning the PHYSICAL
+    frame to check. Keyed (encrypted) rewrites pass the rewrite frame
+    itself — staged encrypted bytes cannot be re-read natively, so the
+    check runs one extra evaluation of the plan BEFORE commit (a
+    non-deterministic SET expression is therefore checked on a
+    different sample than the written one; the plaintext path keeps
+    the exact read-back check)."""
     cons = _read_constraints(path)
     if not cons:
         return
@@ -1431,7 +1458,7 @@ def _check_constraints(spark: SparkSession, path: str, seg_path: str) -> None:
     # bytes carry PHYSICAL ones — lift the segment to the logical view
     # first, or a constraint added after a RENAME would fail every
     # subsequent write with an unresolved-column error.
-    seg = _to_logical_frame(spark.read.parquet(seg_path), _column_map(path))
+    seg = _to_logical_frame(frame_fn(), _column_map(path))
     failed = {}
     for name, expr in cons.items():
         n = seg.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
@@ -6513,7 +6540,11 @@ def snapshot_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, source: DataFrame, key_col: str
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    encryption_key: str | None = None,
 ) -> dict:
     """MERGE (upsert) ``source`` into the table's latest version,
     rewriting ONLY the segments that can contain a source key.
@@ -6567,7 +6598,18 @@ def merge_upsert(
     # its entries for rewritten files reference paths no scan plans, so
     # they are inert.
     dv_name = latest.get("dv")
-    tgt = _read_segment_dirs(spark, path, segs, latest, evolved=False, with_pos=True)
+    encrypted = bool(latest.get("encrypted"))
+    if encrypted and _cdf_enabled(path):
+        raise ValueError(
+            "MERGE with enable_change_data_feed on an ENCRYPTED table "
+            "would write a plaintext cdc sidecar (pre/postimages of the "
+            "protected rows); drop the property — the change feed "
+            "synthesizes keyed file-level legs for un-CDC MERGEs"
+        )
+    tgt = _read_segment_dirs(
+        spark, path, segs, latest, evolved=False, with_pos=True,
+        encryption_key=encryption_key,
+    )
     if dv_name:
         tgt = _anti_join_dv(spark, path, dv_name, tgt)
     keys = source.select(key_col).distinct()
@@ -6626,6 +6668,7 @@ def merge_upsert(
         kept_scan = _read_segment_dirs(
             spark, path, touched, latest, evolved=len(known) > 1,
             with_pos=bool(dv_name),
+            encryption_key=encryption_key,
         )
         if dv_name:
             kept_scan = _anti_join_dv(spark, path, dv_name, kept_scan).drop(
@@ -6687,8 +6730,15 @@ def merge_upsert(
     # orphan to a concurrent versioned_write).
     staged = _stage_dir(path)
     try:
-        rewrite.write.mode("errorifexists").parquet(staged)
-        _check_constraints(spark, path, staged)
+        if encrypted:
+            # Keyed rewrite (r14): constraints check the frame (staged
+            # encrypted bytes cannot be re-read natively), then the
+            # re-encrypting Arrow writer lands fresh AES-GCM data keys.
+            _check_constraints_frame(spark, path, lambda: rewrite)
+            _write_segment_keyed(rewrite, staged, encryption_key)
+        else:
+            rewrite.write.mode("errorifexists").parquet(staged)
+            _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
 
@@ -6697,7 +6747,10 @@ def merge_upsert(
             shutil.rmtree(d, ignore_errors=True)
         raise
     stats = {s: v for s, v in latest.get("stats", {}).items() if s in untouched}
-    stats[new_seg] = collect_segment_stats(staged)
+    if not encrypted:
+        # Encrypted segments record no stats/blooms: plaintext min/max
+        # in the manifest would leak the protected value ranges.
+        stats[new_seg] = collect_segment_stats(staged)
     entry = {
         "version": version,
         "segments": [*untouched, new_seg],
@@ -6722,14 +6775,17 @@ def merge_upsert(
     if dv_name and untouched:
         entry["dv"] = dv_name
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
-    if bloom_cols:
+    if bloom_cols and not encrypted:
         entry["bloom"] = {
             s: v for s, v in latest.get("bloom", {}).items() if s in untouched
         }
         entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
+    # metadata.num_rows is a plaintext-footer field — keyless-safe even
+    # on encrypted files (never descends to column-chunk metadata).
     n_upserted = _dir_num_rows(staged)
     if cdc_name:
         entry["cdc"] = cdc_name
+    _carry_encryption(entry, latest)
     # The rewrite derives from the version read above — OCC-gate it.
     _commit_entry(path, latest["version"], entry, renames={**renames, staged: new_seg})
     return {
@@ -7017,7 +7073,13 @@ def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    set_exprs,
+    encryption_key: str | None = None,
+) -> dict:
     """``UPDATE <path> SET ... WHERE <predicates>`` as a copy-on-write
     commit, completing the DML trio next to :func:`delete_where` (DV
     merge-on-read) and :func:`merge_upsert` (keyed COW MERGE).
@@ -7083,9 +7145,18 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
         for s in touched
         if s in schemas_ledger
     }
+    encrypted = bool(latest.get("encrypted"))
+    if encrypted and _cdf_enabled(path):
+        raise ValueError(
+            "UPDATE with enable_change_data_feed on an ENCRYPTED table "
+            "would write a plaintext cdc sidecar (pre/postimages of the "
+            "protected rows); drop the property — the change feed "
+            "synthesizes keyed file-level legs for un-CDC UPDATEs"
+        )
     scan = _read_segment_dirs(
         spark, path, touched, latest, evolved=len(known) > 1,
         with_pos=bool(dv_name),
+        encryption_key=encryption_key,
     )
     if dv_name:
         # Tombstoned rows must neither be counted as updated nor
@@ -7202,8 +7273,15 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     rewrite = _to_physical_frame(rewrite, cmap)
     staged = _stage_dir(path)
     try:
-        rewrite.write.mode("errorifexists").parquet(staged)
-        _check_constraints(spark, path, staged)
+        if encrypted:
+            # Keyed rewrite (r14): constraints check the frame (staged
+            # encrypted bytes cannot be re-read natively), then the
+            # re-encrypting Arrow writer lands fresh AES-GCM data keys.
+            _check_constraints_frame(spark, path, lambda: rewrite)
+            _write_segment_keyed(rewrite, staged, encryption_key)
+        else:
+            rewrite.write.mode("errorifexists").parquet(staged)
+            _check_constraints(spark, path, staged)
     except BaseException:
         import shutil
 
@@ -7212,7 +7290,10 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
             shutil.rmtree(d, ignore_errors=True)
         raise
     stats = {s: v for s, v in seg_stats.items() if s in untouched}
-    stats[new_seg] = collect_segment_stats(staged)
+    if not encrypted:
+        # Encrypted segments record no stats/blooms: plaintext min/max
+        # in the manifest would leak the protected value ranges.
+        stats[new_seg] = collect_segment_stats(staged)
     entry = {
         "version": version,
         "segments": [*untouched, new_seg],
@@ -7239,9 +7320,10 @@ def update_where(spark: SparkSession, path: str, predicates, set_exprs) -> dict:
     if cdc_name:
         entry["cdc"] = cdc_name
     bloom_cols = sorted({c for b in latest.get("bloom", {}).values() for c in b})
-    if bloom_cols:
+    if bloom_cols and not encrypted:
         entry["bloom"] = {s: v for s, v in latest.get("bloom", {}).items() if s in untouched}
         entry["bloom"][new_seg] = build_segment_bloom(spark, staged, bloom_cols)
+    _carry_encryption(entry, latest)
     _commit_entry(path, latest["version"], entry, renames={**renames, staged: new_seg})
     return {
         "version": version,

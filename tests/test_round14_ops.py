@@ -374,3 +374,68 @@ def test_mv_incremental_through_uncdc_update(spark, tmp_path):
         n, s = want.get(k % 3, (0, 0))
         want[k % 3] = (n + 1, s + v)
     assert got == want
+
+
+def test_update_where_on_encrypted_table(spark, tmp_path):
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import (
+        key_fingerprint,
+        update_where,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    res = update_where(
+        spark, p, [("k", "<", 10)], {"grp": F.lit(99).cast("bigint")},
+        encryption_key=KEY,
+    )
+    assert res["rows_updated"] == 10
+    df = snapshot_read(spark, p, encryption_key=KEY)
+    assert df.filter(F.col("grp") == 99).count() == 10
+    assert df.count() == 150
+    head = ml.head_entry(p)
+    assert head["encrypted"] and head["key_fp"] == key_fingerprint(KEY)
+    assert not head.get("stats"), "encrypted rewrite must record no stats"
+    # keyed feed through the un-CDC UPDATE: file-level legs
+    feed = change_feed(spark, p, 1, head["version"], encryption_key=KEY)
+    legs = {
+        r["_change_type"]: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert legs["delete"] == 150 and legs["insert"] == 150
+
+
+def test_merge_upsert_on_encrypted_table(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import merge_upsert
+
+    p = _encrypted_table(spark, tmp_path)
+    src = spark.range(140, 170).select(
+        F.col("id").alias("k"),
+        F.lit(7).cast("bigint").alias("grp"),
+        F.lit("merged").alias("s"),
+    )
+    res = merge_upsert(spark, p, src, "k", encryption_key=KEY)
+    assert res["rows_upserted"] > 0
+    df = snapshot_read(spark, p, encryption_key=KEY)
+    assert df.count() == 170  # 150 + 20 new keys (150..169)
+    assert df.filter(F.col("s") == "merged").count() == 30
+    head = ml.head_entry(p)
+    assert head["encrypted"]
+    # rewritten segment stays keyless-unreadable
+    f = sorted(
+        glob.glob(os.path.join(p, head["segments"][-1], "*.parquet"))
+    )[0]
+    with pytest.raises(OSError):
+        pq.ParquetFile(f).read()
+
+
+def test_cdf_property_refused_on_encrypted_table(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        enable_change_data_feed,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="PLAINTEXT"):
+        enable_change_data_feed(p)
