@@ -67,75 +67,74 @@ _QUERY_MODULES = (
     "argodb_mapreduce_spark.operators.materialized_view",
 )
 
-#: ROUND-13 DRIVER WINDOW. The driver checks the first 50 entries of
+#: ROUND-14 DRIVER WINDOW. The driver checks the first 50 entries of
 #: ``queries()`` in dict order. Standing policy (see COVERAGE.md): the
 #: window leads with (a) queries whose code CHANGED or is NEW this
 #: round — they must (re-)earn their green rows — then (b) staleness
-#: rotation, oldest banked evidence first. Round 13 taught the change
-#: feed (batch + streaming) to synthesize legs across RESTORE/overwrite,
-#: distributed delete_keys' over-cap pruning, gave the pyds writer the
-#: columnMapping feature, reworked stream_cdc_replicate (presence pass,
-#: dels-first replay, mid-history RESTORE), and touched delete_where/
-#: compact per ADVICE — hence 19 changed-code slots; the rotation takes
-#: ALL 13 remaining r05-tier rows (VERDICT r12 #2: every row's freshest
-#: driver evidence becomes >= r06) plus the 10 alphabetically-first r06
-#: rows. tests/test_round8_ops.py asserts len(_PRIORITY) == 50 so a
-#: silent 51st entry can never fall out of the window again (ADVICE r7).
+#: rotation, oldest banked evidence first. Round 14 completed the
+#: encrypted DML surface (keyed scans behind delete/update/merge/
+#: optimize/CDF + key fingerprints), made every manifest transition
+#: feed (un-CDC UPDATE/MERGE leg synthesis, batch + streaming + MV),
+#: landed manifest-pruned snapshot_diff, hardened the delete paths, and
+#: planted a deterministic near-dup pair — hence 28 new/changed slots;
+#: the rotation takes the 22 alphabetically-first r06-tier rows (13
+#: r06 rows remain for r15). tests/test_round8_ops.py asserts
+#: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
+#: the window again (ADVICE r7).
 _PRIORITY = (
-    # --- (a) new in round 13: first driver evidence ---
-    "snapshot_change_feed_through_restore",      # batch CDF across RESTORE
-    "stream_change_feed_through_restore_live",   # streaming twin
-    "snapshot_delete_keys_bigset",               # over-cap distributed prune
-    "pyds_write_after_rename",                   # writer columnMapping
-    "pyds_encrypted_roundtrip",                  # parquet modular encryption
-    "stream_encrypted_tail_live",                # keyed stream over encrypted
-    "mv_refresh_through_restore",                # MV maintained through RESTORE
-    "dedup_index_through_restore",               # index healed through RESTORE
-    # --- (a cont.) code changed in round 13: re-earn the rows ---
-    "stream_cdc_replicate",           # presence pass + dels-first + RESTORE
-    "snapshot_change_feed",           # synthesis branch in change_feed
-    "snapshot_change_feed_partitioned",
-    "snapshot_change_feed_between_ts",
-    "snapshot_change_feed_updates",
-    "stream_change_feed_live",        # streaming partitions() restructure
-    "stream_change_feed_updates_live",
-    "stream_change_feed_through_optimize",
-    "stream_versioned_ingest",
-    "stream_backlog_drain",
-    "snapshot_delete_keys",           # prune_cap parameter
-    "snapshot_delete_keys_pruned",    # range-quarter fixture (was ntile)
-    "snapshot_delete_where",          # absolute-root DV drop counting
-    "snapshot_retention_delete",
-    "snapshot_compaction",            # repartition fallback under want
+    # --- (a) new in round 14: first driver evidence ---
+    "snapshot_encrypted_gdpr_purge",     # keyed GDPR erase + re-encrypt purge
+    "snapshot_encrypted_change_feed",    # keyed batch CDF legs
+    "snapshot_encrypted_upsert",         # keyed MERGE rewrite
+    "snapshot_change_feed_update_synth", # un-CDC UPDATE leg synthesis
+    "snapshot_diff_pruned",              # manifest-level segment pruning
+    # --- (a cont.) code changed in round 14: re-earn the rows ---
+    "snapshot_diff",                  # routes through diff_keys
+    "similarity_embedding_neardup",   # planted deterministic near-dup pair
+    "snapshot_update_where",          # keyed path + stats guard
+    "snapshot_update_on_dv",
+    "snapshot_merge_pruned",          # keyed path + stats guard
+    "snapshot_compaction",            # re-encrypting rewrite branch
     "snapshot_gdpr_purge",
-    "pyds_versioned_write",           # writer mapping plumbing
-    "pyds_partitioned_write",
-    "snapshot_column_mapping",
-    # --- (b) staleness rotation: ALL 13 remaining r05-tier rows ---
-    "similarity_pq_adc_topk",
-    "similarity_pq_encode",
-    "sink_partition_scan_null",
-    "sink_partitioned_multilevel",
-    "sink_partitioned_roundtrip",
-    "sink_range_pruned_lookup",
-    "sink_range_roundtrip",
-    "stream_sliding_live",
-    "table_migration_fingerprint",
-    "text_bigram_lm_score",
-    "text_cooccurrence_lift",
-    "text_fingerprint_winnow",
-    "text_keyword_rake",
-    # --- (b cont.) the 10 alphabetically-first r06-tier rows ---
-    "agg_boolean",
-    "agg_median_manual",
-    "agg_mode",
-    "clean_winsorize",
-    "dedup_exact_rows",
-    "dedup_minhash_clusters",
-    "dedup_minhash_survivors",
-    "dedup_simhash",
-    "events_ab_welch_t",
-    "events_anomaly_mad",
+    "mv_incremental_refresh",         # _cdf_maintainable_since loosened
+    "mv_refresh_through_update",
+    "snapshot_change_feed",           # synthesis else-branch + key threading
+    "snapshot_change_feed_updates",   # enable_change_data_feed gate
+    "snapshot_change_feed_through_restore",    # re-added-segment DV masking
+    "stream_change_feed_through_restore_live", # streaming twin of the mask
+    "stream_change_feed_live",        # planner conditions loosened
+    "stream_cdc_replicate",           # replays synthesized update legs
+    "pyds_encrypted_roundtrip",       # key_fp recorded + plan-time check
+    "stream_encrypted_tail_live",
+    "pyds_versioned_write",           # _publish fingerprint block
+    "snapshot_delete_keys_bigset",    # slimmed bloom-probe closure
+    "snapshot_delete_keys",
+    "snapshot_delete_keys_pruned",
+    "snapshot_delete_where",          # try_url_decode fallback
+    "snapshot_retention_delete",
+    # --- (b) staleness rotation: 22 alphabetically-first r06 rows ---
+    "events_cusum_changepoint",
+    "events_dau_wau_stickiness",
+    "events_funnel",
+    "events_funnel_windowed",
+    "join_temporal_scd2",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "multimodal_ingest",
+    "orders_interarrival_stats",
+    "orders_ols_trend",
+    "orders_open_backlog",
+    "orders_seasonality_dow",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q7_nation_volume",
+    "scan_schema_evolution",
+    "similarity_cosine_topk",
+    "sink_merge_with_deletes",
+    "stream_quality_gate_live",
+    "stream_session_live",
 )
 
 

@@ -2168,6 +2168,14 @@ def snapshot_read(
         df = _read_segment_dirs(
             spark, path, names, entry, evolved, with_pos=bool(dv_name),
             encryption_key=encryption_key,
+            # Keyed reads restore data skipping BELOW the manifest: the
+            # manifest has no stats for encrypted segments (by design),
+            # but per-row-group statistics are encrypted with the data,
+            # so the keyed scan consults them and skips non-overlapping
+            # row groups — same pruned-superset contract as
+            # prune_segments. Plaintext reads ignore this (Spark's own
+            # parquet filter pushdown covers them).
+            predicates=predicates,
         )
         if dv_name:
             df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
@@ -2177,6 +2185,7 @@ def snapshot_read(
 def _read_segment_dirs(
     spark: SparkSession, path: str, segs, entry: dict, evolved: bool,
     with_pos: bool = False, encryption_key: str | None = None,
+    predicates=(),
 ) -> DataFrame:
     """One DataFrame over a version's segment directories.
 
@@ -2208,6 +2217,7 @@ def _read_segment_dirs(
             encryption_key,
             with_pos=with_pos,
             segs=segs,
+            predicates=predicates,
         )
     _assert_not_encrypted(entry)
 
@@ -2492,6 +2502,7 @@ def _read_files_keyed(
     encryption_key: str,
     with_pos: bool = False,
     segs=None,
+    predicates=(),
 ) -> DataFrame:
     """DISTRIBUTED keyed read of specific encrypted parquet files — the
     DML-unlocking primitive (VERDICT r13 #1): one task per file opens it
@@ -2525,6 +2536,7 @@ def _read_files_keyed(
         max(1, len(rows))
     )
     _with_pos = bool(with_pos)
+    _preds = [tuple(p) for p in predicates]
 
     def run(batches):
         # SELF-CONTAINED closure (vanilla-session executors cannot
@@ -2553,6 +2565,48 @@ def _read_files_keyed(
                 return raw.lower() == "true"
             return raw
 
+        def _coerce(lit, sample):
+            # Align the literal's type with the statistic's so the
+            # comparison is meaningful; mismatches keep the group.
+            if isinstance(sample, (int, float)) and isinstance(
+                lit, (int, float)
+            ):
+                return float(lit) if isinstance(sample, float) else lit
+            if isinstance(sample, _dt.date) and isinstance(lit, str):
+                return _dt.date.fromisoformat(lit)
+            return lit
+
+        def _rg_keep(md, rg, name_to_idx):
+            """ROW-GROUP SKIPPING WITH THE KEY (r14): per-row-group
+            column statistics are encrypted alongside the data, so a
+            keyed reader CAN consult them — restoring the data skipping
+            the manifest gives up on encrypted tables (no plaintext
+            stats there, by design). Conservative: any missing stat,
+            unknown column, or comparison error keeps the group."""
+            for col, op, lit in _preds:
+                i = name_to_idx.get(col)
+                if i is None:
+                    continue
+                try:
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    lit_c = _coerce(lit, mn)
+                    if op == "=" and not (mn <= lit_c <= mx):
+                        return False
+                    if op == "<" and not (mn < lit_c):
+                        return False
+                    if op == "<=" and not (mn <= lit_c):
+                        return False
+                    if op == ">" and not (mx > lit_c):
+                        return False
+                    if op == ">=" and not (mx >= lit_c):
+                        return False
+                except (TypeError, ValueError):
+                    continue
+            return True
+
         n_data = len(target) - (2 if _with_pos else 0)
         data_fields = [target.field(i) for i in range(n_data)]
         for mb in batches:
@@ -2562,33 +2616,58 @@ def _read_files_keyed(
                 parts = {c: (v, t) for c, v, t in _j.loads(parts_s)}
                 pf = _pq.ParquetFile(p, decryption_properties=dec)
                 fp_uri = "file:" + _q(p)
-                off = 0
-                for b in pf.iter_batches():
-                    n = b.num_rows
-                    if n == 0:
-                        continue
-                    names = list(b.schema.names)
-                    arrays = []
-                    for f in data_fields:
-                        if f.name in names:
-                            a = b.column(names.index(f.name))
-                            if a.type != f.type:
-                                a = a.cast(f.type, safe=False)
-                        elif f.name in parts:
-                            raw, t = parts[f.name]
-                            a = _pa.array(
-                                [_typed(raw, t)] * n, type=f.type
+                md = pf.metadata
+                starts = [0] * md.num_row_groups
+                for rg in range(1, md.num_row_groups):
+                    starts[rg] = (
+                        starts[rg - 1] + md.row_group(rg - 1).num_rows
+                    )
+                if _preds:
+                    name_to_idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    selected = [
+                        rg
+                        for rg in range(md.num_row_groups)
+                        if _rg_keep(md, rg, name_to_idx)
+                    ]
+                else:
+                    selected = list(range(md.num_row_groups))
+                for rg in selected:
+                    off = starts[rg]
+                    for b in pf.iter_batches(row_groups=[rg]):
+                        n = b.num_rows
+                        if n == 0:
+                            continue
+                        names = list(b.schema.names)
+                        arrays = []
+                        for f in data_fields:
+                            if f.name in names:
+                                a = b.column(names.index(f.name))
+                                if a.type != f.type:
+                                    a = a.cast(f.type, safe=False)
+                            elif f.name in parts:
+                                raw, t = parts[f.name]
+                                a = _pa.array(
+                                    [_typed(raw, t)] * n, type=f.type
+                                )
+                            else:
+                                a = _pa.nulls(n, f.type)
+                            arrays.append(a)
+                        if _with_pos:
+                            arrays.append(
+                                _pa.array([fp_uri] * n, _pa.string())
                             )
-                        else:
-                            a = _pa.nulls(n, f.type)
-                        arrays.append(a)
-                    if _with_pos:
-                        arrays.append(_pa.array([fp_uri] * n, _pa.string()))
-                        arrays.append(
-                            _pa.array(_np.arange(off, off + n, dtype="int64"))
+                            arrays.append(
+                                _pa.array(
+                                    _np.arange(off, off + n, dtype="int64")
+                                )
+                            )
+                        yield _pa.RecordBatch.from_arrays(
+                            arrays, schema=target
                         )
-                    yield _pa.RecordBatch.from_arrays(arrays, schema=target)
-                    off += n
+                        off += n
 
     return meta.mapInArrow(run, out_struct)
 
@@ -3073,6 +3152,7 @@ def diff_keys(
     key_col: str,
     from_version: int,
     to_version: int,
+    encryption_key: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Key-level snapshot diff with MANIFEST-LEVEL SEGMENT PRUNING
     (VERDICT r13 #6): segments present in BOTH versions with identical
@@ -3146,6 +3226,7 @@ def diff_keys(
         df = _read_segment_dirs(
             spark, path, segs, entry, evolved=len(known) > 1,
             with_pos=bool(entry.get("dv")),
+            encryption_key=encryption_key,
         )
         if entry.get("dv"):
             df = _anti_join_dv(spark, path, entry["dv"], df).drop(
@@ -4189,6 +4270,10 @@ def delete_where(
         scan = _read_segment_dirs(
             spark, path, kept, latest, evolved=len(known) > 1, with_pos=True,
             encryption_key=encryption_key,
+            # Keyed DELETEs row-group-prune on the encrypted stats (the
+            # manifest carries none); _apply_predicates below does the
+            # exact row-level match on the pruned superset.
+            predicates=predicates,
         )
         if latest.get("dv"):
             scan = _anti_join_dv(spark, path, latest["dv"], scan)

@@ -244,6 +244,14 @@ HEADLINE = [
     "stream_encrypted_tail_live",
     "mv_refresh_through_restore",
     "dedup_index_through_restore",
+    # round-14 additions: the encrypted DML surface (keyed GDPR erase +
+    # re-encrypting purge, keyed MERGE, keyed batch CDF), un-CDC UPDATE
+    # feed synthesis, and the manifest-pruned key diff
+    "snapshot_encrypted_gdpr_purge",
+    "snapshot_encrypted_change_feed",
+    "snapshot_encrypted_upsert",
+    "snapshot_change_feed_update_synth",
+    "snapshot_diff_pruned",
 ]
 
 

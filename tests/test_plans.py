@@ -112,15 +112,18 @@ def test_no_collect_in_operators():
     # and exactly how Delta computes its touched-file sets; data rows
     # must still never be collected.
     assert not offenders, f"driver-side materialization found: {offenders}"
-    # r13 audit (9): bloom words O(m/64); delete_keys prune key sample
-    # O(cap, limit-bounded); the r13 DISTRIBUTED over-cap prune's
-    # surviving segment names O(segments); pruned-delete query's own
-    # O(K) key set; the restore-synthesis DV-delta file list O(changed
-    # files); two more changed-file lists O(files); MERGE touched-file
-    # discovery O(files); CDC replicator's (version, leg-type) presence
-    # counts O(versions × 3 per micro-batch). All bounded metadata,
-    # never data rows.
-    assert len(tagged) <= 9, f"metadata-collect tag creep — audit: {tagged}"
+    # r14 audit (12): the r13 nine — bloom words O(m/64); delete_keys
+    # prune key sample O(cap, limit-bounded); the DISTRIBUTED over-cap
+    # prune's surviving segment names O(segments); pruned-delete
+    # query's own O(K) key set; the restore-synthesis DV-delta file
+    # list O(changed files); two more changed-file lists O(files);
+    # MERGE touched-file discovery O(files); CDC replicator's
+    # (version, leg-type) presence counts O(versions × 3 per
+    # micro-batch) — plus three r14 additions: diff_keys' DV-symmetric-
+    # difference file list O(changed files) and its prune-bound meta,
+    # and the keyed re-encrypting writer's one-summary-row-per-file
+    # harvest O(files). All bounded metadata, never data rows.
+    assert len(tagged) <= 12, f"metadata-collect tag creep — audit: {tagged}"
 
 
 def test_decode_stub_raises():
