@@ -76,13 +76,16 @@ _QUERY_MODULES = (
 #: optimize/CDF + key fingerprints), made every manifest transition
 #: feed (un-CDC UPDATE/MERGE leg synthesis, batch + streaming + MV),
 #: landed manifest-pruned snapshot_diff, hardened the delete paths, and
-#: planted a deterministic near-dup pair — hence 28 new/changed slots;
-#: the rotation takes the 22 alphabetically-first r06-tier rows (13
-#: r06 rows remain for r15). tests/test_round8_ops.py asserts
+#: planted a deterministic near-dup pair, and added O(1) master-key
+#: rotation — hence 29 new/changed slots; the rotation takes the 21
+#: alphabetically-first r06-tier rows (14 r06 rows remain for r15,
+#: including stream_session_live, judge-reverified strict in r13).
+#: tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 14: first driver evidence ---
+    "snapshot_encrypted_key_rotation",   # O(1) KEK re-wrap, zero rewrites
     "snapshot_encrypted_gdpr_purge",     # keyed GDPR erase + re-encrypt purge
     "snapshot_encrypted_change_feed",    # keyed batch CDF legs
     "snapshot_encrypted_upsert",         # keyed MERGE rewrite
@@ -134,7 +137,6 @@ _PRIORITY = (
     "similarity_cosine_topk",
     "sink_merge_with_deletes",
     "stream_quality_gate_live",
-    "stream_session_live",
 )
 
 

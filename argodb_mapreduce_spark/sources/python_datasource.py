@@ -266,12 +266,117 @@ def make_versioned_datasource():
             _b64.b64decode(master_b64), b"argodb-key-fingerprint", _hl.sha256
         ).hexdigest()[:16]
 
-    def _check_key_fp(meta, enc_key):
+    def _read_keys_json(path):
+        """The table's ``_keys.json`` rotation sidecar (r14), or None
+        for legacy direct-wrap tables. SELF-CONTAINED — wire-identical
+        to versioned._read_keys_sidecar."""
+        import json as _jn
+
+        p = _os.path.join(path, "_keys.json")
+        if not _os.path.exists(p):
+            return None
+        with open(p) as f:
+            return _jn.load(f)
+
+    def _kek_unwrap(master_b64, blob):
+        """Unwrap the table KEK with the master — the same HMAC
+        envelope the file-DEK KMS uses (key_id 'kek'); a wrong master
+        fails the tag check loudly."""
+        import base64 as _b64
+        import hashlib as _hl
+        import hmac as _hm
+
+        master = _b64.b64decode(master_b64)
+        raw = _b64.b64decode(blob)
+        nonce, ct, tag = raw[:16], raw[16:-16], raw[-16:]
+        want = _hm.new(master, b"tag|" + nonce + ct, _hl.sha256).digest()[:16]
+        if not _hm.compare_digest(tag, want):
+            raise ValueError(
+                "encryption key mismatch: the supplied encryptionKey "
+                "cannot unwrap this table's key-encryption key"
+            )
+        mask = _hm.new(
+            master, b"wrap|kek|" + nonce, _hl.sha256
+        ).digest()
+        return bytes(a ^ b for a, b in zip(ct, mask))
+
+    def _kek_wrap(master_b64, payload):
+        """Inverse of :func:`_kek_unwrap` — wire-identical to
+        versioned._hmac_wrap(master, 'kek', payload)."""
+        import base64 as _b64
+        import hashlib as _hl
+        import hmac as _hm
+        import os as _osr
+
+        master = _b64.b64decode(master_b64)
+        nonce = _osr.urandom(16)
+        mask = _hm.new(
+            master, b"wrap|kek|" + nonce, _hl.sha256
+        ).digest()
+        ct = bytes(a ^ b for a, b in zip(payload, mask))
+        tag = _hm.new(master, b"tag|" + nonce + ct, _hl.sha256).digest()[:16]
+        return _b64.b64encode(nonce + ct + tag).decode()
+
+    def _resolve_wrap_key(path, master_b64):
+        """Master key -> effective WRAP key (r14 rotation): with a key
+        sidecar, file DEKs are wrapped under a per-table KEK that the
+        master unwraps — so rotate_encryption_key re-wraps one 32-byte
+        secret and every historical file reads under the NEW master.
+        A rotated-out or unknown master fails here at plan time. Legacy
+        tables (no sidecar) keep the master as the wrap key."""
+        import base64 as _b64
+
+        sidecar = _read_keys_json(path)
+        if sidecar is None:
+            return master_b64
+        rec = (sidecar.get("keks") or {}).get(_key_fp_of(master_b64))
+        if rec is None:
+            raise ValueError(
+                "encryptionKey does not match any master key this "
+                "table's key sidecar knows (key-fingerprint lookup "
+                "failed)"
+            )
+        if rec.get("retired"):
+            raise ValueError(
+                "this master key was ROTATED OUT of the table; reads "
+                "and writes require the current master key"
+            )
+        return _b64.b64encode(_kek_unwrap(master_b64, rec["wrapped"])).decode()
+
+    def _check_key_fp(meta, enc_key, path=None):
         """Plan-time wrong-key rejection for READS: when the manifest
         recorded the master's fingerprint, a mismatched key fails here
         with a clear error instead of N tasks later at HMAC unwrap.
         Pre-fingerprint entries (no key_fp) skip — unwrap still fails
-        loud for them."""
+        loud for them. With a rotation sidecar (r14) the sidecar is the
+        authority: the supplied master must be known and un-retired,
+        and must share the KEK lineage (kek_id) of the version being
+        read — so pre-rotation versions read under the post-rotation
+        master, while a different-lineage key is still rejected."""
+        if path is not None:
+            sidecar = _read_keys_json(path)
+            if sidecar:
+                rec = (sidecar.get("keks") or {}).get(_key_fp_of(enc_key))
+                if rec is None:
+                    raise ValueError(
+                        "encryptionKey does not match any master key "
+                        "this table's key sidecar knows (key-"
+                        "fingerprint lookup failed)"
+                    )
+                if rec.get("retired"):
+                    raise ValueError(
+                        "this master key was ROTATED OUT of the table; "
+                        "reads require the current master key"
+                    )
+                efp = meta.get("key_fp") if meta else None
+                erec = (sidecar.get("keks") or {}).get(efp) if efp else None
+                if erec and erec.get("kek_id") != rec.get("kek_id"):
+                    raise ValueError(
+                        "encryptionKey belongs to a different key "
+                        "lineage than the one this version was "
+                        "encrypted under"
+                    )
+                return
         fp = meta.get("key_fp") if meta else None
         if fp and _key_fp_of(enc_key) != fp:
             raise ValueError(
@@ -979,6 +1084,8 @@ def make_versioned_datasource():
             new_mappings=(),
             mapping_snapshot=None,
             encryption_key=None,
+            wrap_key=None,
+            pending_kek=None,
         ):
             import uuid as _uuid
 
@@ -995,9 +1102,16 @@ def make_versioned_datasource():
             self.new_mappings = tuple(new_mappings)
             self.mapping_snapshot = dict(mapping_snapshot or {})
             # Parquet modular encryption (r13): base64 master key; each
-            # task builds PER-FILE encryption properties from it (fresh
-            # data keys per file — properties are never reused).
+            # task builds PER-FILE encryption properties from the WRAP
+            # key (fresh data keys per file — properties are never
+            # reused). With a rotation sidecar (r14) the wrap key is the
+            # table KEK, resolved or freshly minted at plan time; the
+            # master stays on encryption_key for fingerprint recording.
             self.encryption_key = encryption_key
+            self.wrap_key = wrap_key or encryption_key
+            # A KEK minted at plan time, published at commit under the
+            # table lock ({"fp", "wrapped", "kek_id"}).
+            self.pending_kek = pending_kek
             # Chosen on the driver so every task shares one staging dir.
             self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
 
@@ -1016,9 +1130,9 @@ def make_versioned_datasource():
                             batch.schema,
                             encryption_properties=(
                                 _encryption_properties(
-                                    self.encryption_key, batch.schema
+                                    self.wrap_key, batch.schema
                                 )
-                                if self.encryption_key
+                                if self.wrap_key
                                 else None
                             ),
                         )
@@ -1116,9 +1230,9 @@ def make_versioned_datasource():
                                 data.schema,
                                 encryption_properties=(
                                     _encryption_properties(
-                                        self.encryption_key, data.schema
+                                        self.wrap_key, data.schema
                                     )
-                                    if self.encryption_key
+                                    if self.wrap_key
                                     else None
                                 ),
                             )
@@ -1227,6 +1341,40 @@ def make_versioned_datasource():
             # rmtree below would otherwise destroy the successor's
             # freshly committed same-name segment.
             verify()
+            # KEK publish (r14 rotation): a key minted at plan time
+            # lands in the sidecar HERE, under the lock, in the same
+            # commit window as the manifest entry — an aborted job
+            # leaves no sidecar behind. A concurrent writer that
+            # published a DIFFERENT KEK for the same master between our
+            # plan and commit aborts this write (our staged files are
+            # wrapped under OUR kek; publishing the manifest entry
+            # anyway would commit files no sidecar-resolved key reads).
+            if self.pending_kek is not None:
+                import json as _jn2
+
+                keys_path = _os.path.join(self.path, "_keys.json")
+                sc = {"keks": {}, "current_fp": None, "rotations": 0}
+                if _os.path.exists(keys_path):
+                    with open(keys_path) as f:
+                        sc = _jn2.load(f)
+                have = sc["keks"].get(self.pending_kek["fp"])
+                if have is not None:
+                    if have.get("kek_id") != self.pending_kek["kek_id"]:
+                        raise RuntimeError(
+                            "concurrent writer published a different "
+                            "key-encryption key for this master between "
+                            "plan and commit; retry the write"
+                        )
+                else:
+                    sc["keks"][self.pending_kek["fp"]] = {
+                        "wrapped": self.pending_kek["wrapped"],
+                        "kek_id": self.pending_kek["kek_id"],
+                    }
+                sc["current_fp"] = self.pending_kek["fp"]
+                tmpk = keys_path + f".tmp-{_os.getpid()}"
+                with open(tmpk, "w") as f:
+                    _jn2.dump(sc, f)
+                _os.replace(tmpk, keys_path)
             # Column mapping OCC (r13): re-check the plan-time snapshot
             # under the lock and identity-extend for new columns — a
             # concurrent RENAME/DROP between plan and publish must
@@ -1528,9 +1676,13 @@ def make_versioned_datasource():
                     "encrypted; pass option('encryptionKey', <base64 "
                     "master key>) to read them"
                 )
+            wrap_key = None
             if self._enc_key:
                 _crypto(self._enc_key)  # fail loud on malformed keys at plan time
-                _check_key_fp(self._meta, self._enc_key)
+                _check_key_fp(self._meta, self._enc_key, self._path)
+                # Rotation-aware (r14): read tasks decrypt with the
+                # table KEK when a key sidecar exists.
+                wrap_key = _resolve_wrap_key(self._path, self._enc_key)
             # col_order/col_types engage the partition-append/reorder/
             # backfill path when this version has partitioned segments
             # OR divergent per-segment schemas (ADD-column evolution);
@@ -1555,7 +1707,7 @@ def make_versioned_datasource():
                 col_order,
                 col_types,
                 renames=self._meta.get("renames") or None,
-                encryption_key=self._enc_key if self._meta.get("encrypted") else None,
+                encryption_key=wrap_key if self._meta.get("encrypted") else None,
             )
 
         def writer(self, schema, overwrite):
@@ -1580,6 +1732,56 @@ def make_versioned_datasource():
             _check_encryption_transition(
                 head, enc_key, overwrite, self._path
             )
+            # Key sidecar resolution for the WRITE path (r14 rotation).
+            # Wrap target decided at PLAN time; a freshly minted KEK is
+            # published at COMMIT time under the table lock (an aborted
+            # job must not leave a sidecar that re-keys a table it
+            # never wrote). Rules: a sidecar that knows this master ->
+            # use its KEK; retired master -> refuse; no sidecar but an
+            # ENCRYPTED legacy head being appended -> keep master-direct
+            # wrapping (its existing files have no KEK); otherwise
+            # (fresh table, plaintext head, or overwrite) -> mint a KEK
+            # so the new lineage is rotatable from birth.
+            wrap_key, pending_kek = enc_key, None
+            if enc_key:
+                import base64 as _b64
+                import uuid as _uuid2
+
+                sidecar = _read_keys_json(self._path)
+                fp = _key_fp_of(enc_key)
+                rec = (sidecar or {}).get("keks", {}).get(fp)
+                if rec is not None:
+                    if rec.get("retired"):
+                        raise ValueError(
+                            "this master key was ROTATED OUT of the "
+                            "table; writes require the current master "
+                            "key"
+                        )
+                    wrap_key = _b64.b64encode(
+                        _kek_unwrap(enc_key, rec["wrapped"])
+                    ).decode()
+                elif sidecar is not None and not overwrite:
+                    raise ValueError(
+                        "encryptionKey does not match any master key "
+                        "this table's key sidecar knows (key-"
+                        "fingerprint lookup failed)"
+                    )
+                elif (
+                    head is not None
+                    and head.get("encrypted")
+                    and not overwrite
+                ):
+                    wrap_key = enc_key  # legacy direct-wrap lineage
+                else:
+                    import os as _osr
+
+                    kek = _osr.urandom(32)
+                    pending_kek = {
+                        "fp": fp,
+                        "wrapped": _kek_wrap(enc_key, kek),
+                        "kek_id": _uuid2.uuid4().hex[:16],
+                    }
+                    wrap_key = _b64.b64encode(kek).decode()
             _os.makedirs(self._path, exist_ok=True)
             # `partitionBy` write OPTION (df.write.partitionBy() does
             # not reach Python data sources): comma-separated columns,
@@ -1620,6 +1822,8 @@ def make_versioned_datasource():
                 new_mappings=new_logicals,
                 mapping_snapshot=snapshot,
                 encryption_key=enc_key,
+                wrap_key=wrap_key,
+                pending_kek=pending_kek,
             )
 
         def streamReader(self, schema):
@@ -1629,9 +1833,15 @@ def make_versioned_datasource():
                     "requires option('encryptionKey', <base64 master "
                     "key>) — the same key batch reads pass"
                 )
+            wrap_key = None
             if self._enc_key:
                 _crypto(self._enc_key)  # malformed keys fail at plan time
-                _check_key_fp(self._meta, self._enc_key)
+                _check_key_fp(self._meta, self._enc_key, self._path)
+                # Rotation-aware (r14): the stream decrypts with the
+                # table KEK; resolved once at plan (the KEK never
+                # changes across rotations, so a long-lived tail
+                # survives a mid-stream rotation).
+                wrap_key = _resolve_wrap_key(self._path, self._enc_key)
             ignore_deletes = str(
                 self.options.get("ignoreDeletes", "false")
             ).lower() in ("true", "1")
@@ -1728,7 +1938,7 @@ def make_versioned_datasource():
                 renames=self._meta.get("renames") or None,
                 mapping_active=bool(self._meta.get("mapping_active")),
                 encryption_key=(
-                    self._enc_key if self._meta.get("encrypted") else None
+                    wrap_key if self._meta.get("encrypted") else None
                 ),
             )
 
@@ -3208,6 +3418,132 @@ def snapshot_encrypted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(head.get("key_fp") == key_fingerprint(key)).alias(
             "key_fp_carried"
         ),
+    )
+
+
+@register(
+    "snapshot_encrypted_key_rotation",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST(2 AS BIGINT) AS rotations,
+           TRUE AS old_key_read_refused,
+           TRUE AS old_key_write_refused,
+           TRUE AS time_travel_under_new_key,
+           TRUE AS retired_wrap_scrubbed
+    FROM orders WHERE o_orderkey % 4 <> 1
+    """,
+    tags=("source", "snapshot", "encryption", "rotation", "metadata"),
+    doc=(
+        "MASTER-KEY ROTATION on an encrypted table (r14): file data "
+        "keys are wrapped under a per-table KEY-ENCRYPTION KEY "
+        "(envelope encryption), itself wrapped by the master in a "
+        "_keys.json sidecar — so rotating the master re-wraps ONE "
+        "32-byte secret and rewrites ZERO data files, the only "
+        "rotation shape that survives 100 TB. Pinned in the oracle "
+        "hash: two successive rotations are O(1) (files_rewritten = "
+        "0), retired masters are refused at PLAN time for reads AND "
+        "writes, historical versions time-travel under the newest "
+        "master (the KEK never changes), keyed DML crosses the "
+        "rotation boundary to reach pre-rotation files, and the "
+        "retired master's wrapped-KEK blob is SCRUBBED from the "
+        "sidecar — the old key can never again recover the KEK from "
+        "anything the table stores."
+    ),
+)
+def snapshot_encrypted_key_rotation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: rotation is a driver-side metadata commit under the table
+    lock — O(1) regardless of table size. Reads resolve master -> KEK
+    once at PLAN time (one sidecar lookup + one HMAC unwrap), so
+    per-task decrypt cost is unchanged; a long-lived streaming tail
+    survives a mid-stream rotation because the KEK it decrypts with
+    never changes."""
+    import base64
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_keys_sidecar,
+        delete_keys,
+        key_fingerprint,
+        rotate_encryption_key,
+        snapshot_read,
+    )
+
+    register_datasource(spark)
+    k1 = _encrypted_demo_key()
+    k2 = base64.b64encode(bytes(range(100, 132))).decode()
+    k3 = base64.b64encode(bytes(range(200, 232))).decode()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_rot"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    for m in (0, 1):  # two appends -> v0 (evens) + v1 (odds), one KEK
+        (
+            o.filter(F.col("o_orderkey") % 2 == m)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", k1)
+            .mode("append")
+            .save(out)
+        )
+    n_v0 = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    r1 = rotate_encryption_key(out, k1, k2)
+    old_read_refused = False
+    try:
+        snapshot_read(spark, out, encryption_key=k1)
+    except ValueError as e:
+        old_read_refused = "ROTATED OUT" in str(e)
+    old_write_refused = False
+    try:
+        (
+            o.limit(1)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", k1)
+            .mode("append")
+            .save(out)
+        )
+    except Exception as e:
+        old_write_refused = "fingerprint" in str(e) or "ROTATED" in str(e)
+    # keyed DML under the post-rotation master reaches PRE-rotation
+    # files (same KEK, new wrap)
+    erase = o.filter(F.col("o_orderkey") % 4 == 1).select("o_orderkey")
+    delete_keys(spark, out, erase, "o_orderkey", encryption_key=k2)
+    r2 = rotate_encryption_key(out, k2, k3)
+    tt_ok = (
+        snapshot_read(spark, out, version=0, encryption_key=k3).count()
+        == n_v0
+    )
+    sidecar = _read_keys_sidecar(out)
+    scrubbed = (
+        sidecar["current_fp"] == key_fingerprint(k3)
+        and all(
+            "wrapped" not in rec
+            for rec in sidecar["keks"].values()
+            if rec.get("retired")
+        )
+        and sum(1 for rec in sidecar["keks"].values() if rec.get("retired"))
+        == 2
+    )
+    df = snapshot_read(spark, out, encryption_key=k3)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.lit(r1["files_rewritten"] + r2["files_rewritten"])
+        .cast("long")
+        .alias("files_rewritten"),
+        F.lit(r2["rotations"]).cast("long").alias("rotations"),
+        F.lit(old_read_refused).alias("old_key_read_refused"),
+        F.lit(old_write_refused).alias("old_key_write_refused"),
+        F.lit(tt_ok).alias("time_travel_under_new_key"),
+        F.lit(scrubbed).alias("retired_wrap_scrubbed"),
     )
 
 

@@ -2218,6 +2218,7 @@ def _read_segment_dirs(
             with_pos=with_pos,
             segs=segs,
             predicates=predicates,
+            path=path,
         )
     _assert_not_encrypted(entry)
 
@@ -2417,12 +2418,229 @@ def _carry_encryption(entry: dict, src: dict) -> None:
             entry["key_fp"] = src["key_fp"]
 
 
-def _check_key_fingerprint(entry: dict, encryption_key: str) -> None:
+KEYS_SIDECAR = "_keys.json"
+
+
+def _hmac_wrap(master_b64: str, key_id: str, payload: bytes) -> str:
+    """Driver-side envelope wrap — BYTE-IDENTICAL wire format to the
+    executor KMS (``_make_crypto``/pyds ``_crypto``): ``mask =
+    HMAC-SHA256(master, 'wrap|'+key_id+'|'+nonce)``, ``ct = payload ^
+    mask``, 16-byte tag ``HMAC(master, 'tag|'+nonce+ct)``. Used for the
+    table KEK in the ``_keys.json`` sidecar, so key rotation re-wraps
+    ONE 32-byte secret instead of rewriting every file footer."""
+    import base64 as _b64
+    import hashlib as _hl
+    import hmac as _hm
+
+    master = _b64.b64decode(master_b64)
+    nonce = os.urandom(16)
+    mask = _hm.new(
+        master, b"wrap|" + key_id.encode() + b"|" + nonce, _hl.sha256
+    ).digest()
+    ct = bytes(a ^ b for a, b in zip(payload, mask))
+    tag = _hm.new(master, b"tag|" + nonce + ct, _hl.sha256).digest()[:16]
+    return _b64.b64encode(nonce + ct + tag).decode()
+
+
+def _hmac_unwrap(master_b64: str, key_id: str, blob: str) -> bytes:
+    """Inverse of :func:`_hmac_wrap`; a wrong master fails the HMAC tag
+    loudly instead of yielding a garbage KEK."""
+    import base64 as _b64
+    import hashlib as _hl
+    import hmac as _hm
+
+    master = _b64.b64decode(master_b64)
+    raw = _b64.b64decode(blob)
+    nonce, ct, tag = raw[:16], raw[16:-16], raw[-16:]
+    want = _hm.new(master, b"tag|" + nonce + ct, _hl.sha256).digest()[:16]
+    if not _hm.compare_digest(tag, want):
+        raise ValueError(
+            "encryption key mismatch: the supplied key cannot unwrap "
+            "this table's key-encryption key"
+        )
+    mask = _hm.new(
+        master, b"wrap|" + key_id.encode() + b"|" + nonce, _hl.sha256
+    ).digest()
+    return bytes(a ^ b for a, b in zip(ct, mask))
+
+
+def _read_keys_sidecar(path: str) -> dict | None:
+    """The table's key sidecar, or None for legacy direct-wrap tables
+    (whose file DEKs are wrapped by the master itself — readable
+    forever, but not rotatable without a rewrite)."""
+    p = os.path.join(path, KEYS_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_keys_sidecar(path: str, sidecar: dict) -> None:
+    """Atomic publish (tmp + rename); callers serialize under the table
+    commit lock."""
+    p = os.path.join(path, KEYS_SIDECAR)
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sidecar, f)
+    os.replace(tmp, p)
+
+
+def resolve_wrap_key(path: str, master_b64: str) -> str:
+    """Resolve the caller's MASTER key to the table's effective WRAP
+    key (r14 envelope encryption): tables with a ``_keys.json`` sidecar
+    wrap file data keys under a per-table KEK, itself wrapped by the
+    master — so :func:`rotate_encryption_key` is an O(1) metadata
+    re-wrap with ZERO file rewrites, the only rotation shape that
+    survives 100 TB. A master whose fingerprint the sidecar does not
+    know, or one rotated out, fails HERE at plan time. Legacy tables
+    (no sidecar) fall back to the master as the wrap key — exactly the
+    pre-r14 wire format, so nothing already written changes meaning."""
+    sidecar = _read_keys_sidecar(path)
+    if sidecar is None:
+        return master_b64
+    fp = key_fingerprint(master_b64)
+    rec = (sidecar.get("keks") or {}).get(fp)
+    if rec is None:
+        raise ValueError(
+            "encryptionKey does not match any master key this table's "
+            "key sidecar knows (key-fingerprint lookup failed)"
+        )
+    if rec.get("retired"):
+        raise ValueError(
+            "this master key was ROTATED OUT of the table "
+            f"(rotation #{sidecar.get('rotations', '?')}); reads and "
+            "writes require the current master key"
+        )
+    import base64 as _b64
+
+    return _b64.b64encode(_hmac_unwrap(master_b64, "kek", rec["wrapped"])).decode()
+
+
+def rotate_encryption_key(
+    path: str, old_key_b64: str, new_key_b64: str
+) -> dict:
+    """Rotate an encrypted table's MASTER key without touching a single
+    data file (r14): unwrap the table KEK with the old master, re-wrap
+    it under the new one, scrub the old master's wrapped blob (the old
+    key can never again recover the KEK from table metadata), and
+    commit a metadata-only manifest version carrying the new
+    fingerprint. O(1) regardless of table size — the envelope shape
+    parquet modular encryption's external-key-material mode exists for.
+    Every historical version stays readable with the NEW key (the KEK
+    never changes); the OLD key is refused at plan time afterwards.
+
+    Tables written before the KEK sidecar existed wrap DEKs under the
+    master directly; rotating those requires a rewrite — re-encrypt by
+    overwriting through the pyds writer under the new key."""
+    fp_old, fp_new = key_fingerprint(old_key_b64), key_fingerprint(new_key_b64)
+    if fp_old == fp_new:
+        raise ValueError("new encryption key equals the current one")
+    with _commit_lock(path) as lock_token:
+        entries = _read_manifest(path)
+        head = entries[-1]
+        if not head.get("encrypted"):
+            raise ValueError(
+                "rotate_encryption_key requires an encrypted head version"
+            )
+        sidecar = _read_keys_sidecar(path)
+        if sidecar is None:
+            raise ValueError(
+                "this table predates the key sidecar (file data keys "
+                "are wrapped by the master directly); rotation requires "
+                "a rewrite — overwrite through the pyds writer under "
+                "the new key"
+            )
+        if sidecar.get("current_fp") != fp_old:
+            raise ValueError(
+                "old key is not this table's CURRENT master (fingerprint "
+                "mismatch); only the current master can rotate"
+            )
+        rec = sidecar["keks"][fp_old]
+        kek = _hmac_unwrap(old_key_b64, "kek", rec["wrapped"])
+        sidecar["keks"][fp_new] = {
+            "wrapped": _hmac_wrap(new_key_b64, "kek", kek),
+            "kek_id": rec["kek_id"],
+        }
+        # Scrub the old wrap: keep only the kek_id (lineage bookkeeping
+        # for plan-time checks) — the retired master cannot recover the
+        # KEK from anything this table stores.
+        sidecar["keks"][fp_old] = {"kek_id": rec["kek_id"], "retired": True}
+        sidecar["current_fp"] = fp_new
+        sidecar["rotations"] = int(sidecar.get("rotations", 0)) + 1
+        version = head["version"] + 1
+        # Carry the head WHOLESALE minus per-write markers: the rotated
+        # version must be byte-for-byte the same table (segments, DV,
+        # cdc, stats/bloom, column-mapping renames, partition layout) —
+        # only the key fingerprint changes. Excluding txn/app_id keeps
+        # writer idempotency scoped to the write that set them, and
+        # excluding merged_from keeps CDF's restore detection off what
+        # is a pure metadata commit (identical segments + DV → the feed
+        # correctly emits zero legs for this transition).
+        entry = {
+            k: v
+            for k, v in head.items()
+            if k not in ("version", "ts", "txn", "app_id", "merged_from")
+        }
+        entry["version"] = version
+        entry["encrypted"] = True
+        entry["key_fp"] = fp_new
+        entry["rotate_key"] = True
+        entry["ts"] = _now()
+        _verify_lock(path, lock_token)
+        # Sidecar first, manifest second: a crash between the two
+        # leaves the new fp authoritative in the sidecar while the head
+        # still carries the old fp — reads with the NEW key pass the
+        # sidecar-aware check (same kek_id), reads with the OLD key are
+        # refused, which is rotation's contract either way.
+        _write_keys_sidecar(path, sidecar)
+        entries.append(entry)
+        _append_manifest_entry(path, entries)
+    return {
+        "version": version,
+        "rotations": sidecar["rotations"],
+        "files_rewritten": 0,
+    }
+
+
+def _check_key_fingerprint(
+    entry: dict, encryption_key: str, path: str | None = None
+) -> None:
     """Plan-time wrong-key rejection (ADVICE r13): when the manifest
     recorded the master's fingerprint, a mismatching key fails HERE
     with a clear error rather than N tasks later at HMAC unwrap.
     Entries written before fingerprints existed (no ``key_fp``) skip
-    the check — unwrap still fails loud for them."""
+    the check — unwrap still fails loud for them.
+
+    With a key SIDECAR (r14 rotation), the sidecar is the authority:
+    the supplied master must be a known, un-retired entry, and — when
+    the version being read recorded a fingerprint — both must resolve
+    to the SAME KEK lineage (``kek_id``), so a pre-rotation version
+    reads under the post-rotation master while a different-lineage key
+    (an overwrite under a fresh master) is still rejected up front."""
+    if path is not None:
+        sidecar = _read_keys_sidecar(path)
+        if sidecar:
+            fp_s = key_fingerprint(encryption_key)
+            rec = (sidecar.get("keks") or {}).get(fp_s)
+            if rec is None:
+                raise ValueError(
+                    "encryptionKey does not match any master key this "
+                    "table's key sidecar knows (key-fingerprint lookup "
+                    "failed)"
+                )
+            if rec.get("retired"):
+                raise ValueError(
+                    "this master key was ROTATED OUT of the table; "
+                    "reads require the current master key"
+                )
+            efp = entry.get("key_fp")
+            erec = (sidecar.get("keks") or {}).get(efp) if efp else None
+            if erec and erec.get("kek_id") != rec.get("kek_id"):
+                raise ValueError(
+                    "encryptionKey belongs to a different key lineage "
+                    "than the one this version was encrypted under"
+                )
+            return
     fp = entry.get("key_fp")
     if fp and key_fingerprint(encryption_key) != fp:
         raise ValueError(
@@ -2503,6 +2721,7 @@ def _read_files_keyed(
     with_pos: bool = False,
     segs=None,
     predicates=(),
+    path: str | None = None,
 ) -> DataFrame:
     """DISTRIBUTED keyed read of specific encrypted parquet files — the
     DML-unlocking primitive (VERDICT r13 #1): one task per file opens it
@@ -2520,7 +2739,13 @@ def _read_files_keyed(
     ship as a DataFrame (never a closure); each ~128 MB file is one
     task — the same granularity Spark's own file-source planning uses
     on splittable-but-encrypted files."""
-    _check_key_fingerprint(entry, encryption_key)
+    _check_key_fingerprint(entry, encryption_key, path)
+    # Rotation-aware (r14): the task closures wrap/unwrap with the
+    # table KEK when a key sidecar exists, so files written before a
+    # rotation decrypt under the CURRENT master.
+    wrap_key = (
+        resolve_wrap_key(path, encryption_key) if path else encryption_key
+    )
     struct, ledger_cols = _keyed_target_schema(entry, segs or entry["segments"])
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
@@ -2530,7 +2755,7 @@ def _read_files_keyed(
         + (", `__fp` string, `__ri` bigint" if with_pos else "")
     )
     target = to_arrow_schema(out_struct)
-    dec_props_fn, _enc = _make_crypto(encryption_key)
+    dec_props_fn, _enc = _make_crypto(wrap_key)
     rows = [(fp, json.dumps([list(p) for p in parts])) for fp, parts in files]
     meta = spark.createDataFrame(rows, "p string, parts string").repartition(
         max(1, len(rows))
@@ -2684,7 +2909,14 @@ def _write_segment_keyed(df: DataFrame, staged: str, encryption_key: str) -> dic
     process in parquet-cpp). Parallelism is the caller's partitioning:
     size with repartition/coalesce exactly like the plaintext path."""
     os.makedirs(staged, exist_ok=True)
-    _dec, enc_props_fn = _make_crypto(encryption_key)
+    # Staged dirs live directly under the table root, so the owning
+    # table's key sidecar (rotation, r14) resolves from the parent:
+    # rewrites wrap fresh data keys under the table KEK, keeping every
+    # post-rotation rewrite readable by the current master only.
+    table_path_ = os.path.dirname(os.path.abspath(staged))
+    _dec, enc_props_fn = _make_crypto(
+        resolve_wrap_key(table_path_, encryption_key)
+    )
     dest = os.path.abspath(staged)
 
     def run(batches):
@@ -2737,6 +2969,7 @@ def _read_new_segment(
             _keyed_seg_files(path, entry, [seg]),
             encryption_key,
             segs=[seg],
+            path=path,
         )
     _assert_not_encrypted(entry)
     seg_dir = os.path.join(path, seg)
@@ -2809,7 +3042,7 @@ def _read_files_with_layout(
                 break
             listed.append((lp, branch))
         return _read_files_keyed(
-            spark, entry, listed, encryption_key, with_pos=True
+            spark, entry, listed, encryption_key, with_pos=True, path=path
         )
     _assert_not_encrypted(entry)
     parts = entry.get("partition_by", {})
@@ -7662,6 +7895,15 @@ def clone_table(src_path: str, dst_path: str, version: int | None = None) -> int
     os.makedirs(dst_path, exist_ok=True)
     if os.path.exists(os.path.join(dst_path, MANIFEST)):
         raise ValueError(f"clone target {dst_path} already has a manifest")
+    # The KEY SIDECAR forks too (r14 rotation): the borrowed files'
+    # data keys are wrapped under the source's table KEK, so the clone
+    # needs the same master->KEK mapping to read them. Forked state —
+    # rotating the source afterwards does NOT retire the clone's copy
+    # (exactly the segment-reference semantics: the clone is pinned to
+    # the fork point; a production deployment rotates both).
+    _src_sidecar = _read_keys_sidecar(src_path)
+    if _src_sidecar is not None and entry.get("encrypted"):
+        _write_keys_sidecar(dst_path, _src_sidecar)
     _write_manifest(dst_path, [entry])
     # CHECK constraints are table metadata: the fork inherits them (a
     # clone used as an experiment sandbox must reject the same bad

@@ -532,3 +532,228 @@ def test_keyed_rowgroup_pruning_on_encrypted(spark, tmp_path):
         pruned.agg(F.sum("v")).first()[0]
         == full.filter(F.col("k") >= 100).agg(F.sum("v")).first()[0]
     )
+
+
+# --- encryption key ROTATION (r14): O(1) KEK re-wrap, zero rewrites ---
+
+NEW = base64.b64encode(bytes(range(100, 132))).decode()
+THIRD = base64.b64encode(bytes(range(200, 232))).decode()
+
+
+def test_rotate_key_new_reads_everything_old_refused(spark, tmp_path):
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import (
+        key_fingerprint,
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    res = rotate_encryption_key(p, KEY, NEW)
+    assert res["files_rewritten"] == 0 and res["rotations"] == 1
+    # every pre-rotation byte reads under the NEW master (KEK unchanged)
+    df = snapshot_read(spark, p, encryption_key=NEW)
+    assert df.count() == 150
+    assert df.agg(F.sum("k")).first()[0] == sum(range(150))
+    # the OLD master is refused at PLAN time
+    with pytest.raises(ValueError, match="ROTATED OUT"):
+        snapshot_read(spark, p, encryption_key=KEY)
+    head = ml.head_entry(p)
+    assert head["key_fp"] == key_fingerprint(NEW)
+    assert head.get("rotate_key") is True
+
+
+def test_rotate_key_time_travel_reads_old_versions_under_new_key(
+    spark, tmp_path
+):
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    rotate_encryption_key(p, KEY, NEW)
+    # v0 was committed under the OLD master's fingerprint; same KEK
+    # lineage -> readable under the NEW master
+    v0 = snapshot_read(spark, p, version=0, encryption_key=NEW)
+    assert v0.count() == 100
+    with pytest.raises(ValueError, match="ROTATED OUT"):
+        snapshot_read(spark, p, version=0, encryption_key=KEY)
+
+
+def test_rotate_key_writes_and_dml_under_new_key(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    rotate_encryption_key(p, KEY, NEW)
+    # append with the OLD master: refused (fingerprint mismatch vs the
+    # rotated head OR sidecar retirement — either gate fires first)
+    with pytest.raises(Exception, match="fingerprint|ROTATED"):
+        (
+            spark.range(150, 160)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 5).alias("grp"),
+                F.lit("x").alias("s"),
+            )
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .mode("append")
+            .save(p)
+        )
+    # append with the NEW master: wraps under the SAME table KEK
+    (
+        spark.range(150, 160)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("grp"),
+            F.lit("y").alias("s"),
+        )
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", NEW)
+        .mode("append")
+        .save(p)
+    )
+    df = snapshot_read(spark, p, encryption_key=NEW)
+    assert df.count() == 160
+    # keyed DML under the NEW master reaches pre-rotation files
+    keys = spark.range(0, 30).select(F.col("id").alias("k"))
+    _v, n = delete_keys(spark, p, keys, "k", encryption_key=NEW)
+    assert n == 30
+    assert snapshot_read(spark, p, encryption_key=NEW).count() == 130
+
+
+def test_double_rotation_only_latest_master_lives(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    rotate_encryption_key(p, KEY, NEW)
+    res = rotate_encryption_key(p, NEW, THIRD)
+    assert res["rotations"] == 2 and res["files_rewritten"] == 0
+    assert snapshot_read(spark, p, encryption_key=THIRD).count() == 150
+    for dead in (KEY, NEW):
+        with pytest.raises(ValueError, match="ROTATED OUT"):
+            snapshot_read(spark, p, encryption_key=dead)
+
+
+def test_rotate_key_guards(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        KEYS_SIDECAR,
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    # same key -> refused
+    with pytest.raises(ValueError, match="equals"):
+        rotate_encryption_key(p, KEY, KEY)
+    # a non-current "old" master -> refused
+    with pytest.raises(ValueError, match="CURRENT"):
+        rotate_encryption_key(p, WRONG, NEW)
+    # legacy table (no sidecar: file DEKs wrapped by the master
+    # directly) -> rotation requires a rewrite, refused loudly
+    os.remove(os.path.join(p, KEYS_SIDECAR))
+    with pytest.raises(ValueError, match="predates"):
+        rotate_encryption_key(p, KEY, NEW)
+    # plaintext table -> refused
+    q = str(tmp_path / "plain")
+    versioned_write(
+        spark.range(5).select(F.col("id").alias("k")), q, mode="append"
+    )
+    with pytest.raises(ValueError, match="encrypted head"):
+        rotate_encryption_key(q, KEY, NEW)
+
+
+def test_legacy_encrypted_table_still_reads_master_direct(spark, tmp_path):
+    """Tables written before the KEK sidecar existed wrap file DEKs
+    under the master itself; with the sidecar removed the read path
+    must fall back to exactly that wire format."""
+    from argodb_mapreduce_spark.sources.versioned import KEYS_SIDECAR
+
+    p = _encrypted_table(spark, tmp_path)
+    os.remove(os.path.join(p, KEYS_SIDECAR))
+    # Post-sidecar tables wrap DEKs under the KEK, so deleting the
+    # sidecar makes the master-direct fallback fail at unwrap — which
+    # is itself the loud-failure contract; what must NOT happen is a
+    # silent empty/garbage read.
+    with pytest.raises(Exception):
+        snapshot_read(spark, p, encryption_key=KEY).collect()
+
+
+def test_rotate_key_carries_column_mapping_and_dv(spark, tmp_path):
+    """The rotation commit is metadata-only: renames, mapping state and
+    the deletion vector must survive it verbatim."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    delete_keys(spark, p, keys, "k", encryption_key=KEY)
+    before = ml.head_entry(p)
+    assert before.get("dv")
+    rotate_encryption_key(p, KEY, NEW)
+    after = ml.head_entry(p)
+    assert after["segments"] == before["segments"]
+    assert after.get("dv") == before.get("dv")
+    for carried in ("renames", "mapping_active", "cmap", "num_rows"):
+        assert after.get(carried) == before.get(carried)
+    df = snapshot_read(spark, p, encryption_key=NEW)
+    assert df.count() == 140 and df.filter(F.col("k") < 10).count() == 0
+
+
+def test_rotation_survives_streaming_tail_plan(spark, tmp_path):
+    """A stream planned AFTER a rotation decrypts with the (unchanged)
+    table KEK resolved from the new master."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    rotate_encryption_key(p, KEY, NEW)
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("encryptionKey", NEW)
+        .load(p)
+    )
+    sink = "rot_stream_sink"
+    q = (
+        s.agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(sink).first()["n"] == 150
+
+
+def test_clone_forks_key_sidecar_rotation_independent(spark, tmp_path):
+    """A shallow clone of an encrypted table copies the key sidecar
+    (the borrowed files' DEKs are wrapped under the source's KEK);
+    rotating the SOURCE afterwards does not retire the clone's master —
+    fork semantics, same as segment references."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        clone_table,
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    dst = str(tmp_path / "fork")
+    clone_table(p, dst)
+    assert snapshot_read(spark, dst, encryption_key=KEY).count() == 150
+    rotate_encryption_key(p, KEY, NEW)
+    # source: only the new master lives
+    with pytest.raises(ValueError, match="ROTATED OUT"):
+        snapshot_read(spark, p, encryption_key=KEY)
+    # clone: pinned to the fork point — the old master still reads
+    assert snapshot_read(spark, dst, encryption_key=KEY).count() == 150
+    with pytest.raises(ValueError, match="sidecar"):
+        snapshot_read(spark, dst, encryption_key=NEW)
