@@ -77,15 +77,17 @@ _QUERY_MODULES = (
 #: feed (un-CDC UPDATE/MERGE leg synthesis, batch + streaming + MV),
 #: landed manifest-pruned snapshot_diff, hardened the delete paths, and
 #: planted a deterministic near-dup pair, and added O(1) master-key
-#: rotation — hence 29 new/changed slots; the rotation takes the 21
-#: alphabetically-first r06-tier rows (14 r06 rows remain for r15,
-#: including stream_session_live, judge-reverified strict in r13).
+#: rotation and COLUMN-level encryption — hence 30 new/changed slots;
+#: the rotation takes the 20 alphabetically-first r06-tier rows (15
+#: r06 rows remain for r15, including stream_session_live, judge-
+#: reverified strict in r13).
 #: tests/test_round8_ops.py asserts
 #: len(_PRIORITY) == 50 so a silent 51st entry can never fall out of
 #: the window again (ADVICE r7).
 _PRIORITY = (
     # --- (a) new in round 14: first driver evidence ---
     "snapshot_encrypted_key_rotation",   # O(1) KEK re-wrap, zero rewrites
+    "pyds_column_encrypted_scan",        # column-level encryption + keyless subset
     "snapshot_encrypted_gdpr_purge",     # keyed GDPR erase + re-encrypt purge
     "snapshot_encrypted_change_feed",    # keyed batch CDF legs
     "snapshot_encrypted_upsert",         # keyed MERGE rewrite
@@ -115,7 +117,7 @@ _PRIORITY = (
     "snapshot_delete_keys_pruned",
     "snapshot_delete_where",          # try_url_decode fallback
     "snapshot_retention_delete",
-    # --- (b) staleness rotation: 22 alphabetically-first r06 rows ---
+    # --- (b) staleness rotation: 20 alphabetically-first r06 rows ---
     "events_cusum_changepoint",
     "events_dau_wau_stickiness",
     "events_funnel",
@@ -136,7 +138,6 @@ _PRIORITY = (
     "scan_schema_evolution",
     "similarity_cosine_topk",
     "sink_merge_with_deletes",
-    "stream_quality_gate_live",
 )
 
 

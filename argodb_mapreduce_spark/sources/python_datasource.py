@@ -206,7 +206,7 @@ def make_versioned_datasource():
             _pe.KmsConnectionConfig(),
         )
 
-    def _encryption_properties(master_b64, schema):
+    def _encryption_properties(master_b64, schema, enc_cols=None):
         """Per-FILE encryption properties (never reused — each call
         generates fresh data keys): every leaf column encrypted under
         the footer key, PLAINTEXT footer so schema and row counts stay
@@ -227,6 +227,17 @@ def make_versioned_datasource():
             pass
         pqs = _pq.ParquetFile(_io.BytesIO(buf.getvalue())).schema
         leaves = [pqs.column(i).path for i in range(len(pqs))]
+        if enc_cols is not None:
+            # COLUMN-level encryption (r14): only leaves under the
+            # listed top-level columns are encrypted; the rest stay
+            # plaintext, keyless-readable by projection.
+            want = set(enc_cols)
+            leaves = [p for p in leaves if p.split(".")[0] in want]
+            if not leaves:
+                raise ValueError(
+                    "encryptColumns matches no leaf column in the "
+                    "write schema"
+                )
         cf, cfg = _crypto(master_b64)
         return cf.file_encryption_properties(
             cfg,
@@ -385,10 +396,27 @@ def make_versioned_datasource():
                 "fingerprint mismatch)"
             )
 
-    def _check_encryption_transition(head, enc_key, overwrite, path):
+    def _check_encryption_transition(
+        head, enc_key, overwrite, path, enc_cols=None
+    ):
         """The mixed-version gates, shared by the plan-time fast-fail
         and the authoritative under-lock commit check."""
         head_enc = bool(head and head.get("encrypted"))
+        # COLUMN-level encryption (r14): an append must keep the head's
+        # exact encrypted-column set — widening it would leave earlier
+        # files' values plaintext on disk (a silent confidentiality
+        # hole), narrowing it would leak new rows of a protected
+        # column, and either would break the keyless plaintext-subset
+        # projection contract mid-table.
+        if not overwrite and head_enc and enc_key:
+            head_cols = sorted(head.get("enc_columns") or [])
+            if head_cols != sorted(enc_cols or []):
+                raise ValueError(
+                    "append's encryptColumns must match the head "
+                    f"version's encrypted-column set {head_cols or '(full table)'}; "
+                    "changing the confidentiality shape requires an "
+                    "overwrite"
+                )
         if not overwrite and head_enc and not enc_key:
             raise ValueError(
                 "the head version is parquet-modular-encrypted; "
@@ -1086,6 +1114,7 @@ def make_versioned_datasource():
             encryption_key=None,
             wrap_key=None,
             pending_kek=None,
+            enc_cols=None,
         ):
             import uuid as _uuid
 
@@ -1112,6 +1141,11 @@ def make_versioned_datasource():
             # A KEK minted at plan time, published at commit under the
             # table lock ({"fp", "wrapped", "kek_id"}).
             self.pending_kek = pending_kek
+            # COLUMN-level encryption (r14): encrypt only these
+            # top-level columns; the rest stay plaintext so keyless
+            # plaintext-subset reads (and manifest stats for the
+            # plaintext columns) keep working.
+            self.enc_cols = tuple(enc_cols) if enc_cols else None
             # Chosen on the driver so every task shares one staging dir.
             self.staging = f"_staging-{_uuid.uuid4().hex[:12]}"
 
@@ -1130,7 +1164,9 @@ def make_versioned_datasource():
                             batch.schema,
                             encryption_properties=(
                                 _encryption_properties(
-                                    self.wrap_key, batch.schema
+                                    self.wrap_key,
+                                    batch.schema,
+                                    self.enc_cols,
                                 )
                                 if self.wrap_key
                                 else None
@@ -1230,7 +1266,9 @@ def make_versioned_datasource():
                                 data.schema,
                                 encryption_properties=(
                                     _encryption_properties(
-                                        self.wrap_key, data.schema
+                                        self.wrap_key,
+                                        data.schema,
+                                        self.enc_cols,
                                     )
                                     if self.wrap_key
                                     else None
@@ -1317,6 +1355,7 @@ def make_versioned_datasource():
                 self.encryption_key,
                 self.overwrite,
                 self.path,
+                self.enc_cols,
             )
             version = entries[-1]["version"] + 1 if entries else 0
             segment = f"data-{version}"
@@ -1448,16 +1487,31 @@ def make_versioned_datasource():
             # metadata without keys hard-ABORTS the process in
             # parquet-cpp, so this gate is also a safety wall, never a
             # swallowed exception.)
-            if not self.encryption_key:
+            if not self.encryption_key or self.enc_cols:
                 try:
                     from argodb_mapreduce_spark.sources.versioned import (
                         _partition_stats as _ps,
                     )
                     from argodb_mapreduce_spark.sources.versioned import (
+                        _segment_stats_plaintext as _ssp,
+                    )
+                    from argodb_mapreduce_spark.sources.versioned import (
                         collect_segment_stats as _css,
                     )
 
-                    stats[segment] = _css(segment_dir)
+                    if self.enc_cols:
+                        # COLUMN-encrypted segment: harvest min/max for
+                        # the PLAINTEXT columns only — keyless-safe by
+                        # construction (_segment_stats_plaintext picks
+                        # indices from the plaintext footer schema
+                        # before touching any column-chunk metadata),
+                        # and no encrypted column's value range ever
+                        # reaches the manifest.
+                        stats[segment] = _ssp(
+                            segment_dir, exclude=self.enc_cols
+                        )
+                    else:
+                        stats[segment] = _css(segment_dir)
                     if self.partition_by:
                         # Partition-column min/max from the dir names, same
                         # harvest the native partitioned write records.
@@ -1480,6 +1534,12 @@ def make_versioned_datasource():
                 # be unreadable by any single key).
                 entry["encrypted"] = True
                 entry["key_fp"] = _key_fp_of(self.encryption_key)
+                if self.enc_cols:
+                    # COLUMN-level encryption: the protected set is
+                    # part of the version contract — keyless
+                    # plaintext-subset reads and the append-shape gate
+                    # both key off it.
+                    entry["enc_columns"] = list(self.enc_cols)
             # Manifest parity with versioned_write: an append carries the
             # previous deletion vector forward (its positions reference
             # only reused segments; dropping it would resurrect deleted
@@ -1718,6 +1778,42 @@ def make_versioned_datasource():
             enc_key = self._enc_key
             if enc_key:
                 _crypto(enc_key)  # malformed keys fail at plan time
+            # COLUMN-level encryption (r14): option('encryptColumns',
+            # 'c1,c2') encrypts ONLY those columns; the rest stay
+            # plaintext, keyless-readable by projection, with manifest
+            # stats (pruning) preserved for them.
+            raw_enc_cols = str(
+                self.options.get("encryptColumns")
+                or self.options.get("encryptcolumns")
+                or ""
+            ).strip()
+            enc_cols = None
+            if raw_enc_cols:
+                if not enc_key:
+                    raise ValueError(
+                        "encryptColumns requires option('encryptionKey', "
+                        "<base64 master key>)"
+                    )
+                field_names = {f.name for f in schema.fields} if schema else set()
+                enc_cols = tuple(
+                    sorted({c.strip() for c in raw_enc_cols.split(",") if c.strip()})
+                )
+                unknown = [c for c in enc_cols if c not in field_names]
+                if unknown:
+                    raise ValueError(
+                        f"encryptColumns {unknown} not in the write "
+                        f"schema {sorted(field_names)}"
+                    )
+                if renames or any(k != v for k, v in snapshot.items()):
+                    # Logical/physical divergence would make the
+                    # encrypted-column set ambiguous across rename
+                    # history — a wrong resolution silently lands a
+                    # PROTECTED column in plaintext. Refuse up front.
+                    raise ValueError(
+                        "encryptColumns is not supported on a table "
+                        "with an active column mapping; encrypt the "
+                        "full table instead"
+                    )
             # Appends onto an encrypted head REQUIRE the key (and a
             # plaintext head refuses a surprise encrypted append): a
             # mixed version would need per-file read options. This is
@@ -1730,7 +1826,7 @@ def make_versioned_datasource():
             except FileNotFoundError:
                 head = None
             _check_encryption_transition(
-                head, enc_key, overwrite, self._path
+                head, enc_key, overwrite, self._path, enc_cols
             )
             # Key sidecar resolution for the WRITE path (r14 rotation).
             # Wrap target decided at PLAN time; a freshly minted KEK is
@@ -1824,6 +1920,7 @@ def make_versioned_datasource():
                 encryption_key=enc_key,
                 wrap_key=wrap_key,
                 pending_kek=pending_kek,
+                enc_cols=enc_cols,
             )
 
         def streamReader(self, schema):
@@ -3544,6 +3641,136 @@ def snapshot_encrypted_key_rotation(
         F.lit(old_write_refused).alias("old_key_write_refused"),
         F.lit(tt_ok).alias("time_travel_under_new_key"),
         F.lit(scrubbed).alias("retired_wrap_scrubbed"),
+    )
+
+
+@register(
+    "pyds_column_encrypted_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderkey >= 30000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pruned_rows,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 3)
+               AS sum_price,
+           TRUE AS keyless_full_refused,
+           TRUE AS keyless_enc_col_refused,
+           TRUE AS stats_plaintext_only,
+           TRUE AS enc_col_file_locked
+    FROM orders
+    """,
+    tags=("source", "datasource", "encryption", "projection", "pruning"),
+    doc=(
+        "COLUMN-level encryption (r14): option('encryptColumns', "
+        "'o_totalprice') encrypts ONLY the sensitive column — the rest "
+        "of the table stays plaintext, so non-sensitive analytics read "
+        "KEYLESS via snapshot_read(columns=[...]) with no key "
+        "distribution at all, while the protected column needs the "
+        "master. Pinned in the oracle hash: the keyless plaintext-"
+        "subset read (rows/sum/status counts), manifest-stats pruning "
+        "still working keyless (stats recorded for plaintext columns "
+        "only — no value-range leak for the protected one), the keyed "
+        "read decrypting the exact price sum, the full keyless read "
+        "and keyless projection of the encrypted column both refused "
+        "at PLAN time, and the on-disk file serving its plaintext "
+        "columns keyless while refusing the encrypted one."
+    ),
+)
+def pyds_column_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the keyless subset scan is the keyed scan minus cipher
+    work — one task per file, plaintext-footer schema only, encrypted
+    columns' chunk metadata NEVER touched (parquet-cpp hard-aborts
+    keyless access, so the projection gate fires at plan time).
+    Manifest min/max pruning composes for plaintext columns, so a
+    keyless dashboard query on a 100 TB column-encrypted table skips
+    segments exactly like a plaintext one."""
+    import glob as _g
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.functions.oracle_safe import dsum
+    from argodb_mapreduce_spark.sources import manifest_log as _ml
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    register_datasource(spark)
+    key = _encrypted_demo_key()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_col_enc"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for m in (0, 1):
+        (
+            o.filter(F.col("o_orderkey") % 2 == m)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", key)
+            .option("encryptColumns", "o_totalprice")
+            .mode("append")
+            .save(out)
+        )
+    keyless_full_refused = False
+    try:
+        snapshot_read(spark, out)
+    except ValueError as e:
+        keyless_full_refused = "COLUMN-encrypted" in str(e)
+    keyless_enc_refused = False
+    try:
+        snapshot_read(spark, out, columns=["o_orderkey", "o_totalprice"])
+    except ValueError as e:
+        keyless_enc_refused = "ENCRYPTED" in str(e)
+    head = _ml.head_entry(out)
+    statcols = {c for seg in head.get("stats", {}).values() for c in seg}
+    stats_plain_only = (
+        bool(statcols)
+        and "o_totalprice" not in statcols
+        and head.get("enc_columns") == ["o_totalprice"]
+    )
+    f = sorted(_g.glob(os.path.join(out, head["segments"][0], "*.parquet")))[0]
+    enc_col_locked = False
+    try:
+        _pq.ParquetFile(f).read(columns=["o_totalprice"])
+    except OSError:
+        # ...while the plaintext column serves keyless from the same file
+        enc_col_locked = (
+            _pq.ParquetFile(f).read(columns=["o_orderkey"]).num_rows > 0
+        )
+    sub = snapshot_read(spark, out, columns=["o_orderkey", "o_orderstatus"])
+    pruned = snapshot_read(
+        spark,
+        out,
+        columns=["o_orderkey"],
+        predicates=[("o_orderkey", ">=", 30000)],
+    )
+    keyed = snapshot_read(spark, out, encryption_key=key)
+    return (
+        sub.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
+        )
+        .crossJoin(
+            pruned.agg(F.count(F.lit(1)).cast("long").alias("pruned_rows"))
+        )
+        .crossJoin(keyed.agg(dsum("o_totalprice", 3).alias("sum_price")))
+        .select(
+            "n_rows",
+            "sum_key",
+            "n_f",
+            "pruned_rows",
+            "sum_price",
+            F.lit(keyless_full_refused).alias("keyless_full_refused"),
+            F.lit(keyless_enc_refused).alias("keyless_enc_col_refused"),
+            F.lit(stats_plain_only).alias("stats_plaintext_only"),
+            F.lit(enc_col_locked).alias("enc_col_file_locked"),
+        )
     )
 
 

@@ -189,6 +189,64 @@ def _segment_file_metrics_keyless(seg_path: str) -> dict:
     return {"num_files": n_files, "num_rows": n_rows, "bytes": n_bytes}
 
 
+def _segment_stats_plaintext(
+    seg_path: str, allowed=None, exclude=()
+) -> dict[str, list]:
+    """Min/max harvest restricted to plaintext columns — the safe
+    subset on a COLUMN-encrypted segment (r14): plaintext columns'
+    chunk metadata is keyless-readable, encrypted columns' is a hard
+    process ABORT in parquet-cpp, so the column INDEX set is decided
+    from the (plaintext) footer schema BEFORE any ColumnChunkMetaData
+    object is constructed. Pass ``allowed`` (allowlist) or ``exclude``
+    (the encrypted-column set). Encrypted columns get no manifest
+    stats by design — their min/max would leak value ranges."""
+    import pyarrow.parquet as pq
+
+    exclude = set(exclude)
+    allowed = set(allowed) if allowed is not None else None
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    dropped: set[str] = set()
+    for f in sorted(
+        _glob.glob(os.path.join(seg_path, "**", "*.parquet"), recursive=True)
+    ):
+        md = pq.ParquetFile(f).metadata
+        safe_idx = [
+            (i, md.schema.column(i).name)
+            for i in range(md.num_columns)
+            if (allowed is None or md.schema.column(i).name in allowed)
+            and md.schema.column(i).name not in exclude
+            and "." not in md.schema.column(i).name  # nested leaves: skip
+        ]
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci, name in safe_idx:
+                if name in dropped:
+                    continue
+                st = grp.column(ci).statistics
+                mn = (
+                    _stat_encode(st.min)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                mx = (
+                    _stat_encode(st.max)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                if mn is None or mx is None:
+                    dropped.add(name)
+                    lo.pop(name, None)
+                    hi.pop(name, None)
+                    continue
+                dmn, dmx = _stat_decode(mn), _stat_decode(mx)
+                if name not in lo or dmn < _stat_decode(lo[name]):
+                    lo[name] = mn
+                if name not in hi or dmx > _stat_decode(hi[name]):
+                    hi[name] = mx
+    return {name: [lo[name], hi[name]] for name in lo}
+
+
 #: Spark/Hive's directory name for a NULL partition value — the same
 #: sentinel contract the reference's record reader appends partition
 #: values with (ArgodbMapreduceRecordReader.java:172-198).
@@ -2109,6 +2167,7 @@ def snapshot_read(
     predicates=(),
     as_of_ts: float | None = None,
     encryption_key: str | None = None,
+    columns: list | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read of ``path`` at ``version`` (default latest).
 
@@ -2144,6 +2203,42 @@ def snapshot_read(
     cmap = _column_map(path)
     predicates = _physical_predicates(predicates, cmap)
     entry = by_version[version]
+    # ``columns`` — explicit projection. On plaintext tables a plan-time
+    # select (Catalyst prunes the scan). On a COLUMN-encrypted table
+    # (r14) it is the keyless contract: a projection that avoids every
+    # encrypted column reads WITHOUT the key through a plaintext-subset
+    # pyarrow scan — non-sensitive analytics need no key distribution.
+    phys_columns = (
+        [cmap.get(c, c) for c in columns] if (columns is not None and cmap)
+        else (list(columns) if columns is not None else None)
+    )
+    enc_cols = set(entry.get("enc_columns") or ())
+    if entry.get("encrypted") and not encryption_key:
+        if enc_cols and phys_columns is not None:
+            bad = sorted(set(phys_columns) & enc_cols)
+            if bad:
+                raise ValueError(
+                    f"columns {bad} are parquet-modular-ENCRYPTED; pass "
+                    "encryption_key=... or drop them from the projection"
+                )
+            badp = sorted({c for c, _o, _l in predicates} & enc_cols)
+            if badp:
+                raise ValueError(
+                    f"predicates on encrypted columns {badp} cannot be "
+                    "evaluated keyless; pass encryption_key=..."
+                )
+        else:
+            _assert_not_encrypted(entry)
+    read_cols = None
+    if phys_columns is not None:
+        # The scan must also carry predicate columns so the residual
+        # row-granular filter can evaluate; they are dropped from the
+        # final frame below.
+        read_cols = list(
+            dict.fromkeys(
+                [*phys_columns, *[c for c, _o, _l in predicates]]
+            )
+        )
     all_names = entry["segments"]
     names = prune_segments(path, version, predicates)[0] if predicates else all_names
     # Schema evolution: when the manifest shows the version's segments
@@ -2161,7 +2256,7 @@ def snapshot_read(
         # and break residual predicates on them).
         df = _read_segment_dirs(
             spark, path, all_names, entry, evolved,
-            encryption_key=encryption_key,
+            encryption_key=encryption_key, columns=read_cols,
         ).limit(0)
     else:
         dv_name = entry.get("dv")
@@ -2176,16 +2271,20 @@ def snapshot_read(
             # prune_segments. Plaintext reads ignore this (Spark's own
             # parquet filter pushdown covers them).
             predicates=predicates,
+            columns=read_cols,
         )
         if dv_name:
             df = _anti_join_dv(spark, path, dv_name, df).drop("__fp", "__ri")
-    return _to_logical_frame(_apply_predicates(df, predicates), cmap)
+    out = _to_logical_frame(_apply_predicates(df, predicates), cmap)
+    if columns is not None:
+        out = out.select(*columns)
+    return out
 
 
 def _read_segment_dirs(
     spark: SparkSession, path: str, segs, entry: dict, evolved: bool,
     with_pos: bool = False, encryption_key: str | None = None,
-    predicates=(),
+    predicates=(), columns=None,
 ) -> DataFrame:
     """One DataFrame over a version's segment directories.
 
@@ -2209,7 +2308,13 @@ def _read_segment_dirs(
     version through the keyed pyarrow scan (:func:`_read_files_keyed`)
     instead of the JVM reader — the unlock for DML/OPTIMIZE/CDF on
     encrypted tables; keyless access still fails loud and early."""
-    if entry.get("encrypted") and encryption_key:
+    if entry.get("encrypted") and (
+        encryption_key
+        or (columns is not None and entry.get("enc_columns"))
+    ):
+        # Keyed scan, or — COLUMN-level encryption (r14) — a keyless
+        # plaintext-subset scan whose projection was validated by the
+        # caller (and re-checked inside _read_files_keyed).
         return _read_files_keyed(
             spark,
             entry,
@@ -2219,6 +2324,7 @@ def _read_segment_dirs(
             segs=segs,
             predicates=predicates,
             path=path,
+            columns=columns,
         )
     _assert_not_encrypted(entry)
 
@@ -2231,10 +2337,21 @@ def _read_segment_dirs(
             F.col("_metadata.row_index").alias("__ri"),
         )
 
+    def _proj(df: DataFrame) -> DataFrame:
+        # Plan-time projection (declarative — Catalyst prunes the scan's
+        # ReadSchema to exactly these columns).
+        if columns is None:
+            return df
+        return df.select(
+            *columns, *(["__fp", "__ri"] if with_pos else [])
+        )
+
     parts = _segment_partition_cols(entry, segs)
     if not parts:
         reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
-        return _pos(reader.parquet(*[os.path.join(path, s) for s in segs]))
+        return _proj(
+            _pos(reader.parquet(*[os.path.join(path, s) for s in segs]))
+        )
     ledger = entry.get("schemas", {})
     frames = []
     for s in segs:
@@ -2249,7 +2366,7 @@ def _read_segment_dirs(
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f, allowMissingColumns=evolved)
-    return df
+    return _proj(df)
 
 
 def _cast_partition_cols(df: DataFrame, part_cols, ledger: dict) -> DataFrame:
@@ -2278,13 +2395,22 @@ def _assert_not_encrypted(entry: dict) -> None:
     and pyarrow hard-aborts the process on keyless column-metadata
     access, so the gate must fire before any scan is planned."""
     if entry.get("encrypted"):
+        hint = ""
+        if entry.get("enc_columns"):
+            hint = (
+                " This table is COLUMN-encrypted: the plaintext columns "
+                "read KEYLESS via snapshot_read(..., columns=[...]) as "
+                "long as the projection avoids "
+                f"{sorted(entry['enc_columns'])}."
+            )
         raise ValueError(
             f"version {entry.get('version')} holds parquet-modular-"
             "encrypted segments; the JVM parquet reader cannot decrypt "
             "them — read through python_datasource.read_versioned("
             "spark, path, encryption_key=...), or stream with "
-            "option('encryptionKey', ...). DML/OPTIMIZE and the batch "
-            "change feed over encrypted versions are not supported."
+            "option('encryptionKey', ...). DML/OPTIMIZE/change_feed "
+            "take the same encryption_key= argument."
+            + hint
         )
 
 
@@ -2363,11 +2489,14 @@ def _make_crypto(master_b64: str):
         cf, cfg = _factory_cfg()
         return cf.file_decryption_properties(cfg), cf
 
-    def encryption_properties(pa_schema):
+    def encryption_properties(pa_schema, enc_cols=None):
         """Per-FILE properties (fresh data keys every call): all leaf
         columns under the footer key, PLAINTEXT footer so schema and
         row counts stay keyless-readable while column chunk metadata
-        (stats included) stays encrypted."""
+        (stats included) stays encrypted. With ``enc_cols`` (COLUMN-
+        level encryption, r14) only leaves under those top-level
+        columns are encrypted — the rest stay plaintext, keyless-
+        readable by projection."""
         import io as _io
 
         import pyarrow.parquet as _pq
@@ -2378,6 +2507,14 @@ def _make_crypto(master_b64: str):
             pass
         pqs = _pq.ParquetFile(_io.BytesIO(buf.getvalue())).schema
         leaves = [pqs.column(i).path for i in range(len(pqs))]
+        if enc_cols is not None:
+            want = set(enc_cols)
+            leaves = [p for p in leaves if p.split(".")[0] in want]
+            if not leaves:
+                raise ValueError(
+                    "encryptColumns matches no leaf column in the "
+                    "write schema"
+                )
         cf, cfg = _factory_cfg()
         return cf.file_encryption_properties(
             cfg,
@@ -2416,6 +2553,11 @@ def _carry_encryption(entry: dict, src: dict) -> None:
         entry["encrypted"] = True
         if src.get("key_fp"):
             entry["key_fp"] = src["key_fp"]
+        # Column-LEVEL encryption (r14): the encrypted-column set is a
+        # property of the files the entry references — forks carry it
+        # so keyless plaintext-subset reads stay correctly gated.
+        if src.get("enc_columns"):
+            entry["enc_columns"] = list(src["enc_columns"])
 
 
 KEYS_SIDECAR = "_keys.json"
@@ -2722,6 +2864,7 @@ def _read_files_keyed(
     segs=None,
     predicates=(),
     path: str | None = None,
+    columns=None,
 ) -> DataFrame:
     """DISTRIBUTED keyed read of specific encrypted parquet files — the
     DML-unlocking primitive (VERDICT r13 #1): one task per file opens it
@@ -2739,14 +2882,44 @@ def _read_files_keyed(
     ship as a DataFrame (never a closure); each ~128 MB file is one
     task — the same granularity Spark's own file-source planning uses
     on splittable-but-encrypted files."""
-    _check_key_fingerprint(entry, encryption_key, path)
-    # Rotation-aware (r14): the task closures wrap/unwrap with the
-    # table KEK when a key sidecar exists, so files written before a
-    # rotation decrypt under the CURRENT master.
-    wrap_key = (
-        resolve_wrap_key(path, encryption_key) if path else encryption_key
-    )
+    if encryption_key:
+        _check_key_fingerprint(entry, encryption_key, path)
+        # Rotation-aware (r14): the task closures wrap/unwrap with the
+        # table KEK when a key sidecar exists, so files written before
+        # a rotation decrypt under the CURRENT master.
+        wrap_key = (
+            resolve_wrap_key(path, encryption_key) if path else encryption_key
+        )
+        dec_props_fn, _enc = _make_crypto(wrap_key)
+    else:
+        # KEYLESS plaintext-SUBSET scan of a COLUMN-encrypted version
+        # (r14): legal only when the projection avoids every encrypted
+        # column. parquet-cpp hard-ABORTS the process on keyless
+        # encrypted column-metadata access, so this guard is a safety
+        # wall, not just an error message.
+        enc_set = set(entry.get("enc_columns") or ())
+        if not enc_set or columns is None or set(columns) & enc_set:
+            raise ValueError(
+                "keyless reads of an encrypted version require a "
+                "column-encrypted table and an explicit plaintext-only "
+                "column projection"
+            )
+        dec_props_fn = None
+        # Predicates on encrypted columns cannot be evaluated keyless —
+        # drop them from row-group skipping (the caller refuses them at
+        # the API layer; this keeps skipping a pure superset either way).
+        predicates = [p for p in predicates if p[0] not in enc_set]
     struct, ledger_cols = _keyed_target_schema(entry, segs or entry["segments"])
+    if columns is not None:
+        have = {c for c, _t in ledger_cols}
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not present in version "
+                f"{entry.get('version')}'s schema ledger"
+            )
+        want_cols = set(columns)
+        ledger_cols = [(c, t) for c, t in ledger_cols if c in want_cols]
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
@@ -2755,7 +2928,6 @@ def _read_files_keyed(
         + (", `__fp` string, `__ri` bigint" if with_pos else "")
     )
     target = to_arrow_schema(out_struct)
-    dec_props_fn, _enc = _make_crypto(wrap_key)
     rows = [(fp, json.dumps([list(p) for p in parts])) for fp, parts in files]
     meta = spark.createDataFrame(rows, "p string, parts string").repartition(
         max(1, len(rows))
@@ -2774,7 +2946,9 @@ def _read_files_keyed(
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        dec, _factory = dec_props_fn()
+        dec, _factory = (
+            dec_props_fn() if dec_props_fn is not None else (None, None)
+        )
 
         def _typed(raw, t):
             if raw is None:
@@ -2859,9 +3033,48 @@ def _read_files_keyed(
                     ]
                 else:
                     selected = list(range(md.num_row_groups))
+                # Column PRUNING inside the scan: only the target's
+                # columns that physically exist in this file are
+                # decoded (keyed mode: less cipher+decode work; keyless
+                # subset mode: encrypted columns are never touched —
+                # parquet-cpp would hard-abort). Names come from the
+                # plaintext footer schema, never from column-chunk
+                # metadata.
+                file_tops = {
+                    md.schema.column(i).name.split(".")[0]
+                    for i in range(md.num_columns)
+                }
+                sel = [f.name for f in data_fields if f.name in file_tops]
                 for rg in selected:
                     off = starts[rg]
-                    for b in pf.iter_batches(row_groups=[rg]):
+                    if not sel:
+                        # Every requested column is a partition constant
+                        # or a ledger backfill — no byte of this file
+                        # needs decoding; synthesize from the row count.
+                        n = md.row_group(rg).num_rows
+                        if n == 0:
+                            continue
+                        arrays = []
+                        for f in data_fields:
+                            if f.name in parts:
+                                raw, t = parts[f.name]
+                                arrays.append(
+                                    _pa.array([_typed(raw, t)] * n, type=f.type)
+                                )
+                            else:
+                                arrays.append(_pa.nulls(n, f.type))
+                        if _with_pos:
+                            arrays.append(_pa.array([fp_uri] * n, _pa.string()))
+                            arrays.append(
+                                _pa.array(
+                                    _np.arange(off, off + n, dtype="int64")
+                                )
+                            )
+                        yield _pa.RecordBatch.from_arrays(
+                            arrays, schema=target
+                        )
+                        continue
+                    for b in pf.iter_batches(row_groups=[rg], columns=sel):
                         n = b.num_rows
                         if n == 0:
                             continue
@@ -2897,7 +3110,9 @@ def _read_files_keyed(
     return meta.mapInArrow(run, out_struct)
 
 
-def _write_segment_keyed(df: DataFrame, staged: str, encryption_key: str) -> dict:
+def _write_segment_keyed(
+    df: DataFrame, staged: str, encryption_key: str, enc_cols=None
+) -> dict:
     """DISTRIBUTED re-encrypting segment write for keyed DML rewrites
     (compact/purge/UPDATE/MERGE on an encrypted table): each task
     streams its Arrow batches into ONE parquet file written with fresh
@@ -2918,6 +3133,10 @@ def _write_segment_keyed(df: DataFrame, staged: str, encryption_key: str) -> dic
         resolve_wrap_key(table_path_, encryption_key)
     )
     dest = os.path.abspath(staged)
+    # Column-level encryption (r14): rewrites of a column-encrypted
+    # table keep the SAME encrypted-column set — a full-table rewrite
+    # must not silently widen or narrow what is confidential.
+    _enc_cols = tuple(enc_cols) if enc_cols else None
 
     def run(batches):
         import os as _o
@@ -2933,7 +3152,9 @@ def _write_segment_keyed(df: DataFrame, staged: str, encryption_key: str) -> dic
             if writer is None:
                 fp = _o.path.join(dest, f"part-{_u.uuid4().hex}.parquet")
                 writer = _pq.ParquetWriter(
-                    fp, b.schema, encryption_properties=enc_props_fn(b.schema)
+                    fp,
+                    b.schema,
+                    encryption_properties=enc_props_fn(b.schema, _enc_cols),
                 )
             writer.write_batch(b)
             n += b.num_rows
@@ -3288,7 +3509,10 @@ def compact(
         # plaintext footer; stats and blooms are intentionally absent
         # (plaintext min/max in the manifest would leak value ranges —
         # the same trade every write path makes for encrypted segments).
-        seg_metrics = _write_segment_keyed(compacted, staged, encryption_key)
+        seg_metrics = _write_segment_keyed(
+            compacted, staged, encryption_key,
+            enc_cols=latest.get("enc_columns"),
+        )
         stats = {}
     else:
         writer = compacted.write.mode("errorifexists")
@@ -7053,7 +7277,10 @@ def merge_upsert(
             # encrypted bytes cannot be re-read natively), then the
             # re-encrypting Arrow writer lands fresh AES-GCM data keys.
             _check_constraints_frame(spark, path, lambda: rewrite)
-            _write_segment_keyed(rewrite, staged, encryption_key)
+            _write_segment_keyed(
+                rewrite, staged, encryption_key,
+                enc_cols=latest.get("enc_columns"),
+            )
         else:
             rewrite.write.mode("errorifexists").parquet(staged)
             _check_constraints(spark, path, staged)
@@ -7596,7 +7823,10 @@ def update_where(
             # encrypted bytes cannot be re-read natively), then the
             # re-encrypting Arrow writer lands fresh AES-GCM data keys.
             _check_constraints_frame(spark, path, lambda: rewrite)
-            _write_segment_keyed(rewrite, staged, encryption_key)
+            _write_segment_keyed(
+                rewrite, staged, encryption_key,
+                enc_cols=latest.get("enc_columns"),
+            )
         else:
             rewrite.write.mode("errorifexists").parquet(staged)
             _check_constraints(spark, path, staged)

@@ -165,11 +165,65 @@ def uncdc_update_feed(spark, scale):
     }
 
 
+def column_encrypted_read(spark, scale):
+    """Keyless plaintext-subset scan of a COLUMN-encrypted table vs the
+    keyed full read of the same table vs a native plaintext twin: the
+    keyless subset should track the keyed cost minus cipher work, and
+    both should scale linearly like the native read."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        snapshot_read,
+        versioned_write,
+    )
+
+    fmt = _pyds(spark)
+    n = BASE_ROWS * scale
+    enc = f"/tmp/bench_r14_colenc_{scale}"
+    pl = f"/tmp/bench_r14_colenc_pl_{scale}"
+    for p in (enc, pl):
+        shutil.rmtree(p, ignore_errors=True)
+    (
+        _rows(spark, n)
+        .write.format(fmt)
+        .mode("append")
+        .option("encryptionKey", KEY)
+        .option("encryptColumns", "v")
+        .save(enc)
+    )
+    versioned_write(_rows(spark, n), pl, mode="append")
+    out = {}
+    for tag, fn in (
+        (
+            "keyless_subset",
+            lambda: snapshot_read(spark, enc, columns=["k", "g"]).agg(
+                F.sum("k")
+            ),
+        ),
+        (
+            "keyed_full",
+            lambda: snapshot_read(spark, enc, encryption_key=KEY).agg(
+                F.sum("v")
+            ),
+        ),
+        ("native_plain", lambda: snapshot_read(spark, pl).agg(F.sum("v"))),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            assert fn().first()[0] is not None
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[tag] = best
+    for p in (enc, pl):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 OPS = {
     "pyds_mapping_write": pyds_mapping_write,
     "keyed_read": keyed_read,
     "encrypted_erase": encrypted_erase,
     "uncdc_update_feed": uncdc_update_feed,
+    "column_encrypted_read": column_encrypted_read,
 }
 
 

@@ -757,3 +757,212 @@ def test_clone_forks_key_sidecar_rotation_independent(spark, tmp_path):
     assert snapshot_read(spark, dst, encryption_key=KEY).count() == 150
     with pytest.raises(ValueError, match="sidecar"):
         snapshot_read(spark, dst, encryption_key=NEW)
+
+
+# --- COLUMN-level encryption (r14): encrypt only the sensitive columns ---
+
+
+def _col_encrypted_table(spark, tmp_path, name="cenc"):
+    """Two appends with only `ssn` encrypted; k/grp stay plaintext."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / name)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("pii-"), F.col("id")).alias("ssn"),
+    )
+    for m in (0, 1):
+        (
+            df.filter(F.col("k") % 2 == m)
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .option("encryptColumns", "ssn")
+            .mode("append")
+            .save(p)
+        )
+    return p
+
+
+def test_column_encrypted_keyless_subset_reads(spark, tmp_path):
+    p = _col_encrypted_table(spark, tmp_path)
+    sub = snapshot_read(spark, p, columns=["k", "grp"])
+    assert sub.count() == 100
+    assert sub.agg(F.sum("k")).first()[0] == sum(range(100))
+    # full keyless read and keyless projection of the encrypted column
+    # are refused with guidance
+    with pytest.raises(ValueError, match="COLUMN-encrypted"):
+        snapshot_read(spark, p)
+    with pytest.raises(ValueError, match="ENCRYPTED"):
+        snapshot_read(spark, p, columns=["k", "ssn"])
+    with pytest.raises(ValueError, match="keyless"):
+        snapshot_read(
+            spark, p, columns=["k"], predicates=[("ssn", "=", "pii-1")]
+        )
+
+
+def test_column_encrypted_keyed_read_and_stats(spark, tmp_path):
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    p = _col_encrypted_table(spark, tmp_path)
+    full = snapshot_read(spark, p, encryption_key=KEY)
+    assert full.count() == 100
+    assert full.filter(F.col("ssn") == "pii-7").count() == 1
+    head = ml.head_entry(p)
+    assert head.get("enc_columns") == ["ssn"]
+    # manifest stats exist for the PLAINTEXT columns only — pruning
+    # preserved, zero leak of the protected column's value range
+    statcols = {c for seg in head.get("stats", {}).values() for c in seg}
+    assert statcols == {"k", "grp"}
+    pruned = snapshot_read(
+        spark, p, columns=["k"], predicates=[("k", ">=", 90)]
+    )
+    assert pruned.count() == 10
+
+
+def test_column_encrypted_file_bytes(spark, tmp_path):
+    """On-disk proof: plaintext columns read keyless straight from the
+    file, the encrypted column refuses without the key."""
+    import pyarrow.parquet as pq
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    p = _col_encrypted_table(spark, tmp_path)
+    head = ml.head_entry(p)
+    f = sorted(glob.glob(os.path.join(p, head["segments"][0], "*.parquet")))[0]
+    assert pq.ParquetFile(f).read(columns=["k"]).num_rows > 0
+    with pytest.raises(OSError):
+        pq.ParquetFile(f).read(columns=["ssn"])
+
+
+def test_column_encrypted_dml_and_compact_keep_shape(spark, tmp_path):
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import compact
+
+    p = _col_encrypted_table(spark, tmp_path)
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    _v, n = delete_keys(spark, p, keys, "k", encryption_key=KEY)
+    assert n == 10
+    assert snapshot_read(spark, p, columns=["k"]).count() == 90
+    compact(spark, p, flatten=True, encryption_key=KEY)
+    head = ml.head_entry(p)
+    # the rewrite kept the COLUMN-level shape: marker carried, new
+    # file's plaintext columns keyless-readable, ssn still locked
+    assert head.get("enc_columns") == ["ssn"]
+    assert snapshot_read(spark, p, columns=["k", "grp"]).count() == 90
+    import pyarrow.parquet as pq
+
+    f = sorted(glob.glob(os.path.join(p, head["segments"][-1], "*.parquet")))[0]
+    assert pq.ParquetFile(f).read(columns=["k"]).num_rows == 90
+    with pytest.raises(OSError):
+        pq.ParquetFile(f).read(columns=["ssn"])
+    assert (
+        snapshot_read(spark, p, encryption_key=KEY)
+        .filter(F.col("ssn") == "pii-7")
+        .count()
+        == 0
+    )
+
+
+def test_column_encrypted_append_shape_gate(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    p = _col_encrypted_table(spark, tmp_path)
+    one = spark.range(100, 101).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),
+        F.lit("pii-x").alias("ssn"),
+    )
+    for cols in ("grp", None):  # different set / full-table encryption
+        w = (
+            one.write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .mode("append")
+        )
+        if cols:
+            w = w.option("encryptColumns", cols)
+        with pytest.raises(Exception, match="encrypted-column set"):
+            w.save(p)
+    # the matching shape appends fine
+    (
+        one.write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .option("encryptColumns", "ssn")
+        .mode("append")
+        .save(p)
+    )
+    assert snapshot_read(spark, p, columns=["k"]).count() == 101
+
+
+def test_column_encrypted_option_validation(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="requires option"):
+        (
+            df.write.format(FORMAT_NAME)
+            .option("encryptColumns", "k")
+            .mode("append")
+            .save(str(tmp_path / "nokey"))
+        )
+    with pytest.raises(Exception, match="not in the write schema"):
+        (
+            df.write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .option("encryptColumns", "nope")
+            .mode("append")
+            .save(str(tmp_path / "badcol"))
+        )
+
+
+def test_column_encrypted_rotation_composes(spark, tmp_path):
+    """Key rotation on a COLUMN-encrypted table: keyless subset reads
+    are unaffected, the encrypted column re-keys to the new master."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    p = _col_encrypted_table(spark, tmp_path)
+    res = rotate_encryption_key(p, KEY, NEW)
+    assert res["files_rewritten"] == 0
+    assert snapshot_read(spark, p, columns=["k", "grp"]).count() == 100
+    assert (
+        snapshot_read(spark, p, encryption_key=NEW)
+        .filter(F.col("ssn") == "pii-7")
+        .count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="ROTATED OUT"):
+        snapshot_read(spark, p, encryption_key=KEY)
+
+
+def test_plaintext_snapshot_read_columns_projection(spark, tmp_path):
+    """columns= on a PLAINTEXT table is a plan-time select — and the
+    scan's ReadSchema shrinks to exactly the requested columns."""
+    p = str(tmp_path / "plainproj")
+    versioned_write(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        ),
+        p,
+        mode="append",
+    )
+    df = snapshot_read(spark, p, columns=["k", "g"])
+    assert df.columns == ["k", "g"] and df.count() == 50
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "s:" not in plan.split("ReadSchema")[1][:80]
+    # predicates on a non-projected column still evaluate
+    df2 = snapshot_read(
+        spark, p, columns=["k"], predicates=[("g", "=", 1)]
+    )
+    assert df2.columns == ["k"] and df2.count() == 17
