@@ -435,13 +435,35 @@ def make_versioned_datasource():
         # loud for them.
         if not overwrite and head_enc and enc_key and head.get("key_fp"):
             if _key_fp_of(enc_key) != head["key_fp"]:
-                raise ValueError(
-                    "encryptionKey does not match the master key the "
-                    "head version is encrypted under (manifest key-"
-                    "fingerprint mismatch); appending files wrapped "
-                    "under a different master would make the version "
-                    "unreadable by any single key"
+                # Sidecar lineage check before refusing: after a
+                # rotation CRASHED between its sidecar write and its
+                # manifest append, the head still carries the OLD
+                # master's fingerprint while only the NEW master is
+                # live — both resolve to the SAME KEK (same kek_id),
+                # so an append under the new master is safe and HEALS
+                # the head's fingerprint. A genuinely different master
+                # (different or no lineage) is still refused.
+                sidecar = _read_keys_json(path)
+                ours = (sidecar or {}).get("keks", {}).get(
+                    _key_fp_of(enc_key)
                 )
+                theirs = (sidecar or {}).get("keks", {}).get(
+                    head["key_fp"]
+                )
+                same_lineage = (
+                    ours is not None
+                    and not ours.get("retired")
+                    and theirs is not None
+                    and ours.get("kek_id") == theirs.get("kek_id")
+                )
+                if not same_lineage:
+                    raise ValueError(
+                        "encryptionKey does not match the master key "
+                        "the head version is encrypted under (manifest "
+                        "key-fingerprint mismatch); appending files "
+                        "wrapped under a different master would make "
+                        "the version unreadable by any single key"
+                    )
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -1380,40 +1402,6 @@ def make_versioned_datasource():
             # rmtree below would otherwise destroy the successor's
             # freshly committed same-name segment.
             verify()
-            # KEK publish (r14 rotation): a key minted at plan time
-            # lands in the sidecar HERE, under the lock, in the same
-            # commit window as the manifest entry — an aborted job
-            # leaves no sidecar behind. A concurrent writer that
-            # published a DIFFERENT KEK for the same master between our
-            # plan and commit aborts this write (our staged files are
-            # wrapped under OUR kek; publishing the manifest entry
-            # anyway would commit files no sidecar-resolved key reads).
-            if self.pending_kek is not None:
-                import json as _jn2
-
-                keys_path = _os.path.join(self.path, "_keys.json")
-                sc = {"keks": {}, "current_fp": None, "rotations": 0}
-                if _os.path.exists(keys_path):
-                    with open(keys_path) as f:
-                        sc = _jn2.load(f)
-                have = sc["keks"].get(self.pending_kek["fp"])
-                if have is not None:
-                    if have.get("kek_id") != self.pending_kek["kek_id"]:
-                        raise RuntimeError(
-                            "concurrent writer published a different "
-                            "key-encryption key for this master between "
-                            "plan and commit; retry the write"
-                        )
-                else:
-                    sc["keks"][self.pending_kek["fp"]] = {
-                        "wrapped": self.pending_kek["wrapped"],
-                        "kek_id": self.pending_kek["kek_id"],
-                    }
-                sc["current_fp"] = self.pending_kek["fp"]
-                tmpk = keys_path + f".tmp-{_os.getpid()}"
-                with open(tmpk, "w") as f:
-                    _jn2.dump(sc, f)
-                _os.replace(tmpk, keys_path)
             # Column mapping OCC (r13): re-check the plan-time snapshot
             # under the lock and identity-extend for new columns — a
             # concurrent RENAME/DROP between plan and publish must
@@ -1602,6 +1590,47 @@ def make_versioned_datasource():
                     entry["partition_by"] = carried
             import time as _time
 
+            # KEK publish (r14 rotation): a key minted at plan time
+            # lands in the sidecar HERE — under the lock, AFTER every
+            # other abort point (transition gate, mapping OCC, stats,
+            # entry build), immediately before the manifest append — so
+            # an aborted commit cannot leave a sidecar that re-keys a
+            # table it never wrote. A concurrent writer that published
+            # a DIFFERENT KEK for the same master between our plan and
+            # commit aborts this write (our staged files are wrapped
+            # under OUR kek; publishing the manifest entry anyway would
+            # commit files no sidecar-resolved key reads). Sidecar
+            # first, manifest second: a crash between the two leaves an
+            # orphan sidecar for a still-unencrypted table — harmless
+            # (no committed encrypted entry references it), whereas the
+            # reverse order would commit KEK-wrapped files no sidecar
+            # can ever resolve.
+            if self.pending_kek is not None:
+                import json as _jn2
+
+                keys_path = _os.path.join(self.path, "_keys.json")
+                sc = {"keks": {}, "current_fp": None, "rotations": 0}
+                if _os.path.exists(keys_path):
+                    with open(keys_path) as f:
+                        sc = _jn2.load(f)
+                have = sc["keks"].get(self.pending_kek["fp"])
+                if have is not None:
+                    if have.get("kek_id") != self.pending_kek["kek_id"]:
+                        raise RuntimeError(
+                            "concurrent writer published a different "
+                            "key-encryption key for this master between "
+                            "plan and commit; retry the write"
+                        )
+                else:
+                    sc["keks"][self.pending_kek["fp"]] = {
+                        "wrapped": self.pending_kek["wrapped"],
+                        "kek_id": self.pending_kek["kek_id"],
+                    }
+                sc["current_fp"] = self.pending_kek["fp"]
+                tmpk = keys_path + f".tmp-{_os.getpid()}"
+                with open(tmpk, "w") as f:
+                    _jn2.dump(sc, f)
+                _os.replace(tmpk, keys_path)
             entry["ts"] = _time.time()
             entries.append(entry)
             verify()  # fencing: abort if our lock was stale-broken
@@ -1770,6 +1799,19 @@ def make_versioned_datasource():
                 encryption_key=wrap_key if self._meta.get("encrypted") else None,
             )
 
+        def _has_encrypted_history(self) -> bool:
+            """True when ANY manifest entry is encrypted. With no key
+            sidecar that means a pre-r14 master-direct lineage; with an
+            unknown-master sidecar it distinguishes a real foreign-key
+            append from an ORPHAN sidecar left by an aborted
+            first-ever encrypted commit. O(versions) manifest read,
+            paid only on encrypted write paths that need it."""
+            try:
+                entries = _manifest_log().read_entries(self._path)
+            except (FileNotFoundError, ValueError):
+                return False
+            return any(e.get("encrypted") for e in entries)
+
         def writer(self, schema, overwrite):
             renames, new_logicals, snapshot = _resolve_mapping_for_write(
                 self._path,
@@ -1856,18 +1898,31 @@ def make_versioned_datasource():
                     wrap_key = _b64.b64encode(
                         _kek_unwrap(enc_key, rec["wrapped"])
                     ).decode()
-                elif sidecar is not None and not overwrite:
+                elif (
+                    sidecar is not None
+                    and not overwrite
+                    and self._has_encrypted_history()
+                ):
+                    # A sidecar alone does not convict: an aborted
+                    # first-ever encrypted commit can leave one behind
+                    # with NO committed encrypted entry (the manifest
+                    # is the authority) — mint below in that case.
                     raise ValueError(
                         "encryptionKey does not match any master key "
                         "this table's key sidecar knows (key-"
                         "fingerprint lookup failed)"
                     )
-                elif (
-                    head is not None
-                    and head.get("encrypted")
-                    and not overwrite
-                ):
-                    wrap_key = enc_key  # legacy direct-wrap lineage
+                elif sidecar is None and self._has_encrypted_history():
+                    # LEGACY (pre-sidecar) lineage is TABLE-WIDE and
+                    # sticky — appends AND overwrites: resolve_wrap_key
+                    # is lineage-global, so minting a KEK mid-history
+                    # would hand readers the KEK for versions whose
+                    # file DEKs are wrapped by the master directly,
+                    # breaking time travel / diff / CDF over everything
+                    # before the overwrite. Legacy tables stay
+                    # master-direct forever (and rotation keeps
+                    # refusing them with the rewrite guidance).
+                    wrap_key = enc_key
                 else:
                     import os as _osr
 
@@ -1910,6 +1965,20 @@ def make_versioned_datasource():
                 # Directory names and the layout ledger are PHYSICAL,
                 # like every other byte the writer lands.
                 partition_by = [(renames.get(c, c), t) for c, t in partition_by]
+            if enc_cols:
+                leak = sorted(
+                    set(enc_cols) & {c for c, _t in partition_by}
+                )
+                if leak:
+                    # Partition values are PLAINTEXT directory names —
+                    # "encrypting" a partition column would write every
+                    # value of the protected column into the filesystem
+                    # layout.
+                    raise ValueError(
+                        f"encryptColumns {leak} are partitionBy columns; "
+                        "partition values appear as plaintext directory "
+                        "names, so a partition column cannot be encrypted"
+                    )
             return VersionedArrowWriter(
                 self._path,
                 overwrite,

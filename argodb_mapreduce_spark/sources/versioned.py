@@ -189,21 +189,21 @@ def _segment_file_metrics_keyless(seg_path: str) -> dict:
     return {"num_files": n_files, "num_rows": n_rows, "bytes": n_bytes}
 
 
-def _segment_stats_plaintext(
-    seg_path: str, allowed=None, exclude=()
-) -> dict[str, list]:
+def _segment_stats_plaintext(seg_path: str, exclude=()) -> dict[str, list]:
     """Min/max harvest restricted to plaintext columns — the safe
     subset on a COLUMN-encrypted segment (r14): plaintext columns'
     chunk metadata is keyless-readable, encrypted columns' is a hard
     process ABORT in parquet-cpp, so the column INDEX set is decided
     from the (plaintext) footer schema BEFORE any ColumnChunkMetaData
-    object is constructed. Pass ``allowed`` (allowlist) or ``exclude``
-    (the encrypted-column set). Encrypted columns get no manifest
-    stats by design — their min/max would leak value ranges."""
+    object is constructed. ``exclude`` is the encrypted TOP-LEVEL
+    column set; matching is on the leaf's dotted PATH (schema
+    ``.name`` is the bare leaf — 'x' for 's.x' — which would let a
+    nested encrypted leaf through and abort the process). Encrypted
+    columns get no manifest stats by design — their min/max would
+    leak value ranges."""
     import pyarrow.parquet as pq
 
     exclude = set(exclude)
-    allowed = set(allowed) if allowed is not None else None
     lo: dict[str, object] = {}
     hi: dict[str, object] = {}
     dropped: set[str] = set()
@@ -212,11 +212,10 @@ def _segment_stats_plaintext(
     ):
         md = pq.ParquetFile(f).metadata
         safe_idx = [
-            (i, md.schema.column(i).name)
+            (i, md.schema.column(i).path)
             for i in range(md.num_columns)
-            if (allowed is None or md.schema.column(i).name in allowed)
-            and md.schema.column(i).name not in exclude
-            and "." not in md.schema.column(i).name  # nested leaves: skip
+            if md.schema.column(i).path.split(".")[0] not in exclude
+            and "." not in md.schema.column(i).path  # nested leaves: skip
         ]
         for rg in range(md.num_row_groups):
             grp = md.row_group(rg)
@@ -3023,7 +3022,7 @@ def _read_files_keyed(
                     )
                 if _preds:
                     name_to_idx = {
-                        md.schema.column(i).name: i
+                        md.schema.column(i).path: i
                         for i in range(md.num_columns)
                     }
                     selected = [
@@ -3041,7 +3040,7 @@ def _read_files_keyed(
                 # plaintext footer schema, never from column-chunk
                 # metadata.
                 file_tops = {
-                    md.schema.column(i).name.split(".")[0]
+                    md.schema.column(i).path.split(".")[0]
                     for i in range(md.num_columns)
                 }
                 sel = [f.name for f in data_fields if f.name in file_tops]
@@ -3509,11 +3508,19 @@ def compact(
         # plaintext footer; stats and blooms are intentionally absent
         # (plaintext min/max in the manifest would leak value ranges —
         # the same trade every write path makes for encrypted segments).
+        # COLUMN-encrypted tables keep their plaintext columns' stats:
+        # keyless-subset pruning must survive OPTIMIZE.
         seg_metrics = _write_segment_keyed(
             compacted, staged, encryption_key,
             enc_cols=latest.get("enc_columns"),
         )
-        stats = {}
+        stats = (
+            _segment_stats_plaintext(
+                staged, exclude=latest["enc_columns"]
+            )
+            if latest.get("enc_columns")
+            else {}
+        )
     else:
         writer = compacted.write.mode("errorifexists")
         if keep_layout:

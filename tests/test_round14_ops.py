@@ -966,3 +966,329 @@ def test_plaintext_snapshot_read_columns_projection(spark, tmp_path):
         spark, p, columns=["k"], predicates=[("g", "=", 1)]
     )
     assert df2.columns == ["k"] and df2.count() == 17
+
+
+def test_column_encrypted_partition_col_refused(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    with pytest.raises(Exception, match="plaintext directory"):
+        (
+            df.write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .option("encryptColumns", "g")
+            .option("partitionBy", "g")
+            .mode("append")
+            .save(str(tmp_path / "encpart"))
+        )
+
+
+def test_column_encrypted_partitioned_keyless_subset(spark, tmp_path):
+    """Hive-partitioned + column-encrypted: keyless subset reads serve
+    partition constants and plaintext data columns; projecting ONLY
+    partition columns exercises the zero-decode constants path."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / "cencpart")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("pii-"), F.col("id")).alias("ssn"),
+    )
+    (
+        df.write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .option("encryptColumns", "ssn")
+        .option("partitionBy", "g")
+        .mode("append")
+        .save(p)
+    )
+    sub = snapshot_read(spark, p, columns=["k", "g"])
+    assert sub.count() == 60
+    assert sub.filter(F.col("g") == 1).count() == 20
+    # partition-only projection: no parquet byte needs decoding
+    gonly = snapshot_read(spark, p, columns=["g"])
+    assert gonly.groupBy("g").count().count() == 3
+    assert (
+        snapshot_read(spark, p, encryption_key=KEY)
+        .filter(F.col("ssn") == "pii-7")
+        .count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="ENCRYPTED"):
+        snapshot_read(spark, p, columns=["g", "ssn"])
+
+
+# --- r14 second-pass review regressions (nested leaves, legacy lineage,
+# --- rotation crash window, orphan sidecar, OPTIMIZE stats) ---
+
+
+def test_nested_column_encryption_roundtrip_and_stats(spark, tmp_path):
+    """encryptColumns on a NESTED column: keyed reads return the real
+    values (file_tops must match by dotted path, not bare leaf name),
+    the commit-time plaintext stats harvest must not touch the nested
+    encrypted leaves (keyless chunk access hard-aborts the process),
+    and keyless subset reads of the flat plaintext columns work."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / "nestenc")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.array(F.col("id"), F.col("id") * 2).alias("emb"),
+    )
+    (
+        df.write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .option("encryptColumns", "emb")
+        .mode("append")
+        .save(p)
+    )
+    # the very fact the commit finished proves the harvest didn't abort
+    head = ml.head_entry(p)
+    statcols = {c for seg in head.get("stats", {}).values() for c in seg}
+    assert statcols == {"k"}
+    keyed = snapshot_read(spark, p, encryption_key=KEY)
+    row = keyed.filter(F.col("k") == 7).select("emb").first()
+    assert row["emb"] == [7, 14]  # NOT nulls
+    assert (
+        keyed.select(F.explode("emb").alias("e")).agg(F.sum("e")).first()[0]
+        == sum(range(40)) * 3
+    )
+    sub = snapshot_read(spark, p, columns=["k"])
+    assert sub.count() == 40
+    with pytest.raises(ValueError, match="ENCRYPTED"):
+        snapshot_read(spark, p, columns=["emb"])
+
+
+def _legacy_encrypted_table(spark, tmp_path):
+    """A PRE-SIDECAR (r13-format) encrypted table: file data keys are
+    wrapped by the MASTER directly, no _keys.json. Built through the
+    keyed segment writer (which wraps master-direct when no sidecar
+    exists) + a hand-published manifest entry."""
+    import json as _j
+
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import (
+        _write_segment_keyed,
+        key_fingerprint,
+    )
+
+    p = str(tmp_path / "legacy")
+    os.makedirs(p, exist_ok=True)
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    _write_segment_keyed(df.coalesce(1), os.path.join(p, "data-0"), KEY)
+    entry = {
+        "version": 0,
+        "segments": ["data-0"],
+        "encrypted": True,
+        "key_fp": key_fingerprint(KEY),
+        "schemas": {"data-0": {"k": "bigint", "grp": "bigint"}},
+        "ts": 1.0,
+    }
+    ml.append_entry(p, [entry])
+    assert not os.path.exists(os.path.join(p, "_keys.json"))
+    return p
+
+
+def test_legacy_table_appends_stay_master_direct(spark, tmp_path):
+    """Appending (and overwriting) a legacy master-direct table must
+    NOT mint a KEK sidecar: resolve_wrap_key is lineage-global, so a
+    mid-history sidecar would break time travel over the pre-sidecar
+    versions."""
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+    from argodb_mapreduce_spark.sources.versioned import KEYS_SIDECAR
+
+    p = _legacy_encrypted_table(spark, tmp_path)
+    assert snapshot_read(spark, p, encryption_key=KEY).count() == 50
+    (
+        spark.range(50, 60)
+        .select(F.col("id").alias("k"), (F.col("id") % 5).alias("grp"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .mode("append")
+        .save(p)
+    )
+    assert not os.path.exists(os.path.join(p, KEYS_SIDECAR))
+    assert snapshot_read(spark, p, encryption_key=KEY).count() == 60
+    # overwrite: same rule — the manifest still holds the legacy v0
+    (
+        spark.range(0, 20)
+        .select(F.col("id").alias("k"), (F.col("id") % 5).alias("grp"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .mode("overwrite")
+        .save(p)
+    )
+    assert not os.path.exists(os.path.join(p, KEYS_SIDECAR))
+    assert snapshot_read(spark, p, encryption_key=KEY).count() == 20
+    # the review's repro: TIME TRAVEL to the pre-overwrite legacy
+    # version still reads under the correct master
+    assert snapshot_read(spark, p, version=0, encryption_key=KEY).count() == 50
+
+
+def test_rotation_crash_window_append_heals(spark, tmp_path):
+    """Crash between rotation's sidecar write and its manifest append:
+    the head still carries the OLD fingerprint while only the NEW
+    master is live. An append under the new master must be allowed
+    (same KEK lineage) and heal the head; the old master stays dead."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+    from argodb_mapreduce_spark.sources.versioned import (
+        key_fingerprint,
+        rotate_encryption_key,
+    )
+
+    p = _encrypted_table(spark, tmp_path)
+    rotate_encryption_key(p, KEY, NEW)
+    # simulate the crash: drop the rotation's manifest entry, keep the
+    # sidecar (the order rotation writes them in)
+    entries = ml.read_entries(p)
+    assert entries[-1].get("rotate_key")
+    ml.rewrite(p, entries[:-1])
+    assert ml.head_entry(p)["key_fp"] == key_fingerprint(KEY)
+    with pytest.raises(Exception, match="fingerprint|ROTATED"):
+        (
+            spark.range(150, 151)
+            .select(F.col("id").alias("k"), (F.col("id") % 5).alias("grp"),
+                    F.lit("x").alias("s"))
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .mode("append")
+            .save(p)
+        )
+    (
+        spark.range(150, 160)
+        .select(F.col("id").alias("k"), (F.col("id") % 5).alias("grp"),
+                F.lit("y").alias("s"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", NEW)
+        .mode("append")
+        .save(p)
+    )
+    assert ml.head_entry(p)["key_fp"] == key_fingerprint(NEW)
+    assert snapshot_read(spark, p, encryption_key=NEW).count() == 160
+
+
+def test_orphan_sidecar_does_not_block_fresh_encrypted_write(
+    spark, tmp_path
+):
+    """An aborted first-ever encrypted commit can leave a sidecar with
+    NO committed encrypted entry; the manifest is the authority — a
+    later encrypted write under a different master mints freely."""
+    import json as _j
+
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+    from argodb_mapreduce_spark.sources.versioned import KEYS_SIDECAR
+
+    p = str(tmp_path / "orphan")
+    versioned_write(
+        spark.range(5).select(F.col("id").alias("k")), p, mode="append"
+    )
+    with open(os.path.join(p, KEYS_SIDECAR), "w") as f:
+        _j.dump(
+            {"keks": {"deadbeef00000000": {"wrapped": "xx", "kek_id": "zz"}},
+             "current_fp": "deadbeef00000000", "rotations": 0},
+            f,
+        )
+    (
+        spark.range(10).select(F.col("id").alias("k"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .mode("overwrite")
+        .save(p)
+    )
+    assert snapshot_read(spark, p, encryption_key=KEY).count() == 10
+    # append mode works too on a fresh-history table with an orphan
+    p2 = str(tmp_path / "orphan2")
+    os.makedirs(p2)
+    with open(os.path.join(p2, KEYS_SIDECAR), "w") as f:
+        _j.dump(
+            {"keks": {"deadbeef00000000": {"wrapped": "xx", "kek_id": "zz"}},
+             "current_fp": "deadbeef00000000", "rotations": 0},
+            f,
+        )
+    (
+        spark.range(7).select(F.col("id").alias("k"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .mode("append")
+        .save(p2)
+    )
+    assert snapshot_read(spark, p2, encryption_key=KEY).count() == 7
+
+
+def test_column_encrypted_compact_keeps_plaintext_stats(spark, tmp_path):
+    """OPTIMIZE on a column-encrypted table re-harvests plaintext-
+    column stats — keyless-subset pruning survives compaction."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import compact
+
+    p = _col_encrypted_table(spark, tmp_path)
+    compact(spark, p, flatten=True, encryption_key=KEY)
+    head = ml.head_entry(p)
+    statcols = {c for seg in head.get("stats", {}).values() for c in seg}
+    assert "k" in statcols and "ssn" not in statcols
+    # pruning actually fires post-compact: a fully-out-of-range
+    # predicate returns empty without error
+    assert (
+        snapshot_read(
+            spark, p, columns=["k"], predicates=[("k", ">=", 1000)]
+        ).count()
+        == 0
+    )
+
+
+def test_column_encrypted_restore_and_feed(spark, tmp_path):
+    """ROLLBACK and the keyed change feed compose with column-level
+    encryption: the enc_columns marker forks with every derived entry,
+    keyless subset reads work at any version, and the synthesized
+    update legs decrypt under the key."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        rollback,
+        update_where,
+    )
+
+    p = _col_encrypted_table(spark, tmp_path)
+    res = update_where(
+        spark,
+        p,
+        [("k", "<", 10)],
+        {"ssn": F.lit("redacted")},
+        encryption_key=KEY,
+    )
+    legs = change_feed(
+        spark, p, res["version"] - 1, res["version"], encryption_key=KEY
+    )
+    assert legs.filter(F.col("_change_type") == "insert").count() > 0
+    with pytest.raises(ValueError, match="encrypt"):
+        change_feed(spark, p, res["version"] - 1, res["version"])
+    v0 = rollback(p, res["version"] - 1)
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+
+    head = ml.head_entry(p)
+    assert head.get("enc_columns") == ["ssn"]
+    assert snapshot_read(spark, p, columns=["k", "grp"]).count() == 100
+    assert (
+        snapshot_read(spark, p, encryption_key=KEY)
+        .filter(F.col("ssn") == "redacted")
+        .count()
+        == 0
+    )
