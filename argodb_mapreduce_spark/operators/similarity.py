@@ -119,10 +119,16 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("qemb")
     )
-    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
     # Planning-time size from parquet footer metadata (no Spark job runs
     # until the returned DataFrame is acted on — VERDICT r1 finding 6).
-    n = table_rowcount(sf_dir, "embeddings")
+    return _exact_cosine_topk(e, table_rowcount(sf_dir, "embeddings"))
+
+
+def _exact_cosine_topk(e: DataFrame, n: int) -> DataFrame:
+    """The block-nested-loop exact top-k over a (vec_id, qemb) frame —
+    shared by the plaintext baseline and the encrypted-store variant
+    (same scoring, different source)."""
+    e = e.select("vec_id", "qemb", _sq_norm(F.col("qemb")).alias("ss"))
     n_blocks = max(1, (n + 511) // 512)
     blocks = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
@@ -237,6 +243,89 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine(_dot(F.col("a.qemb"), F.col("b.qemb")), F.col("a.ss"), F.col("b.ss")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+@register(
+    "similarity_encrypted_topk",
+    oracle=f"""
+    WITH qv AS ({_SQL_NORMS}),
+    v AS ({_SQL_WITH_SS}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST({_sql_cos("a.qemb", "b.qemb", "a.ss", "b.ss")} AS DOUBLE) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank,
+           TRUE AS keyless_vector_refused
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "vector", "encryption"),
+    doc=(
+        f"ANN over an ENCRYPTED vector store (r14): the embeddings land "
+        "in a COLUMN-encrypted versioned table (vec_id plaintext, the "
+        "vector column AES-GCM-encrypted — nested leaves under per-leaf "
+        "column keys), and the exact cosine top-{TOP_K} runs on the "
+        "keyed scan with results bit-identical to the plaintext "
+        "baseline. Pinned: keyless projection of the vector column is "
+        "refused at plan time, while the plaintext id column stays "
+        "keyless-readable — embeddings are exactly the derived "
+        "sensitive data (memorization/inversion risk) a training "
+        "pipeline encrypts at rest."
+    ),
+)
+def similarity_encrypted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the keyed scan is one task per encrypted file with AES-GCM
+    at memory bandwidth; scoring reuses the block-matmul exact top-k
+    (O(n·d) Arrow traffic per block, even block-pair partitioning) —
+    the cipher adds a scan-side constant, nothing to the join shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    register_datasource(spark)
+    import base64
+
+    key = base64.b64encode(bytes(range(32))).decode()
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "enc_vectors"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantize(F.col("embedding")).alias("qemb"))
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", key)
+        .option("encryptColumns", "qemb")
+        .mode("append")
+        .save(out)
+    )
+    keyless_refused = False
+    try:
+        snapshot_read(spark, out, columns=["vec_id", "qemb"])
+    except ValueError as e:
+        # ...while the plaintext id column reads keyless
+        keyless_refused = (
+            "ENCRYPTED" in str(e)
+            and snapshot_read(spark, out, columns=["vec_id"]).columns
+            == ["vec_id"]
+        )
+    e = snapshot_read(spark, out, encryption_key=key).select(
+        "vec_id", "qemb"
+    )
+    n = table_rowcount(sf_dir, "embeddings")
+    return _exact_cosine_topk(e, n).withColumn(
+        "keyless_vector_refused", F.lit(keyless_refused)
     )
 
 

@@ -673,6 +673,7 @@ def make_versioned_datasource():
             # REQUIRE option('encryptionKey', ...).
             "encrypted": bool(entry.get("encrypted")),
             "key_fp": entry.get("key_fp"),
+            "enc_columns": entry.get("enc_columns"),
         }
         return files, file_stats, dv_excluded, file_parts, part_types, meta
 
@@ -1760,10 +1761,18 @@ def make_versioned_datasource():
                     "for batch change queries use versioned.change_feed()"
                 )
             if self._meta.get("encrypted") and not self._enc_key:
+                hint = ""
+                if self._meta.get("enc_columns"):
+                    hint = (
+                        " (COLUMN-encrypted: the plaintext columns read "
+                        "keyless via versioned.snapshot_read(..., "
+                        "columns=[...]) avoiding "
+                        f"{sorted(self._meta['enc_columns'])})"
+                    )
                 raise ValueError(
                     "this version's segments are parquet-modular-"
                     "encrypted; pass option('encryptionKey', <base64 "
-                    "master key>) to read them"
+                    "master key>) to read them" + hint
                 )
             wrap_key = None
             if self._enc_key:

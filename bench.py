@@ -252,6 +252,11 @@ HEADLINE = [
     "snapshot_encrypted_upsert",
     "snapshot_change_feed_update_synth",
     "snapshot_diff_pruned",
+    # round-14 late additions: O(1) master-key rotation, column-level
+    # encryption with keyless plaintext-subset scans
+    "snapshot_encrypted_key_rotation",
+    "pyds_column_encrypted_scan",
+    "similarity_encrypted_topk",
 ]
 
 

@@ -1292,3 +1292,54 @@ def test_column_encrypted_restore_and_feed(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_column_encrypted_erase_prunes_by_plaintext_stats(spark, tmp_path):
+    """GDPR erase on a COLUMN-encrypted table: the erase-key column is
+    plaintext, so its manifest min/max stats exist and the set-based
+    delete prunes untouched segments — fully-encrypted tables give
+    that up (no stats), column-encrypted ones keep it."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        _segments_possibly_holding_keys,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / "cencprune")
+    for q in range(4):  # 4 key-ranged segments
+        (
+            spark.range(q * 100, (q + 1) * 100)
+            .select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("p-"), F.col("id")).alias("ssn"),
+            )
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", KEY)
+            .option("encryptColumns", "ssn")
+            .mode("append")
+            .save(p)
+        )
+    head = ml.head_entry(p)
+    kept = _segments_possibly_holding_keys(
+        head, list(range(350, 360)), "k"
+    )
+    assert kept == [head["segments"][3]]  # 1 of 4 segments survives
+    _v, n = delete_keys(
+        spark,
+        p,
+        spark.range(350, 360).select(F.col("id").alias("k")),
+        "k",
+        encryption_key=KEY,
+    )
+    assert n == 10
+    assert snapshot_read(spark, p, columns=["k"]).count() == 390
+    assert (
+        snapshot_read(spark, p, encryption_key=KEY)
+        .filter(F.col("k").between(350, 359))
+        .count()
+        == 0
+    )
