@@ -1343,3 +1343,62 @@ def test_column_encrypted_erase_prunes_by_plaintext_stats(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_column_encrypted_streaming_tail(spark, tmp_path):
+    """The streaming tail over a COLUMN-encrypted table decrypts with
+    the same wrap key as batch reads; keyless streams stay refused."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+    )
+
+    p = _col_encrypted_table(spark, tmp_path)
+    with pytest.raises(Exception, match="encryptionKey"):
+        (
+            spark.readStream.format(FORMAT_NAME)
+            .load(p)
+            .writeStream.format("memory")
+            .queryName("colenc_keyless_sink")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .load(p)
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("ssn") == "pii-7").cast("long")).alias("n_hit"),
+    )
+    sink = "colenc_stream_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table(sink).first()
+    assert row["n"] == 100 and row["n_hit"] == 1
+
+
+def test_encrypted_vacuum_after_compact(spark, tmp_path):
+    """VACUUM on an encrypted table is pure filesystem metadata (no
+    column-chunk access), so it composes with both full and COLUMN
+    encryption: post-OPTIMIZE, old segments physically leave disk and
+    every read path keeps working."""
+    from argodb_mapreduce_spark.sources import manifest_log as ml
+    from argodb_mapreduce_spark.sources.versioned import compact, vacuum
+
+    p = _col_encrypted_table(spark, tmp_path)
+    old_segs = list(ml.head_entry(p)["segments"])
+    compact(spark, p, flatten=True, encryption_key=KEY)
+    removed = vacuum(p, keep_versions=1)
+    assert removed  # the pre-compact segments are gone
+    for seg in old_segs:
+        assert not os.path.exists(os.path.join(p, seg))
+    assert snapshot_read(spark, p, columns=["k", "grp"]).count() == 100
+    assert snapshot_read(spark, p, encryption_key=KEY).count() == 100
