@@ -2669,6 +2669,11 @@ def rotate_encryption_key(
     parquet modular encryption's external-key-material mode exists for.
     Every historical version stays readable with the NEW key (the KEK
     never changes); the OLD key is refused at plan time afterwards.
+    Streaming: a RUNNING tail keeps consuming across the rotation (its
+    reader resolved the KEK at plan time and post-rotation files wrap
+    under the same KEK), while a RESTARTED or fresh stream re-plans
+    and is refused under the old master — restart semantics match
+    batch (pinned in test_rotation_mid_stream_tail_survives).
 
     Tables written before the KEK sidecar existed wrap DEKs under the
     master directly; rotating those requires a rewrite — re-encrypt by

@@ -218,12 +218,46 @@ def column_encrypted_read(spark, scale):
     return out
 
 
+def key_rotation(spark, scale):
+    """rotate_encryption_key on a growing table — the claim is O(1)
+    (one KEK re-wrap + one metadata commit, zero file I/O), so the
+    cell must stay flat in milliseconds while the table grows 10x."""
+    import base64 as _b64
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+        snapshot_read,
+    )
+
+    fmt = _pyds(spark)
+    n = BASE_ROWS * scale
+    p = f"/tmp/bench_r14_rotate_{scale}"
+    shutil.rmtree(p, ignore_errors=True)
+    _rows(spark, n).write.format(fmt).mode("append").option(
+        "encryptionKey", KEY
+    ).save(p)
+    new_key = _b64.b64encode(bytes(range(64, 96))).decode()
+    t0 = time.time()
+    res = rotate_encryption_key(p, KEY, new_key)
+    dt = time.time() - t0
+    # post-rotation read sanity (untimed)
+    assert (
+        snapshot_read(spark, p, encryption_key=new_key)
+        .agg(F.sum("v"))
+        .first()[0]
+        is not None
+    )
+    shutil.rmtree(p, ignore_errors=True)
+    return {"rotate": dt, "files_rewritten": res["files_rewritten"]}
+
+
 OPS = {
     "pyds_mapping_write": pyds_mapping_write,
     "keyed_read": keyed_read,
     "encrypted_erase": encrypted_erase,
     "uncdc_update_feed": uncdc_update_feed,
     "column_encrypted_read": column_encrypted_read,
+    "key_rotation": key_rotation,
 }
 
 

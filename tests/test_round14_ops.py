@@ -1402,3 +1402,74 @@ def test_encrypted_vacuum_after_compact(spark, tmp_path):
         assert not os.path.exists(os.path.join(p, seg))
     assert snapshot_read(spark, p, columns=["k", "grp"]).count() == 100
     assert snapshot_read(spark, p, encryption_key=KEY).count() == 100
+
+
+def test_rotation_mid_stream_tail_survives(spark, tmp_path):
+    """A LONG-LIVED streaming tail planned before a rotation keeps
+    consuming after it: the stream decrypts with the table KEK, which
+    rotation never changes — only the master's wrap moves. New data
+    appended under the NEW master lands in the same tail."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        rotate_encryption_key,
+    )
+
+    import time as _t
+
+    p = _encrypted_table(spark, tmp_path)
+    # a CONTINUOUSLY-RUNNING query: its streamReader (and the KEK it
+    # resolved from the old master at plan time) persists across
+    # micro-batches
+    s = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .load(p)
+    )
+    sink = "rot_midstream_sink"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while spark.table(sink).count() < 150 and _t.time() < deadline:
+            _t.sleep(0.5)
+        assert spark.table(sink).count() == 150
+        # rotate MID-STREAM, then append under the NEW master
+        rotate_encryption_key(p, KEY, NEW)
+        (
+            spark.range(150, 170)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 5).alias("grp"),
+                F.lit("z").alias("s"),
+            )
+            .write.format(FORMAT_NAME)
+            .option("encryptionKey", NEW)
+            .mode("append")
+            .save(p)
+        )
+        # the live tail keeps consuming: the KEK never changed, so
+        # post-rotation files decrypt in the SAME running query even
+        # though the master it was started with is now dead
+        deadline = _t.time() + 60
+        while spark.table(sink).count() < 170 and _t.time() < deadline:
+            _t.sleep(0.5)
+        assert spark.table(sink).count() == 170
+    finally:
+        q.stop()
+    # a RESTARTED or fresh stream under the old master is refused at
+    # plan time — restart semantics match batch: only the current
+    # master plans new queries
+    with pytest.raises(Exception, match="ROTATED"):
+        (
+            s.writeStream.format("memory")
+            .queryName("rot_midstream_dead")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
