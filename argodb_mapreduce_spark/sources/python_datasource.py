@@ -761,19 +761,31 @@ def make_versioned_datasource():
         ]
         return pa.schema(fields)
 
-    def _cast_batches_to_us(pf, row_groups=None):
+    def _cast_batches_to_us(pf, row_groups=None, columns=None):
         """Stream a ParquetFile's batches cast to the µs-normalized
         schema; zero-row batches are skipped (to_batches() on an empty
         table is empty — the latent [0] IndexError). ``row_groups``
-        bounds the read to a row-group subset (row-group skipping)."""
+        bounds the read to a row-group subset (row-group skipping);
+        ``columns`` bounds it to a top-level column subset (requested
+        in FILE order so the cast target is unambiguous) — the pyds
+        projection path, and the only legal way to read a
+        COLUMN-encrypted file keyless."""
         import pyarrow as pa
 
-        target = _us_schema(pf.schema_arrow)
-        it = (
-            pf.iter_batches()
-            if row_groups is None
-            else pf.iter_batches(row_groups=row_groups)
-        )
+        full = _us_schema(pf.schema_arrow)
+        if columns is not None:
+            want = set(columns)
+            cols = [n for n in pf.schema_arrow.names if n in want]
+            target = pa.schema([full.field(n) for n in cols])
+        else:
+            cols = None
+            target = full
+        kw = {}
+        if row_groups is not None:
+            kw["row_groups"] = row_groups
+        if cols is not None:
+            kw["columns"] = cols
+        it = pf.iter_batches(**kw)
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -891,6 +903,33 @@ def make_versioned_datasource():
             "boolean": pa.bool_(),
         }.get((type_str or "string").lower(), pa.string())
 
+    def _synth_batch(n, parts, col_order, col_types=None, renames=None):
+        """An n-row batch built ENTIRELY from partition constants and
+        NULL backfills — the projection path when no projected column
+        physically lives in the file (e.g. partition-only projections,
+        keyless reads where the file holds only encrypted columns)."""
+        import pyarrow as pa
+
+        arrays = {}
+        for c, raw, type_str in parts or ():
+            tv = _decode_part_value(raw, type_str)
+            t = _arrow_type_of(type_str)
+            name = renames.get(c, c) if renames else c
+            arrays[name] = (
+                pa.nulls(n, t) if tv is None else pa.array([tv] * n, type=t)
+            )
+        for name in col_order or ():
+            if name not in arrays:
+                if not col_types or name not in col_types:
+                    raise ValueError(
+                        f"plan column {name!r} has no partition value "
+                        "and no plan type to NULL-backfill it"
+                    )
+                arrays[name] = pa.nulls(n, col_types[name])
+        return pa.RecordBatch.from_arrays(
+            [arrays[name] for name in col_order], names=list(col_order)
+        )
+
     def _emit_batch(batch, parts, col_order, col_types=None, renames=None):
         """Append the split's partition values as constant typed columns
         (NULL sentinel -> null column) and reorder to the plan schema —
@@ -958,10 +997,18 @@ def make_versioned_datasource():
             col_types=None,
             renames=None,
             encryption_key=None,
+            columns=None,
         ):
             # Parquet modular encryption (r13): base64 master key for
             # per-file data-key unwrap; None = plaintext table.
             self.encryption_key = encryption_key
+            # Projection (r14, the `columns` load option): PHYSICAL
+            # top-level names to decode from each file — the rest are
+            # never read (and on a keyless COLUMN-encrypted read, never
+            # touched: parquet-cpp hard-aborts keyless encrypted
+            # column access). Partition constants and ledger backfills
+            # come from col_order/_emit_batch as usual.
+            self.columns = tuple(columns) if columns is not None else None
             self.files = files
             self.file_stats = file_stats
             # Immutable per relation (parsed from the load option): every
@@ -1036,6 +1083,40 @@ def make_versioned_datasource():
             else:
                 pf = pq.ParquetFile(partition.path)
 
+            file_cols = None
+            if self.columns is not None:
+                want = set(self.columns)
+                file_cols = [
+                    n for n in pf.schema_arrow.names if n in want
+                ]
+                if not file_cols:
+                    # Every projected column is a partition constant or
+                    # a ledger backfill: no byte of this file needs
+                    # decoding — synthesize per-row-group row counts
+                    # (keyless-safe: row counts are plaintext header
+                    # fields even on encrypted files).
+                    md = pf.metadata
+                    off = 0
+                    for rg in range(md.num_row_groups):
+                        n_rg = md.row_group(rg).num_rows
+                        n_live = n_rg
+                        if excl.size:
+                            lo = np.searchsorted(excl, off, side="left")
+                            hi = np.searchsorted(
+                                excl, off + n_rg, side="left"
+                            )
+                            n_live -= int(hi - lo)
+                        if n_live > 0:
+                            yield _synth_batch(
+                                n_live,
+                                parts,
+                                self.col_order,
+                                self.col_types,
+                                self.renames,
+                            )
+                        off += n_rg
+                    return
+
             def _windows():
                 # (start_offset, batch) pairs; with pushed predicates,
                 # skip whole row groups by their footer stats (the
@@ -1044,14 +1125,16 @@ def make_versioned_datasource():
                 # masking stays position-exact.
                 if not self.prune or pf.metadata.num_row_groups <= 1:
                     off = 0
-                    for b in _cast_batches_to_us(pf):
+                    for b in _cast_batches_to_us(pf, columns=file_cols):
                         yield off, b
                         off += b.num_rows
                     return
                 keep, offs = _select_row_groups(pf, self.prune)
                 for i, goff in zip(keep, offs):
                     off = goff
-                    for b in _cast_batches_to_us(pf, row_groups=[i]):
+                    for b in _cast_batches_to_us(
+                        pf, row_groups=[i], columns=file_cols
+                    ):
                         yield off, b
                         off += b.num_rows
 
@@ -1744,10 +1827,31 @@ def make_versioned_datasource():
                         if f.name in phys_to_log or f.name in cmap
                     ]
                 )
+            raw_cols = str(self.options.get("columns") or "").strip()
             if str(self.options.get("readChangeFeed", "false")).lower() in ("true", "1"):
+                if raw_cols:
+                    raise ValueError(
+                        "columns cannot combine with readChangeFeed: "
+                        "change rows carry the full row schema"
+                    )
                 s = s.append(pa.field("_change_type", pa.string())).append(
                     pa.field("_commit_version", pa.int64())
                 )
+            if raw_cols:
+                # Projection OPTION (r14): Python data sources get no
+                # projection pushdown from Spark, so the scan always
+                # decodes every column — option('columns', 'k,g') is
+                # the explicit escape hatch (and the only keyless way
+                # into a COLUMN-encrypted table through this format).
+                names = [c.strip() for c in raw_cols.split(",") if c.strip()]
+                have = {f.name for f in s}
+                missing = [c for c in names if c not in have]
+                if missing:
+                    raise ValueError(
+                        f"columns {missing} not in the table schema "
+                        f"{sorted(have)}"
+                    )
+                s = pa.schema([s.field(c) for c in names])
             return from_arrow_schema(s)
 
         def reader(self, schema):
@@ -1760,20 +1864,32 @@ def make_versioned_datasource():
                     "readChangeFeed is a STREAMING option (spark.readStream); "
                     "for batch change queries use versioned.change_feed()"
                 )
+            raw_cols = str(self.options.get("columns") or "").strip()
+            proj = (
+                [c.strip() for c in raw_cols.split(",") if c.strip()]
+                if raw_cols
+                else None
+            )
             if self._meta.get("encrypted") and not self._enc_key:
-                hint = ""
-                if self._meta.get("enc_columns"):
-                    hint = (
-                        " (COLUMN-encrypted: the plaintext columns read "
-                        "keyless via versioned.snapshot_read(..., "
-                        "columns=[...]) avoiding "
-                        f"{sorted(self._meta['enc_columns'])})"
-                    )
-                raise ValueError(
-                    "this version's segments are parquet-modular-"
-                    "encrypted; pass option('encryptionKey', <base64 "
-                    "master key>) to read them" + hint
+                enc_set = set(self._meta.get("enc_columns") or ())
+                bad = sorted(set(proj or ()) & enc_set)
+                badp = sorted(
+                    {c for c, _o, _l in self._prune} & enc_set
                 )
+                if not enc_set or proj is None or bad or badp:
+                    hint = ""
+                    if enc_set:
+                        hint = (
+                            " (COLUMN-encrypted: the plaintext columns "
+                            "read keyless via option('columns', ...) "
+                            "or versioned.snapshot_read(..., "
+                            f"columns=[...]) avoiding {sorted(enc_set)})"
+                        )
+                    raise ValueError(
+                        "this version's segments are parquet-modular-"
+                        "encrypted; pass option('encryptionKey', "
+                        "<base64 master key>) to read them" + hint
+                    )
             wrap_key = None
             if self._enc_key:
                 _crypto(self._enc_key)  # fail loud on malformed keys at plan time
@@ -1790,11 +1906,19 @@ def make_versioned_datasource():
                 self._file_parts
                 or self._meta["evolved"]
                 or self._meta.get("mapping_active")
+                or proj is not None
             ):
                 from pyspark.sql.pandas.types import to_arrow_type
 
                 col_order = [f.name for f in schema.fields]
                 col_types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+            phys_proj = None
+            if proj is not None:
+                # File bytes carry PHYSICAL names; the projection
+                # arrived in LOGICAL plan names.
+                renames_ = self._meta.get("renames") or {}
+                log_to_phys = {l: ph for ph, l in renames_.items()}
+                phys_proj = [log_to_phys.get(c, c) for c in proj]
             return VersionedReader(
                 self._files,
                 self._file_stats,
@@ -1806,6 +1930,7 @@ def make_versioned_datasource():
                 col_types,
                 renames=self._meta.get("renames") or None,
                 encryption_key=wrap_key if self._meta.get("encrypted") else None,
+                columns=phys_proj,
             )
 
         def _has_encrypted_history(self) -> bool:
@@ -3733,6 +3858,7 @@ def snapshot_encrypted_key_rotation(
                 AS BIGINT) AS pruned_rows,
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 3)
                AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS fmt_keyless_sum_key,
            TRUE AS keyless_full_refused,
            TRUE AS keyless_enc_col_refused,
            TRUE AS stats_plaintext_only,
@@ -3820,6 +3946,17 @@ def pyds_column_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc_col_locked = (
             _pq.ParquetFile(f).read(columns=["o_orderkey"]).num_rows > 0
         )
+    # The FORMAT-API twin of the keyless subset (r14 `columns` load
+    # option — Python data sources get no Spark-side projection
+    # pushdown, so the option is the explicit path): value-pinned in
+    # the oracle hash, not just a boolean.
+    fmt_sum = (
+        spark.read.format(FORMAT_NAME)
+        .option("columns", "o_orderkey")
+        .load(out)
+        .agg(F.sum("o_orderkey").cast("long"))
+        .first()[0]
+    )
     sub = snapshot_read(spark, out, columns=["o_orderkey", "o_orderstatus"])
     pruned = snapshot_read(
         spark,
@@ -3844,6 +3981,7 @@ def pyds_column_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_f",
             "pruned_rows",
             "sum_price",
+            F.lit(fmt_sum).cast("long").alias("fmt_keyless_sum_key"),
             F.lit(keyless_full_refused).alias("keyless_full_refused"),
             F.lit(keyless_enc_refused).alias("keyless_enc_col_refused"),
             F.lit(stats_plain_only).alias("stats_plaintext_only"),

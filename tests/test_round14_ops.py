@@ -1473,3 +1473,118 @@ def test_rotation_mid_stream_tail_survives(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+# --- pyds `columns` projection option (r14): explicit projection for a
+# --- format with no Spark-side pushdown; the keyless door into
+# --- column-encrypted tables through spark.read.format(...)
+
+
+def _pyds_table(spark, tmp_path, name="proj", **write_opts):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        FORMAT_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    p = str(tmp_path / name)
+    w = (
+        spark.range(0, 50)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        .write.format(FORMAT_NAME)
+        .mode("append")
+    )
+    for opt, val in write_opts.items():
+        w = w.option(opt, val)
+    w.save(p)
+    return p
+
+
+def test_pyds_columns_projection_plain(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    p = _pyds_table(spark, tmp_path)
+    r = spark.read.format(FORMAT_NAME).option("columns", "k,g").load(p)
+    assert r.columns == ["k", "g"] and r.count() == 50
+    assert r.agg(F.sum("k")).first()[0] == sum(range(50))
+    with pytest.raises(Exception, match="not in the table schema"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("columns", "nope")
+            .load(p)
+            .count()
+        )
+
+
+def test_pyds_columns_projection_column_encrypted(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    p = _pyds_table(
+        spark,
+        tmp_path,
+        name="projenc",
+        encryptionKey=KEY,
+        encryptColumns="s",
+    )
+    r = spark.read.format(FORMAT_NAME).option("columns", "k,g").load(p)
+    assert r.count() == 50 and r.agg(F.sum("k")).first()[0] == sum(range(50))
+    with pytest.raises(Exception, match="COLUMN-encrypted"):
+        spark.read.format(FORMAT_NAME).load(p).count()
+    with pytest.raises(Exception, match="encrypted"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("columns", "k,s")
+            .load(p)
+            .count()
+        )
+    keyed = (
+        spark.read.format(FORMAT_NAME)
+        .option("encryptionKey", KEY)
+        .option("columns", "s,k")
+        .load(p)
+    )
+    assert keyed.columns == ["s", "k"]
+    assert keyed.filter(F.col("s") == "s7").count() == 1
+
+
+def test_pyds_columns_projection_partitioned_with_dv(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+
+    p = _pyds_table(spark, tmp_path, name="projpart", partitionBy="g")
+    delete_keys(
+        spark, p, spark.range(0, 5).select(F.col("id").alias("k")), "k"
+    )
+    # partition-only projection: zero parquet bytes decoded
+    gonly = spark.read.format(FORMAT_NAME).option("columns", "g").load(p)
+    assert gonly.columns == ["g"] and gonly.count() == 45
+    r = spark.read.format(FORMAT_NAME).option("columns", "k,g").load(p)
+    assert r.count() == 45
+    assert r.agg(F.sum("k")).first()[0] == sum(range(5, 50))
+
+
+def test_pyds_columns_projection_after_rename(spark, tmp_path):
+    """Projection speaks LOGICAL names on a column-mapped table; the
+    reader translates to physical file names per batch."""
+    from argodb_mapreduce_spark.sources.python_datasource import FORMAT_NAME
+    from argodb_mapreduce_spark.sources.versioned import rename_column
+
+    p = _pyds_table(spark, tmp_path, name="projmap")
+    rename_column(p, "s", "label")
+    r = (
+        spark.read.format(FORMAT_NAME)
+        .option("columns", "label,k")
+        .load(p)
+    )
+    assert r.columns == ["label", "k"]
+    assert r.filter(F.col("label") == "s7").count() == 1
+    with pytest.raises(Exception, match="not in the table schema"):
+        (
+            spark.read.format(FORMAT_NAME)
+            .option("columns", "s")
+            .load(p)
+            .count()
+        )
