@@ -128,6 +128,49 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+def _footer_spark_schema(path: str):
+    """Spark StructType for a parquet file (or a SINGLE-SCHEMA dir of
+    parts), derived from footers driver-side — no Spark job. Returns
+    ``None`` whenever anything is unusual (no parts, divergent part
+    schemas, an arrow type with no direct Spark mapping) so the caller
+    falls back to Spark's own inference; NANOS timestamps map to LONG,
+    matching the ``nanosAsLong`` read the caller performs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        import pyspark.sql.types as T
+
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if not parts or len(parts) > 32:  # bound the footer sweep
+                return None
+            schemas = [pq.ParquetFile(p).schema_arrow for p in parts]
+            if any(s != schemas[0] for s in schemas[1:]):
+                return None
+            sch = schemas[0]
+        else:
+            sch = pq.ParquetFile(path).schema_arrow
+        fields = []
+        for name, typ in zip(sch.names, sch.types):
+            if pa.types.is_timestamp(typ) and typ.unit == "ns":
+                st = T.LongType()
+            else:
+                st = from_arrow_type(
+                    typ, prefer_timestamp_ntz=(getattr(typ, "tz", None) is None)
+                )
+            fields.append(T.StructField(name, st, True))
+        return T.StructType(fields)
+    except Exception:  # noqa: BLE001 - inference is always correct
+        return None
+
+
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that presents ONE timestamp flavor regardless of how
     the fixture was written.
@@ -150,7 +193,15 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # Schema from ONE footer, driver-side (r14): passing it explicitly
+    # skips Spark's schema-inference job on EVERY base-table access
+    # (~one 1-task job + 50-100 ms per read; load_table is the most
+    # frequent read in the engine). Verified bit-identical to Spark's
+    # own inference for every fixture table at every SF
+    # (tests/test_r14_optimizations.py); any surprise falls back to
+    # inference.
+    st = _footer_spark_schema(path)
+    df = (spark.read.schema(st) if st is not None else spark.read).parquet(path)
     dtypes = dict(df.dtypes)
     for c in ns_cols:
         if dtypes.get(c) == "bigint":

@@ -129,3 +129,25 @@ def sql_gsum(expr: str, bits: int = GRID_BITS) -> str:
 def sql_gavg(expr: str, bits: int = GRID_BITS) -> str:
     """DuckDB twin of :func:`gavg`."""
     return f"{sql_gsum(expr, bits)} / COUNT({expr})"
+
+
+def multiset_equal(a, b) -> bool:
+    """One-pass multiset equality of two DataFrames over ``a``'s columns.
+
+    Equivalent to ``a.exceptAll(b).isEmpty and b.exceptAll(a).isEmpty``
+    (per-value row counts must agree; group keys treat NULL == NULL,
+    matching exceptAll's multiset semantics) but runs as a SINGLE
+    aggregation over a union — each side is computed once and shuffled
+    once, where the two exceptAll passes evaluate both inputs twice and
+    shuffle four times (guide §2.4: remove shuffles outright). Used by
+    the oracle-pinned incremental-equals-full self-checks."""
+    cols = list(a.columns)
+    tagged = a.select(*cols).withColumn("__w", F.lit(1)).unionAll(
+        b.select(*cols).withColumn("__w", F.lit(-1))
+    )
+    diff = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("__w").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    return diff.limit(1).count() == 0

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
+from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
 from argodb_mapreduce_spark.registry import register
 
 N_HASHES = 16
@@ -1502,10 +1503,7 @@ def dedup_index_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_cdf_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)  # v1: base build + CDF delta
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = (
-        idx.exceptAll(full).limit(1).count() == 0
-        and full.exceptAll(idx).limit(1).count() == 0
-    )
+    equal = multiset_equal(idx, full)
     return idx.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.countDistinct("band_hash").alias("n_buckets"),
@@ -1601,10 +1599,7 @@ def dedup_index_through_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_delete_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = (
-        idx.exceptAll(full).limit(1).count() == 0
-        and full.exceptAll(idx).limit(1).count() == 0
-    )
+    equal = multiset_equal(idx, full)
     return idx.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.countDistinct("band_hash").alias("n_buckets"),
@@ -1702,10 +1697,7 @@ def dedup_index_through_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_restore_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = (
-        idx.exceptAll(full).limit(1).count() == 0
-        and full.exceptAll(idx).limit(1).count() == 0
-    )
+    equal = multiset_equal(idx, full)
     return idx.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.countDistinct("band_hash").alias("n_buckets"),
@@ -1813,10 +1805,7 @@ def dedup_index_through_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_update_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)  # v1: base + MERGEd postimage bands
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = (
-        idx.exceptAll(full).limit(1).count() == 0
-        and full.exceptAll(idx).limit(1).count() == 0
-    )
+    equal = multiset_equal(idx, full)
     return idx.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.countDistinct("band_hash").alias("n_buckets"),

@@ -51,6 +51,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
 from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum as _sql_dsum
 from argodb_mapreduce_spark.registry import register
 
@@ -3245,10 +3246,8 @@ def pyds_write_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     native = snapshot_read(spark, out)
     pyds = read_versioned(spark, out)
-    match = (
-        sorted(native.columns) == sorted(pyds.columns)
-        and native.exceptAll(pyds.select(*native.columns)).limit(1).count() == 0
-        and pyds.select(*native.columns).exceptAll(native).limit(1).count() == 0
+    match = sorted(native.columns) == sorted(pyds.columns) and multiset_equal(
+        native, pyds.select(*native.columns)
     )
     return native.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -4666,10 +4665,7 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     rep = snapshot_read(spark, replica)
     head = snapshot_read(spark, src)
-    equal = (
-        rep.exceptAll(head.select(*rep.columns)).limit(1).count() == 0
-        and head.select(*rep.columns).exceptAll(rep).limit(1).count() == 0
-    )
+    equal = multiset_equal(rep, head.select(*rep.columns))
     return rep.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),

@@ -444,6 +444,96 @@ def build_segment_bloom(spark: SparkSession, seg_path: str, columns) -> dict:
     return out
 
 
+def build_grouped_blooms(
+    spark: SparkSession, staged_root: str, col: str, part_col: str, groups
+) -> dict:
+    """Per-PARTITION bloom bitsets over one partitioned staging dir, in
+    TWO Spark jobs total (r14; the per-segment :func:`build_segment_bloom`
+    costs two jobs PER segment). Returns ``{group_value: bloom_json}``,
+    bit-identical to building each group's segment separately: the HLL
+    sizing sketch and the sha256 position slicing are deterministic and
+    merge-order-independent, so the grouped aggregation yields the same
+    ``m`` and the same bitset as the per-segment build.
+
+    Sizing uses the same 2% rsd ``approx_count_distinct`` + 5% headroom;
+    positions are the same K sha256 hex slices mod the GROUP's ``m``
+    (expressed as a CASE column so one pass serves every group); words
+    reduce by ``bit_or`` per (group, word) with map-side partial
+    aggregation — the driver receives O(sum of m/64) packed longs."""
+    import base64
+
+    import numpy as np
+
+    seg = spark.read.parquet(staged_root)
+    allowed = ("tinyint", "smallint", "int", "bigint", "string")
+    types = {f.name: f.dataType.simpleString() for f in seg.schema.fields}
+    if types.get(col) not in allowed:
+        raise ValueError(
+            f"bloom filter on column {col!r} of type {types.get(col)!r} "
+            f"is unsupported; supported: {allowed}"
+        )
+    vals = seg.select(part_col, col).filter(F.col(col).isNotNull())
+    # Job 1: per-group sizing.
+    # metadata-collect: ONE aggregate row per group (HLL sketch), never rows.
+    sizing = {
+        r["g"]: r["n"]
+        for r in vals.groupBy(F.col(part_col).alias("g"))
+        .agg(F.approx_count_distinct(col, 0.02).alias("n"))
+        .collect()
+    }
+    ms = {g: _bloom_size(int(n * 1.05) + 1) for g, n in sizing.items()}
+    # Group-dependent modulus as a CASE column.
+    m_col = F.lit(None).cast("long")
+    for g, m in ms.items():
+        m_col = F.when(F.col(part_col) == F.lit(g), F.lit(m)).otherwise(m_col)
+    h = F.sha2(F.col(col).cast("string"), 256)
+    pos = [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"), m_col
+        ).cast("int")
+        for i in range(_BLOOM_K)
+    ]
+    _arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    _arrow_prev = spark.conf.get(_arrow_key, None)
+    spark.conf.set(_arrow_key, "true")
+    try:
+        # Job 2: per-(group, word) OR-reduced bitmap.
+        pdf = (
+            vals.select(F.col(part_col).alias("g"), F.explode(F.array(*pos)).alias("p"))
+            .groupBy("g", F.shiftright("p", 6).alias("w"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("bits"))
+            .toPandas()  # metadata-collect: O(sum m/64) words, columnar
+        )
+    finally:
+        if _arrow_prev is None:
+            spark.conf.unset(_arrow_key)
+        else:
+            spark.conf.set(_arrow_key, _arrow_prev)
+    out: dict = {}
+    for g in groups:
+        m = ms.get(g)
+        if m is None:  # group held no non-null keys: empty bloom
+            m = _bloom_size(1)
+            out[g] = {
+                "m": m,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(m // 8)).decode("ascii"),
+            }
+            continue
+        sub = pdf[pdf["g"] == g]
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        words = bits.view("<u8")
+        words[sub["w"].to_numpy(np.int64)] = (
+            sub["bits"].to_numpy(np.int64).view(np.uint64)
+        )
+        out[g] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bits.tobytes()).decode("ascii"),
+        }
+    return out
+
+
 def _bloom_might_contain(bloom: dict, value) -> bool:
     """Conservative membership: False ONLY when provably absent."""
     import base64
@@ -1318,7 +1408,7 @@ def snapshot_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dropped segments contributed NO positional tombstones.
     dv_ok = True
     if latest.get("dv"):
-        dv_paths = spark.read.parquet(os.path.join(out, latest["dv"]))
+        dv_paths = _read_dv(spark, out, latest["dv"])
         dv_ok = (
             dv_paths.filter(~F.col("file_path").contains("/data-2/")).count() == 0
         )
@@ -1414,12 +1504,14 @@ def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
+def _stage_cdc(path: str, frames) -> tuple[str | None, int, "object"]:
     """Write the union of CDC leg DataFrames to a staged sidecar dir.
-    Returns ``(staged_dir, n_rows)`` — ``(None, 0)`` when every leg is
-    empty (no sidecar is recorded for a no-op change, so readers never
-    see an empty parquet dir). Row count comes from the written
-    footers: O(files) metadata, no second scan."""
+    Returns ``(staged_dir, n_rows, schema)`` — ``(None, 0, None)`` when
+    every leg is empty (no sidecar is recorded for a no-op change, so
+    readers never see an empty parquet dir). Row count comes from the
+    written footers: O(files) metadata, no second scan; the written
+    frame's schema rides along so the caller's read-back can skip
+    Spark's schema-inference job (r14)."""
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -1430,8 +1522,8 @@ def _stage_cdc(path: str, frames) -> tuple[str | None, int]:
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
-        return None, 0
-    return staged, n
+        return None, 0, None
+    return staged, n, out.schema
 
 
 class ConstraintViolation(ValueError):
@@ -1784,8 +1876,20 @@ def versioned_write(
     partition_by=(),
     target_file_mb: float | None = None,
     _txn: dict | None = None,
+    _prestaged: str | None = None,
+    _prebuilt_bloom: dict | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the new version number.
+
+    ``_prestaged`` / ``_prebuilt_bloom`` (internal, r14): a caller that
+    already materialized the segment bytes (e.g. one partitioned write
+    staging several range-disjoint segments at once) hands the staged
+    directory in and the data write is skipped; likewise a bloom built
+    in a single grouped pass over all staged segments skips the
+    per-segment build. ``df`` still supplies the logical schema and
+    flows through the same generated/identity/mapping/constraint
+    checks; every commit-phase invariant (locking, OCC, stats harvest
+    from the staged footers, schema enforcement) is unchanged.
 
     ``partition_by`` lays the new segment out Hive-style
     (``col=value/`` directories — the layout a 100 TB daily-ingest
@@ -1874,11 +1978,16 @@ def versioned_write(
             "OPTIMIZE) after ingest"
         )
     os.makedirs(path, exist_ok=True)
-    staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staged)
+    if _prestaged is not None:
+        if target_file_mb:
+            raise ValueError("_prestaged does not compose with target_file_mb")
+        staged = _prestaged
+    else:
+        staged = os.path.join(path, f"_staged-{uuid.uuid4().hex}")
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
     # OPTIMIZED WRITE (``target_file_mb``, Delta's optimizeWrite /
     # autoCompact answer at ingest time): the staged footers reveal the
     # segment's true encoded size for free (O(files) metadata); when
@@ -1924,11 +2033,14 @@ def versioned_write(
             staged_stats.update(
                 _partition_stats(staged, partition_by, new_schema)
             )
-        staged_bloom = (
-            build_segment_bloom(df.sparkSession, staged, bloom_columns)
-            if bloom_columns
-            else None
-        )
+        if _prebuilt_bloom is not None:
+            staged_bloom = _prebuilt_bloom
+        else:
+            staged_bloom = (
+                build_segment_bloom(df.sparkSession, staged, bloom_columns)
+                if bloom_columns
+                else None
+            )
         # COMMIT point: take the table's commit lock, then re-read the
         # manifest so concurrent appends that landed during the heavy
         # phase are seen. EVERYTHING from the head read to the manifest
@@ -2347,7 +2459,17 @@ def _read_segment_dirs(
 
     parts = _segment_partition_cols(entry, segs)
     if not parts:
-        reader = spark.read.option("mergeSchema", "true") if evolved else spark.read
+        if evolved:
+            reader = spark.read.option("mergeSchema", "true")
+        else:
+            # Catalog-known schema (r14): the manifest's schema ledger
+            # already records every segment's columns, so a uniform flat
+            # read passes the schema explicitly instead of paying
+            # Spark's footer schema-inference job on every plan (the
+            # Delta/Iceberg contract — schema from the log, ~one 1-task
+            # job + 50-100 ms saved per read; guide §6).
+            st = _ledger_struct(entry, segs)
+            reader = spark.read.schema(st) if st is not None else spark.read
         return _proj(
             _pos(reader.parquet(*[os.path.join(path, s) for s in segs]))
         )
@@ -3200,7 +3322,9 @@ def _read_new_segment(
     seg_dir = os.path.join(path, seg)
     cols = entry.get("partition_by", {}).get(seg)
     if not cols:
-        return spark.read.parquet(seg_dir)
+        st = _ledger_struct(entry, [seg])  # skip schema inference (r14)
+        reader = spark.read.schema(st) if st is not None else spark.read
+        return reader.parquet(seg_dir)
     df = spark.read.option("basePath", seg_dir).parquet(seg_dir)
     return _cast_partition_cols(df, cols, entry.get("schemas", {}).get(seg, {}))
 
@@ -3320,6 +3444,52 @@ def _apply_predicates(df: DataFrame, predicates) -> DataFrame:
     return df
 
 
+def _ledger_struct(entry: dict, segs):
+    """StructType for a UNIFORM flat read of ``segs``, from the
+    manifest's schema ledger — or ``None`` when any segment lacks a
+    ledger entry or schemas diverge (the caller falls back to
+    inference / mergeSchema). Ledger types are ``simpleString`` forms
+    recorded at write time, which round-trip through DDL parsing;
+    unparseable forms return ``None`` rather than guessing."""
+    from pyspark.sql.types import StructType
+
+    schemas = entry.get("schemas", {})
+    known = [schemas[s] for s in segs if s in schemas]
+    if len(known) != len(segs) or not known:
+        return None
+    forms = {json.dumps(k, sort_keys=True) for k in known}
+    if len(forms) != 1:
+        return None
+    sch = known[0]
+    if any("`" in c for c in sch):
+        return None  # cannot safely backquote
+    try:
+        return StructType.fromDDL(
+            ", ".join(f"`{c}` {t}" for c, t in sch.items())
+        )
+    except Exception:  # noqa: BLE001 - fall back to inference
+        return None
+
+
+#: Deletion-vector sidecars always carry exactly these two columns —
+#: the writer (:func:`_write_dv_sidecar`) pins the shape.
+_DV_DDL = "file_path string, row_index bigint"
+
+
+def _read_dv(spark: SparkSession, path: str, dv_name: str) -> DataFrame:
+    """DV sidecar read with its FIXED schema. Passing the schema skips
+    Spark's per-read parquet schema-inference job (~one 1-task job +
+    50-100 ms of plan time per call, r14 measurement) — DV reads are on
+    every merge-on-read path, so the saved job multiplies across every
+    snapshot/DML/feed operation (guide §6: metadata the engine already
+    knows must not be re-derived from footers)."""
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromDDL(_DV_DDL)).parquet(
+        os.path.join(path, dv_name)
+    )
+
+
 def _anti_join_dv(
     spark: SparkSession, path: str, dv_name: str, probe: DataFrame
 ) -> DataFrame:
@@ -3330,7 +3500,7 @@ def _anti_join_dv(
     broadcast — the same asymmetry Delta's DV reader exploits; no
     shuffle of the fact side. Keeps ``__fp``/``__ri`` on the result for
     callers that need them (DELETE's matched-position harvest)."""
-    dv = spark.read.parquet(os.path.join(path, dv_name)).select("file_path", "row_index")
+    dv = _read_dv(spark, path, dv_name).select("file_path", "row_index")
     cond = (probe["__fp"] == dv["file_path"]) & (probe["__ri"] == dv["row_index"])
     return probe.join(F.broadcast(dv), cond, "left_anti")
 
@@ -4753,7 +4923,7 @@ def delete_where(
         frames.append(matched)
     if latest.get("dv"):
         frames.append(
-            spark.read.parquet(os.path.join(path, latest["dv"])).select(
+            _read_dv(spark, path, latest["dv"]).select(
                 "file_path", "row_index"
             )
         )
@@ -4794,7 +4964,7 @@ def delete_where(
                 c = F.col("file_path").contains(root) | decoded.contains(root)
                 in_dropped = c if in_dropped is None else (in_dropped | c)
             n_dropped_rows -= (
-                spark.read.parquet(os.path.join(path, latest["dv"]))
+                _read_dv(spark, path, latest["dv"])
                 .filter(in_dropped)
                 .count()
             )
@@ -5064,6 +5234,7 @@ def delete_keys(
     key_col: str,
     prune_cap: int = _DELETE_KEYS_PRUNE_CAP,
     encryption_key: str | None = None,
+    _precomputed_segs: list[str] | None = None,
 ) -> tuple[int, int]:
     """Set-based row DELETE — ``MERGE ... WHEN MATCHED THEN DELETE`` /
     the GDPR "erase these ids" shape — as a deletion-vector commit.
@@ -5106,15 +5277,27 @@ def delete_keys(
     # Touched-segment discovery via the manifest's skipping structures.
     # `segs` is the SCAN list only — the commit's segment list stays the
     # full `latest["segments"]` (a DV commit never drops segments).
+    # ``_precomputed_segs`` (r14 optimization): a caller that already ran
+    # the SAME discovery against the SAME head (e.g. to surface the scan
+    # bound as a contract column) passes its survivor list instead of
+    # paying the min/max + bloom pass twice (guide §1.2: don't compute
+    # things twice). Correctness is unaffected — any conservative
+    # superset of the touched segments yields the identical DV.
     # metadata-collect: bounded driver-side key materialization for
     # manifest pruning — limit(cap+1) caps the collect at O(cap)
     # regardless of key-set size (the Delta touched-file-set pattern);
     # over-cap sets run the SAME discovery distributed instead of
     # falling back to a full scan.
-    key_sample = keys.select(key_col).distinct().limit(prune_cap + 1).collect()
+    key_sample = (
+        []
+        if _precomputed_segs is not None
+        else keys.select(key_col).distinct().limit(prune_cap + 1).collect()
+    )
     persisted = False
     try:
-        if len(key_sample) <= prune_cap:
+        if _precomputed_segs is not None:
+            segs = list(_precomputed_segs)
+        elif len(key_sample) <= prune_cap:
             vals = [r[0] for r in key_sample if r[0] is not None]
             segs = _segments_possibly_holding_keys(latest, vals, key_col)
         else:
@@ -5141,7 +5324,7 @@ def delete_keys(
         dv = matched
         if latest.get("dv"):
             dv = dv.unionAll(
-                spark.read.parquet(os.path.join(path, latest["dv"])).select(
+                _read_dv(spark, path, latest["dv"]).select(
                     "file_path", "row_index"
                 )
             )
@@ -5507,8 +5690,19 @@ def _build_range_split_table(
     global-window sort (the production anti-pattern VERDICT r12 #4
     flagged in the old ntile fixture). Rebuilt per call: the callers
     mutate the table (delete_keys), so reuse would double-erase.
-    Returns (path, quarter_width)."""
+    Returns (path, quarter_width).
+
+    r14 optimization (guide §2.4/§1.2: one pass, not four): ONE
+    quarter-partitioned write stages all four segments, ONE grouped
+    pass builds all four blooms (:func:`build_grouped_blooms`), and the
+    four manifest commits adopt the pre-staged quarter directories via
+    ``versioned_write(_prestaged=...)`` — 4 table scans + 4 writes +
+    8 bloom jobs collapse to 1 write + 2 bloom jobs. The committed
+    manifest is equivalent: same per-quarter rows, same footer min/max
+    stats, same bloom bitsets (deterministic HLL sizing + sha256
+    positions)."""
     import shutil
+    import uuid
 
     out = _scratch(sf_dir) + suffix
     o = load_table(spark, sf_dir, "orders")
@@ -5517,13 +5711,39 @@ def _build_range_split_table(
     w = int(mx) // 4 + 1
     shutil.rmtree(out, ignore_errors=True)
     k = F.col("o_orderkey")
-    for i in range(4):
-        versioned_write(
-            o.filter((k >= i * w) & (k < (i + 1) * w)),
-            out,
-            mode="append",
-            bloom_columns=["o_orderkey"],
-        )
+    os.makedirs(out, exist_ok=True)
+    staged_root = os.path.join(out, f"_staged-{uuid.uuid4().hex}")
+    (
+        o.withColumn("__q", F.floor(k / F.lit(w)).cast("int"))
+        .write.mode("errorifexists")
+        .partitionBy("__q")
+        .parquet(staged_root)
+    )
+    blooms = build_grouped_blooms(spark, staged_root, "o_orderkey", "__q", range(4))
+    try:
+        for i in range(4):
+            qdir = os.path.join(staged_root, f"__q={i}")
+            if not os.path.isdir(qdir):
+                # Empty quarter (possible at tiny SFs): write it plain.
+                versioned_write(
+                    o.filter((k >= i * w) & (k < (i + 1) * w)),
+                    out,
+                    mode="append",
+                    bloom_columns=["o_orderkey"],
+                )
+                continue
+            staged_i = os.path.join(out, f"_staged-{uuid.uuid4().hex}")
+            os.rename(qdir, staged_i)
+            versioned_write(
+                o.filter((k >= i * w) & (k < (i + 1) * w)),
+                out,
+                mode="append",
+                bloom_columns=["o_orderkey"],
+                _prestaged=staged_i,
+                _prebuilt_bloom={"o_orderkey": blooms[i]},
+            )
+    finally:
+        shutil.rmtree(staged_root, ignore_errors=True)
     return out, w
 
 
@@ -5628,14 +5848,27 @@ def snapshot_delete_keys_bigset(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = o.filter(
         (F.col("o_orderkey") < w) & (F.col("o_orderkey") % 2 == 0)
     ).select("o_orderkey")
-    # Same distributed discovery delete_keys runs internally, surfaced
-    # so the oracle hash PINS the scan bound; one extra count pins the
-    # over-cap claim itself.
-    kept = _segments_possibly_holding_keys_distributed(
-        spark, latest, keys, "o_orderkey"
-    )
-    n_keys = keys.distinct().count()
-    _v, n_erased = delete_keys(spark, out, keys, "o_orderkey", prune_cap=cap)
+    # The key frame feeds three consumers (surfaced discovery, the
+    # over-cap count, delete_keys' semi-join) — persist it so the
+    # orders scan + filter runs once (guide §5: reuse beats recompute
+    # when the input is re-derived three times).
+    keys = keys.persist()
+    try:
+        # The distributed discovery delete_keys WOULD run internally,
+        # surfaced here so the oracle hash PINS the scan bound; the
+        # survivor list is handed back to delete_keys so the min/max +
+        # bloom pass is paid once, not twice (r14; identical DV —
+        # discovery is deterministic against the same manifest head).
+        kept = _segments_possibly_holding_keys_distributed(
+            spark, latest, keys, "o_orderkey"
+        )
+        n_keys = keys.distinct().count()
+        _v, n_erased = delete_keys(
+            spark, out, keys, "o_orderkey", prune_cap=cap,
+            _precomputed_segs=kept,
+        )
+    finally:
+        keys.unpersist()
     return snapshot_read(spark, out).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),
@@ -5973,7 +6206,7 @@ def _synthesize_restore_legs(
         def _dv(entry: dict):
             if not entry.get("dv"):
                 return None
-            return spark.read.parquet(os.path.join(path, entry["dv"])).select(
+            return _read_dv(spark, path, entry["dv"]).select(
                 "file_path", "row_index"
             )
 
@@ -6099,7 +6332,7 @@ def change_feed(
             if cur.get("dv"):
                 seg_root = os.path.join(os.path.abspath(path), seg) + "/"
                 dv_hits = (
-                    spark.read.parquet(os.path.join(path, cur["dv"]))
+                    _read_dv(spark, path, cur["dv"])
                     .filter(
                         F.col("file_path").contains(seg_root)
                         | F.try_url_decode(F.col("file_path")).contains(
@@ -6157,15 +6390,15 @@ def change_feed(
                 frames.append(gone.withColumn("_change_type", F.lit("delete")))
             if not cur.get("dv"):
                 continue  # pure drop: no positional delta to recover
-            dv_cur = spark.read.parquet(os.path.join(path, cur["dv"])).select(
+            dv_cur = _read_dv(spark, path, cur["dv"]).select(
                 "file_path", "row_index"
             )
             if prev.get("dv"):
                 if cur["dv"] == prev["dv"]:
                     continue  # carried-by-reference DV: no delta
-                dv_prev = spark.read.parquet(
-                    os.path.join(path, prev["dv"])
-                ).select("file_path", "row_index")
+                dv_prev = _read_dv(spark, path, prev["dv"]).select(
+                    "file_path", "row_index"
+                )
                 delta = dv_cur.join(
                     dv_prev, ["file_path", "row_index"], "left_anti"
                 )
@@ -6371,7 +6604,7 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The DV delta for v3->v4 references files in exactly one segment.
     # metadata-collect: O(changed files) distinct paths for the
     # oracle-pinned boundedness flag.
-    dv = spark.read.parquet(os.path.join(out, _read_manifest(out)[-1]["dv"]))
+    dv = _read_dv(spark, out, _read_manifest(out)[-1]["dv"])
     dv_files = [r.file_path for r in dv.select("file_path").distinct().collect()]
     bounded = bool(dv_files) and all("data-2" in f for f in dv_files)
     return (
@@ -7257,7 +7490,7 @@ def merge_upsert(
             ins = source.join(tgt_keys, key_col, "left_anti").withColumn(
                 "_change_type", F.lit("insert")
             )
-            staged_cdc, _n = _stage_cdc(path, [pre, post, ins])
+            staged_cdc, _n, _cdc_schema = _stage_cdc(path, [pre, post, ins])
             if staged_cdc:
                 cdc_name = f"cdc-{version}"
                 renames[staged_cdc] = cdc_name
@@ -7268,7 +7501,8 @@ def merge_upsert(
                 # cannot diverge from the table — the same read-back
                 # contract as update_where.
                 src_back = (
-                    spark.read.parquet(
+                    spark.read.schema(_cdc_schema)
+                    .parquet(
                         *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
                     )
                     .filter(F.col("_change_type") != "update_preimage")
@@ -7781,7 +8015,7 @@ def update_where(
         # Sidecars store PHYSICAL names (Delta's CDC files do too): a
         # later rename must not leave feeds spanning mixed headers —
         # change_feed maps every leg to the head's logical view on read.
-        staged_cdc, _n = _stage_cdc(
+        staged_cdc, _n, _cdc_schema = _stage_cdc(
             path, [_to_physical_frame(pre, cmap), _to_physical_frame(post, cmap)]
         )
         if staged_cdc:
@@ -7790,7 +8024,8 @@ def update_where(
             # Explicit part-file list: an underscore-prefixed staged
             # root trips Spark's hidden-path heuristics.
             post_back = _to_logical_frame(
-                spark.read.parquet(
+                spark.read.schema(_cdc_schema)
+                .parquet(
                     *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
                 )
                 .filter(F.col("_change_type") == "update_postimage")

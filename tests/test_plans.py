@@ -122,8 +122,13 @@ def test_no_collect_in_operators():
     # micro-batch) — plus three r14 additions: diff_keys' DV-symmetric-
     # difference file list O(changed files) and its prune-bound meta,
     # and the keyed re-encrypting writer's one-summary-row-per-file
-    # harvest O(files). All bounded metadata, never data rows.
-    assert len(tagged) <= 12, f"metadata-collect tag creep — audit: {tagged}"
+    # harvest O(files). The r14 optimization round adds two more of the
+    # bloom-build class: build_grouped_blooms' per-group HLL sizing row
+    # (one row per staged segment) and its packed-word toPandas
+    # (O(sum m/64) longs) — the single-pass replacement for N
+    # per-segment build_segment_bloom calls, same boundedness.
+    # All bounded metadata, never data rows.
+    assert len(tagged) <= 14, f"metadata-collect tag creep — audit: {tagged}"
 
 
 def test_decode_stub_raises():

@@ -1,0 +1,163 @@
+"""Round-14 optimization equivalence tests.
+
+Each optimization must be result-identical to the path it replaced:
+- multiset_equal == exceptAll-both-ways (duplicates, NULLs, inequality)
+- build_grouped_blooms == per-segment build_segment_bloom, bit-identical
+- delete_keys(_precomputed_segs=...) == delete_keys discovering itself
+- versioned_write(_prestaged=...) commits the same manifest shape
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
+
+
+def _exceptall_equal(a, b):
+    return (
+        a.exceptAll(b).limit(1).count() == 0
+        and b.exceptAll(a).limit(1).count() == 0
+    )
+
+
+@pytest.mark.parametrize(
+    "rows_a, rows_b, want",
+    [
+        ([(1, "x"), (1, "x"), (2, None)], [(2, None), (1, "x"), (1, "x")], True),
+        ([(1, "x"), (1, "x")], [(1, "x")], False),  # multiplicity differs
+        ([(1, "x")], [(1, "y")], False),
+        ([(None, None)], [(None, None)], True),  # NULL == NULL group keys
+        ([], [], True),
+        ([(1, "x")], [], False),
+    ],
+)
+def test_multiset_equal_matches_exceptall(spark, rows_a, rows_b, want):
+    schema = "k int, v string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    assert multiset_equal(a, b) is want
+    assert _exceptall_equal(a, b) is want
+
+
+def test_grouped_blooms_bit_identical_to_per_segment(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        build_grouped_blooms,
+        build_segment_bloom,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("__q")
+    )
+    staged = str(tmp_path / "staged")
+    df.write.partitionBy("__q").parquet(staged)
+    grouped = build_grouped_blooms(spark, staged, "k", "__q", range(4))
+    for q in range(4):
+        per_seg = build_segment_bloom(spark, os.path.join(staged, f"__q={q}"), ["k"])
+        assert grouped[q]["m"] == per_seg["k"]["m"], q
+        assert grouped[q]["k"] == per_seg["k"]["k"], q
+        assert grouped[q]["b64"] == per_seg["k"]["b64"], q
+
+
+def test_grouped_blooms_empty_group_is_conservative(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import build_grouped_blooms
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("__q")
+    )
+    staged = str(tmp_path / "staged")
+    df.write.partitionBy("__q").parquet(staged)
+    grouped = build_grouped_blooms(spark, staged, "k", "__q", range(2))
+    # group 1 never staged: an all-zeros bloom (matches nothing) is
+    # correct — the quarter holds no rows, so pruning it is sound.
+    import base64
+
+    assert set(base64.b64decode(grouped[1]["b64"])) == {0}
+
+
+def test_delete_keys_precomputed_segs_identical(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        _segments_possibly_holding_keys_distributed,
+        delete_keys,
+        snapshot_read,
+        versioned_write,
+    )
+
+    def build(path):
+        for lo in (0, 1000, 2000, 3000):
+            versioned_write(
+                spark.range(lo, lo + 1000).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                ),
+                path,
+                mode="append",
+                bloom_columns=["k"],
+            )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build(a)
+    build(b)
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    latest = _read_manifest(a)[-1]
+    kept = _segments_possibly_holding_keys_distributed(spark, latest, keys, "k")
+    va, na = delete_keys(spark, a, keys, "k", prune_cap=10, _precomputed_segs=kept)
+    vb, nb = delete_keys(spark, b, keys, "k", prune_cap=10)
+    assert (va, na) == (vb, nb)
+    ra = snapshot_read(spark, a).orderBy("k").collect()
+    rb = snapshot_read(spark, b).orderBy("k").collect()
+    assert ra == rb
+
+
+def test_range_split_fixture_shape(spark):
+    """The one-pass staged build keeps the fixture contract: 4 versions,
+    4 range-disjoint segments, per-segment key blooms and min/max stats."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _build_range_split_table,
+        _read_manifest,
+        _stat_decode,
+        snapshot_read,
+    )
+    from argodb_mapreduce_spark.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out, w = _build_range_split_table(spark, sf_dir, "_r14test")
+    try:
+        entries = _read_manifest(out)
+        assert [e["version"] for e in entries] == [0, 1, 2, 3]
+        latest = entries[-1]
+        assert len(latest["segments"]) == 4
+        for i, seg in enumerate(latest["segments"]):
+            st = latest["stats"][seg]["o_orderkey"]
+            mn, mx = _stat_decode(st[0]), _stat_decode(st[1])
+            assert i * w <= mn <= mx < (i + 1) * w, (i, mn, mx, w)
+            assert "o_orderkey" in latest["bloom"][seg]
+        n = snapshot_read(spark, out).count()
+        expect = load_table(spark, sf_dir, "orders").count()
+        assert n == expect
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_footer_schema_matches_inference_all_tables(spark):
+    """_footer_spark_schema must agree with Spark's own inference for
+    every fixture table (else base-table scans would change shape)."""
+    import os
+
+    from argodb_mapreduce_spark.catalog import _footer_spark_schema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(d, fn)
+            built = _footer_spark_schema(p)
+            assert built is not None, p
+            inferred = spark.read.parquet(p).schema
+            assert built == inferred, (p, built, inferred)
