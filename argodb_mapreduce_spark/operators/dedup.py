@@ -339,6 +339,70 @@ def min_label_components(
         .localCheckpoint()
     )
     converged = False
+    # AQE OFF inside the propagation loop (r14): with AQE on, every
+    # Exchange in a round's plan materializes as its own query-stage
+    # job — measured ~8 jobs/round here vs 2 without — and the loop
+    # pays that re-planning EVERY round at any scale. The inputs are
+    # localCheckpointed and the per-round plan shape is fixed, so AQE
+    # has nothing to adapt: its two benefits (partition coalescing,
+    # skew splits) don't apply to a bounded edge set that was already
+    # materialized, and groupBy's map-side partial aggregation absorbs
+    # hot-label skew. Iterative-loop-disables-AQE is standard practice
+    # for fixed-shape rounds; the setting is restored on exit so the
+    # surrounding query keeps the session's planning behavior.
+    sess = vertices.sparkSession
+    # Scale the loop's shuffle width to the EDGE COUNT, not the session
+    # default (guide §2.2/§2.5: derive partitioning from input size).
+    # The edge set is already materialized (localCheckpoint), so its
+    # count is a cheap scan; ~2M edge rows per partition keeps tasks in
+    # the healthy range at any scale (1 partition for a 500-pair
+    # near-dup set, hundreds for a 10⁹-edge corpus). Without this,
+    # every round shuffles the session's full partition count of
+    # near-empty partitions and AQE re-plans each exchange as its own
+    # query-stage job — at sf0.1 that was ~8 jobs/round for ~100 edges.
+    n_edges = edges.count()
+    _mut = {}
+    _loop_conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(
+            max(1, min(int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+                       -(-n_edges // 2_000_000)))
+        ),
+    }
+    for k, v in _loop_conf.items():
+        try:
+            _mut[k] = sess.conf.get(k, None)
+            sess.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - immutable conf: keep as-is
+            _mut.pop(k, None)
+    try:
+        converged, labels = _propagate_rounds(edges, labels, max_rounds)
+    finally:
+        for k, prev in _mut.items():
+            try:
+                if prev is None:
+                    sess.conf.unset(k)
+                else:
+                    sess.conf.set(k, prev)
+            except Exception:  # noqa: BLE001
+                pass
+    if not converged:
+        raise RuntimeError(
+            f"{caller}: min-label propagation did not converge within "
+            f"{max_rounds} rounds — component diameter exceeds the cap; raise "
+            "the round limit rather than returning partial labels"
+        )
+    return vertices.join(labels, vertices.id == labels.id, "left").select(
+        vertices.id.alias("id"),
+        F.coalesce(labels.cluster_id, vertices.id).alias("cluster_id"),
+    )
+
+
+def _propagate_rounds(edges: DataFrame, labels: DataFrame, max_rounds: int):
+    """The propagate+compress rounds of :func:`min_label_components`,
+    split out so the caller can scope planner settings around them.
+    Returns ``(converged, labels)``."""
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -378,16 +442,7 @@ def min_label_components(
         if changed == 0:
             converged = True
             break
-    if not converged:
-        raise RuntimeError(
-            f"{caller}: min-label propagation did not converge within "
-            f"{max_rounds} rounds — component diameter exceeds the cap; raise "
-            "the round limit rather than returning partial labels"
-        )
-    return vertices.join(labels, vertices.id == labels.id, "left").select(
-        vertices.id.alias("id"),
-        F.coalesce(labels.cluster_id, vertices.id).alias("cluster_id"),
-    )
+    return converged, labels
 
 
 @register(
@@ -1406,7 +1461,15 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _band_index_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) for a set of documents — MinHash is
     per-document (no corpus coupling, unlike tf-idf), which is exactly
-    why the index maintains incrementally."""
+    why the index maintains incrementally.
+
+    No ``distinct()`` on the shingles (r14): this pipeline feeds ONLY
+    the MIN-aggregated signature, and MIN over a multiset equals MIN
+    over its set — dropping the dedup removes a full shuffle of the
+    shingle strings while the signature stays bit-identical (the
+    shingle → md5 → group-min all happens map-side-partial now).
+    Pipelines that consume shingle SETS (Jaccard sizes/intersections)
+    keep their distinct — see _doc_shingles."""
     shingles = (
         docs.select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= SHINGLE_K)
@@ -1418,7 +1481,6 @@ def _band_index_for(docs: DataFrame) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
     return _band_table(_minhash_signature(shingles))
 

@@ -7363,6 +7363,28 @@ def merge_upsert(
     rewritten.
     """
     source = _fill_generated(source, path)  # generated columns fill in
+    # Materialize the source ONCE (r14): the COW machinery below
+    # evaluates it at least twice (touched-key discovery, the rewrite
+    # union; three times with a CDC sidecar) — for a derived source (a
+    # change-feed read, a re-signed index delta) each evaluation repeats
+    # the whole upstream pipeline. Delta's MERGE materializes the source
+    # for the same reason (there additionally for determinism, which
+    # this engine gets from the sidecar read-back contract). Persisted
+    # MEMORY_AND_DISK, unpersisted on every exit path.
+    source = source.persist()
+    try:
+        return _merge_upsert_on(spark, path, source, key_col, encryption_key)
+    finally:
+        source.unpersist()
+
+
+def _merge_upsert_on(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    encryption_key: str | None = None,
+) -> dict:
     # Column mapping: the source frame and key speak LOGICAL names;
     # converting BOTH to physical here keeps the whole COW machinery
     # below (touched-file discovery, kept/union rewrite, CDC sidecar,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from argodb_mapreduce_spark.catalog import load_table, table_path
+from argodb_mapreduce_spark.catalog import load_table, table_path, table_rowcount
 from argodb_mapreduce_spark.functions.oracle_safe import dsum
 from argodb_mapreduce_spark.registry import register
 
@@ -222,17 +222,54 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bridge_ts(raw, unit)
 
 
-def _run_to_memory(df, name: str, output_mode: str):
+#: Target input rows per stateful-stream shuffle/state partition. A
+#: stateful streaming query pins its STATE partition count to
+#: ``spark.sql.shuffle.partitions`` at first checkpoint, and every
+#: micro-batch then commits one state-store delta PER PARTITION — so a
+#: bounded availableNow drain with far fewer rows than
+#: partitions × target pays state-store fixed costs for empty
+#: partitions every batch (A/B at sf0.1, 100k events: tumbling 1.54→1.20,
+#: dedup 1.86→1.21, sliding 1.46→0.75, stream-stream join 8.26→2.37 —
+#: the join keeps FOUR state stores per partition, so it gains most).
+#: The derivation is input-size-based (guide §2.2: size partitions to
+#: data, never to the machine) and CLAMPED to the session default, so
+#: a cluster-scale input keeps the session's full parallelism. Python-
+#: stateful streams (applyInPandasWithState) deliberately do NOT use it:
+#: their per-partition cost is a Python worker, and the same A/B showed
+#: them 1.4× SLOWER at reduced width — see stream_stateful_counts.
+_STREAM_ROWS_PER_PARTITION = 25_000
+
+
+def _run_to_memory(df, name: str, output_mode: str, input_rows: int | None = None):
     """Run to completion under availableNow; returns the finished query
-    so callers can harvest recentProgress (state-store metrics)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    so callers can harvest recentProgress (state-store metrics).
+
+    ``input_rows`` — when the caller knows the bounded source's size
+    (parquet footer metadata, free), the stream's shuffle/state
+    partition count is derived from it for the duration of the run
+    (state partitioning is fixed at checkpoint creation, so this must
+    happen before ``start()``); the session value is restored after."""
+    spark = df.sparkSession
+    prev = None
+    if input_rows is not None:
+        try:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            scaled = max(2, min(int(prev), -(-input_rows // _STREAM_ROWS_PER_PARTITION)))
+            spark.conf.set("spark.sql.shuffle.partitions", str(scaled))
+        except Exception:  # noqa: BLE001 - keep session width
+            prev = None
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
 
 
@@ -268,7 +305,8 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    _run_to_memory(agg, "stream_tumbling_live_sink", "complete")
+    _run_to_memory(agg, "stream_tumbling_live_sink", "complete",
+                   input_rows=table_rowcount(sf_dir, "events"))
     return spark.table("stream_tumbling_live_sink")
 
 
@@ -289,7 +327,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")
     )
-    _run_to_memory(dedup, "stream_dedup_sink", "append")
+    _run_to_memory(dedup, "stream_dedup_sink", "append",
+                   input_rows=table_rowcount(sf_dir, "events"))
     return spark.table("stream_dedup_sink")
 
 
@@ -326,6 +365,11 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+    # NO input_rows here: applyInPandasWithState runs PYTHON per state
+    # partition, so shrinking the state width also shrinks Python-worker
+    # parallelism — A/B measured 1.6 s → 2.3 s at 4 partitions. The
+    # row-count derivation is for JVM-side window/join state, where the
+    # per-partition cost is a state-store commit, not a Python worker.
     _run_to_memory(counts, "stream_stateful_sink", "update")
     return spark.table("stream_stateful_sink")
 
@@ -369,7 +413,8 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"
         ),
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
-    _run_to_memory(joined, "stream_join_sink", "append")
+    _run_to_memory(joined, "stream_join_sink", "append",
+                   input_rows=table_rowcount(sf_dir, "events"))
     return spark.table("stream_join_sink")
 
 
@@ -524,7 +569,8 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "stream_sliding_live_sink", "complete")
+    _run_to_memory(agg, "stream_sliding_live_sink", "complete",
+                   input_rows=table_rowcount(sf_dir, "events"))
     return spark.table("stream_sliding_live_sink")
 
 
@@ -578,7 +624,8 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "stream_session_live_sink", "complete")
+    _run_to_memory(agg, "stream_session_live_sink", "complete",
+                   input_rows=table_rowcount(sf_dir, "events"))
     return spark.table("stream_session_live_sink")
 
 
@@ -646,7 +693,8 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(zero)
         ).alias("v_domain"),
     )
-    _run_to_memory(counters, "stream_quality_gate_sink", "complete")
+    _run_to_memory(counters, "stream_quality_gate_sink", "complete",
+                   input_rows=table_rowcount(sf_dir, "events"))
     s = spark.table("stream_quality_gate_sink")
     return s.select(
         F.expr(
@@ -765,6 +813,8 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
     convenience — production writes the update stream to a keyed sink.
     """
     sessions = _stateful_sessions_stream(spark, sf_dir, _timer_marker_dir)
+    # NO input_rows: Python-stateful — see stream_stateful_counts
+    # (A/B: 8.0 s session-width vs 11.9 s at the derived 4 partitions).
     _run_to_memory(sessions, "stream_stateful_custom_sink", "update")
     s = spark.table("stream_stateful_custom_sink")
     return _collapse_provisional_sessions(s)
