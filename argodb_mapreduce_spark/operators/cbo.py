@@ -31,7 +31,18 @@ from argodb_mapreduce_spark.registry import register
 
 #: Tables staged into the session catalog (external, under /tmp) so
 #: ANALYZE can attach stats. Keyed per sf_dir; session-local.
-_CBO_TABLES = ("nation", "customer", "orders", "lineitem")
+#: r14: stage ONLY the columns the snowflake query references — join
+#: reorder costs from row counts + per-column NDV/min-max of the keys
+#: it sees, so the other 20 columns bought nothing but write+ANALYZE
+#: time (lineitem FOR ALL COLUMNS was the single biggest job here).
+#: Row counts (the fact/dim asymmetry the reorder keys on) are
+#: unchanged by projection.
+_CBO_TABLES = {
+    "nation": ["n_nationkey", "n_name"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+}
 _STAGED: dict[tuple[int, str], bool] = {}
 
 
@@ -46,20 +57,34 @@ def _stage_tables(spark: SparkSession, sf_dir: str) -> str:
     prefix = f"argodb_cbo_{_tag(sf_dir)}"
     key = (id(spark), prefix)
     root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", _tag(sf_dir), "cbo")
-    marker = os.path.join(root, "_STAGED")
-    if _STAGED.get(key) and not fixture_stale(table_path(sf_dir, "lineitem"), marker):
+    # v2 marker: the staged layout changed (projected columns) — a v1
+    # full-column staging must not be adopted as fresh.
+    marker = os.path.join(root, "_STAGED_NARROW")
+    data_fresh = not fixture_stale(table_path(sf_dir, "lineitem"), marker)
+    if _STAGED.get(key) and data_fresh:
         return prefix
     os.makedirs(root, exist_ok=True)
-    for t in _CBO_TABLES:
+    for t, cols in _CBO_TABLES.items():
         name = f"{prefix}_{t}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load_table(spark, sf_dir, t)
-            .write.mode("overwrite")
-            .option("path", os.path.join(root, t))
-            .saveAsTable(name)
+        path = os.path.join(root, t)
+        if not data_fresh:
+            # Stage (rewrite) the projected parquet copy.
+            load_table(spark, sf_dir, t).select(*cols).write.mode(
+                "overwrite"
+            ).parquet(path)
+        # Fresh data on disk: REGISTER it (catalog + stats are
+        # session-memory, the parquet is not) without rewriting — a new
+        # session pays only CREATE TABLE + ANALYZE over the key columns.
+        # Schema from the catalog's own (footer-derived) table schema —
+        # plan-only, no inference job over the staged files.
+        ddl = load_table(spark, sf_dir, t).select(*cols).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet LOCATION '{path}'"
         )
-        # Row + column stats: join reorder costs with both
+        # Row + column stats: join reorder costs with both. Only the
+        # staged (referenced) columns exist, so ALL COLUMNS is now the
+        # targeted set.
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
     with open(marker, "w") as fh:
         fh.write("ok")

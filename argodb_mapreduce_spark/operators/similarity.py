@@ -1958,15 +1958,22 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = eq.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qemb").alias("qq")
     )
-    total = meta.count()
+    # ONE combiner-reduced pass for all three frequency stats (guide
+    # §1.2 don't compute twice: was meta.count() + one fids.count() per
+    # regime = 3 jobs over the same column).
+    stats = meta.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("label") == FILTERED_LABEL).cast("long")).alias("n_low"),
+        F.sum((F.col("label") != FILTERED_LABEL).cast("long")).alias("n_high"),
+    ).first()
+    total = stats["total"]
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     out = []
-    for regime, cond in (
-        ("low", F.col("label") == FILTERED_LABEL),
-        ("high", F.col("label") != FILTERED_LABEL),
+    for regime, cond, n_pass in (
+        ("low", F.col("label") == FILTERED_LABEL, stats["n_low"]),
+        ("high", F.col("label") != FILTERED_LABEL, stats["n_high"]),
     ):
         fids = meta.filter(cond).select("vec_id")
-        n_pass = fids.count()  # the ANALYZE-style frequency stat
         if n_pass / total <= PREFILTER_MAX_SEL:
             strategy = "pre-filter"
             fcodes = codes.join(F.broadcast(fids), "vec_id")
@@ -2011,14 +2018,31 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= PQ_TOPK)
             .select("query_id", "vec_id")
         )
-        overlap = topk.join(exact, ["query_id", "vec_id"]).count()
+        # ONE pass computes n_results AND the recall overlap: `exact`
+        # holds at most one row per (query_id, vec_id) (row_number <=
+        # k), so a marked left join cannot duplicate topk rows — this
+        # replaces two actions that each re-ran the whole ADC+rerank
+        # pipeline (guide §1.2: the shortlist pipeline now evaluates
+        # once per regime, not twice).
+        m = (
+            topk.join(
+                exact.withColumn("__hit", F.lit(1)),
+                ["query_id", "vec_id"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("ov"),
+            )
+            .first()
+        )
         out.append(
             (
                 regime,
                 strategy,
                 n_pass * 100 / total,
-                topk.count(),
-                overlap * 100 / (PQ_QUERIES * PQ_TOPK),
+                m["n"],
+                int(m["ov"] or 0) * 100 / (PQ_QUERIES * PQ_TOPK),
             )
         )
     return spark.createDataFrame(

@@ -4173,12 +4173,17 @@ def stream_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = drain_backlog(spark, out, ck, conf, max_versions_per_run=2)
     drained = spark.read.parquet(sink)
-    n, d = drained.count(), drained.distinct().count()
-    return drained.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    # ONE pass over the sink instead of three (count + distinct().count()
+    # + final agg, guide §1.2): group by the full row, then the total is
+    # sum(multiplicity), the distinct count is the group count, and
+    # exactly-once is their equality — computed in the same aggregate
+    # that answers the oracle columns.
+    g = drained.groupBy(*drained.columns).agg(F.count(F.lit(1)).alias("__m"))
+    return g.agg(
+        F.sum("__m").cast("long").alias("n_rows"),
+        F.sum(F.col("o_orderkey") * F.col("__m")).cast("long").alias("sum_key"),
         F.lit(res["runs"]).alias("runs"),
-        F.lit(n == d).alias("exactly_once"),
+        (F.sum("__m") == F.count(F.lit(1))).alias("exactly_once"),
     )
 
 
