@@ -5294,11 +5294,21 @@ def delete_keys(
         else keys.select(key_col).distinct().limit(prune_cap + 1).collect()
     )
     persisted = False
+    # Under-cap key sets are COMPLETE after the bounded collect above —
+    # reuse them as literal IN-list predicates for the matched-position
+    # discovery instead of re-evaluating + broadcasting the key frame
+    # (r14, guide §1.2 don't compute twice / §2.4 remove the exchange):
+    # a semi-join on a non-null literal set is exactly `key IN (vals)`
+    # (NULL target keys match neither), and the broadcast-build job plus
+    # the key frame's re-evaluation disappear. Over-cap sets keep the
+    # broadcast semi-join (:func:`_matched_positions`, plan-gated).
+    key_vals = None
     try:
         if _precomputed_segs is not None:
             segs = list(_precomputed_segs)
         elif len(key_sample) <= prune_cap:
             vals = [r[0] for r in key_sample if r[0] is not None]
+            key_vals = vals
             segs = _segments_possibly_holding_keys(latest, vals, key_col)
         else:
             # The over-cap key frame is evaluated by BOTH the
@@ -5320,7 +5330,14 @@ def delete_keys(
         )
         if latest.get("dv"):
             scan = _anti_join_dv(spark, path, latest["dv"], scan)
-        matched = _matched_positions(scan, keys, key_col)
+        if key_vals is not None:
+            matched = scan.filter(
+                F.col(key_col).isin(key_vals) if key_vals else F.lit(False)
+            ).select(
+                F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+            )
+        else:
+            matched = _matched_positions(scan, keys, key_col)
         dv = matched
         if latest.get("dv"):
             dv = dv.unionAll(
@@ -7415,23 +7432,49 @@ def _merge_upsert_on(
             "protected rows); drop the property — the change feed "
             "synthesizes keyed file-level legs for un-CDC MERGEs"
         )
-    tgt = _read_segment_dirs(
-        spark, path, segs, latest, evolved=False, with_pos=True,
-        encryption_key=encryption_key,
-    )
-    if dv_name:
-        tgt = _anti_join_dv(spark, path, dv_name, tgt)
     keys = source.select(key_col).distinct()
-    # metadata-collect: O(matched files) distinct paths — Delta's
-    # touched-file discovery; rows are never collected.
-    touched_files = [
-        r.fp
-        for r in tgt.select(F.col(key_col), F.col("__fp").alias("fp"))
-        .join(F.broadcast(keys), key_col, "inner")
-        .select("fp")
-        .distinct()
-        .collect()
-    ]
+    # Small source key sets — the overwhelmingly common MERGE shape —
+    # collect ONCE driver-side (bounded by the same cap delete_keys
+    # uses; rows never collected, keys only) and every downstream
+    # touched/kept/CDF key predicate becomes a literal IN-list (r14,
+    # guide §1.2/§2.4): each replaced broadcast join drops its
+    # broadcast-build job AND a re-evaluation of the key frame, and the
+    # manifest's own min/max + bloom skipping
+    # (:func:`_segments_possibly_holding_keys`) prunes the touched-file
+    # DISCOVERY scan to segments that can possibly hold a key — at
+    # 100 TB a MERGE of one day's keys reads only the segments whose
+    # stats admit them, twice (discovery + rewrite), never the table.
+    # NULL source keys match no target row in either formulation (the
+    # rewrite union appends them regardless); over-cap key sets keep
+    # the broadcast semi-join path unchanged.
+    key_rows = keys.limit(_DELETE_KEYS_PRUNE_CAP + 1).collect()
+    key_vals = (
+        [r[0] for r in key_rows if r[0] is not None]
+        if len(key_rows) <= _DELETE_KEYS_PRUNE_CAP
+        else None
+    )
+    if key_vals is not None:
+        cand_segs = _segments_possibly_holding_keys(latest, key_vals, key_col)
+    else:
+        cand_segs = list(segs)
+    touched_files = []
+    if cand_segs:
+        tgt = _read_segment_dirs(
+            spark, path, cand_segs, latest, evolved=False, with_pos=True,
+            encryption_key=encryption_key,
+        )
+        if dv_name:
+            tgt = _anti_join_dv(spark, path, dv_name, tgt)
+        probe = tgt.select(F.col(key_col), F.col("__fp").alias("fp"))
+        if key_vals is not None:
+            hit = probe.filter(
+                F.col(key_col).isin(key_vals) if key_vals else F.lit(False)
+            )
+        else:
+            hit = probe.join(F.broadcast(keys), key_col, "inner")
+        # metadata-collect: O(matched files) distinct paths — Delta's
+        # touched-file discovery; rows are never collected.
+        touched_files = [r.fp for r in hit.select("fp").distinct().collect()]
     # Map each touched file to its segment by DIRECTORY ANCESTRY (a
     # Hive-partitioned segment's files live under col=value/ subdirs;
     # its segment dir is an ancestor, not the dirname) — name-substring
@@ -7483,7 +7526,16 @@ def _merge_upsert_on(
             kept_scan = _anti_join_dv(spark, path, dv_name, kept_scan).drop(
                 "__fp", "__ri"
             )
-        kept = kept_scan.join(F.broadcast(keys), key_col, "left_anti")
+        if key_vals is not None:
+            # left_anti on literals: NULL target keys match nothing and
+            # are kept, exactly the anti-join's NULL semantics.
+            kept = kept_scan.filter(
+                F.col(key_col).isNull() | ~F.col(key_col).isin(key_vals)
+                if key_vals
+                else F.lit(True)
+            )
+        else:
+            kept = kept_scan.join(F.broadcast(keys), key_col, "left_anti")
         if cmap:
             # Physically age out DROPPED columns on rewrite (Delta's
             # contract): the source has no retired physicals, so the
@@ -7503,15 +7555,36 @@ def _merge_upsert_on(
         # no-touched MERGE needs no sidecar: its commit is pure-append-
         # shaped and change_feed derives the inserts from the manifest.
         if _cdf_enabled(path):
-            matched = kept_scan.join(F.broadcast(keys), key_col, "left_semi")
-            tgt_keys = matched.select(key_col).distinct()
-            pre = matched.withColumn("_change_type", F.lit("update_preimage"))
-            post = source.join(tgt_keys, key_col, "left_semi").withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
-            ins = source.join(tgt_keys, key_col, "left_anti").withColumn(
-                "_change_type", F.lit("insert")
-            )
+            if key_vals is not None:
+                matched = kept_scan.filter(
+                    F.col(key_col).isin(key_vals) if key_vals else F.lit(False)
+                )
+                # Target-matched keys are a SUBSET of the collected key
+                # set — one bounded collect replaces the two broadcast
+                # builds the post/ins legs' semi/anti joins would pay.
+                tgt_vals = [
+                    r[0] for r in matched.select(key_col).distinct().collect()
+                ]
+                post_pred = (
+                    F.col(key_col).isin(tgt_vals) if tgt_vals else F.lit(False)
+                )
+                pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+                post = source.filter(post_pred).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = source.filter(
+                    F.col(key_col).isNull() | ~post_pred
+                ).withColumn("_change_type", F.lit("insert"))
+            else:
+                matched = kept_scan.join(F.broadcast(keys), key_col, "left_semi")
+                tgt_keys = matched.select(key_col).distinct()
+                pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+                post = source.join(tgt_keys, key_col, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = source.join(tgt_keys, key_col, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
             staged_cdc, _n, _cdc_schema = _stage_cdc(path, [pre, post, ins])
             if staged_cdc:
                 cdc_name = f"cdc-{version}"
@@ -7982,23 +8055,24 @@ def update_where(
         c = F.col(col)
         cond = {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit, "=": c == lit}[op]
         match = cond if match is None else (match & cond)
-    # rows_updated is an aggregate over the PRUNED scan only (the count
-    # the commit reports); the rewrite below re-reads the same pruned
-    # file set — two passes over touched segments, zero over the rest.
-    n_updated = scan.filter(match).count()
-    if not n_updated:
-        # Stats admitted a segment but no row actually matches: commit
-        # NOTHING. A rewrite here would be a pure waste — and on a
-        # CDF-enabled table it would publish a segments-replaced
-        # version with no sidecar, permanently poisoning every feed
-        # that spans it (Delta likewise records no commit actions for
-        # an empty UPDATE).
-        return {
-            "version": latest["version"],
-            "rows_updated": 0,
-            "segments_rewritten": 0,
-            "segments_total": len(segs),
-        }
+    # rows_updated on the CDF path is derived from the sidecar's OWN
+    # footers (pre+post legs = 2 x matched — r14, guide §1.2: the count
+    # job duplicated a pass the sidecar write already makes); only the
+    # non-CDF path still pays the explicit count, whose no-match early
+    # exit commits NOTHING either way (a rewrite would be pure waste —
+    # and on a CDF table a segments-replaced version with no sidecar
+    # would permanently poison every feed spanning it; Delta likewise
+    # records no commit actions for an empty UPDATE).
+    _no_op = {
+        "version": latest["version"],
+        "rows_updated": 0,
+        "segments_rewritten": 0,
+        "segments_total": len(segs),
+    }
+    if not _cdf_enabled(path):
+        n_updated = scan.filter(match).count()
+        if not n_updated:
+            return _no_op
     # CHANGE DATA FEED sidecar (Delta CDF): when the table property is
     # set, record the matched rows' before/after images in a staged
     # ``cdc-{version}`` dir that publishes atomically WITH the rewrite
@@ -8040,23 +8114,26 @@ def update_where(
         staged_cdc, _n, _cdc_schema = _stage_cdc(
             path, [_to_physical_frame(pre, cmap), _to_physical_frame(post, cmap)]
         )
-        if staged_cdc:
-            cdc_name = f"cdc-{version}"
-            renames[staged_cdc] = cdc_name
-            # Explicit part-file list: an underscore-prefixed staged
-            # root trips Spark's hidden-path heuristics.
-            post_back = _to_logical_frame(
-                spark.read.schema(_cdc_schema)
-                .parquet(
-                    *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
-                )
-                .filter(F.col("_change_type") == "update_postimage")
-                .drop("_change_type"),
-                cmap,
+        if not staged_cdc:
+            # Stats admitted a segment but no row actually matched: the
+            # sidecar came back empty — no-op, no commit (same contract
+            # as the non-CDF count probe, one pass instead of two).
+            return _no_op
+        n_updated = _n // 2  # pre + post legs, one each per matched row
+        cdc_name = f"cdc-{version}"
+        renames[staged_cdc] = cdc_name
+        # Explicit part-file list: an underscore-prefixed staged
+        # root trips Spark's hidden-path heuristics.
+        post_back = _to_logical_frame(
+            spark.read.schema(_cdc_schema)
+            .parquet(
+                *sorted(_glob.glob(os.path.join(staged_cdc, "*.parquet")))
             )
-            rewrite = scan.filter(~matched_rows).unionByName(post_back)
-        else:  # all legs empty (cannot happen with n_updated > 0)
-            rewrite = scan
+            .filter(F.col("_change_type") == "update_postimage")
+            .drop("_change_type"),
+            cmap,
+        )
+        rewrite = scan.filter(~matched_rows).unionByName(post_back)
     else:
         # The match flag is MATERIALIZED before the SET (a predicate on
         # an updated column — SET k=k+100 WHERE k<5 — would evaluate

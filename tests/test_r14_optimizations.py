@@ -161,3 +161,115 @@ def test_footer_schema_matches_inference_all_tables(spark):
             assert built is not None, p
             inferred = spark.read.parquet(p).schema
             assert built == inferred, (p, built, inferred)
+
+
+def test_delete_keys_literal_path_matches_broadcast(spark, tmp_path):
+    """The under-cap literal IN-list discovery (r14) must produce the
+    identical DV and survivors as the over-cap broadcast semi-join,
+    including NULL keys in the key frame (which match no row in either
+    formulation)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        snapshot_read,
+        versioned_write,
+    )
+
+    def build(path):
+        versioned_write(
+            spark.range(0, 2000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            ),
+            path,
+        )
+
+    a, b = str(tmp_path / "lit"), str(tmp_path / "bc")
+    build(a)
+    build(b)
+    keys = spark.range(0, 300).select(
+        F.when(F.col("id") % 50 == 0, F.lit(None)).otherwise(F.col("id")).alias("k")
+    )
+    va, na = delete_keys(spark, a, keys, "k")  # under cap -> literal path
+    vb, nb = delete_keys(spark, b, keys, "k", prune_cap=10)  # forced broadcast
+    assert (va, na) == (vb, nb)
+    ra = snapshot_read(spark, a).orderBy("k").collect()
+    rb = snapshot_read(spark, b).orderBy("k").collect()
+    assert ra == rb and len(ra) == 2000 - 294  # 300 minus 6 NULLed slots
+
+
+def test_delete_keys_all_null_keys_noop(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        versioned_write,
+    )
+
+    p = str(tmp_path / "nulls")
+    versioned_write(spark.range(100).select(F.col("id").alias("k")), p)
+    keys = spark.range(5).select(F.lit(None).cast("bigint").alias("k"))
+    v, n = delete_keys(spark, p, keys, "k")
+    assert (v, n) == (0, 0)  # no commit, nothing deleted
+
+
+def test_merge_literal_path_matches_broadcast(spark, tmp_path):
+    """Small-key literal MERGE (r14) must commit the identical table
+    state and CDC sidecar as the broadcast-join path, including NULL
+    source keys (pure inserts) and never-matched keys."""
+    from argodb_mapreduce_spark.sources import versioned as V
+
+    def build(path, cdf):
+        V.versioned_write(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            path,
+        )
+        if cdf:
+            V.enable_change_data_feed(path)
+
+    src_rows = spark.range(500, 1600).select(
+        F.when(F.col("id") % 400 == 0, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 100).alias("v"),
+    )
+    for cdf in (False, True):
+        a = str(tmp_path / f"lit{cdf}")
+        b = str(tmp_path / f"bc{cdf}")
+        build(a, cdf)
+        build(b, cdf)
+        sa = V.merge_upsert(spark, a, src_rows, "k")
+        cap = V._DELETE_KEYS_PRUNE_CAP
+        try:
+            V._DELETE_KEYS_PRUNE_CAP = 0  # force the broadcast path
+            sb = V.merge_upsert(spark, b, src_rows, "k")
+        finally:
+            V._DELETE_KEYS_PRUNE_CAP = cap
+        assert sa == sb
+        ra = sorted(map(tuple, V.snapshot_read(spark, a).collect()), key=repr)
+        rb = sorted(map(tuple, V.snapshot_read(spark, b).collect()), key=repr)
+        assert ra == rb
+        if cdf:
+            fa = V.change_feed(spark, a, 0, 1).drop("_commit_version", "_commit_timestamp")
+            fb = V.change_feed(spark, b, 0, 1).drop("_commit_version", "_commit_timestamp")
+            assert sorted(map(tuple, fa.collect()), key=repr) == sorted(
+                map(tuple, fb.collect()), key=repr
+            )
+
+
+def test_update_where_cdf_count_from_sidecar(spark, tmp_path):
+    """rows_updated on the CDF path now derives from the sidecar's
+    footers — it must equal the true matched count, and a stats-admitted
+    but row-empty UPDATE must stay a no-op commit."""
+    from argodb_mapreduce_spark.sources import versioned as V
+
+    p = str(tmp_path / "updcdf")
+    V.versioned_write(
+        spark.range(0, 500).select(F.col("id").alias("k"), F.lit("x").alias("s")),
+        p,
+    )
+    V.enable_change_data_feed(p)
+    res = V.update_where(spark, p, [("k", "<", 40)], {"s": F.lit("y")})
+    assert res["rows_updated"] == 40 and res["version"] == 1
+    # stats admit (range covers 123) but no row matches the conjunction
+    res2 = V.update_where(
+        spark, p, [("k", ">=", 123), ("k", "<", 123)], {"s": F.lit("z")}
+    )
+    assert res2["rows_updated"] == 0 and res2["version"] == 1
+    assert len(V.versions(p)) == 2  # the no-op committed nothing
