@@ -1679,7 +1679,9 @@ def _build_restore_index_fixture(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
 
+    from argodb_mapreduce_spark.catalog import fixture_stale, table_path
     from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
         change_feed,
         delete_keys,
         enable_change_data_feed,
@@ -1687,15 +1689,30 @@ def _build_restore_index_fixture(spark: SparkSession, sf_dir: str):
         rollback,
         snapshot_read,
         versioned_write,
+        versions,
     )
 
     tag = sf_dir.strip("/").replace("/", "_")
     root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
     docs_tbl = os.path.join(root, "docs_rst_store")
     idx_tbl = os.path.join(root, "docs_rst_band_index")
+    src = table_path(sf_dir, "documents")
+    # Terminal-state cache (r14, the same mtime-keyed staging contract
+    # its through_deletes/through_updates siblings already use): the
+    # cascade's end state is deterministic — docs at v2 (write, erase,
+    # RESTORE), index at v2 (build, erase-cascade, resurrection MERGE)
+    # — so a completed fixture is reusable as-is; only a source-fixture
+    # change invalidates it. Previously rebuilt every call (the full
+    # corpus re-sign was the single largest cost of the query).
+    if (
+        not fixture_stale(src, os.path.join(idx_tbl, MANIFEST))
+        and os.path.exists(os.path.join(docs_tbl, MANIFEST))
+        and versions(docs_tbl) == [0, 1, 2]
+        and versions(idx_tbl) == [0, 1, 2]
+    ):
+        return docs_tbl, idx_tbl
     import shutil
 
-    # Always rebuilt: the cascade mutates both tables.
     shutil.rmtree(docs_tbl, ignore_errors=True)
     shutil.rmtree(idx_tbl, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

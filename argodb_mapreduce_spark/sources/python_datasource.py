@@ -4563,8 +4563,9 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
     from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
         compact,
         delete_keys,
         delete_where,
@@ -4574,6 +4575,7 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_read,
         update_where,
         versioned_write,
+        versions,
     )
 
     register_datasource(spark)
@@ -4581,29 +4583,51 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "cdc_replicate"
     )
-    shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     replica = os.path.join(root, "replica")
     ck = os.path.join(root, "ck")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
-    )
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), src)  # v0
-    enable_change_data_feed(src)
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), src, mode="append")  # v1
-    update_where(  # v2: cdc sidecar
-        spark, src, [("o_orderstatus", "=", "F")], {"o_orderpriority": F.lit("0-MOVED")}
-    )
-    compact(spark, src)  # v3: MID-HISTORY OPTIMIZE (data_change:false)
-    delete_where(spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)])  # v4: DV
-    # v5 (the history's head): MID-HISTORY RESTORE — undo the delete
-    # (rollback to the pre-delete compacted state). The feed
-    # synthesizes the retracted tombstones as RESURRECTION insert legs,
-    # O(deleted rows) — the restore costs the replica the change
-    # volume, never a re-bootstrap (the heavyweight remove+readd
-    # restore shape is pinned separately in
-    # stream_change_feed_through_restore_live).
-    rollback(src, 3)
+    # The REPLICA and the stream CHECKPOINT are the query's product —
+    # fresh every run (the replication is the timed computation). The
+    # SOURCE history is an input fixture with a deterministic terminal
+    # state — six commits ending in the v5 rollback — so it caches
+    # mtime-keyed like every other CDF-history fixture (r14; same
+    # contract as _cdf_stream_fixture below, which likewise caches a
+    # DML-bearing history).
+    shutil.rmtree(replica, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    if not (
+        not fixture_stale(
+            table_path(sf_dir, "orders"), os.path.join(src, MANIFEST)
+        )
+        and versions(src) == [0, 1, 2, 3, 4, 5]
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), src)  # v0
+        enable_change_data_feed(src)
+        versioned_write(
+            o.filter(F.col("o_orderkey") % 3 == 1), src, mode="append"
+        )  # v1
+        update_where(  # v2: cdc sidecar
+            spark,
+            src,
+            [("o_orderstatus", "=", "F")],
+            {"o_orderpriority": F.lit("0-MOVED")},
+        )
+        compact(spark, src)  # v3: MID-HISTORY OPTIMIZE (data_change:false)
+        delete_where(
+            spark, src, [("o_totalprice", ">=", _REPL_PRICE_FLOOR)]
+        )  # v4: DV
+        # v5 (the history's head): MID-HISTORY RESTORE — undo the delete
+        # (rollback to the pre-delete compacted state). The feed
+        # synthesizes the retracted tombstones as RESURRECTION insert
+        # legs, O(deleted rows) — the restore costs the replica the
+        # change volume, never a re-bootstrap (the heavyweight
+        # remove+readd restore shape is pinned separately in
+        # stream_change_feed_through_restore_live).
+        rollback(src, 3)
 
     def apply_batch(batch_df, _batch_id):
         batch_df = batch_df.persist()

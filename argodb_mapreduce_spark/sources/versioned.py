@@ -5705,9 +5705,7 @@ def _build_range_split_table(
     MAX(o_orderkey) so both engines compute the same split; the build
     is plain filters — shuffle-parallel, never a single-partition
     global-window sort (the production anti-pattern VERDICT r12 #4
-    flagged in the old ntile fixture). Rebuilt per call: the callers
-    mutate the table (delete_keys), so reuse would double-erase.
-    Returns (path, quarter_width).
+    flagged in the old ntile fixture). Returns (path, quarter_width).
 
     r14 optimization (guide §2.4/§1.2: one pass, not four): ONE
     quarter-partitioned write stages all four segments, ONE grouped
@@ -5717,50 +5715,79 @@ def _build_range_split_table(
     8 bloom jobs collapse to 1 write + 2 bloom jobs. The committed
     manifest is equivalent: same per-quarter rows, same footer min/max
     stats, same bloom bitsets (deterministic HLL sizing + sha256
-    positions)."""
+    positions).
+
+    r14 batch 5: the callers MUTATE the table (delete_keys, UPDATE),
+    so this used to rebuild all four segments per call. Now the
+    pristine base builds ONCE per source fixture (mtime-keyed, the
+    same staging contract every derived-layout fixture uses) and each
+    caller receives a private SHALLOW CLONE (:func:`clone_table` —
+    O(manifest) metadata, zero data movement, zero Spark jobs): the
+    caller's DML lands local segments/DVs in the clone while the base
+    stays reusable. The timed work each query declares — the erase or
+    update itself plus its pruned scans — still runs on every
+    invocation; only the input table's construction stops repeating.
+    The clone pins the head, so callers see one manifest entry with
+    the same 4 segments/stats/blooms the 4-commit history headed."""
     import shutil
     import uuid
 
     out = _scratch(sf_dir) + suffix
-    o = load_table(spark, sf_dir, "orders")
-    # metadata-collect: ONE aggregate row — the split width.
-    mx = o.agg(F.max("o_orderkey")).first()[0]
-    w = int(mx) // 4 + 1
-    shutil.rmtree(out, ignore_errors=True)
-    k = F.col("o_orderkey")
-    os.makedirs(out, exist_ok=True)
-    staged_root = os.path.join(out, f"_staged-{uuid.uuid4().hex}")
-    (
-        o.withColumn("__q", F.floor(k / F.lit(w)).cast("int"))
-        .write.mode("errorifexists")
-        .partitionBy("__q")
-        .parquet(staged_root)
-    )
-    blooms = build_grouped_blooms(spark, staged_root, "o_orderkey", "__q", range(4))
-    try:
-        for i in range(4):
-            qdir = os.path.join(staged_root, f"__q={i}")
-            if not os.path.isdir(qdir):
-                # Empty quarter (possible at tiny SFs): write it plain.
+    base = _scratch(sf_dir) + "_rsplit_base"
+    src = table_path(sf_dir, "orders")
+    width_file = os.path.join(base, "_quarter_width.json")
+    if (
+        fixture_stale(src, os.path.join(base, MANIFEST))
+        or not os.path.exists(width_file)
+        or len(versions(base)) != 4
+    ):
+        o = load_table(spark, sf_dir, "orders")
+        # metadata-collect: ONE aggregate row — the split width.
+        mx = o.agg(F.max("o_orderkey")).first()[0]
+        w = int(mx) // 4 + 1
+        shutil.rmtree(base, ignore_errors=True)
+        k = F.col("o_orderkey")
+        os.makedirs(base, exist_ok=True)
+        staged_root = os.path.join(base, f"_staged-{uuid.uuid4().hex}")
+        (
+            o.withColumn("__q", F.floor(k / F.lit(w)).cast("int"))
+            .write.mode("errorifexists")
+            .partitionBy("__q")
+            .parquet(staged_root)
+        )
+        blooms = build_grouped_blooms(
+            spark, staged_root, "o_orderkey", "__q", range(4)
+        )
+        try:
+            for i in range(4):
+                qdir = os.path.join(staged_root, f"__q={i}")
+                if not os.path.isdir(qdir):
+                    # Empty quarter (possible at tiny SFs): write plain.
+                    versioned_write(
+                        o.filter((k >= i * w) & (k < (i + 1) * w)),
+                        base,
+                        mode="append",
+                        bloom_columns=["o_orderkey"],
+                    )
+                    continue
+                staged_i = os.path.join(base, f"_staged-{uuid.uuid4().hex}")
+                os.rename(qdir, staged_i)
                 versioned_write(
                     o.filter((k >= i * w) & (k < (i + 1) * w)),
-                    out,
+                    base,
                     mode="append",
                     bloom_columns=["o_orderkey"],
+                    _prestaged=staged_i,
+                    _prebuilt_bloom={"o_orderkey": blooms[i]},
                 )
-                continue
-            staged_i = os.path.join(out, f"_staged-{uuid.uuid4().hex}")
-            os.rename(qdir, staged_i)
-            versioned_write(
-                o.filter((k >= i * w) & (k < (i + 1) * w)),
-                out,
-                mode="append",
-                bloom_columns=["o_orderkey"],
-                _prestaged=staged_i,
-                _prebuilt_bloom={"o_orderkey": blooms[i]},
-            )
-    finally:
-        shutil.rmtree(staged_root, ignore_errors=True)
+        finally:
+            shutil.rmtree(staged_root, ignore_errors=True)
+        with open(width_file, "w") as f:
+            json.dump({"w": w}, f)
+    with open(width_file) as f:
+        w = int(json.load(f)["w"])
+    shutil.rmtree(out, ignore_errors=True)
+    clone_table(base, out)
     return out, w
 
 

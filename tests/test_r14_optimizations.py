@@ -114,21 +114,28 @@ def test_delete_keys_precomputed_segs_identical(spark, tmp_path):
 
 
 def test_range_split_fixture_shape(spark):
-    """The one-pass staged build keeps the fixture contract: 4 versions,
-    4 range-disjoint segments, per-segment key blooms and min/max stats."""
+    """The cached base keeps the build contract (4 versions, 4
+    range-disjoint segments, per-segment key blooms and min/max stats)
+    and each caller's CLONE carries the full head — segments, stats,
+    blooms — while mutations stay local to the clone."""
     from argodb_mapreduce_spark.sources.versioned import (
         _build_range_split_table,
         _read_manifest,
+        _scratch,
         _stat_decode,
+        delete_keys,
         snapshot_read,
+        versions,
     )
     from argodb_mapreduce_spark.catalog import load_table
 
     sf_dir = "/root/testdata/sf0.001"
     out, w = _build_range_split_table(spark, sf_dir, "_r14test")
+    base = _scratch(sf_dir) + "_rsplit_base"
     try:
+        assert versions(base) == [0, 1, 2, 3]
         entries = _read_manifest(out)
-        assert [e["version"] for e in entries] == [0, 1, 2, 3]
+        assert [e["version"] for e in entries] == [0]  # clone pins the head
         latest = entries[-1]
         assert len(latest["segments"]) == 4
         for i, seg in enumerate(latest["segments"]):
@@ -139,6 +146,14 @@ def test_range_split_fixture_shape(spark):
         n = snapshot_read(spark, out).count()
         expect = load_table(spark, sf_dir, "orders").count()
         assert n == expect
+        # A mutation on the clone must not touch the base: erase some
+        # keys, then re-clone and see the pristine row count again.
+        keys = snapshot_read(spark, out).select("o_orderkey").limit(50)
+        _v, n_erased = delete_keys(spark, out, keys, "o_orderkey")
+        assert n_erased == 50
+        assert snapshot_read(spark, out).count() == expect - 50
+        out2, _w2 = _build_range_split_table(spark, sf_dir, "_r14test")
+        assert snapshot_read(spark, out2).count() == expect
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
