@@ -3428,6 +3428,64 @@ def _encrypted_demo_key() -> str:
     return base64.b64encode(bytes(range(32))).decode()
 
 
+def _encrypted_clone_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    out_name: str,
+    base_name: str,
+    cols,
+    mod: int = 2,
+    options: dict | None = None,
+    clone_version: int | None = None,
+) -> tuple[str, str]:
+    """Cached pristine encrypted base + per-call SHALLOW-CLONE fork
+    (r14, guide §1.2): two keyed pyds appends of the orders slices
+    ``o_orderkey % mod == 0 / == 1`` build ONCE per source fixture
+    (mtime-keyed, the staging contract every derived-layout fixture
+    uses); each caller receives a `clone_table` fork — O(manifest)
+    metadata, zero Spark jobs, encryption marker + KEK sidecar carried
+    — and mutates it freely (keyed erase/MERGE/rotation land DVs,
+    local segments, or a rewritten sidecar in the CLONE only). The
+    timed DML, probes and keyed scans each query declares still run
+    per invocation. ``clone_version`` pins the fork (a change-feed
+    consumer forks at v0 so later appends commit on the clone's OWN
+    history). Returns (clone_path, demo_key)."""
+    import shutil
+    import tempfile
+
+    from argodb_mapreduce_spark.catalog import fixture_stale, load_table, table_path
+    from argodb_mapreduce_spark.sources.versioned import (
+        MANIFEST,
+        clone_table,
+        versions,
+    )
+
+    key = _encrypted_demo_key()
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), "argodb_mapreduce_spark", tag)
+    base = os.path.join(root, base_name)
+    out = os.path.join(root, out_name)
+    src = table_path(sf_dir, "orders")
+    if (
+        fixture_stale(src, os.path.join(base, MANIFEST))
+        or versions(base) != [0, 1]
+    ):
+        shutil.rmtree(base, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(*cols)
+        for m in (0, 1):
+            w = (
+                o.filter(F.col("o_orderkey") % mod == m)
+                .write.format(FORMAT_NAME)
+                .option("encryptionKey", key)
+            )
+            for opt_k, opt_v in (options or {}).items():
+                w = w.option(opt_k, opt_v)
+            w.mode("append").save(base)
+    shutil.rmtree(out, ignore_errors=True)
+    clone_table(base, out, version=clone_version)
+    return out, key
+
+
 @register(
     "snapshot_encrypted_gdpr_purge",
     oracle="""
@@ -3486,23 +3544,16 @@ def snapshot_encrypted_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     register_datasource(spark)
-    key = _encrypted_demo_key()
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_gdpr"
+    out, key = _encrypted_clone_fixture(
+        spark,
+        sf_dir,
+        "pyds_enc_gdpr",
+        "pyds_enc_gdpr_base",
+        ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
     )
-    shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    for m in (0, 1):  # two appends -> two encrypted segments
-        (
-            o.filter(F.col("o_orderkey") % 2 == m)
-            .write.format(FORMAT_NAME)
-            .option("encryptionKey", key)
-            .mode("append")
-            .save(out)
-        )
     erase = o.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
     _v, n_erased = delete_keys(
         spark, out, erase, "o_orderkey", encryption_key=key
@@ -3585,23 +3636,27 @@ def snapshot_encrypted_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     register_datasource(spark)
-    key = _encrypted_demo_key()
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_cdf"
+    # Fork at v0: the feed needs the second append as the CLONE's own
+    # v1 commit (a head clone would fold both segments into one entry).
+    out, key = _encrypted_clone_fixture(
+        spark,
+        sf_dir,
+        "pyds_enc_cdf",
+        "pyds_enc_cdf_base",
+        ("o_orderkey", "o_orderstatus"),
+        mod=3,
+        clone_version=0,
     )
-    shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    for m in (0, 1):
-        (
-            o.filter(F.col("o_orderkey") % 3 == m)
-            .write.format(FORMAT_NAME)
-            .option("encryptionKey", key)
-            .mode("append")
-            .save(out)
-        )
+    (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .write.format(FORMAT_NAME)
+        .option("encryptionKey", key)
+        .mode("append")
+        .save(out)
+    )
     delete_where(
         spark, out, [("o_orderstatus", "=", "F")], encryption_key=key
     )
@@ -3678,23 +3733,19 @@ def snapshot_encrypted_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_datasource(spark)
-    key = _encrypted_demo_key()
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_mrg"
+    # Shares the 3-column %2-split base with the key-rotation fixture:
+    # both mutate only their own clone (MERGE rewrite here, sidecar
+    # rotation there), so one cached base serves both.
+    out, key = _encrypted_clone_fixture(
+        spark,
+        sf_dir,
+        "pyds_enc_mrg",
+        "pyds_enc_3col_base",
+        ("o_orderkey", "o_totalprice", "o_orderstatus"),
     )
-    shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    for m in (0, 1):
-        (
-            o.filter(F.col("o_orderkey") % 2 == m)
-            .write.format(FORMAT_NAME)
-            .option("encryptionKey", key)
-            .mode("append")
-            .save(out)
-        )
     src = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
@@ -3761,10 +3812,8 @@ def snapshot_encrypted_key_rotation(
     survives a mid-stream rotation because the KEK it decrypts with
     never changes."""
     import base64
-    import shutil
-    import tempfile
 
-    from argodb_mapreduce_spark.catalog import load_table
+    from argodb_mapreduce_spark.catalog import load_table, table_rowcount
     from argodb_mapreduce_spark.sources.versioned import (
         _read_keys_sidecar,
         delete_keys,
@@ -3774,26 +3823,25 @@ def snapshot_encrypted_key_rotation(
     )
 
     register_datasource(spark)
-    k1 = _encrypted_demo_key()
     k2 = base64.b64encode(bytes(range(100, 132))).decode()
     k3 = base64.b64encode(bytes(range(200, 232))).decode()
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_enc_rot"
+    # Shares the cached 3-column %2-split base with the upsert fixture;
+    # rotations re-wrap the CLONE's forked KEK sidecar and the keyed
+    # erase lands a DV on the clone only — the base stays pristine.
+    out, k1 = _encrypted_clone_fixture(
+        spark,
+        sf_dir,
+        "pyds_enc_rot",
+        "pyds_enc_3col_base",
+        ("o_orderkey", "o_totalprice", "o_orderstatus"),
     )
-    shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    for m in (0, 1):  # two appends -> v0 (evens) + v1 (odds), one KEK
-        (
-            o.filter(F.col("o_orderkey") % 2 == m)
-            .write.format(FORMAT_NAME)
-            .option("encryptionKey", k1)
-            .mode("append")
-            .save(out)
-        )
-    n_v0 = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    # The clone's v0 references BOTH base segments (head clone), so the
+    # time-travel pin expects the full pre-erase row count — read from
+    # the catalog's parquet footers, no Spark job.
+    n_v0 = table_rowcount(sf_dir, "orders")
     r1 = rotate_encryption_key(out, k1, k2)
     old_read_refused = False
     try:
@@ -3890,35 +3938,25 @@ def pyds_column_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyless dashboard query on a 100 TB column-encrypted table skips
     segments exactly like a plaintext one."""
     import glob as _g
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as _pq
 
-    from argodb_mapreduce_spark.catalog import load_table
     from argodb_mapreduce_spark.functions.oracle_safe import dsum
     from argodb_mapreduce_spark.sources import manifest_log as _ml
     from argodb_mapreduce_spark.sources.versioned import snapshot_read
 
     register_datasource(spark)
-    key = _encrypted_demo_key()
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), "argodb_mapreduce_spark", tag, "pyds_col_enc"
+    # Read-only fixture: the column-encrypted base caches like every
+    # other derived layout; the per-call clone is O(manifest) and keeps
+    # the probes (refusal paths, file-level lock check) on a fork.
+    out, key = _encrypted_clone_fixture(
+        spark,
+        sf_dir,
+        "pyds_col_enc",
+        "pyds_col_enc_base",
+        ("o_orderkey", "o_orderstatus", "o_totalprice"),
+        options={"encryptColumns": "o_totalprice"},
     )
-    shutil.rmtree(out, ignore_errors=True)
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    for m in (0, 1):
-        (
-            o.filter(F.col("o_orderkey") % 2 == m)
-            .write.format(FORMAT_NAME)
-            .option("encryptionKey", key)
-            .option("encryptColumns", "o_totalprice")
-            .mode("append")
-            .save(out)
-        )
     keyless_full_refused = False
     try:
         snapshot_read(spark, out)
