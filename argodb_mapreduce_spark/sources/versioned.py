@@ -8826,18 +8826,42 @@ def _replay_repair(df: DataFrame) -> DataFrame:
 
 
 def _build_replay_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Fresh expect-gated ingest (rebuilt every run — the replay
-    MUTATES both tables, so determinism requires a clean start)."""
+    """Cached pristine expect-gated ingest + per-call SHALLOW-CLONE
+    forks of BOTH tables (r14, guide §1.2 — the batch-5 contract): the
+    replay MUTATES main and quarantine, so each call gets O(manifest)
+    `clone_table` forks (constraints, stats and the txn-ledger-free v0
+    manifests carried; the replay's idempotence ledgers are app-id/
+    batch-id stamps inside the manifests, path-free) while the
+    expensive split-ingest of the source batch builds once, mtime-keyed
+    on the source parquet. The two replay calls — the declared
+    computation — still run per invocation."""
     import shutil
 
     out = _scratch(sf_dir) + "_replay"
     qp = out + "_quarantine"
+    main_base = out + "_base"
+    q_base = qp + "_base"
+    src = table_path(sf_dir, "orders")
+    if not (
+        not fixture_stale(src, os.path.join(main_base, MANIFEST))
+        and versions(main_base) == [0]
+        and versions(q_base) == [0]
+        and _read_constraints(main_base)
+    ):
+        shutil.rmtree(main_base, ignore_errors=True)
+        shutil.rmtree(q_base, ignore_errors=True)
+        os.makedirs(main_base, exist_ok=True)
+        add_constraint(
+            spark, main_base, "price_cap", f"o_totalprice < {_EXPECT_PRICE_CAP}"
+        )
+        o = load_table(spark, sf_dir, "orders")
+        versioned_write_expect(
+            o, main_base, on_violation="quarantine", quarantine_path=q_base
+        )
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(qp, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    add_constraint(spark, out, "price_cap", f"o_totalprice < {_EXPECT_PRICE_CAP}")
-    o = load_table(spark, sf_dir, "orders")
-    versioned_write_expect(o, out, on_violation="quarantine", quarantine_path=qp)
+    clone_table(main_base, out)
+    clone_table(q_base, qp)
     return out, qp
 
 
