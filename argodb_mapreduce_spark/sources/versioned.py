@@ -7482,6 +7482,7 @@ def _merge_upsert_on(
     # NULL source keys match no target row in either formulation (the
     # rewrite union appends them regardless); over-cap key sets keep
     # the broadcast semi-join path unchanged.
+    # metadata-collect: <= cap+1 single-column key rows, never data rows.
     key_rows = keys.limit(_DELETE_KEYS_PRUNE_CAP + 1).collect()
     key_vals = (
         [r[0] for r in key_rows if r[0] is not None]
@@ -7594,9 +7595,10 @@ def _merge_upsert_on(
                 matched = kept_scan.filter(
                     F.col(key_col).isin(key_vals) if key_vals else F.lit(False)
                 )
-                # Target-matched keys are a SUBSET of the collected key
-                # set — one bounded collect replaces the two broadcast
-                # builds the post/ins legs' semi/anti joins would pay.
+                # metadata-collect: target-matched keys, a SUBSET of the
+                # cap-bounded collected key set — one bounded collect
+                # replaces the two broadcast builds the post/ins legs'
+                # semi/anti joins would pay.
                 tgt_vals = [
                     r[0] for r in matched.select(key_col).distinct().collect()
                 ]

@@ -127,8 +127,13 @@ def test_no_collect_in_operators():
     # (one row per staged segment) and its packed-word toPandas
     # (O(sum m/64) longs) — the single-pass replacement for N
     # per-segment build_segment_bloom calls, same boundedness.
-    # All bounded metadata, never data rows.
-    assert len(tagged) <= 14, f"metadata-collect tag creep — audit: {tagged}"
+    # Batch-4 of the r14 optimization round adds two of the delete_keys
+    # prune-key-sample class inside merge_upsert's literal-IN fast
+    # path: the limit(cap+1) source key sample (<= cap+1 single-column
+    # rows; over-cap falls back to the broadcast semi-join) and the
+    # target-matched subset of that same capped set for the CDF
+    # post/ins legs. All bounded metadata, never data rows.
+    assert len(tagged) <= 16, f"metadata-collect tag creep — audit: {tagged}"
 
 
 def test_decode_stub_raises():
