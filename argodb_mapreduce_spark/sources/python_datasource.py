@@ -3056,13 +3056,14 @@ def drain_backlog(
         for k, v in (reader_options or {}).items():
             r = r.option(k, str(v))
         r = r.option("endVersion", str(end))
-        q = (
-            configure(r.load(path))
+        from argodb_mapreduce_spark.streaming.windows import run_stream_resilient
+
+        run_stream_resilient(
+            lambda: configure(r.load(path))
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         runs += 1
         new_committed = _checkpoint_committed_version(checkpoint)
         if new_committed is None or new_committed <= committed:
@@ -4707,8 +4708,10 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             batch_df.unpersist()
 
-    q = (
-        spark.readStream.format(FORMAT_NAME)
+    from argodb_mapreduce_spark.streaming.windows import run_stream_resilient
+
+    run_stream_resilient(
+        lambda: spark.readStream.format(FORMAT_NAME)
         .option("readChangeFeed", "true")
         .load(src)
         .writeStream.foreachBatch(apply_batch)
@@ -4716,7 +4719,6 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     rep = snapshot_read(spark, replica)
     head = snapshot_read(spark, src)
     equal = multiset_equal(rep, head.select(*rep.columns))

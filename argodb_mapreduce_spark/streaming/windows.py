@@ -240,6 +240,33 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_ROWS_PER_PARTITION = 25_000
 
 
+def run_stream_resilient(start):
+    """Start a streaming query via ``start()`` (must build a FRESH
+    writer and ``.start()`` it) and await termination, retrying ONCE
+    when the start dies on Spark's hard-coded 10 s Python-worker
+    connect-back window ("Timed out while waiting for the Python worker
+    to connect back", PythonWorkerFactory.createSimpleWorker). That
+    path spawns the non-daemon Python PLANNER worker a Python-
+    DataSource stream needs before its first batch — under full
+    machine load a fresh interpreter can miss the window, killing the
+    query while it is still INITIALIZING with nothing committed
+    (observed once in ~40 full bench runs). Task-side workers fork
+    from the daemon and never hit this message, so the guard retries
+    exactly the pre-commit spawn flake; every sink this repo drives is
+    checkpoint- or txn-stamped, so even a later replay is exactly-once.
+    Any other streaming failure re-raises unchanged."""
+    try:
+        q = start()
+        q.awaitTermination()
+        return q
+    except Exception as e:  # noqa: BLE001 - retry ONLY the spawn flake
+        if "connect back" not in str(e):
+            raise
+        q = start()
+        q.awaitTermination()
+        return q
+
+
 def _run_to_memory(df, name: str, output_mode: str, input_rows: int | None = None):
     """Run to completion under availableNow; returns the finished query
     so callers can harvest recentProgress (state-store metrics).
@@ -259,14 +286,13 @@ def _run_to_memory(df, name: str, output_mode: str, input_rows: int | None = Non
         except Exception:  # noqa: BLE001 - keep session width
             prev = None
     try:
-        q = (
-            df.writeStream.format("memory")
+        q = run_stream_resilient(
+            lambda: df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -513,13 +539,12 @@ def stream_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = batch_latest
         merged.write.parquet(os.path.join(state_root, f"v{batch_id:05d}"))
 
-    q = (
-        events.writeStream.foreachBatch(apply_batch)
+    run_stream_resilient(
+        lambda: events.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     final = sorted(v for v in os.listdir(state_root) if v.startswith("v"))[-1]
     return spark.read.parquet(os.path.join(state_root, final))
 
@@ -1000,13 +1025,12 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         versioned_write_txn(batch_df, out, app_id, batch_id)
 
-    q = (
-        events.writeStream.foreachBatch(sink_batch)
+    run_stream_resilient(
+        lambda: events.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
     # Replay the last committed batch: exactly-once means a no-op.
     n_versions = len(versions(out))
@@ -1114,13 +1138,12 @@ def stream_expect_quarantine_live(spark: SparkSession, sf_dir: str) -> DataFrame
             _txn={"app_id": app_id, "batch_id": batch_id},
         )
 
-    q = (
-        events.writeStream.foreachBatch(sink_batch)
+    run_stream_resilient(
+        lambda: events.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
     def repair(d: DataFrame) -> DataFrame:
         return d.withColumn(
@@ -1226,13 +1249,12 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             modes.append(mv_refresh(batch_df.sparkSession, mv)["mode"])
 
-    q = (
-        events.writeStream.foreachBatch(land_and_refresh)
+    run_stream_resilient(
+        lambda: events.writeStream.foreachBatch(land_and_refresh)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     # 3 shards -> 3 batches: one bootstrap (the MV creation covers
     # batch 0) then every later batch refreshes INCREMENTALLY — the
     # steady state the op exists to prove.
