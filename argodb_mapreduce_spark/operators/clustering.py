@@ -394,16 +394,26 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     v = cov.select(F.col("i").alias("pos")).distinct().withColumn("v", F.lit(1.0))
-    for _ in range(PCA_ITERS):
-        w = (
-            cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(gsum(F.col("c") * F.col("v")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(gsum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "pos", (F.col("w") / F.col("nrm")).alias("v")
-        )
+    # Power iterations run over the CHECKPOINTED dims²-row covariance
+    # (4096 rows, bounded by the embedding width, not by scale) — the
+    # bounded-loop planner scope (AQE off, width 1; see tuning.py and
+    # graph_pagerank) collapses what was one query-stage job per
+    # Exchange into a single action; gsum grid sums keep the loadings
+    # bit-identical at any partitioning, so the hash is unchanged.
+    from argodb_mapreduce_spark.tuning import bounded_loop_conf, scoped_conf
+
+    with scoped_conf(spark, bounded_loop_conf(width=1)):
+        for _ in range(PCA_ITERS):
+            w = (
+                cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
+                .groupBy(F.col("i").alias("pos"))
+                .agg(gsum(F.col("c") * F.col("v")).alias("w"))
+            )
+            nrm = w.agg(F.sqrt(gsum(F.col("w") * F.col("w"))).alias("nrm"))
+            v = w.crossJoin(F.broadcast(nrm)).select(
+                "pos", (F.col("w") / F.col("nrm")).alias("v")
+            )
+        v = v.localCheckpoint()
     return v.select("pos", F.col("v").alias("loading"))
 
 
