@@ -288,3 +288,43 @@ def test_update_where_cdf_count_from_sidecar(spark, tmp_path):
     )
     assert res2["rows_updated"] == 0 and res2["version"] == 1
     assert len(V.versions(p)) == 2  # the no-op committed nothing
+
+
+def test_scoped_conf_restores_session_settings(spark):
+    """tuning.scoped_conf must restore every setting it touched — set
+    keys back to their prior values, previously-unset keys back to
+    unset — even when the body raises (the bounded-loop scopes in
+    graph_pagerank / embedding_pca_top_component rely on this so the
+    surrounding query keeps the session's planning behavior)."""
+    from argodb_mapreduce_spark.tuning import bounded_loop_conf, scoped_conf
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_conf(spark, bounded_loop_conf(width=1)):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    with pytest.raises(RuntimeError):
+        with scoped_conf(spark, bounded_loop_conf(width=3)):
+            raise RuntimeError("body failure must not leak the scope")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+
+
+def test_pagerank_width_independent_of_session_partitions(spark):
+    """The bounded-loop scope pins the iteration width to the provable
+    state bound, so the ranks must be bit-identical under wildly
+    different session shuffle widths (the gsum-grid design contract)."""
+    from argodb_mapreduce_spark.operators.graph import graph_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, graph_pagerank(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = sorted(map(tuple, graph_pagerank(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
