@@ -267,17 +267,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
-    membership = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # The triangle enumeration runs over the CHECKPOINTED ≤|nations|²/2
+    # undirected edge list — bounded by the TPC-H spec like PageRank's —
+    # so it executes under the bounded-loop planner scope (tuning.py:
+    # AQE off, width 1, one localCheckpoint action): with AQE on, the
+    # two self-joins + membership aggregate over ~300 rows fanned into
+    # one query-stage job per Exchange. Counts are exact integers, so
+    # the result is partitioning-independent and the hash is unchanged.
+    from argodb_mapreduce_spark.tuning import bounded_loop_conf, scoped_conf
+
+    with scoped_conf(spark, bounded_loop_conf(width=1)):
+        e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+        membership = (
+            tri.select(F.col("x").alias("node"))
+            .unionAll(tri.select(F.col("y").alias("node")))
+            .unionAll(tri.select(F.col("z").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("nation_key"), "n_name"
     )
