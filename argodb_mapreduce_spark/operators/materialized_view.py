@@ -410,25 +410,65 @@ def mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_mv_cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
-    """Fresh each run (refresh mutates the MV): v0/v1 appends (%3 of
-    orders), MV materialized, then a DV DELETE of the 'F' rows AND a
-    third append — the mixed span only the CDF path can maintain."""
+def _cached_mv_history(spark, sf_dir: str, name: str, build) -> tuple[str, str]:
+    """Build-once cache of a deterministic (base history, CREATED MV)
+    input pair (r14 opt, guide §1.2 — the batch-5 staging contract):
+    the base's DML-bearing history and the MV materialized mid-history
+    are INPUTS with a deterministic terminal state, so they stage once
+    per source fixture (mtime-keyed, `_STAGED` marker written last so a
+    crashed half-build rebuilds). The refresh — the declared
+    computation of every mv_refresh_through_* query — runs per call on
+    a clone_table fork (see :func:`_fork_and_refresh`), never here."""
+    base = _scratch(sf_dir, f"{name}_base")
+    mv0 = _scratch(sf_dir, f"{name}_mv0")
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(mv0, "_STAGED")
+    if fixture_stale(src, marker) or versions(mv0) != [0]:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(mv0, ignore_errors=True)
+        build(load_table(spark, sf_dir, "orders"), base, mv0)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base, mv0
+
+
+def _fork_and_refresh(spark, sf_dir: str, name: str, mv0: str) -> tuple[str, dict]:
+    """Per-call clone_table fork of the created MV (O(manifest), zero
+    Spark jobs) + a LIVE mv_refresh on the fork — the refresh's feed
+    reads and signed-partial merge are exactly what they were on a
+    freshly built MV (the fork's `_mv.json` still points at the shared
+    base, which no refresh mutates)."""
     import shutil
 
-    base = _scratch(sf_dir, "mvcdf_base")
-    mv = _scratch(sf_dir, "mvcdf_mv")
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(mv, ignore_errors=True)
-    from argodb_mapreduce_spark.sources.versioned import delete_where
+    from argodb_mapreduce_spark.sources.versioned import clone_table
 
-    o = load_table(spark, sf_dir, "orders")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
-    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
-    delete_where(spark, base, [("o_orderstatus", "=", "F")])
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
-    summary = mv_refresh(spark, mv)
+    fork = _scratch(sf_dir, f"{name}_mv")
+    shutil.rmtree(fork, ignore_errors=True)
+    clone_table(mv0, fork)
+    shutil.copyfile(os.path.join(mv0, _MV_META), os.path.join(fork, _MV_META))
+    summary = mv_refresh(spark, fork)
+    return fork, summary
+
+
+def _build_mv_cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
+    """v0/v1 appends (%3 of orders), MV materialized, then a DV DELETE
+    of the 'F' rows AND a third append — the mixed span only the CDF
+    path can maintain. History + created MV cache (deterministic
+    inputs); the refresh runs per call on a fork."""
+
+    def build(o, base, mv0):
+        from argodb_mapreduce_spark.sources.versioned import delete_where
+
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+        mv_create(spark, base, mv0, ["o_orderpriority"], ["o_orderkey"])
+        delete_where(spark, base, [("o_orderstatus", "=", "F")])
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+
+    base, mv0 = _cached_mv_history(spark, sf_dir, "mvcdf", build)
+    mv, summary = _fork_and_refresh(spark, sf_dir, "mvcdf", mv0)
     return base, mv, summary
 
 
@@ -474,34 +514,32 @@ def mv_refresh_through_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_mv_update_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
-    """Fresh each run (refresh mutates the MV): v0/v1 appends (%3 of
-    orders), MV materialized, then a CDF-recorded UPDATE that MOVES the
-    'F' rows into a new group ('0-MOVED' priority) AND a third append —
-    a span only signed update pre/postimages can maintain."""
-    import shutil
+    """v0/v1 appends (%3 of orders), MV materialized, then a
+    CDF-recorded UPDATE that MOVES the 'F' rows into a new group
+    ('0-MOVED' priority) AND a third append — a span only signed update
+    pre/postimages can maintain. History + created MV cache
+    (deterministic inputs); the refresh runs per call on a fork."""
 
-    base = _scratch(sf_dir, "mvupd_base")
-    mv = _scratch(sf_dir, "mvupd_mv")
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(mv, ignore_errors=True)
-    from argodb_mapreduce_spark.sources.versioned import (
-        enable_change_data_feed,
-        update_where,
-    )
+    def build(o, base, mv0):
+        from argodb_mapreduce_spark.sources.versioned import (
+            enable_change_data_feed,
+            update_where,
+        )
 
-    o = load_table(spark, sf_dir, "orders")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
-    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
-    enable_change_data_feed(base)
-    update_where(
-        spark,
-        base,
-        [("o_orderstatus", "=", "F")],
-        {"o_orderpriority": F.lit("0-MOVED")},
-    )
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
-    summary = mv_refresh(spark, mv)
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+        mv_create(spark, base, mv0, ["o_orderpriority"], ["o_orderkey"])
+        enable_change_data_feed(base)
+        update_where(
+            spark,
+            base,
+            [("o_orderstatus", "=", "F")],
+            {"o_orderpriority": F.lit("0-MOVED")},
+        )
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+
+    base, mv0 = _cached_mv_history(spark, sf_dir, "mvupd", build)
+    mv, summary = _fork_and_refresh(spark, sf_dir, "mvupd", mv0)
     return base, mv, summary
 
 
@@ -546,26 +584,24 @@ def mv_refresh_through_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_mv_restore_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, dict]:
-    """Fresh each run: v0/v1 appends, MV materialized, then a DV DELETE
-    of the 'F' rows, a RESTORE that UNDOES it (rollback to v1 —
-    resurrection legs), and a third append — a span only the r13
-    synthesized feed can maintain (it KILLED the refresh before)."""
-    import shutil
+    """v0/v1 appends, MV materialized, then a DV DELETE of the 'F'
+    rows, a RESTORE that UNDOES it (rollback to v1 — resurrection
+    legs), and a third append — a span only the r13 synthesized feed
+    can maintain (it KILLED the refresh before). History + created MV
+    cache (deterministic inputs); the refresh runs per call on a fork."""
 
-    base = _scratch(sf_dir, "mvrst_base")
-    mv = _scratch(sf_dir, "mvrst_mv")
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(mv, ignore_errors=True)
-    from argodb_mapreduce_spark.sources.versioned import delete_where, rollback
+    def build(o, base, mv0):
+        from argodb_mapreduce_spark.sources.versioned import delete_where, rollback
 
-    o = load_table(spark, sf_dir, "orders")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
-    mv_create(spark, base, mv, ["o_orderpriority"], ["o_orderkey"])
-    delete_where(spark, base, [("o_orderstatus", "=", "F")])  # v2: DV
-    rollback(base, 1)  # v3: RESTORE undoes the delete (resurrection)
-    versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
-    summary = mv_refresh(spark, mv)
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append")
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 1), base, mode="append")
+        mv_create(spark, base, mv0, ["o_orderpriority"], ["o_orderkey"])
+        delete_where(spark, base, [("o_orderstatus", "=", "F")])  # v2: DV
+        rollback(base, 1)  # v3: RESTORE undoes the delete (resurrection)
+        versioned_write(o.filter(F.col("o_orderkey") % 3 == 2), base, mode="append")
+
+    base, mv0 = _cached_mv_history(spark, sf_dir, "mvrst", build)
+    mv, summary = _fork_and_refresh(spark, sf_dir, "mvrst", mv0)
     return base, mv, summary
 
 

@@ -1981,7 +1981,7 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     total = stats["total"]
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    out = []
+    regime_aggs = []
     for regime, cond, n_pass in (
         ("low", F.col("label") == FILTERED_LABEL, stats["n_low"]),
         ("high", F.col("label") != FILTERED_LABEL, stats["n_high"]),
@@ -2036,33 +2036,36 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # k), so a marked left join cannot duplicate topk rows — this
         # replaces two actions that each re-ran the whole ADC+rerank
         # pipeline (guide §1.2: the shortlist pipeline now evaluates
-        # once per regime, not twice).
-        m = (
+        # once per regime, not twice). The regime/strategy/selectivity
+        # columns ride as literals so BOTH regimes' 1-row aggregates
+        # union into a single lazy plan — one action at the sink
+        # instead of one eager .first() per regime (r14 session 3).
+        regime_aggs.append(
             topk.join(
                 exact.withColumn("__hit", F.lit(1)),
                 ["query_id", "vec_id"],
                 "left",
             )
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("ov"),
+                F.count(F.lit(1)).alias("n_results"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+                ).alias("__ov"),
             )
-            .first()
-        )
-        out.append(
-            (
-                regime,
-                strategy,
-                n_pass * 100 / total,
-                m["n"],
-                int(m["ov"] or 0) * 100 / (PQ_QUERIES * PQ_TOPK),
+            .select(
+                F.lit(regime).alias("regime"),
+                F.lit(strategy).alias("strategy"),
+                F.lit(n_pass * 100 / total).alias("selectivity_pct"),
+                F.col("n_results"),
+                # exact-integer scaling then ONE double divide — the
+                # oracle's CAST(COUNT(*) AS DOUBLE) * 100 / N rounding.
+                (
+                    (F.col("__ov") * 100).cast("double")
+                    / F.lit(float(PQ_QUERIES * PQ_TOPK))
+                ).alias("recall_vs_exact_pct"),
             )
         )
-    return spark.createDataFrame(
-        out,
-        "regime string, strategy string, selectivity_pct double, "
-        "n_results long, recall_vs_exact_pct double",
-    )
+    return regime_aggs[0].unionByName(regime_aggs[1])
 
 
 # ---------------------------------------------------------------------------

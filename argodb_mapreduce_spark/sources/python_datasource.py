@@ -4071,12 +4071,14 @@ def pyds_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_versioned(spark, path, predicates=preds)
     planned = df.rdd.getNumPartitions()
     native_n = snapshot_read(spark, path, predicates=preds).count()
-    pyds_n = df.count()
+    # native_equal folds into the one aggregate pass over the pyds read
+    # (the agg's own COUNT IS the pyds row count — the separate
+    # df.count() action re-read the whole source; guide §1.2).
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.lit(planned < full).alias("source_pruned"),
-        F.lit(native_n == pyds_n).alias("native_equal"),
+        (F.count(F.lit(1)) == F.lit(native_n)).alias("native_equal"),
     )
 
 
@@ -4568,15 +4570,16 @@ _REPL_PRICE_FLOOR = 150000.0
         "the retracted tombstones as resurrection insert legs instead "
         "of dying, so neither maintenance action breaks the replica); "
         "one readChangeFeed stream drains it and "
-        "a foreachBatch applier REPLAYS each version's legs IN COMMIT "
-        "ORDER onto an initially-empty replica table — delete legs "
-        "erase by key set FIRST (a restore can retract and re-add the "
-        "same key in one commit; deletes-then-inserts converges), "
-        "insert legs append/merge, update_postimage legs MERGE by key. "
-        "The replica is exceptAll-proven EQUAL to the source's head "
+        "a foreachBatch applier lands each micro-batch with the "
+        "LATEST-IMAGE CDC apply (Delta's documented 'retrieve the most "
+        "recent change per key, MERGE once' recipe): legs rank by "
+        "commit version per key — an insert outranking a delete of the "
+        "same version, the restore retract/re-add tiebreak — and only "
+        "each key's final image commits, at most ONE delete_keys + ONE "
+        "MERGE per micro-batch instead of one DML per source version. "
+        "The replica is multiset-proven EQUAL to the source's head "
         "snapshot (flag in the hash) and its content is oracle-pinned "
-        "— Delta's 'replicate a table with CDF + MERGE' recipe, end to "
-        "end on this engine, now surviving OPTIMIZE and RESTORE."
+        "— end to end on this engine, surviving OPTIMIZE and RESTORE."
     ),
 )
 def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4656,57 +4659,67 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollback(src, 3)
 
     def apply_batch(batch_df, _batch_id):
-        batch_df = batch_df.persist()
+        # LATEST-IMAGE CDC APPLY (r14 opt, guide §1.2/§2.4): rank each
+        # key's legs by commit version and apply only its FINAL image —
+        # the Delta-documented CDC-merge pattern ("retrieve the latest
+        # change per key, MERGE once"). A per-version replay commits
+        # O(versions) DMLs per micro-batch and rewrites hot files once
+        # per version; the collapse commits at most ONE delete + ONE
+        # merge and provably lands the same replica state: commit order
+        # is respected BY the ranking (a later version's image wins),
+        # update_preimage legs carry no final state, and within one
+        # version an insert supersedes a delete of the same key (a
+        # restore retracts bytes from one file and re-adds them in
+        # another — the deletes-first rule of the old loop, folded into
+        # the rank tiebreak). The delete and upsert key sets are
+        # DISJOINT by construction, so their commit order is free.
+        # Retry-idempotent: a replayed micro-batch re-collapses to the
+        # same images (merge idempotent, delete of tombstoned keys a
+        # no-op); the bootstrap append fires only while the replica has
+        # no manifest — after a mid-batch crash the retry merges.
+        from pyspark.sql import Window as _W
+
+        w_latest = _W.partitionBy("o_orderkey").orderBy(
+            F.desc("_commit_version"),
+            F.desc(F.col("_change_type") != "delete"),
+        )
+        latest = (
+            batch_df.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("__rn", F.row_number().over(w_latest))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_commit_version")
+            .persist()
+        )
         try:
-            # Versions must replay in commit order (an update's merge
-            # must not run before the insert that created its target
-            # row) — iterate the DISTINCT commit versions actually
-            # present in the micro-batch, sorted, never a hardcoded
-            # range (a fixed bound silently drops later commits when
-            # the history grows or the batch splits).
-            # Retry-idempotent by construction: a replayed micro-batch
-            # re-merges the same keys to the same values (state
-            # idempotent), delete_keys of tombstoned keys no-ops, and
-            # the bootstrap append only fires while the replica has no
-            # manifest — after a mid-batch crash the retry takes the
-            # merge path instead.
-            # metadata-collect: ONE aggregated pass — (version, leg
-            # type) presence counts, O(versions × 3) rows — replaces
-            # the per-leg limit(1).count() probes (up to 3 extra Spark
-            # jobs per version per micro-batch, VERDICT r12 #5).
+            # metadata-collect: ONE 2-row presence aggregate (delete vs
+            # upsert legs survive the collapse?) gates the two DMLs.
             present = {
-                (r["_commit_version"], r["_change_type"])
-                for r in batch_df.groupBy("_commit_version", "_change_type")
+                r["__is_del"]: r["count"]
+                for r in latest.groupBy(
+                    (F.col("_change_type") == "delete").alias("__is_del")
+                )
                 .count()
                 .collect()
             }
-            for v in sorted({ver for ver, _ct in present}):
-                legs = batch_df.filter(F.col("_commit_version") == v)
-                tags_ = ("_change_type", "_commit_version")
-                # Deletes FIRST within a version: a restore commit can
-                # retract a row's bytes from one file and re-add them
-                # in another — delete-then-insert converges on the
-                # inserted state; the reverse order would erase it.
-                if (v, "delete") in present:
-                    dels = legs.filter(F.col("_change_type") == "delete")
-                    delete_keys(
-                        spark, replica, dels.select("o_orderkey"), "o_orderkey"
-                    )
-                if (v, "insert") in present:
-                    ins = legs.filter(F.col("_change_type") == "insert").drop(
-                        *tags_
-                    )
-                    if os.path.exists(os.path.join(replica, "_snapshots.json")):
-                        merge_upsert(spark, replica, ins, "o_orderkey")
-                    else:
-                        versioned_write(ins, replica)
-                if (v, "update_postimage") in present:
-                    post = legs.filter(
-                        F.col("_change_type") == "update_postimage"
-                    ).drop(*tags_)
-                    merge_upsert(spark, replica, post, "o_orderkey")
+            if present.get(True):
+                delete_keys(
+                    spark,
+                    replica,
+                    latest.filter(F.col("_change_type") == "delete").select(
+                        "o_orderkey"
+                    ),
+                    "o_orderkey",
+                )
+            if present.get(False):
+                ups = latest.filter(F.col("_change_type") != "delete").drop(
+                    "_change_type"
+                )
+                if os.path.exists(os.path.join(replica, "_snapshots.json")):
+                    merge_upsert(spark, replica, ups, "o_orderkey")
+                else:
+                    versioned_write(ups, replica)
         finally:
-            batch_df.unpersist()
+            latest.unpersist()
 
     from argodb_mapreduce_spark.streaming.windows import run_stream_resilient
 

@@ -6998,11 +6998,14 @@ def sink_optimized_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned_write(o, out, mode="append")
     versioned_write(o, out, mode="overwrite", target_file_mb=64)
     m0, m1 = (e["metrics"] for e in _read_manifest(out))
-    same = (
-        snapshot_read(spark, out, 0)
-        .exceptAll(snapshot_read(spark, out, 1))
-        .count()
-        == 0
+    # ONE grouped pass proves multiset equality (guide §1.2; the r14
+    # batch-1 one-pass equality shape) — the old exceptAll-⊆ probe plus
+    # the manifest row-count equality proved the same predicate in two
+    # evaluations of each side.
+    from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
+
+    same = multiset_equal(
+        snapshot_read(spark, out, 0), snapshot_read(spark, out, 1)
     )
     return snapshot_read(spark, out, 1).agg(
         F.count(F.lit(1)).alias("n_rows"),

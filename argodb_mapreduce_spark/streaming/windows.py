@@ -373,7 +373,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _read_event_stream(spark, sf_dir)
+    # The counter reads nothing but the grouping key — project to it
+    # before the stateful op (guide §4; Catalyst cannot prune through
+    # applyInPandasWithState), so only one long column is shuffled and
+    # Arrow-shipped instead of all six event columns.
+    events = _read_event_stream(spark, sf_dir).select("user_id")
 
     def update_counts(key, pdfs, state):
         import pandas as pd
@@ -867,7 +871,16 @@ def _stateful_sessions_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(_time_sharded_stream_dir(sf_dir, n_shards))
-    events = _bridge_ts(raw, unit).withWatermark("ts", "30 minutes")
+    # Project to the 3 columns the processor reads BEFORE the stateful
+    # op (guide §4): applyInPandasWithState is a black box to Catalyst
+    # (its references are the whole child output), so without this
+    # select every event column — including the fat `props` JSON string
+    # — crosses the groupBy shuffle and the Arrow boundary per batch.
+    events = (
+        _bridge_ts(raw, unit)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", "30 minutes")
+    )
 
     def track_sessions(key, pdfs, state):
         import pandas as pd

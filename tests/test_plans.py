@@ -118,8 +118,8 @@ def test_no_collect_in_operators():
     # query's own O(K) key set; the restore-synthesis DV-delta file
     # list O(changed files); two more changed-file lists O(files);
     # MERGE touched-file discovery O(files); CDC replicator's
-    # (version, leg-type) presence counts O(versions × 3 per
-    # micro-batch) — plus three r14 additions: diff_keys' DV-symmetric-
+    # delete/upsert presence counts (2 rows per micro-batch after the
+    # latest-image collapse) — plus three r14 additions: diff_keys' DV-symmetric-
     # difference file list O(changed files) and its prune-bound meta,
     # and the keyed re-encrypting writer's one-summary-row-per-file
     # harvest O(files). The r14 optimization round adds two more of the
