@@ -423,7 +423,11 @@ def _cached_mv_history(spark, sf_dir: str, name: str, build) -> tuple[str, str]:
     mv0 = _scratch(sf_dir, f"{name}_mv0")
     src = table_path(sf_dir, "orders")
     marker = os.path.join(mv0, "_STAGED")
-    if fixture_stale(src, marker) or versions(mv0) != [0]:
+    if (
+        fixture_stale(src, marker)
+        or versions(mv0) != [0]
+        or not os.path.exists(os.path.join(base, MANIFEST))
+    ):
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)

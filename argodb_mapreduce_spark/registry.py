@@ -124,7 +124,21 @@ _PRIORITY = (
     "snapshot_delete_keys_pruned",
     "snapshot_delete_where",          # try_url_decode fallback
     "snapshot_retention_delete",
-    # --- (b) staleness rotation: 19 alphabetically-first r06 rows ---
+    # --- (a cont.) code changed in the r14 OPTIMIZATION session 3:
+    #     re-earn the rows (latest-image CDC apply is covered by
+    #     stream_cdc_replicate above; these are the other changed
+    #     queries — MV fork-refresh staging, stateful-stream column
+    #     projection, fused regime union, folded parity probes) ---
+    "mv_refresh_through_delete",
+    "mv_refresh_through_restore",
+    "stream_stateful_custom",
+    "stream_stateful_counts",
+    "similarity_filtered_topk",
+    "pyds_partitioned_write",
+    "sink_optimized_write",
+    # --- (b) staleness rotation: 12 alphabetically-first r06 rows
+    #     (7 slots ceded to the changed-code re-earn above; the
+    #     remaining r06 tail rotates next round) ---
     "events_cusum_changepoint",
     "events_dau_wau_stickiness",
     "events_funnel",
@@ -137,13 +151,6 @@ _PRIORITY = (
     "orders_ols_trend",
     "orders_open_backlog",
     "orders_seasonality_dow",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q17_small_quantity",
-    "q19_disjunctive",
-    "q7_nation_volume",
-    "scan_schema_evolution",
-    "sink_merge_with_deletes",
 )
 
 
