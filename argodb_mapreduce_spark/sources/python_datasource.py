@@ -4542,6 +4542,83 @@ def stream_change_feed_updates_live(spark: SparkSession, sf_dir: str) -> DataFra
 _REPL_PRICE_FLOOR = 150000.0
 
 
+def cdc_latest_image_apply(
+    spark: SparkSession, replica: str, batch_df: DataFrame, key: str
+) -> None:
+    """LATEST-IMAGE CDC APPLY (r14 opt, guide §1.2/§2.4): rank each
+    key's change-feed legs by commit version and apply only its FINAL
+    image — the Delta-documented CDC-merge pattern ("retrieve the
+    latest change per key, MERGE once"). A per-version replay commits
+    O(versions) DMLs per micro-batch and rewrites hot files once per
+    version; the collapse commits at most ONE delete + ONE merge and
+    provably lands the same replica state: commit order is respected BY
+    the ranking (a later version's image wins), update_preimage legs
+    carry no final state, and within one version an insert supersedes a
+    delete of the same key (a restore retracts bytes from one file and
+    re-adds them in another — the deletes-first rule of the old
+    per-version loop, folded into the rank tiebreak). The delete and
+    upsert key sets are DISJOINT by construction, so their commit order
+    is free. Retry-idempotent: a replayed micro-batch re-collapses to
+    the same images (merge idempotent, delete of tombstoned keys a
+    no-op); the bootstrap append fires only while the replica has no
+    manifest — after a mid-batch crash the retry merges. Correct for
+    any version-contiguous micro-batch split (a per-version batch
+    degenerates to the old replay). Equivalence to the per-version
+    replay is pinned by tests/test_r14_optimizations.py."""
+    from pyspark.sql import Window as _W
+
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        merge_upsert,
+        versioned_write,
+    )
+
+    w_latest = _W.partitionBy(key).orderBy(
+        F.desc("_commit_version"),
+        F.desc(F.col("_change_type") != "delete"),
+    )
+    latest = (
+        batch_df.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_commit_version")
+        .persist()
+    )
+    try:
+        # metadata-collect: ONE 2-row presence aggregate (delete vs
+        # upsert legs survive the collapse?) gates the two DMLs.
+        present = {
+            r["__is_del"]: r["count"]
+            for r in latest.groupBy(
+                (F.col("_change_type") == "delete").alias("__is_del")
+            )
+            .count()
+            .collect()
+        }
+        # Bootstrap state sampled ONCE per batch: on a replica with no
+        # manifest the delete set cannot match anything (the upsert and
+        # delete key sets are disjoint), so deletes are skipped and the
+        # upsert lands as the bootstrap append.
+        existed = os.path.exists(os.path.join(replica, "_snapshots.json"))
+        if present.get(True) and existed:
+            delete_keys(
+                spark,
+                replica,
+                latest.filter(F.col("_change_type") == "delete").select(key),
+                key,
+            )
+        if present.get(False):
+            ups = latest.filter(F.col("_change_type") != "delete").drop(
+                "_change_type"
+            )
+            if existed:
+                merge_upsert(spark, replica, ups, key)
+            else:
+                versioned_write(ups, replica)
+    finally:
+        latest.unpersist()
+
+
 @register(
     "stream_cdc_replicate",
     oracle="""
@@ -4659,67 +4736,7 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollback(src, 3)
 
     def apply_batch(batch_df, _batch_id):
-        # LATEST-IMAGE CDC APPLY (r14 opt, guide §1.2/§2.4): rank each
-        # key's legs by commit version and apply only its FINAL image —
-        # the Delta-documented CDC-merge pattern ("retrieve the latest
-        # change per key, MERGE once"). A per-version replay commits
-        # O(versions) DMLs per micro-batch and rewrites hot files once
-        # per version; the collapse commits at most ONE delete + ONE
-        # merge and provably lands the same replica state: commit order
-        # is respected BY the ranking (a later version's image wins),
-        # update_preimage legs carry no final state, and within one
-        # version an insert supersedes a delete of the same key (a
-        # restore retracts bytes from one file and re-adds them in
-        # another — the deletes-first rule of the old loop, folded into
-        # the rank tiebreak). The delete and upsert key sets are
-        # DISJOINT by construction, so their commit order is free.
-        # Retry-idempotent: a replayed micro-batch re-collapses to the
-        # same images (merge idempotent, delete of tombstoned keys a
-        # no-op); the bootstrap append fires only while the replica has
-        # no manifest — after a mid-batch crash the retry merges.
-        from pyspark.sql import Window as _W
-
-        w_latest = _W.partitionBy("o_orderkey").orderBy(
-            F.desc("_commit_version"),
-            F.desc(F.col("_change_type") != "delete"),
-        )
-        latest = (
-            batch_df.filter(F.col("_change_type") != "update_preimage")
-            .withColumn("__rn", F.row_number().over(w_latest))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "_commit_version")
-            .persist()
-        )
-        try:
-            # metadata-collect: ONE 2-row presence aggregate (delete vs
-            # upsert legs survive the collapse?) gates the two DMLs.
-            present = {
-                r["__is_del"]: r["count"]
-                for r in latest.groupBy(
-                    (F.col("_change_type") == "delete").alias("__is_del")
-                )
-                .count()
-                .collect()
-            }
-            if present.get(True):
-                delete_keys(
-                    spark,
-                    replica,
-                    latest.filter(F.col("_change_type") == "delete").select(
-                        "o_orderkey"
-                    ),
-                    "o_orderkey",
-                )
-            if present.get(False):
-                ups = latest.filter(F.col("_change_type") != "delete").drop(
-                    "_change_type"
-                )
-                if os.path.exists(os.path.join(replica, "_snapshots.json")):
-                    merge_upsert(spark, replica, ups, "o_orderkey")
-                else:
-                    versioned_write(ups, replica)
-        finally:
-            latest.unpersist()
+        cdc_latest_image_apply(spark, replica, batch_df, "o_orderkey")
 
     from argodb_mapreduce_spark.streaming.windows import run_stream_resilient
 

@@ -328,3 +328,156 @@ def test_pagerank_width_independent_of_session_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Session 3: latest-image CDC apply == per-version replay
+# ---------------------------------------------------------------------------
+
+
+def _cdc_history(spark, path):
+    """CDF-enabled history exercising every collapse hazard: v0/v1
+    inserts, v2 UPDATE that rewrites a grouping column, v3 DV DELETE of
+    half the keys, v4 RESTORE that resurrects them (same-version
+    delete+insert legs for the same keys), v5 append; then v6 DELETE
+    of keys that are NEVER resurrected (final-image-is-delete)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_where,
+        enable_change_data_feed,
+        rollback,
+        update_where,
+        versioned_write,
+    )
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("g"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        )
+
+    versioned_write(rows(0, 40), path)  # v0
+    enable_change_data_feed(path)
+    versioned_write(rows(100, 140), path, mode="append")  # v1
+    update_where(spark, path, [("g", "=", 0)], {"g": F.lit(7)})  # v2 sidecar
+    delete_where(spark, path, [("k", "<", 20)])  # v3: DV
+    rollback(path, 2)  # v4: RESTORE resurrects k<20 (delete+insert legs)
+    versioned_write(rows(200, 220), path, mode="append")  # v5
+    delete_where(spark, path, [("k", ">=", 210)])  # v6: final delete, no revive
+
+
+def _full_feed(spark, path):
+    """The legs a fresh streaming subscriber drains in one micro-batch:
+    v0's rows as insert legs + each later version's change_feed span
+    tagged with its _commit_version (exactly the streaming source's
+    per-leg version column, which the batch change_feed omits)."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        _read_manifest,
+        change_feed,
+        snapshot_read,
+    )
+
+    head = _read_manifest(path)[-1]["version"]
+    feed = snapshot_read(spark, path, 0).select(
+        "*",
+        F.lit("insert").alias("_change_type"),
+        F.lit(0).cast("long").alias("_commit_version"),
+    )
+    for v in range(1, head + 1):
+        feed = feed.unionByName(
+            change_feed(spark, path, v - 1, v).select(
+                "*", F.lit(v).cast("long").alias("_commit_version")
+            )
+        )
+    return feed, head
+
+
+def _per_version_replay(spark, replica, batch_df):
+    """The pre-collapse algorithm, verbatim: one DML per (version, leg
+    type) in commit order, deletes first within a version."""
+    from argodb_mapreduce_spark.sources.versioned import (
+        delete_keys,
+        merge_upsert,
+        versioned_write,
+    )
+
+    present = {
+        (r["_commit_version"], r["_change_type"])
+        for r in batch_df.groupBy("_commit_version", "_change_type").count().collect()
+    }
+    for ver in sorted({v for v, _ in present}):
+        legs = batch_df.filter(F.col("_commit_version") == ver)
+        tags = ("_change_type", "_commit_version")
+        if (ver, "delete") in present:
+            delete_keys(
+                spark, replica, legs.filter(F.col("_change_type") == "delete").select("k"), "k"
+            )
+        if (ver, "insert") in present:
+            ins = legs.filter(F.col("_change_type") == "insert").drop(*tags)
+            if os.path.exists(os.path.join(replica, "_snapshots.json")):
+                merge_upsert(spark, replica, ins, "k")
+            else:
+                versioned_write(ins, replica)
+        if (ver, "update_postimage") in present:
+            merge_upsert(
+                spark,
+                replica,
+                legs.filter(F.col("_change_type") == "update_postimage").drop(*tags),
+                "k",
+            )
+
+
+def test_latest_image_apply_matches_per_version_replay(spark, tmp_path):
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        cdc_latest_image_apply,
+    )
+    from argodb_mapreduce_spark.sources.versioned import snapshot_read
+
+    src = str(tmp_path / "src")
+    _cdc_history(spark, src)
+    feed, _head = _full_feed(spark, src)
+    feed = feed.persist()
+    try:
+        rep_new = str(tmp_path / "rep_new")
+        cdc_latest_image_apply(spark, rep_new, feed, "k")
+        rep_old = str(tmp_path / "rep_old")
+        _per_version_replay(spark, rep_old, feed)
+    finally:
+        feed.unpersist()
+    head_df = snapshot_read(spark, src)
+    new_df = snapshot_read(spark, rep_new)
+    assert multiset_equal(new_df, head_df.select(*new_df.columns))
+    assert multiset_equal(new_df, snapshot_read(spark, rep_old).select(*new_df.columns))
+    # final-image-is-delete keys must be ABSENT, resurrected keys present
+    assert new_df.filter("k >= 210").count() == 0
+    assert new_df.filter("k < 20").count() == 20
+
+
+def test_latest_image_apply_split_batches(spark, tmp_path):
+    """A mid-history batch split (the general micro-batch case) must
+    converge to the same head: collapse within each version-contiguous
+    batch, merge across batches."""
+    from argodb_mapreduce_spark.sources.python_datasource import (
+        cdc_latest_image_apply,
+    )
+    from argodb_mapreduce_spark.sources.versioned import (
+        change_feed,
+        snapshot_read,
+    )
+
+    src = str(tmp_path / "src")
+    _cdc_history(spark, src)
+    feed, head = _full_feed(spark, src)
+    rep = str(tmp_path / "rep")
+    # batch 1: v0..v3 (through the DV delete); batch 2: v4..head
+    cdc_latest_image_apply(
+        spark, rep, feed.filter(F.col("_commit_version") <= 3), "k"
+    )
+    mid = snapshot_read(spark, rep)
+    assert mid.filter("k < 20").count() == 0  # deletes applied, not yet revived
+    cdc_latest_image_apply(
+        spark, rep, feed.filter(F.col("_commit_version") > 3), "k"
+    )
+    final = snapshot_read(spark, rep)
+    head_df = snapshot_read(spark, src)
+    assert multiset_equal(final, head_df.select(*final.columns))
