@@ -52,6 +52,29 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codec_parallel(
+    m: DataFrame, sf_dir: str, rows_per_partition: int = 256
+) -> DataFrame:
+    """Spread a CPU-bound pure-Python codec stage across cores (r14
+    opt, guide §2.2: derive partitioning from the WORK, not the bytes).
+    Spark's file-split planning is byte-based, so the few-MB documents
+    fixture yields ONE scan partition and a chained mapInPandas codec
+    runs single-threaded — measured 2.3 s + 2.3 s (encode + decode) of
+    pure-Python JPEG work on one core at sf0.1 while 31 cores idled.
+    The width derives from the table's footer row count (no job),
+    clamped to the session parallelism: ~256 docs/partition keeps each
+    codec task in the healthy range at any scale, real (large) media
+    files get adequate byte-based splits anyway, and the clamp stops a
+    huge corpus from over-partitioning the shuffle. Per-row transforms
+    are partitioning-independent, so results are unchanged."""
+    from argodb_mapreduce_spark.catalog import table_rowcount
+
+    sc = m.sparkSession.sparkContext
+    rows = table_rowcount(sf_dir, "documents")
+    n = max(1, min(sc.defaultParallelism, -(-rows // rows_per_partition)))
+    return m.repartition(n)
+
+
 # -- stubbed real decoders (no media libs in this container) ---------------
 
 try:  # pragma: no cover - PIL is absent in the v1 image
@@ -1279,7 +1302,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel volume never leaves the executors, and real .jpg files would
     enter at the decode contract. Per-doc cost is bounded by the
     64-byte cap (64 DCT blocks/doc)."""
-    m = media_table(spark, sf_dir).select("doc_id", "content")
+    m = _codec_parallel(
+        media_table(spark, sf_dir).select("doc_id", "content"), sf_dir
+    )
     jpg = m.mapInPandas(
         _jpeg_encode_batches(JPEG_TILE_COLS, JPEG_MAX_BYTES),
         schema="doc_id long, jpeg binary",
@@ -1567,6 +1592,8 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hop; real GIF files skip the encode stage and enter at the
     decode contract. LZW is O(pixels) with dict ops per byte — ~100x
     cheaper than the JPEG DCT path per doc."""
-    m = media_table(spark, sf_dir).select("doc_id", "content")
+    m = _codec_parallel(
+        media_table(spark, sf_dir).select("doc_id", "content"), sf_dir
+    )
     gif = m.mapInPandas(_gif_encode_batches(PNG_WIDTH), schema="doc_id long, gif binary")
     return gif.mapInPandas(_gif_decode_batches(), schema=_GIF_SCHEMA)
