@@ -238,6 +238,25 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def cpu_repartition(df, sf_dir: str, name: str, rows_per_partition: int = 256):
+    """Repartition a small-on-disk table whose DOWNSTREAM map stage is
+    CPU-heavy (r14 opt, guide §2.2: derive partitioning from the WORK,
+    not the bytes). Spark's file-split planning is byte-based and the
+    test fixtures are single-row-group files — unsplittable — so every
+    scan plans ONE partition and a chained expensive map stage (shingle
+    explode, per-char hashing, a pure-Python codec) runs
+    single-threaded. The width derives from the footer row count (no
+    job), clamped to the session parallelism: a real corpus gets
+    adequate byte-based splits anyway, so the clamp is the production
+    guard and the repartition only ever moves the small raw bytes.
+    Per-row transforms are partitioning-independent — results are
+    unchanged."""
+    sc = df.sparkSession.sparkContext
+    rows = table_rowcount(sf_dir, name)
+    n = max(1, min(sc.defaultParallelism, -(-rows // rows_per_partition)))
+    return df.repartition(n)
+
+
 def _partition_columns(path: str) -> list[str]:
     """Partition columns of a Hive-layout directory (``k=v`` subdirs)."""
     cols: list[str] = []

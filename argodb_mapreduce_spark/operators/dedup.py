@@ -82,7 +82,15 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) with distinct word-k-gram shingles per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    from argodb_mapreduce_spark.catalog import cpu_repartition
+
+    # The fixture file is one unsplittable row group, so without this
+    # the split+slice+explode below runs as ONE task (guide §2.2; r14
+    # A/B: dedup_minhash_verified 2.81→2.08 s, dedup_containment
+    # 3.21→2.42 s, paired same-window min-of-3).
+    docs = cpu_repartition(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     return (
         docs.select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= SHINGLE_K)
@@ -1011,8 +1019,16 @@ _SQL_CDC_CHUNKS = """
 def _cdc_chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk): the Spark twin of the _SQL_CDC_CHUNKS CTEs —
     per-row boundary detection over the precomputed code array, then
-    one explode. No shuffle."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    one explode. The only shuffle is the cpu_repartition spread of the
+    raw text: the per-CHAR polynomial hash below is the package's
+    heaviest codegen expression and the unsplittable single-row-group
+    fixture otherwise runs it as one task (r14 A/B: dedup_cdc_chunks
+    2.16→1.14 s, paired same-window min-of-3; guide §2.2)."""
+    from argodb_mapreduce_spark.catalog import cpu_repartition
+
+    d = cpu_repartition(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).filter(F.length("text") >= 1)
     h = _cdc_codes_hash("i")
     seg = d.select(
         "doc_id",

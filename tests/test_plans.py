@@ -786,10 +786,17 @@ def test_png_histogram_shuffles_only_bin_partials(spark, sf_dir):
 
 def test_cdc_single_shuffle(spark, sf_dir):
     """Boundary detection + segmentation are per-row array expressions;
-    only the chunk-hash aggregate (and its top-k) may exchange."""
+    only the chunk-hash aggregate (and its top-k) may exchange — plus
+    the ONE RoundRobin spread of the raw input (r14 opt,
+    catalog.cpu_repartition: the single-row-group fixture is
+    unsplittable, so without it the per-char boundary hash runs as one
+    task). Any further exchange is a regression."""
     from argodb_mapreduce_spark.operators.dedup import dedup_cdc_chunks
 
-    assert n_exchanges(dedup_cdc_chunks(spark, sf_dir)) <= 2
+    df = dedup_cdc_chunks(spark, sf_dir)
+    assert n_exchanges(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
