@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,20 +88,70 @@ def parse_filter(filter_str: str) -> tuple[str, str]:
     return col, value
 
 
+#: Structural staging/timing boundary (r15, VERDICT r14 next-round 2).
+#: Inside a ``timed_region()`` a fixture BUILD is a hard error: bench.py
+#: stages every fixture in an explicit untimed pre-pass, so the timed
+#: query bodies can only ever *read* pre-staged inputs — the
+#: staging-vs-computation boundary is enforced by code, not by builder
+#: discipline. ``_FIXTURES_FRESH`` memoizes (src, marker) pairs already
+#: verified fresh in this process so the timed region normally performs
+#: zero staleness checks at all (not even a stat).
+_TIMED_REGION = False
+_FIXTURES_FRESH: set[tuple[str, str]] = set()
+
+
+class FixtureBuildInTimedRegion(RuntimeError):
+    """A derived fixture was found stale inside a timed region — the
+    untimed staging pre-pass (bench.py) must have built it already."""
+
+
+@contextmanager
+def timed_region():
+    """Mark the dynamic extent of a timed measurement: any attempt to
+    (re)build a derived fixture inside it raises instead of silently
+    doing staging work on the measurement clock."""
+    global _TIMED_REGION
+    prev = _TIMED_REGION
+    _TIMED_REGION = True
+    try:
+        yield
+    finally:
+        _TIMED_REGION = prev
+
+
 def fixture_stale(src: str, marker: str) -> bool:
     """True when a staged/derived fixture must be rebuilt: ``marker`` is
     missing or older than the source table it was derived from. The
     driver regenerates /root/testdata between rounds (schemas can change
     — e.g. events.ts flipped TIMESTAMP(NANOS) → TIMESTAMP(MICROS) in
     round 4) while scratch dirs under /tmp survive, so every cached
-    derived layout must mtime-check its source, never just existence."""
+    derived layout must mtime-check its source, never just existence.
+
+    Callers treat a True return as "build now": inside a
+    ``timed_region()`` that would mean staging work on the measurement
+    clock, so it raises ``FixtureBuildInTimedRegion`` instead (r15
+    structural boundary). Fresh results are memoized per (src, marker)
+    so repeat checks inside the timed region cost nothing."""
+    key = (src, marker)
+    if key in _FIXTURES_FRESH:
+        return False
     if not os.path.exists(marker):
+        stale = True
+    else:
+        # <= not <: on coarse-mtime filesystems a source regenerated
+        # within the same timestamp tick as the marker must still count
+        # as newer. Rebuilds are idempotent and cheap at fixture scale,
+        # so the rare false-stale is the safe direction.
+        stale = os.path.getmtime(marker) <= os.path.getmtime(src)
+    if stale:
+        if _TIMED_REGION:
+            raise FixtureBuildInTimedRegion(
+                f"fixture {marker!r} is stale vs {src!r} inside a timed "
+                "region; the untimed staging pre-pass must build it first"
+            )
         return True
-    # <= not <: on coarse-mtime filesystems a source regenerated within
-    # the same timestamp tick as the marker must still count as newer.
-    # Rebuilds are idempotent and cheap at fixture scale, so the rare
-    # false-stale is the safe direction.
-    return os.path.getmtime(marker) <= os.path.getmtime(src)
+    _FIXTURES_FRESH.add(key)
+    return False
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -238,6 +289,26 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def table_row_groups(sf_dir: str, name: str) -> int:
+    """Parquet row-group count from footer metadata only (no Spark job).
+    Row groups are parquet's unit of scan parallelism: Spark byte-splits
+    files, but a reader only processes row groups that START in its
+    split, so a table's usable scan width is its row-group count, not
+    its byte count. Handles a single ``name.parquet`` file and a
+    directory of parts."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_row_groups
+        return total
+    return pq.read_metadata(path).num_row_groups
+
+
 def cpu_repartition(df, sf_dir: str, name: str, rows_per_partition: int = 256):
     """Repartition a small-on-disk table whose DOWNSTREAM map stage is
     CPU-heavy (r14 opt, guide §2.2: derive partitioning from the WORK,
@@ -246,14 +317,25 @@ def cpu_repartition(df, sf_dir: str, name: str, rows_per_partition: int = 256):
     scan plans ONE partition and a chained expensive map stage (shingle
     explode, per-char hashing, a pure-Python codec) runs
     single-threaded. The width derives from the footer row count (no
-    job), clamped to the session parallelism: a real corpus gets
-    adequate byte-based splits anyway, so the clamp is the production
-    guard and the repartition only ever moves the small raw bytes.
+    job), clamped to the session parallelism: ~``rows_per_partition``
+    rows per task keeps each map task in the healthy range at any
+    scale, and the clamp stops a huge corpus from over-partitioning.
     Per-row transforms are partitioning-independent — results are
-    unchanged."""
+    unchanged.
+
+    Gated on the table's intrinsic scan parallelism (r15 opt, VERDICT
+    r14 What's-wrong 3): when the parquet footprint already carries >= n
+    row groups — the real unit of parquet scan splitting — the scan
+    plans enough partitions by itself and the spread would only
+    round-robin-shuffle the full raw bytes for nothing, so it becomes a
+    structural no-op. A production corpus with thousands of row groups
+    never pays the exchange; only a fixture-shaped (few-row-group)
+    input gets spread."""
     sc = df.sparkSession.sparkContext
     rows = table_rowcount(sf_dir, name)
     n = max(1, min(sc.defaultParallelism, -(-rows // rows_per_partition)))
+    if table_row_groups(sf_dir, name) >= n:
+        return df
     return df.repartition(n)
 
 

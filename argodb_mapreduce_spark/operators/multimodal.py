@@ -66,13 +66,13 @@ def _codec_parallel(
     codec task in the healthy range at any scale, real (large) media
     files get adequate byte-based splits anyway, and the clamp stops a
     huge corpus from over-partitioning the shuffle. Per-row transforms
-    are partitioning-independent, so results are unchanged."""
-    from argodb_mapreduce_spark.catalog import table_rowcount
+    are partitioning-independent, so results are unchanged. Delegates
+    to catalog.cpu_repartition, which additionally gates the spread on
+    the table's row-group count (r15: a multi-row-group corpus already
+    scans in parallel, so the exchange is skipped entirely)."""
+    from argodb_mapreduce_spark.catalog import cpu_repartition
 
-    sc = m.sparkSession.sparkContext
-    rows = table_rowcount(sf_dir, "documents")
-    n = max(1, min(sc.defaultParallelism, -(-rows // rows_per_partition)))
-    return m.repartition(n)
+    return cpu_repartition(m, sf_dir, "documents", rows_per_partition)
 
 
 # -- stubbed real decoders (no media libs in this container) ---------------

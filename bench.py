@@ -33,6 +33,16 @@ noise, not regression.
 Each query is fully materialized through the noop sink (count() can
 short-circuit column reads; noop forces the whole plan). Wall-clock per
 query includes planning + execution, excluding session startup.
+
+r15 additions (timing methodology itself unchanged):
+  * an explicit untimed STAGING pre-pass materializes every headline
+    query once at the benched SF before any timing, so every mtime-keyed
+    derived fixture is built outside the timed region; the timed loop
+    runs inside catalog.timed_region(), where a fixture build raises —
+    the staging/timed boundary is structural (VERDICT r14 item 2);
+  * the full per-query times/median/spread dicts are written to
+    bench_per_query.json beside this script (the driver's stdout capture
+    keeps only a ~2000-char tail — VERDICT r14 item 3).
 """
 
 from __future__ import annotations
@@ -286,6 +296,40 @@ def main() -> None:
     partitioned_lineitem(spark, sf_dir)
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
+    # ---- explicit untimed STAGING pre-pass (r15, VERDICT r14 item 2) ----
+    # Pass 1 materializes every headline query once at the benched SF:
+    # every mtime-keyed derived fixture (multi-commit DML histories,
+    # encrypted clones, stream shard dirs, ...) is built HERE, on the
+    # staging clock, never on the measurement clock. Pass 2 re-constructs
+    # each query's plan so every construction-time freshness check is
+    # memoized as fresh. The timed loop below then runs inside
+    # catalog.timed_region(), where any attempt to build a fixture is a
+    # hard error — the staging/timed boundary is structural, not builder
+    # discipline. Timed methodology (clearCache + best-of-3 + noop
+    # materialize) is unchanged; this pre-pass only extends the existing
+    # warm-up contract from sf0.001 to the benched SF.
+    from argodb_mapreduce_spark import catalog as _catalog
+
+    spark.sparkContext.setJobDescription("staging pre-pass (untimed)")
+    for name in HEADLINE:
+        materialize(qs[name](spark, sf_dir))
+    for name in HEADLINE:
+        qs[name](spark, sf_dir)
+    spark.sparkContext.setJobDescription(None)
+    n_markers = len(_catalog._FIXTURES_FRESH)
+    print(
+        json.dumps(
+            {
+                "staged_queries_untimed": len(HEADLINE),
+                "staged_fixture_markers": n_markers,
+            }
+        )
+    )
+    print(
+        f"staged {len(HEADLINE)} queries / {n_markers} fixture markers (untimed)",
+        file=sys.stderr,
+    )
+
     # Best-of-3 per query: the host is a shared VM with multi-second
     # noisy-neighbor spikes (the same query varies 2s..32s run-to-run
     # while plans and data are identical; a round-5 rerun saw untouched
@@ -298,20 +342,21 @@ def main() -> None:
     times: dict[str, float] = {}
     median: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            materialize(qs[name](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(min(runs), 3)
-        # Median-of-3 (VERDICT r10 #7): min is the steady-state engine
-        # cost (kept as the cross-round headline), median is the
-        # noise-robust central tendency — a round-over-round delta that
-        # holds in BOTH is real; one visible only in min is VM drift.
-        median[name] = round(sorted(runs)[1], 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+    with _catalog.timed_region():
+        for name in HEADLINE:
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(qs[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(min(runs), 3)
+            # Median-of-3 (VERDICT r10 #7): min is the steady-state engine
+            # cost (kept as the cross-round headline), median is the
+            # noise-robust central tendency — a round-over-round delta that
+            # holds in BOTH is real; one visible only in min is VM drift.
+            median[name] = round(sorted(runs)[1], 3)
+            spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
     # BENCH_r01 recorded 21 queries; later rounds grew the headline set.
@@ -393,6 +438,38 @@ def main() -> None:
         }
     )
     assert len(totals_line) < 280, len(totals_line)
+
+    # Full per-query visibility for the driver (r15, VERDICT r14 item 3):
+    # the driver's stdout capture keeps only a ~2000-char tail, so the
+    # complete times/median/spread dicts are ALSO written to a JSON file
+    # next to this script. The stdout contract (chunk lines + final
+    # totals line) is unchanged.
+    per_query_path = os.path.join(REPO_ROOT, "bench_per_query.json")
+    try:
+        with open(per_query_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "r1_comparable_wall": r1_wall,
+                    "median_total": median_total,
+                    "r1_comparable_median": r1_median,
+                    "sf": sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                    "n_queries": len(times),
+                    "max_spread": round(max(spread.values()), 3) if spread else 0.0,
+                    "queries": times,
+                    "median": median,
+                    "spread": spread,
+                },
+                f,
+                indent=1,
+            )
+        print(f"per-query times written to {per_query_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"per-query file not written: {e}", file=sys.stderr)
+
     sys.stdout.flush()
     print(totals_line)
     sys.stdout.flush()
