@@ -4749,14 +4749,40 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    # ONE pass over replica + head (r15, guide §1.2/§2.4 — the same
+    # fold as stream_backlog_drain's 3-passes-to-1): the eager
+    # multiset_equal proof job scanned rep+head, then the final agg
+    # scanned rep AGAIN. Tag the union ±1, group by the full row, and
+    # derive BOTH the equality flag (no group with a nonzero weight
+    # sum) and every oracle column (weighted by the replica-side
+    # multiplicity) from the single grouped frame — each table is
+    # scanned once, one shuffle, one job. Group keys treat NULL==NULL
+    # exactly as multiset_equal/exceptAll do.
     rep = snapshot_read(spark, replica)
     head = snapshot_read(spark, src)
-    equal = multiset_equal(rep, head.select(*rep.columns))
-    return rep.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("sum_key"),
-        F.sum((F.col("o_orderpriority") == "0-MOVED").cast("long")).alias("n_moved"),
-        F.lit(equal).alias("replica_equals_source"),
+    cols = list(rep.columns)
+    tagged = rep.withColumn("__w", F.lit(1)).unionAll(
+        head.select(*cols).withColumn("__w", F.lit(-1))
+    )
+    g = tagged.groupBy(*cols).agg(
+        F.sum("__w").alias("__d"),
+        F.sum(F.when(F.col("__w") == 1, F.lit(1)).otherwise(F.lit(0))).alias("__m"),
+    )
+    return g.agg(
+        F.sum("__m").cast("long").alias("n_rows"),
+        F.sum(F.col("o_orderkey") * F.col("__m")).cast("long").alias("sum_key"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "0-MOVED", F.col("__m")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("n_moved"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("__d") != 0, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            == 0
+        ).alias("replica_equals_source"),
     )
 
 

@@ -681,7 +681,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Streaming quality gate — the ingest-time twin of "
         "dq_constraint_audit: per-row constraint counters (null, range, "
         "accepted-values) maintained as a REAL multi-batch Structured "
-        "Streaming aggregation (sharded source, maxFilesPerTrigger=1, "
+        "Streaming aggregation (sharded source, 2 files per trigger, "
         "availableNow, complete mode). Row-local counters are "
         "associative sums, so the final report is independent of the "
         "batch split — which is exactly why the live run can be "
@@ -701,9 +701,15 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _events_ts_unit(sf_dir)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # 2 files per trigger (r15, same lever as stream_stateful_custom):
+    # the 3 shards drain in TWO micro-batches instead of three — one
+    # fewer trigger round + state-commit cycle while the run stays
+    # genuinely multi-batch. The counters are associative sums, so the
+    # final report is batch-split-independent by construction (the
+    # docstring's own oracle-checkability argument).
     raw = (
         spark.readStream.schema(_events_raw_schema(unit))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(_sharded_stream_dir(sf_dir))
     )
     events = _bridge_ts(raw, unit)
@@ -808,8 +814,9 @@ def _time_sharded_stream_dir(sf_dir: str, n_shards: int = 4) -> str:
     tags=("streaming", "live", "stateful", "timers"),
     doc=(
         "Arbitrary stateful session aggregator WITH EVENT-TIME TIMERS: "
-        "applyInPandasWithState(EventTimeTimeout) over a real 4-batch "
-        "time-ordered availableNow stream. State per user = the open "
+        "applyInPandasWithState(EventTimeTimeout) over a real multi-batch "
+        "(4 time shards, 2 per trigger) availableNow stream. State per "
+        "user = the open "
         "session (start/end/count as longs); a timer at end+gap fires "
         "once the watermark passes it, emits the closed session, and "
         "CLEARS the key's state — the state-bounding behavior a "
@@ -841,7 +848,22 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str, _timer_marker_dir: 
     watermark; the memory-sink collapse below is a driver-side test
     convenience — production writes the update stream to a keyed sink.
     """
-    sessions = _stateful_sessions_stream(spark, sf_dir, _timer_marker_dir)
+    # 2 files per trigger (r15, VERDICT r14 item 5): the 4 time shards
+    # drain in TWO micro-batches instead of four. Every per-batch fixed
+    # cost halves — offset/commit WAL rounds, 32 state-store delta
+    # commits per batch, the stateful Python worker protocol round —
+    # while the run stays genuinely multi-batch: the watermark advances
+    # between the two batches, so event-time timers still fire mid-
+    # stream (pinned by test_stateful_stream_fires_timers_and_clears_
+    # state). Result equivalence is batch-split-independent: the
+    # processor concatenates+sorts each batch's chunks, state carries
+    # sessions across the boundary, and the final collapse keeps the
+    # MAX per (user, session_start) — same sessions for ANY
+    # time-contiguous split (the same argument as the r14 CDC
+    # latest-image apply; oracle-pinned at two SFs).
+    sessions = _stateful_sessions_stream(
+        spark, sf_dir, _timer_marker_dir, max_files_per_trigger=2
+    )
     # NO input_rows: Python-stateful — see stream_stateful_counts
     # (A/B: 8.0 s session-width vs 11.9 s at the derived 4 partitions).
     _run_to_memory(sessions, "stream_stateful_custom_sink", "update")
@@ -1085,8 +1107,8 @@ _EXPECT_FIXABLE = 200.0
     """,
     tags=("streaming", "sink", "constraint", "data-quality", "quarantine", "live"),
     doc=(
-        "The FULL STREAMING DLT LOOP in one query: a real 3-batch "
-        "availableNow stream lands through foreachBatch + "
+        "The FULL STREAMING DLT LOOP in one query: a real multi-batch "
+        "(3 shards, 2 per trigger) availableNow stream lands through foreachBatch + "
         "versioned_write_expect —each micro-batch's CHECK-violating rows "
         "route to the sidecar quarantine table instead of failing the "
         "batch — then quarantine_replay re-validates them through a "
@@ -1118,9 +1140,16 @@ def stream_expect_quarantine_live(spark: SparkSession, sf_dir: str) -> DataFrame
     unit = _events_ts_unit(sf_dir)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # 2 files per trigger (r15, same lever as stream_stateful_custom):
+    # the 3 shards land in TWO micro-batches instead of three — one
+    # fewer trigger round and two fewer txn-stamped commits (each batch
+    # commits a main + a quarantine leg) while the run stays genuinely
+    # multi-batch. The expect/quarantine split is a per-row predicate
+    # and both legs are txn-stamped per batch_id, so the final tables
+    # (and the replay arithmetic) are batch-split-independent.
     raw = (
         spark.readStream.schema(_events_raw_schema(unit))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(_sharded_stream_dir(sf_dir))
     )
     events = _bridge_ts(raw, unit).select("event_id", "user_id", "value")
