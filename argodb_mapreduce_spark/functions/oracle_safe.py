@@ -131,6 +131,34 @@ def sql_gavg(expr: str, bits: int = GRID_BITS) -> str:
     return f"{sql_gsum(expr, bits)} / COUNT({expr})"
 
 
+def multiset_equal_frame(a, b, name: str):
+    """LAZY twin of :func:`multiset_equal`: a 1-row DataFrame holding
+    the equality flag as column ``name``, for folding the proof into a
+    result plan via ``result.crossJoin(F.broadcast(frame))`` instead of
+    collecting it eagerly (r15, guide §1.2/§2.4): the eager form costs
+    a separate job — and a separate evaluation of any input the result
+    plan scans again — where the folded form runs the same one-pass
+    union aggregate inside the single action. Empty-on-both-sides
+    compares equal, matching exceptAll semantics."""
+    cols = list(a.columns)
+    tagged = a.select(*cols).withColumn("__w", F.lit(1)).unionAll(
+        b.select(*cols).withColumn("__w", F.lit(-1))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("__w").alias("__d"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("__d") != 0, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                )
+                == 0
+            ).alias(name)
+        )
+    )
+
+
 def multiset_equal(a, b) -> bool:
     """One-pass multiset equality of two DataFrames over ``a``'s columns.
 

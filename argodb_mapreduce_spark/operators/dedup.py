@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argodb_mapreduce_spark.catalog import load_table
-from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
+
 from argodb_mapreduce_spark.registry import register
 
 N_HASHES = 16
@@ -308,6 +308,28 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         caller="dedup_minhash_clusters",
     )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _index_summary(idx: DataFrame, full: DataFrame) -> DataFrame:
+    """Per-band index summary + the incremental-equals-full multiset
+    proof as ONE lazy plan (r15, guide §1.2/§2.4). The previous eager
+    ``multiset_equal`` collect ran a separate job that evaluated BOTH
+    the stored index and the expensive from-scratch full-index rebuild,
+    and then the summary scanned the index again; the proof is now a
+    1-row broadcast cross-joined onto the grouped summary — identical
+    values, one action. Shared by the four dedup_index_through_* /
+    dedup_index_cdf_maintenance queries."""
+    from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal_frame
+
+    flag = multiset_equal_frame(idx, full, "incremental_equals_full")
+    return (
+        idx.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.countDistinct("band_hash").alias("n_buckets"),
+        )
+        .crossJoin(F.broadcast(flag))
+    )
 
 
 def min_label_components(
@@ -1581,12 +1603,7 @@ def dedup_index_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_cdf_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)  # v1: base build + CDF delta
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = multiset_equal(idx, full)
-    return idx.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.countDistinct("band_hash").alias("n_buckets"),
-        F.lit(equal).alias("incremental_equals_full"),
-    )
+    return _index_summary(idx, full)
 
 
 def _build_delete_index_fixture(spark: SparkSession, sf_dir: str):
@@ -1677,12 +1694,7 @@ def dedup_index_through_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_delete_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = multiset_equal(idx, full)
-    return idx.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.countDistinct("band_hash").alias("n_buckets"),
-        F.lit(equal).alias("incremental_equals_full"),
-    )
+    return _index_summary(idx, full)
 
 
 def _build_restore_index_fixture(spark: SparkSession, sf_dir: str):
@@ -1792,12 +1804,7 @@ def dedup_index_through_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_restore_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = multiset_equal(idx, full)
-    return idx.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.countDistinct("band_hash").alias("n_buckets"),
-        F.lit(equal).alias("incremental_equals_full"),
-    )
+    return _index_summary(idx, full)
 
 
 _REVISION_SUFFIX = " freshly revised edition"
@@ -1900,9 +1907,4 @@ def dedup_index_through_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_tbl, idx_tbl = _build_update_index_fixture(spark, sf_dir)
     idx = snapshot_read(spark, idx_tbl)  # v1: base + MERGEd postimage bands
     full = _band_index_for(snapshot_read(spark, docs_tbl))
-    equal = multiset_equal(idx, full)
-    return idx.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.countDistinct("band_hash").alias("n_buckets"),
-        F.lit(equal).alias("incremental_equals_full"),
-    )
+    return _index_summary(idx, full)

@@ -51,7 +51,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
+
 from argodb_mapreduce_spark.functions.oracle_safe import sql_dsum as _sql_dsum
 from argodb_mapreduce_spark.registry import register
 
@@ -3247,17 +3247,28 @@ def pyds_write_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     native = snapshot_read(spark, out)
     pyds = read_versioned(spark, out)
-    match = sorted(native.columns) == sorted(pyds.columns) and multiset_equal(
-        native, pyds.select(*native.columns)
+    # Proof folded lazily into the result plan (r15, guide §1.2/§2.4):
+    # the eager multiset_equal collect cost a separate job evaluating
+    # both the native and the pyds read before the final aggregate ran.
+    cols_match = sorted(native.columns) == sorted(pyds.columns)
+    from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal_frame
+
+    same = (
+        multiset_equal_frame(native, pyds.select(*native.columns), "__same")
+        if cols_match
+        else spark.range(1).select(F.lit(False).alias("__same"))
     )
-    return native.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("sum_key"),
-        F.sum((F.col("src") == "pyds").cast("long")).alias("n_pyds"),
-        F.countDistinct("prio").alias("n_prios"),
-        F.lit(physical_ok).alias("physical_name_stable"),
-        F.lit(mapping_ok).alias("mapping_extended"),
-        F.lit(match).alias("pyds_read_matches"),
+    return (
+        native.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum((F.col("src") == "pyds").cast("long")).alias("n_pyds"),
+            F.countDistinct("prio").alias("n_prios"),
+            F.lit(physical_ok).alias("physical_name_stable"),
+            F.lit(mapping_ok).alias("mapping_extended"),
+        )
+        .crossJoin(F.broadcast(same))
+        .withColumnRenamed("__same", "pyds_read_matches")
     )
 
 

@@ -6999,19 +6999,30 @@ def sink_optimized_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned_write(o, out, mode="overwrite", target_file_mb=64)
     m0, m1 = (e["metrics"] for e in _read_manifest(out))
     # ONE grouped pass proves multiset equality (guide §1.2; the r14
-    # batch-1 one-pass equality shape) — the old exceptAll-⊆ probe plus
-    # the manifest row-count equality proved the same predicate in two
-    # evaluations of each side.
-    from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal
+    # batch-1 one-pass equality shape); folded LAZILY into the result
+    # plan as a 1-row broadcast (r15) so the proof no longer costs a
+    # separate eager job before the final aggregate's own action.
+    from argodb_mapreduce_spark.functions.oracle_safe import multiset_equal_frame
 
-    same = multiset_equal(
-        snapshot_read(spark, out, 0), snapshot_read(spark, out, 1)
+    same = multiset_equal_frame(
+        snapshot_read(spark, out, 0), snapshot_read(spark, out, 1), "__same"
     )
-    return snapshot_read(spark, out, 1).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("sum_key"),
-        F.lit(m1["num_files"] < m0["num_files"]).alias("files_reduced"),
-        F.lit(same and m0["num_rows"] == m1["num_rows"]).alias("rows_identical"),
+    return (
+        snapshot_read(spark, out, 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.lit(m1["num_files"] < m0["num_files"]).alias("files_reduced"),
+        )
+        .crossJoin(F.broadcast(same))
+        .select(
+            "n_rows",
+            "sum_key",
+            "files_reduced",
+            (F.col("__same") & F.lit(m0["num_rows"] == m1["num_rows"])).alias(
+                "rows_identical"
+            ),
+        )
     )
 
 

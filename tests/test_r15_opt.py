@@ -79,3 +79,30 @@ def test_cpu_repartition_rows_unchanged(spark, corpus_dirs):
         df = spark.read.parquet(os.path.join(d, "docs.parquet"))
         out = cpu_repartition(df, d, "docs")
         assert sorted(r.doc_id for r in out.collect()) == list(range(2000))
+
+
+@pytest.mark.parametrize(
+    "rows_a, rows_b, want",
+    [
+        ([(1, "x"), (1, "x"), (2, None)], [(2, None), (1, "x"), (1, "x")], True),
+        ([(1, "x"), (1, "x")], [(1, "x")], False),  # multiplicity differs
+        ([(1, "x")], [(1, "y")], False),
+        ([(None, None)], [(None, None)], True),  # NULL == NULL group keys
+        ([], [], True),
+        ([(1, "x")], [], False),
+    ],
+)
+def test_multiset_equal_frame_matches_eager(spark, rows_a, rows_b, want):
+    """The lazy 1-row proof frame must agree with the eager collect on
+    every multiset edge case (duplicates, NULL keys, empty sides)."""
+    from argodb_mapreduce_spark.functions.oracle_safe import (
+        multiset_equal,
+        multiset_equal_frame,
+    )
+
+    schema = "k int, v string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    got = multiset_equal_frame(a, b, "eq").collect()
+    assert len(got) == 1 and got[0]["eq"] is want
+    assert multiset_equal(a, b) is want
