@@ -626,9 +626,15 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.catalog import cpu_repartition
+
     docs = load_table(spark, sf_dir, "documents")
+    # Spread the bigram explode (r15, guide §2.2): serialized on the
+    # fixture's one scan partition (x10 ladder ratio 0.95).
+    # Row-group-gated — a real corpus skips the exchange.
     bg = (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        cpu_repartition(docs, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= 2)
         .select(
             "doc_id",

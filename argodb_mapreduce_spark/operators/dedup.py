@@ -928,7 +928,18 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document length. UNION (not UNION ALL) dedups pairs
     caught by both passes before the DP runs once per pair.
     """
-    b = load_table(spark, sf_dir, "documents").select(
+    from argodb_mapreduce_spark.catalog import cpu_repartition
+
+    # Spread the probe side (r15, guide §2.2): the blocking joins plan
+    # as BroadcastHashJoins (the keyed side is a few MB), so the pair
+    # EXPANSION and the per-pair Levenshtein DP run on the probe side's
+    # scan partitions — ONE task on the single-row-group fixture at any
+    # core count (x10 ladder: 112.6 s at 8c vs 114.2 s at 32c, ratio
+    # 0.99). The row-group-gated RoundRobin gives the probe side the
+    # session width; a real multi-row-group corpus skips it.
+    b = cpu_repartition(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / F.lit(LEV_BAND_CHARS)).cast("long").alias("band"),

@@ -220,7 +220,12 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude = sample - 128. At 100 TB both stages stream executor-
     side with no shuffle; real media files skip the encode stage and
     enter at the decode contract."""
-    m = media_table(spark, sf_dir).select("doc_id", "content")
+    # Work-derived spread (r15): same rationale as
+    # multimodal_image_decode above — the fixture scan plans one
+    # partition and the WAV encode/decode ran on one core.
+    m = _codec_parallel(
+        media_table(spark, sf_dir).select("doc_id", "content"), sf_dir
+    )
     rate = _AUDIO_RATE
 
     def encode(batches):  # nested → pickled by value (see NB above)
@@ -492,7 +497,15 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.py:148): at 100 TB both stages stream executor-side
     with no shuffle and no driver hop; real image files skip the encode
     stage and enter at the decode contract."""
-    m = media_table(spark, sf_dir).select("doc_id", "content")
+    # Work-derived spread (r15): the single-row-group fixture plans ONE
+    # scan partition, so both codec stages ran on one core (the r14
+    # JPEG/GIF finding — the x10 core-scaling ladder caught the PNG
+    # pipeline at 2 of 32 cores). _codec_parallel round-robins the
+    # small raw bytes once; its row-group gate makes it a structural
+    # no-op on any real multi-row-group corpus.
+    m = _codec_parallel(
+        media_table(spark, sf_dir).select("doc_id", "content"), sf_dir
+    )
     png = m.mapInPandas(_png_encode_batches(PNG_WIDTH), schema="doc_id long, png binary")
     return png.mapInPandas(_png_decode_batches(), schema=_IMAGE_SCHEMA)
 

@@ -215,8 +215,15 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from argodb_mapreduce_spark.catalog import cpu_repartition
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+    # Spread the n-gram md5 explode (r15, guide §2.2) — one md5 per
+    # token position, serialized on the single-row-group fixture's one
+    # scan partition (x10 ladder ratio 0.89). Row-group-gated.
+    tok = cpu_repartition(d, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).filter(
         F.size("tk") >= DECONTAM_N
     )
     ngrams = tok.select(
@@ -587,6 +594,12 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the learned-merge table would be a persisted artifact
     (similarity_index_build pattern) instead of a lazy recompute."""
     d = load_table(spark, sf_dir, "documents")
+    # NO work-derived spread here (r15 negative result, measured): a
+    # row-group-gated RoundRobin of the docs scan read 16.3 s vs 7.6 s
+    # at x10 and flat at sf0.1 — the encode's cost lives in the
+    # distinct-vocab replace chain and the broadcast probe, not the
+    # explode, and the spread only added a full-text shuffle (confirms
+    # the r14 rejection for the BPE family).
     toks = (
         d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")

@@ -764,10 +764,21 @@ def test_median_and_cleaning_rank_inputs_are_histograms(spark, sf_dir):
 
 def test_png_decode_pipeline_is_shuffle_free(spark, sf_dir):
     """Both Arrow stages of the PNG round trip chain onto the scan with
-    no Exchange: at 100 TB the pixel volume never crosses the network."""
+    at most the ONE RoundRobin spread of the raw input (r15,
+    multimodal._codec_parallel — same gate shape as the JPEG/CDC
+    pipelines): at 100 TB the PNG containers and pixel volume never
+    cross the network, and the row-group gate drops even the raw-bytes
+    spread on a multi-row-group corpus."""
     from argodb_mapreduce_spark.operators.multimodal import multimodal_image_decode
 
-    assert n_exchanges(multimodal_image_decode(spark, sf_dir)) == 0
+    df = multimodal_image_decode(spark, sf_dir)
+    assert n_exchanges(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RoundRobinPartitioning") <= 1
+    # the spread must carry only the RAW input, never the PNG container
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "png" not in ln, ln
 
 
 def test_png_histogram_shuffles_only_bin_partials(spark, sf_dir):
